@@ -1,0 +1,238 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.sources.Tables
+
+/** K-Means — the reference engine's whole surface, re-expressed
+  * Spark-first.
+  *
+  * Reference semantics (cited file:line):
+  *  - assignment: nearest centroid by squared Euclidean distance,
+  *    first-minimum (lowest cluster id) wins ties —
+  *    /root/reference/src/MapReduceKMean/PointsMapper.java:63-75
+  *  - update: new centroid = arithmetic mean of assigned points —
+  *    /root/reference/src/MapReduceKMean/PointsReducer.java:21-36
+  *  - loop: per-axis convergence tolerance 1e-3, max 20 iterations —
+  *    /root/reference/src/KMeans.java:104-115,201-233
+  *  - empty cluster keeps its previous centroid (reducer emits no
+  *    row; driver's readClusterResults leaves the slot untouched) —
+  *    /root/reference/src/KMeans.java:119-146
+  *
+  * Spark-first design: centroids are O(k) driver-side values (the
+  * reference ships them in the job Configuration; we broadcast them
+  * as literals inside a codegen'd expression). Each iteration is one
+  * map-side assignment (zero shuffle) plus one partial-aggregated
+  * groupBy of k groups — the same shape that holds at 100 TB:
+  * per-iteration cluster traffic is O(k · partitions), never O(rows).
+  *
+  * Points are 2-D, as in the reference: x = l_quantity,
+  * y = l_extendedprice from lineitem. Deterministic init (so the
+  * DuckDB oracle can reproduce it): the k first points ordered by
+  * the unique (l_orderkey, l_linenumber) key.
+  */
+object KMeans {
+
+  val K = 8
+
+  /** lineitem → (rid-orderable keys, x, y). */
+  def points(li: DataFrame): DataFrame =
+    li.select(col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+
+  /** Deterministic init: k first points by (l_orderkey, l_linenumber).
+    * collect() of k rows only — mirrors the reference distributing k
+    * centroids via the Configuration (KMeans.java:52-99).
+    */
+  def initCentroids(pts: DataFrame, k: Int = K): Array[(Double, Double)] =
+    pts.orderBy(col("l_orderkey"), col("l_linenumber")).limit(k)
+      .select("x", "y").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+
+  /** Nearest-centroid id as a single codegen'd expression: min over
+    * an array of (dist, cid) structs — struct ordering gives the
+    * lowest-cid tie-break for free. No shuffle, no UDF.
+    */
+  def assignExpr(cs: Array[(Double, Double)], x: Column, y: Column): Column = {
+    val candidates = cs.zipWithIndex.map { case ((cx, cy), i) =>
+      val dist = (x - lit(cx)) * (x - lit(cx)) + (y - lit(cy)) * (y - lit(cy))
+      struct(dist.as("dist"), lit(i).as("cid"))
+    }
+    array_min(array(candidates: _*)).getField("cid")
+  }
+
+  /** Squared distance from (x,y) to its assigned (nearest) centroid. */
+  def minDistExpr(cs: Array[(Double, Double)], x: Column, y: Column): Column = {
+    val dists = cs.map { case (cx, cy) =>
+      (x - lit(cx)) * (x - lit(cx)) + (y - lit(cy)) * (y - lit(cy))
+    }
+    least(dists: _*)
+  }
+
+  /** One Lloyd update: mean of assigned points per cluster (empty
+    * clusters produce no row; caller decides stale-keep semantics).
+    * Map-side partial aggregation → single k-group shuffle.
+    */
+  def step(pts: DataFrame, cs: Array[(Double, Double)]): DataFrame =
+    pts.withColumn("cid", assignExpr(cs, col("x"), col("y")))
+      .groupBy(col("cid"))
+      .agg(avg(col("x")).as("x"), avg(col("y")).as("y"), count(lit(1)).as("n"))
+
+  /** n chained Lloyd iterations, dropping empty clusters (matches the
+    * generated SQL oracle). Returns final centroids keyed by cid.
+    */
+  def iterate(pts: DataFrame, init: Array[(Double, Double)], iters: Int): Map[Int, (Double, Double)] = {
+    var centroids: Map[Int, (Double, Double)] = init.zipWithIndex.map { case (c, i) => i -> c }.toMap
+    var i = 0
+    while (i < iters) {
+      val ordered = centroids.toSeq.sortBy(_._1)
+      val cs = ordered.map(_._2).toArray
+      val ids = ordered.map(_._1).toArray
+      val updated = step(pts, cs).select("cid", "x", "y").collect()
+        .map(r => ids(r.getInt(0)) -> (r.getDouble(1), r.getDouble(2))).toMap
+      centroids = updated
+      i += 1
+    }
+    centroids
+  }
+
+  /** Full reference semantics: iterate until every centroid moves
+    * < tol on both axes (KMeans.java:104-115), max 20 iterations;
+    * empty clusters keep their previous centroid.
+    */
+  def lloyd(pts: DataFrame, init: Array[(Double, Double)],
+      tol: Double = 1e-3, maxIter: Int = 20): (Array[(Double, Double)], Int, Boolean) = {
+    var centroids = init.clone()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val updated = step(pts, centroids).select("cid", "x", "y").collect()
+        .map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      val next = centroids.zipWithIndex.map { case (old, i) => updated.getOrElse(i, old) }
+      converged = centroids.zip(next).forall { case ((ox, oy), (nx, ny)) =>
+        math.abs(ox - nx) < tol && math.abs(oy - ny) < tol
+      }
+      centroids = next
+      iter += 1
+    }
+    (centroids, iter, converged)
+  }
+
+  // ---- DuckDB oracle generation --------------------------------------
+
+  /** CTE chain for n Lloyd iterations — the same algorithm the Spark
+    * side runs, emitted as SQL so DuckDB can replay it exactly.
+    */
+  private def lloydCtes(k: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH pts AS (
+         |  SELECT l_quantity AS x, l_extendedprice AS y,
+         |         row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS rid
+         |  FROM lineitem),
+         |c0 AS (SELECT rid AS cid, x, y FROM pts WHERE rid < $k)""".stripMargin)
+    for (i <- 1 to iters) {
+      sb.append(
+        s""",
+           |a$i AS (
+           |  SELECT p.rid, p.x, p.y, c.cid,
+           |         (p.x-c.x)*(p.x-c.x) + (p.y-c.y)*(p.y-c.y) AS dist,
+           |         row_number() OVER (PARTITION BY p.rid
+           |           ORDER BY (p.x-c.x)*(p.x-c.x) + (p.y-c.y)*(p.y-c.y), c.cid) AS rn
+           |  FROM pts p CROSS JOIN c${i - 1} c),
+           |s$i AS (SELECT rid, x, y, cid, dist FROM a$i WHERE rn = 1),
+           |c$i AS (SELECT cid, avg(x) AS x, avg(y) AS y FROM s$i GROUP BY cid)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  // ---- QueryDefs -----------------------------------------------------
+
+  /** Cluster sizes after the first assignment. */
+  val kmeansAssign: QueryDef = QueryDef.sql(
+    "kmeans_assign",
+    lloydCtes(K, 1) +
+      "\nSELECT cid, count(*) AS n FROM s1 GROUP BY cid ORDER BY cid") { (s, d) =>
+    val pts = points(Tables.lineitem(s, d))
+    val cs = initCentroids(pts)
+    pts.withColumn("cid", assignExpr(cs, col("x"), col("y")))
+      .groupBy(col("cid")).agg(count(lit(1)).as("n"))
+      .select(col("cid").cast("long"), col("n"))
+      .orderBy(col("cid"))
+  }
+
+  /** Centroids after one Lloyd update. */
+  val kmeansStep: QueryDef = QueryDef.sql(
+    "kmeans_step",
+    lloydCtes(K, 1) +
+      "\nSELECT cid, round(x, 3) AS cx, round(y, 3) AS cy FROM c1 ORDER BY cid") { (s, d) =>
+    val pts = points(Tables.lineitem(s, d))
+    val cs = initCentroids(pts)
+    step(pts, cs)
+      .select(col("cid").cast("long"), round(col("x"), 3).as("cx"), round(col("y"), 3).as("cy"))
+      .orderBy(col("cid"))
+  }
+
+  /** Centroids after three chained Lloyd iterations — oracle SQL is
+    * generated by the same Scala code for any iteration count.
+    */
+  val kmeansIter3: QueryDef = QueryDef.sql(
+    "kmeans_iter3",
+    lloydCtes(K, 3) +
+      "\nSELECT cid, round(x, 3) AS cx, round(y, 3) AS cy FROM c3 ORDER BY cid") { (s, d) =>
+    val pts = points(Tables.lineitem(s, d))
+    val fin = iterate(pts, initCentroids(pts), 3)
+    import s.implicits._
+    fin.toSeq.sortBy(_._1)
+      .map { case (cid, (x, y)) => (cid.toLong, x, y) }
+      .toDF("cid", "cx", "cy")
+      .select(col("cid"), round(col("cx"), 3).as("cx"), round(col("cy"), 3).as("cy"))
+  }
+
+  /** WSSSE (total within-cluster squared error) of the first
+    * assignment, in millions (FP-stable rounding, SURVEY §5).
+    */
+  val kmeansCost: QueryDef = QueryDef.sql(
+    "kmeans_cost",
+    lloydCtes(K, 1) +
+      "\nSELECT round(sum(dist) / 1000000, 3) AS cost_m FROM s1") { (s, d) =>
+    val pts = points(Tables.lineitem(s, d))
+    val cs = initCentroids(pts)
+    pts.select(minDistExpr(cs, col("x"), col("y")).as("dist"))
+      .agg(round(sum(col("dist")) / 1000000, 3).as("cost_m"))
+  }
+
+  /** Full Lloyd to convergence — the reference's exact loop
+    * (tol 1e-3 per axis, maxIter 20, stale empty clusters).
+    */
+  val kmeansLloyd: QueryDef = QueryDef.rowsOnly("kmeans_lloyd") { (s, d) =>
+    val pts = points(Tables.lineitem(s, d))
+    val (cs, iters, converged) = lloyd(pts, initCentroids(pts))
+    import s.implicits._
+    cs.zipWithIndex.map { case ((x, y), i) =>
+      (i.toLong, math.round(x * 1000) / 1000.0, math.round(y * 1000) / 1000.0,
+        iters.toLong, converged)
+    }.toSeq.toDF("cid", "cx", "cy", "n_iters", "converged")
+  }
+
+  /** MLlib KMeans (k-means|| init) — the production-scale path for
+    * high-dimensional / huge-k cases.
+    */
+  val kmeansMllib: QueryDef = QueryDef.rowsOnly("kmeans_mllib") { (s, d) =>
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.clustering.{KMeans => MlKMeans}
+    val pts = points(Tables.lineitem(s, d))
+    val features = new VectorAssembler()
+      .setInputCols(Array("x", "y")).setOutputCol("features")
+      .transform(pts)
+    val fitted = new MlKMeans().setK(K).setSeed(42L).setMaxIter(20)
+      .setFeaturesCol("features").fit(features)
+    val sizes = fitted.transform(features)
+      .groupBy(col("prediction")).agg(count(lit(1)).as("n"))
+    sizes.select(col("prediction").cast("long").as("cid"), col("n")).orderBy(col("cid"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    kmeansAssign, kmeansStep, kmeansIter3, kmeansCost, kmeansLloyd, kmeansMllib)
+}
