@@ -9,7 +9,9 @@ object SparkEntry {
   /** All engine operators, each a named query + (when expressible)
     * a DuckDB oracle. Registered per-domain; names must be unique.
     */
-  val defs: Seq[QueryDef] = Relational.all ++ KMeans.all
+  val defs: Seq[QueryDef] =
+    Relational.all ++ KMeans.all ++ TextAnalysis.all ++ Dedup.all ++
+      Similarity.all ++ Multimodal.all ++ EventOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

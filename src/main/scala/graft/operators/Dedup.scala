@@ -1,0 +1,217 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Deduplication family for training-data pipelines: exact,
+  * n-gram-Jaccard, MinHash+LSH, SimHash, embedding-cosine.
+  *
+  * Scale posture: exact dedup and MinHash/SimHash signatures are
+  * map-side; candidate generation shuffles on (band, signature)
+  * buckets so the pairwise work is confined to colliding buckets —
+  * never an O(n²) cross join. The oracle-checked n-gram Jaccard
+  * variant is intentionally bounded by doc_id so the quadratic
+  * verification stays constant-size at any SF (SURVEY §5); at scale
+  * the same verification runs only on LSH candidates.
+  */
+object Dedup {
+
+  /** Whitespace-normalized text (the dedup key). */
+  private def norm(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  val dedupExact: QueryDef = QueryDef.sql(
+    "dedup_exact",
+    """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      |      FROM documents) t
+      |GROUP BY norm ORDER BY keep_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(norm(col("text")).as("norm"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+      .orderBy(col("keep_id"))
+  }
+
+  val dedupStats: QueryDef = QueryDef.sql(
+    "dedup_stats",
+    """SELECT n_copies, count(*) AS n_groups
+      |FROM (SELECT count(*) AS n_copies
+      |      FROM (SELECT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      |            FROM documents) t
+      |      GROUP BY norm) g
+      |GROUP BY n_copies ORDER BY n_copies""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(norm(col("text")).as("norm"))
+      .agg(count(lit(1)).as("n_copies"))
+      .groupBy(col("n_copies")).agg(count(lit(1)).as("n_groups"))
+      .orderBy(col("n_copies"))
+  }
+
+  /** doc_id → exploded distinct word-3-shingles. */
+  def shingles(docs: DataFrame, bound: Option[Long] = None): DataFrame = {
+    val base = bound.fold(docs)(b => docs.filter(col("doc_id") < b))
+    base
+      .select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 3), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"))
+        .as("sh"))
+      .distinct()
+  }
+
+  /** Exact pairwise Jaccard ≥ threshold over candidate pairs.
+    * `pairs` must have columns (id1, id2).
+    */
+  def jaccardVerify(sh: DataFrame, pairs: DataFrame, threshold: Double): DataFrame = {
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.toDF("id1", "sh").join(sh.toDF("id2", "sh2"),
+        col("sh") === col("sh2") && col("id1") < col("id2"))
+      .join(pairs, Seq("id1", "id2"), "left_semi")
+      .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(counts.toDF("id1", "n1")), "id1")
+      .join(broadcast(counts.toDF("id2", "n2")), "id2")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** Oracle-checked exact n-gram Jaccard on a bounded id range. */
+  val dedupNgram: QueryDef = QueryDef.sql(
+    "dedup_ngram",
+    """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+      |           FROM documents WHERE doc_id < 300),
+      |s AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+      |      FROM t, UNNEST(generate_series(1, len(toks) - 2)) AS u(i)
+      |      WHERE len(toks) >= 3),
+      |c AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+      |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+      |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2)
+      |SELECT id1, id2,
+      |  round(CAST(inter AS DOUBLE) / (c1.n + c2.n - inter), 4) AS jaccard
+      |FROM p JOIN c c1 ON p.id1 = c1.doc_id JOIN c c2 ON p.id2 = c2.doc_id
+      |WHERE CAST(inter AS DOUBLE) / (c1.n + c2.n - inter) >= 0.8
+      |ORDER BY id1, id2""".stripMargin) { (s, d) =>
+    val sh = shingles(Tables.documents(s, d), Some(300L))
+    val inter = sh.toDF("id1", "sh").join(sh.toDF("id2", "sh2"),
+        col("sh") === col("sh2") && col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    inter
+      .join(broadcast(counts.toDF("id1", "n1")), "id1")
+      .join(broadcast(counts.toDF("id2", "n2")), "id2")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  // ---- MinHash + LSH (the scale path) --------------------------------
+
+  val NumPerm = 64
+  val Bands = 16
+  val RowsPerBand: Int = NumPerm / Bands
+
+  /** doc_id → 64-permutation MinHash signature (columns m0..m63).
+    * Each permutation is xxhash64 with a distinct seed column —
+    * overflow-free under ANSI mode and codegen'd. Map-side hashing
+    * + one k-column min aggregation.
+    */
+  def minhashSignatures(sh: DataFrame): DataFrame = {
+    val aggs = (0 until NumPerm).map { i =>
+      min(xxhash64(col("sh"), lit(i))).as(s"m$i")
+    }
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: explode signatures into (band, band-signature)
+    * buckets; candidate pairs are ids colliding in ≥1 bucket.
+    */
+  def lshCandidates(sigs: DataFrame): DataFrame = {
+    val bandCols = (0 until Bands).map { bi =>
+      struct(lit(bi).as("band"),
+        xxhash64(concat_ws(",", (0 until RowsPerBand).map(j => col(s"m${bi * RowsPerBand + j}")): _*)).as("sig"))
+    }
+    val buckets = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+    buckets.toDF("id1", "band", "sig")
+      .join(buckets.toDF("id2", "band2", "sig2"),
+        col("band") === col("band2") && col("sig") === col("sig2") && col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
+  /** MinHash+LSH near-dup detection, Jaccard-verified ≥ 0.8. */
+  val dedupMinhash: QueryDef = QueryDef.rowsOnly("dedup_minhash") { (s, d) =>
+    val sh = shingles(Tables.documents(s, d))
+    sh.cache()
+    val cand = lshCandidates(minhashSignatures(sh))
+    jaccardVerify(sh, cand, 0.8)
+  }
+
+  // ---- SimHash -------------------------------------------------------
+
+  /** doc_id → 64-bit SimHash packed into a long. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    val sums = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    sums.select(col("doc_id"),
+      (0 until 64).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ bitwiseOR _).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs (Hamming ≤ 3) on a bounded id range. */
+  val dedupSimhash: QueryDef = QueryDef.rowsOnly("dedup_simhash") { (s, d) =>
+    val sig = simhash(Tables.documents(s, d).filter(col("doc_id") < 300))
+    sig.toDF("id1", "h1").join(sig.toDF("id2", "h2"), col("id1") < col("id2"))
+      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
+      .filter(col("hamming") <= 3)
+      .select(col("id1"), col("id2"), col("hamming").cast("long").as("hamming"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  // ---- Embedding cosine near-dup -------------------------------------
+
+  /** Pairwise embedding cosine ≥ 0.35 (threshold calibrated to the
+    * synthetic corpus: max pairwise cosine ≈ 0.456) on a bounded id
+    * range; the unbounded scale path is Similarity.annLsh bucketing.
+    */
+  val dedupEmbedding: QueryDef = QueryDef.sql(
+    "dedup_embedding",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+      |           FROM embeddings WHERE vec_id < 300),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+      |SELECT a.vec_id AS id1, b.vec_id AS id2,
+      |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos_sim
+      |FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.35
+      |ORDER BY id1, id2""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d).filter(col("vec_id") < 300)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val n = e.withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
+    val cos = round(Similarity.dot(col("v"), col("v2")) / (col("nrm") * col("nrm2")), 4)
+    n.toDF("id1", "v", "nrm")
+      .join(n.toDF("id2", "v2", "nrm2"), col("id1") < col("id2"))
+      .withColumn("cos_sim", cos)
+      .filter(col("cos_sim") >= 0.35)
+      .select("id1", "id2", "cos_sim")
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    dedupExact, dedupStats, dedupNgram, dedupMinhash, dedupSimhash, dedupEmbedding)
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.QueryDef
+import graft.sources.Tables
+import graft.streaming.EventStreams
+
+/** Time-series operators over the events table: tumbling-window
+  * aggregation (batch + Structured Streaming) and gap-based
+  * sessionization.
+  */
+object EventOps {
+
+  private val hourlySql =
+    """SELECT date_trunc('hour', ts) AS hour, event_type,
+      |  count(*) AS n, round(sum(value), 2) AS total
+      |FROM events
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Tumbling 1-hour window aggregation (batch). */
+  val eventsHourly: QueryDef = QueryDef.sql("events_hourly", hourlySql) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  /** The same aggregation through Structured Streaming — checked
+    * against the identical SQL oracle as the batch path.
+    */
+  val streamHourly: QueryDef =
+    QueryDef.sql("stream_hourly", hourlySql)(EventStreams.streamHourly)
+
+  /** Gap-based sessionization (30-min inactivity gap): mark session
+    * starts with lag(), number sessions with a running sum — two
+    * window passes over the same (user_id, ts) shuffle.
+    */
+  val eventsSessions: QueryDef = QueryDef.sql(
+    "events_sessions",
+    """WITH x AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |              > INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events),
+      |y AS (
+      |  SELECT user_id, ts,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM x)
+      |SELECT user_id, CAST(sid AS BIGINT) AS session_id, count(*) AS n_events,
+      |  date_trunc('minute', min(ts)) AS start_min
+      |FROM y GROUP BY user_id, sid
+      |ORDER BY user_id, session_id""".stripMargin) { (s, d) =>
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("gap_us", unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser)))
+      .withColumn("new_s", when(col("gap_us").isNull || col("gap_us") > 30L * 60 * 1000000, 1).otherwise(0))
+      .withColumn("sid", sum(col("new_s")).over(running))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n_events"), date_trunc("minute", min(col("ts"))).as("start_min"))
+      .select(col("user_id"), col("sid").cast("long").as("session_id"),
+        col("n_events"), col("start_min"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(eventsHourly, streamHourly, eventsSessions)
+}

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: exact brute-force cosine top-k (bounded, oracle-checked).
+  * Scale path: random-hyperplane LSH — map-side signature, bucket
+  * join prunes the candidate space so the pairwise work is confined
+  * to colliding buckets.
+  */
+object Similarity {
+
+  /** Dot product of two array<double> columns via zip_with/aggregate
+    * (sequential left fold — deterministic, matches the oracle's
+    * list_dot_product evaluation order).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Embeddings as (vec_id, v: array<double>). */
+  def vectors(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  /** Exact cosine top-10 for the vec_id=0 query vector. */
+  val annBruteforce: QueryDef = QueryDef.sql(
+    "ann_bruteforce",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+      |SELECT vec_id,
+      |  round(list_dot_product(v, qv)
+      |    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 4) AS cos_sim
+      |FROM e CROSS JOIN q WHERE vec_id <> 0
+      |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+    val e = vectors(s, d)
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(cosine(col("v"), col("qv")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Exact top-1 neighbor for each of the first 100 vectors. */
+  val annTopkJoin: QueryDef = QueryDef.sql(
+    "ann_topk_join",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+      |           FROM embeddings WHERE vec_id < 100),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+      |        round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos_sim
+      |      FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY id1
+      |        ORDER BY cos_sim DESC, id2) AS rn FROM p)
+      |SELECT id1, id2, cos_sim FROM r WHERE rn = 1 ORDER BY id1""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = vectors(s, d).filter(col("vec_id") < 100)
+    val n = e.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val p = n.toDF("id1", "v", "nrm")
+      .join(n.toDF("id2", "v2", "nrm2"), col("id1") =!= col("id2"))
+      .select(col("id1"), col("id2"),
+        round(dot(col("v"), col("v2")) / (col("nrm") * col("nrm2")), 4).as("cos_sim"))
+    val w = Window.partitionBy(col("id1")).orderBy(col("cos_sim").desc, col("id2"))
+    p.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("id1", "id2", "cos_sim")
+      .orderBy(col("id1"))
+  }
+
+  // ---- Random-hyperplane LSH (scale path) ----------------------------
+
+  val NumPlanes = 8
+  val Dim = 64
+
+  /** Fixed gaussian hyperplanes (seeded). */
+  private lazy val planes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(7)
+    Array.fill(NumPlanes)(Array.fill(Dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit signature: bucket id in [0, 2^NumPlanes). Map-side. */
+  def lshSignature(v: Column): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(lit): _*)
+      when(dot(v, planeLit) >= 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed approximate top-1 neighbor for the first 20
+    * vectors: candidates share the query's hyperplane bucket, so the
+    * join is an equality shuffle on the bucket id, never O(n²).
+    */
+  val annLsh: QueryDef = QueryDef.rowsOnly("ann_lsh") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = vectors(s, d).withColumn("bucket", lshSignature(col("v")))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val queries = e.filter(col("vec_id") < 20).toDF("id1", "v", "bucket", "nrm")
+    val cands = e.toDF("id2", "v2", "bucket2", "nrm2")
+    val p = queries.join(cands,
+        col("bucket") === col("bucket2") && col("id1") =!= col("id2"))
+      .select(col("id1"), col("id2"),
+        round(dot(col("v"), col("v2")) / (col("nrm") * col("nrm2")), 4).as("cos_sim"))
+    val w = Window.partitionBy(col("id1")).orderBy(col("cos_sim").desc, col("id2"))
+    p.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("id1", "id2", "cos_sim")
+      .orderBy(col("id1"))
+  }
+
+  val all: Seq[QueryDef] = Seq(annBruteforce, annTopkJoin, annLsh)
+}

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * token counting, quality scoring, language ID, fingerprinting,
+  * corpus word frequency. All pure map-side `functions._` expression
+  * trees (whole-stage codegen, no UDFs) except the final aggregates —
+  * the shape that scales to 100 TB: per-document work is embarrassingly
+  * parallel, shuffles only carry tiny aggregate keys.
+  */
+object TextAnalysis {
+
+  /** Non-whitespace token count as a codegen'd expression. */
+  def tokenCount(text: Column): Column = regexp_count(text, lit("\\S+"))
+
+  private val stopPattern = "\\b(the|a|an|of|to|in|and|is|it|for)\\b"
+
+  val textTokens: QueryDef = QueryDef.sql(
+    "text_tokens",
+    """SELECT doc_id,
+      |  CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+      |  CAST(length(text) AS BIGINT) AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      tokenCount(col("text")).cast("long").as("n_tokens"),
+      length(col("text")).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality scoring: length, alpha ratio, stopword ratio → score.
+    * Every ratio is an exact int/int double division so the oracle
+    * reproduces it bit-for-bit.
+    */
+  val textQuality: QueryDef = QueryDef.sql(
+    "text_quality",
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+       |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS alpha_chars,
+       |    CAST(length(regexp_extract_all(lower(text), '$stopPattern')) AS BIGINT) AS n_stops
+       |  FROM documents)
+       |SELECT doc_id, n_chars, n_tokens,
+       |  round(CAST(alpha_chars AS DOUBLE) / n_chars, 4) AS alpha_ratio,
+       |  round(CAST(n_stops AS DOUBLE) / n_tokens, 4) AS stop_ratio,
+       |  round(0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 100)
+       |      + 0.4 * (CAST(alpha_chars AS DOUBLE) / n_chars)
+       |      + 0.3 * (1 - CAST(n_stops AS DOUBLE) / n_tokens), 4) AS quality
+       |FROM m WHERE n_chars > 0 AND n_tokens > 0
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val m = Tables.documents(s, d).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      tokenCount(col("text")).cast("long").as("n_tokens"),
+      length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long").as("alpha_chars"),
+      regexp_count(lower(col("text")), lit(stopPattern)).cast("long").as("n_stops"))
+    m.filter(col("n_chars") > 0 && col("n_tokens") > 0)
+      .select(
+        col("doc_id"), col("n_chars"), col("n_tokens"),
+        round(col("alpha_chars").cast("double") / col("n_chars"), 4).as("alpha_ratio"),
+        round(col("n_stops").cast("double") / col("n_tokens"), 4).as("stop_ratio"),
+        round(lit(0.3) * least(lit(1.0), col("n_tokens").cast("double") / 100)
+          + lit(0.4) * (col("alpha_chars").cast("double") / col("n_chars"))
+          + lit(0.3) * (lit(1) - col("n_stops").cast("double") / col("n_tokens")), 4).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Marker-word language ID (n-gram heuristic): count per-language
+    * marker hits, argmax with a fixed precedence order.
+    */
+  val textLangid: QueryDef = {
+    val markers = Seq(
+      "en" -> "\\b(the|and|of|to|is)\\b",
+      "es" -> "\\b(el|la|de|que|y)\\b",
+      "de" -> "\\b(der|die|das|und|ist)\\b",
+      "fr" -> "\\b(le|les|et|des|est)\\b")
+    val counts = markers.map { case (l, p) =>
+      s"CAST(length(regexp_extract_all(lower(text), '$p')) AS BIGINT) AS c_$l"
+    }.mkString(",\n    ")
+    QueryDef.sql(
+      "text_langid",
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    $counts
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN greatest(c_en, c_es, c_de, c_fr) = 0 THEN 'und'
+         |       WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+         |       WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
+         |       WHEN c_de >= c_fr THEN 'de'
+         |       ELSE 'fr' END AS pred_lang
+         |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val m = Tables.documents(s, d).select(
+        col("doc_id") +: markers.map { case (l, p) =>
+          regexp_count(lower(col("text")), lit(p)).cast("long").as(s"c_$l")
+        }: _*)
+      m.select(
+        col("doc_id"),
+        when(greatest(col("c_en"), col("c_es"), col("c_de"), col("c_fr")) === 0, "und")
+          .when(col("c_en") >= col("c_es") && col("c_en") >= col("c_de") && col("c_en") >= col("c_fr"), "en")
+          .when(col("c_es") >= col("c_de") && col("c_es") >= col("c_fr"), "es")
+          .when(col("c_de") >= col("c_fr"), "de")
+          .otherwise("fr").as("pred_lang"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
+  /** Whitespace-normalized md5 document fingerprint. */
+  val textFingerprint: QueryDef = QueryDef.sql(
+    "text_fingerprint",
+    """SELECT doc_id,
+      |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus top-20 word frequency (explode → partial-agg count). */
+  val textWordfreq: QueryDef = QueryDef.sql(
+    "text_wordfreq",
+    """SELECT word, count(*) AS n
+      |FROM (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS word
+      |      FROM documents) t
+      |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(20)
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    textTokens, textQuality, textLangid, textFingerprint, textWordfreq)
+}

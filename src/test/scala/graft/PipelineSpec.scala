@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+import graft.sources.Tables
+
+class DedupSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("exact dedup groups cover all documents") {
+    val out = Dedup.dedupExact.fn(spark, sf)
+    val total = out.agg(sum(col("n_copies"))).collect()(0).getLong(0)
+    assert(total == Tables.documents(spark, sf).count())
+  }
+
+  test("minhash LSH recalls every exact near-dup pair (bounded range)") {
+    val exact = Dedup.dedupNgram.fn(spark, sf)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.dedupMinhash.fn(spark, sf)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // verified-LSH output must contain every exact pair in its range
+    assert(exact.subsetOf(lsh), s"missed: ${exact.diff(lsh)}")
+  }
+
+  test("simhash near-dup pairs have hamming <= 3") {
+    val rows = Dedup.dedupSimhash.fn(spark, sf).collect()
+    assert(rows.forall(_.getLong(2) <= 3))
+  }
+
+  test("embedding near-dup cosines are within [-1, 1]") {
+    val rows = Dedup.dedupEmbedding.fn(spark, sf).collect()
+    assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0))
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("brute-force top-10 is sorted descending") {
+    val sims = Similarity.annBruteforce.fn(spark, sf)
+      .select("cos_sim").collect().map(_.getDouble(0))
+    assert(sims.length == 10)
+    assert(sims.sameElements(sims.sorted.reverse))
+  }
+
+  test("lsh ANN prunes: candidate buckets smaller than corpus") {
+    val e = Similarity.vectors(spark, sf)
+      .withColumn("bucket", Similarity.lshSignature(col("v")))
+    val maxBucket = e.groupBy("bucket").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(maxBucket < e.count(), "LSH failed to split the space")
+  }
+
+  test("lsh ANN returns one neighbor per query with valid cosine") {
+    val rows = Similarity.annLsh.fn(spark, sf).collect()
+    val ids = rows.map(_.getLong(0))
+    assert(ids.distinct.length == ids.length)
+    assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0))
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("feature extraction covers every payload deterministically") {
+    val a = Multimodal.mmFeatures.fn(spark, sf).collect()
+    val b = Multimodal.mmFeatures.fn(spark, sf).collect()
+    assert(a.length == Tables.documents(spark, sf).count())
+    assert(a.sameElements(b))
+  }
+
+  test("decode stub is pure") {
+    val f1 = Multimodal.decodeStub(1L, "hello".getBytes("UTF-8"))
+    val f2 = Multimodal.decodeStub(1L, "hello".getBytes("UTF-8"))
+    assert(f1 == f2)
+    assert(f1.width >= 64 && f1.width < 128)
+  }
+}
+
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("streaming hourly agg equals batch hourly agg") {
+    val batch = EventOps.eventsHourly.fn(spark, sf).collect()
+    val stream = EventOps.streamHourly.fn(spark, sf).collect()
+    assert(stream.length == batch.length)
+    assert(stream.map(_.toString).sorted.sameElements(batch.map(_.toString).sorted))
+  }
+}
+
+class TextSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("token counts are positive and bounded by char counts") {
+    val rows = TextAnalysis.textTokens.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(1) > 0 && r.getLong(1) <= r.getLong(2)))
+  }
+
+  test("quality score is in [0, 1]") {
+    val rows = TextAnalysis.textQuality.fn(spark, sf)
+      .select("quality").collect().map(_.getDouble(0))
+    assert(rows.forall(q => q >= 0.0 && q <= 1.0))
+  }
+
+  test("fingerprint is stable under whitespace noise") {
+    import spark.implicits._
+    val df = Seq((1L, "a  b\tc"), (2L, "a b c")).toDF("doc_id", "text")
+    val fps = df.select(
+      md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))).collect()
+    assert(fps(0) == fps(1))
+  }
+}
