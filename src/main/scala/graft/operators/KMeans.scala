@@ -81,6 +81,7 @@ object KMeans {
 
   /** n chained Lloyd iterations, dropping empty clusters (matches the
     * generated SQL oracle). Returns final centroids keyed by cid.
+    * Caller should persist `pts` (each iteration is a full pass).
     */
   def iterate(pts: DataFrame, init: Array[(Double, Double)], iters: Int): Map[Int, (Double, Double)] = {
     var centroids: Map[Int, (Double, Double)] = init.zipWithIndex.map { case (c, i) => i -> c }.toMap
@@ -181,8 +182,8 @@ object KMeans {
     "kmeans_iter3",
     lloydCtes(K, 3) +
       "\nSELECT cid, round(x, 3) AS cx, round(y, 3) AS cy FROM c3 ORDER BY cid") { (s, d) =>
-    val pts = points(Tables.lineitem(s, d))
-    val fin = iterate(pts, initCentroids(pts), 3)
+    val pts = points(Tables.lineitem(s, d)).persist()
+    val fin = try iterate(pts, initCentroids(pts), 3) finally pts.unpersist(false)
     import s.implicits._
     fin.toSeq.sortBy(_._1)
       .map { case (cid, (x, y)) => (cid.toLong, x, y) }
@@ -207,8 +208,9 @@ object KMeans {
     * (tol 1e-3 per axis, maxIter 20, stale empty clusters).
     */
   val kmeansLloyd: QueryDef = QueryDef.rowsOnly("kmeans_lloyd") { (s, d) =>
-    val pts = points(Tables.lineitem(s, d))
-    val (cs, iters, converged) = lloyd(pts, initCentroids(pts))
+    val pts = points(Tables.lineitem(s, d)).persist()
+    val (cs, iters, converged) =
+      try lloyd(pts, initCentroids(pts)) finally pts.unpersist(false)
     import s.implicits._
     cs.zipWithIndex.map { case ((x, y), i) =>
       (i.toLong, math.round(x * 1000) / 1000.0, math.round(y * 1000) / 1000.0,
@@ -226,11 +228,16 @@ object KMeans {
     val features = new VectorAssembler()
       .setInputCols(Array("x", "y")).setOutputCol("features")
       .transform(pts)
-    val fitted = new MlKMeans().setK(K).setSeed(42L).setMaxIter(20)
-      .setFeaturesCol("features").fit(features)
-    val sizes = fitted.transform(features)
-      .groupBy(col("prediction")).agg(count(lit(1)).as("n"))
-    sizes.select(col("prediction").cast("long").as("cid"), col("n")).orderBy(col("cid"))
+      .persist()
+    try {
+      val fitted = new MlKMeans().setK(K).setSeed(42L).setMaxIter(20)
+        .setFeaturesCol("features").fit(features)
+      val sizes = fitted.transform(features)
+        .groupBy(col("prediction")).agg(count(lit(1)).as("n"))
+        .select(col("prediction").cast("long").as("cid"), col("n")).orderBy(col("cid"))
+      // materialize before unpersist (the returned plan re-reads otherwise)
+      sizes.localCheckpoint(eager = true)
+    } finally features.unpersist(false)
   }
 
   val all: Seq[QueryDef] = Seq(
