@@ -14,11 +14,17 @@ import graft.sources.Tables
   */
 object Similarity {
 
-  /** Dot product of two array<double> columns via zip_with/aggregate
-    * (sequential left fold — deterministic, matches the oracle's
-    * list_dot_product evaluation order).
+  /** Dot product of two array<double> columns — native codegen'd
+    * Catalyst expression (sequential accumulation, matching the
+    * oracle's list_dot_product evaluation order).
     */
   def dot(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.dot_product(a, b)
+
+  /** Reference formulation via higher-order functions (kept for
+    * cross-checking the native expression in tests).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def cosine(a: Column, b: Column): Column =
