@@ -65,12 +65,19 @@ object Dedup {
 
   /** Exact pairwise Jaccard ≥ threshold over candidate pairs.
     * `pairs` must have columns (id1, id2).
+    *
+    * Join order matters at scale: candidates first, shingles second —
+    * the co-occurrence work is O(|candidates| · shingles/doc). Joining
+    * shingle-to-shingle across the whole corpus and then semi-joining
+    * the candidates would re-create the quadratic blowup LSH exists
+    * to avoid (a single hot shingle shared by m docs costs m² there).
     */
   def jaccardVerify(sh: DataFrame, pairs: DataFrame, threshold: Double): DataFrame = {
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.toDF("id1", "sh").join(sh.toDF("id2", "sh2"),
-        col("sh") === col("sh2") && col("id1") < col("id2"))
-      .join(pairs, Seq("id1", "id2"), "left_semi")
+    val inter = pairs
+      .join(sh.toDF("id1", "sh"), "id1")
+      .join(sh.toDF("id2b", "sh2"),
+        col("id2") === col("id2b") && col("sh") === col("sh2"))
       .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
     inter
       .join(broadcast(counts.toDF("id1", "n1")), "id1")
@@ -120,6 +127,23 @@ object Dedup {
   val Bands = 16
   val RowsPerBand: Int = NumPerm / Bands
 
+  /** doc_id → exploded distinct 64-bit-hashed word-3-shingles
+    * (column `sh`: long). One string hash per shingle up front; all
+    * downstream MinHash permutations and the verification join then
+    * operate on fixed-width longs — at corpus scale that cuts both
+    * the 64-permutation hashing cost and the shuffle width.
+    * Hash collisions perturb Jaccard by ~2^-64 — immaterial.
+    */
+  def shinglesHashed(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 3), i -> xxhash64(toks[i], toks[i+1], toks[i+2]))"))
+        .as("sh"))
+      .distinct()
+
   /** doc_id → 64-permutation MinHash signature (columns m0..m63).
     * Each permutation is xxhash64 with a distinct seed column —
     * overflow-free under ANSI mode and codegen'd. Map-side hashing
@@ -151,7 +175,7 @@ object Dedup {
 
   /** MinHash+LSH near-dup detection, Jaccard-verified ≥ 0.8. */
   val dedupMinhash: QueryDef = QueryDef.rowsOnly("dedup_minhash") { (s, d) =>
-    val sh = shingles(Tables.documents(s, d))
+    val sh = shinglesHashed(Tables.documents(s, d))
     sh.cache()
     val cand = lshCandidates(minhashSignatures(sh))
     jaccardVerify(sh, cand, 0.8)
