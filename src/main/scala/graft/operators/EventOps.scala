@@ -68,5 +68,58 @@ object EventOps {
       .orderBy(col("user_id"), col("session_id"))
   }
 
-  val all: Seq[QueryDef] = Seq(eventsHourly, streamHourly, eventsSessions)
+  private val sessionWindowSql =
+    """WITH x AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |              > INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events),
+      |y AS (
+      |  SELECT user_id, ts,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM x)
+      |SELECT user_id, date_trunc('minute', min(ts)) AS start_min,
+      |  count(*) AS n_events
+      |FROM y GROUP BY user_id, sid
+      |ORDER BY user_id, start_min""".stripMargin
+
+  /** The same sessionization as `events_sessions`, through Spark's
+    * native session_window operator (merge when gap ≤ 30 min — the
+    * boundary-inclusive semantics match the lag-based oracle's
+    * strictly-greater gap test). One shuffle on user_id; no window
+    * function passes.
+    */
+  val eventsSessionWindow: QueryDef = QueryDef.sql(
+    "events_session_window", sessionWindowSql) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_trunc("minute", col("session_window.start")).as("start_min"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("start_min"))
+  }
+
+  /** Streaming sessionization (watermarked session-window state),
+    * checked against the identical oracle as the batch operator.
+    */
+  val streamSessions: QueryDef =
+    QueryDef.sql("stream_sessions", sessionWindowSql)(EventStreams.streamSessions)
+
+  /** Custom streaming state (mapGroupsWithState) — per-user running
+    * totals, single-batch run equals the batch aggregate.
+    */
+  val streamUserStats: QueryDef = QueryDef.sql(
+    "stream_user_stats",
+    """SELECT user_id, count(*) AS n_events,
+      |  round(sum(value), 2) AS total_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)(
+    EventStreams.streamUserStats)
+
+  val all: Seq[QueryDef] = Seq(
+    eventsHourly, streamHourly, eventsSessions, eventsSessionWindow,
+    streamSessions, streamUserStats)
 }

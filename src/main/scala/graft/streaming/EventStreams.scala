@@ -31,12 +31,74 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("total"))
 
+  /** Gap-based sessionization through Structured Streaming's native
+    * session windows: watermarked state store, update-mode emission.
+    * At scale the state store shards by (user_id) across executors
+    * and the watermark bounds state size — the streaming analogue of
+    * the batch `events_session_window` plan.
+    */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_trunc("minute", col("session_window.start")).as("start_min"),
+        col("n_events"))
+
+  /** Run the session stream over the parquet file (complete mode —
+    * session-window aggregation does not allow update mode).
+    */
+  def streamSessions(s: SparkSession, dir: String): DataFrame =
+    runToMemory(s, dir, "stream_sessions_sink", "complete", sessionAgg)
+      .orderBy(col("user_id"), col("start_min"))
+
+  /** Custom streaming state: per-user running (event count, value
+    * total) via mapGroupsWithState — the escape hatch for session
+    * logic no built-in window expresses. State shards by user_id
+    * across the state store; each micro-batch folds only its new
+    * rows into the group's state.
+    */
+  final case class UserStat(user_id: Long, n_events: Long, total_value: Double)
+
+  def userStatsAgg(s: SparkSession)(events: DataFrame): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    events.select(col("user_id"), col("value")).as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Double)], state: GroupState[UserStat]) =>
+          val prev = state.getOption.getOrElse(UserStat(uid, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          rows.foreach { r => n += 1; tot += r._2 }
+          val next = UserStat(uid, n, tot)
+          state.update(next)
+          next
+      }
+      .toDF()
+  }
+
+  /** Run the per-user custom-state stream over the parquet file. */
+  def streamUserStats(s: SparkSession, dir: String): DataFrame =
+    runToMemory(s, dir, "stream_user_stats_sink", "update", userStatsAgg(s))
+      .select(col("user_id"), col("n_events"),
+        round(col("total_value"), 2).as("total_value"))
+      .orderBy(col("user_id"))
+
   /** Run the stream to completion over the parquet file and return
     * the materialized result (memory sink, complete mode).
     */
-  def streamHourly(s: SparkSession, dir: String): DataFrame = {
+  def streamHourly(s: SparkSession, dir: String): DataFrame =
+    runToMemory(s, dir, "stream_hourly_sink", "complete", hourlyAgg)
+      .orderBy(col("hour"), col("event_type"))
+
+  /** Micro-batch the events parquet through `agg` into a memory
+    * sink and return the sink table.
+    */
+  private def runToMemory(s: SparkSession, dir: String, name: String,
+      mode: String, agg: DataFrame => DataFrame): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val name = "stream_hourly_sink"
     s.streams.active.filter(_.name == name).foreach(_.stop())
     // The streaming file source requires a directory; expose the
     // single parquet file through a temp dir symlink.
@@ -46,11 +108,11 @@ object EventStreams {
       java.nio.file.Paths.get(s"$dir/events.parquet"))
     val src = s.readStream.schema(rawSchema).parquet(tmp.toString)
       .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
-    val q = hourlyAgg(src)
-      .writeStream.format("memory").queryName(name).outputMode("complete")
+    val q = agg(src)
+      .writeStream.format("memory").queryName(name).outputMode(mode)
       .start()
     q.processAllAvailable()
     q.stop()
-    s.table(name).orderBy(col("hour"), col("event_type"))
+    s.table(name)
   }
 }

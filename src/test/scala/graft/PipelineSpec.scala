@@ -87,6 +87,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream.length == batch.length)
     assert(stream.map(_.toString).sorted.sameElements(batch.map(_.toString).sorted))
   }
+
+  test("streaming session windows equal batch session windows") {
+    val batch = EventOps.eventsSessionWindow.fn(spark, sf).collect()
+    val stream = EventOps.streamSessions.fn(spark, sf).collect()
+    assert(stream.length == batch.length)
+    assert(stream.map(_.toString).sorted.sameElements(batch.map(_.toString).sorted))
+  }
+
+  test("mapGroupsWithState folds state incrementally across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val q = graft.streaming.EventStreams.userStatsAgg(spark)(
+        mem.toDF().toDF("user_id", "value"))
+      .writeStream.format("memory").queryName("mgws_test").outputMode("update")
+      .start()
+    try {
+      mem.addData((1L, 1.0), (1L, 2.0), (2L, 10.0))
+      q.processAllAvailable()
+      mem.addData((1L, 3.0), (2L, 0.5), (3L, 7.0))
+      q.processAllAvailable()
+      // last update per user wins = running totals over both batches
+      val fin = spark.table("mgws_test")
+        .groupBy("user_id")
+        .agg(org.apache.spark.sql.functions.max("n_events").as("n"),
+          org.apache.spark.sql.functions.max("total_value").as("tot"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(fin(1L) == ((3L, 6.0)))
+      assert(fin(2L) == ((2L, 10.5)))
+      assert(fin(3L) == ((1L, 7.0)))
+    } finally q.stop()
+  }
 }
 
 class TextSpec extends AnyFunSuite {
