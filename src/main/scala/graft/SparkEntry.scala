@@ -10,8 +10,8 @@ object SparkEntry {
     * a DuckDB oracle. Registered per-domain; names must be unique.
     */
   val defs: Seq[QueryDef] =
-    Relational.all ++ KMeans.all ++ TextAnalysis.all ++ Dedup.all ++
-      Similarity.all ++ Multimodal.all ++ EventOps.all ++
+    Relational.all ++ RelationalExt.all ++ KMeans.all ++ TextAnalysis.all ++
+      Dedup.all ++ Similarity.all ++ Multimodal.all ++ EventOps.all ++
       graft.sources.SourceOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Extended analytic surface: approximate aggregates (the 100 TB
+  * substitutes for exact distinct/percentile), as-of join, skew
+  * salting, bucketed co-located joins, pivot, outer joins, scalar
+  * subqueries.
+  */
+object RelationalExt {
+
+  /** HyperLogLog++ distinct counts — O(1) state per group vs. the
+    * exact count-distinct's shuffle of every key. The scale path for
+    * `q_distinct`; bounded-error assertion lives in ScalaTest.
+    */
+  val qApproxDistinct: QueryDef = QueryDef.rowsOnly("q_approx_distinct") { (s, d) =>
+    Tables.lineitem(s, d).agg(
+      approx_count_distinct(col("l_partkey"), 0.02).as("n_parts"),
+      approx_count_distinct(col("l_suppkey"), 0.02).as("n_supps"),
+      approx_count_distinct(col("l_orderkey"), 0.02).as("n_orders"))
+  }
+
+  /** Mergeable quantile sketch (percentile_approx) — single pass,
+    * fixed memory, vs. an exact sort. Error bound asserted in
+    * ScalaTest against the exact percentiles.
+    */
+  val qApproxPercentile: QueryDef = QueryDef.rowsOnly("q_approx_percentile") { (s, d) =>
+    Tables.orders(s, d).agg(
+      percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("p50"),
+      percentile_approx(col("o_totalprice"), lit(0.95), lit(10000)).as("p95"),
+      percentile_approx(col("o_totalprice"), lit(0.99), lit(10000)).as("p99"))
+  }
+
+  /** As-of join: each purchase event paired with the same user's
+    * latest strictly-prior click. One shuffle on user_id, one
+    * in-partition sort — never a range cross-join. (ids, not
+    * timestamps, in the output: ns-vs-µs-proof for the oracle.)
+    */
+  val qAsofJoin: QueryDef = QueryDef.sql(
+    "q_asof_join",
+    """SELECT event_id AS purchase_id, user_id, click_id
+      |FROM (
+      |  SELECT event_id, user_id, event_type,
+      |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_id
+      |  FROM events WHERE event_type IN ('click', 'purchase'))
+      |WHERE event_type = 'purchase'
+      |ORDER BY purchase_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("click_id",
+        last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("click_id"))
+      .orderBy(col("purchase_id"))
+  }
+
+  val SkewSalts = 8
+
+  /** Skew-salted join: the fact side salts deterministically, the
+    * dimension side replicates to every salt — a hot join key spreads
+    * over SkewSalts reducers instead of one. Result identical to the
+    * unsalted join (the oracle proves it).
+    */
+  val qSkewSaltedJoin: QueryDef = QueryDef.sql(
+    "q_skew_salted_join",
+    """SELECT o_orderstatus,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  count(*) AS n
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+      .withColumn("salt", pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(SkewSalts)))
+    val ord = Tables.orders(s, d)
+      .withColumn("salt", explode(array((0 until SkewSalts).map(i => lit(i.toLong)): _*)))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey") && li("salt") === ord("salt"))
+      .groupBy(col("o_orderstatus"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Bucketed co-located join: both fact tables written bucketed on
+    * the join key — the sort-merge join then reads bucket-aligned
+    * files with NO shuffle exchange (asserted in ScalaTest). At
+    * 100 TB this is the difference between re-shuffling the fact
+    * table per query and shuffling once at ingest.
+    */
+  def bucketedTables(s: SparkSession, d: String): Unit = {
+    if (!s.catalog.tableExists("graft_li_b")) {
+      // the in-memory catalog is per-session but managed-table
+      // locations persist — clear stale ones from earlier sessions
+      val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
+      val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq("graft_li_b", "graft_ord_b").foreach { t =>
+        fs.delete(new org.apache.hadoop.fs.Path(wh, t), true)
+      }
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("graft_li_b")
+      Tables.orders(s, d).select("o_orderkey", "o_orderstatus")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("graft_ord_b")
+    }
+  }
+
+  val qBucketedJoin: QueryDef = QueryDef.sql(
+    "q_bucketed_join",
+    """SELECT o_orderstatus,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    bucketedTables(s, d)
+    s.table("graft_li_b").hint("merge")
+      .join(s.table("graft_ord_b"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Pivot with explicit value list (deterministic output schema). */
+  val qPivot: QueryDef = QueryDef.sql(
+    "q_pivot",
+    """SELECT l_returnflag,
+      |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F,
+      |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O,
+      |  round(sum(CASE WHEN l_linestatus = 'P' THEN l_quantity END), 2) AS P
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O", "P"))
+      .agg(round(sum(col("l_quantity")), 2))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Full outer join of two disjoint per-customer aggregates —
+    * null-preserving on both sides.
+    */
+  val qFullOuter: QueryDef = QueryDef.sql(
+    "q_full_outer",
+    """WITH f AS (SELECT o_custkey, count(*) AS n_f FROM orders
+      |           WHERE o_orderstatus = 'F' GROUP BY o_custkey),
+      |o AS (SELECT o_custkey, count(*) AS n_o FROM orders
+      |      WHERE o_orderstatus = 'O' GROUP BY o_custkey)
+      |SELECT coalesce(f.o_custkey, o.o_custkey) AS custkey,
+      |  coalesce(n_f, 0) AS n_f, coalesce(n_o, 0) AS n_o
+      |FROM f FULL OUTER JOIN o ON f.o_custkey = o.o_custkey
+      |ORDER BY custkey""".stripMargin) { (s, d) =>
+    val ord = Tables.orders(s, d)
+    val fs = ord.filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_custkey").as("fk")).agg(count(lit(1)).as("n_f"))
+    val os = ord.filter(col("o_orderstatus") === "O")
+      .groupBy(col("o_custkey").as("ok")).agg(count(lit(1)).as("n_o"))
+    fs.join(os, col("fk") === col("ok"), "full_outer")
+      .select(coalesce(col("fk"), col("ok")).as("custkey"),
+        coalesce(col("n_f"), lit(0)).as("n_f"),
+        coalesce(col("n_o"), lit(0)).as("n_o"))
+      .orderBy(col("custkey"))
+  }
+
+  /** Scalar subquery: orders above twice the global mean price. */
+  val qScalarSubquery: QueryDef = QueryDef.sql(
+    "q_scalar_subquery",
+    """SELECT count(*) AS n_big
+      |FROM orders
+      |WHERE o_totalprice > (SELECT 2 * avg(o_totalprice) FROM orders)""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders_v")
+    s.sql("""SELECT count(*) AS n_big FROM graft_orders_v
+            |WHERE o_totalprice > (SELECT 2 * avg(o_totalprice) FROM graft_orders_v)""".stripMargin)
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    qApproxDistinct, qApproxPercentile, qAsofJoin, qSkewSaltedJoin,
+    qBucketedJoin, qPivot, qFullOuter, qScalarSubquery)
+}
