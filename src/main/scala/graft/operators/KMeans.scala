@@ -231,6 +231,7 @@ object KMeans {
       .persist()
     try {
       val fitted = new MlKMeans().setK(K).setSeed(42L).setMaxIter(20)
+        .setTol(1e-3) // the reference's convergence tolerance (KMeans.java:199)
         .setFeaturesCol("features").fit(features)
       val sizes = fitted.transform(features)
         .groupBy(col("prediction")).agg(count(lit(1)).as("n"))

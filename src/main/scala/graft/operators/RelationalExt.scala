@@ -166,6 +166,30 @@ object RelationalExt {
       .orderBy(col("custkey"))
   }
 
+  /** Top-1-per-key via max_by aggregation — same result as the
+    * window row_number formulation (`q_window_rank`) with ONE
+    * partial-aggregating shuffle and no in-partition sort. The scale
+    * answer when only the top row per key is needed.
+    */
+  val qTopPerKeyAgg: QueryDef = QueryDef.sql(
+    "q_top_per_key_agg",
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_orderdate DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn = 1 ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    // rank key: latest o_orderdate, ties broken by LOWEST o_orderkey
+    // (matches q_window_rank's ORDER BY o_orderdate DESC, o_orderkey)
+    val rank = struct(col("o_orderdate"), (-col("o_orderkey")).as("neg"))
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(
+        max_by(col("o_orderkey"), rank).as("o_orderkey"),
+        max_by(col("o_totalprice"), rank).as("o_totalprice"))
+      .orderBy(col("o_custkey"))
+  }
+
   /** Scalar subquery: orders above twice the global mean price. */
   val qScalarSubquery: QueryDef = QueryDef.sql(
     "q_scalar_subquery",
@@ -179,5 +203,5 @@ object RelationalExt {
 
   val all: Seq[QueryDef] = Seq(
     qApproxDistinct, qApproxPercentile, qAsofJoin, qSkewSaltedJoin,
-    qBucketedJoin, qPivot, qFullOuter, qScalarSubquery)
+    qBucketedJoin, qPivot, qFullOuter, qTopPerKeyAgg, qScalarSubquery)
 }

@@ -136,6 +136,30 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** BPE-style pre-tokenization count: a GPT-2-like split pattern
+    * (contraction suffixes, space-prefixed letter runs, digit runs,
+    * punctuation runs) without lookaheads so RE2 (the oracle) and
+    * Java regex agree. The proxy for "LLM token count" used in
+    * pipeline budgeting.
+    */
+  val bpePattern = "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+"
+
+  private val bpePatternSql = bpePattern.replace("'", "''")
+
+  val textBpeTokens: QueryDef = QueryDef.sql(
+    "text_bpe_tokens",
+    s"""SELECT doc_id,
+       |  CAST(length(regexp_extract_all(text, '$bpePatternSql')) AS BIGINT) AS n_bpe,
+       |  CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_ws
+       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(bpePattern)).cast("long").as("n_bpe"),
+      tokenCount(col("text")).cast("long").as("n_ws"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    textTokens, textQuality, textLangid, textFingerprint, textWordfreq)
+    textTokens, textQuality, textLangid, textFingerprint, textWordfreq,
+    textBpeTokens)
 }
