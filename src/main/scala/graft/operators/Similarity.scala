@@ -118,5 +118,75 @@ object Similarity {
       .orderBy(col("id1"))
   }
 
-  val all: Seq[QueryDef] = Seq(annBruteforce, annTopkJoin, annLsh)
+  // ---- IVF (inverted-file) ANN ---------------------------------------
+
+  val NLists = 16
+  val NProbe = 4
+
+  /** Distance-to-centroid candidates as (dist, id) structs; struct
+    * min/sort gives nearest-centroid and probe lists without UDFs.
+    */
+  private def centroidStructs(cs: Array[Array[Double]], v: Column): Seq[Column] =
+    cs.zipWithIndex.map { case (c, i) =>
+      val cl = array(c.map(lit): _*)
+      struct((dot(v, v) - lit(2.0) * dot(v, cl) + lit(dotd(c, c))).as("dist"),
+        lit(i).as("list"))
+    }
+
+  private def dotd(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Unit-normalized copy of v (cosine NN over v == Euclidean NN
+    * over u, which is what the L2 quantizer partitions).
+    */
+  private def unit(v: Column): Column =
+    transform(v, x => x / sqrt(dot(v, v)))
+
+  /** Coarse quantizer: k-means|| centroids over the UNIT-normalized
+    * embedding space (seeded, few iterations — the quantizer needs
+    * to be stable, not optimal). O(NLists·dim) to the driver.
+    */
+  def coarseCentroids(e: DataFrame): Array[Array[Double]] = {
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.clustering.{KMeans => MlKMeans}
+    val feats = e.select(array_to_vector(unit(col("v"))).as("features"))
+    new MlKMeans().setK(NLists).setSeed(7L).setMaxIter(5)
+      .setFeaturesCol("features").fit(feats)
+      .clusterCenters.map(_.toArray)
+  }
+
+  /** IVF ANN: assign every vector to its nearest coarse centroid
+    * (map-side expression over broadcast centroid literals — the
+    * inverted lists), then answer each query by probing only its
+    * NProbe nearest lists. The candidate join is an equality join on
+    * the list id: work is O(|queries| · corpus/NLists · NProbe),
+    * never O(n²), and the lists shard across executors at any scale.
+    */
+  val annIvf: QueryDef = QueryDef.rowsOnly("ann_ivf") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = vectors(s, d)
+    val cs = coarseCentroids(e)
+    val assigned = e
+      .withColumn("list", array_min(array(centroidStructs(cs, unit(col("v"))): _*)).getField("list"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val probes = e.filter(col("vec_id") < 20)
+      .withColumn("probe", explode(slice(
+        array_sort(array(centroidStructs(cs, unit(col("v"))): _*)), 1, NProbe)))
+      .select(col("vec_id").as("id1"), col("v").as("qv"),
+        sqrt(dot(col("v"), col("v"))).as("qnrm"), col("probe.list").as("list"))
+    val p = probes.join(assigned.toDF("id2", "v2", "list", "nrm2"),
+        Seq("list"))
+      .filter(col("id1") =!= col("id2"))
+      .select(col("id1"), col("id2"),
+        round(dot(col("qv"), col("v2")) / (col("qnrm") * col("nrm2")), 4).as("cos_sim"))
+    val w = Window.partitionBy(col("id1")).orderBy(col("cos_sim").desc, col("id2"))
+    p.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("id1", "id2", "cos_sim")
+      .orderBy(col("id1"))
+  }
+
+  val all: Seq[QueryDef] = Seq(annBruteforce, annTopkJoin, annLsh, annIvf)
 }

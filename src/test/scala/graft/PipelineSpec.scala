@@ -58,6 +58,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ids.distinct.length == ids.length)
     assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0))
   }
+
+  test("ivf ANN recalls most exact top-1 neighbors (full corpus)") {
+    import org.apache.spark.sql.expressions.Window
+    val e = Similarity.vectors(spark, sf)
+    val q = e.filter(col("vec_id") < 20).toDF("id1", "qv")
+    val w = Window.partitionBy(col("id1")).orderBy(col("cos_sim").desc, col("id2"))
+    val exact = q.crossJoin(e.toDF("id2", "v2")).filter(col("id1") =!= col("id2"))
+      .select(col("id1"), col("id2"),
+        round(Similarity.cosine(col("qv"), col("v2")), 4).as("cos_sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivf = Similarity.annIvf.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ivf.nonEmpty)
+    val hits = exact.keys.count(k => ivf.get(k).contains(exact(k)))
+    val recall = hits.toDouble / exact.size
+    assert(recall >= 0.5, s"recall@1 = $recall")
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
