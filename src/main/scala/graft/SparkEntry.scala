@@ -12,7 +12,7 @@ object SparkEntry {
   val defs: Seq[QueryDef] =
     Relational.all ++ RelationalExt.all ++ KMeans.all ++ TextAnalysis.all ++
       Dedup.all ++ Similarity.all ++ Multimodal.all ++ EventOps.all ++
-      graft.sources.SourceOps.all
+      Curation.all ++ graft.sources.SourceOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
