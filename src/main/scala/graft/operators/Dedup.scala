@@ -236,6 +236,17 @@ object Dedup {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Streaming exact dedup (dropDuplicates state) — per-source
+    * unique-document counts, same oracle as a batch distinct.
+    */
+  val streamDedup: QueryDef = QueryDef.sql(
+    "stream_dedup",
+    """SELECT source,
+      |  count(DISTINCT trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS n_unique
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin)(
+    graft.streaming.EventStreams.streamDedup)
+
   val all: Seq[QueryDef] = Seq(
-    dedupExact, dedupStats, dedupNgram, dedupMinhash, dedupSimhash, dedupEmbedding)
+    dedupExact, dedupStats, dedupNgram, dedupMinhash, dedupSimhash,
+    dedupEmbedding, streamDedup)
 }

@@ -159,7 +159,49 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Language-ID confusion matrix against the corpus's ground-truth
+    * lang column — the evaluation loop a real pipeline runs after
+    * changing a classifier.
+    */
+  val textLangidEval: QueryDef = {
+    val predSql =
+      """CASE WHEN greatest(c_en, c_es, c_de, c_fr) = 0 THEN 'und'
+        |     WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+        |     WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
+        |     WHEN c_de >= c_fr THEN 'de'
+        |     ELSE 'fr' END""".stripMargin
+    val markers = Seq(
+      "en" -> "\\b(the|and|of|to|is)\\b",
+      "es" -> "\\b(el|la|de|que|y)\\b",
+      "de" -> "\\b(der|die|das|und|ist)\\b",
+      "fr" -> "\\b(le|les|et|des|est)\\b")
+    val counts = markers.map { case (l, p) =>
+      s"CAST(length(regexp_extract_all(lower(text), '$p')) AS BIGINT) AS c_$l"
+    }.mkString(",\n    ")
+    QueryDef.sql(
+      "text_langid_eval",
+      s"""WITH m AS (SELECT doc_id, lang,
+         |    $counts
+         |  FROM documents)
+         |SELECT lang, $predSql AS pred_lang, count(*) AS n
+         |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val m = Tables.documents(s, d).select(
+        col("doc_id") +: col("lang") +: markers.map { case (l, p) =>
+          regexp_count(lower(col("text")), lit(p)).cast("long").as(s"c_$l")
+        }: _*)
+      m.select(
+        col("lang"),
+        when(greatest(col("c_en"), col("c_es"), col("c_de"), col("c_fr")) === 0, "und")
+          .when(col("c_en") >= col("c_es") && col("c_en") >= col("c_de") && col("c_en") >= col("c_fr"), "en")
+          .when(col("c_es") >= col("c_de") && col("c_es") >= col("c_fr"), "es")
+          .when(col("c_de") >= col("c_fr"), "de")
+          .otherwise("fr").as("pred_lang"))
+        .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("pred_lang"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     textTokens, textQuality, textLangid, textFingerprint, textWordfreq,
-    textBpeTokens)
+    textBpeTokens, textLangidEval)
 }

@@ -93,6 +93,37 @@ object EventStreams {
     runToMemory(s, dir, "stream_hourly_sink", "complete", hourlyAgg)
       .orderBy(col("hour"), col("event_type"))
 
+  /** Streaming exact dedup: dropDuplicates on (source, fingerprint)
+    * state, then per-source unique-document counts. At scale the
+    * dedup state shards by fingerprint across the state store (with
+    * dropDuplicatesWithinWatermark bounding it in time for unbounded
+    * feeds).
+    */
+  def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    val name = "stream_dedup_sink"
+    s.streams.active.filter(_.name == name).foreach(_.stop())
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_docs")
+    java.nio.file.Files.createSymbolicLink(
+      tmp.resolve("documents.parquet"),
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val src = s.readStream.schema(docsSchema).parquet(tmp.toString)
+      .select(col("source"),
+        md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
+      .dropDuplicates("source", "fp")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_unique"))
+    val q = src.writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(name).orderBy(col("source"))
+  }
+
   /** Micro-batch the events parquet through `agg` into a memory
     * sink and return the sink table.
     */
