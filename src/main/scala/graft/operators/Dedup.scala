@@ -28,8 +28,10 @@ object Dedup {
       |FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
       |      FROM documents) t
       |GROUP BY norm ORDER BY keep_id""".stripMargin) { (s, d) =>
+    // group on the md5 fingerprint, not the text: the shuffle carries
+    // 16 bytes per row instead of the whole document
     Tables.documents(s, d)
-      .groupBy(norm(col("text")).as("norm"))
+      .groupBy(md5(norm(col("text"))).as("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select("keep_id", "n_copies")
       .orderBy(col("keep_id"))
@@ -44,7 +46,7 @@ object Dedup {
       |      GROUP BY norm) g
       |GROUP BY n_copies ORDER BY n_copies""".stripMargin) { (s, d) =>
     Tables.documents(s, d)
-      .groupBy(norm(col("text")).as("norm"))
+      .groupBy(md5(norm(col("text"))).as("fp"))
       .agg(count(lit(1)).as("n_copies"))
       .groupBy(col("n_copies")).agg(count(lit(1)).as("n_groups"))
       .orderBy(col("n_copies"))

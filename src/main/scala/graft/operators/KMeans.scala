@@ -241,6 +241,73 @@ object KMeans {
     } finally features.unpersist(false)
   }
 
+  // ---- n-dimensional Lloyd (DataFrame-native) ------------------------
+
+  /** Nearest-centroid id over array<double> points: ‖v‖² − 2·v·c + ‖c‖²
+    * per centroid (native graft_dot against array literals), struct
+    * min for the lowest-cid tie-break. Map-side only, like the 2-D
+    * path.
+    */
+  def ndAssignExpr(cs: Array[Array[Double]], v: Column): Column = {
+    val vv = Similarity.dot(v, v)
+    val candidates = cs.zipWithIndex.map { case (c, i) =>
+      val cl = array(c.map(lit): _*)
+      val dist = vv - lit(2.0) * Similarity.dot(v, cl) + lit(c.map(x => x * x).sum)
+      struct(dist.as("dist"), lit(i).as("cid"))
+    }
+    array_min(array(candidates: _*)).getField("cid")
+  }
+
+  /** One n-D Lloyd update: per-cluster mean vector via Summarizer
+    * (a true partial aggregator — one k-group shuffle, O(k·dim) per
+    * partition on the wire, same shape as the 2-D step).
+    */
+  def ndStep(pts: DataFrame, cs: Array[Array[Double]]): Array[(Int, Array[Double], Long)] = {
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    import org.apache.spark.ml.stat.Summarizer
+    pts.withColumn("cid", ndAssignExpr(cs, col("v")))
+      .groupBy(col("cid"))
+      .agg(Summarizer.mean(array_to_vector(col("v"))).as("c"), count(lit(1)).as("n"))
+      .select(col("cid"), vector_to_array(col("c")).as("c"), col("n"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray, r.getLong(2)))
+  }
+
+  /** n-D Lloyd over the embedding corpus: deterministic init (first k
+    * vectors by vec_id), fixed iterations, stale empty clusters —
+    * the reference's semantics lifted to any dimension.
+    */
+  def ndLloyd(pts: DataFrame, init: Array[Array[Double]], iters: Int): (Array[Array[Double]], Array[Long]) = {
+    var cs = init.map(_.clone())
+    val sizes = Array.fill(init.length)(0L)
+    var i = 0
+    while (i < iters) {
+      java.util.Arrays.fill(sizes, 0L)
+      val updated = ndStep(pts, cs)
+      updated.foreach { case (cid, c, n) => cs(cid) = c; sizes(cid) = n }
+      i += 1
+    }
+    (cs, sizes)
+  }
+
+  /** 64-dim K-Means on the embeddings table (3 iterations). */
+  val kmeansNd: QueryDef = QueryDef.rowsOnly("kmeans_nd") { (s, d) =>
+    val pts = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .persist()
+    try {
+      val init = pts.orderBy(col("vec_id")).limit(K)
+        .select("v").collect().map(_.getSeq[Double](0).toArray)
+      val (cs, sizes) = ndLloyd(pts, init, iters = 3)
+      import s.implicits._
+      cs.zipWithIndex.map { case (c, i) =>
+        (i.toLong, sizes(i),
+          math.round(c(0) * 10000) / 10000.0, math.round(c(1) * 10000) / 10000.0)
+      }.toSeq.toDF("cid", "n", "c0", "c1")
+    } finally pts.unpersist(false)
+  }
+
   val all: Seq[QueryDef] = Seq(
-    kmeansAssign, kmeansStep, kmeansIter3, kmeansCost, kmeansLloyd, kmeansMllib)
+    kmeansAssign, kmeansStep, kmeansIter3, kmeansCost, kmeansLloyd,
+    kmeansMllib, kmeansNd)
 }

@@ -51,4 +51,22 @@ class KMeansSpec extends AnyFunSuite {
     assert(rows.length <= KMeans.K && rows.length > 0)
     assert(rows.map(_.getLong(1)).sum == pts.count())
   }
+
+  test("n-D lloyd: sizes cover the corpus and iterating reduces cost") {
+    val e = sources.Tables.embeddings(spark, sf)
+      .select(col("embedding").cast("array<double>").as("v")).persist()
+    try {
+      val init = e.limit(KMeans.K).collect().map(_.getSeq[Double](0).toArray)
+      def cost(cs: Array[Array[Double]]): Double =
+        e.select(KMeans.ndAssignExpr(cs, col("v")).as("cid"), col("v"))
+          .collect().map { r =>
+            val v = r.getSeq[Double](1).toArray
+            val c = cs(r.getInt(0))
+            v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+          }.sum
+      val (c3, sizes) = KMeans.ndLloyd(e, init, 3)
+      assert(sizes.sum == e.count())
+      assert(cost(c3) <= cost(init))
+    } finally e.unpersist(false)
+  }
 }
