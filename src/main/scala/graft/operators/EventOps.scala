@@ -119,7 +119,21 @@ object EventOps {
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)(
     EventStreams.streamUserStats)
 
+  /** Stream-stream interval join (purchase ⋈ clicks ≤ 30 min prior,
+    * per user) — same oracle as the equivalent batch join.
+    */
+  val streamJoin: QueryDef = QueryDef.sql(
+    "stream_join",
+    """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+      |  p.user_id AS user_id
+      |FROM events p JOIN events c
+      |  ON p.user_id = c.user_id
+      | AND p.event_type = 'purchase' AND c.event_type = 'click'
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      |ORDER BY purchase_id, click_id""".stripMargin)(
+    EventStreams.streamClickPurchaseJoin)
+
   val all: Seq[QueryDef] = Seq(
     eventsHourly, streamHourly, eventsSessions, eventsSessionWindow,
-    streamSessions, streamUserStats)
+    streamSessions, streamUserStats, streamJoin)
 }

@@ -124,6 +124,43 @@ object EventStreams {
     s.table(name).orderBy(col("source"))
   }
 
+  /** Stream-stream inner join: purchases matched to the same user's
+    * clicks within the preceding 30 minutes. Both sides watermarked
+    * so the join state is bounded — matched pairs emit eagerly
+    * (append mode), old click state is evicted once the watermark
+    * passes the 30-minute range condition.
+    */
+  def streamClickPurchaseJoin(s: SparkSession, dir: String): DataFrame = {
+    val name = "stream_join_sink"
+    s.streams.active.filter(_.name == name).foreach(_.stop())
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_events")
+    java.nio.file.Files.createSymbolicLink(
+      tmp.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    def src = s.readStream.schema(rawSchema).parquet(tmp.toString)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+    val q = joined
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(name).orderBy(col("purchase_id"), col("click_id"))
+  }
+
   /** Micro-batch the events parquet through `agg` into a memory
     * sink and return the sink table.
     */
