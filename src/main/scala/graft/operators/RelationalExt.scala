@@ -201,7 +201,74 @@ object RelationalExt {
             |WHERE o_totalprice > (SELECT 2 * avg(o_totalprice) FROM graft_orders_v)""".stripMargin)
   }
 
+  /** INTERSECT (distinct set semantics): customers with both a
+    * finished and an open order.
+    */
+  val qIntersect: QueryDef = QueryDef.sql(
+    "q_intersect",
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    val ord = Tables.orders(s, d)
+    ord.filter(col("o_orderstatus") === "F").select("o_custkey")
+      .intersect(ord.filter(col("o_orderstatus") === "O").select("o_custkey"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** EXCEPT (distinct set semantics): open-order customers who never
+    * finished one.
+    */
+  val qExcept: QueryDef = QueryDef.sql(
+    "q_except",
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    val ord = Tables.orders(s, d)
+    ord.filter(col("o_orderstatus") === "O").select("o_custkey")
+      .except(ord.filter(col("o_orderstatus") === "F").select("o_custkey"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** CUBE grouping sets over two dimensions. */
+  val qCube: QueryDef = QueryDef.sql(
+    "q_cube",
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+      |  coalesce(l_linestatus, 'ALL') AS ls,
+      |  count(*) AS n
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY rf, ls""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"))
+      .orderBy(col("rf"), col("ls"))
+  }
+
+  /** Exact interpolated percentiles (vs the sketch in
+    * q_approx_percentile).
+    */
+  val qMedian: QueryDef = QueryDef.sql(
+    "q_median",
+    """SELECT o_orderstatus,
+      |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+      |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     qApproxDistinct, qApproxPercentile, qAsofJoin, qSkewSaltedJoin,
-    qBucketedJoin, qPivot, qFullOuter, qTopPerKeyAgg, qScalarSubquery)
+    qBucketedJoin, qPivot, qFullOuter, qTopPerKeyAgg, qScalarSubquery,
+    qIntersect, qExcept, qCube, qMedian)
 }
