@@ -159,7 +159,11 @@ object Similarity {
     def fit(): Array[Array[Double]] = {
       import org.apache.spark.ml.functions.array_to_vector
       import org.apache.spark.ml.clustering.{KMeans => MlKMeans}
-      val feats = e.select(array_to_vector(unit(col("v"))).as("features"))
+      // a coarse quantizer needs a representative sample, not the
+      // corpus: cap the fit set (first-N is fine for synthetic data;
+      // use .sample at production skew)
+      val feats = e.limit(4096)
+        .select(array_to_vector(unit(col("v"))).as("features"))
       new MlKMeans().setK(NLists).setSeed(7L).setMaxIter(5)
         .setFeaturesCol("features").fit(feats)
         .clusterCenters.map(_.toArray)
