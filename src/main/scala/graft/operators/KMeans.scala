@@ -182,8 +182,10 @@ object KMeans {
     "kmeans_iter3",
     lloydCtes(K, 3) +
       "\nSELECT cid, round(x, 3) AS cx, round(y, 3) AS cy FROM c3 ORDER BY cid") { (s, d) =>
-    val pts = points(Tables.lineitem(s, d)).persist()
-    val fin = try iterate(pts, initCentroids(pts), 3) finally pts.unpersist(false)
+    val all = points(Tables.lineitem(s, d))
+    val init = initCentroids(all)
+    val pts = all.select("x", "y").persist()
+    val fin = try iterate(pts, init, 3) finally pts.unpersist(false)
     import s.implicits._
     fin.toSeq.sortBy(_._1)
       .map { case (cid, (x, y)) => (cid.toLong, x, y) }
@@ -208,9 +210,12 @@ object KMeans {
     * (tol 1e-3 per axis, maxIter 20, stale empty clusters).
     */
   val kmeansLloyd: QueryDef = QueryDef.rowsOnly("kmeans_lloyd") { (s, d) =>
-    val pts = points(Tables.lineitem(s, d)).persist()
+    val all = points(Tables.lineitem(s, d))
+    val init = initCentroids(all)
+    // cache only what the loop reads: 16 bytes/row
+    val pts = all.select("x", "y").persist()
     val (cs, iters, converged) =
-      try lloyd(pts, initCentroids(pts)) finally pts.unpersist(false)
+      try lloyd(pts, init) finally pts.unpersist(false)
     import s.implicits._
     cs.zipWithIndex.map { case ((x, y), i) =>
       (i.toLong, math.round(x * 1000) / 1000.0, math.round(y * 1000) / 1000.0,
@@ -222,12 +227,11 @@ object KMeans {
     * high-dimensional / huge-k cases.
     */
   val kmeansMllib: QueryDef = QueryDef.rowsOnly("kmeans_mllib") { (s, d) =>
-    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.functions.array_to_vector
     import org.apache.spark.ml.clustering.{KMeans => MlKMeans}
     val pts = points(Tables.lineitem(s, d))
-    val features = new VectorAssembler()
-      .setInputCols(Array("x", "y")).setOutputCol("features")
-      .transform(pts)
+    val features = pts
+      .select(array_to_vector(array(col("x"), col("y"))).as("features"))
       .persist()
     try {
       val fitted = new MlKMeans().setK(K).setSeed(42L).setMaxIter(20)
