@@ -50,5 +50,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_cosine"),
+      (exprs: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
+        Divide(
+          DotProduct(exprs(0), exprs(1)),
+          Multiply(
+            Sqrt(DotProduct(exprs(0), exprs(0))),
+            Sqrt(DotProduct(exprs(1), exprs(1)))))
+      }))
   }
 }

@@ -72,5 +72,36 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[QueryDef] = Seq(mmBinaryStats, mmFeatures)
+  final case class FrameFeature(
+      doc_id: Long, frame_no: Int, frame_len: Int, mean_intensity: Double)
+
+  val FrameBytes = 256
+
+  /** Frame-sampling plumbing: chunk each payload into fixed-size
+    * frames, run the (stubbed) per-frame decode, return typed
+    * per-frame rows. The video path at 100 TB: payloads chunk inside
+    * the executor (no shuffle of frame bytes), per-partition iterator
+    * amortizes codec init, output is narrow typed metadata.
+    */
+  def frames(docId: Long, payload: Array[Byte]): Iterator[FrameFeature] =
+    payload.grouped(FrameBytes).zipWithIndex.map { case (frame, i) =>
+      val f = decodeStub(docId, frame)
+      FrameFeature(docId, i, frame.length, f.mean_intensity)
+    }
+
+  /** Per-frame feature extraction (every-4th-frame sampling). */
+  val mmFrames: QueryDef = QueryDef.rowsOnly("mm_frames") { (s, d) =>
+    import s.implicits._
+    payloads(s, d)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          frames(id, bytes).filter(_.frame_no % 4 == 0)
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"), col("frame_no"))
+  }
+
+  val all: Seq[QueryDef] = Seq(mmBinaryStats, mmFeatures, mmFrames)
 }

@@ -94,6 +94,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f1 == f2)
     assert(f1.width >= 64 && f1.width < 128)
   }
+
+  test("frame sampling keeps every 4th frame with correct lengths") {
+    val rows = Multimodal.mmFrames.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(1) % 4 == 0)
+      assert(r.getInt(2) > 0 && r.getInt(2) <= Multimodal.FrameBytes)
+    }
+    // spot-check one document's frame count against its byte length
+    val doc = graft.sources.Tables.documents(spark, sf)
+      .orderBy(col("doc_id")).limit(1).collect()(0)
+    val nBytes = doc.getString(1).getBytes("UTF-8").length
+    val expected = (0 until (nBytes + Multimodal.FrameBytes - 1) / Multimodal.FrameBytes)
+      .count(_ % 4 == 0)
+    assert(rows.count(_.getLong(0) == doc.getLong(0)) == expected)
+  }
 }
 
 class StreamingSpec extends AnyFunSuite {
