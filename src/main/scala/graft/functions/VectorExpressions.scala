@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, ExpressionInfo, Multiply, Sqrt}
 import org.apache.spark.sql.graft.{ColumnBridge, DotProduct}
 
 /** Column-API and SQL-registration surface for graft's native
@@ -11,32 +11,36 @@ import org.apache.spark.sql.graft.{ColumnBridge, DotProduct}
   */
 object VectorFunctions {
 
+  /** Single source for the expression trees — both registration
+    * paths (temp function and session extension) build from these.
+    */
+  private[functions] val dotBuilder: Seq[Expression] => Expression =
+    exprs => DotProduct(exprs(0), exprs(1))
+
+  private[functions] val cosineBuilder: Seq[Expression] => Expression =
+    exprs =>
+      Divide(
+        DotProduct(exprs(0), exprs(1)),
+        Multiply(
+          Sqrt(DotProduct(exprs(0), exprs(0))),
+          Sqrt(DotProduct(exprs(1), exprs(1)))))
+
   def dot_product(a: Column, b: Column): Column =
     ColumnBridge.column(
-      DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+      dotBuilder(Seq(ColumnBridge.expression(a), ColumnBridge.expression(b))))
 
-  def cosine_similarity(a: Column, b: Column): Column = {
-    import org.apache.spark.sql.functions.sqrt
-    dot_product(a, b) / (sqrt(dot_product(a, a)) * sqrt(dot_product(b, b)))
-  }
+  def cosine_similarity(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      cosineBuilder(Seq(ColumnBridge.expression(a), ColumnBridge.expression(b))))
 
   /** Register `graft_dot` / `graft_cosine` for SQL use in an
     * existing session.
     */
   def registerSql(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+      "graft_dot", dotBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_cosine",
-      exprs => {
-        import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
-        Divide(
-          DotProduct(exprs(0), exprs(1)),
-          Multiply(
-            Sqrt(DotProduct(exprs(0), exprs(0))),
-            Sqrt(DotProduct(exprs(1), exprs(1)))))
-      },
-      "built-in")
+      "graft_cosine", cosineBuilder, "built-in")
   }
 }
 
@@ -49,17 +53,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+      VectorFunctions.dotBuilder))
     e.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_cosine"),
-      (exprs: Seq[Expression]) => {
-        import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
-        Divide(
-          DotProduct(exprs(0), exprs(1)),
-          Multiply(
-            Sqrt(DotProduct(exprs(0), exprs(0))),
-            Sqrt(DotProduct(exprs(1), exprs(1)))))
-      }))
+      VectorFunctions.cosineBuilder))
   }
 }

@@ -78,16 +78,18 @@ object Multimodal {
   val FrameBytes = 256
 
   /** Frame-sampling plumbing: chunk each payload into fixed-size
-    * frames, run the (stubbed) per-frame decode, return typed
-    * per-frame rows. The video path at 100 TB: payloads chunk inside
-    * the executor (no shuffle of frame bytes), per-partition iterator
-    * amortizes codec init, output is narrow typed metadata.
+    * frames, keep every `step`-th, and only THEN decode — skipped
+    * frames never reach the codec (at scale that skip is the point
+    * of sampling). Payloads chunk inside the executor (no shuffle of
+    * frame bytes); output is narrow typed metadata.
     */
-  def frames(docId: Long, payload: Array[Byte]): Iterator[FrameFeature] =
-    payload.grouped(FrameBytes).zipWithIndex.map { case (frame, i) =>
-      val f = decodeStub(docId, frame)
-      FrameFeature(docId, i, frame.length, f.mean_intensity)
-    }
+  def sampledFrames(docId: Long, payload: Array[Byte], step: Int): Iterator[FrameFeature] =
+    payload.grouped(FrameBytes).zipWithIndex
+      .filter(_._2 % step == 0)
+      .map { case (frame, i) =>
+        val f = decodeStub(docId, frame)
+        FrameFeature(docId, i, frame.length, f.mean_intensity)
+      }
 
   /** Per-frame feature extraction (every-4th-frame sampling). */
   val mmFrames: QueryDef = QueryDef.rowsOnly("mm_frames") { (s, d) =>
@@ -95,9 +97,7 @@ object Multimodal {
     payloads(s, d)
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.flatMap { case (id, bytes) =>
-          frames(id, bytes).filter(_.frame_no % 4 == 0)
-        }
+        it.flatMap { case (id, bytes) => sampledFrames(id, bytes, step = 4) }
       }
       .toDF()
       .orderBy(col("doc_id"), col("frame_no"))

@@ -93,13 +93,21 @@ object RelationalExt {
     * 100 TB this is the difference between re-shuffling the fact
     * table per query and shuffling once at ingest.
     */
-  def bucketedTables(s: SparkSession, d: String): Unit = {
-    if (!s.catalog.tableExists("graft_li_b")) {
+  // source dir the current bucketed tables were built from (the
+  // bucketed "ingest" is per-corpus — rebuilding on a dir switch
+  // keeps a session that queries several SFs correct)
+  private val bucketedFrom = new java.util.concurrent.atomic.AtomicReference[String]("")
+
+  def bucketedTables(s: SparkSession, d: String): Unit = synchronized {
+    if (bucketedFrom.get != d || !s.catalog.tableExists("graft_li_b") ||
+        !s.catalog.tableExists("graft_ord_b")) {
+      bucketedFrom.set("")
       // the in-memory catalog is per-session but managed-table
       // locations persist — clear stale ones from earlier sessions
       val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
       val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
       Seq("graft_li_b", "graft_ord_b").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
         fs.delete(new org.apache.hadoop.fs.Path(wh, t), true)
       }
       Tables.lineitem(s, d)
@@ -109,6 +117,7 @@ object RelationalExt {
       Tables.orders(s, d).select("o_orderkey", "o_orderstatus")
         .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .mode("overwrite").saveAsTable("graft_ord_b")
+      bucketedFrom.set(d)
     }
   }
 

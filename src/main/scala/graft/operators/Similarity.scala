@@ -123,13 +123,16 @@ object Similarity {
   val NLists = 16
   val NProbe = 4
 
-  /** Distance-to-centroid candidates as (dist, id) structs; struct
-    * min/sort gives nearest-centroid and probe lists without UDFs.
+  /** Distance-to-centroid candidates as (dist, id) structs for a
+    * UNIT-normalized input u: ‖u−c‖² = 1 − 2u·c + ‖c‖², and the
+    * constant 1 can't change an argmin/sort, so dist = ‖c‖² − 2u·c.
+    * Struct min/sort gives nearest-centroid and probe lists without
+    * UDFs.
     */
-  private def centroidStructs(cs: Array[Array[Double]], v: Column): Seq[Column] =
+  private def centroidStructs(cs: Array[Array[Double]], u: Column): Seq[Column] =
     cs.zipWithIndex.map { case (c, i) =>
       val cl = array(c.map(lit): _*)
-      struct((dot(v, v) - lit(2.0) * dot(v, cl) + lit(dotd(c, c))).as("dist"),
+      struct((lit(dotd(c, c)) - lit(2.0) * dot(u, cl)).as("dist"),
         lit(i).as("list"))
     }
 
@@ -139,11 +142,15 @@ object Similarity {
     s
   }
 
-  /** Unit-normalized copy of v (cosine NN over v == Euclidean NN
-    * over u, which is what the L2 quantizer partitions).
+  /** v scaled by a precomputed norm column (cosine NN over v ==
+    * Euclidean NN over the unit vector, which is what the L2
+    * quantizer partitions). The norm is computed ONCE outside the
+    * per-element lambda.
     */
-  private def unit(v: Column): Column =
-    transform(v, x => x / sqrt(dot(v, v)))
+  private def scaled(v: Column, nrm: Column): Column =
+    transform(v, x => x / nrm)
+
+  private def unit(v: Column): Column = scaled(v, sqrt(dot(v, v)))
 
   /** Coarse quantizer: k-means|| centroids over the UNIT-normalized
     * embedding space (seeded, few iterations — the quantizer needs
@@ -183,14 +190,19 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val e = vectors(s, d)
     val cs = coarseCentroids(e, cacheKey = d)
-    val assigned = e
-      .withColumn("list", array_min(array(centroidStructs(cs, unit(col("v"))): _*)).getField("list"))
+    // norm and unit vector computed once per row as columns — the
+    // normalization never re-enters the 16 per-centroid dist exprs
+    val withUnit = e
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-    val probes = e.filter(col("vec_id") < 20)
+      .withColumn("u", scaled(col("v"), col("nrm")))
+    val assigned = withUnit
+      .withColumn("list", array_min(array(centroidStructs(cs, col("u")): _*)).getField("list"))
+      .select("vec_id", "v", "list", "nrm")
+    val probes = withUnit.filter(col("vec_id") < 20)
       .withColumn("probe", explode(slice(
-        array_sort(array(centroidStructs(cs, unit(col("v"))): _*)), 1, NProbe)))
+        array_sort(array(centroidStructs(cs, col("u")): _*)), 1, NProbe)))
       .select(col("vec_id").as("id1"), col("v").as("qv"),
-        sqrt(dot(col("v"), col("v"))).as("qnrm"), col("probe.list").as("list"))
+        col("nrm").as("qnrm"), col("probe.list").as("list"))
     val p = probes.join(assigned.toDF("id2", "v2", "list", "nrm2"),
         Seq("list"))
       .filter(col("id1") =!= col("id2"))

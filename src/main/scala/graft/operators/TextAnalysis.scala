@@ -17,7 +17,53 @@ object TextAnalysis {
   /** Non-whitespace token count as a codegen'd expression. */
   def tokenCount(text: Column): Column = regexp_count(text, lit("\\S+"))
 
-  private val stopPattern = "\\b(the|a|an|of|to|in|and|is|it|for)\\b"
+  val stopPattern = "\\b(the|a|an|of|to|in|and|is|it|for)\\b"
+
+  /** Per-language marker-word patterns — the single source for
+    * text_langid, text_langid_eval, and the curation pipeline.
+    */
+  val markers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|is)\\b",
+    "es" -> "\\b(el|la|de|que|y)\\b",
+    "de" -> "\\b(der|die|das|und|ist)\\b",
+    "fr" -> "\\b(le|les|et|des|est)\\b")
+
+  /** Marker-hit count columns c_en..c_fr (Column and SQL forms). */
+  def markerCols: Seq[Column] = markers.map { case (l, p) =>
+    regexp_count(lower(col("text")), lit(p)).cast("long").as(s"c_$l")
+  }
+  def markerCountsSql(indent: String): String = markers.map { case (l, p) =>
+    s"CAST(length(regexp_extract_all(lower(text), '$p')) AS BIGINT) AS c_$l"
+  }.mkString(",\n" + indent)
+
+  /** Language argmax with the fixed en→es→de→fr precedence, over the
+    * c_* columns (Column and SQL forms — keep in lockstep).
+    */
+  def predLangCol: Column =
+    when(greatest(col("c_en"), col("c_es"), col("c_de"), col("c_fr")) === 0, "und")
+      .when(col("c_en") >= col("c_es") && col("c_en") >= col("c_de") && col("c_en") >= col("c_fr"), "en")
+      .when(col("c_es") >= col("c_de") && col("c_es") >= col("c_fr"), "es")
+      .when(col("c_de") >= col("c_fr"), "de")
+      .otherwise("fr")
+  val predLangSql: String =
+    """CASE WHEN greatest(c_en, c_es, c_de, c_fr) = 0 THEN 'und'
+      |       WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+      |       WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
+      |       WHEN c_de >= c_fr THEN 'de'
+      |       ELSE 'fr' END""".stripMargin
+
+  /** Quality score (0.3 length + 0.4 alpha + 0.3 non-stopword) over
+    * the n_tokens/alpha_chars/n_chars/n_stops columns (Column and
+    * SQL forms — keep in lockstep).
+    */
+  def qualityCol: Column =
+    round(lit(0.3) * least(lit(1.0), col("n_tokens").cast("double") / 100)
+      + lit(0.4) * (col("alpha_chars").cast("double") / col("n_chars"))
+      + lit(0.3) * (lit(1) - col("n_stops").cast("double") / col("n_tokens")), 4)
+  val qualitySql: String =
+    """round(0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 100)
+      |      + 0.4 * (CAST(alpha_chars AS DOUBLE) / n_chars)
+      |      + 0.3 * (1 - CAST(n_stops AS DOUBLE) / n_tokens), 4)""".stripMargin
 
   val textTokens: QueryDef = QueryDef.sql(
     "text_tokens",
@@ -36,78 +82,58 @@ object TextAnalysis {
     * Every ratio is an exact int/int double division so the oracle
     * reproduces it bit-for-bit.
     */
+  /** doc_id + the four quality-input measures (shared select). */
+  def qualityInputs(docs: DataFrame): DataFrame = docs.select(
+    col("doc_id"),
+    col("text"),
+    length(col("text")).cast("long").as("n_chars"),
+    tokenCount(col("text")).cast("long").as("n_tokens"),
+    length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long").as("alpha_chars"),
+    regexp_count(lower(col("text")), lit(stopPattern)).cast("long").as("n_stops"))
+  def qualityInputsSql(indent: String): String = Seq(
+    "CAST(length(text) AS BIGINT) AS n_chars",
+    "CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens",
+    "CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS alpha_chars",
+    s"CAST(length(regexp_extract_all(lower(text), '$stopPattern')) AS BIGINT) AS n_stops")
+    .mkString(",\n" + indent)
+
   val textQuality: QueryDef = QueryDef.sql(
     "text_quality",
     s"""WITH m AS (
        |  SELECT doc_id,
-       |    CAST(length(text) AS BIGINT) AS n_chars,
-       |    CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
-       |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS alpha_chars,
-       |    CAST(length(regexp_extract_all(lower(text), '$stopPattern')) AS BIGINT) AS n_stops
+       |    ${qualityInputsSql("    ")}
        |  FROM documents)
        |SELECT doc_id, n_chars, n_tokens,
        |  round(CAST(alpha_chars AS DOUBLE) / n_chars, 4) AS alpha_ratio,
        |  round(CAST(n_stops AS DOUBLE) / n_tokens, 4) AS stop_ratio,
-       |  round(0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 100)
-       |      + 0.4 * (CAST(alpha_chars AS DOUBLE) / n_chars)
-       |      + 0.3 * (1 - CAST(n_stops AS DOUBLE) / n_tokens), 4) AS quality
+       |  $qualitySql AS quality
        |FROM m WHERE n_chars > 0 AND n_tokens > 0
        |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val m = Tables.documents(s, d).select(
-      col("doc_id"),
-      length(col("text")).cast("long").as("n_chars"),
-      tokenCount(col("text")).cast("long").as("n_tokens"),
-      length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long").as("alpha_chars"),
-      regexp_count(lower(col("text")), lit(stopPattern)).cast("long").as("n_stops"))
-    m.filter(col("n_chars") > 0 && col("n_tokens") > 0)
+    qualityInputs(Tables.documents(s, d))
+      .filter(col("n_chars") > 0 && col("n_tokens") > 0)
       .select(
         col("doc_id"), col("n_chars"), col("n_tokens"),
         round(col("alpha_chars").cast("double") / col("n_chars"), 4).as("alpha_ratio"),
         round(col("n_stops").cast("double") / col("n_tokens"), 4).as("stop_ratio"),
-        round(lit(0.3) * least(lit(1.0), col("n_tokens").cast("double") / 100)
-          + lit(0.4) * (col("alpha_chars").cast("double") / col("n_chars"))
-          + lit(0.3) * (lit(1) - col("n_stops").cast("double") / col("n_tokens")), 4).as("quality"))
+        qualityCol.as("quality"))
       .orderBy(col("doc_id"))
   }
 
   /** Marker-word language ID (n-gram heuristic): count per-language
     * marker hits, argmax with a fixed precedence order.
     */
-  val textLangid: QueryDef = {
-    val markers = Seq(
-      "en" -> "\\b(the|and|of|to|is)\\b",
-      "es" -> "\\b(el|la|de|que|y)\\b",
-      "de" -> "\\b(der|die|das|und|ist)\\b",
-      "fr" -> "\\b(le|les|et|des|est)\\b")
-    val counts = markers.map { case (l, p) =>
-      s"CAST(length(regexp_extract_all(lower(text), '$p')) AS BIGINT) AS c_$l"
-    }.mkString(",\n    ")
-    QueryDef.sql(
-      "text_langid",
-      s"""WITH m AS (
-         |  SELECT doc_id,
-         |    $counts
-         |  FROM documents)
-         |SELECT doc_id,
-         |  CASE WHEN greatest(c_en, c_es, c_de, c_fr) = 0 THEN 'und'
-         |       WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
-         |       WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
-         |       WHEN c_de >= c_fr THEN 'de'
-         |       ELSE 'fr' END AS pred_lang
-         |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val m = Tables.documents(s, d).select(
-        col("doc_id") +: markers.map { case (l, p) =>
-          regexp_count(lower(col("text")), lit(p)).cast("long").as(s"c_$l")
-        }: _*)
-      m.select(
-        col("doc_id"),
-        when(greatest(col("c_en"), col("c_es"), col("c_de"), col("c_fr")) === 0, "und")
-          .when(col("c_en") >= col("c_es") && col("c_en") >= col("c_de") && col("c_en") >= col("c_fr"), "en")
-          .when(col("c_es") >= col("c_de") && col("c_es") >= col("c_fr"), "es")
-          .when(col("c_de") >= col("c_fr"), "de")
-          .otherwise("fr").as("pred_lang"))
-        .orderBy(col("doc_id"))
-    }
+  val textLangid: QueryDef = QueryDef.sql(
+    "text_langid",
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    ${markerCountsSql("    ")}
+       |  FROM documents)
+       |SELECT doc_id,
+       |  $predLangSql AS pred_lang
+       |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select(col("doc_id") +: markerCols: _*)
+      .select(col("doc_id"), predLangCol.as("pred_lang"))
+      .orderBy(col("doc_id"))
   }
 
   /** Whitespace-normalized md5 document fingerprint. */
@@ -163,42 +189,18 @@ object TextAnalysis {
     * lang column — the evaluation loop a real pipeline runs after
     * changing a classifier.
     */
-  val textLangidEval: QueryDef = {
-    val predSql =
-      """CASE WHEN greatest(c_en, c_es, c_de, c_fr) = 0 THEN 'und'
-        |     WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
-        |     WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
-        |     WHEN c_de >= c_fr THEN 'de'
-        |     ELSE 'fr' END""".stripMargin
-    val markers = Seq(
-      "en" -> "\\b(the|and|of|to|is)\\b",
-      "es" -> "\\b(el|la|de|que|y)\\b",
-      "de" -> "\\b(der|die|das|und|ist)\\b",
-      "fr" -> "\\b(le|les|et|des|est)\\b")
-    val counts = markers.map { case (l, p) =>
-      s"CAST(length(regexp_extract_all(lower(text), '$p')) AS BIGINT) AS c_$l"
-    }.mkString(",\n    ")
-    QueryDef.sql(
-      "text_langid_eval",
-      s"""WITH m AS (SELECT doc_id, lang,
-         |    $counts
-         |  FROM documents)
-         |SELECT lang, $predSql AS pred_lang, count(*) AS n
-         |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
-      val m = Tables.documents(s, d).select(
-        col("doc_id") +: col("lang") +: markers.map { case (l, p) =>
-          regexp_count(lower(col("text")), lit(p)).cast("long").as(s"c_$l")
-        }: _*)
-      m.select(
-        col("lang"),
-        when(greatest(col("c_en"), col("c_es"), col("c_de"), col("c_fr")) === 0, "und")
-          .when(col("c_en") >= col("c_es") && col("c_en") >= col("c_de") && col("c_en") >= col("c_fr"), "en")
-          .when(col("c_es") >= col("c_de") && col("c_es") >= col("c_fr"), "es")
-          .when(col("c_de") >= col("c_fr"), "de")
-          .otherwise("fr").as("pred_lang"))
-        .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n"))
-        .orderBy(col("lang"), col("pred_lang"))
-    }
+  val textLangidEval: QueryDef = QueryDef.sql(
+    "text_langid_eval",
+    s"""WITH m AS (SELECT doc_id, lang,
+       |    ${markerCountsSql("    ")}
+       |  FROM documents)
+       |SELECT lang, $predLangSql AS pred_lang, count(*) AS n
+       |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id") +: col("lang") +: markerCols: _*)
+      .select(col("lang"), predLangCol.as("pred_lang"))
+      .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred_lang"))
   }
 
   val all: Seq[QueryDef] = Seq(

@@ -17,11 +17,16 @@ import graft.QueryDef
   */
 object SourceOps {
 
-  private def tmpDir(name: String): String = {
-    val d = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_io", name)
-    d.toString
+  // per-process staging root: two concurrent JVMs (a test run and a
+  // bench run) must not overwrite each other's roundtrip files
+  private lazy val stagingRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_io")
+    p.toFile.deleteOnExit()
+    p
   }
+
+  private def tmpDir(name: String): String =
+    stagingRoot.resolve(name).toString
 
   /** Text sink + source roundtrip of the reference's "x,y" format;
     * sums survive the Double.toString round-trip exactly (rounding

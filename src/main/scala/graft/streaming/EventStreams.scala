@@ -4,11 +4,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Structured Streaming over the events table: the same windowed
-  * aggregation as the batch `events_hourly`, driven through a real
-  * micro-batch stream (file source → watermark → windowed agg →
-  * memory sink). At scale the source becomes Kafka/queue and the
-  * sink a parquet/Delta writer — the plan in between is unchanged.
+/** Structured Streaming over the events/documents tables: windowed
+  * and session aggregations, custom state, streaming dedup, and a
+  * stream-stream interval join, each driven through a real
+  * micro-batch stream (file source → transforms → memory sink). At
+  * scale the source becomes Kafka/queue and the sink a parquet/Delta
+  * writer — the plan in between is unchanged.
   */
 object EventStreams {
 
@@ -23,6 +24,54 @@ object EventStreams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  val docsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  // ---- shared micro-batch plumbing -----------------------------------
+
+  /** The streaming file source requires a directory; stage the single
+    * parquet file behind a temp-dir symlink. Returns the stream and
+    * the dir to clean up after the run.
+    */
+  private def stagedStream(s: SparkSession, dir: String, file: String,
+      schema: StructType): (DataFrame, java.nio.file.Path) = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.createSymbolicLink(
+      tmp.resolve(file), java.nio.file.Paths.get(s"$dir/$file"))
+    (s.readStream.schema(schema).parquet(tmp.toString), tmp)
+  }
+
+  /** events stream with ts converted from raw nanos to µs timestamps. */
+  private def eventsStream(s: SparkSession, dir: String): (DataFrame, java.nio.file.Path) = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val (raw, tmp) = stagedStream(s, dir, "events.parquet", rawSchema)
+    (raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long"))), tmp)
+  }
+
+  /** Run `out` into a named memory sink to completion, then delete the
+    * staged temp dir.
+    */
+  private def runToTable(s: SparkSession, name: String, mode: String,
+      out: DataFrame, tmp: java.nio.file.Path): DataFrame = {
+    s.streams.active.filter(_.name == name).foreach(_.stop())
+    val q = out.writeStream.format("memory").queryName(name).outputMode(mode)
+      .start()
+    try {
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      java.nio.file.Files.list(tmp).forEach(p => java.nio.file.Files.delete(p))
+      java.nio.file.Files.delete(tmp)
+    }
+    s.table(name)
+  }
+
+  // ---- aggregations ---------------------------------------------------
+
   /** Hourly windowed aggregation with a 1-hour watermark. */
   def hourlyAgg(events: DataFrame): DataFrame =
     events
@@ -31,11 +80,17 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("total"))
 
+  def streamHourly(s: SparkSession, dir: String): DataFrame = {
+    val (src, tmp) = eventsStream(s, dir)
+    runToTable(s, "stream_hourly_sink", "complete", hourlyAgg(src), tmp)
+      .orderBy(col("hour"), col("event_type"))
+  }
+
   /** Gap-based sessionization through Structured Streaming's native
-    * session windows: watermarked state store, update-mode emission.
-    * At scale the state store shards by (user_id) across executors
-    * and the watermark bounds state size — the streaming analogue of
-    * the batch `events_session_window` plan.
+    * session windows: watermarked state store (complete mode —
+    * session-window aggregation does not allow update). At scale the
+    * state shards by user_id and the watermark bounds state size —
+    * the streaming analogue of the batch `events_session_window` plan.
     */
   def sessionAgg(events: DataFrame): DataFrame =
     events
@@ -46,12 +101,11 @@ object EventStreams {
         date_trunc("minute", col("session_window.start")).as("start_min"),
         col("n_events"))
 
-  /** Run the session stream over the parquet file (complete mode —
-    * session-window aggregation does not allow update mode).
-    */
-  def streamSessions(s: SparkSession, dir: String): DataFrame =
-    runToMemory(s, dir, "stream_sessions_sink", "complete", sessionAgg)
+  def streamSessions(s: SparkSession, dir: String): DataFrame = {
+    val (src, tmp) = eventsStream(s, dir)
+    runToTable(s, "stream_sessions_sink", "complete", sessionAgg(src), tmp)
       .orderBy(col("user_id"), col("start_min"))
+  }
 
   /** Custom streaming state: per-user running (event count, value
     * total) via mapGroupsWithState — the escape hatch for session
@@ -79,19 +133,13 @@ object EventStreams {
       .toDF()
   }
 
-  /** Run the per-user custom-state stream over the parquet file. */
-  def streamUserStats(s: SparkSession, dir: String): DataFrame =
-    runToMemory(s, dir, "stream_user_stats_sink", "update", userStatsAgg(s))
+  def streamUserStats(s: SparkSession, dir: String): DataFrame = {
+    val (src, tmp) = eventsStream(s, dir)
+    runToTable(s, "stream_user_stats_sink", "update", userStatsAgg(s)(src), tmp)
       .select(col("user_id"), col("n_events"),
         round(col("total_value"), 2).as("total_value"))
       .orderBy(col("user_id"))
-
-  /** Run the stream to completion over the parquet file and return
-    * the materialized result (memory sink, complete mode).
-    */
-  def streamHourly(s: SparkSession, dir: String): DataFrame =
-    runToMemory(s, dir, "stream_hourly_sink", "complete", hourlyAgg)
-      .orderBy(col("hour"), col("event_type"))
+  }
 
   /** Streaming exact dedup: dropDuplicates on (source, fingerprint)
     * state, then per-source unique-document counts. At scale the
@@ -100,28 +148,14 @@ object EventStreams {
     * feeds).
     */
   def streamDedup(s: SparkSession, dir: String): DataFrame = {
-    val name = "stream_dedup_sink"
-    s.streams.active.filter(_.name == name).foreach(_.stop())
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_docs")
-    java.nio.file.Files.createSymbolicLink(
-      tmp.resolve("documents.parquet"),
-      java.nio.file.Paths.get(s"$dir/documents.parquet"))
-    val docsSchema = StructType(Seq(
-      StructField("doc_id", LongType),
-      StructField("text", StringType),
-      StructField("lang", StringType),
-      StructField("source", StringType),
-      StructField("n_chars", LongType)))
-    val src = s.readStream.schema(docsSchema).parquet(tmp.toString)
+    val (src, tmp) = stagedStream(s, dir, "documents.parquet", docsSchema)
+    val out = src
       .select(col("source"),
         md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
       .dropDuplicates("source", "fp")
       .groupBy(col("source")).agg(count(lit(1)).as("n_unique"))
-    val q = src.writeStream.format("memory").queryName(name)
-      .outputMode("complete").start()
-    q.processAllAvailable()
-    q.stop()
-    s.table(name).orderBy(col("source"))
+    runToTable(s, "stream_dedup_sink", "complete", out, tmp)
+      .orderBy(col("source"))
   }
 
   /** Stream-stream inner join: purchases matched to the same user's
@@ -131,15 +165,7 @@ object EventStreams {
     * passes the 30-minute range condition.
     */
   def streamClickPurchaseJoin(s: SparkSession, dir: String): DataFrame = {
-    val name = "stream_join_sink"
-    s.streams.active.filter(_.name == name).foreach(_.stop())
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_events")
-    java.nio.file.Files.createSymbolicLink(
-      tmp.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
-    def src = s.readStream.schema(rawSchema).parquet(tmp.toString)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    val (src, tmp) = eventsStream(s, dir)
     val clicks = src.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
         col("ts").as("click_ts"))
@@ -152,35 +178,8 @@ object EventStreams {
       col("p_user") === col("c_user") &&
         col("purchase_ts") >= col("click_ts") &&
         col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
-    val q = joined
       .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
-      .writeStream.format("memory").queryName(name).outputMode("append")
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    s.table(name).orderBy(col("purchase_id"), col("click_id"))
-  }
-
-  /** Micro-batch the events parquet through `agg` into a memory
-    * sink and return the sink table.
-    */
-  private def runToMemory(s: SparkSession, dir: String, name: String,
-      mode: String, agg: DataFrame => DataFrame): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.streams.active.filter(_.name == name).foreach(_.stop())
-    // The streaming file source requires a directory; expose the
-    // single parquet file through a temp dir symlink.
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_events")
-    java.nio.file.Files.createSymbolicLink(
-      tmp.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
-    val src = s.readStream.schema(rawSchema).parquet(tmp.toString)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
-    val q = agg(src)
-      .writeStream.format("memory").queryName(name).outputMode(mode)
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    s.table(name)
+    runToTable(s, "stream_join_sink", "append", joined, tmp)
+      .orderBy(col("purchase_id"), col("click_id"))
   }
 }
