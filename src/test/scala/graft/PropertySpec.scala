@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators.KMeans
+
+/** Property-based checks of the expression-level primitives against
+  * plain-Scala reference implementations: deterministic random
+  * inputs go through the real Spark plans (codegen included) and
+  * must agree exactly. Each property evaluates its whole sample set
+  * in one Spark job.
+  */
+class PropertySpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], n: Int, seed: Long): List[A] =
+    Gen.listOfN(n, g).pureApply(Gen.Parameters.default, Seed(seed))
+
+  private val finiteD: Gen[Double] =
+    Gen.chooseNum(-1e6, 1e6).map(x => math.rint(x * 100) / 100)
+
+  test("native graft_dot equals a sequential fold on 100 random vector pairs") {
+    val pairs = sample(Gen.zip(Gen.listOfN(16, finiteD), Gen.listOfN(16, finiteD)), 100, 1L)
+    val got = pairs.toDF("a", "b")
+      .select(graft.functions.VectorFunctions.dot_product(col("a"), col("b")))
+      .collect().map(_.getDouble(0))
+    pairs.zip(got).foreach { case ((a, b), g) =>
+      val expected = a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+      assert(g == expected, s"a=$a b=$b")
+    }
+  }
+
+  test("assignExpr picks the argmin centroid (lowest-id ties) on 200 random points") {
+    val cs = sample(Gen.zip(finiteD, finiteD), 5, 2L).toArray
+    val pts = sample(Gen.zip(finiteD, finiteD), 200, 3L)
+    val got = pts.toDF("x", "y")
+      .select(KMeans.assignExpr(cs, col("x"), col("y")))
+      .collect().map(_.getInt(0))
+    pts.zip(got).foreach { case ((x, y), cid) =>
+      val dists = cs.map { case (cx, cy) => (x - cx) * (x - cx) + (y - cy) * (y - cy) }
+      assert(cid == dists.zipWithIndex.min._2, s"point ($x,$y)")
+    }
+  }
+
+  test("points text roundtrip preserves 100 random doubles exactly") {
+    val pts = sample(Gen.zip(
+      Gen.chooseNum(-1e12, 1e12), Gen.chooseNum(-1e12, 1e12)), 100, 4L)
+    val dir = java.nio.file.Files.createTempDirectory("prop_pts")
+    try {
+      val path = s"$dir/pts"
+      graft.sources.PointsText.writePoints(pts.toDF("x", "y"), path)
+      val back = graft.sources.PointsText.read(spark, path)
+        .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+        .toList.sortBy(p => (p._1, p._2))
+      assert(back == pts.sortBy(p => (p._1, p._2)))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
+  test("simhash hamming distance is symmetric and zero on self on random docs") {
+    val docs = sample(Gen.listOfN(30,
+      Gen.oneOf("alpha", "beta", "gamma", "delta")).map(_.mkString(" ")), 40, 5L)
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val sig = graft.operators.Dedup.simhash(docs.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // identical text → identical signature (hamming 0)
+    val byText = docs.groupBy(_._2).values.filter(_.size > 1)
+    byText.foreach { group =>
+      val sigs = group.map { case (id, _) => sig(id) }.distinct
+      assert(sigs.size == 1, s"same text, different simhash: $group")
+    }
+  }
+}
