@@ -41,12 +41,16 @@ object KMeans {
     li.select(col("l_orderkey"), col("l_linenumber"),
       col("l_quantity").as("x"), col("l_extendedprice").as("y"))
 
-  /** Deterministic init: k first points by (l_orderkey, l_linenumber).
+  /** Deterministic init: k first points by (l_orderkey, l_linenumber,
+    * x, y) — the key pair alone is NOT unique in the synthetic data,
+    * so the coordinates join the sort to make the order total (any
+    * remaining ties are identical points and can't change the init).
     * collect() of k rows only — mirrors the reference distributing k
     * centroids via the Configuration (KMeans.java:52-99).
     */
   def initCentroids(pts: DataFrame, k: Int = K): Array[(Double, Double)] =
-    pts.orderBy(col("l_orderkey"), col("l_linenumber")).limit(k)
+    pts.orderBy(col("l_orderkey"), col("l_linenumber"), col("x"), col("y"))
+      .limit(k)
       .select("x", "y").collect()
       .map(r => (r.getDouble(0), r.getDouble(1)))
 
@@ -130,7 +134,8 @@ object KMeans {
     sb.append(
       s"""WITH pts AS (
          |  SELECT l_quantity AS x, l_extendedprice AS y,
-         |         row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS rid
+         |         row_number() OVER (ORDER BY l_orderkey, l_linenumber,
+         |                            l_quantity, l_extendedprice) - 1 AS rid
          |  FROM lineitem),
          |c0 AS (SELECT rid AS cid, x, y FROM pts WHERE rid < $k)""".stripMargin)
     for (i <- 1 to iters) {
