@@ -52,21 +52,35 @@ object EventStreams {
     (raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long"))), tmp)
   }
 
+  /** State-store shard count for the local streams. Stateful
+    * operators allocate one state store per shuffle partition at
+    * stream start (AQE never re-plans streams), so this is sized to
+    * the stream's state volume, not to the batch workload's
+    * parallelism. On a cluster, scale it with state size.
+    */
+  val StreamStatePartitions = 8
+
   /** Run `out` into a named memory sink to completion, then delete the
-    * staged temp dir.
+    * staged temp dir. Pins shuffle partitions to
+    * [[StreamStatePartitions]] for the duration of the stream and
+    * restores the session value after.
     */
   private def runToTable(s: SparkSession, name: String, mode: String,
       out: DataFrame, tmp: java.nio.file.Path): DataFrame = {
     s.streams.active.filter(_.name == name).foreach(_.stop())
-    val q = out.writeStream.format("memory").queryName(name).outputMode(mode)
-      .start()
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions.toString)
     try {
-      q.processAllAvailable()
-    } finally {
-      q.stop()
-      java.nio.file.Files.list(tmp).forEach(p => java.nio.file.Files.delete(p))
-      java.nio.file.Files.delete(tmp)
-    }
+      val q = out.writeStream.format("memory").queryName(name).outputMode(mode)
+        .start()
+      try {
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        java.nio.file.Files.list(tmp).forEach(p => java.nio.file.Files.delete(p))
+        java.nio.file.Files.delete(tmp)
+      }
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     s.table(name)
   }
 
