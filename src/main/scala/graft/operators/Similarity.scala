@@ -164,16 +164,16 @@ object Similarity {
 
   def coarseCentroids(e: DataFrame, cacheKey: String = ""): Array[Array[Double]] = {
     def fit(): Array[Array[Double]] = {
-      import org.apache.spark.ml.functions.array_to_vector
-      import org.apache.spark.ml.clustering.{KMeans => MlKMeans}
       // a coarse quantizer needs a representative sample, not the
       // corpus: cap the fit set (first-N is fine for synthetic data;
-      // use .sample at production skew)
-      val feats = e.limit(4096)
-        .select(array_to_vector(unit(col("v"))).as("features"))
-      new MlKMeans().setK(NLists).setSeed(7L).setMaxIter(5)
-        .setFeaturesCol("features").fit(feats)
-        .clusterCenters.map(_.toArray)
+      // use .sample at production skew). Runs graft's own n-D Lloyd
+      // over the unit sphere — deterministic first-NLists init.
+      val sample = e.limit(4096).select(unit(col("v")).as("v")).persist()
+      try {
+        val init = sample.limit(NLists).collect()
+          .map(_.getSeq[Double](0).toArray)
+        KMeans.ndLloyd(sample, init, iters = 3)._1
+      } finally sample.unpersist(false)
     }
     if (cacheKey.isEmpty) fit()
     else quantizerCache.getOrElseUpdate(cacheKey, fit())
