@@ -276,8 +276,71 @@ object RelationalExt {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Join-key skew diagnosis: the per-key row-count distribution that
+    * decides whether a join needs salting/AQE skew handling. One
+    * partial-agg shuffle; the distribution summary is O(1) rows.
+    */
+  val qSkewStats: QueryDef = QueryDef.sql(
+    "q_skew_stats",
+    """SELECT count(*) AS n_keys,
+      |  CAST(max(n) AS BIGINT) AS max_rows,
+      |  round(avg(n), 4) AS avg_rows,
+      |  CAST(quantile_cont(n, 0.99) AS DOUBLE) AS p99_rows
+      |FROM (SELECT count(*) AS n FROM lineitem GROUP BY l_orderkey)""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_keys"),
+        max(col("n")).as("max_rows"),
+        round(avg(col("n")), 4).as("avg_rows"),
+        expr("percentile(n, 0.99)").cast("double").as("p99_rows"))
+  }
+
+  /** Inter-order gap per customer via lead(): consecutive-event
+    * deltas inside one windowed pass.
+    */
+  val qOrderGaps: QueryDef = QueryDef.sql(
+    "q_order_gaps",
+    """WITH g AS (
+      |  SELECT o_custkey,
+      |    date_diff('day', o_orderdate,
+      |      lead(o_orderdate) OVER (PARTITION BY o_custkey
+      |                              ORDER BY o_orderdate, o_orderkey)) AS gap_days
+      |  FROM orders)
+      |SELECT o_custkey, CAST(count(gap_days) AS BIGINT) AS n_gaps,
+      |  round(avg(gap_days), 2) AS avg_gap_days
+      |FROM g WHERE gap_days IS NOT NULL
+      |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("gap_days",
+        datediff(lead(col("o_orderdate"), 1).over(w), col("o_orderdate")))
+      .filter(col("gap_days").isNotNull)
+      .groupBy(col("o_custkey"))
+      .agg(count(col("gap_days")).as("n_gaps"),
+        round(avg(col("gap_days")), 2).as("avg_gap_days"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Correlated scalar subquery (Catalyst decorrelates it into a
+    * join under the hood).
+    */
+  val qCorrelatedScalar: QueryDef = QueryDef.sql(
+    "q_correlated_scalar",
+    """SELECT c_custkey FROM customer
+      |WHERE (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) >= 15
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    Tables.customer(s, d).createOrReplaceTempView("graft_customer_v")
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders_corr_v")
+    s.sql("""SELECT c_custkey FROM graft_customer_v
+            |WHERE (SELECT count(*) FROM graft_orders_corr_v
+            |       WHERE o_custkey = c_custkey) >= 15
+            |ORDER BY c_custkey""".stripMargin)
+  }
+
   val all: Seq[QueryDef] = Seq(
     qApproxDistinct, qApproxPercentile, qAsofJoin, qSkewSaltedJoin,
     qBucketedJoin, qPivot, qFullOuter, qTopPerKeyAgg, qScalarSubquery,
-    qIntersect, qExcept, qCube, qMedian)
+    qIntersect, qExcept, qCube, qMedian, qSkewStats, qOrderGaps,
+    qCorrelatedScalar)
 }
