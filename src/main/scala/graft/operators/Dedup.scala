@@ -238,6 +238,20 @@ object Dedup {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** The deduplicated corpus itself: keep the lowest doc_id of every
+    * exact-duplicate group, preserving all document columns — the
+    * DataFrame a pipeline feeds downstream. One fingerprint-keyed
+    * shuffle (16-byte keys); rows never widen.
+    */
+  def dedupedCorpus(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("graft_fp")).orderBy(col("doc_id"))
+    docs.withColumn("graft_fp", md5(norm(col("text"))))
+      .withColumn("graft_rn", row_number().over(w))
+      .filter(col("graft_rn") === 1)
+      .drop("graft_fp", "graft_rn")
+  }
+
   /** Streaming exact dedup (dropDuplicates state) — per-source
     * unique-document counts, same oracle as a batch distinct.
     */

@@ -14,6 +14,16 @@ class DedupSpec extends AnyFunSuite {
     assert(total == Tables.documents(spark, sf).count())
   }
 
+  test("dedupedCorpus keeps exactly the min doc_id per duplicate group") {
+    val docs = Tables.documents(spark, sf)
+    val kept = Dedup.dedupedCorpus(docs)
+    assert(kept.columns.toSeq == docs.columns.toSeq)
+    val expected = Dedup.dedupExact.fn(spark, sf)
+      .select("keep_id").collect().map(_.getLong(0)).toSet
+    val got = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+  }
+
   test("minhash LSH recalls every exact near-dup pair (bounded range)") {
     val exact = Dedup.dedupNgram.fn(spark, sf)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
