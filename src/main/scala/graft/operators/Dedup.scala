@@ -175,12 +175,22 @@ object Dedup {
       .select("id1", "id2").distinct()
   }
 
-  /** MinHash+LSH near-dup detection, Jaccard-verified ≥ 0.8. */
+  /** MinHash+LSH near-dup detection, Jaccard-verified ≥ 0.8.
+    *
+    * The hashed-shingle corpus feeds three subtrees (signatures + both
+    * sides of the verification join), so it is cached for the run and
+    * — unlike a bare `.cache()` — released afterwards: the verified
+    * pairs (tiny vs. the corpus) are materialized eagerly while the
+    * cache is hot, then the shingle blocks are dropped so a long-lived
+    * session (Bench runs every query in one JVM) isn't left pinning
+    * the corpus in executor memory.
+    */
   val dedupMinhash: QueryDef = QueryDef.rowsOnly("dedup_minhash") { (s, d) =>
-    val sh = shinglesHashed(Tables.documents(s, d))
-    sh.cache()
-    val cand = lshCandidates(minhashSignatures(sh))
-    jaccardVerify(sh, cand, 0.8)
+    val sh = shinglesHashed(Tables.documents(s, d)).cache()
+    try {
+      val cand = lshCandidates(minhashSignatures(sh))
+      jaccardVerify(sh, cand, 0.8).localCheckpoint(eager = true)
+    } finally sh.unpersist(false)
   }
 
   // ---- SimHash -------------------------------------------------------
