@@ -91,24 +91,12 @@ object Dedup {
       .orderBy(col("id1"), col("id2"))
   }
 
-  /** Oracle-checked exact n-gram Jaccard on a bounded id range. */
-  val dedupNgram: QueryDef = QueryDef.sql(
-    "dedup_ngram",
-    """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
-      |           FROM documents WHERE doc_id < 300),
-      |s AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
-      |      FROM t, UNNEST(generate_series(1, len(toks) - 2)) AS u(i)
-      |      WHERE len(toks) >= 3),
-      |c AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
-      |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
-      |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      |      GROUP BY 1, 2)
-      |SELECT id1, id2,
-      |  round(CAST(inter AS DOUBLE) / (c1.n + c2.n - inter), 4) AS jaccard
-      |FROM p JOIN c c1 ON p.id1 = c1.doc_id JOIN c c2 ON p.id2 = c2.doc_id
-      |WHERE CAST(inter AS DOUBLE) / (c1.n + c2.n - inter) >= 0.8
-      |ORDER BY id1, id2""".stripMargin) { (s, d) =>
-    val sh = shingles(Tables.documents(s, d), Some(300L))
+  /** Exact pairwise n-gram Jaccard ≥ threshold on a bounded id range:
+    * (id1, id2, jaccard). Shared by dedup_ngram and the group-
+    * resolution entries below.
+    */
+  def ngramPairs(docs: DataFrame, bound: Long, threshold: Double): DataFrame = {
+    val sh = shingles(docs, Some(bound))
     val inter = sh.toDF("id1", "sh").join(sh.toDF("id2", "sh2"),
         col("sh") === col("sh2") && col("id1") < col("id2"))
       .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
@@ -118,8 +106,34 @@ object Dedup {
       .join(broadcast(counts.toDF("id2", "n2")), "id2")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
-      .filter(col("jaccard") >= 0.8)
+      .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** DuckDB CTEs producing the same bounded pairs as `ngramPairs`
+    * (relation `pairs`: id1, id2, jaccard) — single-sourced so every
+    * oracle built on the pair graph filters identically.
+    */
+  private val ngramPairCtes: String =
+    """t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+      |      FROM documents WHERE doc_id < 300),
+      |s AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+      |      FROM t, UNNEST(generate_series(1, len(toks) - 2)) AS u(i)
+      |      WHERE len(toks) >= 3),
+      |c AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+      |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+      |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2),
+      |pairs AS (SELECT id1, id2,
+      |            round(CAST(inter AS DOUBLE) / (c1.n + c2.n - inter), 4) AS jaccard
+      |          FROM p JOIN c c1 ON p.id1 = c1.doc_id JOIN c c2 ON p.id2 = c2.doc_id
+      |          WHERE CAST(inter AS DOUBLE) / (c1.n + c2.n - inter) >= 0.8)""".stripMargin
+
+  /** Oracle-checked exact n-gram Jaccard on a bounded id range. */
+  val dedupNgram: QueryDef = QueryDef.sql(
+    "dedup_ngram",
+    s"WITH $ngramPairCtes\nSELECT id1, id2, jaccard FROM pairs ORDER BY id1, id2") { (s, d) =>
+    ngramPairs(Tables.documents(s, d), 300L, 0.8)
       .orderBy(col("id1"), col("id2"))
   }
 
@@ -191,6 +205,115 @@ object Dedup {
       val cand = lshCandidates(minhashSignatures(sh))
       jaccardVerify(sh, cand, 0.8).localCheckpoint(eager = true)
     } finally sh.unpersist(false)
+  }
+
+  // ---- Near-dup group resolution (connected components) --------------
+
+  /** Connected components over an undirected pair graph
+    * (columns id1, id2) → (id, label) where label = the component's
+    * minimum id. Iterative min-label propagation: each round every
+    * node takes the minimum label among itself and its neighbors —
+    * one equality join + one min-aggregation per round, both plain
+    * shuffles on node id, so a round costs O(|edges|) regardless of
+    * cluster count. Rounds needed = graph diameter; near-dup
+    * components are near-cliques (every member pair tends to collide),
+    * so diameter is tiny in practice. Labels are monotonically
+    * non-increasing, hence an unchanged label sum is a fixpoint —
+    * the O(1) convergence probe collected per round.
+    *
+    * Lineage is truncated per round (localCheckpoint) so the plan
+    * doesn't grow with iterations; the label table is O(nodes in the
+    * pair graph), far smaller than the corpus.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    val nodes = pairs.select(col("id1").as("src"))
+      .union(pairs.select(col("id2").as("src"))).distinct()
+    // symmetric closure + self-loops: min over neighbors then includes
+    // the node's own label, so one inner join per round suffices
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .union(nodes.withColumn("dst", col("src")))
+      .persist()
+    try {
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id"))
+        .localCheckpoint(true)
+      def labelSum(df: DataFrame): Long = {
+        val r = df.agg(sum(col("label"))).collect()(0)
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
+      var prev = labelSum(labels)
+      var iter = 0
+      var done = prev == 0L // empty graph
+      while (!done && iter < maxIter) {
+        val next = edges
+          .join(labels.withColumnRenamed("id", "nbr"), col("dst") === col("nbr"))
+          .groupBy(col("src").as("id")).agg(min(col("label")).as("label"))
+          .localCheckpoint(true)
+        val cur = labelSum(next)
+        done = cur == prev
+        prev = cur
+        labels = next
+        iter += 1
+      }
+      require(done, s"connectedComponents did not converge in $maxIter rounds")
+      labels
+    } finally edges.unpersist(false)
+  }
+
+  /** The near-deduplicated corpus: drop every document that belongs
+    * to a near-dup component but is not its minimum-id representative.
+    * `pairs` is any near-dup pair graph — `ngramPairs` for exact
+    * verification, `dedupMinhash`'s output for the 100 TB path.
+    */
+  def nearDedupedCorpus(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val losers = connectedComponents(pairs)
+      .filter(col("label") =!= col("id")).select(col("id"))
+    docs.join(losers, docs("doc_id") === losers("id"), "left_anti")
+  }
+
+  /** Recursive-CTE transitive closure over the `pairs` relation:
+    * relation `lab` = (id, rep) with rep = component minimum.
+    */
+  private val componentCtes: String =
+    """edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+      |          UNION SELECT id2, id1 FROM pairs),
+      |reach AS (SELECT src, dst FROM edges
+      |          UNION
+      |          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |lab AS (SELECT src AS id, least(src, min(dst)) AS rep
+      |        FROM reach GROUP BY src)""".stripMargin
+
+  /** Near-dup groups resolved from the bounded n-gram pair graph:
+    * one row per component (representative, member count). The same
+    * Spark code runs unbounded on LSH-verified pairs at scale.
+    */
+  val dedupGroups: QueryDef = QueryDef.sql(
+    "dedup_groups",
+    s"""WITH RECURSIVE $ngramPairCtes,
+       |$componentCtes
+       |SELECT rep AS group_rep, count(*) AS member_count
+       |FROM lab GROUP BY rep ORDER BY group_rep""".stripMargin) { (s, d) =>
+    connectedComponents(ngramPairs(Tables.documents(s, d), 300L, 0.8))
+      .groupBy(col("label").as("group_rep"))
+      .agg(count(lit(1)).as("member_count"))
+      .orderBy(col("group_rep"))
+  }
+
+  /** The surviving documents of the bounded corpus after near-dedup —
+    * oracles the `nearDedupedCorpus` API end-to-end.
+    */
+  val dedupNearCorpus: QueryDef = QueryDef.sql(
+    "dedup_near_corpus",
+    s"""WITH RECURSIVE $ngramPairCtes,
+       |$componentCtes
+       |SELECT doc_id FROM documents
+       |WHERE doc_id < 300
+       |  AND doc_id NOT IN (SELECT id FROM lab WHERE rep <> id)
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 300)
+    nearDedupedCorpus(docs, ngramPairs(docs, 300L, 0.8))
+      .select(col("doc_id")).orderBy(col("doc_id"))
   }
 
   // ---- SimHash -------------------------------------------------------
@@ -274,5 +397,5 @@ object Dedup {
 
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupStats, dedupNgram, dedupMinhash, dedupSimhash,
-    dedupEmbedding, streamDedup)
+    dedupEmbedding, streamDedup, dedupGroups, dedupNearCorpus)
 }

@@ -33,6 +33,51 @@ class DedupSpec extends AnyFunSuite {
     assert(exact.subsetOf(lsh), s"missed: ${exact.diff(lsh)}")
   }
 
+  test("connected components give the component-min label on a known graph") {
+    import spark.implicits._
+    // components {1,2,3,4} (path), {10,11}, singleton via self-pair {20}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 20L))
+      .toDF("id1", "id2")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("every ngram near-dup pair lands in one dedup group") {
+    val pairs = Dedup.ngramPairs(
+      graft.sources.Tables.documents(spark, sf), 300L, 0.8)
+    val labels = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edgeRows = pairs.select("id1", "id2").collect()
+    assert(edgeRows.nonEmpty)
+    edgeRows.foreach { r =>
+      assert(labels(r.getLong(0)) == labels(r.getLong(1)))
+    }
+    // group sizes in dedup_groups account for every labeled node
+    val sizes = Dedup.dedupGroups.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes.values.sum == labels.size)
+    assert(sizes.keySet == labels.values.toSet)
+  }
+
+  test("nearDedupedCorpus keeps exactly one representative per component") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") < 300)
+    val pairs = Dedup.ngramPairs(docs, 300L, 0.8)
+    val labels = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kept = Dedup.nearDedupedCorpus(docs, pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // every component's min survives, every other member is dropped
+    labels.foreach { case (id, label) =>
+      assert(kept.contains(id) == (id == label))
+    }
+    // documents outside the pair graph are untouched
+    val total = docs.count()
+    assert(kept.size == total - labels.count { case (id, l) => id != l })
+  }
+
   test("simhash near-dup pairs have hamming <= 3") {
     val rows = Dedup.dedupSimhash.fn(spark, sf).collect()
     assert(rows.forall(_.getLong(2) <= 3))
