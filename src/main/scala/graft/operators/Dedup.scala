@@ -343,6 +343,37 @@ object Dedup {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** SimHash banded LSH — the unbounded scale path. The 64-bit
+    * signature splits into 4 × 16-bit bands; Hamming distance ≤ 3
+    * can spread at most 3 differing bits over 4 bands, so by
+    * pigeonhole every qualifying pair matches exactly in ≥ 1 band.
+    * Candidate generation is therefore one equality join on
+    * (band, band-value) — the same shuffle shape as MinHash banding —
+    * followed by an exact popcount verification. Returns exactly the
+    * pairs the quadratic operator would (guarantee, not heuristic).
+    *
+    * Bucket sizing at scale: a 16-bit band has 2^16 values, so
+    * in-bucket pairing grows ~ (n/2^16)² per band; beyond ~10^8 docs
+    * widen the key (join on 2 bands = 32 bits and repeat for the
+    * C(4,2) band choices with the Hamming budget split 1+2), the
+    * standard table-permutation layout of Manku et al., WWW'07.
+    */
+  val dedupSimhashLsh: QueryDef = QueryDef.rowsOnly("dedup_simhash_lsh") { (s, d) =>
+    val sig = simhash(Tables.documents(s, d))
+    val bands = sig.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(j => struct(lit(j).as("band"),
+          shiftright(col("simhash"), j * 16).bitwiseAND(0xFFFF).as("bv"))): _*)).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.band").as("band"), col("b.bv").as("bv"))
+    bands.toDF("id1", "h1", "band", "bv")
+      .join(bands.toDF("id2", "h2", "band2", "bv2"),
+        col("band") === col("band2") && col("bv") === col("bv2") && col("id1") < col("id2"))
+      .select("id1", "id2", "h1", "h2").distinct()
+      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
+      .filter(col("hamming") <= 3)
+      .select(col("id1"), col("id2"), col("hamming").cast("long").as("hamming"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
   // ---- Embedding cosine near-dup -------------------------------------
 
   /** Pairwise embedding cosine ≥ 0.35 (threshold calibrated to the
@@ -397,5 +428,6 @@ object Dedup {
 
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupStats, dedupNgram, dedupMinhash, dedupSimhash,
-    dedupEmbedding, streamDedup, dedupGroups, dedupNearCorpus)
+    dedupEmbedding, streamDedup, dedupGroups, dedupNearCorpus,
+    dedupSimhashLsh)
 }

@@ -83,6 +83,16 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.forall(_.getLong(2) <= 3))
   }
 
+  test("banded simhash LSH returns exactly the quadratic operator's pairs") {
+    val bounded = Dedup.dedupSimhash.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the banded path runs unbounded; restrict to the bounded id range
+    val banded = Dedup.dedupSimhashLsh.fn(spark, sf)
+      .filter(col("id2") < 300).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == bounded)
+  }
+
   test("embedding near-dup cosines are within [-1, 1]") {
     val rows = Dedup.dedupEmbedding.fn(spark, sf).collect()
     assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0))
@@ -114,22 +124,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0))
   }
 
-  test("ivf ANN recalls most exact top-1 neighbors (full corpus)") {
+  test("ivf ANN recalls most exact top-1 neighbors (full corpus, every SF)") {
     import org.apache.spark.sql.expressions.Window
-    val e = Similarity.vectors(spark, sf)
-    val q = e.filter(col("vec_id") < 20).toDF("id1", "qv")
-    val w = Window.partitionBy(col("id1")).orderBy(col("cos_sim").desc, col("id2"))
-    val exact = q.crossJoin(e.toDF("id2", "v2")).filter(col("id1") =!= col("id2"))
-      .select(col("id1"), col("id2"),
-        round(Similarity.cosine(col("qv"), col("v2")), 4).as("cos_sim"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val ivf = Similarity.annIvf.fn(spark, sf).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(ivf.nonEmpty)
-    val hits = exact.keys.count(k => ivf.get(k).contains(exact(k)))
-    val recall = hits.toDouble / exact.size
-    assert(recall >= 0.5, s"recall@1 = $recall")
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1") if new java.io.File(dir).isDirectory) {
+      val e = Similarity.vectors(spark, dir)
+      val q = e.filter(col("vec_id") < 20).toDF("id1", "qv")
+      val w = Window.partitionBy(col("id1")).orderBy(col("cos_sim").desc, col("id2"))
+      val exact = q.crossJoin(e.toDF("id2", "v2")).filter(col("id1") =!= col("id2"))
+        .select(col("id1"), col("id2"),
+          round(Similarity.cosine(col("qv"), col("v2")), 4).as("cos_sim"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val ivf = Similarity.annIvf.fn(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(ivf.nonEmpty)
+      val hits = exact.keys.count(k => ivf.get(k).contains(exact(k)))
+      val recall = hits.toDouble / exact.size
+      assert(recall >= 0.8, s"recall@1 = $recall at $dir")
+    }
   }
 }
 
