@@ -153,6 +153,89 @@ object KMeans {
     sb.toString
   }
 
+  /** CTE chain replaying the FULL reference loop in SQL: stale-keep
+    * empty clusters, per-axis tol, maxIter cap, and per-iteration
+    * convergence tracking so the final select can pick the centroids
+    * of the first converged iteration (the reference stops there —
+    * a plain n-iteration chain would keep drifting past it).
+    *
+    * Every per-iteration relation is MATERIALIZED: c_i is referenced
+    * three times (next assignment, stale branch, convergence check),
+    * so inlined CTEs would expand 3^iters scans.
+    */
+  private def lloydFullCtes(k: Int, maxIter: Int, tol: Double): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH pts AS MATERIALIZED (
+         |  SELECT l_quantity AS x, l_extendedprice AS y,
+         |         row_number() OVER (ORDER BY l_orderkey, l_linenumber,
+         |                            l_quantity, l_extendedprice) - 1 AS rid
+         |  FROM lineitem),
+         |c0 AS MATERIALIZED (SELECT rid AS cid, x, y FROM pts WHERE rid < $k)""".stripMargin)
+    for (i <- 1 to maxIter) {
+      val p = i - 1
+      sb.append(
+        s""",
+           |a$i AS (
+           |  SELECT p.rid, p.x, p.y, c.cid,
+           |         row_number() OVER (PARTITION BY p.rid
+           |           ORDER BY (p.x-c.x)*(p.x-c.x) + (p.y-c.y)*(p.y-c.y), c.cid) AS rn
+           |  FROM pts p CROSS JOIN c$p c),
+           |s$i AS MATERIALIZED (SELECT rid, x, y, cid FROM a$i WHERE rn = 1),
+           |m$i AS (SELECT cid, avg(x) AS x, avg(y) AS y FROM s$i GROUP BY cid),
+           |c$i AS MATERIALIZED (SELECT cid, x, y FROM m$i
+           |       UNION ALL
+           |       SELECT cid, x, y FROM c$p WHERE cid NOT IN (SELECT cid FROM m$i)),
+           |v$i AS (SELECT bool_and(abs(n.x - o.x) < $tol AND abs(n.y - o.y) < $tol) AS conv
+           |        FROM c$i n JOIN c$p o USING (cid))""".stripMargin)
+    }
+    val allc = (1 to maxIter)
+      .map(i => s"SELECT $i AS iter, cid, x, y FROM c$i").mkString(" UNION ALL ")
+    val convs = (1 to maxIter)
+      .map(i => s"SELECT $i AS iter, conv FROM v$i").mkString(" UNION ALL ")
+    sb.append(
+      s""",
+         |allc AS ($allc),
+         |convs AS ($convs),
+         |nit AS (SELECT coalesce(min(iter), $maxIter) AS n_iters,
+         |               coalesce(min(iter), ${maxIter + 1}) <= $maxIter AS converged
+         |        FROM convs WHERE conv)""".stripMargin)
+    sb.toString
+  }
+
+  /** CTE chain for the n-dimensional Lloyd on the embeddings table —
+    * the list-typed mirror of lloydFullCtes (fixed iterations, stale
+    * empty clusters): element-wise centroid means via a position
+    * unnest + per-(cid, pos) avg, reassembled with an ordered list().
+    */
+  private def ndLloydCtes(k: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |init AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k),
+         |c0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c FROM init)""".stripMargin)
+    for (i <- 1 to iters) {
+      val p = i - 1
+      sb.append(
+        s""",
+           |a$i AS (SELECT e.vec_id, e.v, c.cid,
+           |         row_number() OVER (PARTITION BY e.vec_id
+           |           ORDER BY list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c.c)
+           |                    + list_dot_product(c.c, c.c), c.cid) AS rn
+           |       FROM e CROSS JOIN c$p c),
+           |s$i AS MATERIALIZED (SELECT vec_id, v, cid FROM a$i WHERE rn = 1),
+           |n$i AS (SELECT cid, count(*) AS n FROM s$i GROUP BY cid),
+           |x$i AS (SELECT cid, pos, avg(v[pos]) AS val
+           |       FROM s$i, UNNEST(generate_series(1, len(v))) AS t(pos)
+           |       GROUP BY cid, pos),
+           |m$i AS (SELECT cid, list(val ORDER BY pos) AS c FROM x$i GROUP BY cid),
+           |c$i AS MATERIALIZED (SELECT cid, c FROM m$i
+           |       UNION ALL
+           |       SELECT cid, c FROM c$p WHERE cid NOT IN (SELECT cid FROM m$i))""".stripMargin)
+    }
+    sb.toString
+  }
+
   // ---- QueryDefs -----------------------------------------------------
 
   /** Cluster sizes after the first assignment. */
@@ -214,7 +297,13 @@ object KMeans {
   /** Full Lloyd to convergence — the reference's exact loop
     * (tol 1e-3 per axis, maxIter 20, stale empty clusters).
     */
-  val kmeansLloyd: QueryDef = QueryDef.rowsOnly("kmeans_lloyd") { (s, d) =>
+  val kmeansLloyd: QueryDef = QueryDef.sql(
+    "kmeans_lloyd",
+    lloydFullCtes(K, maxIter = 20, tol = 1e-3) +
+      """
+        |SELECT a.cid, round(a.x, 3) AS cx, round(a.y, 3) AS cy,
+        |       nit.n_iters, nit.converged
+        |FROM allc a JOIN nit ON a.iter = nit.n_iters ORDER BY a.cid""".stripMargin) { (s, d) =>
     val all = points(Tables.lineitem(s, d))
     val init = initCentroids(all)
     // cache only what the loop reads: 16 bytes/row
@@ -300,7 +389,13 @@ object KMeans {
   }
 
   /** 64-dim K-Means on the embeddings table (3 iterations). */
-  val kmeansNd: QueryDef = QueryDef.rowsOnly("kmeans_nd") { (s, d) =>
+  val kmeansNd: QueryDef = QueryDef.sql(
+    "kmeans_nd",
+    ndLloydCtes(K, 3) +
+      """
+        |SELECT c3.cid, coalesce(n3.n, 0) AS n,
+        |  round(c3.c[1], 4) AS c0, round(c3.c[2], 4) AS c1
+        |FROM c3 LEFT JOIN n3 USING (cid) ORDER BY cid""".stripMargin) { (s, d) =>
     val pts = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .persist()
@@ -309,10 +404,12 @@ object KMeans {
         .select("v").collect().map(_.getSeq[Double](0).toArray)
       val (cs, sizes) = ndLloyd(pts, init, iters = 3)
       import s.implicits._
-      cs.zipWithIndex.map { case (c, i) =>
-        (i.toLong, sizes(i),
-          math.round(c(0) * 10000) / 10000.0, math.round(c(1) * 10000) / 10000.0)
-      }.toSeq.toDF("cid", "n", "c0", "c1")
+      cs.zipWithIndex.map { case (c, i) => (i.toLong, sizes(i), c(0), c(1)) }
+        .toSeq.toDF("cid", "n", "c0", "c1")
+        // HALF_UP like the oracle's round() (math.round floors halves
+        // toward +inf, which disagrees on negative embedding means)
+        .select(col("cid"), col("n"),
+          round(col("c0"), 4).as("c0"), round(col("c1"), 4).as("c1"))
     } finally pts.unpersist(false)
   }
 
