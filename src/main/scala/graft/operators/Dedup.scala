@@ -426,8 +426,17 @@ object Dedup {
       |FROM documents GROUP BY source ORDER BY source""".stripMargin)(
     graft.streaming.EventStreams.streamDedup)
 
+  /** Streaming dedup with watermark-bounded state — per-event-type
+    * distinct users through dropDuplicatesWithinWatermark.
+    */
+  val streamDedupWm: QueryDef = QueryDef.sql(
+    "stream_dedup_wm",
+    """SELECT event_type, count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)(
+    graft.streaming.EventStreams.streamDedupWithinWatermark)
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupStats, dedupNgram, dedupMinhash, dedupSimhash,
     dedupEmbedding, streamDedup, dedupGroups, dedupNearCorpus,
-    dedupSimhashLsh)
+    dedupSimhashLsh, streamDedupWm)
 }

@@ -133,7 +133,13 @@ object EventOps {
       |ORDER BY purchase_id, click_id""".stripMargin)(
     EventStreams.streamClickPurchaseJoin)
 
+  /** Streaming egress roundtrip: hourly agg → foreachBatch → parquet
+    * on disk → read back; same oracle as the batch/memory variants.
+    */
+  val streamSinkRoundtrip: QueryDef =
+    QueryDef.sql("stream_sink_roundtrip", hourlySql)(EventStreams.streamSinkRoundtrip)
+
   val all: Seq[QueryDef] = Seq(
     eventsHourly, streamHourly, eventsSessions, eventsSessionWindow,
-    streamSessions, streamUserStats, streamJoin)
+    streamSessions, streamUserStats, streamJoin, streamSinkRoundtrip)
 }

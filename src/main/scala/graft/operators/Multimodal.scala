@@ -33,6 +33,69 @@ object Multimodal {
       math.round(mean * 100) / 100.0)
   }
 
+  // ---- real image-header decode (pure JVM, no codec libs) ------------
+
+  private def be32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  private def be16(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+
+  private val PngSig: Array[Byte] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** (width, height) from a PNG header: the 8-byte signature is
+    * followed by the IHDR chunk (length + "IHDR" + 4-byte big-endian
+    * width then height) — PNG spec (RFC 2083 §4.1.1).
+    */
+  def decodePng(b: Array[Byte]): Option[(Int, Int)] =
+    if (b.length >= 24 && b.startsWith(PngSig) &&
+        b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+      Some((be32(b, 16), be32(b, 20)))
+    else None
+
+  /** (width, height) from a JPEG header: walk the marker segments
+    * from SOI (FFD8) to the first SOFn frame header, whose payload is
+    * precision(1) + height(2) + width(2) big-endian — ITU T.81 §B.2.2.
+    * C4/C8/CC in the C0–CF range are not frame headers (DHT/JPG/DAC).
+    */
+  def decodeJpeg(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    var i = 2
+    while (i + 3 < b.length) {
+      if ((b(i) & 0xff) != 0xff) return None
+      var j = i + 1
+      while (j < b.length && (b(j) & 0xff) == 0xff) j += 1 // fill bytes
+      if (j >= b.length) return None
+      val m = b(j) & 0xff
+      if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { i = j + 1 } // standalone
+      else if (m == 0xd9 || m == 0xda) return None // EOI/SOS before any SOF
+      else {
+        if (j + 2 >= b.length) return None
+        val len = be16(b, j + 1)
+        if (len < 2) return None
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
+          return if (j + 7 < b.length) Some((be16(b, j + 6), be16(b, j + 4))) else None
+        i = j + 1 + len
+      }
+    }
+    None
+  }
+
+  /** Real decode where the payload is a recognized image container
+    * (PNG IHDR / JPEG SOFn header parsing — pure JVM, executor-local),
+    * deterministic stub otherwise. The mean over payload bytes is the
+    * same statistic in both paths.
+    */
+  def decode(docId: Long, payload: Array[Byte]): MediaFeature =
+    decodePng(payload).orElse(decodeJpeg(payload)) match {
+      case Some((w, h)) =>
+        val stub = decodeStub(docId, payload)
+        MediaFeature(docId, w, h, stub.mean_intensity)
+      case None => decodeStub(docId, payload)
+    }
+
   /** Documents with an opaque binary payload column (UTF-8 bytes of
     * text stand in for image bytes; schema shape is the point).
     */
@@ -59,17 +122,22 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
-  /** Batched per-partition feature extraction over binary payloads. */
-  val mmFeatures: QueryDef = QueryDef.rowsOnly("mm_features") { (s, d) =>
+  /** Batched per-partition feature extraction over any (doc_id,
+    * payload) frame — the path both mm_features and the tests drive.
+    */
+  def features(s: SparkSession, pl: DataFrame): DataFrame = {
     import s.implicits._
-    payloads(s, d)
-      .as[(Long, Array[Byte])]
+    pl.as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // per-partition codec init would go here
-        it.map { case (id, bytes) => decodeStub(id, bytes) }
+        it.map { case (id, bytes) => decode(id, bytes) }
       }
       .toDF()
-      .orderBy(col("doc_id"))
+  }
+
+  /** Batched per-partition feature extraction over binary payloads. */
+  val mmFeatures: QueryDef = QueryDef.rowsOnly("mm_features") { (s, d) =>
+    features(s, payloads(s, d)).orderBy(col("doc_id"))
   }
 
   final case class FrameFeature(

@@ -172,6 +172,63 @@ object EventStreams {
       .orderBy(col("source"))
   }
 
+  /** Streaming exact dedup with BOUNDED state:
+    * dropDuplicatesWithinWatermark keeps a (key → first-seen) entry
+    * only until the watermark passes its event time + delay, so the
+    * state store stays finite on an unbounded feed — the production
+    * variant of streamDedup's unbounded dropDuplicates state. Deduped
+    * rows emit immediately (append), so the egress is stateless; the
+    * per-type distinct-user counts are a batch fold over the sink.
+    * The finite source loads as one micro-batch, so no state is
+    * evicted mid-run and the result equals the exact batch distinct —
+    * which is the oracle.
+    */
+  def streamDedupWithinWatermark(s: SparkSession, dir: String): DataFrame = {
+    val (src, tmp) = eventsStream(s, dir)
+    val out = src
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_type", "user_id")
+      .select(col("event_type"), col("user_id"))
+    runToTable(s, "stream_dedup_wm_sink", "append", out, tmp)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Production egress path: the hourly aggregation streamed through
+    * foreachBatch into a real parquet table (complete mode → idempotent
+    * overwrite per micro-batch), then read back from disk. Exercises
+    * sink checkpointing and the parquet roundtrip; checked against the
+    * identical oracle as the batch/memory-sink variants.
+    */
+  def streamSinkRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val (src, tmp) = eventsStream(s, dir)
+    val dataDir = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_sink_roundtrip").getAbsolutePath
+    val chk = java.nio.file.Files.createTempDirectory("graft_sink_chk")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions.toString)
+    try {
+      val q = hourlyAgg(src).writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", chk.toString)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.write.mode("overwrite").parquet(dataDir)
+        }
+        .start()
+      try q.processAllAvailable() finally {
+        q.stop()
+        java.nio.file.Files.list(tmp).forEach(p => java.nio.file.Files.delete(p))
+        java.nio.file.Files.delete(tmp)
+        // checkpoints are per-run; a stale one would replay offsets
+        // against a staged dir that no longer exists
+        java.nio.file.Files.walk(chk)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.read.parquet(dataDir).orderBy(col("hour"), col("event_type"))
+  }
+
   /** Stream-stream inner join: purchases matched to the same user's
     * clicks within the preceding 30 minutes. Both sides watermarked
     * so the join state is bounded — matched pairs emit eagerly

@@ -163,6 +163,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f1.width >= 64 && f1.width < 128)
   }
 
+  test("real PNG/JPEG headers decode to true dimensions through mapPartitions") {
+    import spark.implicits._
+    def png(w: Int, h: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(33)
+      bb.put(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      bb.putInt(13).put("IHDR".getBytes("US-ASCII"))
+      bb.putInt(w).putInt(h)
+      bb.put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      bb.array()
+    }
+    def jpeg(w: Int, h: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(64)
+      bb.put(0xff.toByte).put(0xd8.toByte)                 // SOI
+      bb.put(0xff.toByte).put(0xe0.toByte).putShort(16)    // APP0, len 16
+      bb.put(new Array[Byte](14))
+      bb.put(0xff.toByte).put(0xc0.toByte).putShort(11)    // SOF0, len 11
+      bb.put(8.toByte).putShort(h.toShort).putShort(w.toShort)
+      bb.array()
+    }
+    val data = Seq(
+      (1L, png(640, 480)), (2L, jpeg(320, 200)),
+      (3L, "not an image at all".getBytes("UTF-8")))
+    val out = Multimodal.features(spark, data.toDF("doc_id", "payload"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(out(1L) == ((640, 480)))
+    assert(out(2L) == ((320, 200)))
+    // non-image payloads fall back to the deterministic stub range
+    assert(out(3L)._1 >= 64 && out(3L)._1 < 128)
+  }
+
   test("frame sampling keeps every 4th frame with correct lengths") {
     val rows = Multimodal.mmFrames.fn(spark, sf).collect()
     assert(rows.nonEmpty)
@@ -195,6 +225,22 @@ class StreamingSpec extends AnyFunSuite {
     val stream = EventOps.streamSessions.fn(spark, sf).collect()
     assert(stream.length == batch.length)
     assert(stream.map(_.toString).sorted.sameElements(batch.map(_.toString).sorted))
+  }
+
+  test("parquet sink roundtrip equals batch hourly agg") {
+    val batch = EventOps.eventsHourly.fn(spark, sf).collect()
+    val sunk = EventOps.streamSinkRoundtrip.fn(spark, sf).collect()
+    assert(sunk.length == batch.length)
+    assert(sunk.map(_.toString).sorted.sameElements(batch.map(_.toString).sorted))
+  }
+
+  test("watermark-bounded streaming dedup equals batch distinct counts") {
+    val batch = graft.sources.Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("event_type").collect()
+    val stream = Dedup.streamDedupWm.fn(spark, sf).collect()
+    assert(stream.map(_.toString).sameElements(batch.map(_.toString)))
   }
 
   test("mapGroupsWithState folds state incrementally across batches") {
