@@ -57,5 +57,40 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[QueryDef] = Seq(pipelineCurate)
+  /** Deterministic corpus mixing: every source gets a sampling rate
+    * (25/50/75/100% by source number mod 4 — stand-ins for the
+    * per-source weights of a real data recipe) and rows are kept by
+    * comparing a fixed-width hex prefix of md5(doc_id) against the
+    * rate threshold. Hash-based sampling (rather than rand()) is the
+    * production technique: the SAME rows are selected on every run,
+    * any engine, any partitioning — which is also what makes it
+    * oracle-checkable. Map-side filter; one tiny per-source agg.
+    */
+  val pipelineMix: QueryDef = QueryDef.sql(
+    "pipeline_mix",
+    """WITH h AS (
+      |  SELECT source, n_chars,
+      |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS hx,
+      |    CAST(substr(source, 4) AS INT) % 4 AS band
+      |  FROM documents),
+      |k AS (SELECT * FROM h
+      |      WHERE CASE band WHEN 0 THEN hx < '4000' WHEN 1 THEN hx < '8000'
+      |            WHEN 2 THEN hx < 'c000' ELSE TRUE END)
+      |SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM k GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val h = Tables.documents(s, d).select(
+      col("source"), col("n_chars"),
+      substring(md5(col("doc_id").cast("string")), 1, 4).as("hx"),
+      expr("CAST(substr(source, 4) AS INT) % 4").as("band"))
+    h.filter(
+        when(col("band") === 0, col("hx") < "4000")
+          .when(col("band") === 1, col("hx") < "8000")
+          .when(col("band") === 2, col("hx") < "c000")
+          .otherwise(lit(true)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("source"))
+  }
+
+  val all: Seq[QueryDef] = Seq(pipelineCurate, pipelineMix)
 }

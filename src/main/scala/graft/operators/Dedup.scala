@@ -426,6 +426,18 @@ object Dedup {
       |FROM documents GROUP BY source ORDER BY source""".stripMargin)(
     graft.streaming.EventStreams.streamDedup)
 
+  /** The full 100 TB near-dedup pipeline end-to-end: MinHash+LSH
+    * candidate pairs (unbounded), connected components, one survivor
+    * per component — the deduplicated corpus a training run reads.
+    * Rows-only (the MinHash leg is not SQL-expressible); pinned by
+    * ScalaTest against an independently recomputed component set.
+    */
+  val dedupMinhashCorpus: QueryDef = QueryDef.rowsOnly("dedup_minhash_corpus") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val pairs = dedupMinhash.fn(s, d).select("id1", "id2")
+    nearDedupedCorpus(docs, pairs).select(col("doc_id")).orderBy(col("doc_id"))
+  }
+
   /** Streaming dedup with watermark-bounded state — per-event-type
     * distinct users through dropDuplicatesWithinWatermark.
     */
@@ -438,5 +450,5 @@ object Dedup {
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupStats, dedupNgram, dedupMinhash, dedupSimhash,
     dedupEmbedding, streamDedup, dedupGroups, dedupNearCorpus,
-    dedupSimhashLsh, streamDedupWm)
+    dedupSimhashLsh, streamDedupWm, dedupMinhashCorpus)
 }

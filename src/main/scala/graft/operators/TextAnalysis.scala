@@ -203,7 +203,75 @@ object TextAnalysis {
       .orderBy(col("lang"), col("pred_lang"))
   }
 
+  /** Gopher-style repetition scoring: within-document duplicate-word
+    * and duplicate-3-gram fractions — the filter that catches boilerplate
+    * and degenerate generations. Pure map-side higher-order-function
+    * expressions (no explode — the token arrays never leave the row).
+    */
+  val textRepetition: QueryDef = QueryDef.sql(
+    "text_repetition",
+    """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+      |           FROM documents),
+      |g AS (SELECT doc_id, toks,
+      |        list_transform(generate_series(1, len(toks) - 2),
+      |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS grams
+      |      FROM t WHERE len(toks) >= 3)
+      |SELECT doc_id,
+      |  CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  round(1 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS dup_word_ratio,
+      |  round(1 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 4) AS dup_3gram_ratio
+      |FROM g ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("grams", expr(
+        "transform(sequence(0, size(toks) - 3), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        round(lit(1) - size(array_distinct(col("toks"))).cast("double") / size(col("toks")), 4)
+          .as("dup_word_ratio"),
+        round(lit(1) - size(array_distinct(col("grams"))).cast("double") / size(col("grams")), 4)
+          .as("dup_3gram_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  // PII patterns kept RE2-safe (no lookaround) so the DuckDB oracle
+  // and Java regex agree token-for-token.
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** PII scrubbing as a Column transform (shared by the query and
+    * tests): emails then phone numbers replaced by typed tags.
+    */
+  def redact(text: Column): Column =
+    regexp_replace(regexp_replace(text, emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
+
+  def piiCount(text: Column): Column =
+    (regexp_count(text, lit(emailPattern)) + regexp_count(text, lit(phonePattern)))
+      .cast("long")
+
+  /** PII redaction over the corpus: per-document match count and the
+    * fingerprint of the scrubbed text (hash, not the text — narrow
+    * output at any scale). Map-side only.
+    */
+  val textRedact: QueryDef = QueryDef.sql(
+    "text_redact",
+    s"""SELECT doc_id,
+       |  CAST(length(regexp_extract_all(text, '$emailPattern')) AS BIGINT)
+       |    + CAST(length(regexp_extract_all(text, '$phonePattern')) AS BIGINT) AS n_pii,
+       |  md5(regexp_replace(regexp_replace(text, '$emailPattern', '<EMAIL>', 'g'),
+       |      '$phonePattern', '<PHONE>', 'g')) AS redacted_fp
+       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      piiCount(col("text")).as("n_pii"),
+      md5(redact(col("text"))).as("redacted_fp"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     textTokens, textQuality, textLangid, textFingerprint, textWordfreq,
-    textBpeTokens, textLangidEval)
+    textBpeTokens, textLangidEval, textRepetition, textRedact)
 }

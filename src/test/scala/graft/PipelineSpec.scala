@@ -285,6 +285,72 @@ class TextSpec extends AnyFunSuite {
     assert(rows.forall(q => q >= 0.0 && q <= 1.0))
   }
 
+  test("repetition ratios: degenerate text scores high, varied text zero") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spam spam spam spam"),
+      (2L, "all words here are different tokens")).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)).as("toks"))
+      .withColumn("grams", expr(
+        "transform(sequence(0, size(toks) - 3), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"))
+      .select(col("doc_id"),
+        (lit(1) - size(array_distinct(col("toks"))).cast("double") / size(col("toks"))).as("dw"),
+        (lit(1) - size(array_distinct(col("grams"))).cast("double") / size(col("grams"))).as("dg"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(df(1L)._1 == 0.75 && df(1L)._2 == 0.5) // 1 distinct of 4; 1 distinct 3-gram of 2
+    assert(df(2L)._1 == 0.0 && df(2L)._2 == 0.0)
+    val rows = TextAnalysis.textRepetition.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val (w, g) = (r.getDouble(2), r.getDouble(3))
+      w >= 0 && w <= 1 && g >= 0 && g <= 1
+    })
+  }
+
+  test("redaction scrubs emails and phone numbers, leaves clean text alone") {
+    import spark.implicits._
+    val out = Seq(
+      (1L, "contact bob.smith+x@example.org or 555-123-4567 today"),
+      (2L, "no pii in this one")).toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.redact(col("text")).as("r"),
+        TextAnalysis.piiCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L)._1 == "contact <EMAIL> or <PHONE> today")
+    assert(out(1L)._2 == 2L)
+    assert(out(2L) == (("no pii in this one", 0L)))
+  }
+
+  test("hash-based mixing keeps the same rows on every run and respects rates") {
+    val a = Curation.pipelineMix.fn(spark, sf).collect()
+    val b = Curation.pipelineMix.fn(spark, sf).collect()
+    assert(a.map(_.toString).sameElements(b.map(_.toString)))
+    // band-3 sources (rate 1.0) keep every document
+    val total = graft.sources.Tables.documents(spark, sf)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = a.map(r => r.getString(0) -> r.getLong(1)).toMap
+    total.keys.filter(s => s.drop(3).toInt % 4 == 3).foreach { s =>
+      assert(kept(s) == total(s), s"full-rate source $s dropped rows")
+    }
+    total.keys.filter(s => s.drop(3).toInt % 4 == 0).foreach { s =>
+      assert(kept.getOrElse(s, 0L) < total(s), s"quarter-rate source $s kept everything")
+    }
+  }
+
+  test("minhash end-to-end corpus keeps one survivor per minhash component") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val pairs = Dedup.dedupMinhash.fn(spark, sf).select("id1", "id2")
+    val labels = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kept = Dedup.dedupMinhashCorpus.fn(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    labels.foreach { case (id, label) =>
+      assert(kept.contains(id) == (id == label))
+    }
+    assert(kept.size == docs.count() - labels.count { case (id, l) => id != l })
+  }
+
   test("fingerprint is stable under whitespace noise") {
     import spark.implicits._
     val df = Seq((1L, "a  b\tc"), (2L, "a b c")).toDF("doc_id", "text")

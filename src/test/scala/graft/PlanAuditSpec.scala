@@ -54,6 +54,33 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("o_orderstatus"))
   }
 
+  test("banded simhash LSH joins on bucket equality, never cartesian") {
+    val p = plan("dedup_simhash_lsh")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), s"no equality join in:\n$p")
+  }
+
+  test("minhash LSH candidate generation is an equality join, never cartesian") {
+    val sh = graft.operators.Dedup.shinglesHashed(
+      graft.sources.Tables.documents(spark, sf))
+    val p = graft.operators.Dedup.lshCandidates(
+      graft.operators.Dedup.minhashSignatures(sh))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("connected-components rounds are equality joins on node id") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
+    val p = graft.operators.Dedup.connectedComponents(pairs)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("native dot product stays inside whole-stage codegen") {
     val e = graft.operators.Similarity.vectors(spark, sf)
     val p = e.select(graft.functions.VectorFunctions
