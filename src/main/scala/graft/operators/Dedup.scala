@@ -226,12 +226,15 @@ object Dedup {
     * pair graph), far smaller than the corpus.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
-    val nodes = pairs.select(col("id1").as("src"))
-      .union(pairs.select(col("id2").as("src"))).distinct()
+    // the pair plan feeds three edge branches — materialize it once,
+    // not once per branch (the caller may hand us an expensive join)
+    val p = pairs.select(col("id1"), col("id2")).persist()
+    val nodes = p.select(col("id1").as("src"))
+      .union(p.select(col("id2").as("src"))).distinct()
     // symmetric closure + self-loops: min over neighbors then includes
     // the node's own label, so one inner join per round suffices
-    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
-      .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+    val edges = p.select(col("id1").as("src"), col("id2").as("dst"))
+      .union(p.select(col("id2").as("src"), col("id1").as("dst")))
       .union(nodes.withColumn("dst", col("src")))
       .persist()
     try {
@@ -246,9 +249,17 @@ object Dedup {
       var iter = 0
       var done = prev == 0L // empty graph
       while (!done && iter < maxIter) {
-        val next = edges
+        val prop = edges
           .join(labels.withColumnRenamed("id", "nbr"), col("dst") === col("nbr"))
           .groupBy(col("src").as("id")).agg(min(col("label")).as("label"))
+        // pointer jumping: label(v) ← label(label(v)). A label is
+        // itself a node id, so one self-join squares the propagation
+        // distance per round — O(log diameter) rounds on chains
+        // instead of O(diameter).
+        val next = prop
+          .join(prop.select(col("id").as("pid"), col("label").as("plabel")),
+            col("label") === col("pid"))
+          .select(col("id"), col("plabel").as("label"))
           .localCheckpoint(true)
         val cur = labelSum(next)
         done = cur == prev
@@ -258,7 +269,7 @@ object Dedup {
       }
       require(done, s"connectedComponents did not converge in $maxIter rounds")
       labels
-    } finally edges.unpersist(false)
+    } finally { edges.unpersist(false); p.unpersist(false) }
   }
 
   /** The near-deduplicated corpus: drop every document that belongs
