@@ -1,0 +1,30 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.graft.{ColumnBridge, MinHashAgg}
+import org.apache.spark.sql.types.IntegerType
+
+/** Column-API and SQL surface for graft's native sketch aggregates
+  * (expression implementation: org.apache.spark.sql.graft.MinHashAgg).
+  */
+object SketchFunctions {
+
+  /** MinHash signature aggregate: `minhash(shingleHash, k)` inside a
+    * groupBy returns the k-permutation signature as array<long>.
+    */
+  def minhash(sh: Column, numPerms: Int): Column =
+    ColumnBridge.column(
+      MinHashAgg(ColumnBridge.expression(sh), numPerms).toAggregateExpression())
+
+  private[functions] val minhashBuilder: Seq[Expression] => Expression = {
+    case Seq(sh, Literal(k: Int, IntegerType)) => MinHashAgg(sh, k)
+    case other => throw new IllegalArgumentException(
+      s"graft_minhash(col, k) needs an integer-literal permutation count, got: $other")
+  }
+
+  /** Register `graft_minhash` for SQL use in an existing session. */
+  def registerSql(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash", minhashBuilder, "built-in")
+}

@@ -58,5 +58,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_cosine"),
       VectorFunctions.cosineBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.graft.MinHashAgg].getName, "graft_minhash"),
+      SketchFunctions.minhashBuilder))
   }
 }

@@ -160,12 +160,21 @@ object Dedup {
         .as("sh"))
       .distinct()
 
-  /** doc_id → 64-permutation MinHash signature (columns m0..m63).
-    * Each permutation is xxhash64 with a distinct seed column —
-    * overflow-free under ANSI mode and codegen'd. Map-side hashing
-    * + one k-column min aggregation.
+  /** doc_id → 64-permutation MinHash signature (column `sig`:
+    * array<long>) via the native mergeable MinHashAgg — ONE aggregate
+    * buffer and one shingle hash per row instead of 64 independent
+    * min(xxhash64) columns. Bit-identical to the composed form
+    * (parity-pinned in VectorExprSpec).
     */
-  def minhashSignatures(sh: DataFrame): DataFrame = {
+  def minhashSignatures(sh: DataFrame): DataFrame =
+    sh.groupBy("doc_id")
+      .agg(graft.functions.SketchFunctions.minhash(col("sh"), NumPerm).as("sig"))
+
+  /** The composed-operator formulation of the same signature
+    * (NumPerm separate min(xxhash64(sh, j)) aggregates) — kept as the
+    * built-in-only reference the native aggregate is tested against.
+    */
+  def minhashSignatureCols(sh: DataFrame): DataFrame = {
     val aggs = (0 until NumPerm).map { i =>
       min(xxhash64(col("sh"), lit(i))).as(s"m$i")
     }
@@ -178,7 +187,9 @@ object Dedup {
   def lshCandidates(sigs: DataFrame): DataFrame = {
     val bandCols = (0 until Bands).map { bi =>
       struct(lit(bi).as("band"),
-        xxhash64(concat_ws(",", (0 until RowsPerBand).map(j => col(s"m${bi * RowsPerBand + j}")): _*)).as("sig"))
+        xxhash64(concat_ws(",", expr(
+          s"transform(slice(sig, ${bi * RowsPerBand + 1}, $RowsPerBand), x -> cast(x AS string))")))
+          .as("sig"))
     }
     val buckets = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))

@@ -1,0 +1,87 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, XXH64}
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType}
+
+/** Native mergeable MinHash signature aggregate: one pass over the
+  * hashed-shingle column produces the full `numPerms`-permutation
+  * signature as a single array<long> state.
+  *
+  * Engine rationale: the composed formulation is `numPerms` separate
+  * `min(xxhash64(sh, j))` aggregate columns — 64 aggregate buffers
+  * and 2×64 hash evaluations per row (each xxhash64 re-hashes the
+  * shingle before folding in the seed). This aggregate keeps ONE
+  * buffer and hashes the shingle once per row, then derives each
+  * permutation with a single hashInt fold — bit-identical to the
+  * composed form (same left-to-right XXH64 seed chaining as Spark's
+  * xxhash64 with a trailing int literal), which the parity test pins.
+  *
+  * Partial aggregation works the usual way: per-partition buffers
+  * merge by element-wise min, so the shuffle carries one signature
+  * per (partition, doc) — the same map-side-combine shape as min().
+  */
+case class MinHashAgg(
+    child: Expression,
+    numPerms: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]]
+  with ExpectsInputTypes
+  with UnaryLike[Expression] {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_minhash"
+
+  override def createAggregationBuffer(): Array[Long] =
+    Array.fill(numPerms)(Long.MaxValue)
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      // xxhash64(sh, j) == hashInt(j, hashLong(sh, 42)): hash the
+      // shingle once, fold each permutation index into it
+      val base = XXH64.hashLong(v.asInstanceOf[Long], 42L)
+      var j = 0
+      while (j < numPerms) {
+        val h = XXH64.hashInt(j, base)
+        if (h < buffer(j)) buffer(j) = h
+        j += 1
+      }
+    }
+    buffer
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var j = 0
+    while (j < numPerms) { if (b2(j) < b1(j)) b1(j) = b2(j); j += 1 }
+    b1
+  }
+
+  override def eval(buffer: Array[Long]): Any =
+    if (buffer.length > 0 && buffer(0) == Long.MaxValue && buffer.forall(_ == Long.MaxValue)) null
+    else new GenericArrayData(buffer.clone())
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * numPerms)
+    buffer.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(numPerms)(bb.getLong())
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MinHashAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MinHashAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): MinHashAgg =
+    copy(child = newChild)
+}

@@ -61,6 +61,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents equals union-find on 20 random graphs") {
+    for (seed <- 1 to 20) {
+      val edges = sample(Gen.zip(Gen.chooseNum(0L, 39L), Gen.chooseNum(0L, 39L)),
+        25, seed.toLong)
+      // driver-side union-find reference
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(n => n -> find(n)).toMap
+      val got = graft.operators.Dedup.connectedComponents(
+          edges.toDF("id1", "id2"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // union-find roots are component minima too (we always keep min)
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
   test("simhash hamming distance is symmetric and zero on self on random docs") {
     val docs = sample(Gen.listOfN(30,
       Gen.oneOf("alpha", "beta", "gamma", "delta")).map(_.mkString(" ")), 40, 5L)

@@ -33,6 +33,42 @@ class VectorExprSpec extends AnyFunSuite {
     assert(!plan.contains("aggregate("))
   }
 
+  test("native minhash aggregate equals the 64 composed min(xxhash64) columns") {
+    val sh = graft.operators.Dedup.shinglesHashed(
+      graft.sources.Tables.documents(spark, sf).limit(100))
+    val native = graft.operators.Dedup.minhashSignatures(sh)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    val composed = graft.operators.Dedup.minhashSignatureCols(sh)
+      .collect().map(r => r.getLong(0) ->
+        (1 to graft.operators.Dedup.NumPerm).map(r.getLong).toVector).toMap
+    assert(native.nonEmpty)
+    assert(native == composed)
+  }
+
+  test("native minhash merges across partitions (repartition-invariant)") {
+    import spark.implicits._
+    val sh = Seq.tabulate(500)(i => (i % 7L, i * 2654435761L))
+      .toDF("doc_id", "sh")
+    def sigs(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Dedup.minhashSignatures(df)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    assert(sigs(sh.repartition(1)) == sigs(sh.repartition(13)))
+  }
+
+  test("sql registration: graft_minhash") {
+    graft.functions.SketchFunctions.registerSql(spark)
+    val r = spark.sql(
+      "SELECT graft_minhash(sh, 4) AS sig FROM VALUES (1L), (2L), (99L) AS t(sh)")
+      .collect()(0).getSeq[Long](0)
+    assert(r.length == 4)
+    // element j must be min over rows of xxhash64(sh, j)
+    val expected = (0 until 4).map { j =>
+      Seq(1L, 2L, 99L).map(v =>
+        spark.sql(s"SELECT xxhash64(${v}L, $j)").collect()(0).getLong(0)).min
+    }
+    assert(r == expected)
+  }
+
   test("null and length-mismatch behavior") {
     val rows = spark.sql(
       "SELECT graft_dot(NULL, array(1D)) AS a, graft_dot(array(1D,2D), array(3D)) AS b")
