@@ -338,9 +338,79 @@ object RelationalExt {
             |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** Explicit GROUPING SETS (neither ROLLUP nor CUBE): status and
+    * priority margins plus the grand total, one pass. grouping()
+    * flags disambiguate aggregation nulls from data nulls.
+    */
+  val qGroupingSets: QueryDef = QueryDef.sql(
+    "q_grouping_sets",
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+      |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+      |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders_gs_v")
+    s.sql("""SELECT o_orderstatus, o_orderpriority,
+            |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+            |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+            |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+            |FROM graft_orders_gs_v
+            |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+            |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""".stripMargin)
+  }
+
+  /** Time-range window frame: per customer, revenue in the 30 days up
+    * to each order (RANGE BETWEEN INTERVAL ... PRECEDING). Range
+    * frames include all peers of the current order value, so the
+    * result is deterministic even when a customer places several
+    * orders the same day — no tie-break column needed.
+    */
+  val qRangeFrame: QueryDef = QueryDef.sql(
+    "q_range_frame",
+    """SELECT o_orderkey,
+      |  round(sum(o_totalprice) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate
+      |    RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW), 2) AS rev_30d
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .withColumn("rev_30d", round(expr(
+        """sum(o_totalprice) OVER (
+          |  PARTITION BY o_custkey ORDER BY o_orderdate
+          |  RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)""".stripMargin), 2))
+      .select(col("o_orderkey"), col("rev_30d"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** ntile bucketing: revenue quartile of each customer within their
+    * nation (total ordering via the custkey tie-break so both engines
+    * fill the uneven buckets identically).
+    */
+  val qNtile: QueryDef = QueryDef.sql(
+    "q_ntile",
+    """WITH r AS (SELECT c_nationkey, c_custkey,
+      |             round(sum(o_totalprice), 2) AS rev
+      |           FROM customer JOIN orders ON c_custkey = o_custkey
+      |           GROUP BY c_nationkey, c_custkey)
+      |SELECT c_custkey,
+      |  CAST(ntile(4) OVER (PARTITION BY c_nationkey
+      |                      ORDER BY rev DESC, c_custkey) AS BIGINT) AS quartile
+      |FROM r ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val r = Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_nationkey"), col("c_custkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("rev").desc, col("c_custkey"))
+    r.select(col("c_custkey"), ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy(col("c_custkey"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     qApproxDistinct, qApproxPercentile, qAsofJoin, qSkewSaltedJoin,
     qBucketedJoin, qPivot, qFullOuter, qTopPerKeyAgg, qScalarSubquery,
     qIntersect, qExcept, qCube, qMedian, qSkewStats, qOrderGaps,
-    qCorrelatedScalar)
+    qCorrelatedScalar, qGroupingSets, qRangeFrame, qNtile)
 }

@@ -271,7 +271,30 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Heavy-hitter estimation via Spark's mergeable count-min sketch:
+    * one pass builds per-partition sketches that the aggregate merges
+    * (the sketch is the shuffle payload — ~100 KB regardless of corpus
+    * size), then the exact top-20 words are probed against it. At
+    * 100 TB this is how word statistics are collected without a
+    * full-word shuffle; the exact path (text_wordfreq) is the
+    * bounded-cardinality alternative. Seeded → deterministic.
+    */
+  val textCmsFreq: QueryDef = QueryDef.rowsOnly("text_cms_freq") { (s, d) =>
+    val words = Tables.documents(s, d)
+      .select(explode(regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))).as("word"))
+    val bytes = words
+      .agg(expr("count_min_sketch(word, CAST(0.001 AS DOUBLE), CAST(0.99 AS DOUBLE), 42)").as("cms"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    val top = textWordfreq.fn(s, d).collect().map(r => (r.getString(0), r.getLong(1)))
+    import s.implicits._
+    top.toSeq.map { case (w, exact) => (w, exact, cms.estimateCount(w)) }
+      .toDF("word", "n_exact", "n_est")
+      .orderBy(col("word"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     textTokens, textQuality, textLangid, textFingerprint, textWordfreq,
-    textBpeTokens, textLangidEval, textRepetition, textRedact)
+    textBpeTokens, textLangidEval, textRepetition, textRedact, textCmsFreq)
 }

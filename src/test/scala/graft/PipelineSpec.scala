@@ -351,6 +351,20 @@ class TextSpec extends AnyFunSuite {
     assert(kept.size == docs.count() - labels.count { case (id, l) => id != l })
   }
 
+  test("count-min estimates bound the exact counts within eps·N") {
+    val rows = TextAnalysis.textCmsFreq.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 20)
+    val totalWords = graft.sources.Tables.documents(spark, sf)
+      .select(sum(TextAnalysis.tokenCount(lower(col("text")))))
+      .collect()(0).getLong(0)
+    rows.foreach { case (w, exact, est) =>
+      assert(est >= exact, s"CMS underestimated '$w'")
+      assert(est <= exact + math.ceil(0.001 * totalWords).toLong * 10,
+        s"CMS estimate for '$w' beyond 10x the eps*N bound: $est vs $exact")
+    }
+  }
+
   test("fingerprint is stable under whitespace noise") {
     import spark.implicits._
     val df = Seq((1L, "a  b\tc"), (2L, "a b c")).toDF("doc_id", "text")
