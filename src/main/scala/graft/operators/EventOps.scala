@@ -139,7 +139,64 @@ object EventOps {
   val streamSinkRoundtrip: QueryDef =
     QueryDef.sql("stream_sink_roundtrip", hourlySql)(EventStreams.streamSinkRoundtrip)
 
+  /** Funnel counts over any events frame (user_id, event_id,
+    * event_type, ts): purchases, and purchases preceded by a
+    * "qualified" click (click ≤ 30 min after a view) itself ≤ 30 min
+    * before the purchase. Two window passes over ONE user_id shuffle —
+    * the ordered sequence is never re-partitioned, and no self-join
+    * materializes event pairs.
+    */
+  def funnelCounts(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val HalfHourUs = 30L * 60 * 1000000
+    events
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("last_view_us",
+        last(when(col("event_type") === "view", col("us")), ignoreNulls = true).over(w))
+      .withColumn("qclick_us",
+        when(col("event_type") === "click" && col("last_view_us").isNotNull
+          && col("us") - col("last_view_us") <= HalfHourUs, col("us")))
+      .withColumn("last_qclick_us", last(col("qclick_us"), ignoreNulls = true).over(w))
+      .agg(
+        count(when(col("event_type") === "purchase", 1)).as("n_purchases"),
+        count(when(col("event_type") === "purchase" && col("last_qclick_us").isNotNull
+          && col("us") - col("last_qclick_us") <= HalfHourUs, 1)).as("n_converted"))
+  }
+
+  /** Three-stage funnel analysis: view → click → purchase with a
+    * 30-minute window per hop.
+    */
+  val eventsFunnel: QueryDef = QueryDef.sql(
+    "events_funnel",
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, ts,
+      |    last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_ts
+      |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+      |q AS (
+      |  SELECT *,
+      |    CASE WHEN event_type = 'click' AND last_view_ts IS NOT NULL
+      |              AND ts - last_view_ts <= INTERVAL 30 MINUTE THEN ts END AS qclick_ts0
+      |  FROM e),
+      |f AS (
+      |  SELECT *,
+      |    last_value(qclick_ts0 IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_qclick_ts
+      |  FROM q)
+      |SELECT
+      |  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+      |  count(*) FILTER (WHERE event_type = 'purchase' AND last_qclick_ts IS NOT NULL
+      |                     AND ts - last_qclick_ts <= INTERVAL 30 MINUTE) AS n_converted
+      |FROM f""".stripMargin) { (s, d) =>
+    funnelCounts(Tables.events(s, d))
+  }
+
   val all: Seq[QueryDef] = Seq(
     eventsHourly, streamHourly, eventsSessions, eventsSessionWindow,
-    streamSessions, streamUserStats, streamJoin, streamSinkRoundtrip)
+    streamSessions, streamUserStats, streamJoin, streamSinkRoundtrip,
+    eventsFunnel)
 }

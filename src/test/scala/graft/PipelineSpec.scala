@@ -227,6 +227,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream.map(_.toString).sorted.sameElements(batch.map(_.toString).sorted))
   }
 
+  test("funnel counts follow the stage ordering rules on a handcrafted timeline") {
+    import spark.implicits._
+    def t(min: Int) = new java.sql.Timestamp(min * 60000L)
+    // u1: view(0) click(10) purchase(20)      -> converts
+    // u2: click(0) purchase(10), no view      -> no conversion
+    // u3: view(0) click(45) purchase(50)      -> click not qualified (45 > 30)
+    // u4: view(0) click(10) purchase(55)      -> purchase too late after click
+    val ev = Seq(
+      (1L, 1L, "view", t(0)), (1L, 2L, "click", t(10)), (1L, 3L, "purchase", t(20)),
+      (2L, 4L, "click", t(0)), (2L, 5L, "purchase", t(10)),
+      (3L, 6L, "view", t(0)), (3L, 7L, "click", t(45)), (3L, 8L, "purchase", t(50)),
+      (4L, 9L, "view", t(0)), (4L, 10L, "click", t(10)), (4L, 11L, "purchase", t(55)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val r = EventOps.funnelCounts(ev).collect()(0)
+    assert(r.getLong(0) == 4L)
+    assert(r.getLong(1) == 1L)
+  }
+
   test("parquet sink roundtrip equals batch hourly agg") {
     val batch = EventOps.eventsHourly.fn(spark, sf).collect()
     val sunk = EventOps.streamSinkRoundtrip.fn(spark, sf).collect()
