@@ -448,6 +448,58 @@ object Dedup {
       |FROM documents GROUP BY source ORDER BY source""".stripMargin)(
     graft.streaming.EventStreams.streamDedup)
 
+  /** (band, band-signature) buckets from native array signatures —
+    * the shared candidate-generation key for full and incremental LSH.
+    */
+  private def lshBuckets(sigs: DataFrame): DataFrame = {
+    val bandCols = (0 until Bands).map { bi =>
+      struct(lit(bi).as("band"),
+        xxhash64(concat_ws(",", expr(
+          s"transform(slice(sig, ${bi * RowsPerBand + 1}, $RowsPerBand), x -> cast(x AS string))")))
+          .as("sig"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+  }
+
+  /** Incremental near-dedup: new documents against an existing corpus
+    * WITHOUT re-pairing the corpus with itself. Both sides bucket the
+    * usual way, but candidates are (increment ⋈ corpus buckets) plus
+    * the increment's self-pairs — so a daily ingest costs
+    * O(increment · bands), not O(corpus²) or even O(corpus · bands)
+    * beyond the one signature pass. Returns (id1 < id2, jaccard).
+    */
+  def minhashIncrementPairs(corpusSh: DataFrame, incSh: DataFrame,
+      threshold: Double = 0.8): DataFrame = {
+    val bc = lshBuckets(minhashSignatures(corpusSh))
+    val bi = lshBuckets(minhashSignatures(incSh))
+    val cross = bi.toDF("ia", "band", "sig")
+      .join(bc.toDF("ib", "band2", "sig2"),
+        col("band") === col("band2") && col("sig") === col("sig2"))
+      .select(least(col("ia"), col("ib")).as("id1"),
+        greatest(col("ia"), col("ib")).as("id2"))
+    val self = bi.toDF("id1", "band", "sig")
+      .join(bi.toDF("id2", "band2", "sig2"),
+        col("band") === col("band2") && col("sig") === col("sig2")
+          && col("id1") < col("id2"))
+      .select("id1", "id2")
+    jaccardVerify(corpusSh.union(incSh), cross.union(self).distinct(), threshold)
+  }
+
+  /** The daily-ingest entry: the newest 40% of documents deduped
+    * against the older 60% corpus. Test-pinned to equal the full
+    * minhash pairs touching the increment.
+    */
+  val dedupIncremental: QueryDef = QueryDef.rowsOnly("dedup_incremental") { (s, d) =>
+    val sh = shinglesHashed(Tables.documents(s, d)).cache()
+    try {
+      val split = sh.agg((max(col("doc_id")) * 0.6).cast("long")).collect()(0).getLong(0)
+      val out = minhashIncrementPairs(
+        sh.filter(col("doc_id") < split), sh.filter(col("doc_id") >= split))
+      out.localCheckpoint(eager = true)
+    } finally sh.unpersist(false)
+  }
+
   /** The full 100 TB near-dedup pipeline end-to-end: MinHash+LSH
     * candidate pairs (unbounded), connected components, one survivor
     * per component — the deduplicated corpus a training run reads.
@@ -472,5 +524,5 @@ object Dedup {
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupStats, dedupNgram, dedupMinhash, dedupSimhash,
     dedupEmbedding, streamDedup, dedupGroups, dedupNearCorpus,
-    dedupSimhashLsh, streamDedupWm, dedupMinhashCorpus)
+    dedupSimhashLsh, streamDedupWm, dedupMinhashCorpus, dedupIncremental)
 }

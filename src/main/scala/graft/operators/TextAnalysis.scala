@@ -294,7 +294,43 @@ object TextAnalysis {
       .orderBy(col("word"))
   }
 
+  val ChunkSize = 50
+  val ChunkStride = 40
+
+  /** Context-window chunking: split each document into overlapping
+    * token windows (50 tokens, stride 40 — 10-token overlap), the
+    * shape a pretraining pipeline feeds a tokenizer. Map-side
+    * explode of per-row slices; chunk text re-joined so downstream
+    * operators (dedup, quality) can run per-chunk.
+    */
+  val textChunks: QueryDef = QueryDef.sql(
+    "text_chunks",
+    s"""WITH t AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+       |           FROM documents),
+       |c AS (SELECT doc_id,
+       |        CAST((i - 1) / $ChunkStride AS BIGINT) AS chunk_no,
+       |        list_slice(toks, i, i + $ChunkSize - 1) AS ctoks
+       |      FROM t, UNNEST(generate_series(1, greatest(len(toks), 1), $ChunkStride)) AS u(i))
+       |SELECT doc_id, chunk_no,
+       |  CAST(len(ctoks) AS BIGINT) AS n_tokens,
+       |  md5(array_to_string(ctoks, ' ')) AS chunk_fp
+       |FROM c WHERE len(ctoks) > 0
+       |ORDER BY doc_id, chunk_no""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("toks"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, greatest(size(toks) - 1, 0), $ChunkStride)," +
+          s" i -> slice(toks, i + 1, $ChunkSize))")))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_no"),
+        size(col("col")).cast("long").as("n_tokens"),
+        md5(array_join(col("col"), " ")).as("chunk_fp"))
+      .filter(col("n_tokens") > 0)
+      .orderBy(col("doc_id"), col("chunk_no"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     textTokens, textQuality, textLangid, textFingerprint, textWordfreq,
-    textBpeTokens, textLangidEval, textRepetition, textRedact, textCmsFreq)
+    textBpeTokens, textLangidEval, textRepetition, textRedact, textCmsFreq,
+    textChunks)
 }

@@ -78,6 +78,34 @@ class DedupSpec extends AnyFunSuite {
     assert(kept.size == total - labels.count { case (id, l) => id != l })
   }
 
+  test("incremental dedup equals the full pair set restricted to the increment") {
+    val sh = Dedup.shinglesHashed(graft.sources.Tables.documents(spark, sf))
+    val split = sh.agg((max(col("doc_id")) * 0.6).cast("long"))
+      .collect()(0).getLong(0)
+    val full = Dedup.dedupMinhash.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => a >= split || b >= split }.toSet
+    val inc = Dedup.dedupIncremental.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(inc == full, s"split=$split diff=${inc.diff(full) ++ full.diff(inc)}")
+  }
+
+  test("text chunks cover every token with the configured overlap") {
+    val rows = TextAnalysis.textChunks.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nTokens = graft.sources.Tables.documents(spark, sf)
+      .select(sum(TextAnalysis.tokenCount(col("text")))).collect()(0).getLong(0)
+    // stride 40 of size-50 windows: every token appears once or twice
+    val chunkTokens = rows.map(_.getLong(2)).sum
+    assert(chunkTokens >= nTokens)
+    rows.foreach(r => assert(r.getLong(2) <= TextAnalysis.ChunkSize))
+    // consecutive chunk_nos per doc
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val nos = rs.map(_.getLong(1)).sorted
+      assert(nos.sameElements(nos.indices.map(_.toLong)))
+    }
+  }
+
   test("simhash near-dup pairs have hamming <= 3") {
     val rows = Dedup.dedupSimhash.fn(spark, sf).collect()
     assert(rows.forall(_.getLong(2) <= 3))
