@@ -214,5 +214,95 @@ object Similarity {
       .orderBy(col("id1"))
   }
 
-  val all: Seq[QueryDef] = Seq(annBruteforce, annTopkJoin, annLsh, annIvf)
+  // ---- Product quantization (PQ) ANN ---------------------------------
+
+  val PqM = 16                // subspaces
+  val PqK = 16                // codewords per subspace
+  val SubDim: Int = Dim / PqM // 4 dims per subvector
+  val PqShortlist = 100       // ADC candidates kept for exact re-rank
+
+  /** Per-subspace codebooks ([m][codeword][subdim]), trained with
+    * graft's n-D Lloyd on a capped sample of UNIT-normalized
+    * subvectors (unit first: L2-NN on the unit sphere ≡ cosine
+    * ranking, same trick as IVF). Trained once per corpus and cached
+    * — a PQ index is built at ingest, not per query.
+    */
+  private val pqCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Double]]]]
+
+  def pqCodebooks(e: DataFrame, cacheKey: String = ""): Array[Array[Array[Double]]] = {
+    def fit(): Array[Array[Array[Double]]] = {
+      val sample = e.limit(4096).select(unit(col("v")).as("u")).persist()
+      try {
+        (0 until PqM).map { m =>
+          val sub = sample.select(slice(col("u"), m * SubDim + 1, SubDim).as("v"))
+          val init = sub.limit(PqK).collect().map(_.getSeq[Double](0).toArray)
+          KMeans.ndLloyd(sub, init, iters = 3)._1
+        }.toArray
+      } finally sample.unpersist(false)
+    }
+    if (cacheKey.isEmpty) fit()
+    else pqCache.getOrElseUpdate(cacheKey, fit())
+  }
+
+  /** Codeword id of subspace m for a unit vector column: argmin over
+    * the PqK centroids via the struct-min trick — pure codegen'd
+    * expression, no UDF.
+    */
+  private def pqCodeExpr(cb: Array[Array[Double]], u: Column, m: Int): Column = {
+    val sub = slice(u, m * SubDim + 1, SubDim)
+    val candidates = cb.zipWithIndex.map { case (c, j) =>
+      val cl = array(c.map(lit): _*)
+      struct((lit(dotd(c, c)) - lit(2.0) * dot(sub, cl)).as("dist"), lit(j).as("cid"))
+    }
+    array_min(array(candidates: _*)).getField("cid")
+  }
+
+  /** PQ-compressed ANN: every vector encodes to PqM codeword nibbles
+    * (8 B here vs 512 B raw — the compression that keeps a 100 TB
+    * embedding corpus scannable in memory), and a query is answered
+    * by summing per-subspace lookup-table entries over the codes —
+    * asymmetric distance computation (Jégou et al., TPAMI 2011) —
+    * followed by an exact re-rank of the ADC shortlist, the standard
+    * two-stage layout: the compressed scan PRUNES (map-side LUT
+    * lookups, TakeOrdered of PqShortlist ids), exact math DECIDES
+    * (top-10 cosine over 100 shortlisted vectors). The LUT is
+    * O(PqM·PqK) per query, built driver-side from the cached
+    * codebooks; no full-width vector arithmetic touches the corpus
+    * scan.
+    */
+  val annPq: QueryDef = QueryDef.rowsOnly("ann_pq") { (s, d) =>
+    val e = vectors(s, d)
+    val cb = pqCodebooks(e, cacheKey = d)
+    val withU = e.withColumn("u", unit(col("v")))
+    val codes = withU.select(
+      col("vec_id") +: (0 until PqM).map(m => pqCodeExpr(cb(m), col("u"), m).as(s"c$m")): _*)
+    // query = vec 0's unit vector; LUT entry [m][j] = ||q_m - c_mj||^2
+    val q = withU.filter(col("vec_id") === 0)
+      .select(col("u")).collect()(0).getSeq[Double](0).toArray
+    val lut: Array[Array[Double]] = Array.tabulate(PqM) { m =>
+      val qm = q.slice(m * SubDim, (m + 1) * SubDim)
+      cb(m).map { c =>
+        var s2 = 0.0; var i = 0
+        while (i < SubDim) { val diff = qm(i) - c(i); s2 += diff * diff; i += 1 }
+        s2
+      }
+    }
+    val adc = (0 until PqM).map { m =>
+      element_at(array(lut(m).map(lit): _*), col(s"c$m") + 1)
+    }.reduce(_ + _)
+    val shortlist = codes.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), adc.as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(PqShortlist)
+      .select("vec_id")
+    val qlit = array(q.map(lit): _*) // unit query vector as a literal
+    e.join(broadcast(shortlist), "vec_id")
+      .select(col("vec_id"),
+        round(dot(unit(col("v")), qlit), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val all: Seq[QueryDef] = Seq(annBruteforce, annTopkJoin, annLsh, annIvf, annPq)
 }

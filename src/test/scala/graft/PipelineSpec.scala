@@ -152,6 +152,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0))
   }
 
+  test("pq ANN overlaps the exact top-10 and is deterministic") {
+    // sf0.01: 500 vectors, so the 100-candidate shortlist genuinely
+    // prunes (at sf0.001 it would cover the whole corpus)
+    val dir = "/root/testdata/sf0.01"
+    val exact = Similarity.annBruteforce.fn(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    val a = Similarity.annPq.fn(spark, dir).collect()
+    val b = Similarity.annPq.fn(spark, dir).collect()
+    assert(a.map(_.toString).sameElements(b.map(_.toString)))
+    assert(a.length == 10)
+    val overlap = a.map(_.getLong(0)).toSet.intersect(exact).size
+    assert(overlap >= 5, s"PQ top-10 overlaps exact top-10 on only $overlap")
+  }
+
   test("ivf ANN recalls most exact top-1 neighbors (full corpus, every SF)") {
     import org.apache.spark.sql.expressions.Window
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
