@@ -102,6 +102,23 @@ object SourceOps {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** ORC sink + source roundtrip (the columnar alternative when the
+    * lakehouse standardizes on ORC): predicate pushdown and column
+    * pruning work the same as parquet.
+    */
+  val srcOrcRoundtrip: QueryDef = QueryDef.sql(
+    "src_orc_roundtrip",
+    """SELECT s_suppkey, s_name, s_nationkey FROM supplier
+      |WHERE s_suppkey < 100 ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+    val path = tmpDir("supplier_orc")
+    Tables.supplier(s, d).select("s_suppkey", "s_name", "s_nationkey")
+      .write.mode("overwrite").orc(path)
+    s.read.orc(path)
+      .filter(col("s_suppkey") < 100)
+      .orderBy(col("s_suppkey"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    srcTextPoints, srcCsvRoundtrip, srcJsonRoundtrip, srcPartitionedScan)
+    srcTextPoints, srcCsvRoundtrip, srcJsonRoundtrip, srcPartitionedScan,
+    srcOrcRoundtrip)
 }

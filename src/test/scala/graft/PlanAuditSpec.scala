@@ -81,6 +81,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("pq ANN prunes via TakeOrdered shortlist and broadcasts it for re-rank") {
+    val p = plan("ann_pq")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("native dot product stays inside whole-stage codegen") {
     val e = graft.operators.Similarity.vectors(spark, sf)
     val p = e.select(graft.functions.VectorFunctions
