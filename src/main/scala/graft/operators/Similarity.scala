@@ -232,13 +232,22 @@ object Similarity {
 
   def pqCodebooks(e: DataFrame, cacheKey: String = ""): Array[Array[Array[Double]]] = {
     def fit(): Array[Array[Array[Double]]] = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.DurationInt
+      implicit val ec: ExecutionContext = ExecutionContext.global
       val sample = e.limit(4096).select(unit(col("v")).as("u")).persist()
+      sample.count() // materialize once before the concurrent fits
       try {
-        (0 until PqM).map { m =>
-          val sub = sample.select(slice(col("u"), m * SubDim + 1, SubDim).as("v"))
-          val init = sub.limit(PqK).collect().map(_.getSeq[Double](0).toArray)
-          KMeans.ndLloyd(sub, init, iters = 3)._1
-        }.toArray
+        // the 16 subspace fits are independent driver loops over tiny
+        // jobs — run them concurrently so scheduler overhead overlaps
+        val fits = (0 until PqM).map { m =>
+          Future {
+            val sub = sample.select(slice(col("u"), m * SubDim + 1, SubDim).as("v"))
+            val init = sub.limit(PqK).collect().map(_.getSeq[Double](0).toArray)
+            KMeans.ndLloyd(sub, init, iters = 3)._1
+          }
+        }
+        Await.result(Future.sequence(fits), 10.minutes).toArray
       } finally sample.unpersist(false)
     }
     if (cacheKey.isEmpty) fit()
