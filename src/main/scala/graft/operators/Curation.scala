@@ -92,5 +92,41 @@ object Curation {
       .orderBy(col("source"))
   }
 
-  val all: Seq[QueryDef] = Seq(pipelineCurate, pipelineMix)
+  /** Per-source quality-percentile cut: keep each source's top half
+    * by quality score (percent_rank over a TOTAL ordering — doc_id
+    * tie-break — so both engines cut identically). The relative-cut
+    * alternative to pipeline_curate's absolute threshold: sources
+    * with different quality distributions each contribute.
+    */
+  val pipelineQualityFilter: QueryDef = QueryDef.sql(
+    "pipeline_quality_filter",
+    s"""WITH m AS (
+       |  SELECT doc_id, source,
+       |    ${qualityInputsSql("    ")}
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id, source, $qualitySql AS quality
+       |  FROM m WHERE n_chars > 0 AND n_tokens > 0),
+       |r AS (
+       |  SELECT *, percent_rank() OVER (PARTITION BY source
+       |              ORDER BY quality DESC, doc_id) AS pr
+       |  FROM q)
+       |SELECT source, count(*) AS n_kept,
+       |  round(avg(quality), 4) AS avg_quality
+       |FROM r WHERE pr <= 0.5
+       |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val q = qualityInputs(Tables.documents(s, d), keep = Seq("source"))
+      .filter(col("n_chars") > 0 && col("n_tokens") > 0)
+      .select(col("doc_id"), col("source"), qualityCol.as("quality"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    q.withColumn("pr", percent_rank().over(w))
+      .filter(col("pr") <= 0.5)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), round(avg(col("quality")), 4).as("avg_quality"))
+      .orderBy(col("source"))
+  }
+
+  val all: Seq[QueryDef] = Seq(pipelineCurate, pipelineMix, pipelineQualityFilter)
 }

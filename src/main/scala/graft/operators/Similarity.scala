@@ -313,5 +313,37 @@ object Similarity {
       .limit(10)
   }
 
-  val all: Seq[QueryDef] = Seq(annBruteforce, annTopkJoin, annLsh, annIvf, annPq)
+  /** Cross-table retrieval: nearest embeddings joined back to their
+    * document metadata (doc_id == vec_id in the synthetic corpus) —
+    * the "semantic search returns documents, not vector ids" step.
+    * The top-5 id set (O(k)) broadcasts into the documents scan.
+    */
+  val annSearchText: QueryDef = QueryDef.sql(
+    "ann_search_text",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      |top AS (
+      |  SELECT vec_id,
+      |    round(list_dot_product(v, qv)
+      |      / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 4) AS cos_sim
+      |  FROM e CROSS JOIN q WHERE vec_id <> 0
+      |  ORDER BY cos_sim DESC, vec_id LIMIT 5)
+      |SELECT t.vec_id, t.cos_sim, d.lang, d.source, d.n_chars
+      |FROM top t JOIN documents d ON d.doc_id = t.vec_id
+      |ORDER BY t.cos_sim DESC, t.vec_id""".stripMargin) { (s, d) =>
+    val e = vectors(s, d)
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val top = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(cosine(col("v"), col("qv")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(5)
+    broadcast(top)
+      .join(Tables.documents(s, d), col("doc_id") === col("vec_id"))
+      .select(col("vec_id"), col("cos_sim"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    annBruteforce, annTopkJoin, annLsh, annIvf, annPq, annSearchText)
 }

@@ -82,14 +82,15 @@ object TextAnalysis {
     * Every ratio is an exact int/int double division so the oracle
     * reproduces it bit-for-bit.
     */
-  /** doc_id + the four quality-input measures (shared select). */
-  def qualityInputs(docs: DataFrame): DataFrame = docs.select(
-    col("doc_id"),
-    col("text"),
-    length(col("text")).cast("long").as("n_chars"),
-    tokenCount(col("text")).cast("long").as("n_tokens"),
-    length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long").as("alpha_chars"),
-    regexp_count(lower(col("text")), lit(stopPattern)).cast("long").as("n_stops"))
+  /** doc_id + the four quality-input measures (shared select); pass
+    * `keep` to carry extra document columns through.
+    */
+  def qualityInputs(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = docs.select(
+    Seq(col("doc_id"), col("text")) ++ keep.map(col) ++ Seq(
+      length(col("text")).cast("long").as("n_chars"),
+      tokenCount(col("text")).cast("long").as("n_tokens"),
+      length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long").as("alpha_chars"),
+      regexp_count(lower(col("text")), lit(stopPattern)).cast("long").as("n_stops")): _*)
   def qualityInputsSql(indent: String): String = Seq(
     "CAST(length(text) AS BIGINT) AS n_chars",
     "CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens",
