@@ -303,6 +303,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream.map(_.toString).sameElements(batch.map(_.toString)))
   }
 
+  test("hourly agg and dedup state survive multiple micro-batches") {
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_multibatch")
+    try {
+      val src = s"$tmp/events"
+      graft.sources.Tables.events(spark, sf)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .repartition(3).write.parquet(src)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      // one file per trigger → three micro-batches; the watermark
+      // advances between batches but its 90-day delay spans the data,
+      // so no state is evicted and results must be EXACT
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val agg = stream.withWatermark("ts", "90 days")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val q = agg.writeStream.format("memory")
+        .queryName("mb_hourly").outputMode("complete").start()
+      val d = stream.withWatermark("ts", "90 days")
+        .dropDuplicatesWithinWatermark("event_type", "user_id")
+        .select("event_type", "user_id")
+      val q2 = d.writeStream.format("memory")
+        .queryName("mb_dedup").outputMode("append").start()
+      try {
+        q.processAllAvailable(); q2.processAllAvailable()
+        assert(q.lastProgress.batchId >= 2, "expected >= 3 micro-batches")
+        val batchAgg = graft.sources.Tables.events(spark, sf)
+          .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+          .agg(count(lit(1)).as("n")).collect().map(_.toString).sorted
+        val streamAgg = spark.table("mb_hourly").collect().map(_.toString).sorted
+        assert(streamAgg.sameElements(batchAgg))
+        val batchDistinct = graft.sources.Tables.events(spark, sf)
+          .select("event_type", "user_id").distinct().count()
+        assert(spark.table("mb_dedup").count() == batchDistinct)
+      } finally { q.stop(); q2.stop() }
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
   test("mapGroupsWithState folds state incrementally across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

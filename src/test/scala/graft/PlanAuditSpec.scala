@@ -88,6 +88,42 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    import org.apache.spark.sql.functions._
+    val keep = Seq(
+      "spark.sql.adaptive.enabled", "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // 95% of the left rows share key 0 → one shuffle partition dwarfs
+      // the rest; AQE must split it instead of leaving one straggler
+      val left = spark.range(300000)
+        .select(when(col("id") % 20 =!= 0, lit(0L)).otherwise(col("id") % 64).as("k"),
+          col("id").as("a"))
+      val right = spark.range(64).select(col("id").as("k"), col("id").as("b"))
+      val joined = left.join(right, "k")
+      // materialize THIS QueryExecution (count() would plan its own)
+      assert(joined.collect().length == 300000)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("AQEShuffleRead") && p.toLowerCase.contains("skewed"),
+        s"no skew split in adaptive plan:\n$p")
+    } finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("native dot product stays inside whole-stage codegen") {
     val e = graft.operators.Similarity.vectors(spark, sf)
     val p = e.select(graft.functions.VectorFunctions
