@@ -200,10 +200,17 @@ object EventStreams {
     * sink checkpointing and the parquet roundtrip; checked against the
     * identical oracle as the batch/memory-sink variants.
     */
+  // per-process egress root: a concurrent test and bench JVM must not
+  // overwrite each other's sink files (same reason as SourceOps)
+  private lazy val sinkRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_sink")
+    p.toFile.deleteOnExit()
+    p
+  }
+
   def streamSinkRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val (src, tmp) = eventsStream(s, dir)
-    val dataDir = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_sink_roundtrip").getAbsolutePath
+    val dataDir = sinkRoot.resolve("hourly").toString
     val chk = java.nio.file.Files.createTempDirectory("graft_sink_chk")
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions.toString)
