@@ -330,8 +330,39 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("chunk_no"))
   }
 
+  /** Chunk-level dedup statistics: how much of the corpus is
+    * cross-document boilerplate at context-window granularity —
+    * finer than document dedup (two distinct docs sharing a pasted
+    * header dedup here, not there). One fingerprint-keyed shuffle of
+    * 16-byte keys.
+    */
+  val textChunkDedup: QueryDef = QueryDef.sql(
+    "text_chunk_dedup",
+    s"""WITH t AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+       |           FROM documents),
+       |c AS (SELECT doc_id,
+       |        md5(array_to_string(list_slice(toks, i, i + $ChunkSize - 1), ' ')) AS chunk_fp,
+       |        len(list_slice(toks, i, i + $ChunkSize - 1)) AS n
+       |      FROM t, UNNEST(generate_series(1, greatest(len(toks), 1), $ChunkStride)) AS u(i))
+       |SELECT count(*) AS n_chunks,
+       |  count(DISTINCT chunk_fp) AS n_unique,
+       |  CAST(count(*) - count(DISTINCT chunk_fp) AS BIGINT) AS n_dup
+       |FROM c WHERE n > 0""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("toks"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, greatest(size(toks) - 1, 0), $ChunkStride)," +
+          s" i -> slice(toks, i + 1, $ChunkSize))")).as("ctoks"))
+      .filter(size(col("ctoks")) > 0)
+      .select(md5(array_join(col("ctoks"), " ")).as("chunk_fp"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("chunk_fp")).as("n_unique"),
+        (count(lit(1)) - countDistinct(col("chunk_fp"))).as("n_dup"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     textTokens, textQuality, textLangid, textFingerprint, textWordfreq,
     textBpeTokens, textLangidEval, textRepetition, textRedact, textCmsFreq,
-    textChunks)
+    textChunks, textChunkDedup)
 }

@@ -106,6 +106,22 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("CurateApp end-to-end: curated corpus is filtered, deduped, schema-stable") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_curate")
+    try {
+      val out = s"$dir/curated"
+      val n = CurateApp.run(spark, s"$sf/documents.parquet", out,
+        qualityMin = 0.5, lang = "en")
+      val curated = spark.read.parquet(out)
+      assert(n > 0 && curated.count() == n)
+      assert(curated.columns.contains("quality"))
+      assert(curated.select("doc_id").distinct().count() == curated.count())
+      // everything kept passes the filters
+      val bad = curated.filter(col("quality") < 0.5).count()
+      assert(bad == 0)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
   test("simhash near-dup pairs have hamming <= 3") {
     val rows = Dedup.dedupSimhash.fn(spark, sf).collect()
     assert(rows.forall(_.getLong(2) <= 3))
