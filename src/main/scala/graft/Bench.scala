@@ -1,7 +1,31 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.AtomicLong
+
 object Bench {
+
+  /** Accumulates coarse per-stage IO metrics so each query's shuffle
+    * and scan volume lands in the bench JSON — the quantitative side
+    * of the PLANS.md audit (a "broadcast join" claim should show ~zero
+    * shuffle bytes; a map-side operator ~zero beyond its scan).
+    */
+  private final class IoListener extends SparkListener {
+    val shuffle = new AtomicLong
+    val input = new AtomicLong
+    val spill = new AtomicLong
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        shuffle.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        input.addAndGet(m.inputMetrics.bytesRead)
+        spill.addAndGet(m.diskBytesSpilled)
+      }
+    }
+    def snapshot: (Long, Long, Long) = (shuffle.get, input.get, spill.get)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -21,6 +45,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val io = new IoListener
+    spark.sparkContext.addSparkListener(io)
     // Warm up the session (codegen, exchange, scheduler) so the first
     // measured query doesn't absorb JVM/session startup.
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -28,17 +54,27 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val results = selected.map { case (name, fn) =>
+      Thread.sleep(50) // let straggler listener events drain
+      val io0 = io.snapshot
       val t0 = System.nanoTime()
       // noop sink: materializes every column of every row (a count()
       // would let Catalyst prune the computation being measured)
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(50)
+      val io1 = io.snapshot
+      def mb(b: Long) = math.round(b / 1e4) / 100.0
+      (name, sec, mb(io1._1 - io0._1), mb(io1._2 - io0._2), mb(io1._3 - io0._3))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val ios = results.map { case (k, _, sh, in, sp) =>
+      s""""$k":{"shuffle_mb":$sh,"input_mb":$in,"spill_mb":$sp}"""
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"io":$ios,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outFile), json + "\n")
     println(json)
     spark.stop()

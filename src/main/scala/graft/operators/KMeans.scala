@@ -327,6 +327,12 @@ object KMeans {
     val features = pts
       .select(array_to_vector(array(col("x"), col("y"))).as("features"))
       .persist()
+    // materialize the cache BEFORE fit so MLlib's storageLevel check
+    // sees populated blocks and every k-means|| pass reads memory.
+    // (Bench IO note: inputMetrics counts cached-block reads too, so
+    // this query reports ~8 passes x corpus as "input" — that's the
+    // cache being read, not the parquet being rescanned.)
+    features.count()
     try {
       val fitted = new MlKMeans().setK(K).setSeed(42L).setMaxIter(20)
         .setTol(1e-3) // the reference's convergence tolerance (KMeans.java:199)
