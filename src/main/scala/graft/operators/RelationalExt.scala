@@ -408,9 +408,45 @@ object RelationalExt {
       .orderBy(col("c_custkey"))
   }
 
+  /** Bucketized interval join: purchases matched to the same user's
+    * clicks within the preceding 30 minutes — as a BATCH range join.
+    * A naive `p.ts BETWEEN c.ts AND c.ts + 30m` predicate without an
+    * equality key degenerates to a nested-loop join; bucketing event
+    * time into 30-minute epochs turns it into TWO probe rows per
+    * purchase (its own bucket and the previous one) joined by
+    * (user_id, bucket) EQUALITY, then the exact range verified — the
+    * standard shuffle-join formulation of interval joins at scale.
+    * Same oracle as the streaming variant (stream_join).
+    */
+  val qIntervalJoin: QueryDef = QueryDef.sql(
+    "q_interval_join",
+    """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+      |  p.user_id AS user_id
+      |FROM events p JOIN events c
+      |  ON p.user_id = c.user_id
+      | AND p.event_type = 'purchase' AND c.event_type = 'click'
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      |ORDER BY purchase_id, click_id""".stripMargin) { (s, d) =>
+    val BucketUs = 30L * 60 * 1000000
+    val ev = Tables.events(s, d).withColumn("us", unix_micros(col("ts")))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("us").as("c_us"), floor(col("us") / BucketUs).as("bucket"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("us").as("p_us"))
+      .withColumn("bucket",
+        explode(array(floor(col("p_us") / BucketUs), floor(col("p_us") / BucketUs) - 1)))
+    purchases.join(clicks,
+        col("p_user") === col("c_user") && purchases("bucket") === clicks("bucket"))
+      .filter(col("p_us") >= col("c_us") && col("p_us") - col("c_us") <= BucketUs)
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     qApproxDistinct, qApproxPercentile, qAsofJoin, qSkewSaltedJoin,
     qBucketedJoin, qPivot, qFullOuter, qTopPerKeyAgg, qScalarSubquery,
     qIntersect, qExcept, qCube, qMedian, qSkewStats, qOrderGaps,
-    qCorrelatedScalar, qGroupingSets, qRangeFrame, qNtile)
+    qCorrelatedScalar, qGroupingSets, qRangeFrame, qNtile, qIntervalJoin)
 }

@@ -124,6 +124,12 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketized interval join is an equality join, never nested-loop") {
+    val p = plan("q_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("native dot product stays inside whole-stage codegen") {
     val e = graft.operators.Similarity.vectors(spark, sf)
     val p = e.select(graft.functions.VectorFunctions
