@@ -344,6 +344,117 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("vec_id"))
   }
 
+  // ---- IVF-PQ (coarse lists + residual product quantization) ---------
+
+  /** The corpus centroids as one nested array literal, indexable by
+    * list id inside an expression.
+    */
+  private def centroidArrayLit(cs: Array[Array[Double]]): Column =
+    array(cs.map(c => array(c.map(lit): _*)): _*)
+
+  /** Residual u − centroid(list), computed per row against the
+    * broadcast centroid table — the vector PQ encodes under IVF-PQ
+    * (residuals are far more quantizable than raw vectors: the coarse
+    * step has already removed the list's mean).
+    */
+  private def residualExpr(cs: Array[Array[Double]], u: Column, list: Column): Column =
+    zip_with(u, element_at(centroidArrayLit(cs), list + 1), (a, b) => a - b)
+
+  private val ivfPqCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Double]]]]
+
+  /** Residual PQ codebooks: per-subspace Lloyd over (u − coarse
+    * centroid) on a capped sample, fits run concurrently.
+    */
+  def ivfPqCodebooks(e: DataFrame, cs: Array[Array[Double]],
+      cacheKey: String = ""): Array[Array[Array[Double]]] = {
+    def fit(): Array[Array[Array[Double]]] = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.DurationInt
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val sample = e.limit(4096)
+        .withColumn("u", unit(col("v")))
+        .withColumn("list",
+          array_min(array(centroidStructs(cs, col("u")): _*)).getField("list"))
+        .select(residualExpr(cs, col("u"), col("list")).as("u"))
+        .persist()
+      sample.count()
+      try {
+        val fits = (0 until PqM).map { m =>
+          Future {
+            val sub = sample.select(slice(col("u"), m * SubDim + 1, SubDim).as("v"))
+            val init = sub.limit(PqK).collect().map(_.getSeq[Double](0).toArray)
+            KMeans.ndLloyd(sub, init, iters = 3)._1
+          }
+        }
+        Await.result(Future.sequence(fits), 10.minutes).toArray
+      } finally sample.unpersist(false)
+    }
+    if (cacheKey.isEmpty) fit()
+    else ivfPqCache.getOrElseUpdate(cacheKey, fit())
+  }
+
+  /** IVF-PQ ANN — the production index layout (Jégou et al.; FAISS
+    * IVFPQ): the coarse quantizer routes each vector to one of NLists
+    * inverted lists, PQ encodes its RESIDUAL in 8 bytes, and a query
+    * touches only its NProbe nearest lists, scanning codes with a
+    * per-list lookup table (the query residual differs per probed
+    * list) before an exact re-rank of the shortlist. Candidate
+    * selection is a partition-pruning filter on the list id; the ADC
+    * scan is map-side literal lookups; the only vector math on the
+    * corpus is the final 100-row re-rank.
+    */
+  val annIvfPq: QueryDef = QueryDef.rowsOnly("ann_ivfpq") { (s, d) =>
+    val e = vectors(s, d)
+    val cs = coarseCentroids(e, cacheKey = d)
+    val cb = ivfPqCodebooks(e, cs, cacheKey = d)
+    val withU = e.withColumn("u", unit(col("v")))
+      .withColumn("list",
+        array_min(array(centroidStructs(cs, col("u")): _*)).getField("list"))
+      .withColumn("res", residualExpr(cs, col("u"), col("list")))
+    val codes = withU.select(
+      col("vec_id") :: col("list") ::
+        (0 until PqM).map(m => pqCodeExpr(cb(m), col("res"), m).as(s"c$m")).toList: _*)
+    // query = vec 0: probe its NProbe nearest lists
+    val q = withU.filter(col("vec_id") === 0)
+      .select(col("u")).collect()(0).getSeq[Double](0).toArray
+    def dist2(c: Array[Double], x: Array[Double]): Double = {
+      var s2 = 0.0; var i = 0
+      while (i < c.length) { val df = x(i) - c(i); s2 += df * df; i += 1 }
+      s2
+    }
+    val probed = cs.zipWithIndex.sortBy { case (c, _) => dist2(c, q) }
+      .take(NProbe).map(_._2)
+    // per-probed-list LUT over the QUERY RESIDUAL for that list
+    val luts: Map[Int, Array[Array[Double]]] = probed.map { l =>
+      val res = q.indices.map(i => q(i) - cs(l)(i)).toArray
+      l -> Array.tabulate(PqM) { m =>
+        val rm = res.slice(m * SubDim, (m + 1) * SubDim)
+        cb(m).map(dist2(_, rm))
+      }
+    }.toMap
+    val lutMap = map_from_arrays(
+      array(probed.map(l => lit(l)): _*),
+      array(probed.map(l =>
+        array(luts(l).map(row => array(row.map(lit): _*)): _*)): _*))
+    val adc = (0 until PqM).map { m =>
+      element_at(element_at(element_at(lutMap, col("list")), m + 1), col(s"c$m") + 1)
+    }.reduce(_ + _)
+    val shortlist = codes
+      .filter(col("list").isin(probed.map(Integer.valueOf): _*) && col("vec_id") =!= 0)
+      .select(col("vec_id"), adc.as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(PqShortlist)
+      .select("vec_id")
+    val qlit = array(q.map(lit): _*)
+    e.join(broadcast(shortlist), "vec_id")
+      .select(col("vec_id"),
+        round(dot(unit(col("v")), qlit), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
   val all: Seq[QueryDef] = Seq(
-    annBruteforce, annTopkJoin, annLsh, annIvf, annPq, annSearchText)
+    annBruteforce, annTopkJoin, annLsh, annIvf, annPq, annSearchText,
+    annIvfPq)
 }

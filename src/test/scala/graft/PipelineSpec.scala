@@ -182,6 +182,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(overlap >= 5, s"PQ top-10 overlaps exact top-10 on only $overlap")
   }
 
+  test("ivfpq ANN overlaps the exact top-10 within its probed lists") {
+    val dir = "/root/testdata/sf0.01"
+    val exact = Similarity.annBruteforce.fn(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    val a = Similarity.annIvfPq.fn(spark, dir).collect()
+    val b = Similarity.annIvfPq.fn(spark, dir).collect()
+    assert(a.map(_.toString).sameElements(b.map(_.toString)))
+    assert(a.length == 10)
+    // IVF probing bounds recall (neighbors in unprobed lists are
+    // unreachable by design); still expect solid overlap
+    val overlap = a.map(_.getLong(0)).toSet.intersect(exact).size
+    assert(overlap >= 3, s"IVF-PQ top-10 overlaps exact top-10 on only $overlap")
+  }
+
   test("ivf ANN recalls most exact top-1 neighbors (full corpus, every SF)") {
     import org.apache.spark.sql.expressions.Window
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
