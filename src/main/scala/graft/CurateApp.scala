@@ -25,12 +25,14 @@ object CurateApp {
     */
   def curate(docs: DataFrame, qualityMin: Double, lang: String): DataFrame = {
     import TextAnalysis._
-    // input columns named like the derived measures (a corpus often
-    // ships its own n_chars) would collide with the computed ones —
-    // the recomputed measure wins, the input copy is dropped
-    val measures = Set("n_chars", "n_tokens", "alpha_chars", "n_stops")
+    // input columns named like ANY derived column (a corpus often
+    // ships its own n_chars; re-curating our own output ships quality)
+    // would collide with the computed ones — the recomputed column
+    // wins, the input copy is dropped
+    val derived = Set("n_chars", "n_tokens", "alpha_chars", "n_stops",
+      "quality", "pred_lang") ++ TextAnalysis.markers.map { case (l, _) => s"c_$l" }
     val extra = docs.columns
-      .filterNot(c => Seq("doc_id", "text").contains(c) || measures(c)).toSeq
+      .filterNot(c => Seq("doc_id", "text").contains(c) || derived(c)).toSeq
     qualityInputs(docs, keep = extra)
       .filter(col("n_chars") > 0 && col("n_tokens") > 0)
       .select(Seq(col("doc_id"), col("text")) ++ extra.map(col) ++

@@ -181,19 +181,23 @@ object Dedup {
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH banding: explode signatures into (band, band-signature)
-    * buckets; candidate pairs are ids colliding in ≥1 bucket.
+  /** (band, band-signature) buckets from array signatures — the ONE
+    * banding definition shared by full-corpus and incremental LSH.
     */
-  def lshCandidates(sigs: DataFrame): DataFrame = {
+  def lshBuckets(sigs: DataFrame): DataFrame = {
     val bandCols = (0 until Bands).map { bi =>
       struct(lit(bi).as("band"),
         xxhash64(concat_ws(",", expr(
           s"transform(slice(sig, ${bi * RowsPerBand + 1}, $RowsPerBand), x -> cast(x AS string))")))
           .as("sig"))
     }
-    val buckets = sigs
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+  }
+
+  /** LSH banding candidates: ids colliding in ≥1 bucket. */
+  def lshCandidates(sigs: DataFrame): DataFrame = {
+    val buckets = lshBuckets(sigs)
     buckets.toDF("id1", "band", "sig")
       .join(buckets.toDF("id2", "band2", "sig2"),
         col("band") === col("band2") && col("sig") === col("sig2") && col("id1") < col("id2"))
@@ -258,7 +262,9 @@ object Dedup {
       }
       var prev = labelSum(labels)
       var iter = 0
-      var done = prev == 0L // empty graph
+      // an explicit emptiness probe — a zero label SUM does not mean
+      // empty (negative ids can sum to zero on a live graph)
+      var done = labels.head(1).isEmpty
       while (!done && iter < maxIter) {
         val prop = edges
           .join(labels.withColumnRenamed("id", "nbr"), col("dst") === col("nbr"))
@@ -448,26 +454,15 @@ object Dedup {
       |FROM documents GROUP BY source ORDER BY source""".stripMargin)(
     graft.streaming.EventStreams.streamDedup)
 
-  /** (band, band-signature) buckets from native array signatures —
-    * the shared candidate-generation key for full and incremental LSH.
-    */
-  private def lshBuckets(sigs: DataFrame): DataFrame = {
-    val bandCols = (0 until Bands).map { bi =>
-      struct(lit(bi).as("band"),
-        xxhash64(concat_ws(",", expr(
-          s"transform(slice(sig, ${bi * RowsPerBand + 1}, $RowsPerBand), x -> cast(x AS string))")))
-          .as("sig"))
-    }
-    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
-  }
-
   /** Incremental near-dedup: new documents against an existing corpus
     * WITHOUT re-pairing the corpus with itself. Both sides bucket the
     * usual way, but candidates are (increment ⋈ corpus buckets) plus
     * the increment's self-pairs — so a daily ingest costs
     * O(increment · bands), not O(corpus²) or even O(corpus · bands)
-    * beyond the one signature pass. Returns (id1 < id2, jaccard).
+    * beyond the one signature pass. A document present on BOTH sides
+    * (a re-ingestion) is handled: its self-match is dropped and its
+    * shingles deduplicate before verification. Returns
+    * (id1 < id2, jaccard).
     */
   def minhashIncrementPairs(corpusSh: DataFrame, incSh: DataFrame,
       threshold: Double = 0.8): DataFrame = {
@@ -475,7 +470,8 @@ object Dedup {
     val bi = lshBuckets(minhashSignatures(incSh))
     val cross = bi.toDF("ia", "band", "sig")
       .join(bc.toDF("ib", "band2", "sig2"),
-        col("band") === col("band2") && col("sig") === col("sig2"))
+        col("band") === col("band2") && col("sig") === col("sig2")
+          && col("ia") =!= col("ib"))
       .select(least(col("ia"), col("ib")).as("id1"),
         greatest(col("ia"), col("ib")).as("id2"))
     val self = bi.toDF("id1", "band", "sig")
@@ -483,7 +479,8 @@ object Dedup {
         col("band") === col("band2") && col("sig") === col("sig2")
           && col("id1") < col("id2"))
       .select("id1", "id2")
-    jaccardVerify(corpusSh.union(incSh), cross.union(self).distinct(), threshold)
+    jaccardVerify(corpusSh.union(incSh).distinct(),
+      cross.union(self).distinct(), threshold)
   }
 
   /** The daily-ingest entry: the newest 40% of documents deduped

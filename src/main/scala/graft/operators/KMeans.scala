@@ -162,6 +162,13 @@ object KMeans {
     * Every per-iteration relation is MATERIALIZED: c_i is referenced
     * three times (next assignment, stale branch, convergence check),
     * so inlined CTEs would expand 3^iters scans.
+    *
+    * Parity caveat (accepted): the tol comparison is an unrounded
+    * threshold over engine-computed means, so a centroid axis whose
+    * per-iteration movement lands within FP-summation noise (~1e-13)
+    * of 1e-3 could flip n_iters between engines. Verified stable at
+    * sf0.001/0.01/0.1; movements near convergence are continuous-
+    * valued, so a boundary landing is measure-zero in practice.
     */
   private def lloydFullCtes(k: Int, maxIter: Int, tol: Double): String = {
     val sb = new StringBuilder

@@ -230,26 +230,51 @@ object Similarity {
   private val pqCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Double]]]]
 
-  def pqCodebooks(e: DataFrame, cacheKey: String = ""): Array[Array[Array[Double]]] = {
-    def fit(): Array[Array[Array[Double]]] = {
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.DurationInt
-      implicit val ec: ExecutionContext = ExecutionContext.global
-      val sample = e.limit(4096).select(unit(col("v")).as("u")).persist()
-      sample.count() // materialize once before the concurrent fits
-      try {
-        // the 16 subspace fits are independent driver loops over tiny
-        // jobs — run them concurrently so scheduler overhead overlaps
-        val fits = (0 until PqM).map { m =>
-          Future {
-            val sub = sample.select(slice(col("u"), m * SubDim + 1, SubDim).as("v"))
-            val init = sub.limit(PqK).collect().map(_.getSeq[Double](0).toArray)
-            KMeans.ndLloyd(sub, init, iters = 3)._1
-          }
+  /** Concurrent per-subspace Lloyd fits over a sample exposing the
+    * vector to quantize as column `u` — shared by raw-vector PQ and
+    * residual IVF-PQ. The 16 fits are independent driver loops over
+    * tiny jobs, so they run concurrently to overlap scheduler
+    * overhead; the sample materializes once first.
+    */
+  private def fitSubspaceCodebooks(sampleU: DataFrame): Array[Array[Array[Double]]] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.DurationInt
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val sample = sampleU.persist()
+    sample.count()
+    try {
+      val fits = (0 until PqM).map { m =>
+        Future {
+          val sub = sample.select(slice(col("u"), m * SubDim + 1, SubDim).as("v"))
+          val init = sub.limit(PqK).collect().map(_.getSeq[Double](0).toArray)
+          KMeans.ndLloyd(sub, init, iters = 3)._1
         }
-        Await.result(Future.sequence(fits), 10.minutes).toArray
-      } finally sample.unpersist(false)
-    }
+      }
+      Await.result(Future.sequence(fits), 10.minutes).toArray
+    } finally sample.unpersist(false)
+  }
+
+  /** Squared L2 distance of two equal-length arrays (driver-side). */
+  private def dist2(a: Array[Double], b: Array[Double]): Double = {
+    var s2 = 0.0; var i = 0
+    while (i < a.length) { val df = b(i) - a(i); s2 += df * df; i += 1 }
+    s2
+  }
+
+  /** Exact cosine re-rank: join the O(k) shortlist ids back to the
+    * corpus (broadcast), score against the unit query, top-10.
+    */
+  private def rerankExact(e: DataFrame, shortlist: DataFrame, q: Array[Double]): DataFrame = {
+    val qlit = array(q.map(lit): _*)
+    e.join(broadcast(shortlist), "vec_id")
+      .select(col("vec_id"), round(dot(unit(col("v")), qlit), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  def pqCodebooks(e: DataFrame, cacheKey: String = ""): Array[Array[Array[Double]]] = {
+    def fit(): Array[Array[Array[Double]]] =
+      fitSubspaceCodebooks(e.limit(4096).select(unit(col("v")).as("u")))
     if (cacheKey.isEmpty) fit()
     else pqCache.getOrElseUpdate(cacheKey, fit())
   }
@@ -291,11 +316,7 @@ object Similarity {
       .select(col("u")).collect()(0).getSeq[Double](0).toArray
     val lut: Array[Array[Double]] = Array.tabulate(PqM) { m =>
       val qm = q.slice(m * SubDim, (m + 1) * SubDim)
-      cb(m).map { c =>
-        var s2 = 0.0; var i = 0
-        while (i < SubDim) { val diff = qm(i) - c(i); s2 += diff * diff; i += 1 }
-        s2
-      }
+      cb(m).map(dist2(_, qm))
     }
     val adc = (0 until PqM).map { m =>
       element_at(array(lut(m).map(lit): _*), col(s"c$m") + 1)
@@ -305,12 +326,7 @@ object Similarity {
       .orderBy(col("adc_dist"), col("vec_id"))
       .limit(PqShortlist)
       .select("vec_id")
-    val qlit = array(q.map(lit): _*) // unit query vector as a literal
-    e.join(broadcast(shortlist), "vec_id")
-      .select(col("vec_id"),
-        round(dot(unit(col("v")), qlit), 4).as("cos_sim"))
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-      .limit(10)
+    rerankExact(e, shortlist, q)
   }
 
   /** Cross-table retrieval: nearest embeddings joined back to their
@@ -364,32 +380,16 @@ object Similarity {
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Double]]]]
 
   /** Residual PQ codebooks: per-subspace Lloyd over (u − coarse
-    * centroid) on a capped sample, fits run concurrently.
+    * centroid) on a capped sample, fits shared with pqCodebooks.
     */
   def ivfPqCodebooks(e: DataFrame, cs: Array[Array[Double]],
       cacheKey: String = ""): Array[Array[Array[Double]]] = {
-    def fit(): Array[Array[Array[Double]]] = {
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.DurationInt
-      implicit val ec: ExecutionContext = ExecutionContext.global
-      val sample = e.limit(4096)
-        .withColumn("u", unit(col("v")))
+    def fit(): Array[Array[Array[Double]]] =
+      fitSubspaceCodebooks(e.limit(4096)
+        .withColumn("u0", unit(col("v")))
         .withColumn("list",
-          array_min(array(centroidStructs(cs, col("u")): _*)).getField("list"))
-        .select(residualExpr(cs, col("u"), col("list")).as("u"))
-        .persist()
-      sample.count()
-      try {
-        val fits = (0 until PqM).map { m =>
-          Future {
-            val sub = sample.select(slice(col("u"), m * SubDim + 1, SubDim).as("v"))
-            val init = sub.limit(PqK).collect().map(_.getSeq[Double](0).toArray)
-            KMeans.ndLloyd(sub, init, iters = 3)._1
-          }
-        }
-        Await.result(Future.sequence(fits), 10.minutes).toArray
-      } finally sample.unpersist(false)
-    }
+          array_min(array(centroidStructs(cs, col("u0")): _*)).getField("list"))
+        .select(residualExpr(cs, col("u0"), col("list")).as("u")))
     if (cacheKey.isEmpty) fit()
     else ivfPqCache.getOrElseUpdate(cacheKey, fit())
   }
@@ -418,11 +418,6 @@ object Similarity {
     // query = vec 0: probe its NProbe nearest lists
     val q = withU.filter(col("vec_id") === 0)
       .select(col("u")).collect()(0).getSeq[Double](0).toArray
-    def dist2(c: Array[Double], x: Array[Double]): Double = {
-      var s2 = 0.0; var i = 0
-      while (i < c.length) { val df = x(i) - c(i); s2 += df * df; i += 1 }
-      s2
-    }
     val probed = cs.zipWithIndex.sortBy { case (c, _) => dist2(c, q) }
       .take(NProbe).map(_._2)
     // per-probed-list LUT over the QUERY RESIDUAL for that list
@@ -446,12 +441,7 @@ object Similarity {
       .orderBy(col("adc_dist"), col("vec_id"))
       .limit(PqShortlist)
       .select("vec_id")
-    val qlit = array(q.map(lit): _*)
-    e.join(broadcast(shortlist), "vec_id")
-      .select(col("vec_id"),
-        round(dot(unit(col("v")), qlit), 4).as("cos_sim"))
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-      .limit(10)
+    rerankExact(e, shortlist, q)
   }
 
   val all: Seq[QueryDef] = Seq(

@@ -60,6 +60,16 @@ object EventStreams {
     */
   val StreamStatePartitions = 8
 
+  /** Depth-first delete; the walk stream is closed (Files.walk holds
+    * a directory handle until closed).
+    */
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    val walk = java.nio.file.Files.walk(p)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => java.nio.file.Files.delete(f))
+    finally walk.close()
+  }
+
   /** Run `out` into a named memory sink to completion, then delete the
     * staged temp dir. Pins shuffle partitions to
     * [[StreamStatePartitions]] for the duration of the stream and
@@ -77,8 +87,7 @@ object EventStreams {
         q.processAllAvailable()
       } finally {
         q.stop()
-        java.nio.file.Files.list(tmp).forEach(p => java.nio.file.Files.delete(p))
-        java.nio.file.Files.delete(tmp)
+        deleteRecursively(tmp)
       }
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     s.table(name)
@@ -224,13 +233,10 @@ object EventStreams {
         .start()
       try q.processAllAvailable() finally {
         q.stop()
-        java.nio.file.Files.list(tmp).forEach(p => java.nio.file.Files.delete(p))
-        java.nio.file.Files.delete(tmp)
+        deleteRecursively(tmp)
         // checkpoints are per-run; a stale one would replay offsets
         // against a staged dir that no longer exists
-        java.nio.file.Files.walk(chk)
-          .sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.delete(p))
+        deleteRecursively(chk)
       }
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     s.read.parquet(dataDir).orderBy(col("hour"), col("event_type"))

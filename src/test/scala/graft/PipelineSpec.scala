@@ -42,6 +42,12 @@ class DedupSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 20L -> 20L))
+    // regression: a live graph whose ids sum to zero (negative ids)
+    // must still propagate — emptiness is not a zero label sum
+    val neg = Dedup.connectedComponents(
+        Seq((-1L, 1L)).toDF("id1", "id2")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(neg == Map(-1L -> -1L, 1L -> -1L))
   }
 
   test("every ngram near-dup pair lands in one dedup group") {
