@@ -195,8 +195,42 @@ object EventOps {
     funnelCounts(Tables.events(s, d))
   }
 
+  /** Cohort retention matrix: users grouped by signup week, counted
+    * in each later week they were active — the standard retention
+    * report. Two aggregations (first-signup per user, distinct
+    * active weeks per user) joined on user_id: one narrow shuffle
+    * each, the join key is the natural partitioning, no windows.
+    */
+  val eventsRetention: QueryDef = QueryDef.sql(
+    "events_retention",
+    """WITH s AS (
+      |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+      |      FROM events)
+      |SELECT s.cohort_week,
+      |  CAST(date_diff('day', s.cohort_week, a.active_week) / 7 AS BIGINT) AS week_offset,
+      |  count(*) AS n_users
+      |FROM s JOIN a USING (user_id)
+      |WHERE a.active_week >= s.cohort_week
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    val active = ev
+      .select(col("user_id"), date_trunc("week", col("ts")).as("active_week"))
+      .distinct()
+    signup.join(active, "user_id")
+      .filter(col("active_week") >= col("cohort_week"))
+      .groupBy(col("cohort_week"),
+        (datediff(col("active_week"), col("cohort_week")) / 7).cast("long").as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     eventsHourly, streamHourly, eventsSessions, eventsSessionWindow,
     streamSessions, streamUserStats, streamJoin, streamSinkRoundtrip,
-    eventsFunnel)
+    eventsFunnel, eventsRetention)
 }

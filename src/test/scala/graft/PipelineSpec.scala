@@ -96,6 +96,29 @@ class DedupSpec extends AnyFunSuite {
     assert(inc == full, s"split=$split diff=${inc.diff(full) ++ full.diff(inc)}")
   }
 
+  test("incremental dedup handles a re-ingested document (overlap on both sides)") {
+    import spark.implicits._
+    val mk = (id: Long, text: String) => (id, text)
+    val docs = Seq(
+      mk(1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      mk(2L, "alpha beta gamma delta epsilon zeta eta iota"),   // near-dup of 1
+      mk(3L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shinglesHashed(docs)
+    // doc 2 lives in the corpus AND is re-ingested in the increment
+    val corpus = sh.filter(col("doc_id") <= 2)
+    val inc = sh.filter(col("doc_id") >= 2)
+    val pairs = Dedup.minhashIncrementPairs(corpus, inc, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // no degenerate self-pair for the overlapping doc
+    assert(pairs.forall { case (a, b, _) => a != b })
+    // the true near-dup pair survives with its correct (undoubled) jaccard
+    val full = Dedup.jaccardVerify(sh,
+      Dedup.lshCandidates(Dedup.minhashSignatures(sh)), 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs.toSet == full.filter { case (a, b, _) => a >= 2 || b >= 2 })
+  }
+
   test("text chunks cover every token with the configured overlap") {
     val rows = TextAnalysis.textChunks.fn(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -88,6 +88,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("ivfpq ANN keeps the same shortlist/re-rank shape") {
+    val p = plan("ann_ivfpq")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("AQE splits a skewed sort-merge join partition at runtime") {
     import org.apache.spark.sql.functions._
     val keep = Seq(
