@@ -229,8 +229,39 @@ object EventOps {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** Hourly-volume anomaly detection: z-score each (event_type, hour)
+    * count against its type's distribution, keep |z| ≥ 2 — the
+    * monitoring query every event pipeline runs. One hourly
+    * aggregation plus a per-type window (two narrow shuffles); the
+    * z-score is rounded on both sides to absorb stddev FP noise.
+    */
+  val eventsAnomaly: QueryDef = QueryDef.sql(
+    "events_anomaly",
+    """WITH h AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |z AS (
+      |  SELECT event_type, hour, n,
+      |    round((n - avg(n) OVER (PARTITION BY event_type))
+      |      / stddev_samp(n) OVER (PARTITION BY event_type), 3) AS zscore
+      |  FROM h)
+      |SELECT event_type, hour, n, zscore
+      |FROM z WHERE abs(zscore) >= 2
+      |ORDER BY event_type, hour""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val h = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type"))
+    h.withColumn("zscore",
+        round((col("n") - avg(col("n")).over(w)) / stddev_samp(col("n")).over(w), 3))
+      .filter(abs(col("zscore")) >= 2)
+      .select("event_type", "hour", "n", "zscore")
+      .orderBy(col("event_type"), col("hour"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     eventsHourly, streamHourly, eventsSessions, eventsSessionWindow,
     streamSessions, streamUserStats, streamJoin, streamSinkRoundtrip,
-    eventsFunnel, eventsRetention)
+    eventsFunnel, eventsRetention, eventsAnomaly)
 }
