@@ -361,8 +361,57 @@ object TextAnalysis {
         (count(lit(1)) - countDistinct(col("chunk_fp"))).as("n_dup"))
   }
 
+  val LmTableSize = 1024
+  val LmFloor = -12.0 // ln-prob floor for bigrams outside the table
+
+  /** Corpus character-bigram log-probability table: one explode +
+    * count aggregation, top LmTableSize bigrams to the driver
+    * (O(table), never O(corpus)).
+    */
+  def bigramLogProbs(docs: DataFrame): Map[String, Double] = {
+    val bg = docs
+      .select(explode(expr(
+        "transform(sequence(1, length(text) - 1), i -> lower(substr(text, i, 2)))")).as("bg"))
+    val total = bg.count().toDouble
+    bg.groupBy("bg").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bg"))
+      .limit(LmTableSize)
+      .collect()
+      .map(r => r.getString(0) -> math.log(r.getLong(1) / total))
+      .toMap
+  }
+
+  /** Mean bigram log-prob of a text column under a driver-built
+    * table (broadcast as a map literal) — unseen bigrams floored.
+    */
+  def lmScoreCol(text: Column, table: Map[String, Double]): Column = {
+    val entries = table.toSeq.sortBy(_._1)
+    val tableLit = map(entries.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val perBigram = transform(
+      sequence(lit(1), length(text) - 1),
+      i => coalesce(element_at(tableLit, lower(text.substr(i, lit(2)))), lit(LmFloor)))
+    aggregate(perBigram, lit(0.0), (acc, x) => acc + x) / (length(text) - 1)
+  }
+
+  /** Character-bigram language-model scoring — the cheap perplexity
+    * proxy for quality filtering (a KenLM stand-in with the same
+    * pipeline shape): pass 1 trains the table from the corpus itself,
+    * pass 2 scores every document map-side against the broadcast
+    * table. Natural text scores high; gibberish and wrong-alphabet
+    * text sink (test-pinned).
+    */
+  val textLmScore: QueryDef = QueryDef.rowsOnly("text_lm_score") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val table = bigramLogProbs(docs)
+    docs.filter(length(col("text")) >= 2)
+      .select(col("doc_id"),
+        (length(col("text")) - 1).cast("long").as("n_bigrams"),
+        round(lmScoreCol(col("text"), table), 4).as("lm_score"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     textTokens, textQuality, textLangid, textFingerprint, textWordfreq,
     textBpeTokens, textLangidEval, textRepetition, textRedact, textCmsFreq,
-    textChunks, textChunkDedup)
+    textChunks, textChunkDedup, textLmScore)
 }

@@ -512,6 +512,25 @@ class TextSpec extends AnyFunSuite {
     assert(kept.size == docs.count() - labels.count { case (id, l) => id != l })
   }
 
+  test("bigram LM scores natural text above gibberish") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val table = TextAnalysis.bigramLogProbs(docs)
+    assert(table.nonEmpty && table.values.forall(_ < 0.0))
+    val probe = Seq(
+      (1L, "the data table and the query plan for the join"),
+      (2L, "zq xj qz jx zq xj qz jx zq xj qz jx"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.lmScoreCol(col("text"), table).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(probe(1L) > probe(2L),
+      s"natural ${probe(1L)} should beat gibberish ${probe(2L)}")
+    // the full entry runs and is deterministic
+    val a = TextAnalysis.textLmScore.fn(spark, sf).collect()
+    val b = TextAnalysis.textLmScore.fn(spark, sf).collect()
+    assert(a.nonEmpty && a.map(_.toString).sameElements(b.map(_.toString)))
+  }
+
   test("count-min estimates bound the exact counts within eps·N") {
     val rows = TextAnalysis.textCmsFreq.fn(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
