@@ -34,21 +34,28 @@ object KMeansApp {
       .master(sys.props.getOrElse("spark.master", s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
       .getOrCreate()
+    try run(spark, k, input, output, seed)
+    finally spark.stop()
+  }
 
+  /** The full job against an existing session (what main and tests
+    * both drive). Returns (centroids, iterations, converged).
+    */
+  def run(spark: SparkSession, k: Int, input: String, output: String,
+      seed: Option[Long]): (Array[(Double, Double)], Int, Boolean) = {
     val init = PointsText.sampleCentroids(spark, input, k, seed)
     init.zipWithIndex.foreach { case ((x, y), i) =>
       println(s"init centroid $i: $x, $y")
     }
-
     val pts = PointsText.read(spark, input).persist()
     try {
-      val (centroids, iters, converged) = KMeans.lloyd(pts, init)
+      val result @ (centroids, iters, converged) = KMeans.lloyd(pts, init)
       PointsText.writeCentroids(spark, centroids, output)
       println(s"finished after $iters iterations, converged=$converged")
       centroids.zipWithIndex.foreach { case ((x, y), i) =>
         println(s"centroid $i: x=$x y=$y")
       }
+      result
     } finally pts.unpersist(false)
-    spark.stop()
   }
 }

@@ -48,6 +48,20 @@ class PointsTextSpec extends AnyFunSuite {
     assert(PointsText.readCentroids(spark, path).toSeq == cs.toSeq)
   }
 
+  test("KMeansApp runs the reference CLI flow end-to-end") {
+    val in = freshDir("app_in")
+    val out = freshDir("app_out")
+    val pts = KMeans.points(Tables.lineitem(spark, sf)).select("x", "y")
+    PointsText.writePoints(pts, in)
+    val (centroids, iters, _) =
+      KMeansApp.run(spark, k = 4, in, out, seed = Some(7L))
+    assert(centroids.length == 4)
+    assert(iters >= 1 && iters <= 20)
+    // the written centroid file reads back exactly
+    val back = PointsText.readCentroids(spark, out)
+    assert(back.toSeq == centroids.toSeq)
+  }
+
   test("text pipeline lloyd matches parquet pipeline lloyd") {
     val path = freshDir("pts_lloyd")
     val pq = KMeans.points(Tables.lineitem(spark, sf))
