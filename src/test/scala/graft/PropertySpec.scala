@@ -84,6 +84,28 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("redaction scrubs every generated email/phone regardless of context") {
+    val word: Gen[String] = Gen.listOfN(5, Gen.alphaLowerChar).map(_.mkString)
+    val email: Gen[String] =
+      Gen.zip(word, word, Gen.oneOf("com", "org", "io"))
+        .map { case (u, d, tld) => s"$u@$d.$tld" }
+    val phone: Gen[String] = Gen.zip(
+      Gen.chooseNum(100, 999), Gen.chooseNum(100, 999), Gen.chooseNum(1000, 9999))
+      .map { case (a, b, c) => s"$a-$b-$c" }
+    val doc: Gen[String] = Gen.zip(word, email, word, phone, word)
+      .map { case (a, e, b, p, c) => s"$a $e $b $p $c" }
+    val docs = sample(doc, 50, 11L).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val out = docs.toDF("doc_id", "text")
+      .select(graft.operators.TextAnalysis.redact(col("text")).as("r"),
+        graft.operators.TextAnalysis.piiCount(col("text")).as("n"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getLong(1) == 2L, s"expected 2 PII hits in '${r.getString(0)}'")
+      assert(!r.getString(0).contains("@"))
+      assert(r.getString(0).contains("<EMAIL>") && r.getString(0).contains("<PHONE>"))
+    }
+  }
+
   test("simhash hamming distance is symmetric and zero on self on random docs") {
     val docs = sample(Gen.listOfN(30,
       Gen.oneOf("alpha", "beta", "gamma", "delta")).map(_.mkString(" ")), 40, 5L)
