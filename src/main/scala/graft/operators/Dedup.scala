@@ -75,10 +75,23 @@ object Dedup {
     * to avoid (a single hot shingle shared by m docs costs m² there).
     */
   def jaccardVerify(sh: DataFrame, pairs: DataFrame, threshold: Double): DataFrame = {
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = pairs
-      .join(sh.toDF("id1", "sh"), "id1")
-      .join(sh.toDF("id2b", "sh2"),
+    // The pair plan is typically an expensive LSH self-join and feeds
+    // three subtrees below (both id projections + the intersection
+    // join) — materialize it once instead of replanning it per branch.
+    val p = pairs.select(col("id1"), col("id2")).localCheckpoint(eager = true)
+    // Candidate ids are small BY LSH CONSTRUCTION (only colliding
+    // buckets pair up); the corpus is not. Everything broadcast below
+    // must therefore be restricted to candidate ids FIRST — a
+    // corpus-sized broadcast (one row per document) OOMs the driver
+    // and every executor at 100 TB. The LeftSemi here is the
+    // restriction PlanAuditSpec locks on.
+    val candIds = p.select(col("id1").as("doc_id"))
+      .union(p.select(col("id2").as("doc_id"))).distinct()
+    val shCand = sh.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+    val counts = shCand.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = p
+      .join(shCand.toDF("id1", "sh"), "id1")
+      .join(shCand.toDF("id2b", "sh2"),
         col("id2") === col("id2b") && col("sh") === col("sh2"))
       .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
     inter

@@ -137,6 +137,33 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("minhash verify path never broadcasts a corpus-sized subtree") {
+    // The per-document shingle-count table has one row per document —
+    // broadcasting it unrestricted OOMs at corpus scale. The contract:
+    // any BroadcastExchange whose subtree scans the corpus must also
+    // contain the LeftSemi candidate-id restriction (candidates are
+    // small by LSH construction).
+    val sh = graft.operators.Dedup.shinglesHashed(
+      graft.sources.Tables.documents(spark, sf))
+    val cand = graft.operators.Dedup.lshCandidates(
+      graft.operators.Dedup.minhashSignatures(sh))
+    val p = graft.operators.Dedup.jaccardVerify(sh, cand, 0.8)
+      .queryExecution.executedPlan.toString
+    val lines = p.linesIterator.toVector
+    def depth(l: String): Int = l.indexWhere(c => !" :+-".contains(c))
+    val bIdx = lines.indices.filter(i => lines(i).contains("BroadcastExchange"))
+    assert(bIdx.nonEmpty, s"expected broadcasts in verify plan:\n$p")
+    bIdx.foreach { i =>
+      val d = depth(lines(i))
+      val subtree = lines.drop(i + 1).takeWhile(l => depth(l) > d)
+      val scansCorpus = subtree.exists(l =>
+        l.contains("Scan") && l.contains("documents"))
+      if (scansCorpus)
+        assert(subtree.exists(_.contains("LeftSemi")),
+          s"corpus-sized subtree under BroadcastExchange at line $i:\n$p")
+    }
+  }
+
   test("native dot product stays inside whole-stage codegen") {
     val e = graft.operators.Similarity.vectors(spark, sf)
     val p = e.select(graft.functions.VectorFunctions
