@@ -369,16 +369,28 @@ object TextAnalysis {
     * (O(table), never O(corpus)).
     */
   def bigramLogProbs(docs: DataFrame): Map[String, Double] = {
-    val bg = docs
+    // ONE corpus pass: the bigram explode feeds a single count
+    // aggregation; the corpus total is then derived from the grouped
+    // result (one row per DISTINCT bigram — tiny), not from a second
+    // full explode. The grouped table is persisted so the total and
+    // the top-K read the same aggregation.
+    val grouped = docs
       .select(explode(expr(
         "transform(sequence(1, length(text) - 1), i -> lower(substr(text, i, 2)))")).as("bg"))
-    val total = bg.count().toDouble
-    bg.groupBy("bg").agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("bg"))
-      .limit(LmTableSize)
-      .collect()
-      .map(r => r.getString(0) -> math.log(r.getLong(1) / total))
-      .toMap
+      .groupBy("bg").agg(count(lit(1)).as("n"))
+      .persist()
+    try {
+      val totalRow = grouped.agg(sum(col("n"))).collect()(0)
+      if (totalRow.isNullAt(0)) Map.empty
+      else {
+        val total = totalRow.getLong(0).toDouble
+        grouped.orderBy(col("n").desc, col("bg"))
+          .limit(LmTableSize)
+          .collect()
+          .map(r => r.getString(0) -> math.log(r.getLong(1) / total))
+          .toMap
+      }
+    } finally grouped.unpersist(false)
   }
 
   /** Mean bigram log-prob of a text column under a driver-built
