@@ -478,11 +478,26 @@ object Dedup {
     * (id1 < id2, jaccard).
     */
   def minhashIncrementPairs(corpusSh: DataFrame, incSh: DataFrame,
+      threshold: Double = 0.8): DataFrame =
+    minhashIncrementPairsWithIndex(
+      lshBuckets(minhashSignatures(corpusSh)), corpusSh, incSh, threshold)
+
+  /** The same increment-vs-corpus pairing, but against an ALREADY
+    * MATERIALIZED corpus bucket table (the stored index below) — the
+    * corpus is never re-shingled or re-signed for candidate
+    * generation. The increment side (a daily ingest — small relative
+    * to the corpus) is broadcast, so the index join is map-side: the
+    * stored buckets stream through executors with ZERO corpus
+    * shuffle. Corpus shingles are still needed for the exact-Jaccard
+    * verification, but jaccardVerify restricts them to candidate ids
+    * before any work.
+    */
+  def minhashIncrementPairsWithIndex(corpusBuckets: DataFrame,
+      corpusSh: DataFrame, incSh: DataFrame,
       threshold: Double = 0.8): DataFrame = {
-    val bc = lshBuckets(minhashSignatures(corpusSh))
     val bi = lshBuckets(minhashSignatures(incSh))
-    val cross = bi.toDF("ia", "band", "sig")
-      .join(bc.toDF("ib", "band2", "sig2"),
+    val cross = broadcast(bi.toDF("ia", "band", "sig"))
+      .join(corpusBuckets.toDF("ib", "band2", "sig2"),
         col("band") === col("band2") && col("sig") === col("sig2")
           && col("ia") =!= col("ib"))
       .select(least(col("ia"), col("ib")).as("id1"),
@@ -496,19 +511,74 @@ object Dedup {
       cross.union(self).distinct(), threshold)
   }
 
+  /** Write the LSH bucket index (doc_id, band, sig) of a corpus to
+    * parquet — the dedup "ingest" step. A daily pipeline runs this
+    * once per corpus append, and every increment thereafter joins
+    * against the STORED buckets (`minhashIncrementPairsWithIndex`)
+    * instead of re-signing the corpus.
+    */
+  def writeDedupIndex(corpusDocs: DataFrame, path: String): Unit =
+    lshBuckets(minhashSignatures(shinglesHashed(corpusDocs)))
+      .write.mode("overwrite").parquet(path)
+
+  /** Once-per-corpus index materialization under the warehouse dir,
+    * keyed by a hash of the source dir (same contract as
+    * RelationalExt.bucketedTables): a fresh session finds complete
+    * index files on disk and reuses them.
+    */
+  def dedupIndexDir(s: SparkSession, d: String,
+      corpusDocs: => DataFrame): String = synchronized {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
+    val dir = new org.apache.hadoop.fs.Path(wh, s"graft_dedup_idx_$h")
+    val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS")))
+      writeDedupIndex(corpusDocs, dir.toString)
+    dir.toString
+  }
+
   /** The daily-ingest entry: the newest 40% of documents deduped
     * against the older 60% corpus. Test-pinned to equal the full
     * minhash pairs touching the increment.
     */
+  /** The corpus/increment boundary the incremental entries share:
+    * newest 40% of doc ids are "today's ingest".
+    */
+  def incrementSplit(docs: DataFrame): Long =
+    docs.agg((max(col("doc_id")) * 0.6).cast("long")).collect()(0).getLong(0)
+
   val dedupIncremental: QueryDef = QueryDef.rowsOnly("dedup_incremental") { (s, d) =>
-    val sh = shinglesHashed(Tables.documents(s, d)).cache()
+    val docs = Tables.documents(s, d)
+    val split = incrementSplit(docs)
+    val sh = shinglesHashed(docs).cache()
     try {
-      val split = sh.agg((max(col("doc_id")) * 0.6).cast("long")).collect()(0).getLong(0)
       val out = minhashIncrementPairs(
         sh.filter(col("doc_id") < split), sh.filter(col("doc_id") >= split))
       out.localCheckpoint(eager = true)
     } finally sh.unpersist(false)
   }
+
+  /** The indexed daily-ingest entry: the increment joins the STORED
+    * LSH bucket table (built once per corpus by `dedupIndexDir`) —
+    * no corpus re-shingling or re-signing on the candidate path, and
+    * the verification's corpus shingles are candidate-restricted
+    * before any shuffle (the LeftSemi pushes below the shingle
+    * explode). Test-pinned equal to `dedup_incremental` on the same
+    * split.
+    */
+  val dedupIncrementalIndexed: QueryDef =
+    QueryDef.rowsOnly("dedup_incremental_indexed") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val split = incrementSplit(docs)
+      val idx = dedupIndexDir(s, d, docs.filter(col("doc_id") < split))
+      val incSh = shinglesHashed(docs.filter(col("doc_id") >= split)).cache()
+      try {
+        val corpusSh = shinglesHashed(docs.filter(col("doc_id") < split))
+        minhashIncrementPairsWithIndex(s.read.parquet(idx), corpusSh, incSh)
+          .localCheckpoint(eager = true)
+      } finally incSh.unpersist(false)
+    }
 
   /** The full 100 TB near-dedup pipeline end-to-end: MinHash+LSH
     * candidate pairs (unbounded), connected components, one survivor
@@ -534,5 +604,6 @@ object Dedup {
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupStats, dedupNgram, dedupMinhash, dedupSimhash,
     dedupEmbedding, streamDedup, dedupGroups, dedupNearCorpus,
-    dedupSimhashLsh, streamDedupWm, dedupMinhashCorpus, dedupIncremental)
+    dedupSimhashLsh, streamDedupWm, dedupMinhashCorpus, dedupIncremental,
+    dedupIncrementalIndexed)
 }

@@ -404,20 +404,29 @@ object Similarity {
     * scan is map-side literal lookups; the only vector math on the
     * corpus is the final 100-row re-rank.
     */
-  val annIvfPq: QueryDef = QueryDef.rowsOnly("ann_ivfpq") { (s, d) =>
-    val e = vectors(s, d)
-    val cs = coarseCentroids(e, cacheKey = d)
-    val cb = ivfPqCodebooks(e, cs, cacheKey = d)
+  /** The IVF-PQ code table (vec_id, list, c0..c{PqM-1}) for a corpus
+    * under given centroids + residual codebooks — what the persisted
+    * index stores, 8 B of codes + a list id per vector.
+    */
+  def ivfPqCodes(e: DataFrame, cs: Array[Array[Double]],
+      cb: Array[Array[Array[Double]]]): DataFrame = {
     val withU = e.withColumn("u", unit(col("v")))
       .withColumn("list",
         array_min(array(centroidStructs(cs, col("u")): _*)).getField("list"))
       .withColumn("res", residualExpr(cs, col("u"), col("list")))
-    val codes = withU.select(
+    withU.select(
       col("vec_id") :: col("list") ::
         (0 until PqM).map(m => pqCodeExpr(cb(m), col("res"), m).as(s"c$m")).toList: _*)
-    // query = vec 0: probe its NProbe nearest lists
-    val q = withU.filter(col("vec_id") === 0)
-      .select(col("u")).collect()(0).getSeq[Double](0).toArray
+  }
+
+  /** Search-only IVF-PQ: probe the query's NProbe nearest lists over
+    * an EXISTING code table (in-memory plan or parquet scan — the
+    * persisted path gets partition pruning for free when codes are
+    * partitioned by list), ADC-scan with per-list LUTs, exact re-rank.
+    */
+  def ivfPqSearchFromCodes(e: DataFrame, codes: DataFrame,
+      cs: Array[Array[Double]], cb: Array[Array[Array[Double]]],
+      q: Array[Double]): DataFrame = {
     val probed = cs.zipWithIndex.sortBy { case (c, _) => dist2(c, q) }
       .take(NProbe).map(_._2)
     // per-probed-list LUT over the QUERY RESIDUAL for that list
@@ -444,7 +453,88 @@ object Similarity {
     rerankExact(e, shortlist, q)
   }
 
+  val annIvfPq: QueryDef = QueryDef.rowsOnly("ann_ivfpq") { (s, d) =>
+    val e = vectors(s, d)
+    val cs = coarseCentroids(e, cacheKey = d)
+    val cb = ivfPqCodebooks(e, cs, cacheKey = d)
+    val q = e.filter(col("vec_id") === 0)
+      .select(unit(col("v"))).collect()(0).getSeq[Double](0).toArray
+    ivfPqSearchFromCodes(e, ivfPqCodes(e, cs, cb), cs, cb, q)
+  }
+
+  // ---- Persisted IVF-PQ index ----------------------------------------
+
+  /** Write the full IVF-PQ index to parquet — the ANN "ingest" step:
+    * coarse centroids, residual codebooks, and the per-vector code
+    * table (partitioned by list id, so a query's NProbe filter prunes
+    * at file listing and a search reads NProbe/NLists of the codes).
+    * Codebooks are O(NLists·Dim + PqM·PqK·SubDim) — metadata-sized;
+    * the codes are the real payload at 8 B + a list id per vector.
+    */
+  def writeAnnIndex(s: SparkSession, e: DataFrame, path: String,
+      cacheKey: String = ""): Unit = {
+    import s.implicits._
+    val cs = coarseCentroids(e, cacheKey)
+    val cb = ivfPqCodebooks(e, cs, cacheKey)
+    cs.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+      .toDF("list", "c").repartition(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    (for { m <- 0 until PqM; j <- 0 until PqK } yield (m, j, cb(m)(j).toSeq))
+      .toDF("m", "j", "c").repartition(1)
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    ivfPqCodes(e, cs, cb)
+      .write.partitionBy("list").mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Load the driver-side index metadata (centroids + codebooks) —
+    * O(index constants), never O(corpus).
+    */
+  def loadAnnCodebooks(s: SparkSession, path: String):
+      (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val cs = s.read.parquet(s"$path/centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    val cbRows = s.read.parquet(s"$path/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val cb = Array.tabulate(PqM, PqK)((m, j) => cbRows
+      .find(t => t._1 == m && t._2 == j).get._3)
+    (cs, cb)
+  }
+
+  /** Once-per-corpus index materialization under the warehouse dir
+    * (same contract as the dedup index): a fresh session reuses
+    * complete index files on disk.
+    */
+  def annIndexDir(s: SparkSession, d: String, e: => DataFrame): String =
+    synchronized {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
+      val dir = new org.apache.hadoop.fs.Path(wh, s"graft_ann_idx_$h")
+      val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/codes/_SUCCESS")))
+        writeAnnIndex(s, e, dir.toString, cacheKey = d)
+      dir.toString
+    }
+
+  /** IVF-PQ search against the STORED index: codebooks load from
+    * parquet (driver-side, constant-sized), the code scan reads only
+    * the probed list partitions (partition pruning), and only the
+    * 100-row shortlist touches full-width vectors. Test-pinned
+    * identical to the in-memory ann_ivfpq.
+    */
+  val annIvfPqPersisted: QueryDef =
+    QueryDef.rowsOnly("ann_ivfpq_persisted") { (s, d) =>
+      val e = vectors(s, d)
+      val idx = annIndexDir(s, d, e)
+      val (cs, cb) = loadAnnCodebooks(s, idx)
+      val codes = s.read.parquet(s"$idx/codes")
+      val q = e.filter(col("vec_id") === 0)
+        .select(unit(col("v"))).collect()(0).getSeq[Double](0).toArray
+      ivfPqSearchFromCodes(e, codes, cs, cb, q)
+    }
+
   val all: Seq[QueryDef] = Seq(
     annBruteforce, annTopkJoin, annLsh, annIvf, annPq, annSearchText,
-    annIvfPq)
+    annIvfPq, annIvfPqPersisted)
 }

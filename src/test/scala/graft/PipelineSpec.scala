@@ -85,15 +85,21 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("incremental dedup equals the full pair set restricted to the increment") {
-    val sh = Dedup.shinglesHashed(graft.sources.Tables.documents(spark, sf))
-    val split = sh.agg((max(col("doc_id")) * 0.6).cast("long"))
-      .collect()(0).getLong(0)
+    val split = Dedup.incrementSplit(graft.sources.Tables.documents(spark, sf))
     val full = Dedup.dedupMinhash.fn(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .filter { case (a, b, _) => a >= split || b >= split }.toSet
     val inc = Dedup.dedupIncremental.fn(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(inc == full, s"split=$split diff=${inc.diff(full) ++ full.diff(inc)}")
+  }
+
+  test("indexed incremental dedup equals the recomputed path on the same split") {
+    val inc = Dedup.dedupIncremental.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val idx = Dedup.dedupIncrementalIndexed.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(idx == inc, s"diff=${idx.diff(inc) ++ inc.diff(idx)}")
   }
 
   test("incremental dedup handles a re-ingested document (overlap on both sides)") {
@@ -223,6 +229,20 @@ class SimilaritySpec extends AnyFunSuite {
     // unreachable by design); still expect solid overlap
     val overlap = a.map(_.getLong(0)).toSet.intersect(exact).size
     assert(overlap >= 3, s"IVF-PQ top-10 overlaps exact top-10 on only $overlap")
+  }
+
+  test("persisted ivfpq index returns exactly the in-memory ivfpq top-10") {
+    val dir = "/root/testdata/sf0.01"
+    val mem = Similarity.annIvfPq.fn(spark, dir).collect().map(_.toString)
+    val disk = Similarity.annIvfPqPersisted.fn(spark, dir).collect().map(_.toString)
+    assert(disk.sameElements(mem),
+      s"mem=${mem.mkString(",")} disk=${disk.mkString(",")}")
+    // the persisted code scan prunes to the probed list partitions
+    val idx = Similarity.annIndexDir(spark, dir, Similarity.vectors(spark, dir))
+    val p = Similarity.annIvfPqPersisted.fn(spark, dir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("PartitionFilters") && p.contains("list"),
+      s"no partition pruning on the codes scan:\n$p")
   }
 
   test("ivf ANN recalls most exact top-1 neighbors (full corpus, every SF)") {
