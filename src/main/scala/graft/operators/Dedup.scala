@@ -87,7 +87,10 @@ object Dedup {
     // restriction PlanAuditSpec locks on.
     val candIds = p.select(col("id1").as("doc_id"))
       .union(p.select(col("id2").as("doc_id"))).distinct()
-    val shCand = sh.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+    // distinct AFTER the candidate restriction: exact Jaccard needs
+    // set semantics, but deduping only candidate shingles keeps the
+    // shuffle candidate-sized (the input `sh` is intentionally raw)
+    val shCand = sh.join(broadcast(candIds), Seq("doc_id"), "left_semi").distinct()
     val counts = shCand.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = p
       .join(shCand.toDF("id1", "sh"), "id1")
@@ -156,12 +159,18 @@ object Dedup {
   val Bands = 16
   val RowsPerBand: Int = NumPerm / Bands
 
-  /** doc_id → exploded distinct 64-bit-hashed word-3-shingles
-    * (column `sh`: long). One string hash per shingle up front; all
-    * downstream MinHash permutations and the verification join then
-    * operate on fixed-width longs — at corpus scale that cuts both
-    * the 64-permutation hashing cost and the shuffle width.
+  /** doc_id → exploded 64-bit-hashed word-3-shingles (column `sh`:
+    * long). One string hash per shingle up front; all downstream
+    * MinHash permutations and the verification join then operate on
+    * fixed-width longs — at corpus scale that cuts both the
+    * 64-permutation hashing cost and the shuffle width.
     * Hash collisions perturb Jaccard by ~2^-64 — immaterial.
+    *
+    * Deliberately NOT distinct: a corpus-wide (doc_id, sh) distinct
+    * is a full shuffle of every shingle row, and no consumer needs
+    * it — MinHash min() is duplicate-insensitive, and jaccardVerify
+    * dedups internally AFTER restricting to candidate ids (a
+    * candidate-sized shuffle instead of a corpus-sized one).
     */
   def shinglesHashed(docs: DataFrame): DataFrame =
     docs
@@ -171,7 +180,6 @@ object Dedup {
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(toks) - 3), i -> xxhash64(toks[i], toks[i+1], toks[i+2]))"))
         .as("sh"))
-      .distinct()
 
   /** doc_id → 64-permutation MinHash signature (column `sig`:
     * array<long>) via the native mergeable MinHashAgg — ONE aggregate
@@ -507,7 +515,7 @@ object Dedup {
         col("band") === col("band2") && col("sig") === col("sig2")
           && col("id1") < col("id2"))
       .select("id1", "id2")
-    jaccardVerify(corpusSh.union(incSh).distinct(),
+    jaccardVerify(corpusSh.union(incSh),
       cross.union(self).distinct(), threshold)
   }
 
