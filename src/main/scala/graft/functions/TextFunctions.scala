@@ -1,0 +1,31 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.graft.{ColumnBridge, UnicodeNormalize}
+
+/** Column-API and SQL-registration surface for graft's native text
+  * functions (expression implementation:
+  * org.apache.spark.sql.graft.UnicodeNormalize).
+  */
+object TextFunctions {
+
+  /** `graft_normalize(text[, form])` — form defaults to NFC (what
+    * DuckDB's nfc_normalize implements); NFKC is the usual choice
+    * for dedup keys when compatibility equivalence should collapse.
+    */
+  private[functions] val normalizeBuilder: Seq[Expression] => Expression = {
+    case Seq(c) => UnicodeNormalize(c, "NFC")
+    case Seq(c, f) => UnicodeNormalize(c, String.valueOf(f.eval()))
+    case other => throw new IllegalArgumentException(
+      s"graft_normalize expects 1 or 2 arguments, got ${other.size}")
+  }
+
+  def unicode_normalize(text: Column, form: String = "NFC"): Column =
+    ColumnBridge.column(UnicodeNormalize(ColumnBridge.expression(text), form))
+
+  /** Register `graft_normalize` for SQL use in an existing session. */
+  def registerSql(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_normalize", normalizeBuilder, "built-in")
+}

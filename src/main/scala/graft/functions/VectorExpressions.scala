@@ -63,5 +63,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[org.apache.spark.sql.graft.MinHashAgg].getName, "graft_minhash"),
       SketchFunctions.minhashBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_normalize"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.graft.UnicodeNormalize].getName,
+        "graft_normalize"),
+      TextFunctions.normalizeBuilder))
   }
 }

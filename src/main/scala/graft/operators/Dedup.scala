@@ -37,6 +37,30 @@ object Dedup {
       .orderBy(col("keep_id"))
   }
 
+  /** Exact dedup on the UNICODE-NORMALIZED key: NFC first, so
+    * composed and decomposed encodings of the same text (e.g. U+00E9
+    * vs e + U+0301) land in one duplicate group — plain lowercasing
+    * misses them. NFC on both engines (DuckDB nfc_normalize is the
+    * oracle); the API also offers NFKC via
+    * TextFunctions.unicode_normalize for compatibility-collapsing
+    * dedup keys (no DuckDB oracle for that form).
+    */
+  val dedupExactNfc: QueryDef = QueryDef.sql(
+    "dedup_exact_nfc",
+    """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM (SELECT doc_id,
+      |        trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS norm
+      |      FROM documents) t
+      |GROUP BY norm ORDER BY keep_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(md5(norm(
+        graft.functions.TextFunctions.unicode_normalize(col("text"), "NFC")))
+        .as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+      .orderBy(col("keep_id"))
+  }
+
   val dedupStats: QueryDef = QueryDef.sql(
     "dedup_stats",
     """SELECT n_copies, count(*) AS n_groups
@@ -610,8 +634,8 @@ object Dedup {
     graft.streaming.EventStreams.streamDedupWithinWatermark)
 
   val all: Seq[QueryDef] = Seq(
-    dedupExact, dedupStats, dedupNgram, dedupMinhash, dedupSimhash,
-    dedupEmbedding, streamDedup, dedupGroups, dedupNearCorpus,
+    dedupExact, dedupExactNfc, dedupStats, dedupNgram, dedupMinhash,
+    dedupSimhash, dedupEmbedding, streamDedup, dedupGroups, dedupNearCorpus,
     dedupSimhashLsh, streamDedupWm, dedupMinhashCorpus, dedupIncremental,
     dedupIncrementalIndexed)
 }

@@ -15,8 +15,17 @@ import graft.sources.Tables
   */
 object Multimodal {
 
+  /** Media metadata row. Image containers fill width/height; audio
+    * containers fill sample_rate/channels/duration_ms; the
+    * deterministic stub fills the image fields from payload bytes
+    * (kind tells which path decoded the payload). Fields the decoder
+    * doesn't produce stay 0 — appended after mean_intensity so
+    * positional consumers of the original image schema are stable.
+    */
   final case class MediaFeature(
-      doc_id: Long, width: Int, height: Int, mean_intensity: Double)
+      doc_id: Long, width: Int, height: Int, mean_intensity: Double,
+      kind: String = "stub", sample_rate: Int = 0, channels: Int = 0,
+      duration_ms: Double = 0.0)
 
   /** Deterministic fake "decode": derives pseudo image dims/stats
     * from the payload bytes. Replace with a real codec call
@@ -83,18 +92,59 @@ object Multimodal {
     None
   }
 
-  /** Real decode where the payload is a recognized image container
-    * (PNG IHDR / JPEG SOFn header parsing — pure JVM, executor-local),
-    * deterministic stub otherwise. The mean over payload bytes is the
-    * same statistic in both paths.
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  /** (sample_rate, channels, duration_ms) from a WAV header: the RIFF
+    * container ("RIFF" + size + "WAVE") holds word-aligned chunks;
+    * "fmt " carries channels (LE16 at +2), sample rate (LE32 at +4)
+    * and byte rate (LE32 at +8) — duration is the "data" chunk's size
+    * over the byte rate. RIFF/WAVE spec (Microsoft/IBM, 1991).
     */
-  def decode(docId: Long, payload: Array[Byte]): MediaFeature =
-    decodePng(payload).orElse(decodeJpeg(payload)) match {
-      case Some((w, h)) =>
-        val stub = decodeStub(docId, payload)
-        MediaFeature(docId, w, h, stub.mean_intensity)
-      case None => decodeStub(docId, payload)
+  def decodeWav(b: Array[Byte]): Option[(Int, Int, Double)] = {
+    if (b.length < 36) return None
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+    var i = 12
+    var rate = 0; var channels = 0; var byteRate = 0; var dataLen = -1
+    while (i + 8 <= b.length && (rate == 0 || dataLen < 0)) {
+      val isFmt = b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' '
+      val isData = b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a'
+      val len = le32(b, i + 4)
+      if (len < 0) return None
+      if (isFmt && i + 8 + 16 <= b.length) {
+        channels = le16(b, i + 10)
+        rate = le32(b, i + 12)
+        byteRate = le32(b, i + 16)
+      } else if (isData) dataLen = len
+      i += 8 + len + (len & 1) // chunks are word-aligned
     }
+    if (rate > 0 && byteRate > 0 && dataLen >= 0)
+      Some((rate, channels, math.round(dataLen.toDouble * 1000.0 / byteRate
+        * 100) / 100.0))
+    else None
+  }
+
+  /** Real decode where the payload is a recognized container
+    * (PNG IHDR / JPEG SOFn / WAV RIFF header parsing — pure JVM,
+    * executor-local), deterministic stub otherwise. The mean over
+    * payload bytes is the same statistic in every path.
+    */
+  def decode(docId: Long, payload: Array[Byte]): MediaFeature = {
+    val stub = decodeStub(docId, payload)
+    decodePng(payload).map { case (w, h) =>
+      stub.copy(width = w, height = h, kind = "png")
+    }.orElse(decodeJpeg(payload).map { case (w, h) =>
+      stub.copy(width = w, height = h, kind = "jpeg")
+    }).orElse(decodeWav(payload).map { case (rate, ch, durMs) =>
+      stub.copy(width = 0, height = 0, kind = "wav",
+        sample_rate = rate, channels = ch, duration_ms = durMs)
+    }).getOrElse(stub)
+  }
 
   /** Documents with an opaque binary payload column (UTF-8 bytes of
     * text stand in for image bytes; schema shape is the point).

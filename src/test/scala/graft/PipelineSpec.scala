@@ -157,6 +157,31 @@ class DedupSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
+  test("NFC-normalized dedup collapses composed and decomposed encodings") {
+    import spark.implicits._
+    val composed = "café résumé"          // U+00E9
+    val decomposed = "café résumé"     // e + U+0301
+    assert(composed != decomposed, "literals must be distinct encodings")
+    val docs = Seq((1L, composed), (2L, decomposed), (3L, "unrelated text"))
+      .toDF("doc_id", "text")
+    val fp = md5(trim(regexp_replace(lower(
+      graft.functions.TextFunctions.unicode_normalize(col("text"), "NFC")),
+      "\\s+", " ")))
+    val groups = docs.groupBy(fp.as("k")).count().collect().map(_.getLong(1)).sorted
+    assert(groups.toSeq == Seq(1L, 2L), "NFC must merge the two encodings")
+    // NFKC additionally collapses compatibility forms (ligature fi)
+    val nfkc = Seq((1L, "ﬁle"), (2L, "file")).toDF("doc_id", "text")
+      .select(graft.functions.TextFunctions.unicode_normalize(col("text"), "NFKC").as("t"))
+      .collect().map(_.getString(0)).distinct
+    assert(nfkc.length == 1)
+    // SQL registration
+    graft.functions.TextFunctions.registerSql(spark)
+    val viaSql = spark.sql(
+      s"SELECT graft_normalize('café', 'NFC') = 'café'")
+      .collect()(0).getBoolean(0)
+    assert(viaSql)
+  }
+
   test("simhash near-dup pairs have hamming <= 3") {
     val rows = Dedup.dedupSimhash.fn(spark, sf).collect()
     assert(rows.forall(_.getLong(2) <= 3))
@@ -312,6 +337,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(2L) == ((320, 200)))
     // non-image payloads fall back to the deterministic stub range
     assert(out(3L)._1 >= 64 && out(3L)._1 < 128)
+  }
+
+  test("real WAV headers decode to true sample rate and duration") {
+    import spark.implicits._
+    // 44.1 kHz stereo 16-bit: byte rate 176400; 1 s of audio
+    def wav(rate: Int, channels: Int, dataLen: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val byteRate = rate * channels * 2
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      bb.putShort(1).putShort(channels.toShort).putInt(rate).putInt(byteRate)
+      bb.putShort((channels * 2).toShort).putShort(16)
+      bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      bb.array()
+    }
+    assert(Multimodal.decodeWav(wav(44100, 2, 176400)) ===
+      Some((44100, 2, 1000.0)))
+    assert(Multimodal.decodeWav(wav(16000, 1, 8000)) ===
+      Some((16000, 1, 250.0)))
+    assert(Multimodal.decodeWav("RIFFnope".getBytes("US-ASCII")).isEmpty)
+    // and through the batched mapPartitions path, with typed columns
+    val out = Multimodal.features(spark,
+      Seq((7L, wav(44100, 2, 176400)),
+          (8L, "plain text".getBytes("UTF-8"))).toDF("doc_id", "payload"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(7L).getAs[String]("kind") == "wav")
+    assert(out(7L).getAs[Int]("sample_rate") == 44100)
+    assert(out(7L).getAs[Double]("duration_ms") == 1000.0)
+    assert(out(8L).getAs[String]("kind") == "stub")
   }
 
   test("frame sampling keeps every 4th frame with correct lengths") {
