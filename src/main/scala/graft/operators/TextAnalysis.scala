@@ -186,6 +186,39 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  val BpeVocab = 2048
+  val BpeNumMerges = 256
+
+  /** Merges trained once per corpus (driver-side over the
+    * distributed piece-frequency table — the BPE-training contract;
+    * see graft.functions.Bpe).
+    */
+  private val bpeMergesCache =
+    scala.collection.concurrent.TrieMap.empty[String, Map[(String, String), Int]]
+
+  def bpeMerges(docs: DataFrame, cacheKey: String): Map[(String, String), Int] =
+    bpeMergesCache.getOrElseUpdate(cacheKey, graft.functions.Bpe.ranks(
+      graft.functions.Bpe.trainFromCorpus(
+        docs, "text", bpePattern, BpeVocab, BpeNumMerges)))
+
+  /** Tokenizer-FAITHFUL token counts: a real merges table (trained
+    * on this corpus's piece frequencies, 256 merges) applied to the
+    * pre-tokenization pieces — what token-budget accounting at scale
+    * actually uses, vs text_bpe_tokens' piece-count proxy. n_pieces
+    * upper-bounds nothing; n_bpe_merged is the budget number
+    * (pieces ≤ merged ≤ characters is pinned in ScalaTest).
+    */
+  val textBpeMerged: QueryDef = QueryDef.rowsOnly("text_bpe_merged") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val ranks = bpeMerges(docs, cacheKey = d)
+    docs.select(
+      col("doc_id"),
+      graft.functions.Bpe.bpe_token_count(col("text"), bpePattern, ranks)
+        .as("n_bpe_merged"),
+      regexp_count(col("text"), lit(bpePattern)).cast("long").as("n_pieces"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Language-ID confusion matrix against the corpus's ground-truth
     * lang column — the evaluation loop a real pipeline runs after
     * changing a classifier.
@@ -424,6 +457,6 @@ object TextAnalysis {
 
   val all: Seq[QueryDef] = Seq(
     textTokens, textQuality, textLangid, textFingerprint, textWordfreq,
-    textBpeTokens, textLangidEval, textRepetition, textRedact, textCmsFreq,
-    textChunks, textChunkDedup, textLmScore)
+    textBpeTokens, textBpeMerged, textLangidEval, textRepetition, textRedact,
+    textCmsFreq, textChunks, textChunkDedup, textLmScore)
 }

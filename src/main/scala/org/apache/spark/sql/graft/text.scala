@@ -36,3 +36,33 @@ case class UnicodeNormalize(child: Expression, form: String)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** BPE token count under a trained merges table: pre-tokenize with
+  * `pattern`, greedily merge each piece by rank, count surviving
+  * tokens. The ranks map rides the expression (task closure — the
+  * broadcast-merges shape of production token accounting).
+  * CodegenFallback: the merge loop is data-dependent iteration, not
+  * an expression tree — still executor-local, zero shuffle.
+  */
+case class BpeTokenCount(child: Expression, pattern: String,
+    ranks: Map[(String, String), Int])
+    extends UnaryExpression with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_bpe_count"
+
+  @transient private lazy val re = java.util.regex.Pattern.compile(pattern)
+
+  override def nullSafeEval(s: Any): Any = {
+    val m = re.matcher(s.asInstanceOf[UTF8String].toString)
+    var n = 0L
+    while (m.find()) n += graft.functions.Bpe.encodePieceCount(m.group(), ranks)
+    n
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -607,6 +607,46 @@ class TextSpec extends AnyFunSuite {
     assert(a.nonEmpty && a.map(_.toString).sameElements(b.map(_.toString)))
   }
 
+  test("BPE training and encoding follow the classic algorithm") {
+    import graft.functions.Bpe
+    // word-freq table {low:5, lower:2, newest:6, widest:3} — the
+    // Sennrich-style toy corpus. Most frequent pair first: "es" (9).
+    val merges = Bpe.trainMerges(
+      Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L), 4)
+    assert(merges.head == ("e", "s"))
+    assert(merges(1) == ("es", "t"), s"got $merges") // est: 9 beats lo: 7
+    assert(merges(2) == ("l", "o"))
+    val r = Bpe.ranks(merges)
+    // "newest" -> n e w est -> after (l,o): unchanged = 4 tokens
+    assert(Bpe.encodePieceCount("newest", r) == 4)
+    // unseen text: no applicable merges, one token per char
+    assert(Bpe.encodePieceCount("zq", r) == 2)
+    assert(Bpe.encodePieceCount("", r) == 0)
+    // determinism: training twice gives identical merges
+    assert(Bpe.trainMerges(
+      Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L), 4) == merges)
+  }
+
+  test("merged BPE counts sit between piece counts and char counts") {
+    val rows = TextAnalysis.textBpeMerged.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val chars = Tables.documents(spark, sf)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var merged = 0L; var pieces = 0L
+    rows.foreach { r =>
+      val (id, nBpe, nPieces) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(nBpe >= nPieces, s"doc $id: fewer tokens than pieces")
+      assert(nBpe <= chars(id), s"doc $id: more tokens than characters")
+      merged += nBpe; pieces += nPieces
+    }
+    // corpus-trained merges must actually compress: far fewer tokens
+    // than characters (at tiny SFs the vocabulary is small enough
+    // that every piece may fully merge, so merged == pieces is legal)
+    assert(merged < chars.values.sum / 2)
+    assert(pieces > 0 && merged >= pieces)
+  }
+
   test("count-min estimates bound the exact counts within eps·N") {
     val rows = TextAnalysis.textCmsFreq.fn(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
