@@ -24,6 +24,13 @@ object TextFunctions {
   def unicode_normalize(text: Column, form: String = "NFC"): Column =
     ColumnBridge.column(UnicodeNormalize(ColumnBridge.expression(text), form))
 
+  /** Lower-cased character bigrams (native per-row loop — see
+    * org.apache.spark.sql.graft.CharBigrams).
+    */
+  def char_bigrams(text: Column): Column =
+    ColumnBridge.column(
+      org.apache.spark.sql.graft.CharBigrams(ColumnBridge.expression(text)))
+
   /** Register `graft_normalize` for SQL use in an existing session. */
   def registerSql(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -401,15 +401,23 @@ object TextAnalysis {
     * count aggregation, top LmTableSize bigrams to the driver
     * (O(table), never O(corpus)).
     */
+  /** Exploded character bigrams of `text` (plus any carried columns)
+    * via the native CharBigrams expression — one per-row loop. The
+    * r02 hotspot was `substr(text, i, 2)` per position (O(n²) walks
+    * of the variable-width UTF8 string) inside an INTERPRETED
+    * higher-order lambda (one boxed call per character).
+    */
+  private def bigramsOf(docs: DataFrame, carry: Seq[Column] = Nil): DataFrame =
+    docs.select(carry :+ explode(
+      graft.functions.TextFunctions.char_bigrams(col("text"))).as("bg"): _*)
+
   def bigramLogProbs(docs: DataFrame): Map[String, Double] = {
     // ONE corpus pass: the bigram explode feeds a single count
     // aggregation; the corpus total is then derived from the grouped
     // result (one row per DISTINCT bigram — tiny), not from a second
     // full explode. The grouped table is persisted so the total and
     // the top-K read the same aggregation.
-    val grouped = docs
-      .select(explode(expr(
-        "transform(sequence(1, length(text) - 1), i -> lower(substr(text, i, 2)))")).as("bg"))
+    val grouped = bigramsOf(docs)
       .groupBy("bg").agg(count(lit(1)).as("n"))
       .persist()
     try {
@@ -427,11 +435,12 @@ object TextAnalysis {
   }
 
   /** Mean bigram log-prob of a text column under a driver-built
-    * table (broadcast as a map literal) — unseen bigrams floored.
+    * table (broadcast as ONE map Literal — typedLit, not a 2·1024-
+    * child CreateMap, which would be re-evaluated per row) — unseen
+    * bigrams floored.
     */
   def lmScoreCol(text: Column, table: Map[String, Double]): Column = {
-    val entries = table.toSeq.sortBy(_._1)
-    val tableLit = map(entries.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val tableLit = typedLit(scala.collection.immutable.SortedMap.from(table))
     val perBigram = transform(
       sequence(lit(1), length(text) - 1),
       i => coalesce(element_at(tableLit, lower(text.substr(i, lit(2)))), lit(LmFloor)))
@@ -448,10 +457,19 @@ object TextAnalysis {
   val textLmScore: QueryDef = QueryDef.rowsOnly("text_lm_score") { (s, d) =>
     val docs = Tables.documents(s, d)
     val table = bigramLogProbs(docs)
-    docs.filter(length(col("text")) >= 2)
-      .select(col("doc_id"),
-        (length(col("text")) - 1).cast("long").as("n_bigrams"),
-        round(lmScoreCol(col("text"), table), 4).as("lm_score"))
+    import s.implicits._
+    // relational scoring: bigrams explode map-side and hash-join the
+    // broadcast table (O(1) lookups in codegen) — a per-element
+    // element_at over a 1024-entry map literal is a linear scan per
+    // bigram, ~1000× more comparisons on the same corpus. One shuffle
+    // of (doc_id, partial sum/count) pairs.
+    val tableDf = table.toSeq.sortBy(_._1).toDF("bg", "logp")
+    bigramsOf(docs, carry = Seq(col("doc_id")))
+      .join(broadcast(tableDf), Seq("bg"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(coalesce(col("logp"), lit(LmFloor))) / count(lit(1)), 4)
+          .as("lm_score"))
       .orderBy(col("doc_id"))
   }
 

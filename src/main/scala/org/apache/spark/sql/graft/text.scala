@@ -37,6 +37,36 @@ case class UnicodeNormalize(child: Expression, form: String)
     copy(child = newChild)
 }
 
+/** Lower-cased character bigrams of a string as array<string> — one
+  * tight per-ROW loop. The composed formulation (split + filter +
+  * transform higher-order functions) pays an INTERPRETED lambda call
+  * per character (ArrayTransform/ArrayFilter are CodegenFallback);
+  * this expression pays one eval per document. Powers text_lm_score.
+  */
+case class CharBigrams(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_char_bigrams"
+
+  override def nullSafeEval(s: Any): Any = {
+    val str = s.asInstanceOf[UTF8String].toString
+      .toLowerCase(java.util.Locale.ROOT)
+    val n = str.length - 1
+    val out = new Array[AnyRef](math.max(n, 0))
+    var i = 0
+    while (i < n) { out(i) = UTF8String.fromString(str.substring(i, i + 2)); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** BPE token count under a trained merges table: pre-tokenize with
   * `pattern`, greedily merge each piece by rank, count surviving
   * tokens. The ranks map rides the expression (task closure — the

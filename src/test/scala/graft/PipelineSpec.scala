@@ -605,6 +605,15 @@ class TextSpec extends AnyFunSuite {
     val a = TextAnalysis.textLmScore.fn(spark, sf).collect()
     val b = TextAnalysis.textLmScore.fn(spark, sf).collect()
     assert(a.nonEmpty && a.map(_.toString).sameElements(b.map(_.toString)))
+    // the broadcast-join formulation matches the map-literal column
+    // formulation (same table, same floor) within FP-order tolerance
+    val viaCol = docs.filter(length(col("text")) >= 2)
+      .select(col("doc_id"), TextAnalysis.lmScoreCol(col("text"), table).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    a.foreach { r =>
+      assert(math.abs(r.getDouble(2) - viaCol(r.getLong(0))) < 1e-3,
+        s"doc ${r.getLong(0)}: join=${r.getDouble(2)} col=${viaCol(r.getLong(0))}")
+    }
   }
 
   test("BPE training and encoding follow the classic algorithm") {
