@@ -162,6 +162,31 @@ object Similarity {
   private val quantizerCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
 
+  /** Warehouse path of the persisted ANN index for a source dir
+    * (same source-dir-hash contract as the other index/table names).
+    */
+  private def annIndexPath(s: SparkSession, d: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
+    new org.apache.hadoop.fs.Path(wh, s"graft_ann_idx_$h").toString
+  }
+
+  /** Read `sub` of the persisted index iff its _SUCCESS exists —
+    * fitted index artifacts are reused by FRESH sessions, not refit
+    * per process (fits are deterministic, so a load equals a refit;
+    * shape is validated in case index constants changed since the
+    * files were written).
+    */
+  private def loadIndexPart(s: SparkSession, d: String, sub: String):
+      Option[Array[org.apache.spark.sql.Row]] = {
+    val dir = new org.apache.hadoop.fs.Path(s"${annIndexPath(s, d)}/$sub")
+    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS")))
+      Some(s.read.parquet(dir.toString).collect())
+    else None
+  }
+
   def coarseCentroids(e: DataFrame, cacheKey: String = ""): Array[Array[Double]] = {
     def fit(): Array[Array[Double]] = {
       // a coarse quantizer needs a representative sample, not the
@@ -175,8 +200,14 @@ object Similarity {
         KMeans.ndLloyd(sample, init, iters = 3)._1
       } finally sample.unpersist(false)
     }
+    def loadOrFit(): Array[Array[Double]] =
+      loadIndexPart(e.sparkSession, cacheKey, "centroids")
+        .map(_.map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+          .sortBy(_._1).map(_._2))
+        .filter(cs => cs.length == NLists && cs.forall(_.length == Dim))
+        .getOrElse(fit())
     if (cacheKey.isEmpty) fit()
-    else quantizerCache.getOrElseUpdate(cacheKey, fit())
+    else quantizerCache.getOrElseUpdate(cacheKey, loadOrFit())
   }
 
   /** IVF ANN: assign every vector to its nearest coarse centroid
@@ -275,8 +306,17 @@ object Similarity {
   def pqCodebooks(e: DataFrame, cacheKey: String = ""): Array[Array[Array[Double]]] = {
     def fit(): Array[Array[Array[Double]]] =
       fitSubspaceCodebooks(e.limit(4096).select(unit(col("v")).as("u")))
+    def loadOrFit(): Array[Array[Array[Double]]] =
+      loadIndexPart(e.sparkSession, cacheKey, "codebooks_raw")
+        .map { rows =>
+          val m = rows.map(r =>
+            (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray).toMap
+          if (m.size == PqM * PqK && m.values.forall(_.length == SubDim))
+            Some(Array.tabulate(PqM, PqK)((i, j) => m((i, j))))
+          else None
+        }.flatten.getOrElse(fit())
     if (cacheKey.isEmpty) fit()
-    else pqCache.getOrElseUpdate(cacheKey, fit())
+    else pqCache.getOrElseUpdate(cacheKey, loadOrFit())
   }
 
   /** Codeword id of subspace m for a unit vector column: argmin over
@@ -390,8 +430,17 @@ object Similarity {
         .withColumn("list",
           array_min(array(centroidStructs(cs, col("u0")): _*)).getField("list"))
         .select(residualExpr(cs, col("u0"), col("list")).as("u")))
+    def loadOrFit(): Array[Array[Array[Double]]] =
+      loadIndexPart(e.sparkSession, cacheKey, "codebooks")
+        .map { rows =>
+          val m = rows.map(r =>
+            (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray).toMap
+          if (m.size == PqM * PqK && m.values.forall(_.length == SubDim))
+            Some(Array.tabulate(PqM, PqK)((i, j) => m((i, j))))
+          else None
+        }.flatten.getOrElse(fit())
     if (cacheKey.isEmpty) fit()
-    else ivfPqCache.getOrElseUpdate(cacheKey, fit())
+    else ivfPqCache.getOrElseUpdate(cacheKey, loadOrFit())
   }
 
   /** IVF-PQ ANN — the production index layout (Jégou et al.; FAISS
@@ -482,6 +531,12 @@ object Similarity {
     (for { m <- 0 until PqM; j <- 0 until PqK } yield (m, j, cb(m)(j).toSeq))
       .toDF("m", "j", "c").repartition(1)
       .write.mode("overwrite").parquet(s"$path/codebooks")
+    // raw-vector PQ codebooks too (ann_pq's flavor — trained on unit
+    // vectors, not residuals), so no ANN entry refits per process
+    val cbRaw = pqCodebooks(e, cacheKey)
+    (for { m <- 0 until PqM; j <- 0 until PqK } yield (m, j, cbRaw(m)(j).toSeq))
+      .toDF("m", "j", "c").repartition(1)
+      .write.mode("overwrite").parquet(s"$path/codebooks_raw")
     ivfPqCodes(e, cs, cb)
       .write.partitionBy("list").mode("overwrite").parquet(s"$path/codes")
   }
