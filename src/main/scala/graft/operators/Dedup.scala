@@ -524,16 +524,24 @@ object Dedup {
     * verification, but jaccardVerify restricts them to candidate ids
     * before any work.
     */
-  def minhashIncrementPairsWithIndex(corpusBuckets: DataFrame,
-      corpusSh: DataFrame, incSh: DataFrame,
-      threshold: Double = 0.8): DataFrame = {
-    val bi = lshBuckets(minhashSignatures(incSh))
-    val cross = broadcast(bi.toDF("ia", "band", "sig"))
+  /** LSH cross candidates: increment buckets (broadcast — a daily
+    * ingest is small) against the corpus bucket table, map-side with
+    * zero corpus shuffle. Returns (id1 < id2).
+    */
+  def incrementCrossCandidates(corpusBuckets: DataFrame,
+      incBuckets: DataFrame): DataFrame =
+    broadcast(incBuckets.toDF("ia", "band", "sig"))
       .join(corpusBuckets.toDF("ib", "band2", "sig2"),
         col("band") === col("band2") && col("sig") === col("sig2")
           && col("ia") =!= col("ib"))
       .select(least(col("ia"), col("ib")).as("id1"),
         greatest(col("ia"), col("ib")).as("id2"))
+
+  def minhashIncrementPairsWithIndex(corpusBuckets: DataFrame,
+      corpusSh: DataFrame, incSh: DataFrame,
+      threshold: Double = 0.8): DataFrame = {
+    val bi = lshBuckets(minhashSignatures(incSh))
+    val cross = incrementCrossCandidates(corpusBuckets, bi)
     val self = bi.toDF("id1", "band", "sig")
       .join(bi.toDF("id2", "band2", "sig2"),
         col("band") === col("band2") && col("sig") === col("sig2")
@@ -624,6 +632,51 @@ object Dedup {
     nearDedupedCorpus(docs, pairs).select(col("doc_id")).orderBy(col("doc_id"))
   }
 
+  /** STREAMING ingest against the STORED dedup index: documents
+    * arrive as micro-batches (2 files, maxFilesPerTrigger=1 — a real
+    * multi-batch run), and every batch's buckets broadcast-join the
+    * persisted corpus bucket table, Jaccard-verify, and append the
+    * confirmed near-dup pairs to a parquet sink — the always-on
+    * front door of the daily-ingest story (cross-vs-corpus only;
+    * intra-increment self pairs belong to the daily batch job).
+    * Per-batch cost is O(batch · bands) against a corpus-sized scan,
+    * zero corpus shuffle; state lives in the index, not the stream.
+    * Test-pinned equal to the batch cross-only path on the same
+    * split.
+    */
+  val streamDedupIndexed: QueryDef =
+    QueryDef.rowsOnly("stream_dedup_indexed") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val split = incrementSplit(docs)
+      val corpus = docs.filter(col("doc_id") < split)
+      val idx = dedupIndexDir(s, d, corpus)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_idx")
+      try {
+        val srcDir = s"$tmp/src"; val sinkDir = s"$tmp/sink"
+        docs.filter(col("doc_id") >= split).repartition(2)
+          .write.parquet(srcDir)
+        val stream = s.readStream
+          .schema(graft.streaming.EventStreams.docsSchema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(srcDir)
+        val q = stream.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$tmp/chk")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            val batchSh = shinglesHashed(batch.toDF())
+            val cand = incrementCrossCandidates(s.read.parquet(idx),
+              lshBuckets(minhashSignatures(batchSh)))
+            jaccardVerify(shinglesHashed(corpus).union(batchSh), cand, 0.8)
+              .write.mode("append").parquet(sinkDir)
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        s.read.parquet(sinkDir).orderBy(col("id1"), col("id2"))
+          .localCheckpoint(eager = true)
+      } finally
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+
   /** Streaming dedup with watermark-bounded state — per-event-type
     * distinct users through dropDuplicatesWithinWatermark.
     */
@@ -637,5 +690,5 @@ object Dedup {
     dedupExact, dedupExactNfc, dedupStats, dedupNgram, dedupMinhash,
     dedupSimhash, dedupEmbedding, streamDedup, dedupGroups, dedupNearCorpus,
     dedupSimhashLsh, streamDedupWm, dedupMinhashCorpus, dedupIncremental,
-    dedupIncrementalIndexed)
+    dedupIncrementalIndexed, streamDedupIndexed)
 }

@@ -589,7 +589,43 @@ object Similarity {
       ivfPqSearchFromCodes(e, codes, cs, cb, q)
     }
 
+  /** IVF-bucketed pairwise cosine ≥ threshold: every vector probes
+    * its `probes` nearest coarse lists and pairs only WITHIN a list —
+    * Σ n_l² work instead of n², sharded by list id across executors.
+    */
+  def embeddingIvfPairs(e: DataFrame, cs: Array[Array[Double]],
+      threshold: Double, probes: Int): DataFrame = {
+    val probed = e
+      .withColumn("u", unit(col("v")))
+      .withColumn("probe", explode(slice(
+        array_sort(array(centroidStructs(cs, col("u")): _*)), 1, probes)))
+      .select(col("vec_id"), col("u"), col("probe.list").as("list"))
+    probed.toDF("id1", "u1", "list")
+      .join(probed.toDF("id2", "u2", "list2"),
+        col("list") === col("list2") && col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        round(dot(col("u1"), col("u2")), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .distinct()
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** Unbounded-scale embedding near-dup — the scale path for
+    * dedup_embedding's bounded exact pairwise. Precision is exact
+    * (every emitted pair is cosine-verified); recall is probe-
+    * bounded: TRUE near-duplicates (cos ≥ ~0.99) share their nearest
+    * coarse list virtually surely (planted-duplicate recall pinned
+    * at 100% in ScalaTest), while the 0.35 corpus-calibrated demo
+    * threshold (~69° apart — far beyond near-dup) recalls only
+    * what happens to co-bucket, as any sub-quadratic scheme must.
+    */
+  val dedupEmbeddingIvf: QueryDef =
+    QueryDef.rowsOnly("dedup_embedding_ivf") { (s, d) =>
+      val e = vectors(s, d)
+      embeddingIvfPairs(e, coarseCentroids(e, cacheKey = d), 0.35, probes = 2)
+    }
+
   val all: Seq[QueryDef] = Seq(
     annBruteforce, annTopkJoin, annLsh, annIvf, annPq, annSearchText,
-    annIvfPq, annIvfPqPersisted)
+    annIvfPq, annIvfPqPersisted, dedupEmbeddingIvf)
 }

@@ -102,6 +102,51 @@ class DedupSpec extends AnyFunSuite {
     assert(idx == inc, s"diff=${idx.diff(inc) ++ inc.diff(idx)}")
   }
 
+  test("streaming indexed dedup equals the batch cross-only path") {
+    val docs = Tables.documents(spark, sf)
+    val split = Dedup.incrementSplit(docs)
+    val corpus = docs.filter(col("doc_id") < split)
+    val idx = Dedup.dedupIndexDir(spark, sf, corpus)
+    val incSh = Dedup.shinglesHashed(docs.filter(col("doc_id") >= split))
+    val expected = Dedup.jaccardVerify(
+      Dedup.shinglesHashed(corpus).union(incSh),
+      Dedup.incrementCrossCandidates(spark.read.parquet(idx),
+        Dedup.lshBuckets(Dedup.minhashSignatures(incSh))), 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val streamed = Dedup.streamDedupIndexed.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == expected,
+      s"diff=${streamed.diff(expected) ++ expected.diff(streamed)}")
+  }
+
+  test("ivf-bucketed embedding near-dup finds every planted duplicate") {
+    import spark.implicits._
+    val e = Similarity.vectors(spark, sf)
+    // plant 20 true near-duplicates: tiny deterministic perturbation
+    // of existing vectors (cos ~ 0.9999)
+    val planted = e.orderBy("vec_id").limit(20).collect().map { r =>
+      val v = r.getSeq[Double](1).toArray
+      v(0) += 0.01 * math.signum(v(0) + 1e-9)
+      (100000L + r.getLong(0), v.toSeq)
+    }.toSeq.toDF("vec_id", "v")
+    val aug = e.union(planted)
+    val cs = Similarity.coarseCentroids(aug)
+    val pairs = Similarity.embeddingIvfPairs(aug, cs, 0.99, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 20).foreach { i =>
+      assert(pairs.contains((i.toLong, 100000L + i)),
+        s"planted duplicate of vec $i not found")
+    }
+    // precision on the corpus entry: every emitted pair in the exact
+    // operator's bounded range must also pass the exact operator
+    val exact = Dedup.dedupEmbedding.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.dedupEmbeddingIvf.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.nonEmpty)
+    assert(ivf.filter { case (a, b) => a < 300 && b < 300 }.subsetOf(exact))
+  }
+
   test("incremental dedup handles a re-ingested document (overlap on both sides)") {
     import spark.implicits._
     val mk = (id: Long, text: String) => (id, text)
