@@ -118,7 +118,74 @@ object SourceOps {
       .orderBy(col("s_suppkey"))
   }
 
+  /** Morton z-value of two long columns, 16 bits each interleaved —
+    * a single codegen'd expression tree (32 shift/or terms, no UDF).
+    * Inputs must already be scaled into [0, 65535].
+    */
+  def zValue(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column):
+      org.apache.spark.sql.Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(1), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(1), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  val ZFiles = 16
+
+  /** Z-ORDER layout: lineitem rewritten range-partitioned + sorted by
+    * the Morton interleave of (l_partkey, l_suppkey), so each output
+    * file covers a RECTANGLE of the 2-D key space and a conjunctive
+    * range predicate on both keys skips most row groups via parquet
+    * min/max stats — the multi-dimensional generalization of sorting
+    * that a single-column sort can't give (sorting by partkey alone
+    * leaves suppkey scattered through every file). The layout write
+    * is the once-per-corpus ingest; the query is a 2-D box probe,
+    * oracle-checked against the unsorted table. File-level
+    * rectangle-ness is asserted in ScalaTest.
+    */
+  val srcZorderScan: QueryDef = QueryDef.sql(
+    "src_zorder_scan",
+    """SELECT count(*) AS n, CAST(sum(l_partkey) AS BIGINT) AS sum_pk,
+      |  round(sum(l_extendedprice), 2) AS total
+      |FROM lineitem
+      |WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 40""".stripMargin) { (s, d) =>
+    s.read.parquet(zorderedLineitem(s, d))
+      .filter(col("l_partkey").between(100, 300) &&
+        col("l_suppkey").between(10, 40))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_partkey")).cast("long").as("sum_pk"),
+        round(sum(col("l_extendedprice")), 2).as("total"))
+  }
+
+  /** Once-per-corpus z-ordered rewrite under the warehouse dir (the
+    * same source-dir-hash reuse contract as the bucketed tables and
+    * dedup/ANN indexes).
+    */
+  def zorderedLineitem(s: SparkSession, d: String): String = synchronized {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
+    val dir = new org.apache.hadoop.fs.Path(wh, s"graft_li_zorder_$h")
+    val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))) {
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice")
+      // scale both keys into 16-bit range by their observed max
+      val (maxP, maxS) = {
+        val r = li.agg(max("l_partkey"), max("l_suppkey")).collect()(0)
+        (math.max(r.getLong(0), 1L), math.max(r.getLong(1), 1L))
+      }
+      val z = zValue(col("l_partkey") * 65535L / maxP,
+        col("l_suppkey") * 65535L / maxS)
+      li.withColumn("graft_z", z)
+        .repartitionByRange(ZFiles, col("graft_z"))
+        .sortWithinPartitions(col("graft_z"))
+        .drop("graft_z")
+        .write.mode("overwrite").parquet(dir.toString)
+    }
+    dir.toString
+  }
+
   val all: Seq[QueryDef] = Seq(
     srcTextPoints, srcCsvRoundtrip, srcJsonRoundtrip, srcPartitionedScan,
-    srcOrcRoundtrip)
+    srcOrcRoundtrip, srcZorderScan)
 }

@@ -164,6 +164,26 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("z-ordered layout confines each file to a narrow key rectangle") {
+    import org.apache.spark.sql.functions._
+    val dir = graft.sources.SourceOps.zorderedLineitem(spark, sf)
+    val df = spark.read.parquet(dir)
+    val spans = df.groupBy(input_file_name().as("f"))
+      .agg((max("l_partkey") - min("l_partkey")).as("span_p"),
+        (max("l_suppkey") - min("l_suppkey")).as("span_s"))
+      .collect()
+    val g = df.agg((max("l_partkey") - min("l_partkey")).as("gp"),
+      (max("l_suppkey") - min("l_suppkey")).as("gs")).collect()(0)
+    assert(spans.length > 1)
+    val avgP = spans.map(_.getLong(1)).sum.toDouble / spans.length
+    val avgS = spans.map(_.getLong(2)).sum.toDouble / spans.length
+    // 16 z-range files ≈ a 4×4 grid of rectangles: each file should
+    // cover a small fraction of BOTH key ranges (an unsorted or
+    // single-key-sorted layout leaves one dimension spanning ~all)
+    assert(avgP < g.getLong(0) * 0.6 && avgS < g.getLong(1) * 0.6,
+      s"avg spans $avgP/$avgS vs global ${g.getLong(0)}/${g.getLong(1)}")
+  }
+
   test("native dot product stays inside whole-stage codegen") {
     val e = graft.operators.Similarity.vectors(spark, sf)
     val p = e.select(graft.functions.VectorFunctions
