@@ -128,5 +128,33 @@ object Curation {
       .orderBy(col("source"))
   }
 
-  val all: Seq[QueryDef] = Seq(pipelineCurate, pipelineMix, pipelineQualityFilter)
+  /** Exact-quota stratified sampling: EXACTLY 50 documents per
+    * source (or all of a smaller source), chosen by ranking on a
+    * fixed-width md5 prefix with a doc_id tie-break — a total,
+    * engine-independent order, so the same rows are drawn every run
+    * (rate-based hashing — pipeline_mix — can't hit exact quotas;
+    * rand() can't be reproduced or oracle-checked). One window pass
+    * per source partition.
+    */
+  val pipelineSampleN: QueryDef = QueryDef.sql(
+    "pipeline_sample_n",
+    """WITH r AS (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rn
+      |  FROM documents)
+      |SELECT doc_id, source FROM r WHERE rn <= 50
+      |ORDER BY source, doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(substring(md5(col("doc_id").cast("string")), 1, 8), col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 50)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(pipelineCurate, pipelineMix,
+    pipelineQualityFilter, pipelineSampleN)
 }

@@ -219,6 +219,46 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** TF-IDF keyword extraction: top-3 terms per document by
+    * tf · (ln((1+N)/(1+df)) + 1) (smoothed idf). Corpus work is two
+    * aggregations (term frequency by (doc, word); document frequency
+    * derived from the ALREADY-AGGREGATED tf table, never a second
+    * corpus pass) plus a word-keyed join; N is an O(1) scalar. The
+    * per-doc top-3 is one window over the tf table — the keyword
+    * label a curation pipeline attaches for topic mixing.
+    */
+  val textTfidf: QueryDef = QueryDef.sql(
+    "text_tfidf",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      |  FROM documents),
+      |tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+      |sc AS (SELECT tf.doc_id, tf.word,
+      |         round(tf.tf * (ln((1.0 + n.n) / (1.0 + df.df)) + 1.0), 4) AS tfidf
+      |       FROM tf JOIN df USING (word) CROSS JOIN n),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |        ORDER BY tfidf DESC, word) AS rn FROM sc)
+      |SELECT doc_id, word, tfidf FROM r WHERE rn <= 3
+      |ORDER BY doc_id, tfidf DESC, word""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("word"))
+    val tf = tok.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val n = tf.select(countDistinct(col("doc_id"))).collect()(0).getLong(0)
+    val sc = tf.join(dfr, "word")
+      .select(col("doc_id"), col("word"),
+        round(col("tf") * (log(lit(1.0 + n) / (col("df") + lit(1.0))) + lit(1.0)), 4)
+          .as("tfidf"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("word"))
+    sc.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("doc_id", "word", "tfidf")
+      .orderBy(col("doc_id"), col("tfidf").desc, col("word"))
+  }
+
   /** Language-ID confusion matrix against the corpus's ground-truth
     * lang column — the evaluation loop a real pipeline runs after
     * changing a classifier.
@@ -475,6 +515,6 @@ object TextAnalysis {
 
   val all: Seq[QueryDef] = Seq(
     textTokens, textQuality, textLangid, textFingerprint, textWordfreq,
-    textBpeTokens, textBpeMerged, textLangidEval, textRepetition, textRedact,
-    textCmsFreq, textChunks, textChunkDedup, textLmScore)
+    textBpeTokens, textBpeMerged, textTfidf, textLangidEval, textRepetition,
+    textRedact, textCmsFreq, textChunks, textChunkDedup, textLmScore)
 }

@@ -701,6 +701,34 @@ class TextSpec extends AnyFunSuite {
     assert(pieces > 0 && merged >= pieces)
   }
 
+  test("tfidf keywords: at most 3 per doc, positive scores, rare beats common") {
+    val rows = TextAnalysis.textTfidf.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+    }
+    assert(rows.forall(_.getDouble(2) > 0.0))
+    // a word in every document scores minimal idf: it should not be
+    // anyone's top keyword unless wildly frequent in-doc
+    val docs = Tables.documents(spark, sf)
+    val n = docs.count()
+    assert(rows.length >= n / 2 * 3 / 2) // most docs produce keywords
+  }
+
+  test("stratified sample draws exactly min(50, source size) per source, deterministically") {
+    val a = Curation.pipelineSampleN.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val b = Curation.pipelineSampleN.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(a.sameElements(b))
+    val sizes = Tables.documents(spark, sf).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    a.groupBy(_._2).foreach { case (src, rs) =>
+      assert(rs.length == math.min(50L, sizes(src)),
+        s"$src drew ${rs.length} of ${sizes(src)}")
+    }
+  }
+
   test("count-min estimates bound the exact counts within eps·N") {
     val rows = TextAnalysis.textCmsFreq.fn(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
