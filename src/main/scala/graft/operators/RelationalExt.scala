@@ -460,9 +460,58 @@ object RelationalExt {
       .orderBy(col("purchase_id"), col("click_id"))
   }
 
+  /** MERGE/upsert (SCD-1): an updates batch (changed prices for every
+    * 97th order + brand-new orders cloned above the key space) merged
+    * into the target — matched keys take the update, unmatched keep
+    * the target, update-only keys insert. One full-outer join on the
+    * key with coalesce row selection: the shuffle-join formulation of
+    * MERGE INTO that lakehouse table formats execute underneath. The
+    * updates side is deterministic (derived from the table itself) so
+    * DuckDB replays the merge exactly.
+    */
+  val qMergeUpsert: QueryDef = QueryDef.sql(
+    "q_merge_upsert",
+    """WITH upd AS (
+      |  SELECT o_orderkey, round(o_totalprice + 1000, 2) AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 97 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, round(o_totalprice, 2)
+      |  FROM orders WHERE o_orderkey % 101 = 0),
+      |m AS (
+      |  SELECT coalesce(u.o_orderkey, t.o_orderkey) AS k,
+      |         coalesce(u.o_totalprice, round(t.o_totalprice, 2)) AS price,
+      |         (u.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL) AS updated,
+      |         (t.o_orderkey IS NULL) AS inserted
+      |  FROM orders t FULL OUTER JOIN upd u ON t.o_orderkey = u.o_orderkey)
+      |SELECT count(*) AS n_rows,
+      |  CAST(sum(CASE WHEN updated THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+      |  CAST(sum(CASE WHEN inserted THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
+      |  round(sum(price), 2) AS total
+      |FROM m""".stripMargin) { (s, d) =>
+    val t = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val upd = t.filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey"), round(col("o_totalprice") + 1000, 2).as("u_price"))
+      .unionAll(t.filter(col("o_orderkey") % 101 === 0)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          round(col("o_totalprice"), 2).as("u_price")))
+    val m = t.toDF("t_key", "t_price")
+      .join(upd.toDF("u_key", "u_price"), col("t_key") === col("u_key"), "full_outer")
+      .select(
+        coalesce(col("u_key"), col("t_key")).as("k"),
+        coalesce(col("u_price"), round(col("t_price"), 2)).as("price"),
+        (col("u_key").isNotNull && col("t_key").isNotNull).as("updated"),
+        col("t_key").isNull.as("inserted"))
+    m.agg(count(lit(1)).as("n_rows"),
+      sum(when(col("updated"), 1).otherwise(0)).as("n_updated"),
+      sum(when(col("inserted"), 1).otherwise(0)).as("n_inserted"),
+      round(sum(col("price")), 2).as("total"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     qApproxDistinct, qApproxPercentile, qAsofJoin, qSkewSaltedJoin,
     qBucketedJoin, qPivot, qFullOuter, qTopPerKeyAgg, qScalarSubquery,
     qIntersect, qExcept, qCube, qMedian, qSkewStats, qOrderGaps,
-    qCorrelatedScalar, qGroupingSets, qRangeFrame, qNtile, qIntervalJoin)
+    qCorrelatedScalar, qGroupingSets, qRangeFrame, qNtile, qIntervalJoin,
+    qMergeUpsert)
 }

@@ -106,6 +106,38 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("z-value interleave is invertible on 200 random 16-bit pairs") {
+    val pts = sample(Gen.zip(Gen.chooseNum(0L, 65535L), Gen.chooseNum(0L, 65535L)),
+      200, 7L)
+    val got = pts.toDF("x", "y")
+      .select(graft.sources.SourceOps.zValue(col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0))
+    pts.zip(got).foreach { case ((x, y), z) =>
+      // de-interleave driver-side: even bits → x, odd bits → y
+      var (dx, dy) = (0L, 0L)
+      (0 until 16).foreach { i =>
+        dx |= ((z >> (2 * i)) & 1L) << i
+        dy |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      assert((dx, dy) == ((x, y)), s"z=$z of ($x,$y) decoded to ($dx,$dy)")
+    }
+  }
+
+  test("BPE encode count is bounded and deterministic on random strings") {
+    import graft.functions.Bpe
+    val words = sample(Gen.chooseNum(1, 12)
+      .flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString)), 100, 8L)
+    val merges = Bpe.trainMerges(
+      words.groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }.toSeq
+        .sortBy(_._1), 64)
+    val ranks = Bpe.ranks(merges)
+    words.foreach { w =>
+      val n = Bpe.encodePieceCount(w, ranks)
+      assert(n >= 1 && n <= w.length, s"'$w' -> $n tokens")
+      assert(n == Bpe.encodePieceCount(w, ranks))
+    }
+  }
+
   test("simhash hamming distance is symmetric and zero on self on random docs") {
     val docs = sample(Gen.listOfN(30,
       Gen.oneOf("alpha", "beta", "gamma", "delta")).map(_.mkString(" ")), 40, 5L)
