@@ -185,7 +185,68 @@ object SourceOps {
     dir.toString
   }
 
+  val CompactTargetFiles = 4
+
+  /** Small-file compaction — the operational fix for the classic
+    * 100 TB lakehouse pathology (a streaming ingest leaving
+    * thousands of KB-sized files makes every scan pay per-file open
+    * + listing cost). Stage orders as 64 tiny files, compact by
+    * reading + repartitioning to a right-sized file count + rewrite.
+    * Data parity is the oracle; the file-count collapse is asserted
+    * in ScalaTest.
+    */
+  val srcCompactSmallFiles: QueryDef = QueryDef.sql(
+    "src_compact_small_files",
+    """SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+      |  round(sum(o_totalprice), 2) AS total
+      |FROM orders""".stripMargin) { (s, d) =>
+    s.read.parquet(compactedOrders(s, d))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_orderkey")).cast("long").as("key_sum"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+  }
+
+  def compactedOrders(s: SparkSession, d: String): String = {
+    val small = tmpDir("orders_small_files")
+    val compact = tmpDir("orders_compacted")
+    Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+      .repartition(64) // the pathology: 64 tiny files
+      .write.mode("overwrite").parquet(small)
+    s.read.parquet(small)
+      .repartition(CompactTargetFiles)
+      .write.mode("overwrite").parquet(compact)
+    compact
+  }
+
+  /** Schema evolution: two parquet batches of the same table where
+    * the newer batch added a column, read back as ONE dataset via
+    * mergeSchema — old rows surface NULL for the new column (what a
+    * year of appends to an evolving pipeline schema looks like; at
+    * scale the merged-schema read costs one extra footer pass, not a
+    * rewrite).
+    */
+  val srcSchemaEvolution: QueryDef = QueryDef.sql(
+    "src_schema_evolution",
+    """SELECT count(*) AS n,
+      |  CAST(count(CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END) AS BIGINT)
+      |    AS n_with_status,
+      |  round(sum(o_totalprice), 2) AS total
+      |FROM orders""".stripMargin) { (s, d) =>
+    val path = tmpDir("orders_evolving")
+    val orders = Tables.orders(s, d)
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$path/batch=v1")
+    orders.filter(col("o_orderkey") % 2 === 1)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      .write.mode("overwrite").parquet(s"$path/batch=v2")
+    s.read.option("mergeSchema", "true").parquet(path)
+      .agg(count(lit(1)).as("n"),
+        count(col("o_orderstatus")).cast("long").as("n_with_status"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     srcTextPoints, srcCsvRoundtrip, srcJsonRoundtrip, srcPartitionedScan,
-    srcOrcRoundtrip, srcZorderScan)
+    srcOrcRoundtrip, srcZorderScan, srcCompactSmallFiles, srcSchemaEvolution)
 }

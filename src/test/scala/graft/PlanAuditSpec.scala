@@ -184,6 +184,14 @@ class PlanAuditSpec extends AnyFunSuite {
       s"avg spans $avgP/$avgS vs global ${g.getLong(0)}/${g.getLong(1)}")
   }
 
+  test("compaction collapses the small-file count to the target") {
+    val dir = graft.sources.SourceOps.compactedOrders(spark, sf)
+    def parquetFiles(p: String): Int =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(dir) == graft.sources.SourceOps.CompactTargetFiles)
+    assert(parquetFiles(dir.replace("compacted", "small_files")) == 64)
+  }
+
   test("native dot product stays inside whole-stage codegen") {
     val e = graft.operators.Similarity.vectors(spark, sf)
     val p = e.select(graft.functions.VectorFunctions
