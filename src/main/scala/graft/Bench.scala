@@ -67,16 +67,23 @@ object Bench {
       def mb(b: Long) = math.round(b / 1e4) / 100.0
       (name, sec, mb(io1._1 - io0._1), mb(io1._2 - io0._2), mb(io1._3 - io0._3))
     }
-    val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _, _, _) =>
+      s"\"" + k + "\":" + (math.round(v * 1000) / 1000.0)
+    }.mkString("{", ",", "}")
     val ios = results.map { case (k, _, sh, in, sp) =>
       s""""$k":{"shuffle_mb":$sh,"input_mb":$in,"spill_mb":$sp}"""
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val json =
+    val total = math.round(results.map(_._2).sum * 1000) / 1000.0
+    // stdout carries the contract line COMPACTLY (rounded seconds, no
+    // io map) — the driver scrapes stdout and long lines have been
+    // truncated to unparseable tails before; the full JSON (io
+    // included) goes to the file.
+    val stdoutJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val fileJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"io":$ios,"sf":"$sfDir"}"""
-    Files.writeString(Paths.get(outFile), json + "\n")
-    println(json)
+    Files.writeString(Paths.get(outFile), fileJson + "\n")
+    println(stdoutJson)
     spark.stop()
   }
 }
