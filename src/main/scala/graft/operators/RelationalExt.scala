@@ -508,10 +508,59 @@ object RelationalExt {
       round(sum(col("price")), 2).as("total"))
   }
 
+  // per-process staging for the DPP fact table (same isolation
+  // rationale as SourceOps.stagingRoot)
+  private lazy val dppRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_dpp")
+    p.toFile.deleteOnExit()
+    p
+  }
+
+  /** Dynamic partition pruning: the fact side is PARTITIONED on the
+    * join key, the dim side is a data-derived selective subset — at
+    * runtime Spark turns the dim's key set into a partition filter on
+    * the fact scan (`dynamicpruning` subquery in PartitionFilters),
+    * so unmatched partitions are never listed or read. The runtime
+    * sibling of static partition pruning (src_partitioned_scan):
+    * static needs the literal in the query; DPP prunes from JOINed
+    * data — at 100 TB this is what keeps star-schema joins from
+    * scanning every date partition. Plan-locked in PlanAuditSpec.
+    */
+  val qDppJoin: QueryDef = QueryDef.sql(
+    "q_dpp_join",
+    """WITH dim AS (SELECT DISTINCT o_orderstatus
+      |             FROM orders WHERE o_orderkey % 5000 = 0)
+      |SELECT f.o_orderstatus, count(*) AS n,
+      |  round(sum(f.o_totalprice), 2) AS total
+      |FROM orders f JOIN dim USING (o_orderstatus)
+      |GROUP BY f.o_orderstatus ORDER BY f.o_orderstatus""".stripMargin) { (s, d) =>
+    val fact = dppFactTable(s, d)
+    val dim = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 5000 === 0)
+      .select(col("o_orderstatus").as("d_status")).distinct()
+    fact.join(broadcast(dim), col("o_orderstatus") === col("d_status"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** The partitioned fact table the DPP join scans (written once per
+    * process per source dir).
+    */
+  def dppFactTable(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val path = dppRoot.resolve(
+      d.replaceAll("[^a-zA-Z0-9]", "_")).toString
+    if (!new java.io.File(s"$path/_SUCCESS").exists())
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    s.read.parquet(path)
+  }
+
   val all: Seq[QueryDef] = Seq(
     qApproxDistinct, qApproxPercentile, qAsofJoin, qSkewSaltedJoin,
     qBucketedJoin, qPivot, qFullOuter, qTopPerKeyAgg, qScalarSubquery,
     qIntersect, qExcept, qCube, qMedian, qSkewStats, qOrderGaps,
     qCorrelatedScalar, qGroupingSets, qRangeFrame, qNtile, qIntervalJoin,
-    qMergeUpsert)
+    qMergeUpsert, qDppJoin)
 }

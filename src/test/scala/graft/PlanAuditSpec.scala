@@ -184,6 +184,13 @@ class PlanAuditSpec extends AnyFunSuite {
       s"avg spans $avgP/$avgS vs global ${g.getLong(0)}/${g.getLong(1)}")
   }
 
+  test("dpp join prunes fact partitions from the joined dim at runtime") {
+    val p = formatted("q_dpp_join")
+    assert(p.contains("dynamicpruning"),
+      s"no dynamic partition pruning in:\n$p")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
   test("compaction collapses the small-file count to the target") {
     val dir = graft.sources.SourceOps.compactedOrders(spark, sf)
     def parquetFiles(p: String): Int =
