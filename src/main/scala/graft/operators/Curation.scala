@@ -155,6 +155,127 @@ object Curation {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  val TokenBudget = 800L
+
+  /** Token-budget corpus mixing: every source contributes documents —
+    * in a deterministic md5-prefix order — until its TOKEN budget is
+    * exhausted (running cumulative token count ≤ budget). This is how
+    * real data recipes are specified ("X billion tokens of source S"),
+    * vs. pipeline_mix's rate-based and pipeline_sample_n's
+    * count-based draws: the unit of account is tokens, not documents.
+    * One window pass per source partition; the budget cut is a
+    * map-side filter over the windowed cumsum.
+    */
+  val pipelineTokenBudget: QueryDef = QueryDef.sql(
+    "pipeline_token_budget",
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+       |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS hx
+       |  FROM documents),
+       |c AS (
+       |  SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY hx, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM t)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+       |FROM c WHERE cum <= $TokenBudget
+       |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.documents(s, d).select(
+      col("doc_id"), col("source"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+      substring(md5(col("doc_id").cast("string")), 1, 8).as("hx"))
+    val w = Window.partitionBy(col("source")).orderBy(col("hx"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.withColumn("cum", sum(col("n_tokens")).over(w))
+      .filter(col("cum") <= TokenBudget)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy(col("source"))
+  }
+
+  /** Deterministic train/val/test split (80/10/10): assignment by
+    * md5(doc_id) 4-hex-digit prefix thresholds (0xcccd ≈ 80.0%,
+    * 0xe666 ≈ 90.0%) — the same document lands in the same split on
+    * every run, engine, and partitioning, and adding documents never
+    * moves existing ones between splits (the property rand()-based
+    * splits can't give). Pure map-side assignment + one tiny agg.
+    */
+  val pipelineSplit: QueryDef = QueryDef.sql(
+    "pipeline_split",
+    """WITH h AS (
+      |  SELECT source, n_chars,
+      |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd' THEN 'train'
+      |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents)
+      |SELECT split, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  count(DISTINCT source) AS n_sources
+      |FROM h GROUP BY split ORDER BY split""".stripMargin) { (s, d) =>
+    val hx = substring(md5(col("doc_id").cast("string")), 1, 4)
+    Tables.documents(s, d)
+      .select(col("source"), col("n_chars"),
+        when(hx < "cccd", "train").when(hx < "e666", "val")
+          .otherwise("test").as("split"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("split"))
+  }
+
+  /** Benchmark-contamination detection (the GPT-3 appendix-C /
+    * PaLM-style decontamination primitive): an eval set (stand-in:
+    * every 37th document) is checked against the training corpus by
+    * exact word-5-gram overlap — any training document sharing a
+    * 5-gram with any benchmark document is flagged with how many
+    * distinct 5-grams leaked and how many benchmark docs are
+    * implicated. The benchmark side is tiny by construction, so it
+    * BROADCASTS into the corpus shingle stream: the corpus is scanned
+    * once, map-side, and only matching shingles reach the one
+    * aggregation — never a corpus shuffle. (At 100 TB the shingles
+    * would be xxhash64'd to 8-byte keys first — same plan, narrower
+    * rows; strings kept here for engine-exact oracle parity.)
+    */
+  val textContamination: QueryDef = QueryDef.sql(
+    "text_contamination",
+    """WITH t AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT DISTINCT doc_id,
+      |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+      |    toks[i+3] || ' ' || toks[i+4] AS sh
+      |  FROM t, UNNEST(generate_series(1, len(toks) - 4)) AS u(i)
+      |  WHERE len(toks) >= 5),
+      |b AS (SELECT doc_id AS bench_id, sh FROM s WHERE doc_id % 37 = 0),
+      |c AS (SELECT doc_id, sh FROM s WHERE doc_id % 37 <> 0)
+      |SELECT c.doc_id, count(DISTINCT c.sh) AS n_shared,
+      |  count(DISTINCT b.bench_id) AS n_bench_docs
+      |FROM c JOIN b ON c.sh = b.sh
+      |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin) { (s, d) =>
+    def grams5(docs: org.apache.spark.sql.DataFrame) = docs
+      .select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)).as("toks"))
+      .filter(size(col("toks")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(toks) - 5),
+          |  i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2], ' ',
+          |              toks[i+3], ' ', toks[i+4]))""".stripMargin)).as("sh"))
+      .distinct()
+    val all = grams5(Tables.documents(s, d))
+    val bench = all.filter(col("doc_id") % 37 === 0)
+      .select(col("doc_id").as("bench_id"), col("sh"))
+    val corpus = all.filter(col("doc_id") % 37 =!= 0)
+    corpus.join(broadcast(bench), "sh")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("sh")).as("n_shared"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(pipelineCurate, pipelineMix,
-    pipelineQualityFilter, pipelineSampleN)
+    pipelineQualityFilter, pipelineSampleN, pipelineTokenBudget,
+    pipelineSplit, textContamination)
 }

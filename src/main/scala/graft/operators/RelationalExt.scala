@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.QueryDef
@@ -508,6 +508,113 @@ object RelationalExt {
       round(sum(col("price")), 2).as("total"))
   }
 
+  /** MERGE/upsert (SCD-2): the history-preserving sibling of
+    * q_merge_upsert. The same deterministic updates batch (changed
+    * prices for every 97th order, effective 1998-06-01) merged into a
+    * versioned dimension: matched target rows CLOSE (valid_to = the
+    * effective date, is_current = false), a new version row opens per
+    * update, unmatched target rows ride through open. Three
+    * one-shuffle branches over the same key — semi-join (close),
+    * anti-join (keep), and the updates themselves (insert) — union'd;
+    * this is the join plan lakehouse engines compile MERGE ... WHEN
+    * MATCHED THEN UPDATE SET valid_to ... WHEN NOT MATCHED INSERT
+    * into. Dates emitted as strings (engine-independent encoding).
+    */
+  val qScd2: QueryDef = QueryDef.sql(
+    "q_scd2",
+    """WITH tgt AS (
+      |  SELECT o_orderkey, round(o_totalprice, 2) AS price,
+      |    strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS valid_from
+      |  FROM orders),
+      |upd AS (
+      |  SELECT o_orderkey, round(o_totalprice + 1000, 2) AS price
+      |  FROM orders WHERE o_orderkey % 97 = 0),
+      |closed AS (
+      |  SELECT t.o_orderkey, t.price, t.valid_from,
+      |    '1998-06-01' AS valid_to, FALSE AS is_current
+      |  FROM tgt t WHERE EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = t.o_orderkey)),
+      |kept AS (
+      |  SELECT t.o_orderkey, t.price, t.valid_from,
+      |    '9999-12-31' AS valid_to, TRUE AS is_current
+      |  FROM tgt t WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = t.o_orderkey)),
+      |opened AS (
+      |  SELECT o_orderkey, price, '1998-06-01' AS valid_from,
+      |    '9999-12-31' AS valid_to, TRUE AS is_current
+      |  FROM upd)
+      |SELECT * FROM (
+      |  SELECT * FROM closed UNION ALL
+      |  SELECT * FROM kept UNION ALL
+      |  SELECT * FROM opened)
+      |ORDER BY o_orderkey, valid_from""".stripMargin) { (s, d) =>
+    val tgt = Tables.orders(s, d).select(
+      col("o_orderkey"), round(col("o_totalprice"), 2).as("price"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("valid_from"))
+    val upd = Tables.orders(s, d).filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey"), round(col("o_totalprice") + 1000, 2).as("price"))
+    val updKeys = upd.select(col("o_orderkey").as("u_key"))
+    val closed = tgt
+      .join(updKeys, tgt("o_orderkey") === updKeys("u_key"), "left_semi")
+      .withColumn("valid_to", lit("1998-06-01"))
+      .withColumn("is_current", lit(false))
+    val kept = tgt
+      .join(updKeys, tgt("o_orderkey") === updKeys("u_key"), "left_anti")
+      .withColumn("valid_to", lit("9999-12-31"))
+      .withColumn("is_current", lit(true))
+    val opened = upd
+      .withColumn("valid_from", lit("1998-06-01"))
+      .withColumn("valid_to", lit("9999-12-31"))
+      .withColumn("is_current", lit(true))
+      .select("o_orderkey", "price", "valid_from", "valid_to", "is_current")
+    closed.unionAll(kept).unionAll(opened)
+      .orderBy(col("o_orderkey"), col("valid_from"))
+  }
+
+  val BloomFpp = 0.01
+
+  /** Distributed Bloom-filter build over the (filtered) dim keys:
+    * map-side partial sketches merge through one tiny exchange —
+    * O(bits) driver traffic, never O(rows).
+    */
+  def bloomOf(df: DataFrame, key: Column, expectedItems: Long): Array[Byte] = {
+    val bits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, BloomFpp)
+    df.select(org.apache.spark.sql.graft.BloomBridge
+        .bloomAgg(key, expectedItems, bits))
+      .head.getAs[Array[Byte]](0)
+  }
+
+  /** Bloom-filter-pruned join: the selective dim's key set is
+    * sketched (one mergeable aggregate), and the sketch — a few KB
+    * regardless of fact size — prunes the fact scan map-side with a
+    * codegen'd might-contain BEFORE any join exchange. The exact join
+    * then discards the sketch's false positives, so the result equals
+    * the plain join (the oracle proves it). This is Spark's own
+    * runtime-filter technique (InjectRuntimeFilter) made explicit and
+    * deterministic: at 100 TB the win is fact rows that never enter
+    * the shuffle; here ~96% of lineitem dies at the scan (plan-locked
+    * in PlanAuditSpec: the might_contain filter sits under the join).
+    */
+  val qBloomJoin: QueryDef = QueryDef.sql(
+    "q_bloom_join",
+    """SELECT o_orderpriority, count(*) AS n,
+      |  round(sum(l_extendedprice), 2) AS total
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 5 = 0
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    val dim = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val sketch = bloomOf(dim, col("o_orderkey"), expectedItems = 100000L)
+    val fact = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .filter(org.apache.spark.sql.graft.BloomBridge
+        .mightContain(sketch, col("l_orderkey")))
+    fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("total"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   // per-process staging for the DPP fact table (same isolation
   // rationale as SourceOps.stagingRoot)
   private lazy val dppRoot: java.nio.file.Path = {
@@ -562,5 +669,5 @@ object RelationalExt {
     qBucketedJoin, qPivot, qFullOuter, qTopPerKeyAgg, qScalarSubquery,
     qIntersect, qExcept, qCube, qMedian, qSkewStats, qOrderGaps,
     qCorrelatedScalar, qGroupingSets, qRangeFrame, qNtile, qIntervalJoin,
-    qMergeUpsert, qDppJoin)
+    qMergeUpsert, qDppJoin, qScd2, qBloomJoin)
 }

@@ -17,6 +17,39 @@ object ColumnBridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
 
+/** Bloom-filter build + probe as native Catalyst expressions — the
+  * pre-shuffle semi-join filter Spark's own InjectRuntimeFilter rule
+  * plants (SPARK-32268), exposed as an explicit operator: the build
+  * side aggregates a mergeable sketch (map-side partial merge, O(bits)
+  * on the wire), the probe side is a codegen'd might-contain over the
+  * broadcast sketch literal. False positives are possible by
+  * construction, so callers always re-verify with the exact join —
+  * the sketch only exists to keep non-matching fact rows out of the
+  * shuffle.
+  */
+object BloomBridge {
+  import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+  import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+  import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+  import org.apache.spark.sql.types.BinaryType
+
+  /** Aggregate Column producing the serialized sketch over xxhash64
+    * of `key`. `numBits` per BloomFilter.optimalNumOfBits(n, fpp).
+    */
+  def bloomAgg(key: Column, expectedItems: Long, numBits: Long): Column =
+    ColumnBridge.column(
+      new BloomFilterAggregate(
+        new XxHash64(Seq(ColumnBridge.expression(key))),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+
+  /** Predicate Column: xxhash64(`key`) might be in the sketch. */
+  def mightContain(sketch: Array[Byte], key: Column): Column =
+    ColumnBridge.column(
+      BloomFilterMightContain(
+        Literal(sketch, BinaryType),
+        new XxHash64(Seq(ColumnBridge.expression(key)))))
+}
+
 /** Codegen'd array<double> dot product — a tight primitive loop in
   * whole-stage codegen: no boxing, no higher-order-function lambda
   * dispatch. Sequential left-to-right accumulation, matching both

@@ -191,6 +191,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("bloom join prunes the fact scan before the join exchange") {
+    val p = plan("q_bloom_join")
+    // the codegen'd might-contain predicate must sit in the fact
+    // branch (below the join), so non-matching rows never reach the
+    // join: in the top-down plan print, the join node appears BEFORE
+    // the might_contain filter line.
+    val joinAt = p.indexOf("HashJoin")
+    val bloomAt = p.indexOf("might_contain")
+    assert(bloomAt >= 0, s"no bloom probe in plan:\n$p")
+    assert(joinAt >= 0 && joinAt < bloomAt,
+      s"might_contain not under the join:\n$p")
+  }
+
   test("compaction collapses the small-file count to the target") {
     val dir = graft.sources.SourceOps.compactedOrders(spark, sf)
     def parquetFiles(p: String): Int =

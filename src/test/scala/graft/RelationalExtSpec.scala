@@ -66,4 +66,46 @@ class RelationalExtSpec extends AnyFunSuite {
     val df = RelationalExt.qPivot.fn(spark, sf)
     assert(df.columns.toSeq == Seq("l_returnflag", "F", "O", "P"))
   }
+
+  test("scd2: one current version per key; history closes at the effective date") {
+    val rows = RelationalExt.qScd2.fn(spark, sf).collect()
+    val nOrders = Tables.orders(spark, sf).count()
+    val nUpdated = Tables.orders(spark, sf)
+      .filter(col("o_orderkey") % 97 === 0).count()
+    // every target row survives, plus one new version per update
+    assert(rows.length == nOrders + nUpdated)
+    val byKey = rows.groupBy(_.getLong(0))
+    byKey.foreach { case (k, vs) =>
+      assert(vs.count(_.getBoolean(4)) == 1, s"key $k: not exactly one current")
+      vs.filter(!_.getBoolean(4)).foreach { r =>
+        assert(r.getString(3) == "1998-06-01", s"key $k: closed row bad valid_to")
+      }
+      // intervals chain: a closed row's valid_to is the opened row's valid_from
+      if (vs.length == 2) {
+        val closed = vs.find(!_.getBoolean(4)).get
+        val opened = vs.find(_.getBoolean(4)).get
+        assert(closed.getString(3) == opened.getString(2))
+      }
+    }
+  }
+
+  test("bloom join equals plain join; filter kills most fact rows pre-join") {
+    val dim = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val plain = Tables.lineitem(spark, sf)
+      .join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("total"))
+      .orderBy(col("o_orderpriority")).collect()
+    val bloomed = RelationalExt.qBloomJoin.fn(spark, sf).collect()
+    assert(bloomed.map(_.toString).toSeq == plain.map(_.toString).toSeq)
+
+    // the sketch itself must be selective: most of lineitem dies at the scan
+    val sketch = RelationalExt.bloomOf(dim, col("o_orderkey"), 100000L)
+    val li = Tables.lineitem(spark, sf)
+    val kept = li.filter(org.apache.spark.sql.graft.BloomBridge
+      .mightContain(sketch, col("l_orderkey"))).count()
+    assert(kept < li.count() / 5, s"bloom kept $kept of ${li.count()}")
+  }
 }
