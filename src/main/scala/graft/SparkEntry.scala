@@ -11,8 +11,8 @@ object SparkEntry {
     */
   val defs: Seq[QueryDef] =
     Relational.all ++ RelationalExt.all ++ KMeans.all ++ TextAnalysis.all ++
-      Dedup.all ++ Similarity.all ++ Multimodal.all ++ EventOps.all ++
-      Curation.all ++ graft.sources.SourceOps.all
+      Dedup.all ++ Similarity.all ++ Embeddings.all ++ Multimodal.all ++
+      EventOps.all ++ Curation.all ++ graft.sources.SourceOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

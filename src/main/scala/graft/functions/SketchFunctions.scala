@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
-import org.apache.spark.sql.graft.{ColumnBridge, MinHashAgg}
+import org.apache.spark.sql.graft.{ColumnBridge, GramianAgg, MinHashAgg}
 import org.apache.spark.sql.types.IntegerType
 
 /** Column-API and SQL surface for graft's native sketch aggregates
@@ -23,8 +23,27 @@ object SketchFunctions {
       s"graft_minhash(col, k) needs an integer-literal permutation count, got: $other")
   }
 
-  /** Register `graft_minhash` for SQL use in an existing session. */
-  def registerSql(spark: SparkSession): Unit =
+  /** Second-moment aggregate: `gramian(vec, d)` inside an agg returns
+    * [n, Σv, upper-tri Σvvᵀ] as array<double> — the one-pass
+    * sufficient statistics for covariance/PCA (see Embeddings.fitPca).
+    */
+  def gramian(vec: Column, d: Int): Column =
+    ColumnBridge.column(
+      GramianAgg(ColumnBridge.expression(vec), d).toAggregateExpression())
+
+  private[functions] val gramianBuilder: Seq[Expression] => Expression = {
+    case Seq(v, Literal(d: Int, IntegerType)) => GramianAgg(v, d)
+    case other => throw new IllegalArgumentException(
+      s"graft_gramian(col, d) needs an integer-literal dimension, got: $other")
+  }
+
+  /** Register `graft_minhash` / `graft_gramian` for SQL use in an
+    * existing session.
+    */
+  def registerSql(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash", minhashBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_gramian", gramianBuilder, "built-in")
+  }
 }

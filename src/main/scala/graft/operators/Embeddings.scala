@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.functions.{SketchFunctions, VectorFunctions}
+import graft.sources.Tables
+
+/** Embedding-space dimensionality reduction: distributed PCA as one
+  * mergeable aggregation + a driver-side d×d eigendecomposition + a
+  * map-side codegen'd projection.
+  *
+  * The 100 TB shape: the corpus is touched exactly twice, and both
+  * passes are embarrassingly parallel — (1) the GramianAgg pass
+  * reduces every partition to one O(d²) sufficient-statistics buffer
+  * (shuffle = one buffer per partition, independent of row count);
+  * (2) projection is d·k multiplies per row against broadcast
+  * component literals inside whole-stage codegen (graft_dot), no
+  * shuffle at all. The eigendecomposition itself is O(d³) on a d×d
+  * matrix — driver-side by design, exactly like the reference keeps
+  * its k centroids driver-side between iterations (KMeans.java:119-146).
+  */
+object Embeddings {
+
+  val Dim = 64
+  val NComponents = 8
+
+  final case class PcaModel(
+      n: Long,
+      mean: Array[Double],
+      eigenvalues: Array[Double], // descending, all d of them
+      components: Array[Array[Double]]) { // top-k rows, each length d
+    def totalVariance: Double = eigenvalues.sum
+  }
+
+  /** One-pass covariance fit: n, μ and the upper triangle of Σvvᵀ
+    * come back as a single array<double>; C = Σvvᵀ/n − μμᵀ is
+    * assembled driver-side and eigendecomposed (symmetric d×d).
+    */
+  def fitPca(vectors: DataFrame, vecCol: String = "v",
+      d: Int = Dim, k: Int = NComponents): PcaModel = {
+    val stats = vectors
+      .agg(SketchFunctions.gramian(col(vecCol), d).as("g"))
+      .head.getSeq[Double](0).toArray
+    val n = stats(0)
+    val mean = Array.tabulate(d)(i => stats(1 + i) / n)
+    val cov = breeze.linalg.DenseMatrix.zeros[Double](d, d)
+    var t = 1 + d
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val c = stats(t) / n - mean(i) * mean(j)
+        cov(i, j) = c
+        cov(j, i) = c
+        t += 1
+        j += 1
+      }
+      i += 1
+    }
+    val es = breeze.linalg.eigSym(cov) // eigenvalues ascending
+    val order = (0 until d).sortBy(idx => -es.eigenvalues(idx))
+    val eigenvalues = order.map(es.eigenvalues(_)).toArray
+    val components = order.take(k)
+      .map(idx => (0 until d).map(es.eigenvectors(_, idx)).toArray).toArray
+    PcaModel(n.toLong, mean, eigenvalues, components)
+  }
+
+  /** Append pc0..pc{k-1} projection columns: dot(v − μ, w_j) computed
+    * as dot(v, w_j) − dot(μ, w_j) so the per-row work is one codegen'd
+    * dot product per component against a literal array — the centering
+    * folds into a constant.
+    */
+  def project(vectors: DataFrame, model: PcaModel, vecCol: String = "v"): DataFrame =
+    model.components.zipWithIndex.foldLeft(vectors) { case (df, (w, j)) =>
+      val wLit: Column = array(w.map(lit): _*)
+      val center = w.zip(model.mean).map { case (wi, mi) => wi * mi }.sum
+      df.withColumn(s"pc$j",
+        VectorFunctions.dot_product(col(vecCol), wLit) - lit(center))
+    }
+
+  /** Scree summary: per retained component, the eigenvalue (= the
+    * variance the corpus shows along it) and the cumulative explained
+    * ratio. Not SQL-expressible (eigendecomposition); the ScalaTest
+    * pins orthonormality, variance ordering, and that the PROJECTED
+    * data's per-component variance matches the eigenvalue.
+    */
+  val embPca: QueryDef = QueryDef.rowsOnly("emb_pca") { (s, d) =>
+    val model = fitPca(Similarity.vectors(s, d))
+    val total = model.totalVariance
+    val rows = model.components.indices.map { j =>
+      val cum = model.eigenvalues.take(j + 1).sum / total
+      (j, BigDecimal(model.eigenvalues(j)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(cum).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    import s.implicits._
+    rows.toDF("component", "variance", "cum_explained")
+      .orderBy(col("component"))
+  }
+
+  val all: Seq[QueryDef] = Seq(embPca)
+}

@@ -513,8 +513,83 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  val WinnowK = 16 // character k-gram length
+  val WinnowW = 8  // winnowing window (k-grams per window)
+  val WinnowMinShared = 3
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 —
+    * the MOSS algorithm): every position's character-16-gram is
+    * hashed, and each window of 8 consecutive hashes contributes its
+    * MINIMUM — guaranteeing any shared substring of length ≥
+    * k + w − 1 = 23 chars produces at least one shared fingerprint.
+    * Cross-doc fingerprint matches then flag SUBSTRING-level overlap
+    * (shared boilerplate, quoted passages) that whole-document
+    * MinHash can't localize and exact dedup can't see.
+    *
+    * Plan shape: gram hashing is map-side (one explode per doc); the
+    * window-min partitions BY DOC (each doc's windows stay in one
+    * partition — no corpus-wide ordering); the distinct fingerprint
+    * set is ~2/(w+1) of positions, and only fingerprints shared
+    * across docs survive the pair join. Bounded id range keeps the
+    * oracle's pair join quadratic-safe, as dedup_ngram.
+    */
+  val textWinnow: QueryDef = QueryDef.sql(
+    "text_winnow",
+    s"""WITH t AS (
+       |  SELECT doc_id, lower(text) AS txt FROM documents
+       |  WHERE doc_id < 300 AND length(text) >= $WinnowK),
+       |g AS (
+       |  SELECT doc_id, length(txt) - ${WinnowK - 1} AS n, i,
+       |    substr(md5(substr(txt, CAST(i AS INT), $WinnowK)), 1, 16) AS h
+       |  FROM t, UNNEST(generate_series(1, length(txt) - ${WinnowK - 1})) AS u(i)),
+       |w AS (
+       |  SELECT doc_id, i, n,
+       |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS fp
+       |  FROM g),
+       |f AS (SELECT DISTINCT doc_id, fp FROM w WHERE i <= n - ${WinnowW - 1}),
+       |p AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared
+       |  FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id1, id2, n_shared FROM p WHERE n_shared >= $WinnowMinShared
+       |ORDER BY id1, id2""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val fps = winnowFingerprints(
+      Tables.documents(s, d).filter(col("doc_id") < 300))
+    val p = fps.toDF("id1", "fp").join(fps.toDF("id2", "fp2"),
+        col("fp") === col("fp2") && col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("n_shared"))
+    p.filter(col("n_shared") >= WinnowMinShared)
+      .select(col("id1"), col("id2"), col("n_shared"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** (doc_id, fp) winnowing fingerprint set for a document table. */
+  def winnowFingerprints(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = docs
+      .select(col("doc_id"), lower(col("text")).as("txt"))
+      .filter(length(col("txt")) >= WinnowK)
+      .select(col("doc_id"),
+        (length(col("txt")) - lit(WinnowK - 1)).as("n"),
+        explode(expr(
+          s"""transform(sequence(1, length(txt) - ${WinnowK - 1}),
+             |  i -> struct(i AS i,
+             |    substring(md5(substring(txt, i, $WinnowK)), 1, 16) AS h))""".stripMargin))
+          .as("x"))
+      .select(col("doc_id"), col("n"), col("x.i").as("i"), col("x.h").as("h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(Window.currentRow, WinnowW - 1)
+    g.withColumn("fp", min(col("h")).over(w))
+      .filter(col("i") <= col("n") - (WinnowW - 1))
+      .select(col("doc_id"), col("fp"))
+      .distinct()
+  }
+
   val all: Seq[QueryDef] = Seq(
     textTokens, textQuality, textLangid, textFingerprint, textWordfreq,
     textBpeTokens, textBpeMerged, textTfidf, textLangidEval, textRepetition,
-    textRedact, textCmsFreq, textChunks, textChunkDedup, textLmScore)
+    textRedact, textCmsFreq, textChunks, textChunkDedup, textLmScore,
+    textWinnow)
 }

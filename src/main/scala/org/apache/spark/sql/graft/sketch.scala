@@ -4,8 +4,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, XXH64}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
-import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, LongType}
 
 /** Native mergeable MinHash signature aggregate: one pass over the
   * hashed-shingle column produces the full `numPerms`-permutation
@@ -83,5 +83,88 @@ case class MinHashAgg(
   override def withNewInputAggBufferOffset(newOffset: Int): MinHashAgg =
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildInternal(newChild: Expression): MinHashAgg =
+    copy(child = newChild)
+}
+
+/** Native mergeable second-moment aggregate over array<double>
+  * vectors: ONE pass produces [n, Σv (d values), upper-triangle of
+  * Σ v·vᵀ (d(d+1)/2 values)] as a single array<double> state — the
+  * sufficient statistics for a covariance/PCA fit.
+  *
+  * Engine rationale: covariance at 100 TB must be a single
+  * map-side-combining aggregation — never a second pass, never a
+  * centering shuffle (C = Σvvᵀ/n − μμᵀ recovers the centered matrix
+  * from uncentered sums). The composed alternative is d + d(d+1)/2
+  * separate sum() columns (2,144 aggregate expressions at d=64 —
+  * a plan-size/codegen blowup); this keeps ONE buffer and a tight
+  * primitive loop per row. The shuffle carries one O(d²) buffer per
+  * partition, the driver sees one O(d²) result: both independent of
+  * row count.
+  */
+case class GramianAgg(
+    child: Expression,
+    d: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Double]]
+  with ExpectsInputTypes
+  with UnaryLike[Expression] {
+
+  private val triLen = d * (d + 1) / 2
+  private val bufLen = 1 + d + triLen
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_gramian"
+
+  override def createAggregationBuffer(): Array[Double] =
+    new Array[Double](bufLen)
+
+  override def update(buffer: Array[Double], input: InternalRow): Array[Double] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val a = v.asInstanceOf[ArrayData]
+      if (a.numElements() == d) {
+        buffer(0) += 1.0
+        var i = 0
+        var t = 1 + d
+        while (i < d) {
+          val xi = a.getDouble(i)
+          buffer(1 + i) += xi
+          var j = i
+          while (j < d) { buffer(t) += xi * a.getDouble(j); t += 1; j += 1 }
+          i += 1
+        }
+      }
+    }
+    buffer
+  }
+
+  override def merge(b1: Array[Double], b2: Array[Double]): Array[Double] = {
+    var i = 0
+    while (i < bufLen) { b1(i) += b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buffer: Array[Double]): Any =
+    if (buffer(0) == 0.0) null else new GenericArrayData(buffer.clone())
+
+  override def serialize(buffer: Array[Double]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * bufLen)
+    buffer.foreach(bb.putDouble)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bufLen)(bb.getDouble())
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): GramianAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): GramianAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): GramianAgg =
     copy(child = newChild)
 }

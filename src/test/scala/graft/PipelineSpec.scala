@@ -335,6 +335,37 @@ class SimilaritySpec extends AnyFunSuite {
       assert(recall >= 0.8, s"recall@1 = $recall at $dir")
     }
   }
+
+  test("pca: orthonormal components, descending variance, projection variance = eigenvalue") {
+    val vecs = Similarity.vectors(spark, sf)
+    val m = Embeddings.fitPca(vecs)
+    // eigenvalues descending, non-negative (covariance is PSD)
+    m.eigenvalues.sliding(2).foreach { case Array(a, b) => assert(a >= b - 1e-9) }
+    assert(m.eigenvalues.forall(_ >= -1e-9))
+    // retained components are orthonormal
+    for (i <- m.components.indices; j <- i until m.components.length) {
+      val dot = m.components(i).zip(m.components(j)).map { case (a, b) => a * b }.sum
+      val expected = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - expected) < 1e-9, s"comp ${i}x$j = $dot")
+    }
+    // the projected corpus shows exactly the eigenvalue variance along
+    // each component — ties the distributed aggregate + codegen'd
+    // projection back to the driver-side decomposition
+    val projected = Embeddings.project(vecs, m)
+    val varCols = m.components.indices.map(j => var_pop(col(s"pc$j")))
+    val vars = projected.agg(varCols.head, varCols.tail: _*).collect()(0)
+    m.components.indices.foreach { j =>
+      val rel = math.abs(vars.getDouble(j) - m.eigenvalues(j)) /
+        math.max(m.eigenvalues(j), 1e-12)
+      assert(rel < 1e-6, s"pc$j var=${vars.getDouble(j)} vs λ=${m.eigenvalues(j)}")
+    }
+    // scree query: cumulative ratio ends below 1 and is monotone
+    val scree = Embeddings.embPca.fn(spark, sf).collect()
+    assert(scree.length == Embeddings.NComponents)
+    scree.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getDouble(2) >= a.getDouble(2)) }
+    assert(scree.last.getDouble(2) <= 1.0)
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
@@ -749,5 +780,23 @@ class TextSpec extends AnyFunSuite {
     val fps = df.select(
       md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))).collect()
     assert(fps(0) == fps(1))
+  }
+
+  test("winnowing guarantees a shared fingerprint for substrings of length k+w-1") {
+    import spark.implicits._
+    val guarantee = TextAnalysis.WinnowK + TextAnalysis.WinnowW - 1
+    // two otherwise-different docs sharing exactly one long passage
+    val shared = "the quick brown fox jumps over the lazy dog tonight"
+    assert(shared.length >= guarantee)
+    val a = s"completely unrelated preamble text here. $shared and then some more."
+    val b = s"different opening words entirely!! $shared trailing content differs too."
+    val c = "no overlap with anything else at all; this document stands alone fully."
+    val fps = TextAnalysis.winnowFingerprints(
+      Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text"))
+      .collect().groupBy(_.getLong(0)).map { case (k, v) =>
+        k -> v.map(_.getString(1)).toSet }
+    assert((fps(1L) & fps(2L)).nonEmpty, "shared passage produced no shared fingerprint")
+    assert((fps(1L) & fps(3L)).isEmpty, "unrelated docs share a fingerprint")
+    assert((fps(2L) & fps(3L)).isEmpty)
   }
 }
