@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, ExpressionInfo, Multiply, Sqrt}
-import org.apache.spark.sql.graft.{ColumnBridge, DotProduct}
+import org.apache.spark.sql.graft.{ColumnBridge, DotProduct, PqEncode, VecDivide, VecSubtract}
 
 /** Column-API and SQL-registration surface for graft's native
   * vector functions (expression implementation:
@@ -25,6 +25,12 @@ object VectorFunctions {
           Sqrt(DotProduct(exprs(0), exprs(0))),
           Sqrt(DotProduct(exprs(1), exprs(1)))))
 
+  private[functions] val vecDivBuilder: Seq[Expression] => Expression =
+    exprs => VecDivide(exprs(0), exprs(1))
+
+  private[functions] val vecSubBuilder: Seq[Expression] => Expression =
+    exprs => VecSubtract(exprs(0), exprs(1))
+
   def dot_product(a: Column, b: Column): Column =
     ColumnBridge.column(
       dotBuilder(Seq(ColumnBridge.expression(a), ColumnBridge.expression(b))))
@@ -32,6 +38,26 @@ object VectorFunctions {
   def cosine_similarity(a: Column, b: Column): Column =
     ColumnBridge.column(
       cosineBuilder(Seq(ColumnBridge.expression(a), ColumnBridge.expression(b))))
+
+  /** Elementwise array<double> / double, codegen'd (bit-identical to
+    * transform(v, x -> x / s) but WholeStageCodegen-hostable).
+    */
+  def vec_div(v: Column, s: Column): Column =
+    ColumnBridge.column(
+      VecDivide(ColumnBridge.expression(v), ColumnBridge.expression(s)))
+
+  /** Elementwise array<double> − array<double>, codegen'd. */
+  def vec_sub(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      VecSubtract(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** All M PQ codeword ids for a vector column in one codegen'd
+    * expression (see org.apache.spark.sql.graft.PqEncode).
+    */
+  def pq_encode(u: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(
+      PqEncode(ColumnBridge.expression(u),
+        codebooks.toIndexedSeq.map(_.toIndexedSeq.map(_.toIndexedSeq))))
 
   /** Register `graft_dot` / `graft_cosine` for SQL use in an
     * existing session.
@@ -41,6 +67,10 @@ object VectorFunctions {
       "graft_dot", dotBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine", cosineBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vec_div", vecDivBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vec_sub", vecSubBuilder, "built-in")
   }
 }
 
@@ -69,5 +99,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[org.apache.spark.sql.graft.UnicodeNormalize].getName,
         "graft_normalize"),
       TextFunctions.normalizeBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_vec_div"),
+      new ExpressionInfo(classOf[VecDivide].getName, "graft_vec_div"),
+      VectorFunctions.vecDivBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_vec_sub"),
+      new ExpressionInfo(classOf[VecSubtract].getName, "graft_vec_sub"),
+      VectorFunctions.vecSubBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_gramian"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.graft.GramianAgg].getName, "graft_gramian"),
+      SketchFunctions.gramianBuilder))
+    // graft_pq_encode is Column-API only: its codebooks parameter is
+    // a fitted model object, not a SQL-expressible literal.
   }
 }

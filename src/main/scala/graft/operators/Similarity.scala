@@ -144,13 +144,14 @@ object Similarity {
 
   /** v scaled by a precomputed norm column (cosine NN over v ==
     * Euclidean NN over the unit vector, which is what the L2
-    * quantizer partitions). The norm is computed ONCE outside the
-    * per-element lambda.
+    * quantizer partitions). Native codegen'd divide: the transform()
+    * HOF it replaces is CodegenFallback and evicted every projection
+    * hosting a normalization from whole-stage codegen.
     */
   private def scaled(v: Column, nrm: Column): Column =
-    transform(v, x => x / nrm)
+    graft.functions.VectorFunctions.vec_div(v, nrm)
 
-  private def unit(v: Column): Column = scaled(v, sqrt(dot(v, v)))
+  private[graft] def unit(v: Column): Column = scaled(v, sqrt(dot(v, v)))
 
   /** Coarse quantizer: k-means|| centroids over the UNIT-normalized
     * embedding space (seeded, few iterations — the quantizer needs
@@ -319,18 +320,19 @@ object Similarity {
     else pqCache.getOrElseUpdate(cacheKey, loadOrFit())
   }
 
-  /** Codeword id of subspace m for a unit vector column: argmin over
-    * the PqK centroids via the struct-min trick — pure codegen'd
-    * expression, no UDF.
+  /** All PqM codeword ids of a vector column as c0..c{PqM-1}, via the
+    * native PqEncode expression (ONE codegen'd argmin loop per row —
+    * the composed struct-min formulation generated M·K unrolled dot
+    * products and blew janino's 64 KB method limit, silently dropping
+    * the PQ encode scan out of whole-stage codegen). The encode runs
+    * once in its own projection; the element extraction happens in a
+    * second projection over the materialized array.
     */
-  private def pqCodeExpr(cb: Array[Array[Double]], u: Column, m: Int): Column = {
-    val sub = slice(u, m * SubDim + 1, SubDim)
-    val candidates = cb.zipWithIndex.map { case (c, j) =>
-      val cl = array(c.map(lit): _*)
-      struct((lit(dotd(c, c)) - lit(2.0) * dot(sub, cl)).as("dist"), lit(j).as("cid"))
-    }
-    array_min(array(candidates: _*)).getField("cid")
-  }
+  private def withPqCodes(df: DataFrame, cb: Array[Array[Array[Double]]],
+      u: Column, keep: Seq[Column]): DataFrame =
+    df.select(keep :+ graft.functions.VectorFunctions.pq_encode(u, cb).as("pqc"): _*)
+      .select(keep ++ (0 until PqM).map(m =>
+        element_at(col("pqc"), m + 1).as(s"c$m")): _*)
 
   /** PQ-compressed ANN: every vector encodes to PqM codeword nibbles
     * (8 B here vs 512 B raw — the compression that keeps a 100 TB
@@ -349,8 +351,7 @@ object Similarity {
     val e = vectors(s, d)
     val cb = pqCodebooks(e, cacheKey = d)
     val withU = e.withColumn("u", unit(col("v")))
-    val codes = withU.select(
-      col("vec_id") +: (0 until PqM).map(m => pqCodeExpr(cb(m), col("u"), m).as(s"c$m")): _*)
+    val codes = withPqCodes(withU, cb, col("u"), keep = Seq(col("vec_id")))
     // query = vec 0's unit vector; LUT entry [m][j] = ||q_m - c_mj||^2
     val q = withU.filter(col("vec_id") === 0)
       .select(col("u")).collect()(0).getSeq[Double](0).toArray
@@ -414,7 +415,8 @@ object Similarity {
     * step has already removed the list's mean).
     */
   private def residualExpr(cs: Array[Array[Double]], u: Column, list: Column): Column =
-    zip_with(u, element_at(centroidArrayLit(cs), list + 1), (a, b) => a - b)
+    graft.functions.VectorFunctions.vec_sub(
+      u, element_at(centroidArrayLit(cs), list + 1))
 
   private val ivfPqCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Double]]]]
@@ -463,9 +465,7 @@ object Similarity {
       .withColumn("list",
         array_min(array(centroidStructs(cs, col("u")): _*)).getField("list"))
       .withColumn("res", residualExpr(cs, col("u"), col("list")))
-    withU.select(
-      col("vec_id") :: col("list") ::
-        (0 until PqM).map(m => pqCodeExpr(cb(m), col("res"), m).as(s"c$m")).toList: _*)
+    withPqCodes(withU, cb, col("res"), keep = Seq(col("vec_id"), col("list")))
   }
 
   /** Search-only IVF-PQ: probe the query's NProbe nearest lists over

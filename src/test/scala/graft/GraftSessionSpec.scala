@@ -12,6 +12,11 @@ class GraftSessionSpec extends AnyFunSuite {
     val r = spark.sql("SELECT graft_cosine(array(3D,4D), array(3D,4D)) AS c")
       .collect()(0).getDouble(0)
     assert(math.abs(r - 1.0) < 1e-12)
+    val v = spark.sql(
+      "SELECT graft_vec_div(array(2D,4D), 2D) AS d, " +
+        "graft_vec_sub(array(3D,4D), array(1D,1D)) AS s").collect()(0)
+    assert(v.getSeq[Double](0) == Seq(1.0, 2.0))
+    assert(v.getSeq[Double](1) == Seq(2.0, 3.0))
   }
 
   test("GraftExtensions registers both native functions in a fresh session") {

@@ -76,4 +76,37 @@ class VectorExprSpec extends AnyFunSuite {
     assert(rows.isNullAt(0))
     assert(rows.getDouble(1) == 3.0)
   }
+
+  test("native pq encode equals the composed struct-min argmin, and stays codegen'd") {
+    val e = Similarity.vectors(spark, sf).limit(200)
+      .select(col("vec_id"), Similarity.unit(col("v")).as("u"))
+    val cb = Similarity.pqCodebooks(Similarity.vectors(spark, sf))
+    val native = e.select(col("vec_id"),
+      VectorFunctions.pq_encode(col("u"), cb).as("pqc"))
+    // composed reference formulation (the one PqEncode replaced)
+    val m = 3 // spot-check one subspace against the struct-min argmin
+    val sub = slice(col("u"), m * Similarity.SubDim + 1, Similarity.SubDim)
+    val candidates = cb(m).zipWithIndex.map { case (c, j) =>
+      val cl = array(c.map(lit): _*)
+      val cc = c.map(x => x * x).sum
+      struct((lit(cc) - lit(2.0) * VectorFunctions.dot_product(sub, cl)).as("dist"),
+        lit(j).as("cid"))
+    }
+    val composed = e.select(col("vec_id"),
+      array_min(array(candidates: _*)).getField("cid").as("cid"))
+    val joined = native.join(composed, "vec_id").collect()
+    assert(joined.length == 200)
+    joined.foreach { r =>
+      assert(r.getSeq[Int](1)(m) == r.getInt(2), s"vec ${r.getLong(0)}")
+    }
+    // and the encode projection must survive janino (the whole point);
+    // assert on an un-limited projection — CollectLimit would otherwise
+    // host the project outside any WholeStageCodegen span
+    val plan = Similarity.vectors(spark, sf)
+      .select(VectorFunctions.pq_encode(Similarity.unit(col("v")), cb))
+      .queryExecution.executedPlan.toString
+    val line = plan.linesIterator.find(_.contains("graft_pq_encode")).get
+    assert(line.replaceFirst("^[\\s:+-]*", "").startsWith("*"),
+      s"pq_encode not codegen'd:\n$plan")
+  }
 }
