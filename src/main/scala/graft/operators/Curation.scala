@@ -275,7 +275,98 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Language-rebalanced token budgets: the multilingual data-recipe
+    * knob — the dominant language gets a capped budget while
+    * low-resource languages keep a higher one, flattening the corpus
+    * distribution (the "up-sample the tail" move every multilingual
+    * recipe makes). Same deterministic md5-order cumsum machinery as
+    * pipeline_token_budget, keyed by LANG with a per-lang budget
+    * expression instead of a constant. One window pass per language
+    * partition; map-side everything else.
+    */
+  val pipelineLangBudget: QueryDef = QueryDef.sql(
+    "pipeline_lang_budget",
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+      |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS hx
+      |  FROM documents),
+      |c AS (
+      |  SELECT *, sum(n_tokens) OVER (PARTITION BY lang ORDER BY hx, doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM t)
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+      |FROM c WHERE cum <= CASE WHEN lang = 'en' THEN 2000 ELSE 1500 END
+      |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.documents(s, d).select(
+      col("doc_id"), col("lang"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+      substring(md5(col("doc_id").cast("string")), 1, 8).as("hx"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("hx"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.withColumn("cum", sum(col("n_tokens")).over(w))
+      .filter(col("cum") <= when(col("lang") === "en", 2000L).otherwise(1500L))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  /** Model-based quality filtering (the GPT-3-style classifier): a
+    * logistic regression trained on weak labels (top-half of the
+    * heuristic quality score — the stand-in for "looks like the
+    * reference corpus") over three per-document features, then
+    * applied corpus-wide. Training is a handful of distributed
+    * gradient passes with O(d) driver traffic each (MLlib LBFGS
+    * treeAggregate); scoring is map-side against broadcast
+    * coefficients — at 100 TB the classifier costs one scan, like
+    * every other map-side filter here. Deterministic train split by
+    * md5 prefix. Rows-only (LBFGS coefficients are FP-path
+    * dependent); holdout agreement with the weak labels is pinned in
+    * ScalaTest.
+    */
+  /** Per-document classifier output: (doc_id, source, label,
+    * prediction) where label is the weak top-half-quality label and
+    * prediction the fitted LR's decision. Exposed so the test can pin
+    * holdout agreement; the query entry aggregates it per source.
+    */
+  def qualityModelScores(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.classification.LogisticRegression
+    val q = TextAnalysis.qualityInputs(Tables.documents(s, d), keep = Seq("source"))
+      .filter(col("n_chars") > 0 && col("n_tokens") > 0)
+      .select(col("doc_id"), col("source"), qualityCol.as("quality"),
+        substring(md5(col("doc_id").cast("string")), 1, 1).as("hx"),
+        array_to_vector(array(
+          least(lit(1.0), col("n_tokens").cast("double") / 100),
+          col("alpha_chars").cast("double") / col("n_chars"),
+          col("n_stops").cast("double") / col("n_tokens"))).as("features"))
+      .persist()
+    try {
+      q.count() // materialize once; train + score both read the cache
+      val med = q.agg(expr("percentile(quality, 0.5)")).head().getDouble(0)
+      val labeled = q.withColumn("label", (col("quality") >= med).cast("double"))
+      val model = new LogisticRegression().setMaxIter(50).setRegParam(0.0)
+        .setFeaturesCol("features").setLabelCol("label")
+        .fit(labeled.filter(col("hx") < "8"))
+      // materialize before unpersist (the returned plan re-reads otherwise)
+      model.transform(labeled)
+        .select(col("doc_id"), col("source"), col("hx"), col("label"), col("prediction"))
+        .localCheckpoint(eager = true)
+    } finally q.unpersist(false)
+  }
+
+  val pipelineQualityModel: QueryDef = QueryDef.rowsOnly("pipeline_quality_model") { (s, d) =>
+    qualityModelScores(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("prediction")).cast("long").as("n_keep"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] = Seq(pipelineCurate, pipelineMix,
     pipelineQualityFilter, pipelineSampleN, pipelineTokenBudget,
-    pipelineSplit, textContamination)
+    pipelineSplit, textContamination, pipelineLangBudget,
+    pipelineQualityModel)
 }

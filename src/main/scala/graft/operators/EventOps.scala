@@ -260,8 +260,91 @@ object EventOps {
       .orderBy(col("event_type"), col("hour"))
   }
 
+  /** Session path mining: the 20 most common ordered event-type
+    * trigrams WITHIN a session (30-min gap — same session ids as
+    * events_sessions). The "what do users do next" query behind
+    * product analytics. One shuffle on user_id serves both the
+    * session numbering and the lead() sequence windows; the trigram
+    * aggregation is tiny (|event_type|³ keys at most). Top-20 is a
+    * total order (count desc, then the three steps) so both engines
+    * cut identically.
+    */
+  /** Ordered event-type trigrams within 30-min-gap sessions — the
+    * building block of eventsPaths, exposed for the handcrafted
+    * session-boundary test. One shuffle on user_id serves the session
+    * numbering and both lead() windows.
+    */
+  def sessionTrigrams(ev: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bySession = Window.partitionBy(col("user_id"), col("sid"))
+      .orderBy(col("ts"), col("event_id"))
+    ev
+      .withColumn("gap_us", unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser)))
+      .withColumn("new_s", when(col("gap_us").isNull || col("gap_us") > 30L * 60 * 1000000, 1).otherwise(0))
+      .withColumn("sid", sum(col("new_s")).over(running))
+      .select(col("event_type").as("step1"),
+        lead(col("event_type"), 1).over(bySession).as("step2"),
+        lead(col("event_type"), 2).over(bySession).as("step3"))
+      .filter(col("step3").isNotNull)
+  }
+
+  val eventsPaths: QueryDef = QueryDef.sql(
+    "events_paths",
+    """WITH x AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |              > INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events),
+      |y AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM x),
+      |t AS (
+      |  SELECT event_type AS step1,
+      |    lead(event_type, 1) OVER (PARTITION BY user_id, sid ORDER BY ts, event_id) AS step2,
+      |    lead(event_type, 2) OVER (PARTITION BY user_id, sid ORDER BY ts, event_id) AS step3
+      |  FROM y)
+      |SELECT step1, step2, step3, count(*) AS n
+      |FROM t WHERE step3 IS NOT NULL
+      |GROUP BY 1, 2, 3
+      |ORDER BY n DESC, step1, step2, step3
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    sessionTrigrams(Tables.events(s, d))
+      .groupBy(col("step1"), col("step2"), col("step3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+      .limit(20)
+  }
+
+  /** Incremental view maintenance: the hourly aggregate computed as
+    * TWO independent batch partial aggregates (a deterministic
+    * event_id split standing in for "yesterday's stored state" and
+    * "today's increment") merged by re-aggregating the partials —
+    * counts and sums are mergeable states, so the merged view equals
+    * the full recompute, which IS the oracle (same SQL as
+    * events_hourly). At 100 TB this is how a daily dashboard avoids
+    * rescanning the corpus: store the partial rows, aggregate only
+    * the increment, merge.
+    */
+  val eventsHourlyMerge: QueryDef = QueryDef.sql("events_hourly_merge", hourlySql) { (s, d) =>
+    val ev = Tables.events(s, d)
+    def partial(pred: org.apache.spark.sql.Column) = ev.filter(pred)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("pn"), sum(col("value")).as("pt"))
+    partial(pmod(col("event_id"), lit(2)) === 0)
+      .unionAll(partial(pmod(col("event_id"), lit(2)) === 1))
+      .groupBy(col("hour"), col("event_type"))
+      .agg(sum(col("pn")).as("n"), round(sum(col("pt")), 2).as("total"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     eventsHourly, streamHourly, eventsSessions, eventsSessionWindow,
     streamSessions, streamUserStats, streamJoin, streamSinkRoundtrip,
-    eventsFunnel, eventsRetention, eventsAnomaly)
+    eventsFunnel, eventsRetention, eventsAnomaly, eventsPaths,
+    eventsHourlyMerge)
 }

@@ -664,10 +664,64 @@ object RelationalExt {
     s.read.parquet(path)
   }
 
+  /** CDC snapshot diff: extract the change feed between two table
+    * snapshots — the inverse of q_merge_upsert (which APPLIES a
+    * batch; this RECOVERS one). Snapshot B is a deterministic
+    * mutation of orders (every 89th key deleted, every 97th
+    * survivor's price bumped, every 101st key cloned as an insert)
+    * so DuckDB replays the diff exactly. One full-outer join on the
+    * key classifies insert/delete/update/unchanged; at 100 TB both
+    * sides shuffle once on the key (or co-located bucketed snapshots
+    * make it shuffle-free — see q_bucketed_join).
+    */
+  val qSnapshotDiff: QueryDef = QueryDef.sql(
+    "q_snapshot_diff",
+    """WITH a AS (
+      |  SELECT o_orderkey AS k, round(o_totalprice, 2) AS price FROM orders),
+      |b AS (
+      |  SELECT o_orderkey AS k,
+      |    CASE WHEN o_orderkey % 97 = 0 THEN round(o_totalprice + 1000, 2)
+      |         ELSE round(o_totalprice, 2) END AS price
+      |  FROM orders WHERE o_orderkey % 89 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, round(o_totalprice, 2)
+      |  FROM orders WHERE o_orderkey % 101 = 0),
+      |m AS (
+      |  SELECT
+      |    CASE WHEN a.k IS NULL THEN 'insert'
+      |         WHEN b.k IS NULL THEN 'delete'
+      |         WHEN a.price <> b.price THEN 'update'
+      |         ELSE 'unchanged' END AS change,
+      |    coalesce(b.price, a.price) AS price
+      |  FROM a FULL OUTER JOIN b ON a.k = b.k)
+      |SELECT change, count(*) AS n, round(sum(price), 2) AS total
+      |FROM m GROUP BY change ORDER BY change""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val a = o.select(col("o_orderkey").as("a_k"),
+      round(col("o_totalprice"), 2).as("a_price"))
+    val b = o.filter(col("o_orderkey") % 89 =!= 0)
+      .select(col("o_orderkey").as("b_k"),
+        when(col("o_orderkey") % 97 === 0, round(col("o_totalprice") + 1000, 2))
+          .otherwise(round(col("o_totalprice"), 2)).as("b_price"))
+      .unionAll(o.filter(col("o_orderkey") % 101 === 0)
+        .select((col("o_orderkey") + 100000000L).as("b_k"),
+          round(col("o_totalprice"), 2).as("b_price")))
+    a.join(b, col("a_k") === col("b_k"), "full_outer")
+      .select(
+        when(col("a_k").isNull, "insert")
+          .when(col("b_k").isNull, "delete")
+          .when(col("a_price") =!= col("b_price"), "update")
+          .otherwise("unchanged").as("change"),
+        coalesce(col("b_price"), col("a_price")).as("price"))
+      .groupBy(col("change"))
+      .agg(count(lit(1)).as("n"), round(sum(col("price")), 2).as("total"))
+      .orderBy(col("change"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     qApproxDistinct, qApproxPercentile, qAsofJoin, qSkewSaltedJoin,
     qBucketedJoin, qPivot, qFullOuter, qTopPerKeyAgg, qScalarSubquery,
     qIntersect, qExcept, qCube, qMedian, qSkewStats, qOrderGaps,
     qCorrelatedScalar, qGroupingSets, qRangeFrame, qNtile, qIntervalJoin,
-    qMergeUpsert, qDppJoin, qScd2, qBloomJoin)
+    qMergeUpsert, qDppJoin, qScd2, qBloomJoin, qSnapshotDiff)
 }

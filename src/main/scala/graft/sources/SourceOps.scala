@@ -246,7 +246,46 @@ object SourceOps {
         round(sum(col("o_totalprice")), 2).as("total"))
   }
 
+  /** Malformed-record ingestion: a CSV staged with a deterministic
+    * corruption (every 50th customer's line is garbage that fails the
+    * LongType parse) read back in PERMISSIVE mode with a
+    * columnNameOfCorruptRecord capture — the real-world ingest
+    * contract where bad rows are quarantined, not dropped silently
+    * and never allowed to kill the job. The oracle replays the
+    * corruption rule against the original parquet: parsed counts,
+    * quarantined counts, and the good-row checksum must all agree.
+    */
+  val srcCsvMalformed: QueryDef = QueryDef.sql(
+    "src_csv_malformed",
+    """SELECT
+      |  CAST(sum(CASE WHEN c_custkey % 50 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+      |  CAST(sum(CASE WHEN c_custkey % 50 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+      |  round(sum(CASE WHEN c_custkey % 50 <> 0 THEN c_acctbal END), 2) AS good_total
+      |FROM customer""".stripMargin) { (s, d) =>
+    val path = tmpDir("customer_csv_malformed")
+    Tables.customer(s, d)
+      .select(when(col("c_custkey") % 50 === 0,
+          concat(lit("corrupt#"), col("c_custkey"), lit(",oops")))
+        .otherwise(concat_ws(",", col("c_custkey"), col("c_name"),
+          col("c_acctbal"))).as("value"))
+      .write.mode("overwrite").text(path)
+    val parsed = s.read
+      .schema(StructType(Seq(
+        StructField("c_custkey", LongType),
+        StructField("c_name", StringType),
+        StructField("c_acctbal", DoubleType),
+        StructField("_corrupt", StringType))))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(path)
+    parsed.agg(
+      count(col("c_custkey")).as("n_good"),
+      count(col("_corrupt")).as("n_bad"),
+      round(sum(col("c_acctbal")), 2).as("good_total"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     srcTextPoints, srcCsvRoundtrip, srcJsonRoundtrip, srcPartitionedScan,
-    srcOrcRoundtrip, srcZorderScan, srcCompactSmallFiles, srcSchemaEvolution)
+    srcOrcRoundtrip, srcZorderScan, srcCompactSmallFiles, srcSchemaEvolution,
+    srcCsvMalformed)
 }

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Curation, EventOps}
+
+/** Pins for the round-3 second-half curation/events additions:
+  * session path mining, incremental hourly merge, language-budget
+  * rebalancing, and the model-based quality classifier.
+  */
+class CurationOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("session trigrams never cross a session boundary") {
+    import spark.implicits._
+    def t(min: Int) = new java.sql.Timestamp(min * 60000L)
+    // u1: one session a b c d, then a >30-min gap, then e f g;
+    // u2: too short for any trigram
+    val ev = Seq(
+      (1L, 1L, "a", t(0)), (1L, 2L, "b", t(5)), (1L, 3L, "c", t(10)), (1L, 4L, "d", t(15)),
+      (1L, 5L, "e", t(60)), (1L, 6L, "f", t(65)), (1L, 7L, "g", t(70)),
+      (2L, 8L, "x", t(0)), (2L, 9L, "y", t(5)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val tri = EventOps.sessionTrigrams(ev).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(tri == Set(("a", "b", "c"), ("b", "c", "d"), ("e", "f", "g")))
+  }
+
+  test("merged hourly partials equal the direct hourly aggregate") {
+    val direct = EventOps.eventsHourly.fn(spark, sf).collect()
+    val merged = EventOps.eventsHourlyMerge.fn(spark, sf).collect()
+    assert(merged.length == direct.length)
+    direct.zip(merged).foreach { case (a, b) =>
+      assert(a.get(0) == b.get(0) && a.get(1) == b.get(1) && a.getLong(2) == b.getLong(2))
+      assert(math.abs(a.getDouble(3) - b.getDouble(3)) <= 0.01)
+    }
+  }
+
+  test("language budgets cap every language's kept tokens") {
+    val rows = Curation.pipelineLangBudget.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val budget = if (r.getString(0) == "en") 2000L else 1500L
+      assert(r.getLong(2) <= budget, s"${r.getString(0)} over budget: ${r.getLong(2)}")
+      assert(r.getLong(1) > 0)
+    }
+  }
+
+  test("quality classifier recovers the weak labels on the holdout split") {
+    val scored = Curation.qualityModelScores(spark, sf)
+    val holdout = scored.filter(col("hx") >= "8")
+    val n = holdout.count()
+    val agree = holdout.filter(col("label") === col("prediction")).count()
+    assert(n > 0)
+    assert(agree.toDouble / n >= 0.9, s"holdout agreement $agree/$n")
+  }
+}

@@ -212,6 +212,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(parquetFiles(dir.replace("compacted", "small_files")) == 64)
   }
 
+  test("malformed CSV rows are quarantined, never dropped or fatal") {
+    import org.apache.spark.sql.functions.col
+    val r = SourceOps.srcCsvMalformed.fn(spark, sf).collect()(0)
+    val customers = graft.sources.Tables.customer(spark, sf)
+    val nBad = customers.filter(col("c_custkey") % 50 === 0).count()
+    assert(r.getLong(1) == nBad, s"quarantined ${r.getLong(1)} != planted $nBad")
+    assert(r.getLong(0) == customers.count() - nBad)
+  }
+
   test("native dot product stays inside whole-stage codegen") {
     val e = graft.operators.Similarity.vectors(spark, sf)
     val p = e.select(graft.functions.VectorFunctions

@@ -108,4 +108,18 @@ class RelationalExtSpec extends AnyFunSuite {
       .mightContain(sketch, col("l_orderkey"))).count()
     assert(kept < li.count() / 5, s"bloom kept $kept of ${li.count()}")
   }
+
+  test("snapshot diff recovers exactly the planted change feed") {
+    val rows = RelationalExt.qSnapshotDiff.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val o = Tables.orders(spark, sf)
+    val nDel = o.filter(col("o_orderkey") % 89 === 0).count()
+    val nIns = o.filter(col("o_orderkey") % 101 === 0).count()
+    val nUpd = o.filter(col("o_orderkey") % 97 === 0 && col("o_orderkey") % 89 =!= 0).count()
+    val nAll = o.count()
+    assert(rows("delete") == nDel)
+    assert(rows("insert") == nIns)
+    assert(rows("update") == nUpd)
+    assert(rows("unchanged") == nAll - nDel - nUpd)
+  }
 }
