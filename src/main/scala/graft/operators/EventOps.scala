@@ -342,9 +342,42 @@ object EventOps {
       .orderBy(col("hour"), col("event_type"))
   }
 
+  /** Sliding-window distinct users: 3-hour windows hopping hourly.
+    * The hop expansion (each event lands in 3 windows) is MAP-SIDE
+    * (Spark's window() with a slide), and the count-distinct runs as
+    * the two-stage plan — pre-dedup on (window, user), then count —
+    * so the shuffle carries each (window, user) pair once, not every
+    * event. The oracle replays the hop alignment with an UNNEST.
+    */
+  val eventsSlidingUniques: QueryDef = QueryDef.sql(
+    "events_sliding_uniques",
+    """WITH h AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS hr FROM events),
+      |w AS (
+      |  SELECT user_id, hr - u.k * INTERVAL 1 HOUR AS win_start
+      |  FROM h, UNNEST([0, 1, 2]) AS u(k))
+      |SELECT win_start, count(DISTINCT user_id) AS n_users
+      |FROM w GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .select(window(col("ts"), "3 hours", "1 hour").as("w"), col("user_id"))
+      .groupBy(col("w.start").as("win_start"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("win_start"))
+  }
+
+  /** Stream-static enrichment: events stream ⋈ broadcast customer dim
+    * → per-nation running totals; oracle is the equivalent batch join.
+    */
+  val streamEnrich: QueryDef = QueryDef.sql(
+    "stream_enrich",
+    """SELECT c.c_nationkey AS nationkey, count(*) AS n,
+      |  round(sum(e.value), 2) AS total
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin)(EventStreams.streamStaticEnrich)
+
   val all: Seq[QueryDef] = Seq(
     eventsHourly, streamHourly, eventsSessions, eventsSessionWindow,
     streamSessions, streamUserStats, streamJoin, streamSinkRoundtrip,
     eventsFunnel, eventsRetention, eventsAnomaly, eventsPaths,
-    eventsHourlyMerge)
+    eventsHourlyMerge, streamEnrich, eventsSlidingUniques)
 }

@@ -124,6 +124,36 @@ object KMeans {
     (centroids, iter, converged)
   }
 
+  /** Mini-batch k-means (after Sculley, WWW 2010 — simplified to a
+    * plain batch-mean update): every Lloyd update runs on a
+    * DETERMINISTIC rotating hash-sample of the points (1/frac per
+    * iteration, keyed by xxhash64(x, y, iter)), so each iteration
+    * scans a fraction of the corpus instead of all of it — the
+    * trade that keeps k-means affordable when one full pass is
+    * hours. Hash-based sampling means every run and any partitioning
+    * draws the same batches (reproducible, unlike rand()). Stale-keep
+    * empty clusters and per-axis tol as the reference.
+    */
+  def minibatchLloyd(pts: DataFrame, init: Array[(Double, Double)],
+      tol: Double = 1e-3, maxIter: Int = 20, frac: Int = 5): (Array[(Double, Double)], Int, Boolean) = {
+    var centroids = init.clone()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val batch = pts.filter(
+        pmod(xxhash64(col("x"), col("y"), lit(iter)), lit(frac)) === 0)
+      val updated = step(batch, centroids).select("cid", "x", "y").collect()
+        .map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      val next = centroids.zipWithIndex.map { case (old, i) => updated.getOrElse(i, old) }
+      converged = centroids.zip(next).forall { case ((ox, oy), (nx, ny)) =>
+        math.abs(ox - nx) < tol && math.abs(oy - ny) < tol
+      }
+      centroids = next
+      iter += 1
+    }
+    (centroids, iter, converged)
+  }
+
   // ---- DuckDB oracle generation --------------------------------------
 
   /** CTE chain for n Lloyd iterations — the same algorithm the Spark
@@ -426,7 +456,26 @@ object KMeans {
     } finally pts.unpersist(false)
   }
 
+  /** Mini-batch k-means over the same points/init as kmeans_lloyd —
+    * the 100 TB path for the reference's own algorithm (each update
+    * scans 20% of the corpus). Rows-only (the rotating sample isn't
+    * worth a 20-level CTE oracle); WSSSE-vs-full-Lloyd and
+    * determinism pinned in ScalaTest.
+    */
+  val kmeansMinibatch: QueryDef = QueryDef.rowsOnly("kmeans_minibatch") { (s, d) =>
+    val allPts = points(Tables.lineitem(s, d))
+    val init = initCentroids(allPts)
+    val pts = allPts.select("x", "y").persist()
+    val (cs, iters, converged) =
+      try minibatchLloyd(pts, init) finally pts.unpersist(false)
+    import s.implicits._
+    cs.zipWithIndex.map { case ((x, y), i) =>
+      (i.toLong, math.round(x * 1000) / 1000.0, math.round(y * 1000) / 1000.0,
+        iters.toLong, converged)
+    }.toSeq.toDF("cid", "cx", "cy", "n_iters", "converged")
+  }
+
   val all: Seq[QueryDef] = Seq(
     kmeansAssign, kmeansStep, kmeansIter3, kmeansCost, kmeansLloyd,
-    kmeansMllib, kmeansNd)
+    kmeansMllib, kmeansNd, kmeansMinibatch)
 }

@@ -293,12 +293,19 @@ object Similarity {
     s2
   }
 
-  /** Exact cosine re-rank: join the O(k) shortlist ids back to the
-    * corpus (broadcast), score against the unit query, top-10.
+  /** Exact cosine re-rank: the shortlist is O(k) by construction, so
+    * its ids COLLECT (k longs to the driver — same O(k) contract as
+    * the centroid collects) and push into the corpus scan as an IN
+    * predicate: parquet row-group stats skip everything else. The
+    * previous broadcast-join formulation still READ every vector's
+    * bytes just to probe a 100-entry hash table — a full corpus scan
+    * per query at 100 TB; the pushed filter makes the re-rank read
+    * O(k) row groups.
     */
   private def rerankExact(e: DataFrame, shortlist: DataFrame, q: Array[Double]): DataFrame = {
+    val ids = shortlist.collect().map(_.getLong(0))
     val qlit = array(q.map(lit): _*)
-    e.join(broadcast(shortlist), "vec_id")
+    e.filter(col("vec_id").isin(ids.map(java.lang.Long.valueOf): _*))
       .select(col("vec_id"), round(dot(unit(col("v")), qlit), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(10)
@@ -473,9 +480,13 @@ object Similarity {
     * persisted path gets partition pruning for free when codes are
     * partitioned by list), ADC-scan with per-list LUTs, exact re-rank.
     */
-  def ivfPqSearchFromCodes(e: DataFrame, codes: DataFrame,
-      cs: Array[Array[Double]], cb: Array[Array[Array[Double]]],
-      q: Array[Double]): DataFrame = {
+  /** The IVF-PQ shortlist (pre-re-rank): probe filter on the list id
+    * (partition pruning over a persisted code table), ADC scan with
+    * per-list LUTs, TakeOrdered to PqShortlist ids. Exposed so the
+    * plan test can assert the probed-partition pruning directly.
+    */
+  def ivfPqShortlist(codes: DataFrame, cs: Array[Array[Double]],
+      cb: Array[Array[Array[Double]]], q: Array[Double]): DataFrame = {
     val probed = cs.zipWithIndex.sortBy { case (c, _) => dist2(c, q) }
       .take(NProbe).map(_._2)
     // per-probed-list LUT over the QUERY RESIDUAL for that list
@@ -493,13 +504,29 @@ object Similarity {
     val adc = (0 until PqM).map { m =>
       element_at(element_at(element_at(lutMap, col("list")), m + 1), col(s"c$m") + 1)
     }.reduce(_ + _)
-    val shortlist = codes
+    codes
       .filter(col("list").isin(probed.map(Integer.valueOf): _*) && col("vec_id") =!= 0)
       .select(col("vec_id"), adc.as("adc_dist"))
       .orderBy(col("adc_dist"), col("vec_id"))
       .limit(PqShortlist)
       .select("vec_id")
-    rerankExact(e, shortlist, q)
+  }
+
+  def ivfPqSearchFromCodes(e: DataFrame, codes: DataFrame,
+      cs: Array[Array[Double]], cb: Array[Array[Array[Double]]],
+      q: Array[Double]): DataFrame =
+    rerankExact(e, ivfPqShortlist(codes, cs, cb, q), q)
+
+  /** The persisted-index shortlist for the standard query vector —
+    * the pre-re-rank plan the partition-pruning test locks.
+    */
+  def ivfPqPersistedShortlist(s: SparkSession, d: String): DataFrame = {
+    val e = vectors(s, d)
+    val idx = annIndexDir(s, d, e)
+    val (cs, cb) = loadAnnCodebooks(s, idx)
+    val q = e.filter(col("vec_id") === 0)
+      .select(unit(col("v"))).collect()(0).getSeq[Double](0).toArray
+    ivfPqShortlist(s.read.parquet(s"$idx/codes"), cs, cb, q)
   }
 
   val annIvfPq: QueryDef = QueryDef.rowsOnly("ann_ivfpq") { (s, d) =>

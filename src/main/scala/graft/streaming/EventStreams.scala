@@ -266,4 +266,25 @@ object EventStreams {
     runToTable(s, "stream_join_sink", "append", joined, tmp)
       .orderBy(col("purchase_id"), col("click_id"))
   }
+
+  /** Stream-static enrichment join: each micro-batch of events joins
+    * the STATIC customer dimension (broadcast — no state, no
+    * watermark needed on the static side; Structured Streaming
+    * re-plans the static subtree per batch, which is also how slowly
+    * changing dims get picked up). The enriched stream then feeds a
+    * per-nation running aggregate. The no-state join + stateful agg
+    * combination is the canonical streaming-ETL shape.
+    */
+  def streamStaticEnrich(s: SparkSession, dir: String): DataFrame = {
+    val (src, tmp) = eventsStream(s, dir)
+    val dim = graft.sources.Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val enriched = src
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(col("c_nationkey").as("nationkey"), col("n"), col("total"))
+    runToTable(s, "stream_enrich_sink", "complete", enriched, tmp)
+      .orderBy(col("nationkey"))
+  }
 }

@@ -46,6 +46,17 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-static enrichment equals the batch join aggregate") {
+    import graft.sources.Tables
+    val batch = Tables.events(spark, sf)
+      .join(Tables.customer(spark, sf), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .orderBy(col("nationkey")).collect()
+    val stream = EventOps.streamEnrich.fn(spark, sf).collect()
+    assert(stream.map(_.toString).toSeq == batch.map(_.toString).toSeq)
+  }
+
   test("quality classifier recovers the weak labels on the holdout split") {
     val scored = Curation.qualityModelScores(spark, sf)
     val holdout = scored.filter(col("hx") >= "8")

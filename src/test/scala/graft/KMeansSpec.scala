@@ -69,4 +69,20 @@ class KMeansSpec extends AnyFunSuite {
       assert(cost(c3) <= cost(init))
     } finally e.unpersist(false)
   }
+
+  test("mini-batch k-means lands within 10% of full Lloyd's WSSSE, deterministically") {
+    val cached = pts.select("x", "y").persist()
+    try {
+      val pts = cached
+      def cost(cs: Array[(Double, Double)]): Double =
+        pts.select(KMeans.minDistExpr(cs, col("x"), col("y")).as("d"))
+          .agg(sum(col("d"))).head().getDouble(0)
+      val (full, _, _) = KMeans.lloyd(pts, init)
+      val (mb, _, _) = KMeans.minibatchLloyd(pts, init)
+      assert(cost(mb) <= cost(full) * 1.10,
+        s"minibatch WSSSE ${cost(mb)} vs full ${cost(full)}")
+      val (mb2, _, _) = KMeans.minibatchLloyd(pts, init)
+      assert(mb.toSeq == mb2.toSeq, "hash-sampled batches must be reproducible")
+    } finally cached.unpersist(false)
+  }
 }

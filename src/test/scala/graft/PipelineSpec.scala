@@ -308,11 +308,16 @@ class SimilaritySpec extends AnyFunSuite {
     assert(disk.sameElements(mem),
       s"mem=${mem.mkString(",")} disk=${disk.mkString(",")}")
     // the persisted code scan prunes to the probed list partitions
-    val idx = Similarity.annIndexDir(spark, dir, Similarity.vectors(spark, dir))
-    val p = Similarity.annIvfPqPersisted.fn(spark, dir)
+    // (the shortlist plan — the re-rank executes it eagerly, so the
+    // final returned plan no longer contains the codes scan)
+    val p = Similarity.ivfPqPersistedShortlist(spark, dir)
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
     assert(p.contains("PartitionFilters") && p.contains("list"),
       s"no partition pruning on the codes scan:\n$p")
+    // and the re-rank reads O(k) row groups via a pushed IN filter
+    val r = Similarity.annIvfPqPersisted.fn(spark, dir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(r.contains("In(vec_id"), s"re-rank id set not pushed:\n$r")
   }
 
   test("ivf ANN recalls most exact top-1 neighbors (full corpus, every SF)") {

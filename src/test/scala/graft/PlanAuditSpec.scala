@@ -81,17 +81,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
-  test("pq ANN prunes via TakeOrdered shortlist and broadcasts it for re-rank") {
+  test("pq ANN prunes via TakeOrdered shortlist and pushes the id set into the re-rank scan") {
     val p = plan("ann_pq")
     assert(p.contains("TakeOrderedAndProject"))
-    assert(p.contains("BroadcastHashJoin"))
+    // re-rank must be a pushed IN filter on the corpus scan (reads
+    // O(k) row groups), not a join that scans every vector's bytes
+    assert(p.contains("In(vec_id"), s"no pushed IN(vec_id) filter:\n$p")
+    assert(!p.contains("Join"), s"re-rank must not join the corpus:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
 
   test("ivfpq ANN keeps the same shortlist/re-rank shape") {
     val p = plan("ann_ivfpq")
     assert(p.contains("TakeOrderedAndProject"))
-    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("In(vec_id"), s"no pushed IN(vec_id) filter:\n$p")
+    assert(!p.contains("Join"), s"re-rank must not join the corpus:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
 
@@ -210,6 +214,16 @@ class PlanAuditSpec extends AnyFunSuite {
       new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
     assert(parquetFiles(dir) == graft.sources.SourceOps.CompactTargetFiles)
     assert(parquetFiles(dir.replace("compacted", "small_files")) == 64)
+  }
+
+  test("events_paths shares one user_id shuffle across session numbering and sequence windows") {
+    val p = graft.operators.EventOps.eventsPaths.fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    val userExchanges = "Exchange hashpartitioning\\(user_id".r
+      .findAllIn(p).length
+    assert(userExchanges == 1,
+      s"expected exactly 1 user_id exchange, got $userExchanges:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 must not global-sort:\n$p")
   }
 
   test("malformed CSV rows are quarantined, never dropped or fatal") {
