@@ -718,10 +718,33 @@ object RelationalExt {
       .orderBy(col("change"))
   }
 
+  /** Shuffled hash join by hint: the middle ground the optimizer
+    * won't pick by default — the build side is too big to broadcast
+    * but small enough to hash per partition, so forcing SHJ skips
+    * BOTH sides' sorts (sort-merge's cost at 100 TB is two
+    * corpus-wide sorts; the hash build is O(build partition) memory
+    * instead). Result equals the plain join, which is the oracle;
+    * the plan lock asserts ShuffledHashJoin actually got picked.
+    */
+  val qShuffleHashJoin: QueryDef = QueryDef.sql(
+    "q_shuffle_hash_join",
+    """SELECT o_orderpriority, count(*) AS n,
+      |  round(sum(l_extendedprice), 2) AS total
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).hint("shuffle_hash"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("total"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     qApproxDistinct, qApproxPercentile, qAsofJoin, qSkewSaltedJoin,
     qBucketedJoin, qPivot, qFullOuter, qTopPerKeyAgg, qScalarSubquery,
     qIntersect, qExcept, qCube, qMedian, qSkewStats, qOrderGaps,
     qCorrelatedScalar, qGroupingSets, qRangeFrame, qNtile, qIntervalJoin,
-    qMergeUpsert, qDppJoin, qScd2, qBloomJoin, qSnapshotDiff)
+    qMergeUpsert, qDppJoin, qScd2, qBloomJoin, qSnapshotDiff,
+    qShuffleHashJoin)
 }

@@ -216,6 +216,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(parquetFiles(dir.replace("compacted", "small_files")) == 64)
   }
 
+  test("shuffle_hash hint actually plans a ShuffledHashJoin (no sorts)") {
+    val p = plan("q_shuffle_hash_join")
+    assert(p.contains("ShuffledHashJoin"), s"hint not honored:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("events_paths shares one user_id shuffle across session numbering and sequence windows") {
     val p = graft.operators.EventOps.eventsPaths.fn(spark, sf)
       .queryExecution.executedPlan.toString
