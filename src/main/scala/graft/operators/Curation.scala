@@ -365,8 +365,52 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** Sequence-packing accounting (the pretraining dataloader op):
+    * documents concatenate in a deterministic md5 order and chunk
+    * into fixed 2048-token context windows — "concat then chunk", the
+    * packing GPT-style training uses. A document's window is the one
+    * holding its FIRST token (floor((cum - n_tokens) / 2048)).
+    * Packing runs WITHIN each source shard (a global order would
+    * serialize the cumsum at 100 TB; per-shard is how real loaders
+    * pack), one window pass per source partition. Output: windows,
+    * docs, tokens, and the fill ratio per source.
+    */
+  val pipelinePack: QueryDef = QueryDef.sql(
+    "pipeline_pack",
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+      |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS hx
+      |  FROM documents),
+      |c AS (
+      |  SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY hx, doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM t),
+      |w AS (
+      |  SELECT *, CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS win
+      |  FROM c)
+      |SELECT source, max(win) + 1 AS n_windows, count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+      |  round(sum(n_tokens) / ((max(win) + 1) * 2048.0), 4) AS fill
+      |FROM w GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.documents(s, d).select(
+      col("doc_id"), col("source"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+      substring(md5(col("doc_id").cast("string")), 1, 8).as("hx"))
+    val w = Window.partitionBy(col("source")).orderBy(col("hx"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("win", floor((col("cum") - col("n_tokens")) / 2048.0).cast("long"))
+      .groupBy(col("source"))
+      .agg((max(col("win")) + 1).as("n_windows"), count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        round(sum(col("n_tokens")) / ((max(col("win")) + 1) * 2048.0), 4).as("fill"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] = Seq(pipelineCurate, pipelineMix,
     pipelineQualityFilter, pipelineSampleN, pipelineTokenBudget,
     pipelineSplit, textContamination, pipelineLangBudget,
-    pipelineQualityModel)
+    pipelineQualityModel, pipelinePack)
 }
