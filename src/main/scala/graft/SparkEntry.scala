@@ -10,7 +10,8 @@ object SparkEntry {
     * a DuckDB oracle. Registered per-domain; names must be unique.
     */
   val defs: Seq[QueryDef] =
-    Relational.all ++ RelationalExt.all ++ KMeans.all ++ TextAnalysis.all ++
+    Relational.all ++ RelationalExt.all ++ RelationalMore.all ++
+      KMeans.all ++ TextAnalysis.all ++
       Dedup.all ++ Similarity.all ++ Embeddings.all ++ Multimodal.all ++
       EventOps.all ++ Curation.all ++ graft.sources.SourceOps.all
 

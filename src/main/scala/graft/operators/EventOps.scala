@@ -365,6 +365,24 @@ object EventOps {
       .orderBy(col("win_start"))
   }
 
+  /** Fixed-width value histogram per event type — one map-side bucket
+    * expression, one partial-aggregated shuffle of (type, bucket)
+    * pairs. The standard first look at a metric's distribution; at
+    * 100 TB the cardinality after bucketing is tiny regardless of
+    * row count, so the plan is scan-bound by construction.
+    */
+  val eventsHistogram: QueryDef = QueryDef.sql(
+    "events_histogram",
+    """SELECT event_type, CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+      |  count(*) AS n, round(avg(value), 2) AS avg_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"),
+        floor(col("value") / 25.0).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 2).as("avg_value"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
   /** Stream-static enrichment: events stream ⋈ broadcast customer dim
     * → per-nation running totals; oracle is the equivalent batch join.
     */
@@ -379,5 +397,5 @@ object EventOps {
     eventsHourly, streamHourly, eventsSessions, eventsSessionWindow,
     streamSessions, streamUserStats, streamJoin, streamSinkRoundtrip,
     eventsFunnel, eventsRetention, eventsAnomaly, eventsPaths,
-    eventsHourlyMerge, streamEnrich, eventsSlidingUniques)
+    eventsHourlyMerge, streamEnrich, eventsSlidingUniques, eventsHistogram)
 }

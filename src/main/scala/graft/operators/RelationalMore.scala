@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Third slice of the analytic surface: correlated LATERAL top-N,
+  * ordered string aggregation, deterministic mode, and a persisted
+  * HyperLogLog sketch table (the pre-aggregated distinct-count layout
+  * a 100 TB warehouse actually stores).
+  */
+object RelationalMore {
+
+  /** Correlated LATERAL top-N: each probe-side row drives its own
+    * ranked subquery. Catalyst decorrelates the LIMIT-per-key into a
+    * window rank over one shuffle of the matching orders — no
+    * nested-loop re-execution per customer (plan-locked). The
+    * window-function spelling of the same shape is
+    * `q_top_per_key_agg`; this entry is the SQL-surface lateral.
+    */
+  val qLateralTopk: QueryDef = QueryDef.sql(
+    "q_lateral_topk",
+    """SELECT c_custkey, o_orderkey, o_totalprice
+      |FROM customer,
+      |  LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+      |           WHERE o_custkey = c_custkey
+      |           ORDER BY o_totalprice DESC, o_orderkey LIMIT 2)
+      |WHERE c_nationkey = 1
+      |ORDER BY c_custkey, o_orderkey""".stripMargin) { (s, d) =>
+    Tables.customer(s, d).createOrReplaceTempView("graft_customer_lat_v")
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders_lat_v")
+    s.sql(
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM graft_customer_lat_v,
+        |  LATERAL (SELECT o_orderkey, o_totalprice FROM graft_orders_lat_v
+        |           WHERE o_custkey = c_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey LIMIT 2)
+        |WHERE c_nationkey = 1
+        |ORDER BY c_custkey, o_orderkey""".stripMargin)
+  }
+
+  /** Ordered string aggregation (LISTAGG). `collect_list` order is
+    * whatever the shuffle delivered, so determinism comes from
+    * `array_sort` before the join — same contract as DuckDB's
+    * `string_agg(... ORDER BY ...)`.
+    */
+  val qStringAgg: QueryDef = QueryDef.sql(
+    "q_string_agg",
+    """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin) { (s, d) =>
+    Tables.nation(s, d)
+      .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))
+      .orderBy(col("r_name"))
+  }
+
+  /** Deterministic mode per group: the built-in `mode()` breaks ties
+    * arbitrarily, so the engine spells it count + rank with an
+    * explicit value tie-break — reproducible on any cluster layout.
+    */
+  val qMode: QueryDef = QueryDef.sql(
+    "q_mode",
+    """WITH c AS (SELECT o_orderstatus, o_orderpriority, count(*) AS n
+      |           FROM orders GROUP BY 1, 2)
+      |SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+      |FROM (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+      |                                   ORDER BY n DESC, o_orderpriority) AS rk
+      |      FROM c)
+      |WHERE rk = 1 ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    val c = Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("n").desc, col("o_orderpriority"))
+    c.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"), col("n"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  // hash of the source dir so different SFs coexist in the warehouse
+  private def sketchTableDir(s: SparkSession, d: String): org.apache.hadoop.fs.Path = {
+    val h = Integer.toHexString(d.hashCode)
+    new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir")),
+      s"graft_hll_$h")
+  }
+
+  /** Builds (once) the per-month HLL sketch table over orders:
+    * one 2^12-register Datasketches HLL per (month) of o_custkey.
+    * At 100 TB this is the ingest-time artifact — kilobytes per
+    * partition — that answers any distinct-count rollup without
+    * rescanning the fact table.
+    */
+  def hllSketchTable(s: SparkSession, d: String): DataFrame = synchronized {
+    val dir = sketchTableDir(s, d)
+    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))) {
+      Tables.orders(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(hll_sketch_agg(col("o_custkey"), lit(12)).as("sk"),
+          count(lit(1)).as("n_orders"))
+        .write.mode("overwrite").parquet(dir.toString)
+    }
+    s.read.parquet(dir.toString)
+  }
+
+  /** Distinct customers per quarter answered from the STORED sketch
+    * table alone: `hll_union_agg` merges the month sketches (sketch
+    * merge is associative — the property that makes the layout
+    * re-aggregable to any coarser grain). The fact table is never
+    * touched at query time. Estimate-vs-exact bound asserted in
+    * ScalaTest; the estimate itself is sketch-impl-defined, hence
+    * rows-only.
+    */
+  val qHllPartitioned: QueryDef = QueryDef.rowsOnly("q_hll_partitioned") { (s, d) =>
+    hllSketchTable(s, d)
+      .groupBy(date_trunc("quarter", col("month")).as("quarter"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_customers"),
+        sum(col("n_orders")).as("n_orders"))
+      .orderBy(col("quarter"))
+  }
+
+  val all: Seq[QueryDef] = Seq(qLateralTopk, qStringAgg, qMode, qHllPartitioned)
+}

@@ -587,9 +587,108 @@ object TextAnalysis {
       .distinct()
   }
 
+  /** Character-level Shannon entropy — the cheap gibberish/encoding
+    * detector (base64 blobs and mojibake sit far from natural-text
+    * entropy). Per-char explode feeds a map-side partial aggregate,
+    * so the shuffle carries (doc, char, count) — bounded by the
+    * alphabet, not the text length. One pass, entropy via
+    * log2(N) - Σ n·log2(n)/N (no self-join on the totals).
+    */
+  val textEntropy: QueryDef = QueryDef.sql(
+    "text_entropy",
+    """WITH f AS (
+      |  SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS n
+      |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS c
+      |        FROM documents)
+      |  GROUP BY 1, 2)
+      |SELECT doc_id,
+      |  round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 3) AS entropy
+      |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit("."), lit(0))).as("c"))
+      .groupBy(col("doc_id"), col("c"))
+      .agg(count(lit(1)).cast("double").as("n"))
+      .groupBy(col("doc_id"))
+      .agg(round(log2(sum(col("n")))
+        - sum(col("n") * log2(col("n"))) / sum(col("n")), 3).as("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Type-token ratio (vocabulary richness) — fully map-side: token
+    * extraction, distinct, and the ratio are one codegen'd projection
+    * per document; no shuffle at any scale.
+    */
+  val textTtr: QueryDef = QueryDef.sql(
+    "text_ttr",
+    """SELECT doc_id, n_types, n_tokens,
+      |  round(CAST(n_types AS DOUBLE) / n_tokens, 4) AS ttr
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(len(list_distinct(regexp_extract_all(lower(text), '\S+'))) AS BIGINT) AS n_types,
+      |    CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT) AS n_tokens
+      |  FROM documents)
+      |WHERE n_tokens > 0 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(array_distinct(regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))))
+          .cast("long").as("n_types"),
+        tokenCount(lower(col("text"))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("ttr", round(col("n_types").cast("double") / col("n_tokens"), 4))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus-order 5-gram novelty: the share of a document's distinct
+    * 5-grams not already seen in any earlier (smaller doc_id)
+    * document — dedup-lite scoring for "how much new text does this
+    * shard add". First-owner resolution is one window min over the
+    * shingle hash partitioning; per-doc rollup is the only other
+    * shuffle. Same shingle machinery as text_contamination
+    * (Curation.scala), scored instead of filtered.
+    */
+  val textNovelty: QueryDef = QueryDef.sql(
+    "text_novelty",
+    """WITH t AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT DISTINCT doc_id,
+      |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+      |    toks[i+3] || ' ' || toks[i+4] AS sh
+      |  FROM t, UNNEST(generate_series(1, len(toks) - 4)) AS u(i)
+      |  WHERE len(toks) >= 5),
+      |f AS (
+      |  SELECT doc_id, sh, min(doc_id) OVER (PARTITION BY sh) AS first_doc
+      |  FROM s)
+      |SELECT doc_id, count(*) AS n_grams,
+      |  CAST(sum(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+      |  round(1.0 - CAST(sum(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+      |        / count(*), 4) AS novelty
+      |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)).as("toks"))
+      .filter(size(col("toks")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(toks) - 5),
+          |  i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2], ' ',
+          |              toks[i+3], ' ', toks[i+4]))""".stripMargin)).as("sh"))
+      .distinct()
+    val seen = sh.withColumn("first_doc",
+      min(col("doc_id")).over(Window.partitionBy(col("sh"))))
+    seen.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L)).as("n_seen"))
+      .withColumn("novelty",
+        round(lit(1.0) - col("n_seen").cast("double") / col("n_grams"), 4))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     textTokens, textQuality, textLangid, textFingerprint, textWordfreq,
     textBpeTokens, textBpeMerged, textTfidf, textLangidEval, textRepetition,
     textRedact, textCmsFreq, textChunks, textChunkDedup, textLmScore,
-    textWinnow)
+    textWinnow, textEntropy, textTtr, textNovelty)
 }

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{EventOps, RelationalMore}
+import graft.sources.Tables
+
+class RelationalMoreSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("lateral topk returns the true top-2 orders per nation-1 customer") {
+    val rows = RelationalMore.qLateralTopk.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val perCust = rows.groupBy(_.getLong(0))
+    assert(perCust.values.forall(_.length <= 2))
+    // recompute the expected top-2 independently
+    val orders = Tables.orders(spark, sf)
+      .select("o_custkey", "o_orderkey", "o_totalprice").collect()
+      .groupBy(_.getLong(0))
+    perCust.foreach { case (cust, got) =>
+      val expect = orders(cust)
+        .sortBy(r => (-r.getDouble(2), r.getLong(1)))
+        .take(2).map(_.getLong(1)).toSet
+      assert(got.map(_.getLong(1)).toSet == expect, s"customer $cust")
+    }
+    // customers outside nation 1 must not appear
+    val nat1 = Tables.customer(spark, sf).filter(col("c_nationkey") === 1)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert(perCust.keySet.subsetOf(nat1))
+  }
+
+  test("lateral topk decorrelates: no cartesian or nested-loop join") {
+    val plan = RelationalMore.qLateralTopk.fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("string_agg lists every nation of each region in sorted order") {
+    val rows = RelationalMore.qStringAgg.fn(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val nations = r.getString(1).split(",").toSeq
+      assert(nations == nations.sorted)
+      assert(nations.length == 5) // 25 nations over 5 regions
+    }
+  }
+
+  test("mode per group is the true argmax with smallest-value tie-break") {
+    val rows = RelationalMore.qMode.fn(spark, sf).collect()
+    val counts = Tables.orders(spark, sf)
+      .groupBy("o_orderstatus", "o_orderpriority").count().collect()
+      .groupBy(_.getString(0))
+    rows.foreach { r =>
+      val byPrio = counts(r.getString(0)).map(x => x.getString(1) -> x.getLong(2))
+      val best = byPrio.sortBy { case (p, n) => (-n, p) }.head
+      assert((r.getString(1), r.getLong(2)) == best)
+    }
+  }
+
+  test("hll sketch table answers per-quarter distinct within 5% of exact") {
+    val est = RelationalMore.qHllPartitioned.fn(spark, sf).collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    val exact = Tables.orders(spark, sf)
+      .groupBy(date_trunc("quarter", col("o_orderdate")).as("q"))
+      .agg(countDistinct(col("o_custkey")).as("n")).collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (q, n) =>
+      val rel = math.abs(est(q).toDouble - n) / n.toDouble
+      assert(rel < 0.05, s"$q: est=${est(q)} exact=$n")
+    }
+  }
+
+  test("hll sketch merge is re-aggregable: quarters roll up to the global count") {
+    val global = RelationalMore.hllSketchTable(spark, sf)
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .collect()(0).getLong(0)
+    val exact = Tables.orders(spark, sf)
+      .select(countDistinct(col("o_custkey"))).collect()(0).getLong(0)
+    val rel = math.abs(global.toDouble - exact) / exact.toDouble
+    assert(rel < 0.05, s"est=$global exact=$exact")
+  }
+
+  test("hll sketch table is built once and reused") {
+    val dfA = RelationalMore.hllSketchTable(spark, sf)
+    val n1 = dfA.count()
+    // second call must read the stored table, not rebuild
+    val dfB = RelationalMore.hllSketchTable(spark, sf)
+    assert(dfB.count() == n1)
+    assert(dfB.queryExecution.analyzed.toString.contains("Relation"))
+  }
+
+  test("events histogram partitions all events exactly once") {
+    val rows = EventOps.eventsHistogram.fn(spark, sf).collect()
+    val total = Tables.events(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum == total)
+    rows.foreach { r =>
+      val (bucket, avg) = (r.getLong(1), r.getDouble(3))
+      assert(avg >= bucket * 25.0 - 1e-9 && avg < (bucket + 1) * 25.0 + 1e-9)
+    }
+  }
+}
