@@ -114,5 +114,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       SketchFunctions.gramianBuilder))
     // graft_pq_encode is Column-API only: its codebooks parameter is
     // a fitted model object, not a SQL-expressible literal.
+    // Whole-operator extension: sort-free per-key top-k (the
+    // TopKOps.topKPerKey entry also self-registers per session for
+    // sessions built without this extension class).
+    e.injectPlannerStrategy(_ => org.apache.spark.sql.graft.TopKPerKeyStrategy)
   }
 }

@@ -177,6 +177,45 @@ object Dedup {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Asymmetric shingle containment (Broder): |A∩B| / |A| per ordered
+    * pair — flags doc-IN-doc embedding that symmetric Jaccard misses
+    * (a short document wholly inside a long one scores ~1 here but
+    * low Jaccard, so near-dup thresholds never catch it). Same
+    * bounded 3-gram machinery as dedup_ngram; the scale path swaps
+    * the exact self-join for LSH candidates and keeps this scorer.
+    * The threshold compares n_both ≥ 0.9·n BEFORE any rounding, so
+    * both engines cut identically.
+    */
+  val dedupContainment: QueryDef = QueryDef.sql(
+    "dedup_containment",
+    """WITH t AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+      |  FROM documents WHERE doc_id < 150),
+      |s AS (
+      |  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+      |  FROM t, UNNEST(generate_series(1, len(toks) - 2)) AS u(i)
+      |  WHERE len(toks) >= 3),
+      |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1),
+      |ix AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_both
+      |       FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+      |       GROUP BY 1, 2)
+      |SELECT id1, id2, round(CAST(n_both AS DOUBLE) / sz.n, 4) AS containment
+      |FROM ix JOIN sz ON ix.id1 = sz.doc_id
+      |WHERE n_both >= 0.9 * sz.n
+      |ORDER BY id1, id2""".stripMargin) { (s, d) =>
+    val sh = shingles(Tables.documents(s, d), Some(150L))
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val ix = sh.select(col("doc_id").as("id1"), col("sh"))
+      .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")),
+        col("sh") === col("sh2") && col("id1") =!= col("id2"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("n_both"))
+    ix.join(broadcast(sz.select(col("doc_id").as("id1"), col("n"))), "id1")
+      .filter(col("n_both") >= lit(0.9) * col("n"))
+      .select(col("id1"), col("id2"),
+        round(col("n_both").cast("double") / col("n"), 4).as("containment"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
   // ---- MinHash + LSH (the scale path) --------------------------------
 
   val NumPerm = 64
@@ -284,11 +323,59 @@ object Dedup {
     * Lineage is truncated per round (localCheckpoint) so the plan
     * doesn't grow with iterations; the label table is O(nodes in the
     * pair graph), far smaller than the corpus.
+    *
+    * SIZE-ADAPTIVE: at or below `localMaxEdges` the graph collects and
+    * a driver union-find answers in one pass — the candidate graph is
+    * small relative to the corpus by LSH construction, and each
+    * distributed round costs two joins + a checkpoint + a convergence
+    * collect, a fixed overhead a tiny graph never amortizes. The
+    * distributed loop is the ≥millions-of-edges path (and stays
+    * test-pinned via localMaxEdges = 0).
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+  /** Edge-count threshold below which components resolve driver-side.
+    * The candidate graph is SMALL relative to the corpus by LSH
+    * construction (only colliding near-dups pair up), so most runs fit
+    * comfortably; a million edges is a few MB collected. Above it the
+    * distributed pointer-jumping loop takes over — same labels.
+    */
+  val LocalCcMaxEdges = 1000000L
+
+  /** Driver-side union-find (path compression, min-id roots) — one
+    * collect, zero iterative Spark rounds. Returns the same
+    * (id, label = component min) contract as the distributed loop.
+    */
+  private def localComponents(s: SparkSession, edges: Array[(Long, Long)]): DataFrame = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { // min root wins so the label IS the component min
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    import s.implicits._
+    parent.keys.toSeq.sorted.map(id => (id, find(id))).toDF("id", "label")
+  }
+
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 30,
+      localMaxEdges: Long = LocalCcMaxEdges): DataFrame = {
     // the pair plan feeds three edge branches — materialize it once,
     // not once per branch (the caller may hand us an expensive join)
     val p = pairs.select(col("id1"), col("id2")).persist()
+    val nEdges = p.count()
+    if (nEdges <= localMaxEdges) {
+      try {
+        return localComponents(p.sparkSession,
+          p.collect().map(r => (r.getLong(0), r.getLong(1))))
+      } finally p.unpersist(false)
+    }
     val nodes = p.select(col("id1").as("src"))
       .union(p.select(col("id2").as("src"))).distinct()
     // symmetric closure + self-loops: min over neighbors then includes
@@ -687,7 +774,8 @@ object Dedup {
     graft.streaming.EventStreams.streamDedupWithinWatermark)
 
   val all: Seq[QueryDef] = Seq(
-    dedupExact, dedupExactNfc, dedupStats, dedupNgram, dedupMinhash,
+    dedupExact, dedupExactNfc, dedupStats, dedupNgram, dedupContainment,
+    dedupMinhash,
     dedupSimhash, dedupEmbedding, streamDedup, dedupGroups, dedupNearCorpus,
     dedupSimhashLsh, streamDedupWm, dedupMinhashCorpus, dedupIncremental,
     dedupIncrementalIndexed, streamDedupIndexed)

@@ -475,7 +475,34 @@ object KMeans {
     }.toSeq.toDF("cid", "cx", "cy", "n_iters", "converged")
   }
 
+  /** Hierarchical divisive clustering (MLlib BisectingKMeans): the
+    * tree alternative to flat Lloyd — each level splits one cluster
+    * with a local k=2 fit over only that cluster's points, so deep k
+    * costs O(log k) corpus passes instead of k-proportional
+    * all-centroid distance work per pass. Rows-only (tree splits are
+    * seed/FP-path dependent); size conservation and cluster count
+    * pinned in ScalaTest.
+    */
+  val kmeansBisecting: QueryDef = QueryDef.rowsOnly("kmeans_bisecting") { (s, d) =>
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.clustering.BisectingKMeans
+    val pts = points(Tables.lineitem(s, d))
+    val features = pts
+      .select(array_to_vector(array(col("x"), col("y"))).as("features"))
+      .persist()
+    features.count() // materialize before fit (see kmeansMllib note)
+    try {
+      val fitted = new BisectingKMeans().setK(K).setSeed(42L).setMaxIter(10)
+        .setFeaturesCol("features").fit(features)
+      val sizes = fitted.transform(features)
+        .groupBy(col("prediction")).agg(count(lit(1)).as("n"))
+        .select(col("prediction").cast("long").as("cid"), col("n"))
+        .orderBy(col("cid"))
+      sizes.localCheckpoint(eager = true)
+    } finally features.unpersist(false)
+  }
+
   val all: Seq[QueryDef] = Seq(
     kmeansAssign, kmeansStep, kmeansIter3, kmeansCost, kmeansLloyd,
-    kmeansMllib, kmeansNd, kmeansMinibatch)
+    kmeansMllib, kmeansNd, kmeansMinibatch, kmeansBisecting)
 }

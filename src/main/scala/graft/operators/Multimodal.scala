@@ -129,10 +129,61 @@ object Multimodal {
     else None
   }
 
+  private def be64(b: Array[Byte], off: Int): Long =
+    (be32(b, off).toLong << 32) | (be32(b, off + 4).toLong & 0xffffffffL)
+
+  private def fourcc(b: Array[Byte], off: Int, s: String): Boolean =
+    off + 4 <= b.length && b(off) == s(0) && b(off + 1) == s(1) &&
+      b(off + 2) == s(2) && b(off + 3) == s(3)
+
+  /** (width, height, timescale, duration_ms) from an ISO-BMFF (MP4)
+    * header: the file is a tree of [size(4BE)][4cc] boxes; `moov`
+    * holds `mvhd` (movie timescale + duration, version 0/1 layouts)
+    * and per-track `trak`/`tkhd` whose presentation size is 16.16
+    * fixed-point at the end of the box — ISO/IEC 14496-12 §8.2.2 /
+    * §8.3.2. First track with nonzero width wins (audio tracks
+    * carry 0×0).
+    */
+  def decodeMp4(b: Array[Byte]): Option[(Int, Int, Int, Double)] = {
+    if (b.length < 12 || !fourcc(b, 4, "ftyp")) return None
+    var w = 0; var h = 0; var ts = 0; var dur = -1L
+    def walk(from: Int, to: Int, depth: Int): Unit = {
+      var i = from
+      while (i + 8 <= to && depth < 6) {
+        val sz = be32(b, i)
+        if (sz < 8) return // malformed (64-bit largesize headers not produced here)
+        val next = i + sz
+        if (next > to) return
+        if (fourcc(b, i + 4, "moov") || fourcc(b, i + 4, "trak"))
+          walk(i + 8, next, depth + 1)
+        else if (fourcc(b, i + 4, "mvhd") && i + 9 <= b.length) {
+          val v = b(i + 8) & 0xff
+          if (v == 0 && i + 28 <= b.length) {
+            ts = be32(b, i + 20); dur = be32(b, i + 24).toLong & 0xffffffffL
+          } else if (v == 1 && i + 40 <= b.length) {
+            ts = be32(b, i + 28); dur = be64(b, i + 32)
+          }
+        } else if (fourcc(b, i + 4, "tkhd") && i + 9 <= b.length) {
+          val v = b(i + 8) & 0xff
+          val woff = if (v == 1) i + 96 else i + 84
+          if (woff + 8 <= b.length && w == 0) {
+            val cw = be32(b, woff) >>> 16
+            if (cw > 0) { w = cw; h = be32(b, woff + 4) >>> 16 }
+          }
+        }
+        i = next
+      }
+    }
+    walk(0, b.length, 0)
+    if (ts > 0 && dur >= 0)
+      Some((w, h, ts, math.round(dur * 1000.0 / ts * 100) / 100.0))
+    else None
+  }
+
   /** Real decode where the payload is a recognized container
-    * (PNG IHDR / JPEG SOFn / WAV RIFF header parsing — pure JVM,
-    * executor-local), deterministic stub otherwise. The mean over
-    * payload bytes is the same statistic in every path.
+    * (PNG IHDR / JPEG SOFn / WAV RIFF / MP4 ISO-BMFF header parsing
+    * — pure JVM, executor-local), deterministic stub otherwise. The
+    * mean over payload bytes is the same statistic in every path.
     */
   def decode(docId: Long, payload: Array[Byte]): MediaFeature = {
     val stub = decodeStub(docId, payload)
@@ -143,6 +194,9 @@ object Multimodal {
     }).orElse(decodeWav(payload).map { case (rate, ch, durMs) =>
       stub.copy(width = 0, height = 0, kind = "wav",
         sample_rate = rate, channels = ch, duration_ms = durMs)
+    }).orElse(decodeMp4(payload).map { case (w, h, ts, durMs) =>
+      stub.copy(width = w, height = h, kind = "mp4",
+        sample_rate = ts, duration_ms = durMs)
     }).getOrElse(stub)
   }
 

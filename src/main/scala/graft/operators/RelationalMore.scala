@@ -125,5 +125,34 @@ object RelationalMore {
       .orderBy(col("quarter"))
   }
 
-  val all: Seq[QueryDef] = Seq(qLateralTopk, qStringAgg, qMode, qHllPartitioned)
+  /** Per-key top-k via the NATIVE TopKPerKey operator (custom logical
+    * node + planner strategy + partial/final physical execs,
+    * sql/graft/topk.scala): bounded k-row buffers per key instead of
+    * the window formulation's full partition sort — the shuffle
+    * carries O(keys·k) partial winners, never the corpus, and no Sort
+    * node exists anywhere below the presentation ORDER BY
+    * (plan-locked). Oracle is the row_number() spelling with the same
+    * total ordering.
+    */
+  val qNativeTopk: QueryDef = QueryDef.sql(
+    "q_native_topk",
+    """WITH r AS (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders)
+      |SELECT o_orderpriority, o_orderkey, o_totalprice
+      |FROM r WHERE rk <= 3
+      |ORDER BY o_orderpriority, o_orderkey""".stripMargin) { (s, d) =>
+    val df = Tables.orders(s, d)
+      .select("o_orderpriority", "o_orderkey", "o_totalprice")
+    org.apache.spark.sql.graft.TopKOps.topKPerKey(df,
+        keys = Seq(col("o_orderpriority")),
+        order = Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+        k = 3)
+      .orderBy(col("o_orderpriority"), col("o_orderkey"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(qLateralTopk, qStringAgg, qMode, qHllPartitioned, qNativeTopk)
 }

@@ -377,6 +377,54 @@ object Similarity {
     rerankExact(e, shortlist, q)
   }
 
+  // ---- SQ8 (scalar quantization) -------------------------------------
+
+  val SqShortlist = 50
+
+  /** Scalar-quantized (SQ8) ANN: each unit-normalized dimension maps
+    * to one byte against per-dimension corpus (min, span) bounds —
+    * 64 B/vector vs 512 B raw, the middle rung between raw floats
+    * and PQ's 8 B. The search exploits that SQ decode is AFFINE:
+    * decoded·q = Σᵢ(mnᵢ + spanᵢ·(cᵢ+128)/255)·qᵢ collapses to
+    * `const + codes·w` with w precomputed driver-side from the query
+    * — so the compressed scan is a cast + one native codegen'd dot
+    * against the int8 codes (no per-element lambda, no decode), then
+    * TakeOrdered of SqShortlist ids and the standard exact re-rank.
+    * Bounds are one O(D) aggregate pass (the ingest-time stats
+    * artifact at 100 TB).
+    */
+  val annSq8: QueryDef = QueryDef.rowsOnly("ann_sq8") { (s, d) =>
+    val e = vectors(s, d)
+    val withU = e.withColumn("u", unit(col("v")))
+    val b = withU.select(
+      array((0 until Dim).map(i => min(element_at(col("u"), i + 1))): _*).as("mn"),
+      array((0 until Dim).map(i => max(element_at(col("u"), i + 1))): _*).as("mx"))
+      .collect()(0)
+    val mn = b.getSeq[Double](0).toArray
+    val mx = b.getSeq[Double](1).toArray
+    val span = mn.indices.map(i => math.max(mx(i) - mn(i), 1e-12)).toArray
+    val mnL = array(mn.map(lit): _*)
+    val spanL = array(span.map(lit): _*)
+    val codes = withU.select(col("vec_id"),
+      transform(col("u"), (x, i) =>
+        (least(greatest(round((x - element_at(mnL, i + 1))
+          / element_at(spanL, i + 1) * 255.0, 0), lit(0.0)), lit(255.0))
+          .cast("int") - 128).cast("tinyint")).as("codes"))
+    val q = withU.filter(col("vec_id") === 0)
+      .select("u").collect()(0).getSeq[Double](0).toArray
+    // affine collapse: score = C + Σ cᵢ·wᵢ over the signed codes
+    val w = Array.tabulate(Dim)(i => span(i) * q(i) / 255.0)
+    val c0 = Array.tabulate(Dim)(i => (mn(i) + span(i) * 128.0 / 255.0) * q(i)).sum
+    val shortlist = codes.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        (lit(c0) + dot(col("codes").cast("array<double>"), array(w.map(lit): _*)))
+          .as("approx_sim"))
+      .orderBy(col("approx_sim").desc, col("vec_id"))
+      .limit(SqShortlist)
+      .select("vec_id")
+    rerankExact(e, shortlist, q)
+  }
+
   /** Cross-table retrieval: nearest embeddings joined back to their
     * document metadata (doc_id == vec_id in the synthetic corpus) —
     * the "semantic search returns documents, not vector ids" step.
@@ -654,5 +702,5 @@ object Similarity {
 
   val all: Seq[QueryDef] = Seq(
     annBruteforce, annTopkJoin, annLsh, annIvf, annPq, annSearchText,
-    annIvfPq, annIvfPqPersisted, dedupEmbeddingIvf)
+    annIvfPq, annIvfPqPersisted, dedupEmbeddingIvf, annSq8)
 }

@@ -284,8 +284,42 @@ object SourceOps {
       round(sum(col("c_acctbal")), 2).as("good_total"))
   }
 
+  /** Raw-media ingest through the binaryFile source — the front door
+    * for image/audio payloads that arrive as FILES, not table rows:
+    * one staged file per document (bounded set; staging is the demo),
+    * read back with `format("binaryFile")`, identity recovered from
+    * the path, length from the source's own metadata column and the
+    * checksum from the content bytes. The oracle pins both against
+    * the documents table, so the files→rows hop is proven lossless.
+    * At scale each file streams through its executor once; payload
+    * bytes never shuffle (the downstream is mm_features'
+    * mapPartitions decode).
+    */
+  val srcBinaryFiles: QueryDef = QueryDef.sql(
+    "src_binary_files",
+    """SELECT doc_id,
+      |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+      |  md5(text) AS checksum
+      |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val dir = tmpDir("doc_payload_files")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    Tables.documents(s, d).filter(col("doc_id") < 100)
+      .select("doc_id", "text").collect()
+      .foreach { r =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, f"doc_${r.getLong(0)}%05d.bin"),
+          r.getString(1).getBytes("UTF-8"))
+      }
+    s.read.format("binaryFile").load(dir)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1).cast("long").as("doc_id"),
+        col("length").as("byte_len"),
+        md5(col("content")).as("checksum"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     srcTextPoints, srcCsvRoundtrip, srcJsonRoundtrip, srcPartitionedScan,
     srcOrcRoundtrip, srcZorderScan, srcCompactSmallFiles, srcSchemaEvolution,
-    srcCsvMalformed)
+    srcCsvMalformed, srcBinaryFiles)
 }

@@ -42,6 +42,10 @@ class DedupSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 20L -> 20L))
+    // distributed pointer jumping agrees with the driver fallback
+    val dist = Dedup.connectedComponents(pairs, localMaxEdges = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == got)
     // regression: a live graph whose ids sum to zero (negative ids)
     // must still propagate — emptiness is not a zero label sum
     val neg = Dedup.connectedComponents(
@@ -468,6 +472,65 @@ class MultimodalSpec extends AnyFunSuite {
   }
 }
 
+class MediaIndexClusterSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("real MP4 headers decode to true dims, timescale, and duration") {
+    import spark.implicits._
+    // minimal ISO-BMFF: ftyp + moov{mvhd(v0), trak{tkhd(v0)}}
+    def mp4(w: Int, h: Int, timescale: Int, duration: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(16 + 8 + 28 + 8 + 92)
+      bb.putInt(16).put("ftyp".getBytes("US-ASCII"))
+        .put("isom".getBytes("US-ASCII")).putInt(0)
+      bb.putInt(8 + 28 + 8 + 92).put("moov".getBytes("US-ASCII"))
+      bb.putInt(28).put("mvhd".getBytes("US-ASCII"))
+        .putInt(0)                       // version 0 + flags
+        .putInt(0).putInt(0)             // creation/modification
+        .putInt(timescale).putInt(duration)
+      bb.putInt(8 + 92).put("trak".getBytes("US-ASCII"))
+      bb.putInt(92).put("tkhd".getBytes("US-ASCII"))
+        .putInt(0).putInt(0).putInt(0)   // vf, ctime, mtime
+        .putInt(1).putInt(0).putInt(duration) // track id, rsvd, duration
+        .put(new Array[Byte](8 + 2 + 2 + 2 + 2 + 36)) // rsvd..matrix
+        .putInt(w << 16).putInt(h << 16) // 16.16 fixed point
+      bb.array()
+    }
+    assert(Multimodal.decodeMp4(mp4(1920, 1080, 600, 9000)) ===
+      Some((1920, 1080, 600, 15000.0)))
+    assert(Multimodal.decodeMp4(mp4(640, 360, 90000, 45000)) ===
+      Some((640, 360, 90000, 500.0)))
+    assert(Multimodal.decodeMp4("ftypnope".getBytes("US-ASCII")).isEmpty)
+    val out = Multimodal.features(spark,
+      Seq((9L, mp4(1280, 720, 1000, 2500))).toDF("doc_id", "payload")).collect()(0)
+    assert(out.getString(4) == "mp4")
+    assert((out.getInt(1), out.getInt(2)) == ((1280, 720)))
+    assert(out.getInt(5) == 1000)          // timescale in sample_rate
+    assert(out.getDouble(7) == 2500.0)     // duration_ms
+  }
+
+  test("sq8 ANN overlaps the exact top-10 and is deterministic") {
+    val dir = "/root/testdata/sf0.01"
+    val exact = Similarity.annBruteforce.fn(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    val a = Similarity.annSq8.fn(spark, dir).collect()
+    val b = Similarity.annSq8.fn(spark, dir).collect()
+    assert(a.map(_.toString).sameElements(b.map(_.toString)))
+    assert(a.length == 10)
+    // one byte per dimension against per-dim bounds loses far less
+    // than PQ's 8 B/vector: expect near-perfect agreement
+    val overlap = a.map(_.getLong(0)).toSet.intersect(exact).size
+    assert(overlap >= 8, s"SQ8 top-10 overlaps exact top-10 on only $overlap")
+  }
+
+  test("bisecting k-means partitions every point into K clusters") {
+    val rows = KMeans.kmeansBisecting.fn(spark, sf).collect()
+    assert(rows.length == KMeans.K)
+    val total = KMeans.points(Tables.lineitem(spark, sf)).count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    assert(rows.forall(_.getLong(1) > 0))
+  }
+}
+
 class StreamingSpec extends AnyFunSuite {
   import TestSpark._
 
@@ -804,4 +867,5 @@ class TextSpec extends AnyFunSuite {
     assert((fps(1L) & fps(3L)).isEmpty, "unrelated docs share a fingerprint")
     assert((fps(2L) & fps(3L)).isEmpty)
   }
+
 }

@@ -75,7 +75,9 @@ class PlanAuditSpec extends AnyFunSuite {
   test("connected-components rounds are equality joins on node id") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
-    val p = graft.operators.Dedup.connectedComponents(pairs)
+    // force the distributed path — the default takes the driver
+    // fallback on a graph this small
+    val p = graft.operators.Dedup.connectedComponents(pairs, localMaxEdges = 0)
       .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))

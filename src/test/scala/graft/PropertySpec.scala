@@ -76,11 +76,18 @@ class PropertySpec extends AnyFunSuite {
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
       val expected = parent.keys.map(n => n -> find(n)).toMap
+      // force the DISTRIBUTED pointer-jumping path (the default would
+      // take the small-graph driver fallback and leave it untested)
       val got = graft.operators.Dedup.connectedComponents(
-          edges.toDF("id1", "id2"))
+          edges.toDF("id1", "id2"), localMaxEdges = 0)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       // union-find roots are component minima too (we always keep min)
       assert(got == expected, s"seed=$seed")
+      // and the driver fallback gives the identical labels
+      val local = graft.operators.Dedup.connectedComponents(
+          edges.toDF("id1", "id2"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(local == expected, s"local path, seed=$seed")
     }
   }
 

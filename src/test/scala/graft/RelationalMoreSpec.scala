@@ -91,6 +91,65 @@ class RelationalMoreSpec extends AnyFunSuite {
     assert(dfB.queryExecution.analyzed.toString.contains("Relation"))
   }
 
+  test("containment flags the planted doc-in-doc pair Jaccard misses") {
+    val rows = graft.operators.Dedup.dedupContainment.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(2) >= 0.9 && r.getDouble(2) <= 1.0))
+    // independently verify one full-containment pair: A's shingles ⊆ B's
+    val full = rows.find(_.getDouble(2) == 1.0)
+    assert(full.isDefined, "no containment-1.0 pair in the planted corpus")
+    val (a, b) = (full.get.getLong(0), full.get.getLong(1))
+    val sh = graft.operators.Dedup.shingles(
+        Tables.documents(spark, sf), Some(150L))
+      .collect().groupBy(_.getLong(0))
+      .map { case (k, v) => k -> v.map(_.getString(1)).toSet }
+    assert(sh(a).subsetOf(sh(b)), s"$a's shingles not all inside $b's")
+  }
+
+  test("binaryFile source roundtrips id, length, and checksum") {
+    val rows = graft.sources.SourceOps.srcBinaryFiles.fn(spark, sf).collect()
+    assert(rows.length == 100)
+    val expect = Tables.documents(spark, sf).filter(col("doc_id") < 100)
+      .select(col("doc_id"), length(col("text").cast("binary")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(1) == expect(r.getLong(0))))
+    // checksums are content-derived, not path-derived: distinct per distinct text
+    assert(rows.map(_.getString(2)).distinct.length > 90)
+  }
+
+  test("native top-k equals the window formulation on a high-cardinality key") {
+    import org.apache.spark.sql.graft.TopKOps
+    import org.apache.spark.sql.expressions.Window
+    val df = Tables.orders(spark, sf)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    val native = TopKOps.topKPerKey(df,
+        keys = Seq(col("o_custkey")),
+        order = Seq(col("o_totalprice").desc, col("o_orderkey").asc), k = 2)
+      .collect().map(_.toString).sorted
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val window = df.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2).drop("rk")
+      .collect().map(_.toString).sorted
+    assert(native.nonEmpty)
+    assert(native.toSeq == window.toSeq)
+  }
+
+  test("native top-k plan: partial+final execs, one exchange, zero sorts") {
+    import org.apache.spark.sql.graft.TopKOps
+    val df = Tables.orders(spark, sf)
+      .select("o_orderpriority", "o_orderkey", "o_totalprice")
+    val out = TopKOps.topKPerKey(df,
+      keys = Seq(col("o_orderpriority")),
+      order = Seq(col("o_totalprice").desc, col("o_orderkey").asc), k = 3)
+    out.collect() // materialize so AQE finalizes the physical plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKeyPartial"), plan)
+    assert(plan.contains("TopKPerKeyFinal"), plan)
+    assert(!plan.contains("Sort"), s"native top-k must not sort:\n$plan")
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("events histogram partitions all events exactly once") {
     val rows = EventOps.eventsHistogram.fn(spark, sf).collect()
     val total = Tables.events(spark, sf).count()
