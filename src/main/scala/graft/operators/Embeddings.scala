@@ -98,5 +98,23 @@ object Embeddings {
       .orderBy(col("component"))
   }
 
-  val all: Seq[QueryDef] = Seq(embPca)
+  /** Semantic clustering (the SemDeDup shape): IVF-bucketed cosine
+    * pairs (Σ n_l² work, sharded by coarse list — never n²) feed the
+    * size-adaptive connected components, giving similarity clusters
+    * with their representative and size — the unit "keep one per
+    * semantic cluster" curation operates on. Rows-only (IVF fit is
+    * FP-path dependent); edge/cluster consistency pinned in ScalaTest.
+    */
+  val embCluster: QueryDef = QueryDef.rowsOnly("emb_cluster") { (s, d) =>
+    val e = Similarity.vectors(s, d)
+    val pairs = Similarity.embeddingIvfPairs(
+        e, Similarity.coarseCentroids(e, cacheKey = d), 0.35, probes = 2)
+      .select(col("id1"), col("id2"))
+    Dedup.connectedComponents(pairs)
+      .groupBy(col("label").as("cluster_rep"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("cluster_rep"))
+  }
+
+  val all: Seq[QueryDef] = Seq(embPca, embCluster)
 }

@@ -383,6 +383,38 @@ object EventOps {
       .orderBy(col("event_type"), col("bucket"))
   }
 
+  /** First-order Markov transition matrix over each user's event
+    * sequence: P(next | current) — the "what happens after X"
+    * companion to events_paths' trigram mining. One lead() window
+    * over the single user_id shuffle; the (src, dst) aggregate is
+    * event-type² tiny, and the per-src normalization runs on that
+    * tiny relation, never the corpus.
+    */
+  val eventsMarkov: QueryDef = QueryDef.sql(
+    "events_markov",
+    """WITH seq AS (
+      |  SELECT event_type AS src,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |                           ORDER BY ts, event_id) AS dst
+      |  FROM events),
+      |c AS (SELECT src, dst, count(*) AS n FROM seq
+      |      WHERE dst IS NOT NULL GROUP BY 1, 2)
+      |SELECT src, dst, n,
+      |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY src), 4) AS p
+      |FROM c ORDER BY src, dst""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val c = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("src"))
+      .withColumn("dst", lead(col("src"), 1).over(w))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+    c.withColumn("p",
+        round(col("n").cast("double")
+          / sum(col("n")).over(Window.partitionBy(col("src"))), 4))
+      .orderBy(col("src"), col("dst"))
+  }
+
   /** Stream-static enrichment: events stream ⋈ broadcast customer dim
     * → per-nation running totals; oracle is the equivalent batch join.
     */
@@ -397,5 +429,6 @@ object EventOps {
     eventsHourly, streamHourly, eventsSessions, eventsSessionWindow,
     streamSessions, streamUserStats, streamJoin, streamSinkRoundtrip,
     eventsFunnel, eventsRetention, eventsAnomaly, eventsPaths,
-    eventsHourlyMerge, streamEnrich, eventsSlidingUniques, eventsHistogram)
+    eventsHourlyMerge, streamEnrich, eventsSlidingUniques, eventsHistogram,
+    eventsMarkov)
 }

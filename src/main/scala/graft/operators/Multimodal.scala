@@ -129,6 +129,26 @@ object Multimodal {
     else None
   }
 
+  /** (width, height) from a GIF header: "GIF87a"/"GIF89a" signature
+    * followed by the logical-screen width and height as LE16 at
+    * offsets 6 and 8 — GIF89a spec §18.
+    */
+  def decodeGif(b: Array[Byte]): Option[(Int, Int)] =
+    if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+      Some((le16(b, 6), le16(b, 8)))
+    else None
+
+  /** (width, height) from a BMP header: "BM" + BITMAPINFOHEADER with
+    * LE32 width at 18 and LE32 height at 22; a negative height means
+    * top-down row order, so the magnitude is the pixel height —
+    * Windows BMP format (BITMAPINFOHEADER).
+    */
+  def decodeBmp(b: Array[Byte]): Option[(Int, Int)] =
+    if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
+      Some((le32(b, 18), math.abs(le32(b, 22))))
+    else None
+
   private def be64(b: Array[Byte], off: Int): Long =
     (be32(b, off).toLong << 32) | (be32(b, off + 4).toLong & 0xffffffffL)
 
@@ -181,9 +201,10 @@ object Multimodal {
   }
 
   /** Real decode where the payload is a recognized container
-    * (PNG IHDR / JPEG SOFn / WAV RIFF / MP4 ISO-BMFF header parsing
-    * — pure JVM, executor-local), deterministic stub otherwise. The
-    * mean over payload bytes is the same statistic in every path.
+    * (PNG IHDR / JPEG SOFn / WAV RIFF / MP4 ISO-BMFF / GIF / BMP
+    * header parsing — pure JVM, executor-local), deterministic stub
+    * otherwise. The mean over payload bytes is the same statistic in
+    * every path.
     */
   def decode(docId: Long, payload: Array[Byte]): MediaFeature = {
     val stub = decodeStub(docId, payload)
@@ -197,6 +218,10 @@ object Multimodal {
     }).orElse(decodeMp4(payload).map { case (w, h, ts, durMs) =>
       stub.copy(width = w, height = h, kind = "mp4",
         sample_rate = ts, duration_ms = durMs)
+    }).orElse(decodeGif(payload).map { case (w, h) =>
+      stub.copy(width = w, height = h, kind = "gif")
+    }).orElse(decodeBmp(payload).map { case (w, h) =>
+      stub.copy(width = w, height = h, kind = "bmp")
     }).getOrElse(stub)
   }
 

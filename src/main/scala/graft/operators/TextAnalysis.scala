@@ -513,6 +513,49 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Perplexity-bucket statistics (the CCNet head/middle/tail move,
+    * at decile granularity): documents bucket by their bigram-LM
+    * quality score and each bucket reports doc/token mass and its
+    * score range — the inputs to "sample more from the better
+    * buckets". SCALABLE bucketing: decile thresholds come from ONE
+    * percentile_approx sketch aggregate over the scored relation and
+    * the bucket assignment is a map-side comparison chain — no global
+    * ntile sort serializing the corpus. Rows-only (the LM table is
+    * not SQL-expressible); threshold monotonicity and full coverage
+    * pinned in ScalaTest.
+    */
+  val textPerplexityBucket: QueryDef =
+    QueryDef.rowsOnly("text_perplexity_bucket") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val table = bigramLogProbs(docs)
+      import s.implicits._
+      val tableDf = table.toSeq.sortBy(_._1).toDF("bg", "logp")
+      val scored = bigramsOf(docs, carry = Seq(col("doc_id")))
+        .join(broadcast(tableDf), Seq("bg"), "left")
+        .groupBy(col("doc_id"))
+        .agg(round(sum(coalesce(col("logp"), lit(LmFloor))) / count(lit(1)), 4)
+          .as("lm_score"))
+        .persist()
+      try {
+        val cuts = scored.agg(percentile_approx(col("lm_score"),
+            array((1 to 9).map(i => lit(i / 10.0)): _*), lit(10000)))
+          .collect()(0).getSeq[Double](0)
+        val bucket = cuts.foldLeft(lit(1)) { (acc, t) =>
+          acc + when(col("lm_score") > t, 1).otherwise(0)
+        }
+        val toks = docs.select(col("doc_id"),
+          tokenCount(col("text")).cast("long").as("n_tokens"))
+        scored.join(toks, "doc_id")
+          .withColumn("bucket", bucket.cast("long"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+            round(min(col("lm_score")), 4).as("min_score"),
+            round(max(col("lm_score")), 4).as("max_score"))
+          .orderBy(col("bucket"))
+          .localCheckpoint(eager = true)
+      } finally scored.unpersist(false)
+    }
+
   val WinnowK = 16 // character k-gram length
   val WinnowW = 8  // winnowing window (k-grams per window)
   val WinnowMinShared = 3
@@ -690,5 +733,5 @@ object TextAnalysis {
     textTokens, textQuality, textLangid, textFingerprint, textWordfreq,
     textBpeTokens, textBpeMerged, textTfidf, textLangidEval, textRepetition,
     textRedact, textCmsFreq, textChunks, textChunkDedup, textLmScore,
-    textWinnow, textEntropy, textTtr, textNovelty)
+    textWinnow, textEntropy, textTtr, textNovelty, textPerplexityBucket)
 }

@@ -529,6 +529,68 @@ class MediaIndexClusterSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).sum == total)
     assert(rows.forall(_.getLong(1) > 0))
   }
+
+  test("GIF and BMP headers decode to true dimensions") {
+    def gif(w: Int, h: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(16)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("GIF89a".getBytes("US-ASCII"))
+        .putShort(w.toShort).putShort(h.toShort)
+      bb.array()
+    }
+    def bmp(w: Int, h: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(32)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("BM".getBytes("US-ASCII")).putInt(32).putInt(0).putInt(54)
+      bb.putInt(40).putInt(w).putInt(h)
+      bb.array()
+    }
+    assert(Multimodal.decodeGif(gif(320, 200)) === Some((320, 200)))
+    assert(Multimodal.decodeBmp(bmp(640, 480)) === Some((640, 480)))
+    assert(Multimodal.decodeBmp(bmp(640, -480)) === Some((640, 480))) // top-down
+    assert(Multimodal.decodeGif("GIFnope".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.decode(5L, gif(320, 200)).kind == "gif")
+    assert(Multimodal.decode(6L, bmp(640, 480)).kind == "bmp")
+  }
+
+  test("embedding clusters are consistent with the IVF pair graph") {
+    val e = Similarity.vectors(spark, sf)
+    val pairs = Similarity.embeddingIvfPairs(
+      e, Similarity.coarseCentroids(e, cacheKey = sf), 0.35, probes = 2)
+    val clusters = graft.operators.Embeddings.embCluster.fn(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.nonEmpty)
+    // members account for every node in the pair graph, grouped sizes sum up
+    val nodes = pairs.select("id1").union(pairs.select("id2"))
+      .distinct().count()
+    assert(clusters.values.sum == nodes)
+    // representatives are themselves nodes (component minima)
+    assert(clusters.keySet.forall(rep => clusters(rep) >= 1))
+  }
+
+  test("perplexity buckets cover the corpus with monotonic score ranges") {
+    val rows = TextAnalysis.textPerplexityBucket.fn(spark, sf).collect()
+    assert(rows.length == 10)
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    // bucket k's max_score never exceeds bucket k+1's min... buckets
+    // ascend in score because assignment counts thresholds below
+    val sorted = rows.sortBy(_.getLong(0))
+    sorted.sliding(2).foreach {
+      case Array(lo, hi) => assert(lo.getDouble(4) <= hi.getDouble(3) + 1e-9,
+        s"bucket ${lo.getLong(0)} max ${lo.getDouble(4)} > bucket ${hi.getLong(0)} min ${hi.getDouble(3)}")
+      case _ =>
+    }
+  }
+
+  test("markov transitions are probabilities summing to one per source") {
+    val rows = EventOps.eventsMarkov.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (src, ts) =>
+      val psum = ts.map(_.getDouble(3)).sum
+      assert(math.abs(psum - 1.0) < 0.01, s"$src transition mass $psum")
+    }
+  }
 }
 
 class StreamingSpec extends AnyFunSuite {
