@@ -415,6 +415,71 @@ object EventOps {
       .orderBy(col("src"), col("dst"))
   }
 
+  /** Streaming INCREMENTAL top-k materialized view, built on the
+    * native TopKPerKey operator: events arrive as real micro-batches
+    * (3 files, maxFilesPerTrigger=1) and each batch folds into the
+    * stored per-type top-5 by value — merge(topk(state), batch) =
+    * topk(all), the algebraic property that makes top-k incrementally
+    * maintainable with O(keys·k) state regardless of stream volume.
+    * State versions as parquet (v0, v1, …: each batch reads vN,
+    * writes vN+1 — no read-overwrite hazard); the oracle is the batch
+    * row_number() over the whole table, so the incremental fold is
+    * proven EXACT, not approximate.
+    */
+  val streamTopk: QueryDef = QueryDef.sql(
+    "stream_topk",
+    """WITH r AS (
+      |  SELECT event_type, event_id, value,
+      |    row_number() OVER (PARTITION BY event_type
+      |                       ORDER BY value DESC, event_id) AS rk
+      |  FROM events)
+      |SELECT event_type, event_id, round(value, 2) AS value
+      |FROM r WHERE rk <= 5
+      |ORDER BY event_type, event_id""".stripMargin) { (s, d) =>
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_topk")
+    try {
+      val srcDir = s"$tmp/src"
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      Tables.load(s, d, "events")
+        .select(col("event_type"), col("event_id"), col("value"))
+        .repartition(3).write.parquet(srcDir)
+      val stream = s.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("event_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.DoubleType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      val version = new java.util.concurrent.atomic.AtomicInteger(0)
+      val q = stream.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$tmp/chk")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val v = version.get()
+          val state =
+            if (v == 0) batch.toDF()
+            else s.read.parquet(s"$tmp/state/v$v").unionAll(batch.toDF())
+          org.apache.spark.sql.graft.TopKOps.topKPerKey(state,
+              keys = Seq(col("event_type")),
+              order = Seq(col("value").desc, col("event_id").asc), k = 5)
+            .write.parquet(s"$tmp/state/v${v + 1}")
+          version.incrementAndGet()
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$tmp/state/v${version.get()}")
+        .select(col("event_type"), col("event_id"),
+          round(col("value"), 2).as("value"))
+        .orderBy(col("event_type"), col("event_id"))
+        .localCheckpoint(eager = true)
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
   /** Stream-static enrichment: events stream ⋈ broadcast customer dim
     * → per-nation running totals; oracle is the equivalent batch join.
     */
@@ -430,5 +495,5 @@ object EventOps {
     streamSessions, streamUserStats, streamJoin, streamSinkRoundtrip,
     eventsFunnel, eventsRetention, eventsAnomaly, eventsPaths,
     eventsHourlyMerge, streamEnrich, eventsSlidingUniques, eventsHistogram,
-    eventsMarkov)
+    eventsMarkov, streamTopk)
 }

@@ -318,8 +318,35 @@ object SourceOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Corrupt-file-tolerant ingestion: a garbage "parquet" file planted
+    * in the table directory is SKIPPED by the scan
+    * (ignoreCorruptFiles) instead of killing the job — the batch
+    * sibling of src_csv_malformed's row-level quarantine, for the
+    * file-level failure mode (truncated uploads, partial writes) a
+    * 100 TB ingest hits daily. Schema passed explicitly so inference
+    * never touches the bad footer; the oracle is the intact table, so
+    * "skipped exactly the corrupt file, kept every good row" is what
+    * hash-matches.
+    */
+  val srcIgnoreCorrupt: QueryDef = QueryDef.sql(
+    "src_ignore_corrupt",
+    """SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey""") { (s, d) =>
+    val dir = tmpDir("nation_with_corrupt")
+    val nation = Tables.nation(s, d).select("n_nationkey", "n_name")
+    nation.write.mode("overwrite").parquet(dir)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-00099-corrupt.snappy.parquet"),
+      "this is not a parquet file; it simulates a truncated upload"
+        .getBytes("UTF-8"))
+    s.read
+      .schema(nation.schema)
+      .option("ignoreCorruptFiles", "true")
+      .parquet(dir)
+      .orderBy(col("n_nationkey"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     srcTextPoints, srcCsvRoundtrip, srcJsonRoundtrip, srcPartitionedScan,
     srcOrcRoundtrip, srcZorderScan, srcCompactSmallFiles, srcSchemaEvolution,
-    srcCsvMalformed, srcBinaryFiles)
+    srcCsvMalformed, srcBinaryFiles, srcIgnoreCorrupt)
 }

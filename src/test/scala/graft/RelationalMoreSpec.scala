@@ -150,6 +150,25 @@ class RelationalMoreSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("streaming incremental top-k equals the batch top-k") {
+    val streamed = graft.operators.EventOps.streamTopk.fn(spark, sf).collect()
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id"))
+    val batch = Tables.events(spark, sf)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select(col("event_type"), col("event_id"), round(col("value"), 2).as("value"))
+      .orderBy(col("event_type"), col("event_id")).collect()
+    assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq)
+    assert(streamed.groupBy(_.getString(0)).values.forall(_.length == 5))
+  }
+
+  test("corrupt parquet file is skipped, every good row survives") {
+    val rows = graft.sources.SourceOps.srcIgnoreCorrupt.fn(spark, sf).collect()
+    val expect = Tables.nation(spark, sf).count()
+    assert(rows.length == expect)
+  }
+
   test("events histogram partitions all events exactly once") {
     val rows = EventOps.eventsHistogram.fn(spark, sf).collect()
     val total = Tables.events(spark, sf).count()
