@@ -118,5 +118,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // TopKOps.topKPerKey entry also self-registers per session for
     // sessions built without this extension class).
     e.injectPlannerStrategy(_ => org.apache.spark.sql.graft.TopKPerKeyStrategy)
+    // conf-gated (graft.topk.rewrite) window-rank → TopKPerKey rewrite
+    e.injectOptimizerRule(_ => org.apache.spark.sql.graft.InferTopKFromWindow)
   }
 }

@@ -477,29 +477,34 @@ object KMeans {
 
   /** Hierarchical divisive clustering (MLlib BisectingKMeans): the
     * tree alternative to flat Lloyd — each level splits one cluster
-    * with a local k=2 fit over only that cluster's points, so deep k
-    * costs O(log k) corpus passes instead of k-proportional
-    * all-centroid distance work per pass. Rows-only (tree splits are
-    * seed/FP-path dependent); size conservation and cluster count
-    * pinned in ScalaTest.
+    * with a local k=2 fit over only that cluster's points. The TREE
+    * fits on a deterministic 10% xxhash64 sample (same sampling
+    * contract as kmeans_minibatch — the split hierarchy needs cluster
+    * SHAPES, not every point) and the FULL corpus is then assigned in
+    * one map-side transform against the broadcast centroid tree: fit
+    * cost drops 5× while the output still covers every row. Rows-only
+    * (tree splits are seed/FP-path dependent); size conservation and
+    * cluster count pinned in ScalaTest.
     */
   val kmeansBisecting: QueryDef = QueryDef.rowsOnly("kmeans_bisecting") { (s, d) =>
     import org.apache.spark.ml.functions.array_to_vector
     import org.apache.spark.ml.clustering.BisectingKMeans
     val pts = points(Tables.lineitem(s, d))
     val features = pts
-      .select(array_to_vector(array(col("x"), col("y"))).as("features"))
+      .select(array_to_vector(array(col("x"), col("y"))).as("features"),
+        pmod(xxhash64(col("x"), col("y")), lit(10)).as("h"))
       .persist()
-    features.count() // materialize before fit (see kmeansMllib note)
+    val sample = features.filter(col("h") === 0).select("features").persist()
+    sample.count() // materialize before fit (see kmeansMllib note)
     try {
       val fitted = new BisectingKMeans().setK(K).setSeed(42L).setMaxIter(10)
-        .setFeaturesCol("features").fit(features)
-      val sizes = fitted.transform(features)
+        .setFeaturesCol("features").fit(sample)
+      val sizes = fitted.transform(features.select("features"))
         .groupBy(col("prediction")).agg(count(lit(1)).as("n"))
         .select(col("prediction").cast("long").as("cid"), col("n"))
         .orderBy(col("cid"))
       sizes.localCheckpoint(eager = true)
-    } finally features.unpersist(false)
+    } finally { sample.unpersist(false); features.unpersist(false) }
   }
 
   val all: Seq[QueryDef] = Seq(

@@ -153,6 +153,42 @@ object RelationalMore {
       .orderBy(col("o_orderpriority"), col("o_orderkey"))
   }
 
-  val all: Seq[QueryDef] =
-    Seq(qLateralTopk, qStringAgg, qMode, qHllPartitioned, qNativeTopk)
+  /** The WINDOW spelling of per-key top-k, rewritten into the native
+    * TopKPerKey operator by the conf-gated InferTopKFromWindow
+    * optimizer rule — users keep writing `row_number() <= k` and the
+    * engine substitutes the bounded-buffer plan. The flag is scoped
+    * to this query (set → eager localCheckpoint executes the
+    * rewritten plan → restore), so no other audited plan changes;
+    * the rewrite itself is plan-locked in ScalaTest.
+    */
+  val qTopkRewrite: QueryDef = QueryDef.sql(
+    "q_topk_rewrite",
+    """WITH r AS (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders)
+      |SELECT o_custkey, o_orderkey, o_totalprice FROM r WHERE rk <= 2
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.graft.{InferTopKFromWindow, TopKOps}
+    TopKOps.register(s)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val prev = s.conf.getOption(InferTopKFromWindow.Flag)
+    s.conf.set(InferTopKFromWindow.Flag, "true")
+    try {
+      Tables.orders(s, d).select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 2).drop("rk")
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+        .localCheckpoint(eager = true) // executes under the flag, NOW
+    } finally prev match {
+      case Some(v) => s.conf.set(InferTopKFromWindow.Flag, v)
+      case None => s.conf.set(InferTopKFromWindow.Flag, "false")
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    qLateralTopk, qStringAgg, qMode, qHllPartitioned, qNativeTopk,
+    qTopkRewrite)
 }

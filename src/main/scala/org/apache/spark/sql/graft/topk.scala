@@ -100,8 +100,78 @@ case class TopKPerKeyExec(
   }
 }
 
+/** Conf-gated optimizer rule (`graft.topk.rewrite=true`): rewrites
+  * the classic rank-filter window pattern
+  * `Project(no rank col, Filter(row_number <= k, Window(row_number)))`
+  * into the native TopKPerKey operator — the user keeps writing the
+  * familiar window spelling and the engine substitutes the bounded-
+  * buffer plan (no partition sort, O(keys·k) shuffle). Gated off by
+  * default so the rewrite never silently changes other queries'
+  * audited plans; semantics are identical when it fires (the project
+  * list must not reference the rank attribute, so the output is
+  * exactly the surviving child rows).
+  */
+object InferTopKFromWindow
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{Alias, EqualTo, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, RowNumber, WindowExpression}
+  import org.apache.spark.sql.catalyst.expressions.Attribute
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, Window}
+  import org.apache.spark.sql.types.IntegerType
+
+  val Flag = "graft.topk.rewrite"
+
+  private object RankLimit {
+    def unapply(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Option[(Attribute, Int)] = e match {
+      case LessThanOrEqual(a: Attribute, Literal(v: Int, IntegerType)) => Some((a, v))
+      case LessThan(a: Attribute, Literal(v: Int, IntegerType)) => Some((a, v - 1))
+      case GreaterThanOrEqual(Literal(v: Int, IntegerType), a: Attribute) => Some((a, v))
+      case EqualTo(a: Attribute, Literal(v: Int, IntegerType)) if v == 1 => Some((a, 1))
+      case _ => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString(Flag, "false").toBoolean) return plan
+    plan.transformUp {
+      case Project(projectList,
+          Filter(RankLimit(rankAttr, k),
+            Window(Seq(alias @ Alias(WindowExpression(_: RowNumber, _), _)),
+              partitionSpec, orderSpec, child, _)))
+          if k > 0 && alias.toAttribute.semanticEquals(rankAttr) &&
+            projectList.forall(_.references.subsetOf(child.outputSet)) =>
+        // Spark's own InferWindowGroupLimit may already have planted a
+        // WindowGroupLimit below the Window — TopKPerKey subsumes it
+        // (and its sorts), so strip it from the child
+        val base = child match {
+          case wgl: org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit =>
+            wgl.child
+          case other => other
+        }
+        Project(projectList, TopKPerKey(partitionSpec, orderSpec, k, base))
+    }
+  }
+}
+
 /** DataFrame-level entry for the native top-k operator. */
 object TopKOps {
+
+  /** Idempotently register the planner strategy (and, for the
+    * window-rewrite path, the optimizer rule) on a session.
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    register(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+
+  def register(spark: org.apache.spark.sql.classic.SparkSession): Unit = {
+    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    }
+    if (!spark.experimental.extraOptimizations.contains(InferTopKFromWindow)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ InferTopKFromWindow
+    }
+  }
 
   /** Exact top-k rows per key group under `order` (express DESC and
     * tie-breaks in the Columns, e.g. `col("v").desc, col("id").asc`).
@@ -111,10 +181,7 @@ object TopKOps {
   def topKPerKey(df: DataFrame, keys: Seq[Column], order: Seq[Column], k: Int): DataFrame = {
     val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
     val spark = ds.sparkSession
-    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy)) {
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
-    }
+    register(spark)
     // eager ColumnNode→catalyst conversion (the lazy bridge node is
     // neither analyzable inside a custom plan nor serializable)
     val sortOrder = order.map(c => spark.expression(c) match {

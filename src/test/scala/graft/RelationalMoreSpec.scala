@@ -169,6 +169,32 @@ class RelationalMoreSpec extends AnyFunSuite {
     assert(rows.length == expect)
   }
 
+  test("optimizer rule substitutes the native operator for the window spelling") {
+    import org.apache.spark.sql.graft.{InferTopKFromWindow, TopKOps}
+    import org.apache.spark.sql.expressions.Window
+    TopKOps.register(spark)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    def build() = Tables.orders(spark, sf)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2).drop("rk")
+    spark.conf.set(InferTopKFromWindow.Flag, "true")
+    val (rewritten, plan) =
+      try {
+        val df = build()
+        (df.collect(), df.queryExecution.executedPlan.toString)
+      } finally spark.conf.set(InferTopKFromWindow.Flag, "false")
+    assert(plan.contains("TopKPerKeyFinal"), plan)
+    assert(!plan.contains("Window"), s"window survived the rewrite:\n$plan")
+    // flag off: same rows through the untouched window plan
+    val baselineDf = build()
+    val baseline = baselineDf.collect()
+    assert(baselineDf.queryExecution.executedPlan.toString.contains("Window"))
+    assert(rewritten.map(_.toString).sorted.toSeq ==
+      baseline.map(_.toString).sorted.toSeq)
+  }
+
   test("events histogram partitions all events exactly once") {
     val rows = EventOps.eventsHistogram.fn(spark, sf).collect()
     val total = Tables.events(spark, sf).count()
