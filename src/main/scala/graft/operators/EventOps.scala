@@ -133,6 +133,25 @@ object EventOps {
       |ORDER BY purchase_id, click_id""".stripMargin)(
     EventStreams.streamClickPurchaseJoin)
 
+  /** Stream-stream LEFT OUTER interval join: matches emit eagerly,
+    * unmatched purchases null-extend on watermark-driven state
+    * eviction; purchase side cut at max(ts) − 3 h so every row is
+    * provably resolvable before the stream ends (see
+    * EventStreams.streamClickPurchaseLeftJoin).
+    */
+  val streamJoinOuter: QueryDef = QueryDef.sql(
+    "stream_join_outer",
+    """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+      |  p.user_id AS user_id
+      |FROM events p LEFT JOIN events c
+      |  ON p.user_id = c.user_id
+      | AND c.event_type = 'click'
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      |WHERE p.event_type = 'purchase'
+      |  AND p.ts <= (SELECT max(ts) - INTERVAL 3 HOUR FROM events)
+      |ORDER BY purchase_id, click_id""".stripMargin)(
+    EventStreams.streamClickPurchaseLeftJoin)
+
   /** Streaming egress roundtrip: hourly agg → foreachBatch → parquet
     * on disk → read back; same oracle as the batch/memory variants.
     */
@@ -495,5 +514,5 @@ object EventOps {
     streamSessions, streamUserStats, streamJoin, streamSinkRoundtrip,
     eventsFunnel, eventsRetention, eventsAnomaly, eventsPaths,
     eventsHourlyMerge, streamEnrich, eventsSlidingUniques, eventsHistogram,
-    eventsMarkov, streamTopk)
+    eventsMarkov, streamTopk, streamJoinOuter)
 }

@@ -267,6 +267,76 @@ object EventStreams {
       .orderBy(col("purchase_id"), col("click_id"))
   }
 
+  /** Stream-stream LEFT OUTER join — the hard streaming join:
+    * unmatched purchases can only emit on STATE EVICTION, when the
+    * watermark proves no qualifying click can still arrive. With a
+    * finite stream the watermark finishes at max(ts) − 1 h, so
+    * purchases later than that can never be resolved either way;
+    * the operator therefore restricts the purchase side to
+    * ts ≤ max(ts) − 3 h (computed once from the source table — a
+    * margin past delay + join range), making the emitted set exactly
+    * the batch left join under the same cutoff. The oracle applies
+    * the identical cutoff, so "every match found AND every
+    * non-match null-extended" is what hash-matches.
+    */
+  def streamClickPurchaseLeftJoin(s: SparkSession, dir: String): DataFrame = {
+    val maxTs = graft.sources.Tables.events(s, dir)
+      .agg(org.apache.spark.sql.functions.max(col("ts")))
+      .collect()(0).getTimestamp(0)
+    val cutoff = java.sql.Timestamp.from(maxTs.toInstant.minusSeconds(3 * 3600))
+    val (src, tmp) = eventsStream(s, dir)
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    // the sentinel purchase (user −1, below) must reach the watermark
+    // operator: the global watermark is the MIN over both sides, and a
+    // side's watermark can never pass its own newest row — without a
+    // sentinel the latest real purchase would sit in state forever
+    val purchases = src.filter(col("event_type") === "purchase")
+      .filter(col("ts") <= lit(cutoff) || col("user_id") < 0)
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+        "leftOuter")
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
+    // custom two-phase runner: after the real data drains, append one
+    // far-future sentinel event per SIDE (user −1 — the click joins
+    // nothing, the sentinel purchase is filtered from the output) and
+    // drain again. Both sides' watermarks then pass every real
+    // deadline (the global watermark is their MIN) and the extra
+    // cycles flush all remaining outer rows from state.
+    val name = "stream_join_outer_sink"
+    s.streams.active.filter(_.name == name).foreach(_.stop())
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions.toString)
+    try {
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val sentinelNs = maxTs.toInstant.plusSeconds(24 * 3600)
+          .getEpochSecond * 1000000000L
+        import s.implicits._
+        Seq((-1L, sentinelNs, -1L, "click", 0.0, "{}"),
+            (-2L, sentinelNs, -1L, "purchase", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("append").parquet(tmp.toString)
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        deleteRecursively(tmp)
+      }
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.table(name)
+      .filter(col("purchase_id") >= 0)
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
   /** Stream-static enrichment join: each micro-batch of events joins
     * the STATIC customer dimension (broadcast — no state, no
     * watermark needed on the static side; Structured Streaming

@@ -195,6 +195,30 @@ class RelationalMoreSpec extends AnyFunSuite {
       baseline.map(_.toString).sorted.toSeq)
   }
 
+  test("stream-stream left outer join equals the batch left join and null-extends") {
+    val streamed = graft.operators.EventOps.streamJoinOuter.fn(spark, sf).collect()
+    assert(streamed.nonEmpty)
+    // unmatched purchases must actually appear with a null click_id
+    assert(streamed.exists(_.isNullAt(1)), "no null-extended rows emitted")
+    val ev = Tables.events(spark, sf)
+    val cutoff = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0).toInstant
+      .minusSeconds(3 * 3600)
+    val p = ev.filter(col("event_type") === "purchase")
+      .filter(col("ts") <= lit(java.sql.Timestamp.from(cutoff)))
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val batch = p.join(c,
+        col("user_id") === col("c_user") && col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"), "left")
+      .select(col("purchase_id"), col("click_id"), col("user_id"))
+      .collect()
+    assert(streamed.map(_.toString).sorted.toSeq ==
+      batch.map(_.toString).sorted.toSeq)
+  }
+
   test("events histogram partitions all events exactly once") {
     val rows = EventOps.eventsHistogram.fn(spark, sf).collect()
     val total = Tables.events(spark, sf).count()
