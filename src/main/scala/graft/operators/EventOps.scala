@@ -402,6 +402,35 @@ object EventOps {
       .orderBy(col("event_type"), col("bucket"))
   }
 
+  /** DAU + 7-day rolling WAU — the canonical engagement pair. The
+    * expensive part is ONE distinct over (day, user) (two-stage
+    * partial agg); the 7-window hop expansion then runs map-side on
+    * that already-deduplicated relation (days × users rows, corpus-
+    * independent), so at 100 TB the plan is one dedup shuffle plus
+    * toy-sized aggregates — never a per-event window pass.
+    */
+  val eventsDau: QueryDef = QueryDef.sql(
+    "events_dau",
+    """WITH d AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+      |           FROM events),
+      |dau AS (SELECT day, count(*) AS dau FROM d GROUP BY 1),
+      |w AS (SELECT day + u.k * INTERVAL 1 DAY AS win_day, user_id
+      |      FROM d, UNNEST(generate_series(0, 6)) AS u(k)),
+      |wau AS (SELECT win_day AS day, count(DISTINCT user_id) AS wau
+      |        FROM w GROUP BY 1)
+      |SELECT CAST(dau.day AS TIMESTAMP) AS day, dau.dau, wau.wau
+      |FROM dau JOIN wau ON dau.day = wau.day ORDER BY day""".stripMargin) { (s, d) =>
+    val dayUser = Tables.events(s, d)
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val dau = dayUser.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = dayUser
+      .withColumn("k", explode(sequence(lit(0), lit(6))))
+      .select(timestamp_add("DAY", col("k"), col("day")).as("day"), col("user_id"))
+      .groupBy(col("day")).agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, "day").orderBy(col("day"))
+  }
+
   /** First-order Markov transition matrix over each user's event
     * sequence: P(next | current) — the "what happens after X"
     * companion to events_paths' trigram mining. One lead() window
@@ -514,5 +543,5 @@ object EventOps {
     streamSessions, streamUserStats, streamJoin, streamSinkRoundtrip,
     eventsFunnel, eventsRetention, eventsAnomaly, eventsPaths,
     eventsHourlyMerge, streamEnrich, eventsSlidingUniques, eventsHistogram,
-    eventsMarkov, streamTopk, streamJoinOuter)
+    eventsMarkov, streamTopk, streamJoinOuter, eventsDau)
 }

@@ -219,6 +219,18 @@ class RelationalMoreSpec extends AnyFunSuite {
       batch.map(_.toString).sorted.toSeq)
   }
 
+  test("dau/wau: wau bounds dau and the first day's window is just that day") {
+    val rows = EventOps.eventsDau.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(1) <= r.getLong(2))) // dau <= wau
+    val first = rows.minBy(_.getTimestamp(0).getTime)
+    assert(first.getLong(1) == first.getLong(2)) // nothing precedes day 1
+    // wau never exceeds total distinct users
+    val users = Tables.events(spark, sf).select(countDistinct(col("user_id")))
+      .collect()(0).getLong(0)
+    rows.foreach(r => assert(r.getLong(2) <= users))
+  }
+
   test("events histogram partitions all events exactly once") {
     val rows = EventOps.eventsHistogram.fn(spark, sf).collect()
     val total = Tables.events(spark, sf).count()
