@@ -109,6 +109,17 @@ object EventOps {
   val streamSessions: QueryDef =
     QueryDef.sql("stream_sessions", sessionWindowSql)(EventStreams.streamSessions)
 
+  /** Custom sessionization through flatMapGroupsWithState with
+    * EVENT-TIME TIMEOUTS: in-batch gaps close sessions inline, each
+    * user's last session closes from the timeout callback when the
+    * watermark passes its 30-min deadline (sentinel-driven on a
+    * finite stream — see EventStreams.streamSessionsState). Same
+    * oracle as the built-in session_window entries: the custom state
+    * machine reproduces them exactly.
+    */
+  val streamSessionsState: QueryDef = QueryDef.sql(
+    "stream_sessions_state", sessionWindowSql)(EventStreams.streamSessionsState)
+
   /** Custom streaming state (mapGroupsWithState) — per-user running
     * totals, single-batch run equals the batch aggregate.
     */
@@ -543,5 +554,6 @@ object EventOps {
     streamSessions, streamUserStats, streamJoin, streamSinkRoundtrip,
     eventsFunnel, eventsRetention, eventsAnomaly, eventsPaths,
     eventsHourlyMerge, streamEnrich, eventsSlidingUniques, eventsHistogram,
-    eventsMarkov, streamTopk, streamJoinOuter, eventsDau)
+    eventsMarkov, streamTopk, streamJoinOuter, eventsDau,
+    streamSessionsState)
 }

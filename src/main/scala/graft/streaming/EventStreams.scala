@@ -337,6 +337,95 @@ object EventStreams {
       .orderBy(col("purchase_id"), col("click_id"))
   }
 
+  /** Open-session state for the flatMapGroupsWithState
+    * sessionization: timestamps in µs, count of events folded in.
+    */
+  final case class OpenSession(start: Long, last: Long, n: Long)
+
+  /** Custom gap sessionization via flatMapGroupsWithState with
+    * EVENT-TIME TIMEOUTS — the full arbitrary-state API: closed
+    * sessions emit as soon as a same-batch gap proves them over, and
+    * the LAST session of each user emits from the timeout callback
+    * when the watermark passes its gap deadline (state.hasTimedOut).
+    * A finite stream's watermark never passes its own newest rows,
+    * so the runner appends a far-future sentinel event (user −1,
+    * filtered from the output) after the data drains — the extra
+    * cycle fires every pending timeout. Oracle = the batch
+    * session-window SQL: every real session provably closes.
+    */
+  def streamSessionsState(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val GapUs = 30L * 60 * 1000000
+    val maxTs = graft.sources.Tables.events(s, dir)
+      .agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    val (src, tmp) = eventsStream(s, dir)
+    // the watermark column itself must reach the stateful operator —
+    // carry ts through the typed projection alongside the µs value
+    val ev = src
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"))
+      .withWatermark("ts", "1 hour")
+      .as[(Long, java.sql.Timestamp, Long)]
+    val sessions = ev.groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, (Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
+            state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val open = state.get
+            state.remove()
+            Iterator((uid, open.start, open.n))
+          } else {
+            // a batch's rows arrive unordered; sort within the batch
+            // (bounded by the user's per-batch volume)
+            val ts = rows.map(_._3).toArray
+            java.util.Arrays.sort(ts)
+            val closed = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+            var cur = state.getOption.orNull
+            ts.foreach { t =>
+              if (cur == null) cur = OpenSession(t, t, 1)
+              else if (t - cur.last > GapUs) {
+                closed += ((uid, cur.start, cur.n))
+                cur = OpenSession(t, t, 1)
+              } else cur = OpenSession(cur.start, t, cur.n + 1)
+            }
+            if (cur != null) {
+              state.update(cur)
+              // fire once the watermark proves the gap elapsed
+              state.setTimeoutTimestamp(cur.last / 1000 + 30 * 60 * 1000)
+            }
+            closed.iterator
+          }
+      }
+      .toDF("user_id", "start_us", "n_events")
+    val name = "stream_sessions_state_sink"
+    s.streams.active.filter(_.name == name).foreach(_.stop())
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions.toString)
+    try {
+      val q = sessions.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val sentinelNs = maxTs.toInstant.plusSeconds(24 * 3600)
+          .getEpochSecond * 1000000000L
+        Seq((-1L, sentinelNs, -1L, "view", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("append").parquet(tmp.toString)
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        deleteRecursively(tmp)
+      }
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.table(name)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"),
+        date_trunc("minute", timestamp_micros(col("start_us"))).as("start_min"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("start_min"))
+  }
+
   /** Stream-static enrichment join: each micro-batch of events joins
     * the STATIC customer dimension (broadcast — no state, no
     * watermark needed on the static side; Structured Streaming

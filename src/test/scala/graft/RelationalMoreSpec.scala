@@ -231,6 +231,15 @@ class RelationalMoreSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(2) <= users))
   }
 
+  test("timeout-state sessionization equals the native session windows") {
+    val custom = graft.operators.EventOps.streamSessionsState.fn(spark, sf)
+      .collect().map(_.toString).sorted
+    val native = graft.operators.EventOps.eventsSessionWindow.fn(spark, sf)
+      .collect().map(_.toString).sorted
+    assert(custom.nonEmpty)
+    assert(custom.toSeq == native.toSeq)
+  }
+
   test("events histogram partitions all events exactly once") {
     val rows = EventOps.eventsHistogram.fn(spark, sf).collect()
     val total = Tables.events(spark, sf).count()
