@@ -306,6 +306,41 @@ object Dedup {
     } finally sh.unpersist(false)
   }
 
+  /** Sketch-calibration report: the MinHash-ESTIMATED Jaccard
+    * (fraction of agreeing signature components — an unbiased
+    * estimator with Var = J(1−J)/64) next to the EXACT Jaccard for
+    * every LSH candidate pair. This is how a pipeline tunes banding
+    * and thresholds at 100 TB: the estimate is free once signatures
+    * exist, the exact verify is the expensive step the estimate
+    * gates. The comparison runs on the candidate-pair relation (tiny
+    * by LSH construction), so the zip_with lambda never touches a
+    * corpus scan. Rows-only (xxhash64 signatures aren't
+    * DuckDB-expressible); estimator error bounds pinned in ScalaTest.
+    */
+  val dedupMinhashEst: QueryDef = QueryDef.rowsOnly("dedup_minhash_est") { (s, d) =>
+    val sh = shinglesHashed(Tables.documents(s, d)).cache()
+    try {
+      val sigs = minhashSignatures(sh)
+      val cand = lshCandidates(sigs)
+      val matches = size(filter(
+        zip_with(col("sig1"), col("sig2"), (a, b) => a === b), x => x))
+      val est = cand
+        .join(sigs.toDF("id1", "sig1"), "id1")
+        .join(sigs.toDF("id2", "sig2"), "id2")
+        .select(col("id1"), col("id2"),
+          round(matches / lit(NumPerm.toDouble), 4).as("est_jaccard"))
+      // threshold 0 keeps every candidate that shares any shingle;
+      // zero-overlap candidates (possible but LSH-rare) exact to 0
+      val exact = jaccardVerify(sh, cand, 0.0)
+      est.join(exact, Seq("id1", "id2"), "left")
+        .select(col("id1"), col("id2"), col("est_jaccard"),
+          coalesce(col("jaccard"), lit(0.0)).as("jaccard"))
+        .withColumn("abs_err", round(abs(col("est_jaccard") - col("jaccard")), 4))
+        .orderBy(col("id1"), col("id2"))
+        .localCheckpoint(eager = true)
+    } finally sh.unpersist(false)
+  }
+
   // ---- Near-dup group resolution (connected components) --------------
 
   /** Connected components over an undirected pair graph
@@ -778,5 +813,5 @@ object Dedup {
     dedupMinhash,
     dedupSimhash, dedupEmbedding, streamDedup, dedupGroups, dedupNearCorpus,
     dedupSimhashLsh, streamDedupWm, dedupMinhashCorpus, dedupIncremental,
-    dedupIncrementalIndexed, streamDedupIndexed)
+    dedupIncrementalIndexed, streamDedupIndexed, dedupMinhashEst)
 }

@@ -240,6 +240,21 @@ class RelationalMoreSpec extends AnyFunSuite {
     assert(custom.toSeq == native.toSeq)
   }
 
+  test("minhash jaccard estimate tracks the exact value within estimator bounds") {
+    val rows = graft.operators.Dedup.dedupMinhashEst.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // 64 indicator components: sd ≤ 1/16; mean |err| well under it,
+    // worst case a few sd
+    val errs = rows.map(_.getDouble(4))
+    assert(errs.sum / errs.length <= 0.1,
+      s"mean |est-exact| = ${errs.sum / errs.length}")
+    assert(errs.max <= 0.35, s"max |est-exact| = ${errs.max}")
+  }
+
   test("events histogram partitions all events exactly once") {
     val rows = EventOps.eventsHistogram.fn(spark, sf).collect()
     val total = Tables.events(spark, sf).count()
