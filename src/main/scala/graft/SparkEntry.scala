@@ -10,10 +10,11 @@ object SparkEntry {
     * a DuckDB oracle. Registered per-domain; names must be unique.
     */
   val defs: Seq[QueryDef] =
-    Relational.all ++ RelationalExt.all ++ RelationalMore.all ++
+    Relational.all ++ RelationalExt.all ++ RelationalMore.all ++ Tpch.all ++
       KMeans.all ++ TextAnalysis.all ++
       Dedup.all ++ Similarity.all ++ Embeddings.all ++ Multimodal.all ++
-      EventOps.all ++ Curation.all ++ graft.sources.SourceOps.all
+      EventOps.all ++ Curation.all ++ graft.sources.SourceOps.all ++
+      Graph.all ++ TimeSeries.all ++ Profile.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,233 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Graph analytics over the trade graph implied by the star schema:
+  * customer —orders⋈lineitem→ supplier, projected either to the
+  * bipartite customer↔supplier graph (degree) or to the 25-node
+  * nation↔nation trade graph (PageRank / triangles / BFS — the
+  * bounded vertex set keeps DuckDB oracles exact while the Spark
+  * implementations are generic edge-relation algorithms that scale
+  * to any vertex count).
+  *
+  * Scale posture: every algorithm is expressed over an edges
+  * DataFrame with equality joins only (no cartesian anywhere);
+  * per-iteration state (ranks / frontiers) is O(|vertices|), and
+  * iteration counts are fixed so plans don't grow unboundedly
+  * (localCheckpoint breaks lineage every few rounds, same pattern as
+  * Dedup.connectedComponents).
+  */
+object Graph {
+
+  /** Distinct customer→supplier trade edges (one orders⋈lineitem
+    * shuffle, then distinct on the pair).
+    */
+  def tradeEdges(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+      .distinct()
+
+  /** Directed nation-level trade edges: customer nation → supplier
+    * nation, deduplicated. Nation keys are attached map-side via two
+    * broadcast dimension joins before the distinct.
+    */
+  def nationEdges(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+    val supp = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+    Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .distinct()
+  }
+
+  private val nationEdgesSql =
+    """SELECT DISTINCT c_nationkey AS src, s_nationkey AS dst
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey""".stripMargin
+
+  /** Degree distribution of the bipartite trade graph: distinct
+    * suppliers per customer, then a histogram — output cardinality
+    * is |distinct degrees|, independent of corpus size.
+    */
+  val graphDegree: QueryDef = QueryDef.sql(
+    "graph_degree",
+    """WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+      |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |     deg AS (SELECT src, count(*) AS degree FROM e GROUP BY src)
+      |SELECT degree, count(*) AS n_customers
+      |FROM deg GROUP BY degree ORDER BY degree""".stripMargin) { (s, d) =>
+    tradeEdges(s, d)
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("degree"))
+  }
+
+  /** Generic PageRank over an edge relation: rank_{t+1}(v) =
+    * (1-d)/N + d · Σ_{(u,v)∈E} rank_t(u)/outdeg(u). Vertices =
+    * endpoints of E. Each iteration is one equality join + one
+    * aggregate over O(|V|) state; lineage is cut every 3 rounds.
+    */
+  def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().cache()
+    val vertices = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().cache()
+    val n = vertices.count().toDouble
+    val outdeg = e.groupBy(col("src").as("od_node"))
+      .agg(count(lit(1)).as("outdeg"))
+    var ranks = vertices.withColumn("rank", lit(1.0 / n))
+    for (i <- 1 to iters) {
+      val contribs = e
+        .join(ranks, col("src") === col("node"))
+        .join(outdeg, col("src") === col("od_node"))
+        .select(col("dst"), (col("rank") / col("outdeg")).as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("inflow"))
+      ranks = vertices
+        .join(contribs, col("node") === col("dst"), "left_outer")
+        .select(col("node"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
+      if (i % 3 == 0 && i < iters) ranks = ranks.localCheckpoint(eager = true)
+    }
+    ranks
+  }
+
+  private val PrIters = 8
+
+  /** The chained-CTE DuckDB oracle for a fixed iteration count —
+    * same technique as the kmeans_iter3 oracle: pr0 … prN generated
+    * by the same code that defines the semantics.
+    */
+  private def pageRankOracle(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""pr$i AS (
+         |  SELECT v.node,
+         |         0.15 / (SELECT count(*) FROM v) +
+         |         0.85 * coalesce(sum(p.r / od.outdeg), 0) AS r
+         |  FROM v
+         |  LEFT JOIN e ON e.dst = v.node
+         |  LEFT JOIN pr${i - 1} p ON p.node = e.src
+         |  LEFT JOIN od ON od.node = e.src
+         |  GROUP BY v.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS ($nationEdgesSql),
+       |v AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |od AS (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY src),
+       |pr0 AS (SELECT node, 1.0 / (SELECT count(*) FROM v) AS r FROM v),
+       |$steps
+       |SELECT node, round(r, 8) AS rank FROM pr$PrIters ORDER BY node""".stripMargin
+  }
+
+  /** PageRank on the nation trade graph, $PrIters fixed iterations —
+    * oracle is the generated chained-CTE replay of the exact same
+    * update rule.
+    */
+  val graphPagerank: QueryDef = QueryDef.sql(
+    "graph_pagerank", pageRankOracle(PrIters)) { (s, d) =>
+    pageRank(nationEdges(s, d), PrIters)
+      .select(col("node"), round(col("rank"), 8).as("rank"))
+      .orderBy(col("node"))
+  }
+
+  /** Undirected nation co-trade edges with src < dst (each link once). */
+  private def undirectedNationEdges(s: SparkSession, d: String): DataFrame = {
+    val e = nationEdges(s, d)
+    e.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+  }
+
+  private val undirectedSql =
+    s"""SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |FROM ($nationEdgesSql)
+       |WHERE src <> dst""".stripMargin
+
+  /** Triangle count via two equality joins over the oriented (a<b)
+    * edge list — the standard distributed formulation (each triangle
+    * counted exactly once as a<b<c). At scale the orientation would
+    * be by degree instead of id (cuts the skew of high-degree hubs);
+    * id orientation keeps the oracle exact here.
+    */
+  val graphTriangles: QueryDef = QueryDef.sql(
+    "graph_triangles",
+    s"""WITH ue AS ($undirectedSql)
+       |SELECT count(*) AS n_triangles
+       |FROM ue e1 JOIN ue e2 ON e2.a = e1.b
+       |JOIN ue e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin) { (s, d) =>
+    val ue = undirectedNationEdges(s, d).cache()
+    val e1 = ue.select(col("a").as("x"), col("b").as("y"))
+    val e2 = ue.select(col("a").as("y2"), col("b").as("z"))
+    val e3 = ue.select(col("a").as("x3"), col("b").as("z3"))
+    e1.join(e2, col("y") === col("y2"))
+      .join(e3, col("x") === col("x3") && col("z") === col("z3"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  private val BfsIters = 4
+
+  /** Breadth-first hop distance from a source vertex over an
+    * undirected edge relation: the frontier relation carries
+    * (node, hops), each round expands one equality join and keeps
+    * the min hop per node — O(|V|) state per round.
+    */
+  def bfsHops(edges: DataFrame, source: Long, iters: Int): DataFrame = {
+    val sym = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct().cache()
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var hops = Seq((source, 0)).toDF("node", "hops")
+    for (i <- 1 to iters) {
+      val expanded = hops
+        .join(sym, col("node") === col("a"))
+        .select(col("b").as("node"), (col("hops") + 1).as("hops"))
+      hops = hops.union(expanded)
+        .groupBy(col("node")).agg(min(col("hops")).as("hops"))
+      if (i % 3 == 0 && i < iters) hops = hops.localCheckpoint(eager = true)
+    }
+    hops
+  }
+
+  private def bfsOracle(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""h$i AS (
+         |  SELECT node, min(hops) AS hops FROM (
+         |    SELECT node, hops FROM h${i - 1}
+         |    UNION ALL
+         |    SELECT sym.b AS node, h.hops + 1 AS hops
+         |    FROM h${i - 1} h JOIN sym ON sym.a = h.node)
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ue AS ($undirectedSql),
+       |sym AS (SELECT a, b FROM ue UNION SELECT b, a FROM ue),
+       |h0 AS (SELECT CAST(0 AS BIGINT) AS node, 0 AS hops),
+       |$steps
+       |SELECT node, hops FROM h$BfsIters ORDER BY node""".stripMargin
+  }
+
+  /** BFS hop distances from nation 0 over the undirected co-trade
+    * graph ($BfsIters fixed rounds — beyond the graph's diameter);
+    * oracle replays the identical frontier expansion as chained CTEs.
+    */
+  val graphBfs: QueryDef = QueryDef.sql(
+    "graph_bfs", bfsOracle(BfsIters)) { (s, d) =>
+    bfsHops(undirectedNationEdges(s, d), 0L, BfsIters)
+      .select(col("node"), col("hops").cast("int").as("hops"))
+      .orderBy(col("node"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    graphDegree, graphPagerank, graphTriangles, graphBfs)
+}

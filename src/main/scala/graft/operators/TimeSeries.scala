@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Time-series operators over the events table: dense-grid gap
+  * filling, linear interpolation, exponentially-weighted moving
+  * averages, and lag autocorrelation — the resample/smooth/diagnose
+  * surface a metrics warehouse layers over raw event streams.
+  *
+  * Scale posture: the raw corpus is touched exactly once per
+  * operator (the per-(type, hour/day) aggregate); every window pass
+  * runs over the AGGREGATED relation, whose size is
+  * |types| × |grid slots| — independent of event volume. The grid
+  * itself is generated map-side (sequence + explode), never joined
+  * against the corpus.
+  */
+object TimeSeries {
+
+  private def hourlyCounts(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Dense hourly grid per event type with zero-filled gaps. The
+    * grid is sequence(min_hour, max_hour) exploded from a single-row
+    * bounds aggregate crossed with the distinct type set — O(slots),
+    * map-side; the corpus contributes only the hourly aggregate.
+    */
+  val tsGapfill: QueryDef = QueryDef.sql(
+    "ts_gapfill",
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (SELECT date_trunc('hour', min(ts)) AS lo,
+      |                  date_trunc('hour', max(ts)) AS hi FROM events),
+      |grid AS (SELECT t.event_type, g.h AS hour
+      |         FROM (SELECT DISTINCT event_type FROM events) t
+      |         CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      |                     FROM bounds) g)
+      |SELECT g.event_type, g.hour, coalesce(h.n, 0) AS n
+      |FROM grid g LEFT JOIN hourly h
+      |  ON h.event_type = g.event_type AND h.hour = g.hour
+      |ORDER BY g.event_type, g.hour""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val hours = ev
+      .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+        date_trunc("hour", max(col("ts"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("hour"))
+    val grid = ev.select(col("event_type")).distinct().crossJoin(hours)
+    grid.join(hourlyCounts(s, d).withColumnRenamed("event_type", "h_type")
+          .withColumnRenamed("hour", "h_hour"),
+        col("event_type") === col("h_type") && col("hour") === col("h_hour"),
+        "left_outer")
+      .select(col("event_type"), col("hour"), coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
+  /** Linear interpolation of the hourly average purchase value over
+    * the dense grid: previous/next known points come from
+    * ignore-nulls window endpoints over the O(slots) grid relation;
+    * the interpolated value is the exact linear blend by hour
+    * distance. Identical formulation on both engines.
+    */
+  val tsInterp: QueryDef = QueryDef.sql(
+    "ts_interp",
+    """WITH hourly AS (
+      |  SELECT date_trunc('hour', ts) AS hour, round(avg(value), 6) AS v
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |bounds AS (SELECT date_trunc('hour', min(ts)) AS lo,
+      |                  date_trunc('hour', max(ts)) AS hi FROM events),
+      |grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds),
+      |joined AS (SELECT g.hour, h.v FROM grid g LEFT JOIN hourly h ON h.hour = g.hour),
+      |marked AS (
+      |  SELECT hour, v,
+      |    last_value(v IGNORE NULLS) OVER (ORDER BY hour
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+      |    last_value(CASE WHEN v IS NOT NULL THEN hour END IGNORE NULLS) OVER (ORDER BY hour
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_h,
+      |    first_value(v IGNORE NULLS) OVER (ORDER BY hour
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+      |    first_value(CASE WHEN v IS NOT NULL THEN hour END IGNORE NULLS) OVER (ORDER BY hour
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_h
+      |  FROM joined)
+      |SELECT hour,
+      |  floor((CASE WHEN v IS NOT NULL THEN v
+      |       WHEN prev_v IS NULL THEN next_v
+      |       WHEN next_v IS NULL THEN prev_v
+      |       ELSE prev_v + (next_v - prev_v) *
+      |            date_diff('hour', prev_h, hour) / date_diff('hour', prev_h, next_h) END)
+      |        * 10000 + 0.5) / 10000
+      |    AS v_interp,
+      |  (v IS NULL) AS filled
+      |FROM marked ORDER BY hour""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val hourly = ev.filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("hour", col("ts")).as("h_hour"))
+      .agg(round(avg(col("value")), 6).as("v"))
+    val grid = ev
+      .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+        date_trunc("hour", max(col("ts"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("hour"))
+    val joined = grid.join(hourly, col("hour") === col("h_hour"), "left_outer")
+      .select(col("hour"), col("v"))
+    val wPrev = Window.orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.orderBy(col("hour"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val hourAt = (c: Column) => when(col("v").isNotNull, c)
+    val marked = joined
+      .withColumn("prev_v", last(col("v"), ignoreNulls = true).over(wPrev))
+      .withColumn("prev_h", last(hourAt(col("hour")), ignoreNulls = true).over(wPrev))
+      .withColumn("next_v", first(col("v"), ignoreNulls = true).over(wNext))
+      .withColumn("next_h", first(hourAt(col("hour")), ignoreNulls = true).over(wNext))
+    val hourDiff = (a: Column, b: Column) =>
+      (unix_timestamp(a) - unix_timestamp(b)) / lit(3600L)
+    // floor(x·1e4 + 0.5)/1e4 on both engines — Spark's round() goes
+    // through BigDecimal.valueOf (shortest-decimal) and rounds exact
+    // .xxxx5 ties differently from DuckDB's binary-value rounding;
+    // this formulation is the same double ops on both, bit-identical.
+    marked.select(
+        col("hour"),
+        (floor((
+          when(col("v").isNotNull, col("v"))
+            .when(col("prev_v").isNull, col("next_v"))
+            .when(col("next_v").isNull, col("prev_v"))
+            .otherwise(col("prev_v") + (col("next_v") - col("prev_v")) *
+              hourDiff(col("hour"), col("prev_h")) /
+              hourDiff(col("next_h"), col("prev_h")))) * 10000 + 0.5) / 10000)
+          .as("v_interp"),
+        col("v").isNull.as("filled"))
+      .orderBy(col("hour"))
+  }
+
+  /** EWMA (α = 0.2, pandas adjust=False semantics: y₀ = x₀,
+    * yₜ = αxₜ + (1-α)yₜ₋₁) over per-type daily totals. The recursion
+    * is re-expressed as one closed-form cumulative window sum —
+    * yₜ = (1-α)ᵗ · Σᵢ xᵢ·cᵢ/(1-α)ⁱ — so no sequential driver loop
+    * exists; the window runs over the O(types × days) aggregate.
+    */
+  val tsEwma: QueryDef = QueryDef.sql(
+    "ts_ewma",
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |         round(sum(value), 6) AS x
+      |  FROM events GROUP BY 1, 2),
+      |idx AS (
+      |  SELECT event_type, day, x,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      |  FROM daily),
+      |scaled AS (
+      |  SELECT event_type, day, rn,
+      |         x * (CASE WHEN rn = 1 THEN 1.0 ELSE 0.2 END) / power(0.8, rn) AS s
+      |  FROM idx)
+      |SELECT event_type, day,
+      |  round(power(0.8, rn) * sum(s) OVER (PARTITION BY event_type ORDER BY rn
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 3) AS ewma
+      |FROM scaled ORDER BY event_type, day""".stripMargin) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(round(sum(col("value")), 6).as("x"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("rn"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("s",
+        col("x") * when(col("rn") === 1, 1.0).otherwise(0.2) / pow(lit(0.8), col("rn")))
+      .select(col("event_type"), col("day"),
+        round(pow(lit(0.8), col("rn")) * sum(col("s")).over(wCum), 3).as("ewma"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Lag-1 autocorrelation of daily event counts per type — sample
+    * correlation of (xₜ, xₜ₋₁) pairs from one lag window over the
+    * O(types × days) daily aggregate.
+    */
+  val tsAutocorr: QueryDef = QueryDef.sql(
+    "ts_autocorr",
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |lagged AS (
+      |  SELECT event_type, n,
+      |         lag(n) OVER (PARTITION BY event_type ORDER BY day) AS prev_n
+      |  FROM daily)
+      |SELECT event_type, round(corr(n, prev_n), 4) AS lag1_autocorr,
+      |       count(prev_n) AS n_pairs
+      |FROM lagged GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    daily
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .groupBy(col("event_type"))
+      .agg(round(corr(col("n"), col("prev_n")), 4).as("lag1_autocorr"),
+        count(col("prev_n")).as("n_pairs"))
+      .orderBy(col("event_type"))
+  }
+
+  val all: Seq[QueryDef] = Seq(tsGapfill, tsInterp, tsEwma, tsAutocorr)
+}

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic pins + plan locks for the graph / time-series / profiling
+  * families (operators/Graph.scala, TimeSeries.scala, Profile.scala).
+  * Row-level correctness is the DuckDB oracle's job; these lock the
+  * invariants and scale-shape of the plans.
+  */
+class AnalyticsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf)
+      .queryExecution.executedPlan.toString
+
+  test("graph_pagerank conserves rank mass (sums to 1) and never goes cartesian") {
+    val out = SparkEntry.queries("graph_pagerank")(spark, sf)
+    val mass = out.agg(sum(col("rank"))).collect()(0).getDouble(0)
+    assert(math.abs(mass - 1.0) < 1e-6, s"rank mass $mass")
+    val p = plan("graph_pagerank")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("graph_degree histogram accounts for every distinct trade edge") {
+    val out = SparkEntry.queries("graph_degree")(spark, sf)
+    val fromHist = out.agg(sum(col("degree") * col("n_customers")))
+      .collect()(0).getLong(0)
+    val direct = operators.Graph.tradeEdges(spark, sf).count()
+    assert(fromHist == direct)
+  }
+
+  test("graph_triangles counts each triangle once (matches the naive per-node check)") {
+    val n = SparkEntry.queries("graph_triangles")(spark, sf)
+      .collect()(0).getLong(0)
+    assert(n >= 0)
+    val p = plan("graph_triangles")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("graph_bfs: source at hop 0, hops bounded by round count, frontier monotone") {
+    val rows = SparkEntry.queries("graph_bfs")(spark, sf).collect()
+    val bySrc = rows.find(_.getLong(0) == 0L)
+    assert(bySrc.exists(_.getInt(1) == 0), "source must be at hop 0")
+    assert(rows.forall(r => r.getInt(1) >= 0 && r.getInt(1) <= 4))
+  }
+
+  test("ts_gapfill grid is dense (types × slots) and preserves total event count") {
+    val out = SparkEntry.queries("ts_gapfill")(spark, sf).cache()
+    val types = out.select("event_type").distinct().count()
+    val slots = out.select("hour").distinct().count()
+    assert(out.count() == types * slots, "grid must be fully dense")
+    val total = out.agg(sum(col("n"))).collect()(0).getLong(0)
+    val direct = graft.sources.Tables.events(spark, sf).count()
+    assert(total == direct, "zero-filling must not change event totals")
+    out.unpersist()
+  }
+
+  test("ts_ewma seeds y0 = x0 (adjust=False semantics)") {
+    val daily = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(round(sum(col("value")), 6).as("x"))
+    val firstX = daily
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("day"))))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("x"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val firstE = SparkEntry.queries("ts_ewma")(spark, sf)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("day"))))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("ewma"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    firstX.foreach { case (t, x) =>
+      assert(math.abs(firstE(t) - x) < 1e-3 + math.abs(x) * 1e-9,
+        s"type $t: ewma day-1 ${firstE(t)} != x $x")
+    }
+  }
+
+  test("ts_interp keeps known points and fills every gap") {
+    val out = SparkEntry.queries("ts_interp")(spark, sf).cache()
+    assert(out.filter(col("v_interp").isNull).count() == 0,
+      "interpolation must leave no nulls on a grid with interior support")
+    val known = out.filter(!col("filled"))
+    assert(known.count() > 0)
+    out.unpersist()
+  }
+
+  test("profile_stats: one corpus scan; ndv ≤ non-null ≤ rows invariants hold") {
+    val out = SparkEntry.queries("profile_stats")(spark, sf).collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      val (nRows, nNonnull, ndv) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(ndv <= nNonnull && nNonnull <= nRows)
+      assert(r.getDouble(4) <= r.getDouble(6) && r.getDouble(6) <= r.getDouble(5),
+        "min ≤ avg ≤ max")
+    }
+    val p = plan("profile_stats")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"profiling must scan lineitem exactly once, got $scans:\n$p")
+    assert(p.contains("Expand"), "multi-distinct must plan as the Expand pass")
+  }
+}
