@@ -14,7 +14,7 @@ object SparkEntry {
       KMeans.all ++ TextAnalysis.all ++
       Dedup.all ++ Similarity.all ++ Embeddings.all ++ Multimodal.all ++
       EventOps.all ++ Curation.all ++ graft.sources.SourceOps.all ++
-      Graph.all ++ TimeSeries.all ++ Profile.all
+      Graph.all ++ TimeSeries.all ++ Profile.all ++ Linkage.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

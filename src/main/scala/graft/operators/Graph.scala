@@ -228,6 +228,69 @@ object Graph {
       .orderBy(col("node"))
   }
 
+  private val LpIters = 3
+
+  /** Synchronous label propagation: each round every node adopts the
+    * most frequent label among its neighbors (ties → smallest
+    * label). Labels start as node ids; `iters` fixed synchronous
+    * rounds keep the result deterministic and the oracle replayable.
+    * Each round is one equality join over the symmetric edge
+    * relation plus a (node, label) aggregate — O(|E|) shuffle and
+    * O(|V|) state, the same scale envelope as pageRank.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sym = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct().cache()
+    var labels = sym.select(col("a").as("node"))
+      .union(sym.select(col("b").as("node"))).distinct()
+      .withColumn("label", col("node"))
+    val w = Window.partitionBy(col("nb_node"))
+      .orderBy(col("c").desc, col("label"))
+    for (i <- 1 to iters) {
+      labels = sym
+        .join(labels.withColumnRenamed("node", "l_node"), col("l_node") === col("b"))
+        .groupBy(col("a").as("nb_node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("nb_node").as("node"), col("label"))
+    }
+    labels
+  }
+
+  private def labelPropOracle(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""l$i AS (
+         |  SELECT node, label FROM (
+         |    SELECT s.a AS node, l.label, count(*) AS c,
+         |           row_number() OVER (PARTITION BY s.a
+         |             ORDER BY count(*) DESC, l.label) AS rk
+         |    FROM sym s JOIN l${i - 1} l ON l.node = s.b
+         |    GROUP BY s.a, l.label)
+         |  WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ue AS ($undirectedSql),
+       |sym AS (SELECT a, b FROM ue UNION SELECT b, a FROM ue),
+       |l0 AS (SELECT node, node AS label FROM
+       |       (SELECT a AS node FROM sym UNION SELECT b FROM sym)),
+       |$steps
+       |SELECT node, label AS community FROM l$LpIters ORDER BY node""".stripMargin
+  }
+
+  /** Community detection by label propagation on the nation co-trade
+    * graph ($LpIters fixed synchronous rounds); the oracle replays
+    * the identical adopt-the-modal-neighbor-label rule as chained
+    * CTEs (same technique as the PageRank / BFS oracles).
+    */
+  val graphLabelprop: QueryDef = QueryDef.sql(
+    "graph_labelprop", labelPropOracle(LpIters)) { (s, d) =>
+    labelPropagation(undirectedNationEdges(s, d), LpIters)
+      .select(col("node"), col("label").as("community"))
+      .orderBy(col("node"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    graphDegree, graphPagerank, graphTriangles, graphBfs)
+    graphDegree, graphPagerank, graphTriangles, graphBfs, graphLabelprop)
 }

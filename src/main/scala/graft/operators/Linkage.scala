@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Relationship mining: market-basket co-occurrence and fuzzy
+  * record linkage — the two classic "find related rows" operators a
+  * warehouse layers over fact/dimension tables.
+  *
+  * Scale posture: co-purchase self-joins on the ORDER key, so pair
+  * blow-up is bounded by per-order basket size (≤ ~7 lines), never
+  * corpus²; linkage compares names only WITHIN a blocking key
+  * (first token × size), the standard entity-resolution trick that
+  * turns an O(n²) all-pairs compare into Σ|block|² — the blocks,
+  * not the corpus, bound the work.
+  */
+object Linkage {
+
+  /** Frequent co-purchased part pairs: distinct (order, part) pairs
+    * self-joined on the order key with p1 < p2 (each pair once),
+    * count ≥ 2, deterministic top-20. One orderkey shuffle; the
+    * join fan-out is per-basket, so the candidate set is
+    * O(orders · basket²) — linear in the corpus.
+    */
+  val qCopurchase: QueryDef = QueryDef.sql(
+    "q_copurchase",
+    """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      |SELECT i1.l_partkey AS p1, i2.l_partkey AS p2, count(*) AS n_orders
+      |FROM items i1 JOIN items i2
+      |  ON i1.l_orderkey = i2.l_orderkey AND i1.l_partkey < i2.l_partkey
+      |GROUP BY 1, 2 HAVING count(*) >= 2
+      |ORDER BY n_orders DESC, p1, p2 LIMIT 20""".stripMargin) { (s, d) =>
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val i1 = items.select(col("l_orderkey").as("ok"), col("l_partkey").as("p1"))
+    val i2 = items.select(col("l_orderkey").as("ok2"), col("l_partkey").as("p2"))
+    i1.join(i2, col("ok") === col("ok2") && col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 2)
+      .orderBy(col("n_orders").desc, col("p1"), col("p2"))
+      .limit(20)
+  }
+
+  /** Blocked fuzzy record linkage over distinct part names:
+    * block = (first name token, p_size), candidates = name pairs
+    * within a block, matches = Levenshtein distance ≤ 3. Reports
+    * per-block candidate vs match counts — the blocking-efficiency
+    * profile an ER pipeline tunes. All-pairs work is Σ|block|²,
+    * bounded by the block key's selectivity, not corpus².
+    */
+  val qFuzzyJoin: QueryDef = QueryDef.sql(
+    "q_fuzzy_join",
+    """WITH names AS (
+      |  SELECT DISTINCT split_part(p_name, ' ', 1) AS blk, p_size, p_name
+      |  FROM part),
+      |pairs AS (
+      |  SELECT a.blk, a.p_name AS n1, b.p_name AS n2,
+      |         levenshtein(a.p_name, b.p_name) AS dist
+      |  FROM names a JOIN names b
+      |    ON a.blk = b.blk AND a.p_size = b.p_size AND a.p_name < b.p_name)
+      |SELECT blk, count(*) AS n_candidates,
+      |       count(CASE WHEN dist <= 3 THEN 1 END) AS n_matches
+      |FROM pairs GROUP BY blk ORDER BY blk""".stripMargin) { (s, d) =>
+    val names = Tables.part(s, d)
+      .select(split(col("p_name"), " ").getItem(0).as("blk"),
+        col("p_size"), col("p_name"))
+      .distinct()
+    val a = names.select(col("blk"), col("p_size"), col("p_name").as("n1"))
+    val b = names.select(col("blk").as("blk2"), col("p_size").as("sz2"),
+      col("p_name").as("n2"))
+    a.join(b, col("blk") === col("blk2") && col("p_size") === col("sz2") &&
+        col("n1") < col("n2"))
+      .select(col("blk"), levenshtein(col("n1"), col("n2")).as("dist"))
+      .groupBy(col("blk"))
+      .agg(count(lit(1)).as("n_candidates"),
+        count(when(col("dist") <= 3, 1)).as("n_matches"))
+      .orderBy(col("blk"))
+  }
+
+  val all: Seq[QueryDef] = Seq(qCopurchase, qFuzzyJoin)
+}

@@ -44,5 +44,68 @@ object Profile {
       .orderBy(col("col_name"))
   }
 
-  val all: Seq[QueryDef] = Seq(profileStats)
+  /** Data-quality constraint suite (the Deequ/Great-Expectations
+    * shape): each constraint reports its violation count and a
+    * pass flag. Single-table constraints share ONE scan per table
+    * (conditional aggregates in one agg); the two cross-table
+    * constraints are an anti-join (referential integrity) and an
+    * equality join (order-date consistency) — each one keyed
+    * shuffle, the honest 100 TB plan for exact RI (the approximate
+    * alternative is a bloom-filter probe, q_bloom_join).
+    */
+  val profileChecks: QueryDef = QueryDef.sql(
+    "profile_checks",
+    """WITH checks AS (
+      |  SELECT 'lineitem.l_quantity complete' AS check_name,
+      |         count(*) - count(l_quantity) AS violations FROM lineitem
+      |  UNION ALL
+      |  SELECT 'lineitem.l_discount in [0,0.1]',
+      |         count(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 END) FROM lineitem
+      |  UNION ALL
+      |  SELECT 'orders.o_orderkey unique',
+      |         count(*) - count(DISTINCT o_orderkey) FROM orders
+      |  UNION ALL
+      |  SELECT 'orders.o_orderstatus in {O,F,P}',
+      |         count(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 END) FROM orders
+      |  UNION ALL
+      |  SELECT 'orders.o_custkey refs customer',
+      |         (SELECT count(*) FROM orders o
+      |          WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+      |  UNION ALL
+      |  SELECT 'lineitem ships on/after order date',
+      |         (SELECT count(*) FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |          WHERE l.l_shipdate < o.o_orderdate))
+      |SELECT check_name, violations, violations = 0 AS passed
+      |FROM checks ORDER BY check_name""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val ord = Tables.orders(s, d)
+    val cust = Tables.customer(s, d)
+    // one scan for both lineitem constraints, one for both orders
+    // constraints; cross-table checks are their own keyed joins
+    val liChecks = li.agg(
+        (count(lit(1)) - count(col("l_quantity"))).as("v_complete"),
+        count(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1)).as("v_range"))
+      .selectExpr("stack(2, 'lineitem.l_quantity complete', v_complete, " +
+        "'lineitem.l_discount in [0,0.1]', v_range) AS (check_name, violations)")
+    val ordChecks = ord.agg(
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_unique"),
+        count(when(!col("o_orderstatus").isin("O", "F", "P"), 1)).as("v_accepted"))
+      .selectExpr("stack(2, 'orders.o_orderkey unique', v_unique, " +
+        "'orders.o_orderstatus in {O,F,P}', v_accepted) AS (check_name, violations)")
+    val riCheck = ord.join(cust, col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("orders.o_custkey refs customer").as("check_name"), col("violations"))
+    val dateCheck = li.select(col("l_orderkey"), col("l_shipdate"))
+      .join(ord.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") < col("o_orderdate"))
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("lineitem ships on/after order date").as("check_name"), col("violations"))
+    liChecks.union(ordChecks).union(riCheck).union(dateCheck)
+      .select(col("check_name"), col("violations"),
+        (col("violations") === 0).as("passed"))
+      .orderBy(col("check_name"))
+  }
+
+  val all: Seq[QueryDef] = Seq(profileStats, profileChecks)
 }

@@ -202,5 +202,91 @@ object TimeSeries {
       .orderBy(col("event_type"))
   }
 
-  val all: Seq[QueryDef] = Seq(tsGapfill, tsInterp, tsEwma, tsAutocorr)
+  /** CUSUM changepoint detection per event type: standardize the
+    * daily counts (z = (x - μ)/σ with per-type μ/σ), accumulate
+    * S_t = Σz, and report the day of the largest |S| — the classic
+    * single-changepoint estimate. Every window runs over the
+    * O(types × days) daily aggregate; ties break to the earliest
+    * day. Rounding is floor(x·1e4+0.5)/1e4 on both engines (see
+    * tsInterp).
+    */
+  val tsCusum: QueryDef = QueryDef.sql(
+    "ts_cusum",
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT event_type, avg(n) AS mu, stddev(n) AS sigma, count(*) AS n_days
+      |  FROM daily GROUP BY event_type),
+      |cusum AS (
+      |  SELECT d.event_type, d.day, s.n_days,
+      |    sum((d.n - s.mu) / s.sigma) OVER (PARTITION BY d.event_type ORDER BY d.day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_t
+      |  FROM daily d JOIN stats s ON s.event_type = d.event_type),
+      |ranked AS (
+      |  SELECT event_type, day, s_t, n_days,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY abs(s_t) DESC, day) AS rk
+      |  FROM cusum)
+      |SELECT event_type, day AS changepoint_day,
+      |  floor(abs(s_t) * 10000 + 0.5) / 10000 AS max_abs_cusum, n_days
+      |FROM ranked WHERE rk = 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val wType = Window.partitionBy(col("event_type"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wRank = Window.partitionBy(col("event_type"))
+      .orderBy(abs(col("s_t")).desc, col("day"))
+    daily
+      .withColumn("mu", avg(col("n")).over(wType))
+      .withColumn("sigma", stddev(col("n")).over(wType))
+      .withColumn("n_days", count(lit(1)).over(wType))
+      .withColumn("s_t", sum((col("n") - col("mu")) / col("sigma")).over(wCum))
+      .withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("day").as("changepoint_day"),
+        (floor(abs(col("s_t")) * 10000 + 0.5) / 10000).as("max_abs_cusum"),
+        col("n_days"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Day-of-week seasonal profile per event type: average daily
+    * count per weekday and its ratio to the type's overall daily
+    * average. DuckDB's dow is Sunday=0; Spark's dayofweek is
+    * Sunday=1, so the Spark side shifts by one. Aggregate-only —
+    * corpus touched once.
+    */
+  val tsSeasonal: QueryDef = QueryDef.sql(
+    "ts_seasonal",
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |by_dow AS (
+      |  SELECT event_type, dayofweek(day) AS dow, avg(n) AS dow_avg
+      |  FROM daily GROUP BY 1, 2),
+      |overall AS (SELECT event_type, avg(n) AS all_avg FROM daily GROUP BY 1)
+      |SELECT b.event_type, b.dow,
+      |  floor(b.dow_avg * 10000 + 0.5) / 10000 AS avg_daily_n,
+      |  floor(b.dow_avg / o.all_avg * 10000 + 0.5) / 10000 AS seasonal_ratio
+      |FROM by_dow b JOIN overall o ON o.event_type = b.event_type
+      |ORDER BY b.event_type, b.dow""".stripMargin) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val byDow = daily
+      .groupBy(col("event_type"), (dayofweek(col("day")) - 1).as("dow"))
+      .agg(avg(col("n")).as("dow_avg"))
+    val overall = daily.groupBy(col("event_type").as("o_type"))
+      .agg(avg(col("n")).as("all_avg"))
+    byDow.join(broadcast(overall), col("event_type") === col("o_type"))
+      .select(col("event_type"), col("dow"),
+        (floor(col("dow_avg") * 10000 + 0.5) / 10000).as("avg_daily_n"),
+        (floor(col("dow_avg") / col("all_avg") * 10000 + 0.5) / 10000).as("seasonal_ratio"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    tsGapfill, tsInterp, tsEwma, tsAutocorr, tsCusum, tsSeasonal)
 }

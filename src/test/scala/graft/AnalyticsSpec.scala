@@ -90,6 +90,69 @@ class AnalyticsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("graph_labelprop: every community id is a member node's id; no cartesian") {
+    val rows = SparkEntry.queries("graph_labelprop")(spark, sf).collect()
+    val nodes = rows.map(_.getAs[Number](0).longValue).toSet
+    assert(rows.map(_.getAs[Number](1).longValue).forall(nodes.contains),
+      "labels must come from the vertex id space")
+    val p = plan("graph_labelprop")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("ts_cusum picks one changepoint per type with a positive statistic") {
+    val rows = SparkEntry.queries("ts_cusum")(spark, sf).collect()
+    val types = rows.map(_.getString(0))
+    assert(types.distinct.length == types.length, "one row per type")
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0, "|CUSUM| is non-negative")
+      assert(r.getLong(3) > 1, "needs at least two days to detect a shift")
+    }
+  }
+
+  test("ts_seasonal ratios average to ~1 when weighted by dow frequency; 7 dows max") {
+    val out = SparkEntry.queries("ts_seasonal")(spark, sf).collect()
+    assert(out.map(_.getInt(1)).forall(d => d >= 0 && d <= 6))
+    val byType = out.groupBy(_.getString(0))
+    byType.foreach { case (t, rs) =>
+      assert(rs.length <= 7, s"$t has ${rs.length} dow rows")
+      rs.foreach(r => assert(r.getDouble(3) > 0, s"$t ratio must be positive"))
+    }
+  }
+
+  test("profile_checks: pass flag tracks violations; structural constraints hold") {
+    val rows = SparkEntry.queries("profile_checks")(spark, sf).collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      assert(r.getBoolean(2) == (r.getLong(1) == 0),
+        s"passed flag inconsistent for ${r.getString(0)}")
+    }
+    // the synthetic generator guarantees these four; the ship-date
+    // consistency check legitimately fires (negative ship lags exist
+    // in the data — the oracle agrees on the exact count)
+    val mustPass = Set("lineitem.l_quantity complete", "orders.o_orderkey unique",
+      "orders.o_orderstatus in {O,F,P}", "orders.o_custkey refs customer")
+    rows.filter(r => mustPass(r.getString(0)))
+      .foreach(r => assert(r.getBoolean(2), s"${r.getString(0)} must pass"))
+  }
+
+  test("q_copurchase pairs are ordered (p1 < p2) with support ≥ 2") {
+    val rows = SparkEntry.queries("q_copurchase")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pair must be oriented p1 < p2")
+      assert(r.getLong(2) >= 2, "support threshold")
+    }
+  }
+
+  test("q_fuzzy_join: matches never exceed candidates; no cartesian (blocked join)") {
+    val rows = SparkEntry.queries("q_fuzzy_join")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+    val p = plan("q_fuzzy_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "all-pairs compare must stay inside the blocking key")
+  }
+
   test("profile_stats: one corpus scan; ndv ≤ non-null ≤ rows invariants hold") {
     val out = SparkEntry.queries("profile_stats")(spark, sf).collect()
     assert(out.length == 3)
