@@ -549,11 +549,44 @@ object EventOps {
       |FROM events e JOIN customer c ON e.user_id = c.c_custkey
       |GROUP BY 1 ORDER BY 1""".stripMargin)(EventStreams.streamStaticEnrich)
 
+  /** Last-touch marketing attribution: each purchase is credited to
+    * the user's most recent PRECEDING non-purchase event (the
+    * channel), via one ignore-nulls window over the user partition —
+    * a single user_id shuffle, no self-join. Revenue and purchase
+    * counts roll up per attributed channel; purchases with no prior
+    * touch fall into the 'direct' bucket. No per-user ts ties exist
+    * (event_id is unique per instant), so the window order is total.
+    */
+  val eventsAttribution: QueryDef = QueryDef.sql(
+    "events_attribution",
+    """WITH touched AS (
+      |  SELECT event_type, value,
+      |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+      |      IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+      |  FROM events)
+      |SELECT coalesce(channel, 'direct') AS channel,
+      |       count(*) AS n_purchases, round(sum(value), 2) AS revenue
+      |FROM touched WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .withColumn("channel",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("channel"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(col("value")), 2).as("revenue"))
+      .orderBy(col("channel"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     eventsHourly, streamHourly, eventsSessions, eventsSessionWindow,
     streamSessions, streamUserStats, streamJoin, streamSinkRoundtrip,
     eventsFunnel, eventsRetention, eventsAnomaly, eventsPaths,
     eventsHourlyMerge, streamEnrich, eventsSlidingUniques, eventsHistogram,
     eventsMarkov, streamTopk, streamJoinOuter, eventsDau,
-    streamSessionsState)
+    streamSessionsState, eventsAttribution)
 }

@@ -188,7 +188,56 @@ object RelationalMore {
     }
   }
 
+  /** Distribution-position windows: percent_rank and cume_dist of
+    * each customer's account balance within its market segment — one
+    * segment shuffle, identical tie semantics on both engines
+    * (PERCENT_RANK = (rank-1)/(n-1), CUME_DIST = peers≤/n). Rounding
+    * via floor(x·1e4+0.5)/1e4 (see ts_interp).
+    */
+  val qPercentRank: QueryDef = QueryDef.sql(
+    "q_percent_rank",
+    """SELECT c_mktsegment, c_custkey,
+      |  floor(percent_rank() OVER w * 10000 + 0.5) / 10000 AS pct_rank,
+      |  floor(cume_dist() OVER w * 10000 + 0.5) / 10000 AS cume
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+      |ORDER BY c_mktsegment, c_custkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"))
+    Tables.customer(s, d)
+      .select(col("c_mktsegment"), col("c_custkey"),
+        (floor(percent_rank().over(w) * 10000 + 0.5) / 10000).as("pct_rank"),
+        (floor(cume_dist().over(w) * 10000 + 0.5) / 10000).as("cume"))
+      .orderBy(col("c_mktsegment"), col("c_custkey"))
+  }
+
+  /** Native recursive CTE (Spark 4's WITH RECURSIVE → UnionLoopExec):
+    * walk every nation up a synthetic binary-tree hierarchy
+    * (parent(k) = (k-1) div 2, root 0) accumulating depth and the
+    * key path — the org-chart/BOM traversal pattern. Each recursion
+    * level is one distributed step over the frontier; termination is
+    * the frontier emptying (cur > 0), ≤ ⌈log₂ 25⌉ levels. The same
+    * recursive SQL runs on DuckDB as the oracle.
+    */
+  val qRecursiveChain: QueryDef = {
+    def sql(intDiv: String, str: String) =
+      s"""WITH RECURSIVE up AS (
+         |  SELECT n_nationkey AS node, n_nationkey AS cur,
+         |         CAST(n_nationkey AS $str) AS path, 0 AS depth
+         |  FROM nation
+         |  UNION ALL
+         |  SELECT node, CAST((cur - 1) $intDiv 2 AS INT),
+         |         path || '>' || CAST(CAST((cur - 1) $intDiv 2 AS INT) AS $str),
+         |         depth + 1
+         |  FROM up WHERE cur > 0)
+         |SELECT node, path AS root_path, depth
+         |FROM up WHERE cur = 0 ORDER BY node""".stripMargin
+    QueryDef.sql("q_recursive_chain", sql("//", "VARCHAR")) { (s, d) =>
+      Tables.nation(s, d).createOrReplaceTempView("nation")
+      s.sql(sql("div", "STRING"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     qLateralTopk, qStringAgg, qMode, qHllPartitioned, qNativeTopk,
-    qTopkRewrite)
+    qTopkRewrite, qPercentRank, qRecursiveChain)
 }

@@ -345,8 +345,33 @@ object SourceOps {
       .orderBy(col("n_nationkey"))
   }
 
+  /** Generated (zero-input) source: a calendar dimension built from
+    * `spark.range` — the standard way to materialize date/sequence
+    * dims without reading anything. Distributed generation (range is
+    * split across partitions), pure codegen'd projections on top.
+    */
+  val srcDateDim: QueryDef = QueryDef.sql(
+    "src_date_dim",
+    """SELECT CAST(d AS TIMESTAMP) AS day,
+      |  year(d) AS y, month(d) AS m, dayofweek(d) AS dow,
+      |  quarter(d) AS q,
+      |  dayofweek(d) IN (0, 6) AS is_weekend
+      |FROM (SELECT unnest(generate_series(DATE '1995-01-01',
+      |        DATE '1996-12-31', INTERVAL 1 DAY)) AS d)
+      |ORDER BY day""".stripMargin) { (s, d) =>
+    val start = to_date(lit("1995-01-01"))
+    s.range(731) // 1995-01-01 .. 1996-12-31 inclusive
+      .select(date_add(start, col("id").cast("int")).as("d"))
+      .select(col("d").cast("timestamp").as("day"),
+        year(col("d")).as("y"), month(col("d")).as("m"),
+        (dayofweek(col("d")) - 1).as("dow"),
+        quarter(col("d")).as("q"),
+        (dayofweek(col("d")) - 1).isin(0, 6).as("is_weekend"))
+      .orderBy(col("day"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     srcTextPoints, srcCsvRoundtrip, srcJsonRoundtrip, srcPartitionedScan,
     srcOrcRoundtrip, srcZorderScan, srcCompactSmallFiles, srcSchemaEvolution,
-    srcCsvMalformed, srcBinaryFiles, srcIgnoreCorrupt)
+    srcCsvMalformed, srcBinaryFiles, srcIgnoreCorrupt, srcDateDim)
 }

@@ -264,4 +264,48 @@ class RelationalMoreSpec extends AnyFunSuite {
       assert(avg >= bucket * 25.0 - 1e-9 && avg < (bucket + 1) * 25.0 + 1e-9)
     }
   }
+
+  test("events_attribution conserves purchases and revenue across channels") {
+    val rows = EventOps.eventsAttribution.fn(spark, sf).collect()
+    val purchases = Tables.events(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+    assert(rows.map(_.getLong(1)).sum == purchases.count(),
+      "every purchase must be attributed exactly once")
+    assert(rows.map(_.getString(0)).forall(c =>
+      c == "direct" || c != "purchase"), "purchase can never be its own channel")
+  }
+
+  test("q_percent_rank: pct_rank spans [0,1] per segment, cume_dist is positive") {
+    val rows = graft.operators.RelationalMore.qPercentRank.fn(spark, sf).collect()
+    val bySeg = rows.groupBy(_.getString(0))
+    bySeg.foreach { case (seg, rs) =>
+      val prs = rs.map(_.getDouble(2))
+      assert(prs.min == 0.0, s"$seg: lowest balance must have pct_rank 0")
+      assert(prs.max == 1.0, s"$seg: highest balance must have pct_rank 1")
+      assert(rs.map(_.getDouble(3)).forall(c => c > 0 && c <= 1.0))
+    }
+  }
+
+  test("src_date_dim generates a dense 731-day calendar with consistent fields") {
+    val rows = graft.sources.SourceOps.srcDateDim.fn(spark, sf).collect()
+    assert(rows.length == 731)
+    assert(rows.map(_.getInt(1)).toSet == Set(1995, 1996))
+    assert(rows.map(_.getInt(3)).toSet == (0 to 6).toSet, "all weekdays present")
+    rows.foreach(r => assert(r.getBoolean(5) == (r.getInt(3) == 0 || r.getInt(3) == 6)))
+  }
+
+  test("q_recursive_chain plans through UnionLoop and every path ends at root 0") {
+    val df = graft.operators.RelationalMore.qRecursiveChain.fn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("UnionLoop"),
+      s"recursion must use Spark's native UnionLoopExec:\n$plan")
+    val rows = df.collect()
+    assert(rows.length == 25)
+    rows.foreach { r =>
+      val path = r.getString(1)
+      assert(path.endsWith(">0") || path == "0", s"path $path must reach root")
+      assert(path.split(">").length == r.getInt(2) + 1,
+        "depth must equal path length - 1")
+    }
+  }
 }
