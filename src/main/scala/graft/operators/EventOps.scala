@@ -582,11 +582,106 @@ object EventOps {
       .orderBy(col("channel"))
   }
 
+  /** Cohort LTV curves: users grouped by first-seen week, purchase
+    * revenue accumulated per weeks-since-signup index. Two corpus
+    * passes (first-seen per user, revenue per user-week) share the
+    * user_id shuffle; the cumulative window runs over the
+    * O(cohorts × weeks) aggregate. LTV = cumulative revenue /
+    * cohort size, floor-rounded (see ts_interp).
+    */
+  val eventsCohortLtv: QueryDef = QueryDef.sql(
+    "events_cohort_ltv",
+    """WITH first_seen AS (
+      |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      |  FROM events GROUP BY 1),
+      |cohort_size AS (
+      |  SELECT cohort_week, count(*) AS n_users FROM first_seen GROUP BY 1),
+      |rev AS (
+      |  SELECT f.cohort_week,
+      |         CAST(date_diff('day', CAST(f.cohort_week AS DATE),
+      |                        CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS INT)
+      |           AS week_index,
+      |         sum(e.value) AS revenue
+      |  FROM events e JOIN first_seen f ON f.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase'
+      |  GROUP BY 1, 2)
+      |SELECT CAST(r.cohort_week AS TIMESTAMP) AS cohort_week, r.week_index,
+      |  s.n_users,
+      |  floor(sum(r.revenue) OVER (PARTITION BY r.cohort_week ORDER BY r.week_index
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / s.n_users
+      |    * 100 + 0.5) / 100 AS ltv
+      |FROM rev r JOIN cohort_size s ON s.cohort_week = r.cohort_week
+      |ORDER BY cohort_week, week_index""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val firstSeen = ev.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    val cohortSize = firstSeen.groupBy(col("cohort_week").as("cs_week"))
+      .agg(count(lit(1)).as("n_users"))
+    val rev = ev.filter(col("event_type") === "purchase")
+      .join(firstSeen.withColumnRenamed("user_id", "f_user"),
+        col("user_id") === col("f_user"))
+      .groupBy(col("cohort_week"),
+        (datediff(date_trunc("week", col("ts")), col("cohort_week")) / 7)
+          .cast("int").as("week_index"))
+      .agg(sum(col("value")).as("revenue"))
+    val wCum = Window.partitionBy(col("cohort_week")).orderBy(col("week_index"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev.join(broadcast(cohortSize), col("cohort_week") === col("cs_week"))
+      .select(col("cohort_week"), col("week_index"), col("n_users"),
+        (floor(sum(col("revenue")).over(wCum) / col("n_users") * 100 + 0.5) / 100)
+          .as("ltv"))
+      .orderBy(col("cohort_week"), col("week_index"))
+  }
+
+  /** Deterministic A/B experiment readout: variant = user_id % 2
+    * (the hash-split every experimentation platform uses, made
+    * replayable), metric = per-user purchase revenue, effect = Welch
+    * t statistic from per-variant mean/variance/n — all closed-form
+    * aggregates, one user shuffle then a 2-row reduce.
+    */
+  val eventsAbtest: QueryDef = QueryDef.sql(
+    "events_abtest",
+    """WITH per_user AS (
+      |  SELECT user_id, user_id % 2 AS variant,
+      |         sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS revenue
+      |  FROM events GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT variant, count(*) AS n, avg(revenue) AS mean_rev,
+      |         var_samp(revenue) AS var_rev
+      |  FROM per_user GROUP BY 1)
+      |SELECT a.n AS n_a, b.n AS n_b,
+      |  floor(a.mean_rev * 10000 + 0.5) / 10000 AS mean_a,
+      |  floor(b.mean_rev * 10000 + 0.5) / 10000 AS mean_b,
+      |  floor((b.mean_rev - a.mean_rev) * 10000 + 0.5) / 10000 AS lift,
+      |  floor((b.mean_rev - a.mean_rev) /
+      |        sqrt(a.var_rev / a.n + b.var_rev / b.n) * 10000 + 0.5) / 10000 AS t_stat
+      |FROM stats a JOIN stats b ON a.variant = 0 AND b.variant = 1""".stripMargin) { (s, d) =>
+    val perUser = Tables.events(s, d)
+      .groupBy(col("user_id"), (col("user_id") % 2).as("variant"))
+      .agg(sum(when(col("event_type") === "purchase", col("value"))
+        .otherwise(0.0)).as("revenue"))
+    val stats = perUser.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"), avg(col("revenue")).as("mean_rev"),
+        var_samp(col("revenue")).as("var_rev"))
+    val a = stats.filter(col("variant") === 0)
+      .select(col("n").as("n_a"), col("mean_rev").as("m_a"), col("var_rev").as("v_a"))
+    val b = stats.filter(col("variant") === 1)
+      .select(col("n").as("n_b"), col("mean_rev").as("m_b"), col("var_rev").as("v_b"))
+    a.crossJoin(b) // both sides are single rows
+      .select(col("n_a"), col("n_b"),
+        (floor(col("m_a") * 10000 + 0.5) / 10000).as("mean_a"),
+        (floor(col("m_b") * 10000 + 0.5) / 10000).as("mean_b"),
+        (floor((col("m_b") - col("m_a")) * 10000 + 0.5) / 10000).as("lift"),
+        (floor((col("m_b") - col("m_a")) /
+          sqrt(col("v_a") / col("n_a") + col("v_b") / col("n_b")) * 10000 + 0.5) / 10000)
+          .as("t_stat"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     eventsHourly, streamHourly, eventsSessions, eventsSessionWindow,
     streamSessions, streamUserStats, streamJoin, streamSinkRoundtrip,
     eventsFunnel, eventsRetention, eventsAnomaly, eventsPaths,
     eventsHourlyMerge, streamEnrich, eventsSlidingUniques, eventsHistogram,
     eventsMarkov, streamTopk, streamJoinOuter, eventsDau,
-    streamSessionsState, eventsAttribution)
+    streamSessionsState, eventsAttribution, eventsCohortLtv, eventsAbtest)
 }

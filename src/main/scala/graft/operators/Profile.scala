@@ -107,5 +107,46 @@ object Profile {
       .orderBy(col("check_name"))
   }
 
-  val all: Seq[QueryDef] = Seq(profileStats, profileChecks)
+  /** Equi-depth (quartile) histogram of l_extendedprice: exact
+    * interpolated quartile boundaries (one scan), then a bucket
+    * CASE + count/min/max pass (second scan) against the broadcast
+    * single-row boundary relation. Boundary doubles are safe to
+    * compare across engines: an interpolated quantile lies strictly
+    * between adjacent data values, so a last-ulp difference cannot
+    * move any row across a bucket. The 100 TB shape swaps the exact
+    * quantile scan for the mergeable sketch (q_approx_percentile).
+    */
+  val profileEquidepth: QueryDef = QueryDef.sql(
+    "profile_equidepth",
+    """WITH q AS (
+      |  SELECT quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]) AS qs
+      |  FROM lineitem),
+      |bucketed AS (
+      |  SELECT CASE WHEN l_extendedprice < qs[1] THEN 0
+      |              WHEN l_extendedprice < qs[2] THEN 1
+      |              WHEN l_extendedprice < qs[3] THEN 2
+      |              ELSE 3 END AS bucket,
+      |         l_extendedprice AS v
+      |  FROM lineitem, q)
+      |SELECT bucket, count(*) AS n,
+      |       round(min(v), 2) AS lo, round(max(v), 2) AS hi
+      |FROM bucketed GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val q = li.agg(expr(
+      "percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").as("qs"))
+    li.select(col("l_extendedprice").as("v"))
+      .crossJoin(broadcast(q)) // single-row boundary relation
+      .select(
+        when(col("v") < col("qs").getItem(0), 0)
+          .when(col("v") < col("qs").getItem(1), 1)
+          .when(col("v") < col("qs").getItem(2), 2)
+          .otherwise(3).as("bucket"),
+        col("v"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("v")), 2).as("lo"), round(max(col("v")), 2).as("hi"))
+      .orderBy(col("bucket"))
+  }
+
+  val all: Seq[QueryDef] = Seq(profileStats, profileChecks, profileEquidepth)
 }

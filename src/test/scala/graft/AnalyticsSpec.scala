@@ -153,6 +153,43 @@ class AnalyticsSpec extends AnyFunSuite {
       "all-pairs compare must stay inside the blocking key")
   }
 
+  test("events_cohort_ltv: LTV curves are monotone non-decreasing per cohort") {
+    val rows = SparkEntry.queries("events_cohort_ltv")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.get(0)).foreach { case (cohort, rs) =>
+      val ltv = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(ltv.zip(ltv.tail).forall { case (a, b) => b >= a - 1e-9 },
+        s"cohort $cohort LTV must never decrease: ${ltv.mkString(",")}")
+    }
+  }
+
+  test("events_abtest: variants partition all users; t-stat consistent with lift") {
+    val r = SparkEntry.queries("events_abtest")(spark, sf).collect()(0)
+    val users = graft.sources.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(r.getLong(0) + r.getLong(1) == users,
+      "every user must land in exactly one variant")
+    val (lift, t) = (r.getDouble(4), r.getDouble(5))
+    assert(lift.sign == t.sign || lift == 0.0,
+      "t statistic must carry the sign of the lift")
+  }
+
+  test("profile_equidepth: buckets cover all rows with ~25% each and ordered ranges") {
+    val rows = SparkEntry.queries("profile_equidepth")(spark, sf).collect()
+    assert(rows.length == 4)
+    val total = graft.sources.Tables.lineitem(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == total, "buckets must partition the corpus")
+    val share = rows.map(_.getLong(1).toDouble / total)
+    share.foreach(s => assert(math.abs(s - 0.25) < 0.01,
+      s"equi-depth bucket share $s strays from 1/4"))
+    val ordered = rows.sortBy(_.getInt(0))
+    ordered.sliding(2).foreach {
+      case Array(a, b) => assert(a.getDouble(3) <= b.getDouble(2) + 1e-9,
+        "bucket ranges must not overlap")
+      case _ =>
+    }
+  }
+
   test("profile_stats: one corpus scan; ndv ≤ non-null ≤ rows invariants hold") {
     val out = SparkEntry.queries("profile_stats")(spark, sf).collect()
     assert(out.length == 3)
