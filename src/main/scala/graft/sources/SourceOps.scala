@@ -370,8 +370,30 @@ object SourceOps {
       .orderBy(col("day"))
   }
 
+  /** DataSource V2 read of the points text format (PointsSourceV2):
+    * the x>25 predicate is pushed into the line parser (no residual
+    * Filter in the plan) and the projection prunes y before any row
+    * is built. Oracle = the same predicate over the originating
+    * lineitem columns.
+    */
+  val srcPointsV2: QueryDef = QueryDef.sql(
+    "src_points_v2",
+    """SELECT count(*) AS n, round(sum(l_quantity), 2) AS sum_x
+      |FROM lineitem WHERE l_quantity > 25""".stripMargin) { (s, d) =>
+    val path = tmpDir("points_v2")
+    val pts = Tables.lineitem(s, d)
+      .select(col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+    PointsText.writePoints(pts, path)
+    s.read.format(graft.sources.v2.PointsSourceV2.format)
+      .option("path", path).load()
+      .filter(col("x") > 25)
+      .select(col("x"))
+      .agg(count(lit(1)).as("n"), round(sum(col("x")), 2).as("sum_x"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     srcTextPoints, srcCsvRoundtrip, srcJsonRoundtrip, srcPartitionedScan,
     srcOrcRoundtrip, srcZorderScan, srcCompactSmallFiles, srcSchemaEvolution,
-    srcCsvMalformed, srcBinaryFiles, srcIgnoreCorrupt, srcDateDim)
+    srcCsvMalformed, srcBinaryFiles, srcIgnoreCorrupt, srcDateDim,
+    srcPointsV2)
 }

@@ -1,0 +1,204 @@
+package graft.sources.v2
+
+import java.util
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 connector for the reference's "x,y" text point
+  * format (KMeans.java input) — the full connector surface Spark
+  * offers a source:
+  *
+  *   - `SupportsPushDownRequiredColumns`: projection reaches the
+  *     parser — a `SELECT x` never materializes y.
+  *   - `SupportsPushDownFilters`: comparison predicates on x/y are
+  *     evaluated DURING parsing (rows are dropped before an
+  *     InternalRow is built); fully-handled filters are removed from
+  *     Spark's post-scan Filter, so the plan carries no residual.
+  *   - one `InputPartition` per file: the natural split unit of
+  *     line-oriented text (a production source would further split
+  *     by byte range at block boundaries — same partition-planning
+  *     hook).
+  *   - `SupportsReportStatistics`: total byte size flows into
+  *     Catalyst so join-side broadcast decisions see this source
+  *     like any file scan.
+  *
+  * Executors re-open files through a fresh Hadoop `Configuration`
+  * (local/HDFS-default paths); a credentialed deployment would ship
+  * a serialized conf in the reader factory — the structure is the
+  * same.
+  */
+class PointsSourceV2 extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PointsSourceV2.schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new PointsV2Table(properties.get("path"))
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+object PointsSourceV2 {
+  val schema: StructType = StructType(Seq(
+    StructField("x", DoubleType, nullable = false),
+    StructField("y", DoubleType, nullable = false)))
+
+  val format: String = classOf[PointsSourceV2].getName
+}
+
+final class PointsV2Table(path: String) extends Table with SupportsRead {
+  override def name(): String = s"graft_points($path)"
+  override def schema(): StructType = PointsSourceV2.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new PointsV2ScanBuilder(path)
+}
+
+final class PointsV2ScanBuilder(path: String)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = PointsSourceV2.schema
+  private var pushed: Array[Filter] = Array.empty
+
+  /** A filter is handled iff it is a comparison between one of our
+    * two columns and a numeric literal — exactly what the parser can
+    * test on the primitive double before building a row.
+    */
+  private def handled(f: Filter): Boolean = f match {
+    case EqualTo(a, _: Number) => a == "x" || a == "y"
+    case GreaterThan(a, _: Number) => a == "x" || a == "y"
+    case GreaterThanOrEqual(a, _: Number) => a == "x" || a == "y"
+    case LessThan(a, _: Number) => a == "x" || a == "y"
+    case LessThanOrEqual(a, _: Number) => a == "x" || a == "y"
+    case _ => false
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ours, residual) = filters.partition(handled)
+    pushed = ours
+    residual // Spark keeps evaluating only these post-scan
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new PointsV2Scan(path, required, pushed)
+}
+
+final class PointsV2Scan(path: String, required: StructType, pushed: Array[Filter])
+    extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"graft-points path=$path, PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.simpleString}"
+
+  override def toBatch: Batch = this
+
+  private def files(): Seq[(String, Long)] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toIndexedSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+        && !s.getPath.getName.startsWith("."))
+      .map(s => (s.getPath.toString, s.getLen))
+      .sortBy(_._1)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    files().map { case (f, len) => PointsFilePartition(f, len): InputPartition }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PointsReaderFactory(required, pushed)
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val total = files().map(_._2).sum
+    override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(total)
+    override def numRows(): util.OptionalLong = util.OptionalLong.empty()
+  }
+}
+
+final case class PointsFilePartition(file: String, length: Long) extends InputPartition
+
+final class PointsReaderFactory(required: StructType, pushed: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PointsPartitionReader(
+      partition.asInstanceOf[PointsFilePartition], required, pushed)
+}
+
+final class PointsPartitionReader(
+    part: PointsFilePartition,
+    required: StructType,
+    pushed: Array[Filter]) extends PartitionReader[InternalRow] {
+
+  private val p = new Path(part.file)
+  private val in = p.getFileSystem(new Configuration()).open(p)
+  private val reader = new java.io.BufferedReader(
+    new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+
+  // compile the pushed filters once into primitive predicates
+  private val preds: Array[(Double, Double) => Boolean] = pushed.map { f =>
+    def v(n: Any): Double = n.asInstanceOf[Number].doubleValue()
+    def sel(attr: String): (Double, Double) => Double =
+      if (attr == "x") (x, _) => x else (_, y) => y
+    f match {
+      case EqualTo(a, n) => val s = sel(a); val c = v(n); (x, y) => s(x, y) == c
+      case GreaterThan(a, n) => val s = sel(a); val c = v(n); (x, y) => s(x, y) > c
+      case GreaterThanOrEqual(a, n) => val s = sel(a); val c = v(n); (x, y) => s(x, y) >= c
+      case LessThan(a, n) => val s = sel(a); val c = v(n); (x, y) => s(x, y) < c
+      case LessThanOrEqual(a, n) => val s = sel(a); val c = v(n); (x, y) => s(x, y) <= c
+      case _ => (_, _) => true
+    }
+  }
+
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    var line = reader.readLine()
+    while (line != null) {
+      val t = line.trim
+      if (t.nonEmpty) {
+        val comma = t.indexOf(',')
+        if (comma > 0) {
+          val x = java.lang.Double.parseDouble(t.substring(0, comma).trim)
+          val y = java.lang.Double.parseDouble(t.substring(comma + 1).trim)
+          var ok = true
+          var i = 0
+          while (ok && i < preds.length) { ok = preds(i)(x, y); i += 1 }
+          if (ok) {
+            // column order must follow the pruned schema
+            val ordered = required.fieldNames.map {
+              case "x" => x.asInstanceOf[Any]
+              case "y" => y.asInstanceOf[Any]
+            }
+            current = new GenericInternalRow(ordered.toArray[Any])
+            return true
+          }
+        }
+      }
+      line = reader.readLine()
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = reader.close()
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Connector-surface pins for the DataSource V2 points source
+  * (sources/v2/PointsSourceV2.scala): pushdown reaches the parser,
+  * projection prunes before row construction, partition planning is
+  * per-file, and statistics flow into Catalyst.
+  */
+class SourceV2Spec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val dir: String = {
+    val path = java.nio.file.Files.createTempDirectory("v2points").toString
+    val pts = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+    graft.sources.PointsText.writePoints(pts, path)
+    path
+  }
+
+  private def v2 = spark.read
+    .format(graft.sources.v2.PointsSourceV2.format)
+    .option("path", dir).load()
+
+  test("v2 read matches the v1 text parser exactly") {
+    val a = v2.agg(count(lit(1)), sum("x"), sum("y")).collect()(0)
+    val b = graft.sources.PointsText.read(spark, dir)
+      .agg(count(lit(1)), sum("x"), sum("y")).collect()(0)
+    assert(a == b)
+  }
+
+  test("comparison filter is pushed into the scan with no residual; pruning drops y") {
+    val df = v2.filter(col("x") > 25).select(col("x"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThan(x,25"),
+      s"filter must appear as pushed in the scan description:\n$plan")
+    assert(!plan.contains("y:double") && plan.contains("struct<x:double>"),
+      s"pruned read schema must drop y:\n$plan")
+    // the only residual Spark may keep is the null guard — the
+    // comparison itself must not be re-evaluated post-scan
+    val filterLines = plan.linesIterator.filter(_.trim.startsWith("+- Filter")).toSeq
+    assert(filterLines.forall(l => !l.contains("> 25.0") || l.contains("isnotnull")),
+      s"pushed comparison must not survive as a standalone post-scan filter:\n$plan")
+  }
+
+  test("one input partition per data file; stats report total byte size") {
+    val parts = v2.rdd.getNumPartitions
+    val files = new java.io.File(dir).listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(parts == files, s"expected $files file partitions, got $parts")
+    val stats = v2.queryExecution.optimizedPlan.stats
+    val total = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(_.length()).sum
+    assert(stats.sizeInBytes == BigInt(total),
+      s"reported ${stats.sizeInBytes}, files total $total")
+  }
+
+  test("pushed filter drops rows before Spark sees them (count under filter-only scan)") {
+    val direct = graft.sources.PointsText.read(spark, dir)
+      .filter(col("x") > 25).count()
+    assert(v2.filter(col("x") > 25).count() == direct)
+  }
+}
