@@ -391,9 +391,32 @@ object SourceOps {
       .agg(count(lit(1)).as("n"), round(sum(col("x")), 2).as("sum_x"))
   }
 
+  /** Full V2 round-trip: the SAME connector is sink and source —
+    * distributed two-phase-commit write (task part-files + driver
+    * _SUCCESS finalization), then a pushed-down read. Oracle = the
+    * originating lineitem relation under the identical predicate.
+    */
+  val srcPointsV2Roundtrip: QueryDef = QueryDef.sql(
+    "src_points_v2_rt",
+    """SELECT count(*) AS n, round(sum(l_quantity), 2) AS sum_x,
+      |  round(sum(l_extendedprice), 2) AS sum_y
+      |FROM lineitem WHERE l_quantity <= 10""".stripMargin) { (s, d) =>
+    val path = tmpDir("points_v2_rt")
+    Tables.lineitem(s, d)
+      .select(col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+      .write.format(graft.sources.v2.PointsSourceV2.format)
+      .option("path", path).mode("overwrite").save()
+    s.read.format(graft.sources.v2.PointsSourceV2.format)
+      .option("path", path).load()
+      .filter(col("x") <= 10)
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("x")), 2).as("sum_x"),
+        round(sum(col("y")), 2).as("sum_y"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     srcTextPoints, srcCsvRoundtrip, srcJsonRoundtrip, srcPartitionedScan,
     srcOrcRoundtrip, srcZorderScan, srcCompactSmallFiles, srcSchemaEvolution,
     srcCsvMalformed, srcBinaryFiles, srcIgnoreCorrupt, srcDateDim,
-    srcPointsV2)
+    srcPointsV2, srcPointsV2Roundtrip)
 }

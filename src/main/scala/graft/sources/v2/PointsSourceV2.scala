@@ -4,9 +4,10 @@ import java.util
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -57,13 +58,108 @@ object PointsSourceV2 {
   val format: String = classOf[PointsSourceV2].getName
 }
 
-final class PointsV2Table(path: String) extends Table with SupportsRead {
+final class PointsV2Table(path: String) extends Table
+    with SupportsRead with SupportsWrite {
   override def name(): String = s"graft_points($path)"
   override def schema(): StructType = PointsSourceV2.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PointsV2ScanBuilder(path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new PointsV2WriteBuilder(path, info)
+}
+
+/** V2 write path with the standard two-phase commit protocol: each
+  * task writes its partition to a uniquely-named `part-…` file
+  * (task UUID in the name — concurrent speculative attempts cannot
+  * collide), reports the file in its commit message, and the DRIVER
+  * finalizes the job by writing `_SUCCESS` listing the committed
+  * files; job abort deletes every reported file. `overwrite` maps
+  * to SupportsTruncate (pre-clean the directory at write build
+  * time). Readers ignore `_`-prefixed files, so a failed job is
+  * invisible to scans — the same atomicity contract as Spark's file
+  * sources.
+  */
+final class PointsV2WriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = {
+      val p = new Path(path)
+      val fs = p.getFileSystem(new Configuration())
+      if (doTruncate && fs.exists(p)) fs.delete(p, true)
+      fs.mkdirs(p)
+      new PointsBatchWrite(path, info.schema())
+    }
+  }
+}
+
+final case class PointsCommit(file: String) extends WriterCommitMessage
+
+final class PointsBatchWrite(path: String, schema: StructType) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new PointsWriterFactory(path, schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val p = new Path(path, "_SUCCESS")
+    val fs = p.getFileSystem(new Configuration())
+    val out = fs.create(p, true)
+    messages.foreach { case PointsCommit(f) =>
+      out.write((f + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    out.close()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(new Configuration())
+    messages.foreach {
+      case PointsCommit(f) => fs.delete(new Path(f), false)
+      case _ =>
+    }
+  }
+}
+
+final class PointsWriterFactory(path: String, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new PointsDataWriter(path, schema, partitionId, taskId)
+}
+
+final class PointsDataWriter(
+    path: String,
+    schema: StructType,
+    partitionId: Int,
+    taskId: Long) extends DataWriter[InternalRow] {
+
+  private val file = new Path(path,
+    f"part-$partitionId%05d-$taskId-${java.util.UUID.randomUUID()}.txt")
+  private val fs = file.getFileSystem(new Configuration())
+  private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+    fs.create(file, false), java.nio.charset.StandardCharsets.UTF_8))
+  private val xIdx = schema.fieldIndex("x")
+  private val yIdx = schema.fieldIndex("y")
+
+  override def write(row: InternalRow): Unit = {
+    out.write(s"${row.getDouble(xIdx)},${row.getDouble(yIdx)}")
+    out.newLine()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    PointsCommit(file.toString)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    fs.delete(file, false)
+  }
+
+  override def close(): Unit = ()
 }
 
 final class PointsV2ScanBuilder(path: String)

@@ -62,4 +62,32 @@ class SourceV2Spec extends AnyFunSuite {
       .filter(col("x") > 25).count()
     assert(v2.filter(col("x") > 25).count() == direct)
   }
+
+  test("v2 sink: two-phase commit leaves part-files + _SUCCESS manifest; overwrite truncates") {
+    val out = java.nio.file.Files.createTempDirectory("v2sink").toString
+    val src = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+      .limit(1000).repartition(4)
+    def writeOnce(): Unit = src.write
+      .format(graft.sources.v2.PointsSourceV2.format)
+      .option("path", out).mode("overwrite").save()
+    writeOnce()
+    val firstParts = new java.io.File(out).listFiles().map(_.getName)
+      .filter(_.startsWith("part-")).toSet
+    writeOnce() // overwrite must replace, not accumulate
+    val files = new java.io.File(out).listFiles().map(_.getName).toSet
+    val parts = files.filter(_.startsWith("part-"))
+    assert(parts.intersect(firstParts).isEmpty,
+      "truncate must clear the previous write's part files")
+    assert(parts.size == 4, s"one part file per partition, got $parts")
+    val manifest = scala.io.Source.fromFile(new java.io.File(out, "_SUCCESS"))
+    val committed = try manifest.getLines().toVector finally manifest.close()
+    assert(committed.size == 4 &&
+      committed.map(p => new java.io.File(p).getName).toSet == parts,
+      "_SUCCESS must list exactly the committed part files")
+    // the same connector reads its own output back, exactly
+    val back = spark.read.format(graft.sources.v2.PointsSourceV2.format)
+      .option("path", out).load()
+    assert(back.count() == 1000)
+  }
 }
