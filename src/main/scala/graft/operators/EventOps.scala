@@ -677,11 +677,20 @@ object EventOps {
           .as("t_stat"))
   }
 
+  /** Streaming SCD-2 dimension maintenance: micro-batched price
+    * updates MERGE into the versioned dim table (see
+    * EventStreams.streamScd2). The final table equals the batch
+    * SCD-2 result, so this shares q_scd2's oracle verbatim.
+    */
+  val streamScd2: QueryDef = QueryDef.sql(
+    "stream_scd2", RelationalExt.qScd2.oracle.get)(EventStreams.streamScd2)
+
   val all: Seq[QueryDef] = Seq(
     eventsHourly, streamHourly, eventsSessions, eventsSessionWindow,
     streamSessions, streamUserStats, streamJoin, streamSinkRoundtrip,
     eventsFunnel, eventsRetention, eventsAnomaly, eventsPaths,
     eventsHourlyMerge, streamEnrich, eventsSlidingUniques, eventsHistogram,
     eventsMarkov, streamTopk, streamJoinOuter, eventsDau,
-    streamSessionsState, eventsAttribution, eventsCohortLtv, eventsAbtest)
+    streamSessionsState, eventsAttribution, eventsCohortLtv, eventsAbtest,
+    streamScd2)
 }

@@ -237,7 +237,75 @@ object RelationalMore {
     }
   }
 
+  /** Native melt: a wide per-flag aggregate unpivoted to long form
+    * via Dataset.unpivot (Spark's built-in Expand-based melt — one
+    * pass, no union of selects). DuckDB's UNPIVOT is the oracle.
+    */
+  val qUnpivot: QueryDef = QueryDef.sql(
+    "q_unpivot",
+    """WITH wide AS (
+      |  SELECT l_returnflag,
+      |    round(sum(l_quantity), 2) AS sum_qty,
+      |    round(sum(l_extendedprice), 2) AS sum_price,
+      |    round(sum(l_discount), 2) AS sum_disc
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, measure, val
+      |FROM wide UNPIVOT (val FOR measure IN (sum_qty, sum_price, sum_disc))
+      |ORDER BY l_returnflag, measure""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        round(sum(col("l_discount")), 2).as("sum_disc"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+        "measure", "val")
+      .orderBy(col("l_returnflag"), col("measure"))
+  }
+
+  /** Winsorized (robust) statistics per return flag: exact
+    * interpolated p05/p95 per group (scan 1), values clipped to the
+    * band and re-averaged (scan 2 against the broadcast 3-row
+    * boundary relation). Boundary doubles are cross-engine-safe for
+    * the same reason as profile_equidepth; the clip means differ
+    * from raw means exactly where the tails are heavy.
+    */
+  val qWinsorized: QueryDef = QueryDef.sql(
+    "q_winsorized",
+    """WITH b AS (
+      |  SELECT l_returnflag AS flag,
+      |    quantile_cont(l_extendedprice, 0.05) AS p05,
+      |    quantile_cont(l_extendedprice, 0.95) AS p95
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag,
+      |  floor(avg(l_extendedprice) * 100 + 0.5) / 100 AS raw_mean,
+      |  floor(avg(CASE WHEN l_extendedprice < p05 THEN p05
+      |                 WHEN l_extendedprice > p95 THEN p95
+      |                 ELSE l_extendedprice END) * 100 + 0.5) / 100 AS wins_mean,
+      |  floor(p05 * 100 + 0.5) / 100 AS p05,
+      |  floor(p95 * 100 + 0.5) / 100 AS p95
+      |FROM lineitem JOIN b ON b.flag = l_returnflag
+      |GROUP BY l_returnflag, p05, p95
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val bounds = li.groupBy(col("l_returnflag").as("flag"))
+      .agg(expr("percentile(l_extendedprice, 0.05D)").as("p05"),
+        expr("percentile(l_extendedprice, 0.95D)").as("p95"))
+    li.join(broadcast(bounds), col("l_returnflag") === col("flag"))
+      .groupBy(col("l_returnflag"), col("p05"), col("p95"))
+      .agg(
+        (floor(avg(col("l_extendedprice")) * 100 + 0.5) / 100).as("raw_mean"),
+        (floor(avg(
+          when(col("l_extendedprice") < col("p05"), col("p05"))
+            .when(col("l_extendedprice") > col("p95"), col("p95"))
+            .otherwise(col("l_extendedprice"))) * 100 + 0.5) / 100).as("wins_mean"))
+      .select(col("l_returnflag"), col("raw_mean"), col("wins_mean"),
+        (floor(col("p05") * 100 + 0.5) / 100).as("p05"),
+        (floor(col("p95") * 100 + 0.5) / 100).as("p95"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     qLateralTopk, qStringAgg, qMode, qHllPartitioned, qNativeTopk,
-    qTopkRewrite, qPercentRank, qRecursiveChain)
+    qTopkRewrite, qPercentRank, qRecursiveChain, qUnpivot, qWinsorized)
 }

@@ -446,4 +446,68 @@ object EventStreams {
     runToTable(s, "stream_enrich_sink", "complete", enriched, tmp)
       .orderBy(col("nationkey"))
   }
+
+  /** Streaming SCD-2 merge: price updates arrive as a file stream
+    * (maxFilesPerTrigger=1 forces several micro-batches) and each
+    * batch MERGEs into the persisted dimension — matching current
+    * rows are closed (valid_to set, is_current=false) and the new
+    * versions opened, non-matching history is carried forward. Each
+    * batch writes a NEW versioned dim directory (atomic swap by
+    * version pointer — the Delta/Iceberg commit shape without the
+    * table format). The final table is byte-identical to the batch
+    * q_scd2 result, so it shares that oracle verbatim.
+    *
+    * Scale note: rewriting the whole dim per batch is the honest
+    * plain-parquet cost; a production deployment bounds the rewrite
+    * by partitioning the dim on key ranges and rewriting only
+    * partitions containing batch keys (or a MERGE-capable format).
+    */
+  def streamScd2(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_scd2")
+    val updDir = root.resolve("updates")
+    val tgt = graft.sources.Tables.orders(s, dir).select(
+      col("o_orderkey"), round(col("o_totalprice"), 2).as("price"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("valid_from"),
+      lit("9999-12-31").as("valid_to"), lit(true).as("is_current"))
+    // v0 of the dimension
+    tgt.write.parquet(root.resolve("dim_v0").toString)
+    // updates staged as 3 files → 3 micro-batches
+    graft.sources.Tables.orders(s, dir).filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") + 1000, 2).as("price"))
+      .repartition(3)
+      .write.parquet(updDir.toString)
+    val updSchema = s.read.parquet(updDir.toString).schema
+    val chk = root.resolve("chk")
+    @volatile var version = 0
+    val q = s.readStream.schema(updSchema)
+      .option("maxFilesPerTrigger", "1").parquet(updDir.toString)
+      .writeStream
+      .option("checkpointLocation", chk.toString)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val sp = batch.sparkSession
+        val dim = sp.read.parquet(root.resolve(s"dim_v$version").toString)
+        val keys = batch.select(col("o_orderkey").as("u_key")).distinct()
+        val closed = dim.filter(col("is_current"))
+          .join(keys, col("o_orderkey") === col("u_key"), "left_semi")
+          .withColumn("valid_to", lit("1998-06-01"))
+          .withColumn("is_current", lit(false))
+        val untouched = dim.filter(col("is_current"))
+          .join(keys, col("o_orderkey") === col("u_key"), "left_anti")
+        val history = dim.filter(!col("is_current"))
+        val opened = batch
+          .withColumn("valid_from", lit("1998-06-01"))
+          .withColumn("valid_to", lit("9999-12-31"))
+          .withColumn("is_current", lit(true))
+          .select("o_orderkey", "price", "valid_from", "valid_to", "is_current")
+        closed.unionAll(untouched).unionAll(history).unionAll(opened)
+          .write.parquet(root.resolve(s"dim_v${version + 1}").toString)
+        version += 1
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(root.resolve(s"dim_v$version").toString)
+      .orderBy(col("o_orderkey"), col("valid_from"))
+  }
 }

@@ -294,6 +294,24 @@ class RelationalMoreSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getBoolean(5) == (r.getInt(3) == 0 || r.getInt(3) == 6)))
   }
 
+  test("q_unpivot emits measures × groups rows through the native melt") {
+    val rows = graft.operators.RelationalMore.qUnpivot.fn(spark, sf).collect()
+    val flags = rows.map(_.getString(0)).distinct
+    assert(rows.length == flags.length * 3, "3 measures per group")
+    assert(rows.map(_.getString(1)).distinct.sorted.toSeq ==
+      Seq("sum_disc", "sum_price", "sum_qty"))
+  }
+
+  test("q_winsorized: clipped mean stays inside the [p05,p95] band") {
+    val rows = graft.operators.RelationalMore.qWinsorized.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (wins, p05, p95) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(p05 <= wins && wins <= p95,
+        s"${r.getString(0)}: winsorized mean $wins escapes [$p05,$p95]")
+    }
+  }
+
   test("q_recursive_chain plans through UnionLoop and every path ends at root 0") {
     val df = graft.operators.RelationalMore.qRecursiveChain.fn(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
