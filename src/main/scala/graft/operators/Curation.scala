@@ -409,8 +409,43 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** Pipeline instrumentation via observed metrics: the curation
+    * filter runs ONCE and `observe` accumulates its health counters
+    * (rows in, rows kept, chars kept, languages seen) as a
+    * side-effect of that single pass — zero extra scans, the way a
+    * 100 TB job reports throughput without re-reading anything.
+    * The observed values become the result row; the oracle computes
+    * the same counters declaratively.
+    */
+  val pipelineObserved: QueryDef = QueryDef.sql(
+    "pipeline_observed",
+    """SELECT count(*) AS n_in,
+      |  count(CASE WHEN n_chars >= 64 THEN 1 END) AS n_kept,
+      |  CAST(sum(CASE WHEN n_chars >= 64 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept,
+      |  count(DISTINCT CASE WHEN n_chars >= 64 THEN lang END) AS langs_kept
+      |FROM documents""".stripMargin) { (s, d) =>
+    val obs = new org.apache.spark.sql.Observation("curation_health")
+    val kept = Tables.documents(s, d)
+      .observe(obs,
+        count(lit(1)).as("n_in"),
+        count(when(col("n_chars") >= 64, 1)).as("n_kept"),
+        sum(when(col("n_chars") >= 64, col("n_chars")).otherwise(0L))
+          .as("chars_kept"),
+        // DISTINCT aggregates are disallowed in observe; the
+        // language set is alphabet-bounded, so a collect_set is O(1)
+        size(collect_set(when(col("n_chars") >= 64, col("lang"))))
+          .cast("long").as("langs_kept"))
+      .filter(col("n_chars") >= 64)
+    kept.write.mode("overwrite").format("noop").save() // the single pass
+    val m = obs.get
+    import s.implicits._
+    Seq((m("n_in").asInstanceOf[Long], m("n_kept").asInstanceOf[Long],
+      m("chars_kept").asInstanceOf[Long], m("langs_kept").asInstanceOf[Long]))
+      .toDF("n_in", "n_kept", "chars_kept", "langs_kept")
+  }
+
   val all: Seq[QueryDef] = Seq(pipelineCurate, pipelineMix,
     pipelineQualityFilter, pipelineSampleN, pipelineTokenBudget,
     pipelineSplit, textContamination, pipelineLangBudget,
-    pipelineQualityModel, pipelinePack)
+    pipelineQualityModel, pipelinePack, pipelineObserved)
 }

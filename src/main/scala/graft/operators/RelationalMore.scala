@@ -305,7 +305,26 @@ object RelationalMore {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Two-phase exact distinct: COUNT(DISTINCT user) per hot key
+    * rewritten as groupBy(key, user) → groupBy(key). Catalyst's
+    * single-pass plan pays an Expand (row multiplication) and lands
+    * every row of a hot key in one reducer; the two-phase shape
+    * spreads phase 1 across (key, user) — the cardinality itself —
+    * and phase 2 reduces pre-deduped rows. Plan-locked Expand-free.
+    */
+  val qTwophaseDistinct: QueryDef = QueryDef.sql(
+    "q_twophase_distinct",
+    """SELECT event_type, count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"), col("user_id")).agg(lit(1))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     qLateralTopk, qStringAgg, qMode, qHllPartitioned, qNativeTopk,
-    qTopkRewrite, qPercentRank, qRecursiveChain, qUnpivot, qWinsorized)
+    qTopkRewrite, qPercentRank, qRecursiveChain, qUnpivot, qWinsorized,
+    qTwophaseDistinct)
 }

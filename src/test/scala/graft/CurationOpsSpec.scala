@@ -65,4 +65,14 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(n > 0)
     assert(agree.toDouble / n >= 0.9, s"holdout agreement $agree/$n")
   }
+
+  test("observed metrics equal the recomputed counters (no second scan needed)") {
+    val r = Curation.pipelineObserved.fn(spark, sf).collect()(0)
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val kept = docs.filter(col("n_chars") >= 64)
+    assert(r.getLong(0) == docs.count())
+    assert(r.getLong(1) == kept.count())
+    assert(r.getLong(2) == kept.agg(sum(col("n_chars"))).collect()(0).getLong(0))
+    assert(r.getLong(3) == kept.select("lang").distinct().count())
+  }
 }

@@ -312,6 +312,20 @@ class RelationalMoreSpec extends AnyFunSuite {
     }
   }
 
+  test("q_twophase_distinct avoids Expand and matches the single-pass distinct") {
+    val df = graft.operators.RelationalMore.qTwophaseDistinct.fn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"),
+      s"two-phase rewrite must not pay the Expand pass:\n$plan")
+    val twoPhase = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = Tables.events(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.col("event_type"))
+      .agg(org.apache.spark.sql.functions.countDistinct(
+        org.apache.spark.sql.functions.col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(twoPhase == direct)
+  }
+
   test("q_recursive_chain plans through UnionLoop and every path ends at root 0") {
     val df = graft.operators.RelationalMore.qRecursiveChain.fn(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
