@@ -291,6 +291,56 @@ object Graph {
       .orderBy(col("node"))
   }
 
+  /** Link-prediction scores: neighbor-set Jaccard similarity for
+    * every connected node pair (a<b) of the co-trade graph —
+    * |N(a)∩N(b)| from the two-hop wedge join, |N(a)∪N(b)| by
+    * inclusion-exclusion with the degree relation. All equality
+    * joins; the wedge join is the triangle-count shape, so the same
+    * hub-orientation remedy applies at scale. The degree relation is
+    * VERTEX-sized, so it carries no broadcast hint — AQE broadcasts
+    * it when small and shuffle-joins when |V| grows past the
+    * threshold (an unconditional hint here would be the corpus-sized
+    * broadcast mistake).
+    */
+  val graphJaccard: QueryDef = QueryDef.sql(
+    "graph_jaccard",
+    s"""WITH ue AS ($undirectedSql),
+       |sym AS (SELECT a, b FROM ue UNION SELECT b, a FROM ue),
+       |deg AS (SELECT a AS node, count(*) AS d FROM sym GROUP BY a),
+       |common AS (
+       |  SELECT s1.a AS u, s2.a AS v, count(*) AS c
+       |  FROM sym s1 JOIN sym s2 ON s1.b = s2.b AND s1.a < s2.a
+       |  GROUP BY 1, 2),
+       |linked AS (SELECT a, b FROM ue)
+       |SELECT l.a, l.b,
+       |  floor(c.c * 10000.0 / (da.d + db.d - c.c) + 0.5) / 10000 AS jaccard
+       |FROM linked l
+       |JOIN common c ON c.u = l.a AND c.v = l.b
+       |JOIN deg da ON da.node = l.a
+       |JOIN deg db ON db.node = l.b
+       |ORDER BY jaccard DESC, l.a, l.b LIMIT 20""".stripMargin) { (s, d) =>
+    val ue = undirectedNationEdges(s, d).cache()
+    val sym = ue.select(col("a"), col("b"))
+      .union(ue.select(col("b").as("a"), col("a").as("b")))
+      .distinct().cache()
+    val deg = sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("d"))
+    val s1 = sym.select(col("a").as("u"), col("b").as("w"))
+    val s2 = sym.select(col("a").as("v"), col("b").as("w2"))
+    val common = s1.join(s2, col("w") === col("w2") && col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
+    ue.join(common, col("a") === col("u") && col("b") === col("v"))
+      .join(deg.withColumnRenamed("node", "n1")
+        .withColumnRenamed("d", "da"), col("a") === col("n1"))
+      .join(deg.withColumnRenamed("node", "n2")
+        .withColumnRenamed("d", "db"), col("b") === col("n2"))
+      .select(col("a"), col("b"),
+        (floor(col("c") * 10000.0 / (col("da") + col("db") - col("c")) + 0.5)
+          / 10000).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
   val all: Seq[QueryDef] = Seq(
-    graphDegree, graphPagerank, graphTriangles, graphBfs, graphLabelprop)
+    graphDegree, graphPagerank, graphTriangles, graphBfs, graphLabelprop,
+    graphJaccard)
 }

@@ -287,6 +287,87 @@ object TimeSeries {
       .orderBy(col("event_type"), col("dow"))
   }
 
+  /** Seasonal-naive forecast with backtest: predict each day of the
+    * final week as the mean of all SAME-WEEKDAY days before the
+    * holdout, then score MAE per event type. Train/score split is a
+    * date literal derived from the data's max day (train = everything
+    * except the last 7 days). Aggregate-only — one corpus pass for
+    * daily counts, everything else over O(types × days).
+    */
+  val tsForecast: QueryDef = QueryDef.sql(
+    "ts_forecast",
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |cutoff AS (SELECT max(day) - INTERVAL 7 DAY AS cut FROM daily),
+      |train AS (SELECT d.* FROM daily d, cutoff WHERE d.day <= cut),
+      |test AS  (SELECT d.* FROM daily d, cutoff WHERE d.day > cut),
+      |model AS (
+      |  SELECT event_type, dayofweek(day) AS dow, avg(n) AS pred
+      |  FROM train GROUP BY 1, 2)
+      |SELECT t.event_type,
+      |  floor(avg(abs(t.n - m.pred)) * 10000 + 0.5) / 10000 AS mae,
+      |  count(*) AS n_days
+      |FROM test t JOIN model m
+      |  ON m.event_type = t.event_type AND m.dow = dayofweek(t.day)
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .cache()
+    val cutoff = daily.agg((max(col("day")) - expr("INTERVAL 7 DAY")).as("cut"))
+    val withCut = daily.crossJoin(broadcast(cutoff)) // single-row literal
+    val train = withCut.filter(col("day") <= col("cut"))
+    val test = withCut.filter(col("day") > col("cut"))
+    val model = train
+      .groupBy(col("event_type").as("m_type"),
+        (dayofweek(col("day")) - 1).as("dow"))
+      .agg(avg(col("n")).as("pred"))
+    test.join(model,
+        col("event_type") === col("m_type") &&
+          (dayofweek(col("day")) - 1) === col("dow"))
+      .groupBy(col("event_type"))
+      .agg((floor(avg(abs(col("n") - col("pred"))) * 10000 + 0.5) / 10000).as("mae"),
+        count(lit(1)).as("n_days"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Conversion-latency distribution: per user, minutes from first
+    * view to first purchase (converters only); p50/p90 and count via
+    * exact interpolated percentiles over the O(users) per-user
+    * relation — one user shuffle total.
+    */
+  val tsTimeToConvert: QueryDef = QueryDef.sql(
+    "ts_time_to_convert",
+    """WITH per_user AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+      |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_buy
+      |  FROM events GROUP BY 1),
+      |lat AS (
+      |  SELECT date_diff('second', first_view, first_buy) / 60.0 AS mins
+      |  FROM per_user
+      |  WHERE first_view IS NOT NULL AND first_buy IS NOT NULL
+      |    AND first_buy >= first_view)
+      |SELECT count(*) AS n_converters,
+      |  floor(quantile_cont(mins, 0.5) * 100 + 0.5) / 100 AS p50_mins,
+      |  floor(quantile_cont(mins, 0.9) * 100 + 0.5) / 100 AS p90_mins
+      |FROM lat""".stripMargin) { (s, d) =>
+    val perUser = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("ts"))).as("first_view"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("first_buy"))
+    perUser
+      .filter(col("first_view").isNotNull && col("first_buy").isNotNull &&
+        col("first_buy") >= col("first_view"))
+      .select(((unix_timestamp(col("first_buy")) -
+        unix_timestamp(col("first_view"))) / 60.0).as("mins"))
+      .agg(count(lit(1)).as("n_converters"),
+        (floor(expr("percentile(mins, 0.5D)") * 100 + 0.5) / 100).as("p50_mins"),
+        (floor(expr("percentile(mins, 0.9D)") * 100 + 0.5) / 100).as("p90_mins"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    tsGapfill, tsInterp, tsEwma, tsAutocorr, tsCusum, tsSeasonal)
+    tsGapfill, tsInterp, tsEwma, tsAutocorr, tsCusum, tsSeasonal,
+    tsForecast, tsTimeToConvert)
 }

@@ -190,6 +190,39 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("graph_jaccard: scores in (0,1], pairs oriented a<b, no cartesian") {
+    val df = SparkEntry.queries("graph_jaccard")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getAs[Number](0).longValue < r.getAs[Number](1).longValue)
+      val j = r.getDouble(2)
+      assert(j > 0 && j <= 1.0, s"jaccard $j out of range")
+    }
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("ts_forecast: MAE is finite and the holdout spans at most 7 days per type") {
+    val rows = SparkEntry.queries("ts_forecast")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(1) >= 0 && !r.getDouble(1).isNaN)
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= 7,
+        s"${r.getString(0)}: holdout ${r.getLong(2)} days")
+    }
+  }
+
+  test("ts_time_to_convert: p50 ≤ p90 and converters bounded by purchase users") {
+    val r = SparkEntry.queries("ts_time_to_convert")(spark, sf).collect()(0)
+    assert(r.getLong(0) > 0)
+    assert(r.getDouble(1) <= r.getDouble(2), "p50 must not exceed p90")
+    val buyers = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select("user_id").distinct().count()
+    assert(r.getLong(0) <= buyers)
+  }
+
   test("profile_stats: one corpus scan; ndv ≤ non-null ≤ rows invariants hold") {
     val out = SparkEntry.queries("profile_stats")(spark, sf).collect()
     assert(out.length == 3)
