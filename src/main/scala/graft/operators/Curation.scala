@@ -424,8 +424,12 @@ object Curation {
       |  CAST(sum(CASE WHEN n_chars >= 64 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept,
       |  count(DISTINCT CASE WHEN n_chars >= 64 THEN lang END) AS langs_kept
       |FROM documents""".stripMargin) { (s, d) =>
+    // isolated session: the registered Observation lives in session
+    // state, and leaving it behind would put the (non-serializable)
+    // ObservationManager on later queries' closure-capture paths
+    val s2 = s.newSession()
     val obs = new org.apache.spark.sql.Observation("curation_health")
-    val kept = Tables.documents(s, d)
+    val kept = Tables.documents(s2, d)
       .observe(obs,
         count(lit(1)).as("n_in"),
         count(when(col("n_chars") >= 64, 1)).as("n_kept"),

@@ -148,5 +148,38 @@ object Profile {
       .orderBy(col("bucket"))
   }
 
-  val all: Seq[QueryDef] = Seq(profileStats, profileChecks, profileEquidepth)
+  /** Pairwise Pearson correlation matrix (long form) for the three
+    * numeric lineitem measures — all three pairs in ONE aggregate
+    * over one scan; corr is algebraic, so partial aggregation keeps
+    * the shuffle at one row per partition.
+    */
+  val profileCorr: QueryDef = QueryDef.sql(
+    "profile_corr",
+    """WITH c AS (
+      |  SELECT
+      |    corr(l_quantity, l_extendedprice) AS qty_price,
+      |    corr(l_quantity, l_discount) AS qty_disc,
+      |    corr(l_extendedprice, l_discount) AS price_disc
+      |  FROM lineitem)
+      |SELECT 'l_quantity~l_extendedprice' AS pair,
+      |       floor(qty_price * 10000 + 0.5) / 10000 AS r FROM c
+      |UNION ALL
+      |SELECT 'l_quantity~l_discount', floor(qty_disc * 10000 + 0.5) / 10000 FROM c
+      |UNION ALL
+      |SELECT 'l_extendedprice~l_discount', floor(price_disc * 10000 + 0.5) / 10000 FROM c
+      |ORDER BY pair""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("qty_price"),
+        corr(col("l_quantity"), col("l_discount")).as("qty_disc"),
+        corr(col("l_extendedprice"), col("l_discount")).as("price_disc"))
+      .selectExpr("stack(3, " +
+        "'l_quantity~l_extendedprice', floor(qty_price * 10000 + 0.5) / 10000, " +
+        "'l_quantity~l_discount', floor(qty_disc * 10000 + 0.5) / 10000, " +
+        "'l_extendedprice~l_discount', floor(price_disc * 10000 + 0.5) / 10000" +
+        ") AS (pair, r)")
+      .orderBy(col("pair"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    profileStats, profileChecks, profileEquidepth, profileCorr)
 }

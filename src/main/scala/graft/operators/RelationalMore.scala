@@ -323,8 +323,31 @@ object RelationalMore {
       .orderBy(col("event_type"))
   }
 
+  /** Contingency table through the DataFrame stat API
+    * (df.stat.crosstab = one groupBy over both keys + a driver-side
+    * pivot of the BOUNDED distinct-value grid): event types ×
+    * weekday. Column names follow crosstab's `col1_col2` + value
+    * convention; the oracle builds the identical wide shape.
+    */
+  val qCrosstab: QueryDef = QueryDef.sql(
+    "q_crosstab",
+    """SELECT event_type AS event_type_dow,
+      |  count(CASE WHEN dayofweek(ts) = 0 THEN 1 END) AS "0",
+      |  count(CASE WHEN dayofweek(ts) = 1 THEN 1 END) AS "1",
+      |  count(CASE WHEN dayofweek(ts) = 2 THEN 1 END) AS "2",
+      |  count(CASE WHEN dayofweek(ts) = 3 THEN 1 END) AS "3",
+      |  count(CASE WHEN dayofweek(ts) = 4 THEN 1 END) AS "4",
+      |  count(CASE WHEN dayofweek(ts) = 5 THEN 1 END) AS "5",
+      |  count(CASE WHEN dayofweek(ts) = 6 THEN 1 END) AS "6"
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"), (dayofweek(col("ts")) - 1).as("dow"))
+      .stat.crosstab("event_type", "dow")
+      .orderBy(col("event_type_dow"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     qLateralTopk, qStringAgg, qMode, qHllPartitioned, qNativeTopk,
     qTopkRewrite, qPercentRank, qRecursiveChain, qUnpivot, qWinsorized,
-    qTwophaseDistinct)
+    qTwophaseDistinct, qCrosstab)
 }

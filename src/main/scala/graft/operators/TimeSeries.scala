@@ -367,7 +367,65 @@ object TimeSeries {
         (floor(expr("percentile(mins, 0.9D)") * 100 + 0.5) / 100).as("p90_mins"))
   }
 
+  /** Gap-episode monitoring (uptime/SLA shape): contiguous runs of
+    * empty hours per type found by gaps-and-islands over the dense
+    * grid — episode starts flagged by lag, episode ids by cumulative
+    * sum, then per-type episode stats. Every window runs over the
+    * O(types × slots) grid; types with no gaps drop out.
+    */
+  val tsGapEpisodes: QueryDef = QueryDef.sql(
+    "ts_gap_episodes",
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (SELECT date_trunc('hour', min(ts)) AS lo,
+      |                  date_trunc('hour', max(ts)) AS hi FROM events),
+      |grid AS (SELECT t.event_type, g.h AS hour
+      |         FROM (SELECT DISTINCT event_type FROM events) t
+      |         CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      |                     FROM bounds) g),
+      |filled AS (
+      |  SELECT g.event_type, g.hour, coalesce(h.n, 0) AS n
+      |  FROM grid g LEFT JOIN hourly h
+      |    ON h.event_type = g.event_type AND h.hour = g.hour),
+      |flagged AS (
+      |  SELECT event_type, hour, n = 0 AS is_gap,
+      |    CASE WHEN n = 0 AND coalesce(NOT (lag(n = 0) OVER w), TRUE)
+      |         THEN 1 ELSE 0 END AS episode_start
+      |  FROM filled WINDOW w AS (PARTITION BY event_type ORDER BY hour)),
+      |numbered AS (
+      |  SELECT event_type, is_gap,
+      |    sum(episode_start) OVER (PARTITION BY event_type ORDER BY hour
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+      |  FROM flagged),
+      |episodes AS (
+      |  SELECT event_type, gid, count(*) AS len
+      |  FROM numbered WHERE is_gap GROUP BY 1, 2)
+      |SELECT event_type, count(*) AS n_episodes,
+      |  max(len) AS longest_gap_hours,
+      |  CAST(sum(len) AS BIGINT) AS total_gap_hours
+      |FROM episodes GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val filled = tsGapfill.fn(s, d) // dense grid, zero-filled
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    filled
+      .withColumn("is_gap", col("n") === 0)
+      .withColumn("episode_start",
+        when(col("is_gap") &&
+          coalesce(!lag(col("n") === 0, 1).over(w), lit(true)), 1).otherwise(0))
+      .withColumn("gid", sum(col("episode_start")).over(wCum))
+      .filter(col("is_gap"))
+      .groupBy(col("event_type"), col("gid"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_episodes"),
+        max(col("len")).as("longest_gap_hours"),
+        sum(col("len")).as("total_gap_hours"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     tsGapfill, tsInterp, tsEwma, tsAutocorr, tsCusum, tsSeasonal,
-    tsForecast, tsTimeToConvert)
+    tsForecast, tsTimeToConvert, tsGapEpisodes)
 }

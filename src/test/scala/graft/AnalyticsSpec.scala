@@ -223,6 +223,36 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r.getLong(0) <= buyers)
   }
 
+  test("ts_gap_episodes is consistent with the gap-fill grid's zero cells") {
+    val episodes = SparkEntry.queries("ts_gap_episodes")(spark, sf).collect()
+    val zeroCells = SparkEntry.queries("ts_gapfill")(spark, sf)
+      .filter(col("n") === 0)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("z"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    episodes.foreach { r =>
+      assert(r.getLong(3) == zeroCells(r.getString(0)),
+        s"${r.getString(0)}: total gap hours must equal the grid's zero cells")
+      assert(r.getLong(2) <= r.getLong(3) && r.getLong(1) <= r.getLong(3))
+    }
+  }
+
+  test("profile_corr: all three pairs present with r in [-1,1]") {
+    val rows = SparkEntry.queries("profile_corr")(spark, sf).collect()
+    assert(rows.length == 3)
+    rows.foreach(r => assert(math.abs(r.getDouble(1)) <= 1.0,
+      s"${r.getString(0)}: r=${r.getDouble(1)}"))
+    // the synthetic generator draws the three measures independently,
+    // so no pair should show strong correlation — a cheap sanity pin
+    // that the estimator is not degenerate
+    rows.foreach(r => assert(math.abs(r.getDouble(1)) < 0.5))
+  }
+
+  test("q_crosstab cells sum to the event total") {
+    val rows = SparkEntry.queries("q_crosstab")(spark, sf).collect()
+    val total = rows.map(r => (1 to 7).map(r.getLong(_)).sum).sum
+    assert(total == graft.sources.Tables.events(spark, sf).count())
+  }
+
   test("profile_stats: one corpus scan; ndv ≤ non-null ≤ rows invariants hold") {
     val out = SparkEntry.queries("profile_stats")(spark, sf).collect()
     assert(out.length == 3)
