@@ -448,8 +448,64 @@ object Curation {
       .toDF("n_in", "n_kept", "chars_kept", "langs_kept")
   }
 
+  /** Dataset card: the one-row corpus summary a release ships with —
+    * size, exact-dup rate (engine-normalized keys), language
+    * diversity (count + Shannon entropy in bits), and length
+    * distribution (mean + exact median). One corpus scan computes
+    * every row-level measure; the language entropy folds the tiny
+    * per-language aggregate algebraically (no totals self-join).
+    */
+  val pipelineDatasetCard: QueryDef = QueryDef.sql(
+    "pipeline_dataset_card",
+    """WITH base AS (
+      |  SELECT n_chars, lang,
+      |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      |  FROM documents),
+      |row_stats AS (
+      |  SELECT count(*) AS n_docs,
+      |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |    floor(avg(n_chars) * 100 + 0.5) / 100 AS mean_chars,
+      |    floor(median(n_chars) * 100 + 0.5) / 100 AS median_chars,
+      |    count(DISTINCT norm) AS n_unique,
+      |    count(DISTINCT lang) AS n_langs
+      |  FROM base),
+      |lang_entropy AS (
+      |  SELECT floor((log2(sum(c)) - sum(c * log2(c)) / sum(c)) * 10000 + 0.5) / 10000
+      |    AS lang_entropy_bits
+      |  FROM (SELECT CAST(count(*) AS DOUBLE) AS c FROM base GROUP BY lang))
+      |SELECT n_docs, total_chars, mean_chars, median_chars,
+      |  floor((1.0 - CAST(n_unique AS DOUBLE) / n_docs) * 10000 + 0.5) / 10000
+      |    AS dup_rate,
+      |  n_langs, lang_entropy_bits
+      |FROM row_stats, lang_entropy""".stripMargin) { (s, d) =>
+    val base = Tables.documents(s, d).select(col("n_chars"), col("lang"),
+      trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm"))
+    val rowStats = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("total_chars"),
+      (floor(avg(col("n_chars")) * 100 + 0.5) / 100).as("mean_chars"),
+      (floor(expr("percentile(n_chars, 0.5D)") * 100 + 0.5) / 100)
+        .as("median_chars"),
+      countDistinct(col("norm")).as("n_unique"),
+      countDistinct(col("lang")).as("n_langs"))
+    // H = log2(N) - Σ c·log2(c) / N, folded from the per-language
+    // counts without a second corpus pass
+    val entropy = base.groupBy(col("lang"))
+      .agg(count(lit(1)).cast("double").as("c"))
+      .agg((floor((log2(sum(col("c"))) -
+        sum(col("c") * log2(col("c"))) / sum(col("c"))) * 10000 + 0.5) / 10000)
+        .as("lang_entropy_bits"))
+    rowStats.crossJoin(entropy) // both single rows
+      .select(col("n_docs"), col("total_chars"), col("mean_chars"),
+        col("median_chars"),
+        (floor((lit(1.0) - col("n_unique").cast("double") / col("n_docs"))
+          * 10000 + 0.5) / 10000).as("dup_rate"),
+        col("n_langs"), col("lang_entropy_bits"))
+  }
+
   val all: Seq[QueryDef] = Seq(pipelineCurate, pipelineMix,
     pipelineQualityFilter, pipelineSampleN, pipelineTokenBudget,
     pipelineSplit, textContamination, pipelineLangBudget,
-    pipelineQualityModel, pipelinePack, pipelineObserved)
+    pipelineQualityModel, pipelinePack, pipelineObserved,
+    pipelineDatasetCard)
 }

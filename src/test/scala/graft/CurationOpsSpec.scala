@@ -66,6 +66,17 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(agree.toDouble / n >= 0.9, s"holdout agreement $agree/$n")
   }
 
+  test("dataset card invariants: dup rate in [0,1), entropy ≤ log2(langs), median sane") {
+    val r = Curation.pipelineDatasetCard.fn(spark, sf).collect()(0)
+    val (nDocs, dupRate) = (r.getLong(0), r.getDouble(4))
+    assert(nDocs > 0)
+    assert(dupRate >= 0.0 && dupRate < 1.0)
+    val (nLangs, entropy) = (r.getLong(5), r.getDouble(6))
+    assert(entropy >= 0 && entropy <= math.log(nLangs.toDouble) / math.log(2) + 1e-9,
+      s"entropy $entropy exceeds log2($nLangs)")
+    assert(r.getDouble(3) <= r.getLong(1), "median chars bounded by total")
+  }
+
   test("observed metrics equal the recomputed counters (no second scan needed)") {
     val r = Curation.pipelineObserved.fn(spark, sf).collect()(0)
     val docs = graft.sources.Tables.documents(spark, sf)
