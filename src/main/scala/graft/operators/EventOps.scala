@@ -685,6 +685,78 @@ object EventOps {
   val streamScd2: QueryDef = QueryDef.sql(
     "stream_scd2", RelationalExt.qScd2.oracle.get)(EventStreams.streamScd2)
 
+  /** Peak concurrency by sweep line: sessions become (+1 at start,
+    * −1 at end) deltas and the max prefix sum over the (t, delta)
+    * order is the peak (ties sort −1 first: a session ending exactly
+    * when another starts never overlaps it, and the max is
+    * order-independent among equal rows). The prefix sum is TWO-
+    * PHASE so no global single-partition window exists: within-day
+    * running sums are windows PARTITIONED by day (parallel), and the
+    * carry-in offset per day is a running total over the O(days)
+    * day-sum relation — the distributed scan/prefix-sum shape. The
+    * oracle states the equivalent single-pass form.
+    */
+  val eventsConcurrency: QueryDef = QueryDef.sql(
+    "events_concurrency",
+    """WITH ordered AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |           OR date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts) > 1800
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |numbered AS (
+      |  SELECT user_id, ts,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM ordered),
+      |sessions AS (
+      |  SELECT user_id, sid, min(ts) AS t0, max(ts) AS t1
+      |  FROM numbered GROUP BY 1, 2),
+      |deltas AS (
+      |  SELECT t0 AS t, 1 AS delta FROM sessions
+      |  UNION ALL
+      |  SELECT t1 AS t, -1 AS delta FROM sessions),
+      |running AS (
+      |  SELECT sum(delta) OVER (ORDER BY t, delta
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+      |  FROM deltas)
+      |SELECT (SELECT count(*) FROM sessions) AS n_sessions,
+      |       CAST(max(live) AS BIGINT) AS max_concurrent
+      |FROM running""".stripMargin) { (s, d) =>
+    val wUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val wCum = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessions = Tables.events(s, d)
+      .withColumn("prev", lag(col("ts"), 1).over(wUser))
+      .withColumn("new_session",
+        when(col("prev").isNull ||
+          (unix_timestamp(col("ts")) - unix_timestamp(col("prev"))) > 1800, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("new_session")).over(wCum))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+      .cache()
+    val deltas = sessions.select(col("t0").as("t"), lit(1).as("delta"))
+      .unionAll(sessions.select(col("t1").as("t"), lit(-1).as("delta")))
+      .withColumn("day", date_trunc("day", col("t")))
+    // phase 1: parallel within-day running sums
+    val wDay = Window.partitionBy(col("day")).orderBy(col("t"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withinDay = deltas.withColumn("run", sum(col("delta")).over(wDay))
+    // phase 2: carry-in offsets over the O(days) relation
+    val wDays = Window.orderBy(col("o_day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = deltas.groupBy(col("day").as("o_day"))
+      .agg(sum(col("delta")).as("day_sum"))
+      .withColumn("carry_in",
+        coalesce(sum(col("day_sum")).over(wDays), lit(0)))
+      .select(col("o_day"), col("carry_in"))
+    val nSessions = sessions.count()
+    withinDay.join(offsets, col("day") === col("o_day"))
+      .agg(lit(nSessions).as("n_sessions"),
+        max(col("carry_in") + col("run")).as("max_concurrent"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     eventsHourly, streamHourly, eventsSessions, eventsSessionWindow,
     streamSessions, streamUserStats, streamJoin, streamSinkRoundtrip,
@@ -692,5 +764,5 @@ object EventOps {
     eventsHourlyMerge, streamEnrich, eventsSlidingUniques, eventsHistogram,
     eventsMarkov, streamTopk, streamJoinOuter, eventsDau,
     streamSessionsState, eventsAttribution, eventsCohortLtv, eventsAbtest,
-    streamScd2)
+    streamScd2, eventsConcurrency)
 }

@@ -346,8 +346,30 @@ object RelationalMore {
       .orderBy(col("event_type_dow"))
   }
 
+  /** Rollup level introspection: grouping_id labels which columns
+    * are aggregated away at each rollup level (same bitmask contract
+    * as DuckDB's GROUPING) — how a consumer distinguishes subtotal
+    * rows from data rows without sentinel-null guessing.
+    */
+  val qGroupingId: QueryDef = QueryDef.sql(
+    "q_grouping_id",
+    """SELECT l_returnflag, l_linestatus,
+      |  GROUPING(l_returnflag, l_linestatus) AS level_id,
+      |  count(*) AS n, round(sum(l_quantity), 2) AS qty
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY level_id, l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("level_id"), count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("qty"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("level_id"),
+        col("n"), col("qty"))
+      .orderBy(col("level_id"), col("l_returnflag"), col("l_linestatus"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     qLateralTopk, qStringAgg, qMode, qHllPartitioned, qNativeTopk,
     qTopkRewrite, qPercentRank, qRecursiveChain, qUnpivot, qWinsorized,
-    qTwophaseDistinct, qCrosstab)
+    qTwophaseDistinct, qCrosstab, qGroupingId)
 }

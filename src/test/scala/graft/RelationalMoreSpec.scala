@@ -326,6 +326,35 @@ class RelationalMoreSpec extends AnyFunSuite {
     assert(twoPhase == direct)
   }
 
+  test("q_grouping_id levels partition correctly: 0=data, 1=flag subtotal, 3=grand") {
+    val rows = graft.operators.RelationalMore.qGroupingId.fn(spark, sf).collect()
+    val byLevel = rows.groupBy(_.getAs[Number](2).intValue)
+    assert(byLevel.keySet == Set(0, 1, 3))
+    val grand = byLevel(3)
+    assert(grand.length == 1 && grand(0).isNullAt(0) && grand(0).isNullAt(1))
+    val total = grand(0).getLong(3)
+    assert(byLevel(0).map(_.getLong(3)).sum == total,
+      "data rows must sum to the grand total")
+    assert(byLevel(1).map(_.getLong(3)).sum == total,
+      "flag subtotals must sum to the grand total")
+  }
+
+  test("events_concurrency: two-phase sweep has no global single-partition window") {
+    val df = graft.operators.EventOps.eventsConcurrency.fn(spark, sf)
+    val r = df.collect()(0)
+    assert(r.getLong(0) > 0 && r.getLong(1) >= 1)
+    assert(r.getLong(1) <= r.getLong(0), "peak bounded by session count")
+    // the session-sized within-day window must be partitioned by day;
+    // the only unpartitioned window runs over the O(days) offsets
+    // (logical plan — AQE wrappers hide physical Window nodes)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        w.partitionSpec.nonEmpty
+    }
+    assert(windows.contains(true),
+      "the big within-day sweep window must carry a partition spec")
+  }
+
   test("q_recursive_chain plans through UnionLoop and every path ends at root 0") {
     val df = graft.operators.RelationalMore.qRecursiveChain.fn(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
