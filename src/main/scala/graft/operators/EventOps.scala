@@ -709,7 +709,7 @@ object EventOps {
       |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
       |  FROM ordered),
-      |sessions AS (
+      |sessions AS MATERIALIZED (
       |  SELECT user_id, sid, min(ts) AS t0, max(ts) AS t1
       |  FROM numbered GROUP BY 1, 2),
       |deltas AS (
@@ -757,6 +757,56 @@ object EventOps {
         max(col("carry_in") + col("run")).as("max_concurrent"))
   }
 
+  /** RFM customer segmentation: per purchasing user, recency (days
+    * since last purchase at the corpus horizon), frequency and
+    * monetary totals — one user shuffle — then quartile scores per
+    * dimension (ntile with user_id tie-break for determinism) and
+    * segment counts over the bounded 4³ grid. The three ntile
+    * windows are unpartitioned and run over the O(buyers) aggregate,
+    * never the corpus; exact equal-count quartiles inherently need a
+    * total order. When even the buyer relation is too large for one
+    * window task, the sketch variant (q_approx_percentile
+    * boundaries + CASE, trading ntile's tie-splitting for map-side
+    * scoring) is the 100 TB path — same trade documented at
+    * profile_equidepth.
+    */
+  val eventsRfm: QueryDef = QueryDef.sql(
+    "events_rfm",
+    """WITH horizon AS (SELECT max(ts) AS h FROM events),
+      |per_user AS (
+      |  SELECT user_id,
+      |    date_diff('day', max(ts), (SELECT h FROM horizon)) AS recency_days,
+      |    count(*) AS freq,
+      |    round(sum(value), 2) AS monetary
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      |scored AS (
+      |  SELECT ntile(4) OVER (ORDER BY recency_days, user_id) AS r,
+      |         ntile(4) OVER (ORDER BY freq DESC, user_id) AS f,
+      |         ntile(4) OVER (ORDER BY monetary DESC, user_id) AS m,
+      |         monetary
+      |  FROM per_user)
+      |SELECT r, f, m, count(*) AS n_users,
+      |  round(sum(monetary), 2) AS total_monetary
+      |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val horizon = ev.agg(max(col("ts")).as("h"))
+    val perUser = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(max(col("ts")).as("last_buy"), count(lit(1)).as("freq"),
+        round(sum(col("value")), 2).as("monetary"))
+      .crossJoin(broadcast(horizon)) // single-row horizon literal
+      .withColumn("recency_days", datediff(col("h"), col("last_buy")))
+    val scored = perUser.select(
+      ntile(4).over(Window.orderBy(col("recency_days"), col("user_id"))).as("r"),
+      ntile(4).over(Window.orderBy(col("freq").desc, col("user_id"))).as("f"),
+      ntile(4).over(Window.orderBy(col("monetary").desc, col("user_id"))).as("m"),
+      col("monetary"))
+    scored.groupBy(col("r"), col("f"), col("m"))
+      .agg(count(lit(1)).as("n_users"),
+        round(sum(col("monetary")), 2).as("total_monetary"))
+      .orderBy(col("r"), col("f"), col("m"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     eventsHourly, streamHourly, eventsSessions, eventsSessionWindow,
     streamSessions, streamUserStats, streamJoin, streamSinkRoundtrip,
@@ -764,5 +814,5 @@ object EventOps {
     eventsHourlyMerge, streamEnrich, eventsSlidingUniques, eventsHistogram,
     eventsMarkov, streamTopk, streamJoinOuter, eventsDau,
     streamSessionsState, eventsAttribution, eventsCohortLtv, eventsAbtest,
-    streamScd2, eventsConcurrency)
+    streamScd2, eventsConcurrency, eventsRfm)
 }

@@ -61,7 +61,7 @@ object Graph {
     */
   val graphDegree: QueryDef = QueryDef.sql(
     "graph_degree",
-    """WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+    """WITH e AS MATERIALIZED (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
       |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
       |     deg AS (SELECT src, count(*) AS degree FROM e GROUP BY src)
       |SELECT degree, count(*) AS n_customers
@@ -121,9 +121,9 @@ object Graph {
          |  LEFT JOIN od ON od.node = e.src
          |  GROUP BY v.node)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS ($nationEdgesSql),
-       |v AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-       |od AS (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY src),
+    s"""WITH e AS MATERIALIZED ($nationEdgesSql),
+       |v AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |od AS MATERIALIZED (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY src),
        |pr0 AS (SELECT node, 1.0 / (SELECT count(*) FROM v) AS r FROM v),
        |$steps
        |SELECT node, round(r, 8) AS rank FROM pr$PrIters ORDER BY node""".stripMargin
@@ -162,7 +162,7 @@ object Graph {
     */
   val graphTriangles: QueryDef = QueryDef.sql(
     "graph_triangles",
-    s"""WITH ue AS ($undirectedSql)
+    s"""WITH ue AS MATERIALIZED ($undirectedSql)
        |SELECT count(*) AS n_triangles
        |FROM ue e1 JOIN ue e2 ON e2.a = e1.b
        |JOIN ue e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin) { (s, d) =>
@@ -210,8 +210,8 @@ object Graph {
          |    FROM h${i - 1} h JOIN sym ON sym.a = h.node)
          |  GROUP BY node)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ue AS ($undirectedSql),
-       |sym AS (SELECT a, b FROM ue UNION SELECT b, a FROM ue),
+    s"""WITH ue AS MATERIALIZED ($undirectedSql),
+       |sym AS MATERIALIZED (SELECT a, b FROM ue UNION SELECT b, a FROM ue),
        |h0 AS (SELECT CAST(0 AS BIGINT) AS node, 0 AS hops),
        |$steps
        |SELECT node, hops FROM h$BfsIters ORDER BY node""".stripMargin
@@ -271,8 +271,8 @@ object Graph {
          |    GROUP BY s.a, l.label)
          |  WHERE rk = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ue AS ($undirectedSql),
-       |sym AS (SELECT a, b FROM ue UNION SELECT b, a FROM ue),
+    s"""WITH ue AS MATERIALIZED ($undirectedSql),
+       |sym AS MATERIALIZED (SELECT a, b FROM ue UNION SELECT b, a FROM ue),
        |l0 AS (SELECT node, node AS label FROM
        |       (SELECT a AS node FROM sym UNION SELECT b FROM sym)),
        |$steps
@@ -304,8 +304,8 @@ object Graph {
     */
   val graphJaccard: QueryDef = QueryDef.sql(
     "graph_jaccard",
-    s"""WITH ue AS ($undirectedSql),
-       |sym AS (SELECT a, b FROM ue UNION SELECT b, a FROM ue),
+    s"""WITH ue AS MATERIALIZED ($undirectedSql),
+       |sym AS MATERIALIZED (SELECT a, b FROM ue UNION SELECT b, a FROM ue),
        |deg AS (SELECT a AS node, count(*) AS d FROM sym GROUP BY a),
        |common AS (
        |  SELECT s1.a AS u, s2.a AS v, count(*) AS c
@@ -340,7 +340,64 @@ object Graph {
       .limit(20)
   }
 
+  /** Closeness centrality by multi-source BFS: the frontier relation
+    * carries (src, node, hops) for ALL sources at once — the same
+    * fixed-round expansion as graphBfs but seeded with every vertex,
+    * so state is O(|V|·reachable) and each round is still one
+    * equality join + one min-aggregate. closeness(v) =
+    * (reached−1) / Σ hops. The oracle replays the identical
+    * multi-source expansion as chained CTEs.
+    */
+  val graphCloseness: QueryDef = {
+    val iters = BfsIters
+    val steps = (1 to iters).map { i =>
+      s"""h$i AS (
+         |  SELECT src, node, min(hops) AS hops FROM (
+         |    SELECT src, node, hops FROM h${i - 1}
+         |    UNION ALL
+         |    SELECT h.src, sym.b AS node, h.hops + 1 AS hops
+         |    FROM h${i - 1} h JOIN sym ON sym.a = h.node)
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val oracle =
+      s"""WITH ue AS MATERIALIZED ($undirectedSql),
+         |sym AS MATERIALIZED (SELECT a, b FROM ue UNION SELECT b, a FROM ue),
+         |v AS MATERIALIZED (SELECT a AS node FROM sym UNION SELECT b FROM sym),
+         |h0 AS (SELECT node AS src, node, 0 AS hops FROM v),
+         |$steps
+         |SELECT src AS node,
+         |  floor((count(*) - 1) * 10000.0 / sum(hops) + 0.5) / 10000 AS closeness,
+         |  count(*) - 1 AS n_reached
+         |FROM h$iters GROUP BY src HAVING sum(hops) > 0 ORDER BY src""".stripMargin
+    QueryDef.sql("graph_closeness", oracle) { (s, d) =>
+      val ue = undirectedNationEdges(s, d)
+      val sym = ue.select(col("a"), col("b"))
+        .union(ue.select(col("b").as("a"), col("a").as("b")))
+        .distinct().cache()
+      val vertices = sym.select(col("a").as("node"))
+        .union(sym.select(col("b").as("node"))).distinct()
+      var hops = vertices.select(col("node").as("src"), col("node"),
+        lit(0).as("hops"))
+      for (i <- 1 to iters) {
+        val expanded = hops
+          .join(sym, col("node") === col("a"))
+          .select(col("src"), col("b").as("node"), (col("hops") + 1).as("hops"))
+        hops = hops.unionAll(expanded)
+          .groupBy(col("src"), col("node")).agg(min(col("hops")).as("hops"))
+        if (i % 3 == 0 && i < iters) hops = hops.localCheckpoint(eager = true)
+      }
+      hops.groupBy(col("src"))
+        .agg(count(lit(1)).as("n"), sum(col("hops")).as("sum_hops"))
+        .filter(col("sum_hops") > 0)
+        .select(col("src").as("node"),
+          (floor((col("n") - 1) * 10000.0 / col("sum_hops") + 0.5) / 10000)
+            .as("closeness"),
+          (col("n") - 1).as("n_reached"))
+        .orderBy(col("node"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     graphDegree, graphPagerank, graphTriangles, graphBfs, graphLabelprop,
-    graphJaccard)
+    graphJaccard, graphCloseness)
 }

@@ -253,6 +253,29 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(total == graft.sources.Tables.events(spark, sf).count())
   }
 
+  test("graph_closeness: scores in (0,1], node with more direct links scores higher floor") {
+    val rows = SparkEntry.queries("graph_closeness")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val c = r.getDouble(1)
+      assert(c > 0 && c <= 1.0, s"closeness $c out of (0,1]")
+      assert(r.getLong(2) >= 1, "every scored node reaches someone")
+    }
+  }
+
+  test("events_rfm: segments partition all purchasing users; scores in 1..4") {
+    val rows = SparkEntry.queries("events_rfm")(spark, sf).collect()
+    val buyers = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getLong(3)).sum == buyers,
+      "every purchasing user lands in exactly one segment")
+    rows.foreach { r =>
+      Seq(r.getInt(0), r.getInt(1), r.getInt(2)).foreach(sc =>
+        assert(sc >= 1 && sc <= 4, s"score $sc outside quartile range"))
+    }
+  }
+
   test("profile_stats: one corpus scan; ndv ≤ non-null ≤ rows invariants hold") {
     val out = SparkEntry.queries("profile_stats")(spark, sf).collect()
     assert(out.length == 3)
