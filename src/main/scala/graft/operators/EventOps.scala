@@ -807,6 +807,51 @@ object EventOps {
       .orderBy(col("r"), col("f"), col("m"))
   }
 
+  /** Revenue-concentration (Pareto) readout: how few buyers account
+    * for 80% of purchase revenue. One user shuffle for per-buyer
+    * totals, then a cumulative-share window ordered by (revenue
+    * DESC, user_id) over the O(buyers) aggregate (same window class
+    * as events_rfm — the beyond-buyers path is range-bucketed
+    * two-phase prefix sums, see events_concurrency).
+    */
+  val eventsPareto: QueryDef = QueryDef.sql(
+    "events_pareto",
+    """WITH per_user AS (
+      |  SELECT user_id, sum(value) AS revenue
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |ranked AS (
+      |  SELECT revenue,
+      |    sum(revenue) OVER (ORDER BY revenue DESC, user_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev,
+      |    sum(revenue) OVER () AS total_rev,
+      |    row_number() OVER (ORDER BY revenue DESC, user_id) AS rk
+      |  FROM per_user)
+      |SELECT CAST((SELECT count(*) FROM per_user) AS BIGINT) AS n_buyers,
+      |  CAST(min(rk) AS BIGINT) AS n_users_for_80pct,
+      |  floor(min(rk) * 10000.0 / (SELECT count(*) FROM per_user) + 0.5) / 10000
+      |    AS share_of_users
+      |FROM ranked WHERE cum_rev >= 0.8 * total_rev""".stripMargin) { (s, d) =>
+    val perUser = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(col("value")).as("revenue"))
+      .cache()
+    val nBuyers = perUser.count()
+    val wCum = Window.orderBy(col("revenue").desc, col("user_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wRank = Window.orderBy(col("revenue").desc, col("user_id"))
+    perUser
+      .withColumn("cum_rev", sum(col("revenue")).over(wCum))
+      .withColumn("total_rev", sum(col("revenue")).over(wAll))
+      .withColumn("rk", row_number().over(wRank))
+      .filter(col("cum_rev") >= col("total_rev") * 0.8)
+      .agg(lit(nBuyers).as("n_buyers"),
+        min(col("rk")).cast("long").as("n_users_for_80pct"),
+        (floor(min(col("rk")) * 10000.0 / nBuyers + 0.5) / 10000)
+          .as("share_of_users"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     eventsHourly, streamHourly, eventsSessions, eventsSessionWindow,
     streamSessions, streamUserStats, streamJoin, streamSinkRoundtrip,
@@ -814,5 +859,5 @@ object EventOps {
     eventsHourlyMerge, streamEnrich, eventsSlidingUniques, eventsHistogram,
     eventsMarkov, streamTopk, streamJoinOuter, eventsDau,
     streamSessionsState, eventsAttribution, eventsCohortLtv, eventsAbtest,
-    streamScd2, eventsConcurrency, eventsRfm)
+    streamScd2, eventsConcurrency, eventsRfm, eventsPareto)
 }

@@ -397,7 +397,62 @@ object Graph {
     }
   }
 
+  private val KcoreK = 2
+  private val KcoreRounds = 4
+
+  /** k-core decomposition by iterative peeling: each round drops
+    * nodes whose degree within the surviving subgraph is < k, for a
+    * fixed number of rounds (monotone — once stable, further rounds
+    * are no-ops, so a fixed count ≥ the peel depth is exact). Each
+    * round is a degree aggregate over the alive-restricted edge set
+    * (two semi-joins) — O(|E|) work, O(|V|) state, the same
+    * envelope as the other iterative graph operators.
+    */
+  val graphKcore: QueryDef = {
+    val steps = (1 to KcoreRounds).map { i =>
+      s"""a$i AS MATERIALIZED (
+         |  SELECT node FROM (
+         |    SELECT s.a AS node, count(*) AS c
+         |    FROM sym s
+         |    JOIN a${i - 1} x ON x.node = s.a
+         |    JOIN a${i - 1} y ON y.node = s.b
+         |    GROUP BY s.a)
+         |  WHERE c >= $KcoreK)""".stripMargin
+    }.mkString(",\n")
+    val oracle =
+      s"""WITH ue AS MATERIALIZED ($undirectedSql),
+         |sym AS MATERIALIZED (SELECT a, b FROM ue UNION SELECT b, a FROM ue),
+         |a0 AS (SELECT a AS node FROM sym UNION SELECT b FROM sym),
+         |$steps
+         |SELECT s.a AS node, count(*) AS core_degree
+         |FROM sym s
+         |JOIN a$KcoreRounds x ON x.node = s.a
+         |JOIN a$KcoreRounds y ON y.node = s.b
+         |GROUP BY s.a ORDER BY s.a""".stripMargin
+    QueryDef.sql("graph_kcore", oracle) { (s, d) =>
+      val ue = undirectedNationEdges(s, d)
+      val sym = ue.select(col("a"), col("b"))
+        .union(ue.select(col("b").as("a"), col("a").as("b")))
+        .distinct().cache()
+      var alive = sym.select(col("a").as("node"))
+        .union(sym.select(col("b").as("node"))).distinct()
+      for (_ <- 1 to KcoreRounds) {
+        alive = sym
+          .join(alive.withColumnRenamed("node", "na"), col("na") === col("a"), "left_semi")
+          .join(alive.withColumnRenamed("node", "nb"), col("nb") === col("b"), "left_semi")
+          .groupBy(col("a").as("node")).agg(count(lit(1)).as("c"))
+          .filter(col("c") >= KcoreK)
+          .select(col("node"))
+      }
+      sym
+        .join(alive.withColumnRenamed("node", "na"), col("na") === col("a"), "left_semi")
+        .join(alive.withColumnRenamed("node", "nb"), col("nb") === col("b"), "left_semi")
+        .groupBy(col("a").as("node")).agg(count(lit(1)).as("core_degree"))
+        .orderBy(col("node"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     graphDegree, graphPagerank, graphTriangles, graphBfs, graphLabelprop,
-    graphJaccard, graphCloseness)
+    graphJaccard, graphCloseness, graphKcore)
 }

@@ -276,6 +276,21 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("graph_kcore: every surviving node keeps degree ≥ k inside the core") {
+    val rows = SparkEntry.queries("graph_kcore")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(1) >= 2,
+      s"node ${r.get(0)} has in-core degree ${r.getLong(1)} < k=2"))
+  }
+
+  test("events_pareto: 80% of revenue needs at most all buyers, at least one") {
+    val r = SparkEntry.queries("events_pareto")(spark, sf).collect()(0)
+    val (buyers, n80, share) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(n80 >= 1 && n80 <= buyers)
+    assert(share > 0 && share <= 1.0)
+    assert(math.abs(share - n80.toDouble / buyers) < 1e-3)
+  }
+
   test("profile_stats: one corpus scan; ndv ≤ non-null ≤ rows invariants hold") {
     val out = SparkEntry.queries("profile_stats")(spark, sf).collect()
     assert(out.length == 3)
