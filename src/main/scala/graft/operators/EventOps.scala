@@ -852,6 +852,51 @@ object EventOps {
           .as("share_of_users"))
   }
 
+  /** Weekly churn: of the users active in week w, the share absent
+    * in week w+1. The (week, user) relation is the deduped corpus
+    * aggregate; churn is a self left-anti join shifted by one week —
+    * both sides keyed on user within week, one exchange each.
+    */
+  val eventsChurn: QueryDef = QueryDef.sql(
+    "events_churn",
+    """WITH wu AS (
+      |  SELECT DISTINCT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week, user_id
+      |  FROM events),
+      |weeks AS (SELECT week, count(*) AS active FROM wu GROUP BY 1),
+      |churned AS (
+      |  SELECT a.week, count(*) AS lost
+      |  FROM wu a LEFT JOIN wu b
+      |    ON b.user_id = a.user_id AND b.week = a.week + INTERVAL 7 DAY
+      |  WHERE b.user_id IS NULL
+      |  GROUP BY 1)
+      |SELECT w.week, w.active, coalesce(c.lost, 0) AS churned,
+      |  floor(coalesce(c.lost, 0) * 10000.0 / w.active + 0.5) / 10000 AS churn_rate
+      |FROM weeks w LEFT JOIN churned c ON c.week = w.week
+      |WHERE w.week < (SELECT max(week) FROM wu)
+      |ORDER BY w.week""".stripMargin) { (s, d) =>
+    val wu = Tables.events(s, d)
+      .select(date_trunc("week", col("ts")).as("week"), col("user_id"))
+      .distinct().cache()
+    val weeks = wu.groupBy(col("week")).agg(count(lit(1)).as("active"))
+    val nextWeek = wu.select((col("week") - expr("INTERVAL 7 DAY")).as("b_week"),
+      col("user_id").as("b_user"))
+    val churned = wu
+      .join(nextWeek, col("week") === col("b_week") && col("user_id") === col("b_user"),
+        "left_anti")
+      .groupBy(col("week")).agg(count(lit(1)).as("lost"))
+      .withColumnRenamed("week", "c_week")
+    val maxWeek = wu.agg(max(col("week")).as("mw"))
+    weeks
+      .join(churned, col("week") === col("c_week"), "left_outer")
+      .crossJoin(broadcast(maxWeek)) // single-row horizon
+      .filter(col("week") < col("mw"))
+      .select(col("week"), col("active"),
+        coalesce(col("lost"), lit(0L)).as("churned"),
+        (floor(coalesce(col("lost"), lit(0L)) * 10000.0 / col("active") + 0.5)
+          / 10000).as("churn_rate"))
+      .orderBy(col("week"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     eventsHourly, streamHourly, eventsSessions, eventsSessionWindow,
     streamSessions, streamUserStats, streamJoin, streamSinkRoundtrip,
@@ -859,5 +904,5 @@ object EventOps {
     eventsHourlyMerge, streamEnrich, eventsSlidingUniques, eventsHistogram,
     eventsMarkov, streamTopk, streamJoinOuter, eventsDau,
     streamSessionsState, eventsAttribution, eventsCohortLtv, eventsAbtest,
-    streamScd2, eventsConcurrency, eventsRfm, eventsPareto)
+    streamScd2, eventsConcurrency, eventsRfm, eventsPareto, eventsChurn)
 }

@@ -729,9 +729,43 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Zipf's-law fit: the least-squares slope of ln(frequency) vs
+    * ln(rank) over the word-frequency relation (natural language
+    * lands near −1). One word shuffle for counts; the rank window
+    * and regr_slope run over the O(vocabulary) aggregate.
+    * Deterministic rank ties via the word itself.
+    */
+  val textZipf: QueryDef = QueryDef.sql(
+    "text_zipf",
+    """WITH freq AS (
+      |  SELECT word, count(*) AS n
+      |  FROM (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS word
+      |        FROM documents) t
+      |  GROUP BY word),
+      |ranked AS (
+      |  SELECT n, row_number() OVER (ORDER BY n DESC, word) AS rank
+      |  FROM freq)
+      |SELECT CAST(count(*) AS BIGINT) AS vocab,
+      |  floor(regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE)))
+      |        * 10000 + 0.5) / 10000 AS zipf_slope
+      |FROM ranked""".stripMargin) { (s, d) =>
+    val freq = Tables.documents(s, d)
+      .select(explode(regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)))
+        .as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val ranked = freq
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("word"))))
+    ranked.agg(count(lit(1)).cast("long").as("vocab"),
+      (floor(expr("regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE)))")
+        * 10000 + 0.5) / 10000).as("zipf_slope"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     textTokens, textQuality, textLangid, textFingerprint, textWordfreq,
     textBpeTokens, textBpeMerged, textTfidf, textLangidEval, textRepetition,
     textRedact, textCmsFreq, textChunks, textChunkDedup, textLmScore,
-    textWinnow, textEntropy, textTtr, textNovelty, textPerplexityBucket)
+    textWinnow, textEntropy, textTtr, textNovelty, textPerplexityBucket,
+    textZipf)
 }

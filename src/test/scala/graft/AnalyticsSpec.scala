@@ -291,6 +291,22 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(math.abs(share - n80.toDouble / buyers) < 1e-3)
   }
 
+  test("events_churn: rates in [0,1], churned never exceeds active") {
+    val rows = SparkEntry.queries("events_churn")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1),
+        s"week ${r.get(0)}: churned ${r.getLong(2)} > active ${r.getLong(1)}")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
+  test("text_zipf: word frequencies decay (negative slope) over a real vocabulary") {
+    val r = SparkEntry.queries("text_zipf")(spark, sf).collect()(0)
+    assert(r.getLong(0) > 10, "vocabulary must be non-trivial")
+    assert(r.getDouble(1) < 0, s"rank-frequency slope ${r.getDouble(1)} must be negative")
+  }
+
   test("profile_stats: one corpus scan; ndv ≤ non-null ≤ rows invariants hold") {
     val out = SparkEntry.queries("profile_stats")(spark, sf).collect()
     assert(out.length == 3)
