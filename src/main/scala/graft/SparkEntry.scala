@@ -11,7 +11,7 @@ object SparkEntry {
     */
   val defs: Seq[QueryDef] =
     Relational.all ++ RelationalExt.all ++ RelationalMore.all ++ Tpch.all ++
-      KMeans.all ++ TextAnalysis.all ++
+      KMeans.all ++ TextAnalysis.all ++ Retrieval.all ++
       Dedup.all ++ Similarity.all ++ Embeddings.all ++ Multimodal.all ++
       EventOps.all ++ Curation.all ++ graft.sources.SourceOps.all ++
       Graph.all ++ TimeSeries.all ++ Profile.all ++ Linkage.all

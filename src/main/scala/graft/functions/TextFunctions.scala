@@ -31,6 +31,13 @@ object TextFunctions {
     ColumnBridge.column(
       org.apache.spark.sql.graft.CharBigrams(ColumnBridge.expression(text)))
 
+  /** Sliding word n-grams over a token array (native per-row loop —
+    * see org.apache.spark.sql.graft.WordGrams).
+    */
+  def word_grams(tokens: Column, n: Int): Column =
+    ColumnBridge.column(
+      org.apache.spark.sql.graft.WordGrams(ColumnBridge.expression(tokens), n))
+
   /** Register `graft_normalize` for SQL use in an existing session. */
   def registerSql(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -808,10 +808,67 @@ object Dedup {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)(
     graft.streaming.EventStreams.streamDedupWithinWatermark)
 
+  private val SpanGram = 8
+
+  /** Substring-level duplication report (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better"
+    * problem, re-expressed for a distributed engine): every
+    * word-position contributes its 8-token span; spans occurring in
+    * more than one distinct document mark both documents as sharing
+    * duplicated text. Per doc: how many of its positions sit inside a
+    * cross-document duplicated span, and how many distinct spans
+    * those are — the measure that decides span-removal vs doc-drop.
+    *
+    * The sliding windows come from ONE native per-document loop
+    * (graft_word_grams — the `transform(sequence(..), slice)`
+    * formulation pays an interpreted lambda plus an O(n) slice copy
+    * per POSITION), and the corpus is tokenized exactly once: the
+    * per-(span, doc) counts aggregate map-side, the cross-document
+    * test is a count window over the span partition of that
+    * aggregate (no grams-vs-grams self-join — the naive join
+    * formulation re-derives the whole gram relation twice), and the
+    * final per-doc rollup reduces the surviving rows. At 100 TB the
+    * shuffle would carry a 128-bit span fingerprint instead of the
+    * span string (the md5 trick dedup_exact uses — elided here only
+    * because the oracle's per-doc DISTINCT-gram count must see the
+    * literal span); the suffix-array formulation serializes, this
+    * one scales with ordinary shuffle capacity.
+    */
+  val dedupSubstring: QueryDef = QueryDef.sql(
+    "dedup_substring",
+    s"""WITH tok AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+       |pos AS (
+       |  SELECT doc_id, ws, unnest(range(0, greatest(len(ws) - ${SpanGram - 1}, 0))) AS i
+       |  FROM tok),
+       |grams AS (
+       |  SELECT doc_id, array_to_string(ws[i+1:i+$SpanGram], ' ') AS gram FROM pos),
+       |dup AS (
+       |  SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) > 1)
+       |SELECT g.doc_id, count(*) AS n_dup_spans, count(DISTINCT g.gram) AS n_dup_grams
+       |FROM grams g JOIN dup USING (gram)
+       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.word_grams(
+          regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)),
+          SpanGram)).as("gram"))
+    val perDoc = grams.groupBy(col("gram"), col("doc_id"))
+      .agg(count(lit(1)).as("n"))
+    perDoc
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy(col("gram"))))
+      .filter(col("nd") > 1)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_dup_spans"),
+        count(lit(1)).as("n_dup_grams"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupExactNfc, dedupStats, dedupNgram, dedupContainment,
     dedupMinhash,
     dedupSimhash, dedupEmbedding, streamDedup, dedupGroups, dedupNearCorpus,
     dedupSimhashLsh, streamDedupWm, dedupMinhashCorpus, dedupIncremental,
-    dedupIncrementalIndexed, streamDedupIndexed, dedupMinhashEst)
+    dedupIncrementalIndexed, streamDedupIndexed, dedupMinhashEst, dedupSubstring)
 }

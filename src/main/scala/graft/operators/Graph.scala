@@ -384,7 +384,12 @@ object Graph {
           .select(col("src"), col("b").as("node"), (col("hops") + 1).as("hops"))
         hops = hops.unionAll(expanded)
           .groupBy(col("src"), col("node")).agg(min(col("hops")).as("hops"))
-        if (i % 3 == 0 && i < iters) hops = hops.localCheckpoint(eager = true)
+        // hops is referenced twice in its own next-round plan (the
+        // union arm and the expansion join), so the lazy tree doubles
+        // per round — checkpoint the O(|V|·reachable) relation every
+        // round to keep the plan flat (each round then runs exactly
+        // once; the relation is tiny, so the extra action is cheap).
+        if (i < iters) hops = hops.localCheckpoint(eager = true)
       }
       hops.groupBy(col("src"))
         .agg(count(lit(1)).as("n"), sum(col("hops")).as("sum_hops"))
@@ -407,6 +412,12 @@ object Graph {
     * round is a degree aggregate over the alive-restricted edge set
     * (two semi-joins) — O(|E|) work, O(|V|) state, the same
     * envelope as the other iterative graph operators.
+    *
+    * `alive` feeds BOTH semi-joins of the next round, so without a
+    * materialization the lazy plan doubles per round (2^rounds
+    * copies of the base subtree by the end — this was 11.7 s in the
+    * r03 bench). The O(|V|)-row frontier is localCheckpointed each
+    * round instead: the plan stays flat and each round runs once.
     */
   val graphKcore: QueryDef = {
     val steps = (1 to KcoreRounds).map { i =>
@@ -443,6 +454,7 @@ object Graph {
           .groupBy(col("a").as("node")).agg(count(lit(1)).as("c"))
           .filter(col("c") >= KcoreK)
           .select(col("node"))
+          .localCheckpoint(eager = true)
       }
       sym
         .join(alive.withColumnRenamed("node", "na"), col("na") === col("a"), "left_semi")

@@ -96,3 +96,49 @@ case class BpeTokenCount(child: Expression, pattern: String,
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Sliding word n-grams of a token array as array<string> (each
+  * element the space-joined n-token window starting at that
+  * position; empty when the document has fewer than n tokens) — one
+  * tight per-ROW loop over the already-split tokens. The composed
+  * formulation (`transform(sequence(...), i -> array_join(slice(...)))`)
+  * pays an interpreted lambda dispatch plus an O(n) slice copy PER
+  * POSITION (ArrayTransform is CodegenFallback); this expression
+  * pays one eval per document and reuses a single StringBuilder.
+  * Powers dedup_substring's span fingerprinting.
+  */
+case class WordGrams(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(org.apache.spark.sql.types.ArrayType(StringType))
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_word_grams"
+
+  override def nullSafeEval(v: Any): Any = {
+    val ws = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val total = ws.numElements()
+    val count = math.max(total - n + 1, 0)
+    val out = new Array[AnyRef](count)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < count) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(ws.getUTF8String(i + k).toString)
+        k += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
