@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
-import org.apache.spark.sql.graft.{ColumnBridge, GramianAgg, MinHashAgg}
+import org.apache.spark.sql.graft.{ColumnBridge, GramianAgg, KmvAgg, MinHashAgg}
 import org.apache.spark.sql.types.IntegerType
 
 /** Column-API and SQL surface for graft's native sketch aggregates
@@ -37,13 +37,30 @@ object SketchFunctions {
       s"graft_gramian(col, d) needs an integer-literal dimension, got: $other")
   }
 
-  /** Register `graft_minhash` / `graft_gramian` for SQL use in an
-    * existing session.
+  /** KMV bottom-k theta sketch: `kmv(key, k)` inside a groupBy
+    * returns the k smallest distinct hash values as a sorted
+    * array<long> — distinct-count AND set-intersection estimates
+    * (see org.apache.spark.sql.graft.Kmv for the estimators).
+    */
+  def kmv(key: Column, k: Int): Column =
+    ColumnBridge.column(
+      KmvAgg(ColumnBridge.expression(key), k).toAggregateExpression())
+
+  private[functions] val kmvBuilder: Seq[Expression] => Expression = {
+    case Seq(key, Literal(k: Int, IntegerType)) => KmvAgg(key, k)
+    case other => throw new IllegalArgumentException(
+      s"graft_kmv(col, k) needs an integer-literal sketch size, got: $other")
+  }
+
+  /** Register `graft_minhash` / `graft_gramian` / `graft_kmv` for
+    * SQL use in an existing session.
     */
   def registerSql(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash", minhashBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_gramian", gramianBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_kmv", kmvBuilder, "built-in")
   }
 }

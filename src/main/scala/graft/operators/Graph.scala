@@ -464,7 +464,81 @@ object Graph {
     }
   }
 
+  /** Undirected nation trade edges weighted by total traded revenue
+    * (one orders⋈lineitem shuffle + two broadcast dimension joins,
+    * then a pair aggregate).
+    */
+  def weightedNationEdges(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+    val supp = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+    Tables.lineitem(s, d).select("l_orderkey", "l_suppkey", "l_extendedprice")
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .select(
+        least(col("c_nationkey"), col("s_nationkey")).cast("long").as("a"),
+        greatest(col("c_nationkey"), col("s_nationkey")).cast("long").as("b"),
+        col("l_extendedprice"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("w"))
+  }
+
+  /** Minimum spanning tree by Borůvka's algorithm — THE distributed
+    * MST (each round is pure dataflow: per-component minimum
+    * outgoing edge via a struct-min aggregate, then component merge
+    * by connected components over the chosen edges; components at
+    * least halve per round, so ⌈log₂|V|⌉ rounds bound any graph).
+    * The struct-min orders by (w, a, b, ca, cb) — a TOTAL order, so
+    * choices are deterministic and (the classic argument) cycle-free
+    * even with duplicate weights. Per-round state is O(|V|) labels +
+    * O(components) chosen edges, checkpointed so the plan stays
+    * flat; the component merge reuses Dedup.connectedComponents
+    * (size-adaptive: driver union-find under 10⁶ edges, distributed
+    * pointer jumping above). Kruskal-recomputed edge-set equality is
+    * test-pinned.
+    */
+  val graphMst: QueryDef = QueryDef.rowsOnly("graph_mst") { (s, d) =>
+    val we = weightedNationEdges(s, d).cache()
+    var comp = we.select(col("a").as("id")).union(we.select(col("b").as("id")))
+      .distinct().withColumn("comp", col("id")).localCheckpoint(eager = true)
+    var mst: DataFrame = null
+    var done = false
+    var rounds = 0
+    while (!done && rounds < 34) { // ⌈log₂ maxVertices⌉ safety bound
+      val e2 = we
+        .join(comp.select(col("id").as("a2"), col("comp").as("ca")), col("a") === col("a2"))
+        .join(comp.select(col("id").as("b2"), col("comp").as("cb")), col("b") === col("b2"))
+        .filter(col("ca") =!= col("cb"))
+        .select(col("a"), col("b"), col("w"), col("ca"), col("cb"))
+      val pick = struct(col("w"), col("a"), col("b"), col("ca"), col("cb")).as("e")
+      val cand = e2.select(col("ca").as("c"), pick)
+        .unionAll(e2.select(col("cb").as("c"), pick))
+      val chosen = cand.groupBy(col("c")).agg(min(col("e")).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"), col("e.w").as("w"),
+          col("e.ca").as("ca"), col("e.cb").as("cb"))
+        .distinct().localCheckpoint(eager = true)
+      if (chosen.head(1).isEmpty) done = true
+      else {
+        val edges = chosen.select("a", "b", "w")
+        mst = if (mst == null) edges
+          else mst.unionAll(edges).localCheckpoint(eager = true)
+        val mapping = Dedup.connectedComponents(
+          chosen.select(col("ca").as("id1"), col("cb").as("id2")))
+          .select(col("id").as("comp0"), col("label").as("newc"))
+        comp = comp.join(mapping, col("comp") === col("comp0"), "left")
+          .select(col("id"), coalesce(col("newc"), col("comp")).as("comp"))
+          .localCheckpoint(eager = true)
+        rounds += 1
+      }
+    }
+    we.unpersist(false)
+    (if (mst == null) we.select("a", "b", "w").limit(0) else mst)
+      .orderBy(col("w"), col("a"), col("b"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     graphDegree, graphPagerank, graphTriangles, graphBfs, graphLabelprop,
-    graphJaccard, graphCloseness, graphKcore)
+    graphJaccard, graphCloseness, graphKcore, graphMst)
 }

@@ -180,6 +180,45 @@ object Profile {
       .orderBy(col("pair"))
   }
 
+  val KmvK = 1024
+
+  /** Audience-overlap estimation via the native KMV theta sketch
+    * (sql/graft/sketch.scala KmvAgg): ONE corpus pass builds a
+    * bottom-1024 sketch of the user set per event type (map-side
+    * partial merge, O(k) per partition on the wire), then every
+    * pairwise intersection / Jaccard estimate is driver-side O(k)
+    * arithmetic over the collected O(types · k) sketches. The exact
+    * alternative (count(DISTINCT ...) per type-pair self-join)
+    * shuffles the full user set once per pair — at 100 TB the sketch
+    * table IS the product: estimates for all pairs from one scan,
+    * mergeable across days/partitions (repartition-invariance
+    * test-pinned; error bound vs exact pinned in ScalaTest).
+    */
+  val sketchKmvOverlap: QueryDef = QueryDef.rowsOnly("sketch_kmv_overlap") { (s, d) =>
+    import org.apache.spark.sql.graft.Kmv
+    val sketches = Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(graft.functions.SketchFunctions.kmv(col("user_id"), KmvK).as("sk"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toArray)
+      .sortBy(_._1)
+    val rows = for {
+      (ta, ska) <- sketches.toSeq
+      (tb, skb) <- sketches.toSeq if ta < tb
+    } yield {
+      val ea = Kmv.estimateDistinct(ska, KmvK)
+      val eb = Kmv.estimateDistinct(skb, KmvK)
+      val common = Kmv.estimateIntersection(ska, skb, KmvK)
+      (ta, tb, math.round(ea), math.round(eb), math.round(common),
+        math.round(common / (ea + eb - common) * 10000) / 10000.0)
+    }
+    import s.implicits._
+    rows.toDF("type_a", "type_b", "est_users_a", "est_users_b",
+      "est_common", "est_jaccard")
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    profileStats, profileChecks, profileEquidepth, profileCorr)
+    profileStats, profileChecks, profileEquidepth, profileCorr,
+    sketchKmvOverlap)
 }

@@ -762,10 +762,58 @@ object TextAnalysis {
         * 10000 + 0.5) / 10000).as("zipf_slope"))
   }
 
+  /** Flesch reading-ease scoring: words (whitespace runs), sentences
+    * (terminator runs), syllables (vowel-group approximation — the
+    * standard dictionary-free estimator), then
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words),
+    * plus per-source difficulty averages. Pure codegen'd regexp
+    * counting — one corpus pass, no shuffle before the tiny
+    * per-source aggregate; the identical regexes run on both
+    * engines.
+    */
+  val textReadability: QueryDef = QueryDef.sql(
+    "text_readability",
+    """WITH scored AS (
+      |  SELECT doc_id, source,
+      |    greatest(len(regexp_extract_all(trim(text), '\S+')), 1) AS n_words,
+      |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+      |    greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS n_syllables
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, source, n_words, n_sentences, n_syllables,
+      |    206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+      |      - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words) AS flesch
+      |  FROM scored)
+      |SELECT source, count(*) AS n_docs,
+      |  round(avg(flesch), 4) AS avg_flesch,
+      |  round(min(flesch), 4) AS min_flesch,
+      |  round(max(flesch), 4) AS max_flesch,
+      |  count(CASE WHEN flesch < 30 THEN 1 END) AS n_difficult
+      |FROM f GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val scored = Tables.documents(s, d).select(
+      col("doc_id"), col("source"),
+      greatest(size(regexp_extract_all(trim(col("text")), lit("\\S+"), lit(0))), lit(1))
+        .as("n_words"),
+      greatest(size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))), lit(1))
+        .as("n_sentences"),
+      greatest(size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0))), lit(1))
+        .as("n_syllables"))
+    val f = scored.withColumn("flesch",
+      lit(206.835) - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
+        - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")))
+    f.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("flesch")), 4).as("avg_flesch"),
+        round(min(col("flesch")), 4).as("min_flesch"),
+        round(max(col("flesch")), 4).as("max_flesch"),
+        count(when(col("flesch") < 30, 1)).as("n_difficult"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     textTokens, textQuality, textLangid, textFingerprint, textWordfreq,
     textBpeTokens, textBpeMerged, textTfidf, textLangidEval, textRepetition,
     textRedact, textCmsFreq, textChunks, textChunkDedup, textLmScore,
     textWinnow, textEntropy, textTtr, textNovelty, textPerplexityBucket,
-    textZipf)
+    textZipf, textReadability)
 }

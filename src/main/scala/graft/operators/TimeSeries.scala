@@ -425,7 +425,125 @@ object TimeSeries {
       .orderBy(col("event_type"))
   }
 
+  /** Brown's double exponential smoothing (linear-trend Holt via two
+    * cascaded EWMAs): s1 = EWMA(x), s2 = EWMA(s1), level = 2s1 − s2,
+    * trend = α/(1−α)·(s1 − s2), one-step forecast = level + trend.
+    * Both recursions use ts_ewma's closed form — yₜ = (1−α)ᵗ·Σ
+    * xᵢ·cᵢ/(1−α)ⁱ as a cumulative window sum — so NO sequential pass
+    * exists anywhere: two window passes over the O(types × days)
+    * daily aggregate, same partitioning, one exchange. The oracle
+    * replays the identical cascade.
+    */
+  val tsHolt: QueryDef = QueryDef.sql(
+    "ts_holt",
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |         round(sum(value), 6) AS x
+      |  FROM events GROUP BY 1, 2),
+      |idx AS (
+      |  SELECT event_type, day, x,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      |  FROM daily),
+      |s1 AS (
+      |  SELECT event_type, day, rn,
+      |    power(0.8, rn) * sum(x * (CASE WHEN rn = 1 THEN 1.0 ELSE 0.2 END)
+      |          / power(0.8, rn)) OVER (PARTITION BY event_type ORDER BY rn
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s1
+      |  FROM idx),
+      |s2 AS (
+      |  SELECT event_type, day, rn, s1,
+      |    power(0.8, rn) * sum(s1 * (CASE WHEN rn = 1 THEN 1.0 ELSE 0.2 END)
+      |          / power(0.8, rn)) OVER (PARTITION BY event_type ORDER BY rn
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s2
+      |  FROM s1)
+      |SELECT event_type, day, round(s1, 3) AS s1, round(s2, 3) AS s2,
+      |  round(2 * s1 - s2, 3) AS level,
+      |  round(0.25 * (s1 - s2), 3) AS trend,
+      |  round((2 * s1 - s2) + 0.25 * (s1 - s2), 3) AS forecast
+      |FROM s2 ORDER BY event_type, day""".stripMargin) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(round(sum(col("value")), 6).as("x"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("rn"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def ewmaOf(c: Column): Column =
+      pow(lit(0.8), col("rn")) * sum(
+        c * when(col("rn") === 1, 1.0).otherwise(0.2) / pow(lit(0.8), col("rn"))
+      ).over(wCum)
+    daily
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("s1", ewmaOf(col("x")))
+      .withColumn("s2", ewmaOf(col("s1")))
+      .select(col("event_type"), col("day"),
+        round(col("s1"), 3).as("s1"), round(col("s2"), 3).as("s2"),
+        round(lit(2) * col("s1") - col("s2"), 3).as("level"),
+        round(lit(0.25) * (col("s1") - col("s2")), 3).as("trend"),
+        round((lit(2) * col("s1") - col("s2"))
+          + lit(0.25) * (col("s1") - col("s2")), 3).as("forecast"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Classical additive decomposition x = trend + seasonal +
+    * residual: trend is a centered 7-day moving average (defined
+    * only where the full 7-row frame exists), the seasonal component
+    * is the per-weekday mean of the detrended series re-centered to
+    * sum to zero across the week, residual is what remains. Two
+    * window passes + one 7×|types|-row broadcast join, all over the
+    * O(types × days) daily aggregate — the corpus is touched once.
+    * Weekday convention matched to DuckDB as in ts_seasonal.
+    */
+  val tsDecompose: QueryDef = QueryDef.sql(
+    "ts_decompose",
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |         count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |ma AS (
+      |  SELECT event_type, day, n, dayofweek(day) AS dow,
+      |    CASE WHEN count(*) OVER w = 7 THEN avg(n) OVER w END AS trend
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |seas AS (
+      |  SELECT event_type, dow, avg(n - trend) AS seasonal_raw
+      |  FROM ma WHERE trend IS NOT NULL GROUP BY 1, 2),
+      |seas2 AS (
+      |  SELECT event_type, dow, seasonal_raw
+      |    - avg(seasonal_raw) OVER (PARTITION BY event_type) AS seasonal
+      |  FROM seas)
+      |SELECT m.event_type, m.day, m.n, round(m.trend, 4) AS trend,
+      |  round(s.seasonal, 4) AS seasonal,
+      |  round(m.n - m.trend - s.seasonal, 4) AS residual
+      |FROM ma m LEFT JOIN seas2 s
+      |  ON s.event_type = m.event_type AND s.dow = m.dow
+      |ORDER BY m.event_type, m.day""".stripMargin) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    val ma = daily
+      .withColumn("dow", dayofweek(col("day")) - 1)
+      .withColumn("trend",
+        when(count(lit(1)).over(w) === 7, avg(col("n")).over(w)))
+    val seas = ma.filter(col("trend").isNotNull)
+      .groupBy(col("event_type").as("s_type"), col("dow").as("s_dow"))
+      .agg(avg(col("n") - col("trend")).as("seasonal_raw"))
+    val wType = Window.partitionBy(col("s_type"))
+    val seas2 = seas.withColumn("seasonal",
+      col("seasonal_raw") - avg(col("seasonal_raw")).over(wType))
+    ma.join(broadcast(seas2),
+        col("event_type") === col("s_type") && col("dow") === col("s_dow"),
+        "left")
+      .select(col("event_type"), col("day"), col("n"),
+        round(col("trend"), 4).as("trend"),
+        round(col("seasonal"), 4).as("seasonal"),
+        round(col("n") - col("trend") - col("seasonal"), 4).as("residual"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     tsGapfill, tsInterp, tsEwma, tsAutocorr, tsCusum, tsSeasonal,
-    tsForecast, tsTimeToConvert, tsGapEpisodes)
+    tsForecast, tsTimeToConvert, tsGapEpisodes, tsHolt, tsDecompose)
 }

@@ -168,3 +168,121 @@ case class GramianAgg(
   override protected def withNewChildInternal(newChild: Expression): GramianAgg =
     copy(child = newChild)
 }
+
+/** Native mergeable KMV (k-minimum-values / bottom-k theta) sketch
+  * aggregate: keeps the k smallest DISTINCT xxhash64 values of the
+  * input as a single sorted array<long> state. One sketch supports
+  * distinct-count estimation ((k−1)/θ, Bar-Yossef et al. 2002), and
+  * — unlike HLL — two sketches support SET-OPERATION estimates
+  * (intersection / Jaccard, the theta-sketch property, Dasgupta et
+  * al.): bottom-k values are a uniform coordinated sample of the
+  * hashed key space, so |A∩B below min(θa,θb)| / min(θa,θb)
+  * estimates the intersection cardinality. That is what powers
+  * audience-overlap queries at 100 TB where exact
+  * count(DISTINCT a∩b) would shuffle the full key set.
+  *
+  * Partial aggregation: per-partition sketches merge by sorted-union
+  * truncation, so the shuffle carries one O(k) buffer per partition
+  * — the same map-side-combine shape as min().
+  */
+case class KmvAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+  with ExpectsInputTypes
+  with UnaryLike[Expression] {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_kmv"
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  override def update(
+      buffer: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = XXH64.hashLong(v.asInstanceOf[Long], 42L)
+      if (buffer.size < k) buffer.add(h)
+      else if (h < buffer.last()) { buffer.add(h); if (buffer.size > k) buffer.pollLast() }
+    }
+    buffer
+  }
+
+  override def merge(
+      b1: java.util.TreeSet[java.lang.Long],
+      b2: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = b2.iterator()
+    while (it.hasNext) {
+      val h = it.next()
+      if (b1.size < k) b1.add(h)
+      else if (h < b1.last()) { b1.add(h); if (b1.size > k) b1.pollLast() }
+    }
+    b1
+  }
+
+  override def eval(buffer: java.util.TreeSet[java.lang.Long]): Any = {
+    val out = new Array[Long](buffer.size)
+    val it = buffer.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buffer: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * buffer.size)
+    val it = buffer.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val s = new java.util.TreeSet[java.lang.Long]()
+    while (bb.hasRemaining) s.add(bb.getLong())
+    s
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvAgg =
+    copy(child = newChild)
+}
+
+/** Driver-side estimators over evaluated KMV sketches (each an O(k)
+  * sorted array — never corpus-sized).
+  */
+object Kmv {
+  /** Normalized position of a hash in [0, 1). */
+  private def u(h: Long): Double =
+    (h.toDouble - Long.MinValue.toDouble) / math.pow(2.0, 64)
+
+  /** θ — the sketch's sampling threshold: the (k+1)-exclusive bound
+    * actually used is the k-th smallest value's position when the
+    * sketch is full, 1.0 when it saw fewer than k distinct values.
+    */
+  def theta(sketch: Array[Long], k: Int): Double =
+    if (sketch.length < k) 1.0 else u(sketch.last)
+
+  /** Distinct-count estimate: exact below k, else (k−1)/θ. */
+  def estimateDistinct(sketch: Array[Long], k: Int): Double =
+    if (sketch.length < k) sketch.length.toDouble
+    else (k - 1).toDouble / u(sketch.last)
+
+  /** Intersection estimate of two sketches built with the same k and
+    * hash: count common values below θ = min(θa, θb), scale by 1/θ.
+    */
+  def estimateIntersection(a: Array[Long], b: Array[Long], k: Int): Double = {
+    val th = math.min(theta(a, k), theta(b, k))
+    val bs = b.toSet
+    val common = a.count(h => u(h) < th && bs.contains(h))
+    common / th
+  }
+}
