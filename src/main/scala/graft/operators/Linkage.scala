@@ -79,5 +79,38 @@ object Linkage {
       .orderBy(col("blk"))
   }
 
-  val all: Seq[QueryDef] = Seq(qCopurchase, qFuzzyJoin)
+  /** Frequent itemsets of EVERY size via distributed FP-growth
+    * (MLlib `ml.fpm.FPGrowth` — the parallel PFP formulation, Li et
+    * al. 2008): baskets are the distinct part sets per order, min
+    * support 0.1% of baskets. Generalizes q_copurchase beyond pairs
+    * without the exponential candidate joins Apriori would need —
+    * PFP shuffles each transaction's conditional prefixes once per
+    * group, state bounded by the FP-tree of each group, never
+    * corpus². Support is an ABSOLUTE count (≥3 baskets) expressed as
+    * a fraction — per-part basket frequency is SF-invariant in this
+    * schema, so a relative threshold would silently empty the result
+    * as the corpus grows. Output canonicalized (items sorted within
+    * set, total deterministic row order, declared top-500);
+    * exactness is pinned in ScalaTest against a driver-side
+    * enumerate-all-subsets count on the small SF.
+    */
+  val miningFpgrowth: QueryDef = QueryDef.rowsOnly("mining_fpgrowth") { (s, d) =>
+    import org.apache.spark.ml.fpm.FPGrowth
+    val baskets = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("items"))
+    val nBaskets = baskets.count()
+    val model = new FPGrowth()
+      .setItemsCol("items").setMinSupport((3.0 - 0.5) / nBaskets)
+      .fit(baskets)
+    model.freqItemsets
+      .select(
+        concat_ws(",", array_sort(col("items"))).as("itemset"),
+        size(col("items")).as("n_items"),
+        col("freq"))
+      .orderBy(col("freq").desc, col("n_items"), col("itemset"))
+      .limit(500)
+  }
+
+  val all: Seq[QueryDef] = Seq(qCopurchase, qFuzzyJoin, miningFpgrowth)
 }

@@ -368,8 +368,43 @@ object RelationalMore {
       .orderBy(col("level_id"), col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** Weighted sampling without replacement by sequential Poisson
+    * (order) sampling, Ohlsson 1998: priority = u / w with a
+    * DETERMINISTIC per-row uniform u (multiplicative hash of the
+    * key), take the k smallest priorities. Inclusion probability is
+    * ≈ proportional to weight, the sample is reproducible across
+    * runs AND engines (pure integer-arithmetic u, no transcendental
+    * whose last ulp could differ), and the plan is a TakeOrdered —
+    * O(k) state per partition, no full sort, no shuffle of the
+    * corpus. The rejected alternative (Efraimidis–Spirakis
+    * u^(1/w)) needs pow/ln, whose libm-vs-JVM rounding could flip
+    * near-tie selections between the engines.
+    */
+  val qWeightedSample: QueryDef = QueryDef.sql(
+    "q_weighted_sample",
+    """WITH w AS (
+      |  SELECT o_orderkey, o_totalprice,
+      |    ((o_orderkey * 2654435761) % 1000000007) / 1000000007.0 AS u
+      |  FROM orders)
+      |SELECT o_orderkey, o_totalprice,
+      |  round(u / o_totalprice * 1000000, 6) AS priority
+      |FROM w
+      |ORDER BY u / o_totalprice, o_orderkey
+      |LIMIT 100""".stripMargin) { (s, d) =>
+    val w = Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_totalprice"),
+      (((col("o_orderkey") * lit(2654435761L)) % lit(1000000007L))
+        / lit(1000000007.0)).as("u"))
+    w.select(col("o_orderkey"), col("o_totalprice"),
+        round(col("u") / col("o_totalprice") * 1000000, 6).as("priority"),
+        (col("u") / col("o_totalprice")).as("p_raw"))
+      .orderBy(col("p_raw"), col("o_orderkey"))
+      .limit(100)
+      .drop("p_raw")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qLateralTopk, qStringAgg, qMode, qHllPartitioned, qNativeTopk,
     qTopkRewrite, qPercentRank, qRecursiveChain, qUnpivot, qWinsorized,
-    qTwophaseDistinct, qCrosstab, qGroupingId)
+    qTwophaseDistinct, qCrosstab, qGroupingId, qWeightedSample)
 }
