@@ -116,5 +116,59 @@ object Embeddings {
       .orderBy(col("cluster_rep"))
   }
 
-  val all: Seq[QueryDef] = Seq(embPca, embCluster)
+  val RpDim = 16
+
+  /** Deterministic ±1 sign for entry (i,j) of the projection matrix
+    * via the splitmix64 finalizer — full avalanche, so rows are
+    * uncorrelated (a plain multiplicative hash read row-major makes
+    * every row a shift of one LCG sequence, which showed up as 2.2×
+    * pairwise distortions). The oracle never computes this: signs
+    * are INLINED into the generated SQL as +/− literals.
+    */
+  private def rpSign(i: Int, j: Int): Int = {
+    var z = i.toLong * Dim + j + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    if ((z & 1L) == 0L) 1 else -1
+  }
+
+  private def rpOracle(k: Int): String = {
+    val comps = (0 until k).map { i =>
+      val terms = (0 until Dim).map { j =>
+        val op = if (rpSign(i, j) > 0) "+" else "-"
+        s"$op v[${j + 1}]"
+      }.mkString(" ")
+      s"  round((0 $terms) / sqrt($k), 4) AS r$i"
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+       |SELECT vec_id,
+       |$comps
+       |FROM e ORDER BY vec_id""".stripMargin
+  }
+
+  /** Johnson–Lindenstrauss random projection $Dim → $RpDim with a
+    * sign matrix (Achlioptas 2003): per row, $RpDim codegen'd
+    * graft_dot products against ±1/√$RpDim literal arrays — no
+    * shuffle at all, the ideal 100 TB shape (map-only, matrix
+    * shipped as plan literals). Hash-matchable against DuckDB
+    * because everything is exact or order-deterministic: the sign
+    * matrix is integer arithmetic, both engines sum j ascending
+    * (graft_dot's loop = SQL's left-associative chain from 0), and
+    * float→double casts, ±v products, and sqrt are IEEE-exact.
+    * Distance/norm preservation pinned in ScalaTest.
+    */
+  val embRandomProjection: QueryDef = QueryDef.sql(
+    "emb_random_projection", rpOracle(RpDim)) { (s, d) =>
+    val v = Similarity.vectors(s, d)
+    val scale = math.sqrt(RpDim.toDouble)
+    val projected = (0 until RpDim).foldLeft(v) { (df, i) =>
+      val signs: Column = array((0 until Dim).map(j => lit(rpSign(i, j).toDouble)): _*)
+      df.withColumn(s"r$i",
+        round(VectorFunctions.dot_product(col("v"), signs) / lit(scale), 4))
+    }
+    projected.drop("v").orderBy(col("vec_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(embPca, embCluster, embRandomProjection)
 }

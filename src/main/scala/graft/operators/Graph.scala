@@ -538,7 +538,83 @@ object Graph {
       .orderBy(col("w"), col("a"), col("b"))
   }
 
+  private val SsspIters = 6
+
+  /** Bounded-hop Bellman–Ford: `iters` synchronous relax rounds over
+    * the symmetric weighted edge relation — each round one equality
+    * join (frontier ⋈ edges) + a per-node min aggregate, O(|E|)
+    * shuffle and O(|V|) state, lineage cut every 3 rounds. Fixed
+    * rounds make the result "shortest path using ≤ iters hops" —
+    * deterministic and exactly replayable by the chained-CTE oracle
+    * (full convergence = iters ≥ |V|−1; at 6 the 25-node trade
+    * graph is converged in practice and both engines agree by
+    * construction either way).
+    */
+  def ssspDists(edges: DataFrame, source: Long, iters: Int): DataFrame = {
+    val sym = edges.select(col("a"), col("b"), col("cost"))
+      .union(edges.select(col("b").as("a"), col("a").as("b"), col("cost")))
+      .cache()
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var dist = Seq((source, 0.0)).toDF("node", "dist")
+    for (i <- 1 to iters) {
+      val relaxed = dist.join(sym, col("node") === col("a"))
+        .select(col("b").as("node"), (col("dist") + col("cost")).as("dist"))
+      dist = dist.union(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      if (i % 3 == 0 && i < iters) dist = dist.localCheckpoint(eager = true)
+    }
+    dist
+  }
+
+  private def ssspOracle(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""d$i AS (
+         |  SELECT node, min(dist) AS dist FROM (
+         |    SELECT node, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT sym.b AS node, d.dist + sym.cost AS dist
+         |    FROM d${i - 1} d JOIN sym ON sym.a = d.node)
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH we AS MATERIALIZED (
+       |  SELECT CAST(least(c_nationkey, s_nationkey) AS BIGINT) AS a,
+       |         CAST(greatest(c_nationkey, s_nationkey) AS BIGINT) AS b,
+       |         round(sum(l_extendedprice), 2) AS w
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  WHERE c_nationkey <> s_nationkey
+       |  GROUP BY 1, 2),
+       |sym AS MATERIALIZED (
+       |  SELECT a, b, 1000000000.0 / w AS cost FROM we
+       |  UNION ALL
+       |  SELECT b, a, 1000000000.0 / w FROM we),
+       |d0 AS (SELECT CAST(0 AS BIGINT) AS node, 0.0 AS dist),
+       |$steps
+       |SELECT node, round(dist, 6) AS dist FROM d$iters ORDER BY node""".stripMargin
+  }
+
+  /** Weighted single-source shortest paths from nation 0 where hop
+    * cost is inverse trade intensity (1e9 / edge revenue — heavier
+    * trade = closer): $SsspIters Bellman–Ford rounds; the oracle
+    * replays the identical relaxation as chained CTEs. Costs stay
+    * hash-matchable because the only cross-engine float surface is
+    * the round(2) edge-revenue sum (the q1_pricing precedent) —
+    * every later op (division, path addition, min) is identical
+    * IEEE arithmetic on identical inputs.
+    */
+  val graphSssp: QueryDef = QueryDef.sql(
+    "graph_sssp", ssspOracle(SsspIters)) { (s, d) =>
+    val edges = weightedNationEdges(s, d)
+      .withColumn("cost", lit(1000000000.0) / col("w"))
+    ssspDists(edges, 0L, SsspIters)
+      .select(col("node"), round(col("dist"), 6).as("dist"))
+      .orderBy(col("node"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     graphDegree, graphPagerank, graphTriangles, graphBfs, graphLabelprop,
-    graphJaccard, graphCloseness, graphKcore, graphMst)
+    graphJaccard, graphCloseness, graphKcore, graphMst, graphSssp)
 }
