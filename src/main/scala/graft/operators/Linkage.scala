@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.QueryDef
 import graft.sources.Tables
@@ -112,5 +113,47 @@ object Linkage {
       .limit(500)
   }
 
-  val all: Seq[QueryDef] = Seq(qCopurchase, qFuzzyJoin, miningFpgrowth)
+  /** Collaborative-filtering recommendations by implicit-feedback
+    * ALS (Hu/Koren/Volinsky 2008; MLlib's block-partitioned
+    * implementation — users and items are hash-blocked and each
+    * alternating least-squares sweep routes only the factor blocks
+    * a block's normal equations need, never an n×m matrix): ratings
+    * are per-(customer, part) purchase counts, rank-8 factors, fixed
+    * seed. Output = top-5 parts per customer from the blocked
+    * cross-product top-k (`recommendForAllUsers`). Rows-only (factor
+    * values are float-path dependent); ScalaTest pins shape,
+    * score ordering, and the core fit property — bought pairs score
+    * above unbought pairs on average.
+    */
+  val miningAls: QueryDef = QueryDef.rowsOnly("mining_als") { (s, d) =>
+    val model = alsModel(s, d)
+    model.recommendForAllUsers(5)
+      .select(col("user"), posexplode(col("recommendations")))
+      .select(col("user"), (col("pos") + 1).as("rank"),
+        col("col.item").as("item"),
+        round(col("col.rating").cast("double"), 4).as("score"))
+      .orderBy(col("user"), col("rank"))
+  }
+
+  /** Purchase-count ratings and the fitted ALS model (shared with
+    * the spec so quality pins run on the exact production fit).
+    */
+  def alsRatings(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").cast("int").as("user"),
+        col("l_partkey").cast("int").as("item"))
+      .agg(count(lit(1)).cast("float").as("rating"))
+
+  def alsModel(s: SparkSession, d: String): org.apache.spark.ml.recommendation.ALSModel = {
+    import org.apache.spark.ml.recommendation.ALS
+    new ALS()
+      .setUserCol("user").setItemCol("item").setRatingCol("rating")
+      .setRank(8).setMaxIter(10).setRegParam(0.1)
+      .setImplicitPrefs(true).setAlpha(1.0).setSeed(42L)
+      .fit(alsRatings(s, d))
+  }
+
+  val all: Seq[QueryDef] = Seq(qCopurchase, qFuzzyJoin, miningFpgrowth, miningAls)
 }

@@ -34,6 +34,36 @@ class MiningSpec extends AnyFunSuite {
       s"missing=${(want.toSet -- got.toSet).take(3)} extra=${(got.toSet -- want.toSet).take(3)}")
   }
 
+  test("mining_als ranks bought items above unbought and emits 5 recs/user") {
+    val recs = Linkage.miningAls.fn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    val ratings = Linkage.alsRatings(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    val users = ratings.map(_._1)
+    assert(recs.groupBy(_._1).forall(_._2.length == 5))
+    assert(recs.map(_._1).toSet == users)
+    // scores non-increasing with rank per user
+    recs.groupBy(_._1).values.foreach { rs =>
+      val byRank = rs.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+    // fit property: bought (user,item) pairs outscore unbought ones
+    val model = Linkage.alsModel(spark, sf)
+    import spark.implicits._
+    val items = ratings.map(_._2).toSeq.sorted
+    val negatives = users.toSeq.sorted.flatMap { u =>
+      items.filter(i => !ratings((u, i))).take(20).map(u -> _)
+    }
+    def meanScore(pairs: Seq[(Int, Int)]): Double = {
+      val scored = model.transform(pairs.toDF("user", "item")).collect()
+        .map(_.getFloat(2).toDouble)
+      scored.sum / scored.length
+    }
+    val posMean = meanScore(ratings.toSeq.take(2000))
+    val negMean = meanScore(negatives.take(2000))
+    assert(posMean > negMean + 0.1, s"pos $posMean vs neg $negMean")
+  }
+
   test("q_weighted_sample picks k smallest priorities, weight-biased") {
     val all = Tables.orders(spark, sf).select(
         col("o_orderkey"), col("o_totalprice"),
