@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
-import org.apache.spark.sql.graft.{ColumnBridge, GramianAgg, KmvAgg, MinHashAgg}
+import org.apache.spark.sql.graft.{ColumnBridge, GramianAgg, KmvAgg, KmvMergeAgg, MinHashAgg}
 import org.apache.spark.sql.types.IntegerType
 
 /** Column-API and SQL surface for graft's native sketch aggregates
@@ -46,10 +46,24 @@ object SketchFunctions {
     ColumnBridge.column(
       KmvAgg(ColumnBridge.expression(key), k).toAggregateExpression())
 
+  /** Merge STORED KMV sketch arrays (KmvAgg output persisted at
+    * ingest) into one sketch — the re-aggregation side of the KMV
+    * storage contract.
+    */
+  def kmvMerge(sketch: Column, k: Int): Column =
+    ColumnBridge.column(
+      KmvMergeAgg(ColumnBridge.expression(sketch), k).toAggregateExpression())
+
   private[functions] val kmvBuilder: Seq[Expression] => Expression = {
     case Seq(key, Literal(k: Int, IntegerType)) => KmvAgg(key, k)
     case other => throw new IllegalArgumentException(
       s"graft_kmv(col, k) needs an integer-literal sketch size, got: $other")
+  }
+
+  private[functions] val kmvMergeBuilder: Seq[Expression] => Expression = {
+    case Seq(sk, Literal(k: Int, IntegerType)) => KmvMergeAgg(sk, k)
+    case other => throw new IllegalArgumentException(
+      s"graft_kmv_merge(col, k) needs an integer-literal sketch size, got: $other")
   }
 
   /** Register `graft_minhash` / `graft_gramian` / `graft_kmv` for
@@ -62,5 +76,7 @@ object SketchFunctions {
       "graft_gramian", gramianBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_kmv", kmvBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_kmv_merge", kmvMergeBuilder, "built-in")
   }
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.QueryDef
 import graft.sources.Tables
@@ -218,7 +219,60 @@ object Profile {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  private def kmvTableDir(s: SparkSession, d: String): org.apache.hadoop.fs.Path = {
+    val h = Integer.toHexString(d.hashCode)
+    new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir")),
+      s"graft_kmv_$h")
+  }
+
+  /** Builds (once) the per-(day, type) KMV sketch table over events
+    * — the ingest-time artifact (kilobytes per cell) that answers
+    * any distinct-user rollup, at any coarser grain, without
+    * rescanning the fact table.
+    */
+  def kmvSketchTable(s: SparkSession, d: String): DataFrame = synchronized {
+    val dir = kmvTableDir(s, d)
+    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))) {
+      Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(graft.functions.SketchFunctions.kmv(col("user_id"), KmvK).as("sk"),
+          count(lit(1)).as("n_events"))
+        .write.mode("overwrite").parquet(dir.toString)
+    }
+    s.read.parquet(dir.toString)
+  }
+
+  /** Distinct users per event type answered from the STORED daily
+    * sketch table alone via the second-level KmvMergeAgg — bottom-k
+    * union-truncation is associative and idempotent on hash values,
+    * so the rollup sketch is BIT-IDENTICAL to a one-shot sketch of
+    * the raw corpus (pinned in ScalaTest — a property HLL register
+    * merge shares but approximate-intersection support does not).
+    * The estimate itself is computed IN-PLAN from the merged array
+    * (exact below k, else (k−1)/θ), so nothing corpus-sized ever
+    * reaches the driver.
+    */
+  val sketchKmvDaily: QueryDef = QueryDef.rowsOnly("sketch_kmv_daily") { (s, d) =>
+    val merged = kmvSketchTable(s, d)
+      .groupBy(col("event_type"))
+      .agg(graft.functions.SketchFunctions.kmvMerge(col("sk"), KmvK).as("sk"),
+        count(lit(1)).as("n_cells"),
+        sum(col("n_events")).as("n_events"))
+    // (k−1)/θ with θ = normalized k-th smallest hash, exact below k
+    val theta = (element_at(col("sk"), size(col("sk"))).cast("double")
+      - lit(Long.MinValue.toDouble)) / lit(math.pow(2.0, 64))
+    merged.select(
+        col("event_type"), col("n_cells"), col("n_events"),
+        when(size(col("sk")) < KmvK, size(col("sk")).cast("double"))
+          .otherwise(lit(KmvK - 1) / theta).as("est_users"))
+      .select(col("event_type"), col("n_cells"), col("n_events"),
+        round(col("est_users")).cast("long").as("est_users"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     profileStats, profileChecks, profileEquidepth, profileCorr,
-    sketchKmvOverlap)
+    sketchKmvOverlap, sketchKmvDaily)
 }

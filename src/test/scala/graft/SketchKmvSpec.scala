@@ -53,6 +53,28 @@ class SketchKmvSpec extends AnyFunSuite {
     assert(s3.sameElements(s3.sorted))
   }
 
+  test("sketch_kmv_daily: stored-table rollup is BIT-IDENTICAL to one-shot") {
+    val rolled = Profile.kmvSketchTable(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(SketchFunctions.kmvMerge(col("sk"), K).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
+    val oneShot = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(SketchFunctions.kmv(col("user_id"), K).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
+    assert(rolled.keySet == oneShot.keySet)
+    rolled.foreach { case (t, sk) =>
+      assert(sk.sameElements(oneShot(t)), s"type $t sketch differs")
+    }
+    // the query runs and estimates match the merged sketches
+    val rows = Profile.sketchKmvDaily.fn(spark, sf).collect()
+    assert(rows.length == rolled.size)
+    rows.foreach { r =>
+      val est = Kmv.estimateDistinct(rolled(r.getString(0)), K)
+      assert(r.getLong(3) == math.round(est))
+    }
+  }
+
   test("sketch_kmv_overlap: all type pairs, estimates near exact") {
     val rows = Profile.sketchKmvOverlap.fn(spark, sf).collect()
     val types = Tables.events(spark, sf).select("event_type").distinct().count()
