@@ -897,6 +897,77 @@ object EventOps {
       .orderBy(col("week"))
   }
 
+  /** ClickHouse-style windowFunnel: per user, the deepest
+    * view→click→purchase prefix whose steps ALL fall within 1 hour
+    * of the anchoring view, reported as a users-per-level histogram
+    * (level 0 = never viewed). Each step is one user-equality join
+    * (range predicate rides the join as a filter; fan-out bounded by
+    * per-user event counts, never corpus²) + a min-per-anchor
+    * aggregate — the earliest-qualifying-step greedy is exactly the
+    * funnel semantics, and keeps everything deterministic for the
+    * identically-formulated DuckDB oracle. events_funnel is the
+    * window-function (chained 30-min) variant; this is the anchored
+    * fixed-window one.
+    */
+  val eventsWindowFunnel: QueryDef = QueryDef.sql(
+    "events_window_funnel",
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+      |v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+      |c AS (
+      |  SELECT v.user_id, v.ts AS v_ts, min(e.ts) AS c_ts
+      |  FROM v JOIN events e ON e.user_id = v.user_id
+      |    AND e.event_type = 'click' AND e.ts > v.ts
+      |    AND e.ts <= v.ts + INTERVAL 1 HOUR
+      |  GROUP BY v.user_id, v.ts),
+      |p AS (
+      |  SELECT c.user_id, c.v_ts, min(e.ts) AS p_ts
+      |  FROM c JOIN events e ON e.user_id = c.user_id
+      |    AND e.event_type = 'purchase' AND e.ts > c.c_ts
+      |    AND e.ts <= c.v_ts + INTERVAL 1 HOUR
+      |  GROUP BY c.user_id, c.v_ts),
+      |lvl AS (
+      |  SELECT u.user_id,
+      |    CASE WHEN u.user_id IN (SELECT user_id FROM p) THEN 3
+      |         WHEN u.user_id IN (SELECT user_id FROM c) THEN 2
+      |         WHEN u.user_id IN (SELECT user_id FROM v) THEN 1
+      |         ELSE 0 END AS level
+      |  FROM u)
+      |SELECT level, count(*) AS n_users
+      |FROM lvl GROUP BY level ORDER BY level""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d).select("user_id", "event_type", "ts")
+    val u = e.select("user_id").distinct()
+    val v = e.filter(col("event_type") === "view").select(col("user_id"), col("ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("e_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("e_ts"))
+    val hour = expr("INTERVAL 1 HOUR")
+    val c = v.join(clicks,
+        col("user_id") === col("c_user") && col("e_ts") > col("ts")
+          && col("e_ts") <= col("ts") + hour)
+      .groupBy(col("user_id"), col("ts").as("v_ts"))
+      .agg(min(col("e_ts")).as("c_ts"))
+    val p = c.join(purchases,
+        col("user_id") === col("p_user") && col("e_ts") > col("c_ts")
+          && col("e_ts") <= col("v_ts") + hour)
+      .groupBy(col("user_id"), col("v_ts"))
+      .agg(min(col("e_ts")).as("p_ts"))
+    val lvl = u
+      .join(v.select(col("user_id").as("v_user")).distinct(),
+        col("user_id") === col("v_user"), "left")
+      .join(c.select(col("user_id").as("cu")).distinct(),
+        col("user_id") === col("cu"), "left")
+      .join(p.select(col("user_id").as("pu")).distinct(),
+        col("user_id") === col("pu"), "left")
+      .select(col("user_id"),
+        when(col("pu").isNotNull, 3)
+          .when(col("cu").isNotNull, 2)
+          .when(col("v_user").isNotNull, 1)
+          .otherwise(0).as("level"))
+    lvl.groupBy(col("level")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("level"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     eventsHourly, streamHourly, eventsSessions, eventsSessionWindow,
     streamSessions, streamUserStats, streamJoin, streamSinkRoundtrip,
@@ -904,5 +975,6 @@ object EventOps {
     eventsHourlyMerge, streamEnrich, eventsSlidingUniques, eventsHistogram,
     eventsMarkov, streamTopk, streamJoinOuter, eventsDau,
     streamSessionsState, eventsAttribution, eventsCohortLtv, eventsAbtest,
-    streamScd2, eventsConcurrency, eventsRfm, eventsPareto, eventsChurn)
+    streamScd2, eventsConcurrency, eventsRfm, eventsPareto, eventsChurn,
+    eventsWindowFunnel)
 }
