@@ -13,16 +13,18 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** Raw events schema as stored (ts = TIMESTAMP(NANOS) read as long
-    * nanos; see graft.sources.Tables.events).
+  /** Raw events schema AS STORED ON DISK, read from the parquet
+    * footer rather than hardcoded: the streaming file source needs an
+    * explicit schema, and a hardcoded one silently coerces whatever
+    * the files actually contain (r4 incident: testdata regenerated
+    * ts ns→µs, the hardcoded LongType schema handed back raw µs
+    * values the ns→µs division then compressed 1000×). Reading the
+    * footer keeps the stream's view identical to the batch reader's.
     */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  def rawEventSchema(s: SparkSession, dir: String): StructType = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet").schema
+  }
 
   val docsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
@@ -45,11 +47,36 @@ object EventStreams {
     (s.readStream.schema(schema).parquet(tmp.toString), tmp)
   }
 
-  /** events stream with ts converted from raw nanos to µs timestamps. */
+  /** events stream with ts normalized to TimestampType through the
+    * same schema-adaptive branch as the batch loader
+    * (graft.sources.Tables.normalizeEventTs) — batch and stream can
+    * never diverge on the stored type again.
+    */
   private def eventsStream(s: SparkSession, dir: String): (DataFrame, java.nio.file.Path) = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val (raw, tmp) = stagedStream(s, dir, "events.parquet", rawSchema)
-    (raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long"))), tmp)
+    val (raw, tmp) = stagedStream(s, dir, "events.parquet", rawEventSchema(s, dir))
+    (graft.sources.Tables.normalizeEventTs(raw), tmp)
+  }
+
+  /** Append a sentinel events file to a staged stream dir, with ts
+    * written in the RAW on-disk type (long nanos or timestamp) so the
+    * file matches the stream's footer-derived schema. rows =
+    * (event_id, user_id, event_type).
+    */
+  private def appendSentinel(s: SparkSession, tmp: java.nio.file.Path,
+      rawTs: DataType, at: java.time.Instant,
+      rows: Seq[(Long, Long, String)]): Unit = {
+    import s.implicits._
+    val tsCol = rawTs match {
+      case LongType => lit(at.getEpochSecond * 1000000000L)
+      case t => lit(java.sql.Timestamp.from(at)).cast(t)
+    }
+    rows.toDF("event_id", "user_id", "event_type")
+      .withColumn("ts", tsCol)
+      .withColumn("value", lit(0.0))
+      .withColumn("props", lit("{}"))
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .coalesce(1).write.mode("append").parquet(tmp.toString)
   }
 
   /** State-store shard count for the local streams. Stateful
@@ -319,13 +346,9 @@ object EventStreams {
         .outputMode("append").start()
       try {
         q.processAllAvailable()
-        val sentinelNs = maxTs.toInstant.plusSeconds(24 * 3600)
-          .getEpochSecond * 1000000000L
-        import s.implicits._
-        Seq((-1L, sentinelNs, -1L, "click", 0.0, "{}"),
-            (-2L, sentinelNs, -1L, "purchase", 0.0, "{}"))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          .coalesce(1).write.mode("append").parquet(tmp.toString)
+        appendSentinel(s, tmp, rawEventSchema(s, dir)("ts").dataType,
+          maxTs.toInstant.plusSeconds(24 * 3600),
+          Seq((-1L, -1L, "click"), (-2L, -1L, "purchase")))
         q.processAllAvailable()
       } finally {
         q.stop()
@@ -407,11 +430,9 @@ object EventStreams {
         .outputMode("append").start()
       try {
         q.processAllAvailable()
-        val sentinelNs = maxTs.toInstant.plusSeconds(24 * 3600)
-          .getEpochSecond * 1000000000L
-        Seq((-1L, sentinelNs, -1L, "view", 0.0, "{}"))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          .coalesce(1).write.mode("append").parquet(tmp.toString)
+        appendSentinel(s, tmp, rawEventSchema(s, dir)("ts").dataType,
+          maxTs.toInstant.plusSeconds(24 * 3600),
+          Seq((-1L, -1L, "view")))
         q.processAllAvailable()
       } finally {
         q.stop()

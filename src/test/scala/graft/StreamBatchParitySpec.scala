@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Tables
+import graft.streaming.EventStreams
+
+/** Batch==stream equality pins. The streaming source reads through an
+  * explicit schema, so on-disk type drift can corrupt values SILENTLY
+  * (r4: a hardcoded LongType ts schema over µs files compressed every
+  * timestamp 1000× — stream_hourly returned 10 rows vs 3385, no
+  * exception). These pins make any such drift a loud test failure:
+  * the streaming result must equal the identical plan run in batch
+  * over the same files.
+  */
+class StreamBatchParitySpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("stream_hourly equals batch hourly aggregate over the same dir") {
+    // withWatermark is a no-op on a batch frame, so the SAME plan runs
+    // both ways
+    val batch = EventStreams.hourlyAgg(Tables.events(spark, sf))
+      .collect().toSet
+    val streamed = EventStreams.streamHourly(spark, sf).collect().toSet
+    assert(streamed === batch)
+    assert(batch.size > 100, s"suspiciously few hourly rows: ${batch.size}")
+  }
+
+  test("stream_join equals batch interval join over the same dir") {
+    val ev = Tables.events(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    val batch = purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
+      .collect().toSet
+    val streamed = EventStreams.streamClickPurchaseJoin(spark, sf).collect().toSet
+    assert(streamed === batch)
+  }
+}
