@@ -614,7 +614,54 @@ object Graph {
       .orderBy(col("node"))
   }
 
+  /** Connected components of the thresholded co-purchase part graph
+    * (parts linked when bought together in ≥3 distinct orders — at
+    * sf0.01 a sparse 56-component graph). Reuses the size-adaptive
+    * component machinery the dedup family's survivor election runs on
+    * (Dedup.connectedComponents): driver union-find below the edge
+    * bound, distributed min-label propagation with pointer jumping
+    * (O(log diameter) rounds) above — so the same query scales from
+    * the local test graph to a corpus-scale similarity graph. Edge
+    * building is one orderkey shuffle with per-basket fan-out
+    * (O(orders·basket²), never parts²); iteration state is O(|V|).
+    * Component label = minimum part key, so output is deterministic.
+    * Oracle: recursive-CTE min-reachability (UNION dedups, so the
+    * closure terminates on cycles).
+    */
+  val graphCc: QueryDef = QueryDef.sql(
+    "graph_cc",
+    """WITH RECURSIVE
+      |o AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |pairs AS (
+      |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+      |  FROM o a JOIN o b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 3),
+      |e AS (SELECT p1 AS s, p2 AS t FROM pairs
+      |      UNION SELECT p2, p1 FROM pairs),
+      |r(n, l) AS (
+      |  SELECT s, s FROM (SELECT DISTINCT s FROM e)
+      |  UNION
+      |  SELECT e.t, r.l FROM r JOIN e ON r.n = e.s),
+      |lbl AS (SELECT n, min(l) AS comp FROM r GROUP BY n)
+      |SELECT comp, count(*) AS n_parts
+      |FROM lbl GROUP BY comp ORDER BY comp""".stripMargin) { (s, d) =>
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = items
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("id1"))
+      .join(items.select(col("l_orderkey").as("ok2"), col("l_partkey").as("id2")),
+        col("ok") === col("ok2") && col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 3)
+      .select(col("id1"), col("id2"))
+    Dedup.connectedComponents(pairs)
+      .groupBy(col("label").as("comp"))
+      .agg(count(lit(1)).as("n_parts"))
+      .orderBy(col("comp"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     graphDegree, graphPagerank, graphTriangles, graphBfs, graphLabelprop,
-    graphJaccard, graphCloseness, graphKcore, graphMst, graphSssp)
+    graphJaccard, graphCloseness, graphKcore, graphMst, graphSssp, graphCc)
 }

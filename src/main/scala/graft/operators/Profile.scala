@@ -272,7 +272,79 @@ object Profile {
       .orderBy(col("event_type"))
   }
 
+  /** Distribution-drift monitor: per event type, total-variation
+    * distance between the value distributions of the series' first
+    * and second time halves (10 equal-width bins over the type's
+    * global value range) — the production data-quality gate that
+    * catches a metric silently changing shape. All float work is
+    * EXACT-RATIONAL until one final division: the midpoint split is
+    * integer µs arithmetic, TVD = Σ|n1ᵢ·N2 − n2ᵢ·N1| / (2·N1·N2)
+    * keeps every sum in int64 (order-independent, so Spark's
+    * arbitrary aggregation order and DuckDB's agree bit-for-bit).
+    * One events scan + a per-type window pass + an O(types·bins)
+    * aggregate — map-side at any corpus size.
+    */
+  val profileDrift: QueryDef = QueryDef.sql(
+    "profile_drift",
+    """WITH b AS (
+      |  SELECT event_type, epoch_us(ts) AS tus, value,
+      |    min(epoch_us(ts)) OVER (PARTITION BY event_type) AS t0,
+      |    max(epoch_us(ts)) OVER (PARTITION BY event_type) AS t1,
+      |    min(value) OVER (PARTITION BY event_type) AS v0,
+      |    max(value) OVER (PARTITION BY event_type) AS v1
+      |  FROM events),
+      |g AS (
+      |  SELECT event_type,
+      |    CASE WHEN tus <= t0 + (t1 - t0) // 2 THEN 0 ELSE 1 END AS half,
+      |    CASE WHEN v1 = v0 THEN NULL
+      |         ELSE CAST(least(9, greatest(0,
+      |           floor((value - v0) * 10 / (v1 - v0)))) AS INT) END AS bin
+      |  FROM b),
+      |h AS (
+      |  SELECT event_type, bin,
+      |    count(*) FILTER (half = 0) AS n1,
+      |    count(*) FILTER (half = 1) AS n2
+      |  FROM g GROUP BY 1, 2),
+      |tot AS (SELECT event_type, sum(n1) AS ta, sum(n2) AS tb FROM h GROUP BY 1)
+      |SELECT h.event_type,
+      |  CAST(tot.ta AS BIGINT) AS n_first,
+      |  CAST(tot.tb AS BIGINT) AS n_second,
+      |  round(CAST(sum(abs(n1 * tot.tb - n2 * tot.ta)) AS DOUBLE)
+      |        / (2.0 * tot.ta * tot.tb), 6) AS tvd
+      |FROM h JOIN tot ON h.event_type = tot.event_type
+      |GROUP BY h.event_type, tot.ta, tot.tb
+      |ORDER BY h.event_type""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+    val b = Tables.events(s, d)
+      .select(col("event_type"), unix_micros(col("ts")).as("tus"), col("value"))
+      .withColumn("t0", min(col("tus")).over(w))
+      .withColumn("t1", max(col("tus")).over(w))
+      .withColumn("v0", min(col("value")).over(w))
+      .withColumn("v1", max(col("value")).over(w))
+    val g = b.select(col("event_type"),
+      when(col("tus") <= col("t0") + expr("div(t1 - t0, 2)"), lit(0))
+        .otherwise(lit(1)).as("half"),
+      when(col("v1") === col("v0"), lit(null))
+        .otherwise(least(lit(9), greatest(lit(0),
+          floor((col("value") - col("v0")) * 10 / (col("v1") - col("v0")))))
+          .cast("int")).as("bin"))
+    val h = g.groupBy(col("event_type"), col("bin"))
+      .agg(count(when(col("half") === 0, 1)).as("n1"),
+        count(when(col("half") === 1, 1)).as("n2"))
+    val tot = h.groupBy(col("event_type").as("et"))
+      .agg(sum(col("n1")).as("ta"), sum(col("n2")).as("tb"))
+    h.join(tot, col("event_type") === col("et"))
+      .groupBy(col("event_type"), col("ta"), col("tb"))
+      .agg(round(
+        sum(abs(col("n1") * col("tb") - col("n2") * col("ta"))).cast("double")
+          / (lit(2.0) * col("ta") * col("tb")), 6).as("tvd"))
+      .select(col("event_type"), col("ta").as("n_first"),
+        col("tb").as("n_second"), col("tvd"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     profileStats, profileChecks, profileEquidepth, profileCorr,
-    sketchKmvOverlap, sketchKmvDaily)
+    sketchKmvOverlap, sketchKmvDaily, profileDrift)
 }

@@ -403,8 +403,38 @@ object RelationalMore {
       .drop("p_raw")
   }
 
+  /** Equi-width histogram over l_extendedprice (8 bins spanning the
+    * observed range): the one-scan profile complement to
+    * profile_equidepth's exact quantiles. The [min,max] bounds come
+    * from a 1-row aggregate broadcast into the binning scan (no
+    * second shuffle); binning itself is a codegen'd arithmetic
+    * expression, so the whole query is scan + O(bins) aggregate at
+    * any corpus size.
+    */
+  val qHistogramEquiwidth: QueryDef = QueryDef.sql(
+    "q_histogram_equiwidth",
+    """WITH m AS (SELECT min(l_extendedprice) AS v0, max(l_extendedprice) AS v1
+      |           FROM lineitem)
+      |SELECT CAST(least(7, greatest(0,
+      |         floor((l_extendedprice - v0) * 8 / (v1 - v0)))) AS INT) AS bin,
+      |  count(*) AS n, round(sum(l_extendedprice), 2) AS total
+      |FROM lineitem, m
+      |GROUP BY 1 ORDER BY bin""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d).select(col("l_extendedprice"))
+    val m = li.agg(min(col("l_extendedprice")).as("v0"),
+      max(col("l_extendedprice")).as("v1"))
+    li.crossJoin(broadcast(m))
+      .select(least(lit(7), greatest(lit(0),
+        floor((col("l_extendedprice") - col("v0")) * 8 / (col("v1") - col("v0")))))
+        .cast("int").as("bin"), col("l_extendedprice"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("total"))
+      .orderBy(col("bin"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     qLateralTopk, qStringAgg, qMode, qHllPartitioned, qNativeTopk,
     qTopkRewrite, qPercentRank, qRecursiveChain, qUnpivot, qWinsorized,
-    qTwophaseDistinct, qCrosstab, qGroupingId, qWeightedSample)
+    qTwophaseDistinct, qCrosstab, qGroupingId, qWeightedSample,
+    qHistogramEquiwidth)
 }

@@ -810,10 +810,65 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Collocation mining: top bigrams by lift (= exp(PMI) — the
+    * monotone transform that keeps the ranking while avoiding
+    * transcendental functions, so the score stays a single exact
+    * int64-product division and hash-matches across engines).
+    * Bigram generation is a map-side explode (arrays_zip of the two
+    * shifted slices); the counts are two key-partitioned aggregates
+    * (bigram keys, unigram keys) and the corpus total rides in as a
+    * broadcast 1-row aggregate — no driver collect, top-20 via
+    * TakeOrdered. The c_ab ≥ 5 support floor is what makes lift
+    * stable (a hapax pair would otherwise always win).
+    */
+  val textCollocations: QueryDef = QueryDef.sql(
+    "text_collocations",
+    """WITH w AS (
+      |  SELECT regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+      |bg AS (
+      |  SELECT ws[i] AS w1, ws[i + 1] AS w2
+      |  FROM w, LATERAL unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS g(i)),
+      |bc AS (SELECT w1, w2, count(*) AS c_ab FROM bg GROUP BY 1, 2),
+      |uc AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM (
+      |         SELECT w1 AS w FROM bg UNION ALL SELECT w2 FROM bg) u GROUP BY 1),
+      |n AS (SELECT count(*) AS total FROM bg)
+      |SELECT bc.w1, bc.w2, c_ab,
+      |  round(c_ab * (SELECT total FROM n) / CAST(a.cw * b.cw AS DOUBLE), 4) AS lift
+      |FROM bc JOIN uc a ON bc.w1 = a.w JOIN uc b ON bc.w2 = b.w
+      |WHERE c_ab >= 5
+      |ORDER BY lift DESC, w1, w2 LIMIT 20""".stripMargin) { (s, d) =>
+    val ws = regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))
+    val n1 = greatest(size(col("ws")) - 1, lit(0))
+    val bg = Tables.documents(s, d)
+      .select(ws.as("ws"))
+      .select(slice(col("ws"), lit(1), n1).as("a"),
+        slice(col("ws"), lit(2), n1).as("b"))
+      .select(explode(arrays_zip(col("a"), col("b"))).as("p"))
+      .select(col("p.a").as("w1"), col("p.b").as("w2"))
+    val bc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+    // unigram participation counts and the corpus total both fold out
+    // of the bigram aggregate — the corpus is exploded ONCE and the
+    // three consumers share bc's exchange (ReuseExchange), instead of
+    // re-scanning documents per relation
+    val uc = bc.select(col("w1").as("w"), col("c_ab"))
+      .unionAll(bc.select(col("w2"), col("c_ab")))
+      .groupBy(col("w")).agg(sum(col("c_ab")).as("cw"))
+    val total = bc.agg(sum(col("c_ab")).as("total"))
+    bc.filter(col("c_ab") >= 5)
+      .join(uc.select(col("w").as("wa"), col("cw").as("ca")), col("w1") === col("wa"))
+      .join(uc.select(col("w").as("wb"), col("cw").as("cb")), col("w2") === col("wb"))
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("c_ab"),
+        round((col("c_ab") * col("total")) / (col("ca") * col("cb")).cast("double"), 4)
+          .as("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
   val all: Seq[QueryDef] = Seq(
     textTokens, textQuality, textLangid, textFingerprint, textWordfreq,
     textBpeTokens, textBpeMerged, textTfidf, textLangidEval, textRepetition,
     textRedact, textCmsFreq, textChunks, textChunkDedup, textLmScore,
     textWinnow, textEntropy, textTtr, textNovelty, textPerplexityBucket,
-    textZipf, textReadability)
+    textZipf, textReadability, textCollocations)
 }
