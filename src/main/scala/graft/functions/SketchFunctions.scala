@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
-import org.apache.spark.sql.graft.{ColumnBridge, GramianAgg, KmvAgg, KmvMergeAgg, MinHashAgg}
+import org.apache.spark.sql.graft.{ColumnBridge, GramianAgg, KmvAgg, KmvMergeAgg, MinHashAgg, SimHashAgg}
 import org.apache.spark.sql.types.IntegerType
 
 /** Column-API and SQL surface for graft's native sketch aggregates
@@ -21,6 +21,20 @@ object SketchFunctions {
     case Seq(sh, Literal(k: Int, IntegerType)) => MinHashAgg(sh, k)
     case other => throw new IllegalArgumentException(
       s"graft_minhash(col, k) needs an integer-literal permutation count, got: $other")
+  }
+
+  /** SimHash aggregate: `simhash(tokenHash)` inside a groupBy returns
+    * the packed 64-bit Charikar signature as a long — one buffer per
+    * group instead of 64 composed conditional sums.
+    */
+  def simhash(h: Column): Column =
+    ColumnBridge.column(
+      SimHashAgg(ColumnBridge.expression(h)).toAggregateExpression())
+
+  private[functions] val simhashBuilder: Seq[Expression] => Expression = {
+    case Seq(h) => SimHashAgg(h)
+    case other => throw new IllegalArgumentException(
+      s"graft_simhash(col) takes exactly one hash column, got: $other")
   }
 
   /** Second-moment aggregate: `gramian(vec, d)` inside an agg returns
@@ -78,5 +92,7 @@ object SketchFunctions {
       "graft_kmv", kmvBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_kmv_merge", kmvMergeBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash", simhashBuilder, "built-in")
   }
 }

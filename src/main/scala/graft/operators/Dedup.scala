@@ -513,8 +513,25 @@ object Dedup {
 
   // ---- SimHash -------------------------------------------------------
 
-  /** doc_id → 64-bit SimHash packed into a long. */
-  def simhash(docs: DataFrame): DataFrame = {
+  /** doc_id → 64-bit SimHash packed into a long, via the native
+    * mergeable SimHashAgg (sql/graft/sketch.scala): one 64-counter
+    * buffer per doc instead of 64 composed conditional-sum columns —
+    * the composed plan's generated code took seconds of janino
+    * compilation per run and shuffled 64 long buffers per
+    * (partition, doc); the aggregate is bit-identical (parity
+    * test-pinned in SketchSimhashSpec) and map-side combining.
+    */
+  def simhash(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))).as("tok"))
+      .groupBy("doc_id")
+      .agg(graft.functions.SketchFunctions.simhash(xxhash64(col("tok"))).as("simhash"))
+
+  /** The composed 64-column formulation of [[simhash]] — retained as
+    * the parity reference the native aggregate is pinned against.
+    */
+  private[graft] def simhashComposed(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"),
         explode(regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))).as("tok"))

@@ -968,6 +968,78 @@ object EventOps {
       .orderBy(col("level"))
   }
 
+  /** Longest consecutive-active-day streak per user — the classic
+    * gaps-and-islands pattern (d − row_number(d) is constant exactly
+    * on a consecutive run): one (user, day) dedup shuffle, one
+    * per-user window pass over the O(users·days) relation (never the
+    * raw corpus), top-20 via TakeOrdered. Per-user tie rule: the
+    * EARLIEST longest streak; global order (streak_days DESC,
+    * user_id) is total, so the cut is deterministic.
+    */
+  val eventsStreaks: QueryDef = QueryDef.sql(
+    "events_streaks",
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |g AS (
+      |  SELECT user_id, d,
+      |    d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INT) AS grp
+      |  FROM days),
+      |s AS (
+      |  SELECT user_id, count(*) AS streak_days, min(d) AS streak_start
+      |  FROM g GROUP BY user_id, grp),
+      |best AS (
+      |  SELECT user_id, streak_days, streak_start,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY streak_days DESC, streak_start) AS rk
+      |  FROM s)
+      |SELECT user_id, streak_days, streak_start
+      |FROM best WHERE rk = 1
+      |ORDER BY streak_days DESC, user_id LIMIT 20""".stripMargin) { (s, d) =>
+    val days = Tables.events(s, d)
+      .select(col("user_id"), col("ts").cast("date").as("d")).distinct()
+    val g = days.withColumn("grp",
+      date_sub(col("d"),
+        row_number().over(Window.partitionBy(col("user_id")).orderBy(col("d")))))
+    val streaks = g.groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("streak_days"), min(col("d")).as("streak_start"))
+    streaks.withColumn("rk",
+        row_number().over(Window.partitionBy(col("user_id"))
+          .orderBy(col("streak_days").desc, col("streak_start"))))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("streak_days"), col("streak_start"))
+      .orderBy(col("streak_days").desc, col("user_id"))
+      .limit(20)
+  }
+
+  /** Hour-of-day activity profile per event type — the intraday
+    * seasonality readout (ts_seasonal's day-of-week complement):
+    * count + mean value per (type, hour-of-day) cell, each cell's
+    * share of its type's daily volume. One scan into an O(types·24)
+    * aggregate; the share folds out of a window over that aggregate,
+    * never the corpus.
+    */
+  val eventsHourProfile: QueryDef = QueryDef.sql(
+    "events_hour_profile",
+    """WITH h AS (
+      |  SELECT event_type, CAST(hour(ts) AS INT) AS hod, count(*) AS n,
+      |    floor(avg(value) * 10000 + 0.5) / 10000 AS avg_value
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, hod, n, avg_value,
+      |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY event_type), 6) AS share
+      |FROM h ORDER BY event_type, hod""".stripMargin) { (s, d) =>
+    // floor(x·1e4+0.5)/1e4 instead of round(): Spark rounds the
+    // shortest-decimal rendering, DuckDB the binary value — exact
+    // .xxxx5 ties diverge otherwise (same convention as ts_interp)
+    val h = Tables.events(s, d)
+      .groupBy(col("event_type"), hour(col("ts")).cast("int").as("hod"))
+      .agg(count(lit(1)).as("n"),
+        (floor(avg(col("value")) * 10000 + 0.5) / 10000).as("avg_value"))
+    h.withColumn("share",
+        round(col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("event_type"))), 6))
+      .orderBy(col("event_type"), col("hod"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     eventsHourly, streamHourly, eventsSessions, eventsSessionWindow,
     streamSessions, streamUserStats, streamJoin, streamSinkRoundtrip,
@@ -976,5 +1048,5 @@ object EventOps {
     eventsMarkov, streamTopk, streamJoinOuter, eventsDau,
     streamSessionsState, eventsAttribution, eventsCohortLtv, eventsAbtest,
     streamScd2, eventsConcurrency, eventsRfm, eventsPareto, eventsChurn,
-    eventsWindowFunnel)
+    eventsWindowFunnel, eventsStreaks, eventsHourProfile)
 }

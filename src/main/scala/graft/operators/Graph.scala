@@ -614,6 +614,88 @@ object Graph {
       .orderBy(col("node"))
   }
 
+  private val HitsIters = 4
+
+  /** The chained-CTE DuckDB oracle for HITS — same generated-replay
+    * technique as pageRankOracle: ar/a/hr/h CTE quadruple per
+    * iteration, L1 normalization as a scalar subquery. Every step is
+    * MATERIALIZED: each a/h CTE references its raw CTE twice (the
+    * relation + the normalization scalar), so un-materialized
+    * inlining doubles the plan per half-step — exponential planning
+    * by iteration 4 (observed: the inlined form never finished).
+    */
+  private def hitsOracle(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""ar$i AS MATERIALIZED (
+         |  SELECT v.node, coalesce(sum(h.h), 0) AS raw
+         |  FROM v LEFT JOIN e ON e.dst = v.node
+         |         LEFT JOIN h${i - 1} h ON h.node = e.src
+         |  GROUP BY v.node),
+         |a$i AS MATERIALIZED (SELECT node, raw / (SELECT sum(raw) FROM ar$i) AS a FROM ar$i),
+         |hr$i AS MATERIALIZED (
+         |  SELECT v.node, coalesce(sum(a.a), 0) AS raw
+         |  FROM v LEFT JOIN e ON e.src = v.node
+         |         LEFT JOIN a$i a ON a.node = e.dst
+         |  GROUP BY v.node),
+         |h$i AS MATERIALIZED (SELECT node, raw / (SELECT sum(raw) FROM hr$i) AS h FROM hr$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED ($nationEdgesSql),
+       |v AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |h0 AS (SELECT node, 1.0 AS h FROM v),
+       |$steps
+       |SELECT v.node, round(h.h, 8) AS hub, round(a.a, 8) AS auth
+       |FROM v JOIN h$iters h ON h.node = v.node
+       |       JOIN a$iters a ON a.node = v.node
+       |ORDER BY v.node""".stripMargin
+  }
+
+  /** HITS hubs & authorities on the nation trade graph (Kleinberg
+    * 1999), $HitsIters fixed synchronous iterations with L1
+    * normalization — authorities aggregate hub mass over in-edges,
+    * hubs aggregate authority mass over out-edges, each an O(|E|)
+    * equality join + O(|V|) aggregate per half-step; the
+    * normalization total rides in as a broadcast 1-row aggregate (no
+    * driver action inside the loop), lineage cut every 2 rounds.
+    * Generic edge-relation formulation — same plan shape at any
+    * vertex count; oracle is the generated chained-CTE replay.
+    */
+  val graphHits: QueryDef = QueryDef.sql(
+    "graph_hits", hitsOracle(HitsIters)) { (s, d) =>
+    val e = nationEdges(s, d).localCheckpoint(eager = true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(eager = true)
+    var hub = nodes.withColumn("h", lit(1.0))
+    var auth: DataFrame = null
+    for (i <- 1 to HitsIters) {
+      val araw = nodes.join(
+          e.join(hub.select(col("node").as("hn"), col("h")), col("src") === col("hn"))
+            .groupBy(col("dst").as("an")).agg(sum(col("h")).as("raw")),
+          col("node") === col("an"), "left_outer")
+        .select(col("node"), coalesce(col("raw"), lit(0.0)).as("raw"))
+      val atot = araw.agg(sum(col("raw")).as("t"))
+      auth = araw.crossJoin(broadcast(atot))
+        .select(col("node"), (col("raw") / col("t")).as("a"))
+      val hraw = nodes.join(
+          e.join(auth.select(col("node").as("an2"), col("a")), col("dst") === col("an2"))
+            .groupBy(col("src").as("hn2")).agg(sum(col("a")).as("raw")),
+          col("node") === col("hn2"), "left_outer")
+        .select(col("node"), coalesce(col("raw"), lit(0.0)).as("raw"))
+      val htot = hraw.agg(sum(col("raw")).as("t"))
+      hub = hraw.crossJoin(broadcast(htot))
+        .select(col("node"), (col("raw") / col("t")).as("h"))
+      if (i % 2 == 0 && i < HitsIters) {
+        hub = hub.localCheckpoint(eager = true)
+        auth = auth.localCheckpoint(eager = true)
+      }
+    }
+    hub.join(auth.select(col("node").as("anode"), col("a")),
+        col("node") === col("anode"))
+      .select(col("node"), round(col("h"), 8).as("hub"),
+        round(col("a"), 8).as("auth"))
+      .orderBy(col("node"))
+  }
+
   /** Connected components of the thresholded co-purchase part graph
     * (parts linked when bought together in ≥3 distinct orders — at
     * sf0.01 a sparse 56-component graph). Reuses the size-adaptive
@@ -663,5 +745,6 @@ object Graph {
 
   val all: Seq[QueryDef] = Seq(
     graphDegree, graphPagerank, graphTriangles, graphBfs, graphLabelprop,
-    graphJaccard, graphCloseness, graphKcore, graphMst, graphSssp, graphCc)
+    graphJaccard, graphCloseness, graphKcore, graphMst, graphSssp, graphCc,
+    graphHits)
 }

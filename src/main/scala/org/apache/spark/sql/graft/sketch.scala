@@ -169,6 +169,84 @@ case class GramianAgg(
     copy(child = newChild)
 }
 
+/** Native mergeable SimHash aggregate: folds a doc's token hashes
+  * into the packed 64-bit Charikar signature in ONE pass — buffer is
+  * the 64 bit-balance counters (+1 when the token hash has bit j set,
+  * −1 otherwise), eval packs bit j iff its balance is positive.
+  *
+  * Engine rationale: the composed formulation is 64 separate
+  * conditional-sum aggregate columns followed by a 64-way
+  * bitwise-OR reduce — a plan whose generated code is enormous
+  * (seconds of janino compilation per run, measured 5-20 s on the
+  * 300-doc bounded query, vs ~1 s with this aggregate) and whose
+  * shuffle carries 64 long buffers per (partition, doc). This keeps
+  * ONE 64-int buffer, merges by element-wise add (map-side combine),
+  * and is bit-identical to the composed form (same +1/−1 balance,
+  * same >0 packing rule — parity test-pinned).
+  */
+case class SimHashAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Int]]
+  with ExpectsInputTypes
+  with UnaryLike[Expression] {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_simhash"
+
+  override def createAggregationBuffer(): Array[Int] = new Array[Int](65)
+
+  override def update(buffer: Array[Int], input: InternalRow): Array[Int] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) buffer(j) += 1 else buffer(j) -= 1
+        j += 1
+      }
+      buffer(64) += 1 // row count: distinguishes empty from balanced
+    }
+    buffer
+  }
+
+  override def merge(b1: Array[Int], b2: Array[Int]): Array[Int] = {
+    var j = 0
+    while (j < 65) { b1(j) += b2(j); j += 1 }
+    b1
+  }
+
+  override def eval(buffer: Array[Int]): Any =
+    if (buffer(64) == 0) null
+    else {
+      var sig = 0L
+      var j = 0
+      while (j < 64) { if (buffer(j) > 0) sig |= (1L << j); j += 1 }
+      sig
+    }
+
+  override def serialize(buffer: Array[Int]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 * 65)
+    buffer.foreach(bb.putInt)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Int] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(65)(bb.getInt())
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SimHashAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SimHashAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): SimHashAgg =
+    copy(child = newChild)
+}
+
 /** Native mergeable KMV (k-minimum-values / bottom-k theta) sketch
   * aggregate: keeps the k smallest DISTINCT xxhash64 values of the
   * input as a single sorted array<long> state. One sketch supports

@@ -53,6 +53,40 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).sum === Tables.lineitem(spark, sf).count())
   }
 
+  test("graph_hits hub and authority scores are L1-normalized") {
+    val rows = Graph.graphHits.fn(spark, sf).collect()
+    assert(rows.length === 25)
+    val hubSum = rows.map(_.getDouble(1)).sum
+    val authSum = rows.map(_.getDouble(2)).sum
+    assert(math.abs(hubSum - 1.0) < 1e-6, s"hub mass $hubSum")
+    assert(math.abs(authSum - 1.0) < 1e-6, s"auth mass $authSum")
+    assert(rows.forall(r => r.getDouble(1) >= 0 && r.getDouble(2) >= 0))
+  }
+
+  test("events_streaks are maximal runs within the observed day span") {
+    val rows = operators.EventOps.eventsStreaks.fn(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val span = graft.sources.Tables.events(spark, sf)
+      .select(datediff(max(col("ts").cast("date")), min(col("ts").cast("date"))))
+      .head().getInt(0) + 1
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1 && r.getLong(1) <= span, s"impossible streak: $r")
+    }
+    // globally ordered by streak length desc
+    val lens = rows.map(_.getLong(1)).toSeq
+    assert(lens === lens.sorted.reverse)
+  }
+
+  test("events_hour_profile shares sum to 1 per type") {
+    val rows = operators.EventOps.eventsHourProfile.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (t, rs) =>
+      val total = rs.map(_.getDouble(4)).sum
+      assert(math.abs(total - 1.0) < 1e-3, s"shares for $t sum to $total")
+      assert(rs.forall(r => r.getInt(1) >= 0 && r.getInt(1) <= 23))
+    }
+  }
+
   test("text_collocations lift scores are supported and positive") {
     val rows = TextAnalysis.textCollocations.fn(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 20)
