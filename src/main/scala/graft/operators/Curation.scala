@@ -503,9 +503,68 @@ object Curation {
         col("n_langs"), col("lang_entropy_bits"))
   }
 
+  /** Decontamination — the FILTER counterpart to text_contamination's
+    * report: drop every corpus doc sharing ≥1 distinct 5-gram with
+    * the benchmark set (same doc_id%37 bench convention) and account
+    * for the cut per source: docs kept/dropped and tokens surviving.
+    * The join is corpus-grams ⋈ broadcast bench-grams (bench sets are
+    * small by construction — eval suites, not corpora), the drop is a
+    * LEFT ANTI on the contaminated-id set, both O(corpus grams)
+    * shuffle-free on the corpus side beyond the gram explode.
+    */
+  val pipelineDecontaminate: QueryDef = QueryDef.sql(
+    "pipeline_decontaminate",
+    """WITH t AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT DISTINCT doc_id,
+      |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+      |    toks[i+3] || ' ' || toks[i+4] AS sh
+      |  FROM t, UNNEST(generate_series(1, len(toks) - 4)) AS u(i)
+      |  WHERE len(toks) >= 5),
+      |b AS (SELECT sh FROM s WHERE doc_id % 37 = 0),
+      |bad AS (SELECT DISTINCT c.doc_id FROM s c
+      |        WHERE c.doc_id % 37 <> 0 AND c.sh IN (SELECT sh FROM b)),
+      |corpus AS (
+      |  SELECT doc_id, source,
+      |    CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_toks
+      |  FROM documents WHERE doc_id % 37 <> 0)
+      |SELECT source,
+      |  count(*) FILTER (bad.doc_id IS NULL) AS n_kept,
+      |  count(*) FILTER (bad.doc_id IS NOT NULL) AS n_dropped,
+      |  CAST(coalesce(sum(n_toks) FILTER (bad.doc_id IS NULL), 0) AS BIGINT)
+      |    AS tokens_kept
+      |FROM corpus LEFT JOIN bad ON corpus.doc_id = bad.doc_id
+      |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)).as("toks"))
+      .filter(size(col("toks")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(toks) - 5),
+          |  i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2], ' ',
+          |              toks[i+3], ' ', toks[i+4]))""".stripMargin)).as("sh"))
+      .distinct()
+    val benchGrams = grams.filter(col("doc_id") % 37 === 0).select(col("sh")).distinct()
+    val bad = grams.filter(col("doc_id") % 37 =!= 0)
+      .join(broadcast(benchGrams), "sh")
+      .select(col("doc_id")).distinct()
+    val corpus = Tables.documents(s, d).filter(col("doc_id") % 37 =!= 0)
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"))
+    corpus.join(bad.withColumn("is_bad", lit(1)), Seq("doc_id"), "left_outer")
+      .groupBy(col("source"))
+      .agg(count(when(col("is_bad").isNull, 1)).as("n_kept"),
+        count(when(col("is_bad").isNotNull, 1)).as("n_dropped"),
+        coalesce(sum(when(col("is_bad").isNull, col("n_toks"))), lit(0L))
+          .as("tokens_kept"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] = Seq(pipelineCurate, pipelineMix,
     pipelineQualityFilter, pipelineSampleN, pipelineTokenBudget,
     pipelineSplit, textContamination, pipelineLangBudget,
     pipelineQualityModel, pipelinePack, pipelineObserved,
-    pipelineDatasetCard)
+    pipelineDatasetCard, pipelineDecontaminate)
 }

@@ -1040,6 +1040,80 @@ object EventOps {
       .orderBy(col("event_type"), col("hod"))
   }
 
+  /** Robust anomaly detection: median/MAD takes the place of
+    * events_anomaly's mean/stddev, so a burst can't inflate its own
+    * detection threshold (the masking failure of z-scores under
+    * heavy outliers). Two exact-percentile aggregates over the
+    * O(types·hours) hourly relation — never the corpus; the 0.6745
+    * factor rescales MAD to σ-equivalents, threshold 3.5 (Iglewicz &
+    * Hoaglin's modified z-score convention). The raw score is
+    * identical IEEE arithmetic on identical doubles in both engines,
+    * so the threshold cut is deterministic.
+    */
+  val eventsAnomalyMad: QueryDef = QueryDef.sql(
+    "events_anomaly_mad",
+    """WITH h AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |m AS (SELECT event_type, quantile_cont(n, 0.5) AS med FROM h GROUP BY 1),
+      |dev AS (
+      |  SELECT h.event_type, hour, n, med, abs(n - med) AS ad
+      |  FROM h JOIN m ON h.event_type = m.event_type),
+      |md AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY 1)
+      |SELECT dev.event_type, hour, n,
+      |  round(0.6745 * (n - med) / mad, 3) AS robust_z
+      |FROM dev JOIN md ON dev.event_type = md.event_type
+      |WHERE mad > 0 AND abs(0.6745 * (n - med) / mad) >= 3.5
+      |ORDER BY dev.event_type, hour""".stripMargin) { (s, d) =>
+    val h = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val m = h.groupBy(col("event_type").as("met"))
+      .agg(expr("percentile(n, 0.5)").as("med"))
+    val dev = h.join(m, col("event_type") === col("met"))
+      .select(col("event_type"), col("hour"), col("n"), col("med"),
+        abs(col("n") - col("med")).as("ad"))
+    val md = dev.groupBy(col("event_type").as("mdet"))
+      .agg(expr("percentile(ad, 0.5)").as("mad"))
+    dev.join(md, col("event_type") === col("mdet"))
+      .withColumn("raw", lit(0.6745) * (col("n") - col("med")) / col("mad"))
+      .filter(col("mad") > 0 && abs(col("raw")) >= 3.5)
+      .select(col("event_type"), col("hour"), col("n"),
+        round(col("raw"), 3).as("robust_z"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
+  /** Streaming anomaly surfacing: the hourly counts accumulate
+    * through a watermarked streaming window aggregate (the 24/7
+    * ingest path), and the z-score detection folds over the sink
+    * table per refresh — the standard "stream maintains the
+    * aggregate, alerting reads the view" split, because a z-score
+    * needs the full-period distribution a per-batch stream can't see.
+    * Oracle: identical to the batch events_anomaly.
+    */
+  val streamAnomaly: QueryDef = QueryDef.sql(
+    "stream_anomaly",
+    """WITH h AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |z AS (
+      |  SELECT event_type, hour, n,
+      |    round((n - avg(n) OVER (PARTITION BY event_type))
+      |      / stddev_samp(n) OVER (PARTITION BY event_type), 3) AS zscore
+      |  FROM h)
+      |SELECT event_type, hour, n, zscore
+      |FROM z WHERE abs(zscore) >= 2
+      |ORDER BY event_type, hour""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val hourly = EventStreams.streamHourlyCounts(s, d)
+    val w = Window.partitionBy(col("event_type"))
+    hourly.withColumn("zscore",
+        round((col("n") - avg(col("n")).over(w)) / stddev_samp(col("n")).over(w), 3))
+      .filter(abs(col("zscore")) >= 2)
+      .select(col("event_type"), col("hour"), col("n"), col("zscore"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     eventsHourly, streamHourly, eventsSessions, eventsSessionWindow,
     streamSessions, streamUserStats, streamJoin, streamSinkRoundtrip,
@@ -1048,5 +1122,6 @@ object EventOps {
     eventsMarkov, streamTopk, streamJoinOuter, eventsDau,
     streamSessionsState, eventsAttribution, eventsCohortLtv, eventsAbtest,
     streamScd2, eventsConcurrency, eventsRfm, eventsPareto, eventsChurn,
-    eventsWindowFunnel, eventsStreaks, eventsHourProfile)
+    eventsWindowFunnel, eventsStreaks, eventsHourProfile, eventsAnomalyMad,
+    streamAnomaly)
 }

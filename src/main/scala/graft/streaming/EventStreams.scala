@@ -136,6 +136,19 @@ object EventStreams {
       .orderBy(col("hour"), col("event_type"))
   }
 
+  /** Hourly event COUNTS maintained by the stream (the ingest-side
+    * aggregate stream_anomaly's detection folds over).
+    */
+  def streamHourlyCounts(s: SparkSession, dir: String): DataFrame = {
+    val (src, tmp) = eventsStream(s, dir)
+    val agg = src
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"))
+    runToTable(s, "stream_hourly_counts_sink", "complete", agg, tmp)
+  }
+
   /** Gap-based sessionization through Structured Streaming's native
     * session windows: watermarked state store (complete mode —
     * session-window aggregation does not allow update). At scale the

@@ -87,6 +87,29 @@ class CorpusStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("stream_anomaly equals the batch events_anomaly on the same dir") {
+    val batch = operators.EventOps.eventsAnomaly.fn(spark, sf).collect().toSet
+    val streamed = operators.EventOps.streamAnomaly.fn(spark, sf).collect().toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("events_anomaly_mad flags only |modified z| >= 3.5 at sf0.01") {
+    val rows = operators.EventOps.eventsAnomalyMad.fn(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(rows.nonEmpty, "sf0.01 should surface MAD anomalies")
+    rows.foreach(r => assert(math.abs(r.getDouble(3)) >= 3.5, s"below threshold: $r"))
+  }
+
+  test("pipeline_decontaminate accounts for every non-bench doc") {
+    val rows = operators.Curation.pipelineDecontaminate.fn(spark, sf).collect()
+    val total = rows.map(r => r.getLong(1) + r.getLong(2)).sum
+    val corpus = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 37 =!= 0).count()
+    assert(total === corpus)
+    assert(rows.map(_.getLong(2)).sum > 0, "bench overlap should drop some docs")
+  }
+
   test("text_collocations lift scores are supported and positive") {
     val rows = TextAnalysis.textCollocations.fn(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 20)

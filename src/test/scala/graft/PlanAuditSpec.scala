@@ -243,6 +243,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(r.getLong(0) == customers.count() - nBad)
   }
 
+  test("q_histogram_equiwidth broadcasts the bounds, one agg shuffle total") {
+    val p = plan("q_histogram_equiwidth")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"bounds not broadcast:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 1, s"expected 1 hash exchange, got $shuffles:\n$p")
+  }
+
+  test("text_collocations joins are equality joins, never cartesian") {
+    val p = plan("text_collocations")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 must not global-sort:\n$p")
+  }
+
+  test("pipeline_decontaminate broadcasts the bench gram set") {
+    val p = plan("pipeline_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"bench grams not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("native dot product stays inside whole-stage codegen") {
     val e = graft.operators.Similarity.vectors(spark, sf)
     val p = e.select(graft.functions.VectorFunctions
