@@ -1114,6 +1114,34 @@ object EventOps {
       .orderBy(col("event_type"), col("hour"))
   }
 
+  /** Behavioral diversity: per-user Shannon entropy over the user's
+    * event-type distribution (how predictable is each user), top-20
+    * most diverse. Same algebraically-conditioned form as
+    * text_entropy (H = log2(N) − Σ n·log2(n)/N — no per-term
+    * division); the aggregate is O(users·types), the ranking a
+    * TakeOrdered cut with user_id tie-break on the rounded score.
+    */
+  val eventsUserEntropy: QueryDef = QueryDef.sql(
+    "events_user_entropy",
+    """WITH c AS (
+      |  SELECT user_id, event_type, CAST(count(*) AS DOUBLE) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT user_id,
+      |  round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 6) AS entropy_bits,
+      |  CAST(sum(n) AS BIGINT) AS n_events
+      |FROM c GROUP BY user_id
+      |ORDER BY entropy_bits DESC, user_id LIMIT 20""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).cast("double").as("n"))
+      .groupBy(col("user_id"))
+      .agg(round(log2(sum(col("n")))
+          - sum(col("n") * log2(col("n"))) / sum(col("n")), 6).as("entropy_bits"),
+        sum(col("n")).cast("long").as("n_events"))
+      .orderBy(col("entropy_bits").desc, col("user_id"))
+      .limit(20)
+  }
+
   val all: Seq[QueryDef] = Seq(
     eventsHourly, streamHourly, eventsSessions, eventsSessionWindow,
     streamSessions, streamUserStats, streamJoin, streamSinkRoundtrip,
@@ -1123,5 +1151,5 @@ object EventOps {
     streamSessionsState, eventsAttribution, eventsCohortLtv, eventsAbtest,
     streamScd2, eventsConcurrency, eventsRfm, eventsPareto, eventsChurn,
     eventsWindowFunnel, eventsStreaks, eventsHourProfile, eventsAnomalyMad,
-    streamAnomaly)
+    streamAnomaly, eventsUserEntropy)
 }

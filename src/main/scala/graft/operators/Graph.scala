@@ -743,8 +743,40 @@ object Graph {
       .orderBy(col("comp"))
   }
 
+  /** Degree assortativity of the bipartite customer↔supplier trade
+    * graph: Pearson correlation, ACROSS EDGES, of the endpoint
+    * degrees (do high-degree customers trade with high-degree
+    * suppliers?) — the network-science mixing diagnostic. One edge
+    * dedup shuffle + two O(|V|) degree aggregates joined back edge-
+    * side; corr is a single algebraic aggregate (the profile_corr
+    * parity). The nation graph is complete (corr undefined there),
+    * so this runs on the sparse bipartite graph.
+    */
+  val graphAssortativity: QueryDef = QueryDef.sql(
+    "graph_assortativity",
+    """WITH e AS MATERIALIZED (
+      |  SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |od AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+      |id AS (SELECT dst, count(*) AS deg FROM e GROUP BY 1)
+      |SELECT round(corr(od.deg, id.deg), 6) AS assortativity,
+      |  count(*) AS n_edges,
+      |  round(avg(od.deg), 4) AS avg_src_deg,
+      |  round(avg(id.deg), 4) AS avg_dst_deg
+      |FROM e JOIN od ON e.src = od.src JOIN id ON e.dst = id.dst""".stripMargin) { (s, d) =>
+    val e = tradeEdges(s, d)
+    val od = e.groupBy(col("src").as("od_src")).agg(count(lit(1)).as("sdeg"))
+    val id = e.groupBy(col("dst").as("id_dst")).agg(count(lit(1)).as("ddeg"))
+    e.join(od, col("src") === col("od_src"))
+      .join(id, col("dst") === col("id_dst"))
+      .agg(round(corr(col("sdeg"), col("ddeg")), 6).as("assortativity"),
+        count(lit(1)).as("n_edges"),
+        round(avg(col("sdeg")), 4).as("avg_src_deg"),
+        round(avg(col("ddeg")), 4).as("avg_dst_deg"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     graphDegree, graphPagerank, graphTriangles, graphBfs, graphLabelprop,
     graphJaccard, graphCloseness, graphKcore, graphMst, graphSssp, graphCc,
-    graphHits)
+    graphHits, graphAssortativity)
 }

@@ -543,7 +543,51 @@ object TimeSeries {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Rolling-baseline anomaly scan: each hour scored against its
+    * TRAILING 24-hour window (mean/stddev over ROWS 24 PRECEDING..1
+    * PRECEDING — the hour never baselines itself), flagging
+    * |z| ≥ 3 with a full window only. The streaming-friendly
+    * complement to events_anomaly's whole-period baseline: a level
+    * shift re-baselines within a day instead of polluting the global
+    * stats. Windows run over the O(types·hours) hourly aggregate,
+    * never the corpus; frame order is the unique hour sequence, so
+    * both engines accumulate identically.
+    */
+  val tsRollingStats: QueryDef = QueryDef.sql(
+    "ts_rolling_stats",
+    """WITH h AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT event_type, hour, n,
+      |    avg(n) OVER w AS roll_avg, stddev_samp(n) OVER w AS roll_std,
+      |    count(*) OVER w AS n_window
+      |  FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hour
+      |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, hour, n, round(roll_avg, 4) AS roll_avg,
+      |  round((n - roll_avg) / roll_std, 3) AS roll_z
+      |FROM r
+      |WHERE n_window = 24 AND roll_std > 0
+      |  AND abs((n - roll_avg) / roll_std) >= 3
+      |ORDER BY event_type, hour""".stripMargin) { (s, d) =>
+    val h = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(-24, -1)
+    h.withColumn("roll_avg", avg(col("n")).over(w))
+      .withColumn("roll_std", stddev_samp(col("n")).over(w))
+      .withColumn("n_window", count(lit(1)).over(w))
+      .withColumn("raw", (col("n") - col("roll_avg")) / col("roll_std"))
+      .filter(col("n_window") === 24 && col("roll_std") > 0 && abs(col("raw")) >= 3)
+      .select(col("event_type"), col("hour"), col("n"),
+        round(col("roll_avg"), 4).as("roll_avg"),
+        round(col("raw"), 3).as("roll_z"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     tsGapfill, tsInterp, tsEwma, tsAutocorr, tsCusum, tsSeasonal,
-    tsForecast, tsTimeToConvert, tsGapEpisodes, tsHolt, tsDecompose)
+    tsForecast, tsTimeToConvert, tsGapEpisodes, tsHolt, tsDecompose,
+    tsRollingStats)
 }

@@ -110,6 +110,33 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).sum > 0, "bench overlap should drop some docs")
   }
 
+  test("graph_assortativity is a bounded correlation over every trade edge") {
+    val r = Graph.graphAssortativity.fn(spark, sf).head()
+    val a = r.getDouble(0)
+    assert(a >= -1.0 && a <= 1.0, s"assortativity out of range: $a")
+    assert(r.getLong(1) === Graph.tradeEdges(spark, sf).count())
+  }
+
+  test("ts_rolling_stats flags only full-window |z| >= 3 hours") {
+    val rows = operators.TimeSeries.tsRollingStats.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(4)) >= 3.0, s"below threshold: $r")
+      assert(r.getDouble(3) > 0, s"non-positive rolling mean: $r")
+    }
+  }
+
+  test("events_user_entropy is bounded by log2(types) and ranked desc") {
+    val rows = operators.EventOps.eventsUserEntropy.fn(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val nTypes = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type")).distinct().count()
+    val bound = math.log(nTypes.toDouble) / math.log(2.0) + 1e-6
+    rows.foreach(r => assert(r.getDouble(1) >= 0 && r.getDouble(1) <= bound, s"$r"))
+    val es = rows.map(_.getDouble(1)).toSeq
+    assert(es === es.sorted.reverse)
+  }
+
   test("text_collocations lift scores are supported and positive") {
     val rows = TextAnalysis.textCollocations.fn(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 20)
