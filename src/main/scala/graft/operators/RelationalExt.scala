@@ -546,6 +546,13 @@ object RelationalExt {
       |  SELECT * FROM kept UNION ALL
       |  SELECT * FROM opened)
       |ORDER BY o_orderkey, valid_from""".stripMargin) { (s, d) =>
+    scd2Dim(s, d).orderBy(col("o_orderkey"), col("valid_from"))
+  }
+
+  /** The SCD-2 dimension q_scd2 materializes (unordered) — shared
+    * with the point-in-time reader q_pit_snapshot.
+    */
+  def scd2Dim(s: SparkSession, d: String): DataFrame = {
     val tgt = Tables.orders(s, d).select(
       col("o_orderkey"), round(col("o_totalprice"), 2).as("price"),
       date_format(col("o_orderdate"), "yyyy-MM-dd").as("valid_from"))
@@ -566,7 +573,58 @@ object RelationalExt {
       .withColumn("is_current", lit(true))
       .select("o_orderkey", "price", "valid_from", "valid_to", "is_current")
     closed.unionAll(kept).unionAll(opened)
-      .orderBy(col("o_orderkey"), col("valid_from"))
+  }
+
+  private val scd2DimSql =
+    """WITH tgt AS (
+      |  SELECT o_orderkey, round(o_totalprice, 2) AS price,
+      |    strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS valid_from
+      |  FROM orders),
+      |upd AS (
+      |  SELECT o_orderkey, round(o_totalprice + 1000, 2) AS price
+      |  FROM orders WHERE o_orderkey % 97 = 0),
+      |closed AS (
+      |  SELECT t.o_orderkey, t.price, t.valid_from,
+      |    '1998-06-01' AS valid_to
+      |  FROM tgt t WHERE EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = t.o_orderkey)),
+      |kept AS (
+      |  SELECT t.o_orderkey, t.price, t.valid_from,
+      |    '9999-12-31' AS valid_to
+      |  FROM tgt t WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = t.o_orderkey)),
+      |opened AS (
+      |  SELECT o_orderkey, price, '1998-06-01' AS valid_from,
+      |    '9999-12-31' AS valid_to
+      |  FROM upd),
+      |dim AS (
+      |  SELECT * FROM closed UNION ALL
+      |  SELECT * FROM kept UNION ALL
+      |  SELECT * FROM opened)""".stripMargin
+
+  /** Point-in-time snapshot reads over the SCD-2 dimension: the
+    * "what did the table say AS OF date X" query every temporal
+    * warehouse serves (time travel over validity intervals, the read
+    * side of q_scd2's write side). Snapshot membership is a validity
+    * filter — valid_from ≤ as_of < valid_to on ISO-8601 strings, so
+    * plain lexicographic comparison is date comparison — against a
+    * BROADCAST 3-row as-of relation: the dim scans ONCE for all
+    * snapshots, no shuffle beyond the final O(dates) aggregate.
+    */
+  val qPitSnapshot: QueryDef = QueryDef.sql(
+    "q_pit_snapshot",
+    s"""$scd2DimSql
+       |SELECT d.as_of, count(*) AS n_rows,
+       |  round(sum(price), 2) AS total_price
+       |FROM (SELECT unnest(['1996-01-01', '1998-12-31', '2002-01-01']) AS as_of) d
+       |JOIN dim ON dim.valid_from <= d.as_of AND d.as_of < dim.valid_to
+       |GROUP BY d.as_of ORDER BY d.as_of""".stripMargin) { (s, d) =>
+    val dates = s.range(1).select(explode(array(
+      lit("1996-01-01"), lit("1998-12-31"), lit("2002-01-01"))).as("as_of"))
+    scd2Dim(s, d)
+      .join(broadcast(dates),
+        col("valid_from") <= col("as_of") && col("as_of") < col("valid_to"))
+      .groupBy(col("as_of"))
+      .agg(count(lit(1)).as("n_rows"), round(sum(col("price")), 2).as("total_price"))
+      .orderBy(col("as_of"))
   }
 
   val BloomFpp = 0.01
@@ -746,5 +804,5 @@ object RelationalExt {
     qIntersect, qExcept, qCube, qMedian, qSkewStats, qOrderGaps,
     qCorrelatedScalar, qGroupingSets, qRangeFrame, qNtile, qIntervalJoin,
     qMergeUpsert, qDppJoin, qScd2, qBloomJoin, qSnapshotDiff,
-    qShuffleHashJoin)
+    qShuffleHashJoin, qPitSnapshot)
 }

@@ -137,6 +137,18 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(es === es.sorted.reverse)
   }
 
+  test("q_pit_snapshot: the final as-of equals the current dim state") {
+    val rows = operators.RelationalExt.qPitSnapshot.fn(spark, sf).collect()
+    assert(rows.length === 3)
+    // monotone membership: later snapshots contain at least as many rows
+    val ns = rows.map(_.getLong(1)).toSeq
+    assert(ns === ns.sorted, s"snapshot row counts must grow: $ns")
+    val currentN = operators.RelationalExt.scd2Dim(spark, sf)
+      .filter(col("is_current")).count()
+    assert(ns.last === currentN,
+      "the post-update snapshot must equal the current dim")
+  }
+
   test("text_collocations lift scores are supported and positive") {
     val rows = TextAnalysis.textCollocations.fn(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 20)
