@@ -170,5 +170,36 @@ object Embeddings {
     projected.drop("v").orderBy(col("vec_id"))
   }
 
-  val all: Seq[QueryDef] = Seq(embPca, embCluster, embRandomProjection)
+  /** Per-dimension distribution profile of the embedding space —
+    * mean/min/max per coordinate, the "is any dimension dead or
+    * exploding" diagnostic run before indexing or quantizing a new
+    * embedding table (a collapsed dimension breaks PQ codebooks, an
+    * unscaled one dominates L2). posexplode → one (dim) aggregate:
+    * O(rows·d) map-side expansion into an O(d) result. At 100 TB the
+    * same numbers fold out of one GramianAgg pass (emb_pca's
+    * machinery) without the explode; the explode spelling is the
+    * oracle-checkable one. floor(x·1e4+0.5)/1e4 rounding (decimal vs
+    * binary round ties).
+    */
+  val embDimStats: QueryDef = QueryDef.sql(
+    "emb_dim_stats",
+    """SELECT i AS dim,
+      |  floor(avg(embedding[i]) * 10000 + 0.5) / 10000 AS mean_v,
+      |  floor(min(embedding[i]) * 10000 + 0.5) / 10000 AS min_v,
+      |  floor(max(embedding[i]) * 10000 + 0.5) / 10000 AS max_v
+      |FROM embeddings, LATERAL unnest(generate_series(1, 64)) AS g(i)
+      |GROUP BY i ORDER BY i""".stripMargin) { (s, d) =>
+    Tables.embeddings(s, d)
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select((col("pos") + 1).cast("int").as("dim"), col("v"))
+      .groupBy(col("dim"))
+      .agg(
+        (floor(avg(col("v")) * 10000 + 0.5) / 10000).as("mean_v"),
+        (floor(min(col("v")).cast("double") * 10000 + 0.5) / 10000).as("min_v"),
+        (floor(max(col("v")).cast("double") * 10000 + 0.5) / 10000).as("max_v"))
+      .orderBy(col("dim"))
+  }
+
+  val all: Seq[QueryDef] = Seq(embPca, embCluster, embRandomProjection,
+    embDimStats)
 }

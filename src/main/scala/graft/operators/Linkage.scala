@@ -155,5 +155,59 @@ object Linkage {
       .fit(alsRatings(s, d))
   }
 
-  val all: Seq[QueryDef] = Seq(qCopurchase, qFuzzyJoin, miningFpgrowth, miningAls)
+  /** Per-user event-type sequences under the 30-minute session gap
+    * (each session one ordered sequence of single-item itemsets —
+    * the PrefixSpan input shape), shared with the spec's
+    * independent-count pin.
+    */
+  def sessionSequences(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser)))
+      .withColumn("new_s",
+        when(col("gap_us").isNull || col("gap_us") > 30L * 60 * 1000000, 1).otherwise(0))
+      .withColumn("sid", sum(col("new_s")).over(running))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+        x => array(x.getField("event_type"))).as("sequence"))
+  }
+
+  /** Sequential pattern mining over session event-type sequences by
+    * MLlib PrefixSpan (Pei et al. 2004, the distributed
+    * prefix-projection formulation: the sequence database shuffles
+    * once per prefix-growth round, projected databases shrink
+    * monotonically, candidate work is bounded by the frequent-prefix
+    * tree — never |sessions|²). "What do users do, in order" — the
+    * sequence-aware complement of mining_fpgrowth's unordered
+    * baskets. Support is an absolute session count expressed as a
+    * fraction (SF-invariant basket frequencies, same rationale as
+    * fpgrowth). Counts are EXACT (the algorithm is exhaustive), so
+    * the spec pins single-item pattern frequencies against an
+    * independent relational count; rows-only because no SQL engine
+    * mines sequences.
+    */
+  val miningPrefixspan: QueryDef = QueryDef.rowsOnly("mining_prefixspan") { (s, d) =>
+    import org.apache.spark.ml.fpm.PrefixSpan
+    val seqs = sessionSequences(s, d)
+    val n = seqs.count()
+    new PrefixSpan()
+      .setSequenceCol("sequence")
+      .setMinSupport((10.0 - 0.5) / n)
+      .setMaxPatternLength(3)
+      .findFrequentSequentialPatterns(seqs)
+      .select(
+        concat_ws(">", transform(col("sequence"), x => concat_ws(",", x)))
+          .as("pattern"),
+        size(col("sequence")).as("n_steps"),
+        col("freq"))
+      .orderBy(col("freq").desc, col("n_steps"), col("pattern"))
+      .limit(200)
+  }
+
+  val all: Seq[QueryDef] = Seq(qCopurchase, qFuzzyJoin, miningFpgrowth, miningAls,
+    miningPrefixspan)
 }

@@ -149,6 +149,28 @@ class CorpusStatsSpec extends AnyFunSuite {
       "the post-update snapshot must equal the current dim")
   }
 
+  test("mining_prefixspan single-item supports equal independent session counts") {
+    val patterns = operators.Linkage.miningPrefixspan.fn(spark, sf).collect()
+      .filter(_.getInt(1) === 1)
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(patterns.nonEmpty)
+    val seqs = operators.Linkage.sessionSequences(spark, sf)
+      .select(flatten(col("sequence")).as("types"))
+    patterns.foreach { case (t, freq) =>
+      val expected = seqs.filter(array_contains(col("types"), t)).count()
+      assert(freq === expected, s"pattern [$t]: prefixspan=$freq independent=$expected")
+    }
+  }
+
+  test("emb_dim_stats covers all 64 dims with min <= mean <= max") {
+    val rows = operators.Embeddings.embDimStats.fn(spark, sf).collect()
+    assert(rows.length === 64)
+    rows.foreach { r =>
+      assert(r.getDouble(2) <= r.getDouble(1) && r.getDouble(1) <= r.getDouble(3),
+        s"ordering violated: $r")
+    }
+  }
+
   test("text_collocations lift scores are supported and positive") {
     val rows = TextAnalysis.textCollocations.fn(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 20)
