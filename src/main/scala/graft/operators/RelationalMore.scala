@@ -432,9 +432,56 @@ object RelationalMore {
       .orderBy(col("bin"))
   }
 
+  /** Growth accounting — the SaaS lifecycle decomposition: each
+    * month's active customers classified as NEW (first month ever),
+    * RETAINED (also active the previous month), or RESURRECTED
+    * (returning after a gap). One (month, customer) dedup shuffle,
+    * one per-customer lag window over the deduped O(customers·months)
+    * relation, O(months) output. new+retained+resurrected == active
+    * by construction (every active row lands in exactly one class —
+    * test-pinned).
+    */
+  val qGrowthAccounting: QueryDef = QueryDef.sql(
+    "q_growth_accounting",
+    """WITH mu AS (
+      |  SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE) AS mo,
+      |    o_custkey
+      |  FROM orders),
+      |f AS (SELECT o_custkey, min(mo) AS first_mo FROM mu GROUP BY 1),
+      |lagged AS (
+      |  SELECT mu.o_custkey, mo, first_mo,
+      |    lag(mo) OVER (PARTITION BY mu.o_custkey ORDER BY mo) AS prev_mo
+      |  FROM mu JOIN f ON mu.o_custkey = f.o_custkey)
+      |SELECT mo,
+      |  count(*) FILTER (mo = first_mo) AS new_c,
+      |  count(*) FILTER (mo <> first_mo AND prev_mo = mo - INTERVAL 1 MONTH)
+      |    AS retained,
+      |  count(*) FILTER (mo <> first_mo AND prev_mo < mo - INTERVAL 1 MONTH)
+      |    AS resurrected,
+      |  count(*) AS active
+      |FROM lagged GROUP BY mo ORDER BY mo""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val mu = Tables.orders(s, d)
+      .select(date_trunc("month", col("o_orderdate")).cast("date").as("mo"),
+        col("o_custkey")).distinct()
+    val f = mu.groupBy(col("o_custkey").as("fc")).agg(min(col("mo")).as("first_mo"))
+    val lagged = mu.join(f, col("o_custkey") === col("fc"))
+      .withColumn("prev_mo",
+        lag(col("mo"), 1).over(Window.partitionBy(col("o_custkey")).orderBy(col("mo"))))
+    lagged.groupBy(col("mo"))
+      .agg(
+        count(when(col("mo") === col("first_mo"), 1)).as("new_c"),
+        count(when(col("mo") =!= col("first_mo") &&
+          col("prev_mo") === add_months(col("mo"), -1), 1)).as("retained"),
+        count(when(col("mo") =!= col("first_mo") &&
+          col("prev_mo") < add_months(col("mo"), -1), 1)).as("resurrected"),
+        count(lit(1)).as("active"))
+      .orderBy(col("mo"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     qLateralTopk, qStringAgg, qMode, qHllPartitioned, qNativeTopk,
     qTopkRewrite, qPercentRank, qRecursiveChain, qUnpivot, qWinsorized,
     qTwophaseDistinct, qCrosstab, qGroupingId, qWeightedSample,
-    qHistogramEquiwidth)
+    qHistogramEquiwidth, qGrowthAccounting)
 }

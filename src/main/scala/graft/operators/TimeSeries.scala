@@ -586,8 +586,67 @@ object TimeSeries {
       .orderBy(col("event_type"), col("hour"))
   }
 
+  /** Detect-and-repair: hours whose count is a global z-score
+    * anomaly (|z| ≥ 3, events_anomaly's rule) are REPLACED by the
+    * midpoint of the nearest non-anomalous neighbors (ignore-nulls
+    * window endpoints, ts_interp's machinery) — the cleaning pass a
+    * metrics pipeline runs before feeding models that can't tolerate
+    * spikes. Emits only the repaired rows (original + repaired
+    * value). Everything windows over the O(types·hours) aggregate.
+    */
+  val tsRepair: QueryDef = QueryDef.sql(
+    "ts_repair",
+    """WITH h AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |z AS (
+      |  SELECT event_type, hour, n,
+      |    (n - avg(n) OVER (PARTITION BY event_type))
+      |      / stddev_samp(n) OVER (PARTITION BY event_type) AS zs
+      |  FROM h),
+      |fl AS (SELECT event_type, hour, n, abs(zs) >= 3 AS bad FROM z),
+      |rep AS (
+      |  SELECT event_type, hour, n, bad,
+      |    last_value(CASE WHEN NOT bad THEN n END IGNORE NULLS) OVER
+      |      (PARTITION BY event_type ORDER BY hour
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_good,
+      |    first_value(CASE WHEN NOT bad THEN n END IGNORE NULLS) OVER
+      |      (PARTITION BY event_type ORDER BY hour
+      |       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_good
+      |  FROM fl)
+      |SELECT event_type, hour, n,
+      |  CASE WHEN prev_good IS NOT NULL AND next_good IS NOT NULL
+      |         THEN floor((prev_good + next_good) / 2.0 * 10000 + 0.5) / 10000
+      |       ELSE CAST(coalesce(prev_good, next_good, n) AS DOUBLE) END AS repaired
+      |FROM rep WHERE bad ORDER BY event_type, hour""".stripMargin) { (s, d) =>
+    val h = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val wp = Window.partitionBy(col("event_type"))
+    val fl = h
+      .withColumn("zs",
+        (col("n") - avg(col("n")).over(wp)) / stddev_samp(col("n")).over(wp))
+      .withColumn("bad", abs(col("zs")) >= 3)
+    val before = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val after = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    fl
+      .withColumn("prev_good",
+        last(when(!col("bad"), col("n")), ignoreNulls = true).over(before))
+      .withColumn("next_good",
+        first(when(!col("bad"), col("n")), ignoreNulls = true).over(after))
+      .filter(col("bad"))
+      .select(col("event_type"), col("hour"), col("n"),
+        when(col("prev_good").isNotNull && col("next_good").isNotNull,
+          floor((col("prev_good") + col("next_good")) / 2.0 * 10000 + 0.5) / 10000)
+          .otherwise(coalesce(col("prev_good"), col("next_good"), col("n"))
+            .cast("double")).as("repaired"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     tsGapfill, tsInterp, tsEwma, tsAutocorr, tsCusum, tsSeasonal,
     tsForecast, tsTimeToConvert, tsGapEpisodes, tsHolt, tsDecompose,
-    tsRollingStats)
+    tsRollingStats, tsRepair)
 }

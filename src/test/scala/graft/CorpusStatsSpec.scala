@@ -171,6 +171,32 @@ class CorpusStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_growth_accounting classes partition each month's actives") {
+    val rows = operators.RelationalMore.qGrowthAccounting.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) + r.getLong(3) === r.getLong(4),
+        s"classes must partition actives: $r")
+    }
+    // the first month is all-new
+    assert(rows.head.getLong(1) === rows.head.getLong(4))
+  }
+
+  test("ts_repair replaces every flagged hour with a neighbor-bounded value") {
+    val rows = operators.TimeSeries.tsRepair.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // repaired values are midpoints/copies of REAL hourly counts, so
+    // they live inside the observed count range
+    val counts = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")))
+      .count().agg(min("count"), max("count")).head()
+    val (lo, hi) = (counts.getLong(0).toDouble, counts.getLong(1).toDouble)
+    rows.foreach { r =>
+      val repaired = r.getDouble(3)
+      assert(repaired >= lo && repaired <= hi, s"repair out of range: $r")
+    }
+  }
+
   test("text_collocations lift scores are supported and positive") {
     val rows = TextAnalysis.textCollocations.fn(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 20)
