@@ -775,8 +775,87 @@ object Graph {
         round(avg(col("ddeg")), 4).as("avg_dst_deg"))
   }
 
+  /** Newman modularity of the connected-component partition of the
+    * co-purchase graph — per-community contribution
+    * m_c/m − (d_c/2m)², the partition-quality score community
+    * detection optimizes (here evaluated on the component partition,
+    * where it measures balance: no cross-component edges exist, so
+    * Σ m_c = m and Q = 1 − Σ(d_c/2m)²). Composes graph_cc's
+    * component machinery with two O(|V|)/O(|E|) aggregates; the
+    * totals ride in as a broadcast 1-row aggregate. (Synchronous
+    * label propagation is NOT the substrate here: on the many tiny
+    * components of this graph the 2-node label ping-pong leaves
+    * mostly singletons — the component partition is the honest
+    * community structure.)
+    */
+  val graphModularity: QueryDef = QueryDef.sql(
+    "graph_modularity",
+    """WITH RECURSIVE
+      |o AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |cp AS MATERIALIZED (
+      |  SELECT a.l_partkey AS a, b.l_partkey AS b
+      |  FROM o a JOIN o b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 3),
+      |e AS MATERIALIZED (SELECT a AS s, b AS t FROM cp
+      |                   UNION SELECT b, a FROM cp),
+      |r(n, l) AS (
+      |  SELECT s, s FROM (SELECT DISTINCT s FROM e)
+      |  UNION
+      |  SELECT e.t, r.l FROM r JOIN e ON r.n = e.s),
+      |lab AS MATERIALIZED (SELECT n AS node, min(l) AS community FROM r GROUP BY n),
+      |m AS (SELECT count(*) AS m FROM cp),
+      |w AS (SELECT la.community, count(*) AS m_c
+      |  FROM cp JOIN lab la ON la.node = cp.a JOIN lab lb ON lb.node = cp.b
+      |  WHERE la.community = lb.community GROUP BY 1),
+      |deg AS (SELECT s AS node, count(*) AS d FROM e GROUP BY 1),
+      |dc AS (SELECT l.community, sum(d.d) AS d_c, count(*) AS n_nodes
+      |  FROM lab l JOIN deg d ON d.node = l.node GROUP BY 1)
+      |SELECT dc.community, n_nodes, coalesce(w.m_c, 0) AS m_c,
+      |  CAST(d_c AS BIGINT) AS d_c,
+      |  round(coalesce(w.m_c, 0) / CAST(m.m AS DOUBLE)
+      |    - (d_c / (2.0 * m.m)) * (d_c / (2.0 * m.m)), 6) AS q_contrib
+      |FROM dc LEFT JOIN w ON dc.community = w.community, m
+      |ORDER BY dc.community""".stripMargin) { (s, d) =>
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val cp = items
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("id1"))
+      .join(items.select(col("l_orderkey").as("ok2"), col("l_partkey").as("id2")),
+        col("ok") === col("ok2") && col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("nn"))
+      .filter(col("nn") >= 3)
+      .select(col("id1").as("a"), col("id2").as("b"))
+      .localCheckpoint(eager = true)
+    val lab = graft.operators.Dedup.connectedComponents(
+        cp.select(col("a").as("id1"), col("b").as("id2")))
+      .select(col("id").as("node"), col("label").as("community"))
+      .localCheckpoint(eager = true)
+    val m = cp.agg(count(lit(1)).as("m"))
+    val w = cp
+      .join(lab.select(col("node").as("na"), col("community").as("ca")),
+        col("a") === col("na"))
+      .join(lab.select(col("node").as("nb"), col("community").as("cb")),
+        col("b") === col("nb"))
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("w_comm")).agg(count(lit(1)).as("m_c"))
+    val deg = cp.select(col("a").as("s")).unionAll(cp.select(col("b")))
+      .groupBy(col("s")).agg(count(lit(1)).as("deg"))
+    val dc = lab.join(deg, col("node") === col("s"))
+      .groupBy(col("community"))
+      .agg(sum(col("deg")).as("d_c"), count(lit(1)).as("n_nodes"))
+    dc.join(w, col("community") === col("w_comm"), "left_outer")
+      .crossJoin(broadcast(m))
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("m_c"), lit(0L)).as("m_c"), col("d_c"),
+        round(coalesce(col("m_c"), lit(0L)) / col("m").cast("double")
+          - (col("d_c") / (lit(2.0) * col("m"))) * (col("d_c") / (lit(2.0) * col("m"))), 6)
+          .as("q_contrib"))
+      .orderBy(col("community"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     graphDegree, graphPagerank, graphTriangles, graphBfs, graphLabelprop,
     graphJaccard, graphCloseness, graphKcore, graphMst, graphSssp, graphCc,
-    graphHits, graphAssortativity)
+    graphHits, graphAssortativity, graphModularity)
 }

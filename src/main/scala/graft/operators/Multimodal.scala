@@ -300,5 +300,45 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_no"))
   }
 
-  val all: Seq[QueryDef] = Seq(mmBinaryStats, mmFeatures, mmFrames)
+  final case class ResizedMedia(
+      doc_id: Long, kind: String, width: Int, height: Int,
+      new_width: Int, new_height: Int, scale: Double, out_len: Long)
+
+  val ResizeTarget = 48
+
+  /** Aspect-preserving resize planning: decode real header dims,
+    * compute the scale that fits the longest edge into `target`
+    * (never upscales), and the exact 3-channel raster output size.
+    * The PIXEL RESAMPLE itself is the stubbed step — a real codec
+    * (per-partition init) slots into resizeStub where marked; the
+    * Spark-side shape (mapPartitions over binary payloads, narrow
+    * typed output, no shuffle of pixel data) is the production
+    * plumbing and is what the pins exercise.
+    */
+  def resizeStub(f: MediaFeature, target: Int): ResizedMedia = {
+    val w = math.max(f.width, 1)
+    val h = math.max(f.height, 1)
+    val sc = math.min(1.0, target.toDouble / math.max(w, h))
+    val nw = math.max(1, math.floor(w * sc + 0.5).toInt)
+    val nh = math.max(1, math.floor(h * sc + 0.5).toInt)
+    // STUB: real pixel resample goes here (javacv/ImageIO with
+    // per-partition codec init); output length is the exact
+    // 3-channel raster size the resample would produce
+    ResizedMedia(f.doc_id, f.kind, w, h, nw, nh,
+      math.floor(sc * 10000 + 0.5) / 10000, nw.toLong * nh * 3)
+  }
+
+  /** Batch resize over the binary payload table. */
+  val mmResize: QueryDef = QueryDef.rowsOnly("mm_resize") { (s, d) =>
+    import s.implicits._
+    payloads(s, d)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) => resizeStub(decode(id, bytes), ResizeTarget) }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(mmBinaryStats, mmFeatures, mmFrames, mmResize)
 }

@@ -197,6 +197,33 @@ class CorpusStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("graph_modularity contributions sum to a valid partition score") {
+    val rows = operators.Graph.graphModularity.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val q = rows.map(_.getDouble(4)).sum
+    assert(q >= -0.5 && q <= 1.0, s"Q out of range: $q")
+    // component partition: every edge is intra-community
+    val mTotal = rows.map(_.getLong(2)).sum
+    rows.foreach(r => assert(r.getLong(1) >= 2 && r.getLong(3) >= 2, s"$r"))
+    assert(mTotal > 0)
+  }
+
+  test("mm_resize preserves aspect ratio within the target bound") {
+    val rows = operators.Multimodal.mmResize.fn(spark, sf).collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      val (w, h, nw, nh) = (r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5))
+      assert(nw <= operators.Multimodal.ResizeTarget &&
+        nh <= operators.Multimodal.ResizeTarget, s"target exceeded: $r")
+      assert(nw <= w && nh <= h, s"upscaled: $r")
+      // aspect preserved to rounding
+      val ar = w.toDouble / h
+      val nar = nw.toDouble / nh
+      assert(math.abs(ar - nar) / ar < 0.1, s"aspect drifted: $r")
+      assert(r.getLong(7) === nw.toLong * nh * 3, s"raster size wrong: $r")
+    }
+  }
+
   test("text_collocations lift scores are supported and positive") {
     val rows = TextAnalysis.textCollocations.fn(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 20)
