@@ -71,7 +71,7 @@ object KMeans {
     val dists = cs.map { case (cx, cy) =>
       (x - lit(cx)) * (x - lit(cx)) + (y - lit(cy)) * (y - lit(cy))
     }
-    least(dists: _*)
+    if (dists.length == 1) dists.head else least(dists.toIndexedSeq: _*)
   }
 
   /** One Lloyd update: mean of assigned points per cluster (empty
@@ -507,7 +507,90 @@ object KMeans {
     } finally { sample.unpersist(false); features.unpersist(false) }
   }
 
+  /** Deterministic k-means++ initialization (Arthur & Vassilvitskii
+    * 2007): first centroid = global min of a multiplicative-hash
+    * priority, each next centroid drawn D²-proportionally via
+    * Ohlsson's order-sampling trick (priority = u/D², take the
+    * minimum — the same deterministic-uniform machinery as
+    * q_weighted_sample, so every run and any partitioning picks the
+    * SAME centroids, unlike rand()). Each round is one scan + a
+    * 1-row TakeOrdered: k scans total — the classic k-means++ cost,
+    * which is exactly what MLlib's k-means|| (kmeans_mllib)
+    * oversamples to avoid at cluster scale; this operator is the
+    * exact-semantics reference point.
+    */
+  def ppInit(pts: DataFrame, k: Int): Array[(Double, Double)] = {
+    // unsigned-ish uniform in (0,1]: (h >>> 11) has 53 high bits →
+    // exact double in [0,1); +1 in the numerator avoids u=0
+    def u(seed: Int): Column =
+      (shiftrightunsigned(xxhash64(col("x"), col("y"), lit(seed)), 11) + 1L)
+        .cast("double") / lit(9007199254740992.0) // 2^53
+    val first = pts.orderBy(u(0).asc, col("x"), col("y")).limit(1)
+      .select("x", "y").collect()(0)
+    val chosen = scala.collection.mutable.ArrayBuffer(
+      (first.getDouble(0), first.getDouble(1)))
+    var j = 1
+    while (j < k) {
+      val d2 = minDistExpr(chosen.toArray, col("x"), col("y"))
+      val next = pts
+        .filter(d2 > 0) // never re-pick a chosen point
+        .orderBy((u(j) / d2).asc, col("x"), col("y")).limit(1)
+        .select("x", "y").collect()(0)
+      chosen += ((next.getDouble(0), next.getDouble(1)))
+      j += 1
+    }
+    chosen.toArray
+  }
+
+  /** k-means++ init + 3 Lloyd iterations (the kmeans_iter3 shape on
+    * the better init). Rows-only: the D² draw depends on float
+    * priorities; determinism + spread are pinned in ScalaTest.
+    */
+  val kmeansPp: QueryDef = QueryDef.rowsOnly("kmeans_pp") { (s, d) =>
+    val allPts = points(Tables.lineitem(s, d))
+    val pts = allPts.select("x", "y").persist()
+    try {
+      val init = ppInit(pts, K)
+      val fin = iterate(pts, init, 3)
+      import s.implicits._
+      fin.toSeq.sortBy(_._1)
+        .map { case (cid, (x, y)) =>
+          (cid.toLong, math.floor(x * 10000 + 0.5) / 10000,
+            math.floor(y * 10000 + 0.5) / 10000) }
+        .toDF("cid", "x", "y")
+    } finally pts.unpersist(false)
+  }
+
+  /** Elbow sweep — the "choose k" workflow: reference-semantics
+    * Lloyd at k ∈ {2, 4, 8, 16} from the deterministic line init,
+    * reporting iterations, convergence, and final within-cluster
+    * cost per k. Iterations cap at 8 (not the reference's 20): an
+    * elbow compares costs ACROSS k, and the cost ordering is stable
+    * long before per-axis convergence — the cap keeps the sweep
+    * ~Σk/K Lloyd-equivalents instead of 4 full fixed-point runs.
+    * Each k runs over the SAME persisted points; cost is one
+    * additional scan per k. Rows-only; cost monotonicity over k is
+    * pinned in ScalaTest.
+    */
+  val kmeansElbow: QueryDef = QueryDef.rowsOnly("kmeans_elbow") { (s, d) =>
+    val allPts = points(Tables.lineitem(s, d))
+    val pts = allPts.select("x", "y").persist()
+    try {
+      val rows = Seq(2, 4, 8, 16).map { k =>
+        val init = initCentroids(allPts, k)
+        val (cs, iters, converged) = lloyd(pts, init, maxIter = 8)
+        val cost = pts.agg(sum(minDistExpr(cs, col("x"), col("y"))))
+          .head().getDouble(0)
+        (k.toLong, iters.toLong, converged,
+          math.floor(cost * 100 + 0.5) / 100)
+      }
+      import s.implicits._
+      rows.toDF("k", "n_iters", "converged", "cost")
+    } finally pts.unpersist(false)
+  }
+
   val all: Seq[QueryDef] = Seq(
     kmeansAssign, kmeansStep, kmeansIter3, kmeansCost, kmeansLloyd,
-    kmeansMllib, kmeansNd, kmeansMinibatch, kmeansBisecting)
+    kmeansMllib, kmeansNd, kmeansMinibatch, kmeansBisecting,
+    kmeansPp, kmeansElbow)
 }

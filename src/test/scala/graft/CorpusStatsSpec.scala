@@ -224,6 +224,28 @@ class CorpusStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("kmeans++ init is deterministic, distinct, and data-resident") {
+    val pts = operators.KMeans.points(
+      graft.sources.Tables.lineitem(spark, sf)).select("x", "y").persist()
+    try {
+      val a = operators.KMeans.ppInit(pts, 8)
+      val b = operators.KMeans.ppInit(pts, 8)
+      assert(a.toSeq === b.toSeq, "pp init must be run-deterministic")
+      assert(a.distinct.length === 8, "centroids must be distinct")
+      val ptSet = pts.collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+      a.foreach(c => assert(ptSet.contains(c), s"centroid $c is not a data point"))
+    } finally pts.unpersist(false)
+  }
+
+  test("kmeans_elbow cost decreases with k") {
+    val rows = operators.KMeans.kmeansElbow.fn(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq === Seq(2L, 4L, 8L, 16L))
+    val costs = rows.map(_.getDouble(3)).toSeq
+    assert(costs === costs.sorted.reverse, s"cost must fall with k: $costs")
+    assert(costs.last > 0)
+  }
+
   test("text_collocations lift scores are supported and positive") {
     val rows = TextAnalysis.textCollocations.fn(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 20)
