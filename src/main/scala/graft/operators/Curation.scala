@@ -562,9 +562,91 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** Deterministic per-epoch training order: the shuffle every epoch
+    * of LLM training needs, with NO rand() anywhere — the order IS
+    * md5(epoch:doc_id), so any engine, any partitioning, any retry
+    * materializes the identical sequence, and epoch 0 and epoch 1
+    * orders are independent permutations. Emits the first 20 docs of
+    * each epoch's order as (epoch, pos, doc_id).
+    *
+    * At 100 TB the window here is the demo-sized spelling; the
+    * production write is `orderBy(shuffle_key)` — a RANGE exchange
+    * that streams each output file in key order (position = file
+    * order), never a single-partition window. The per-epoch prefix
+    * this query emits is exactly the native TopKPerKey shape
+    * (bounded buffer per epoch) if positions aren't needed.
+    */
+  val pipelineEpochShuffle: QueryDef = QueryDef.sql(
+    "pipeline_epoch_shuffle",
+    """WITH e AS (SELECT 0 AS epoch UNION ALL SELECT 1),
+      |k AS (
+      |  SELECT e.epoch, d.doc_id,
+      |         md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)) AS sk
+      |  FROM documents d CROSS JOIN e),
+      |r AS (SELECT epoch, doc_id,
+      |        row_number() OVER (PARTITION BY epoch ORDER BY sk, doc_id) AS pos
+      |      FROM k)
+      |SELECT epoch, pos, doc_id FROM r WHERE pos <= 20
+      |ORDER BY epoch, pos""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val epochs = s.range(0, 2).select(col("id").cast("int").as("epoch"))
+    val k = Tables.documents(s, d).select(col("doc_id"))
+      .crossJoin(broadcast(epochs))
+      .withColumn("sk",
+        md5(concat(col("epoch").cast("string"), lit(":"), col("doc_id").cast("string"))))
+    val w = Window.partitionBy(col("epoch")).orderBy(col("sk"), col("doc_id"))
+    k.withColumn("pos", row_number().over(w)).filter(col("pos") <= 20)
+      .select(col("epoch"), col("pos"), col("doc_id"))
+      .orderBy(col("epoch"), col("pos"))
+  }
+
+  /** Deterministic weighted interleave across sources — the "data
+    * recipe" ordering that feeds a trainer domains at fixed ratios
+    * (source weight w ∈ {1,2,3} by source number mod 3, stand-ins
+    * for real mixture weights). Each source's r-th doc (by doc_id)
+    * is released at virtual time r/w; the merged order is sorted by
+    * (time, source, r), so a weight-3 source appears 3× as often as
+    * a weight-1 source in any window of the output. First 30 global
+    * positions emitted.
+    *
+    * Scale shape: the per-source rank is a window over the source
+    * shuffle (each source's rows stay together — the same exchange
+    * the per-source quality cut already pays); the global order is a
+    * RANGE sort on (time, source) at write time. Nothing here is
+    * corpus-quadratic and no driver state exists.
+    */
+  val pipelineInterleave: QueryDef = QueryDef.sql(
+    "pipeline_interleave",
+    """WITH r AS (
+      |  SELECT source, doc_id,
+      |    1 + CAST(substr(source, 4) AS INT) % 3 AS w,
+      |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rnk
+      |  FROM documents),
+      |t AS (SELECT source, doc_id,
+      |        CAST(rnk AS DOUBLE) / w AS vt, rnk FROM r),
+      |g AS (SELECT source, doc_id,
+      |        row_number() OVER (ORDER BY vt, source, rnk) AS pos
+      |      FROM t)
+      |SELECT pos, source, doc_id FROM g WHERE pos <= 30
+      |ORDER BY pos""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val r = Tables.documents(s, d).select(
+      col("source"), col("doc_id"),
+      (lit(1) + expr("CAST(substr(source, 4) AS INT)") % 3).as("w"),
+      row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("doc_id"))).as("rnk"))
+    val t = r.withColumn("vt", col("rnk").cast("double") / col("w"))
+    t.withColumn("pos",
+        row_number().over(Window.orderBy(col("vt"), col("source"), col("rnk"))))
+      .filter(col("pos") <= 30)
+      .select(col("pos"), col("source"), col("doc_id"))
+      .orderBy(col("pos"))
+  }
+
   val all: Seq[QueryDef] = Seq(pipelineCurate, pipelineMix,
     pipelineQualityFilter, pipelineSampleN, pipelineTokenBudget,
     pipelineSplit, textContamination, pipelineLangBudget,
     pipelineQualityModel, pipelinePack, pipelineObserved,
-    pipelineDatasetCard, pipelineDecontaminate)
+    pipelineDatasetCard, pipelineDecontaminate,
+    pipelineEpochShuffle, pipelineInterleave)
 }

@@ -86,4 +86,28 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(r.getLong(2) == kept.agg(sum(col("n_chars"))).collect()(0).getLong(0))
     assert(r.getLong(3) == kept.select("lang").distinct().count())
   }
+
+  test("epoch shuffle: independent permutations per epoch, deterministic") {
+    val rows = Curation.pipelineEpochShuffle.fn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(rows.count(_._1 == 0) == 20 && rows.count(_._1 == 1) == 20)
+    val e0 = rows.filter(_._1 == 0).sortBy(_._2).map(_._3).toSeq
+    val e1 = rows.filter(_._1 == 1).sortBy(_._2).map(_._3).toSeq
+    assert(e0 != e1, "epoch orders must be independent permutations")
+    assert(e0.distinct.size == 20 && e1.distinct.size == 20)
+    val again = Curation.pipelineEpochShuffle.fn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(rows.toSeq == again.toSeq, "order must be run-deterministic")
+  }
+
+  test("interleave honors source weights in the output prefix") {
+    val rows = Curation.pipelineInterleave.fn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    assert(rows.map(_._1).toSeq == (1 to 30), "positions contiguous from 1")
+    def w(src: String) = 1 + src.drop(3).toInt % 3
+    val byW = rows.groupBy(r => w(r._2)).view.mapValues(_.length).toMap
+    assert(byW.getOrElse(3, 0) >= 12, s"weight-3 underrepresented: $byW")
+    assert(byW.getOrElse(3, 0) > byW.getOrElse(1, 0),
+      s"weight-3 sources must outnumber weight-1 in any prefix: $byW")
+  }
 }
