@@ -643,10 +643,53 @@ object Curation {
       .orderBy(col("pos"))
   }
 
+  /** Curriculum ordering: rank the corpus easy→hard by a
+    * deterministic difficulty key (mean word length, then doc
+    * length, then doc_id as the total-order tie-break) and cut it
+    * into 4 curriculum phases with ntile. The per-doc features are
+    * map-only; the only shuffle is the global sort behind ntile —
+    * at 100 TB that global order would come from a range partition
+    * (sort key sampling), which is exactly what Spark's sort
+    * exchange does; output is O(phases).
+    */
+  val pipelineCurriculum: QueryDef = QueryDef.sql(
+    "pipeline_curriculum",
+    """WITH f AS (
+      |  SELECT doc_id, n_chars, length(text) AS text_len,
+      |    greatest(length(text) - length(replace(text, ' ', '')) + 1, 1) AS n_words
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT doc_id, n_chars, text_len, n_words,
+      |    ntile(4) OVER (ORDER BY text_len * 1.0 / n_words, n_chars, doc_id) AS phase
+      |  FROM f)
+      |SELECT phase, count(*) AS n_docs,
+      |  round(sum(text_len) * 1.0 / sum(n_words), 6) AS avg_wlen,
+      |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+      |  round(sum(n_chars) * 1.0 / count(*), 2) AS avg_chars
+      |FROM ranked GROUP BY phase ORDER BY phase""".stripMargin) { (s, d) =>
+    val f = Tables.documents(s, d).select(
+      col("doc_id"), col("n_chars"),
+      length(col("text")).cast("long").as("text_len"),
+      greatest(length(col("text")) -
+          length(replace(col("text"), lit(" "), lit(""))) + lit(1), lit(1))
+        .cast("long").as("n_words"))
+    import org.apache.spark.sql.expressions.Window
+    f.withColumn("phase",
+        ntile(4).over(Window.orderBy(
+          col("text_len") * lit(1.0) / col("n_words"), col("n_chars"), col("doc_id"))))
+      .groupBy(col("phase"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("text_len")) * lit(1.0) / sum(col("n_words")), 6).as("avg_wlen"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        round(sum(col("n_chars")) * lit(1.0) / count(lit(1)), 2).as("avg_chars"))
+      .orderBy(col("phase"))
+  }
+
   val all: Seq[QueryDef] = Seq(pipelineCurate, pipelineMix,
     pipelineQualityFilter, pipelineSampleN, pipelineTokenBudget,
     pipelineSplit, textContamination, pipelineLangBudget,
     pipelineQualityModel, pipelinePack, pipelineObserved,
     pipelineDatasetCard, pipelineDecontaminate,
-    pipelineEpochShuffle, pipelineInterleave)
+    pipelineEpochShuffle, pipelineInterleave, pipelineCurriculum)
 }

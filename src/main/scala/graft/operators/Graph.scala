@@ -854,8 +854,92 @@ object Graph {
       .orderBy(col("community"))
   }
 
+  /** Local clustering coefficient per node: cc(v) = 2·T(v) /
+    * (deg(v)·(deg(v)−1)) where T(v) counts triangles through v.
+    * Wedges come from joining the symmetrized neighbor relation with
+    * itself on the center (x < y kills mirror duplicates), then a
+    * semi-join-shaped equality join against the undirected edge set
+    * closes each wedge — three equality joins over O(|E|) relations,
+    * no cartesian; per-node state is O(|V|).
+    */
+  val graphClusteringCoeff: QueryDef = QueryDef.sql(
+    "graph_clustering_coeff",
+    s"""WITH ue AS MATERIALIZED ($undirectedSql),
+       |sym AS (SELECT a AS c, b AS n FROM ue UNION ALL SELECT b, a FROM ue),
+       |deg AS (SELECT c AS node, count(*) AS degree FROM sym GROUP BY c),
+       |tri AS (
+       |  SELECT s1.c AS node, count(*) AS triangles
+       |  FROM sym s1 JOIN sym s2 ON s2.c = s1.c AND s1.n < s2.n
+       |  JOIN ue e ON e.a = s1.n AND e.b = s2.n
+       |  GROUP BY s1.c)
+       |SELECT d.node, d.degree, coalesce(t.triangles, 0) AS triangles,
+       |  round(CASE WHEN d.degree < 2 THEN 0.0
+       |    ELSE 2.0 * coalesce(t.triangles, 0) / (d.degree * (d.degree - 1.0))
+       |    END, 6) AS coeff
+       |FROM deg d LEFT JOIN tri t ON t.node = d.node
+       |ORDER BY d.node""".stripMargin) { (s, d) =>
+    val ue = undirectedNationEdges(s, d).cache()
+    val sym = ue.select(col("a").as("c"), col("b").as("n"))
+      .unionAll(ue.select(col("b").as("c"), col("a").as("n")))
+    val deg = sym.groupBy(col("c").as("node")).agg(count(lit(1)).as("degree"))
+    val tri = sym.select(col("c"), col("n").as("x"))
+      .join(sym.select(col("c").as("c2"), col("n").as("y")),
+        col("c") === col("c2") && col("x") < col("y"))
+      .join(ue, col("a") === col("x") && col("b") === col("y"))
+      .groupBy(col("c").as("t_node")).agg(count(lit(1)).as("triangles"))
+    deg.join(tri, col("node") === col("t_node"), "left_outer")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        round(when(col("degree") < 2, lit(0.0))
+          .otherwise(lit(2.0) * coalesce(col("triangles"), lit(0L)) /
+            (col("degree") * (col("degree") - lit(1.0)))), 6).as("coeff"))
+      .orderBy(col("node"))
+  }
+
+  /** Strict 2-hop reach per node: |{w : w ∈ N(N(v)), w ≠ v,
+    * w ∉ N(v)}| — the friend-of-friend audience a recommendation
+    * pass would fan out to. One self-join of the symmetrized
+    * neighbor relation plus a left-anti join against direct edges;
+    * distinct lands on O(|V|²) worst case but is bounded by real
+    * reachability, and every join is an equality join on node ids.
+    */
+  val graph2hop: QueryDef = QueryDef.sql(
+    "graph_2hop",
+    s"""WITH ue AS MATERIALIZED ($undirectedSql),
+       |sym AS (SELECT a AS c, b AS n FROM ue UNION ALL SELECT b, a FROM ue),
+       |hop2 AS (
+       |  SELECT DISTINCT s1.c AS v, s2.n AS w
+       |  FROM sym s1 JOIN sym s2 ON s2.c = s1.n
+       |  WHERE s2.n <> s1.c),
+       |strict AS (
+       |  SELECT h.v, h.w FROM hop2 h
+       |  WHERE NOT EXISTS (SELECT 1 FROM sym s WHERE s.c = h.v AND s.n = h.w))
+       |SELECT d.c AS node, count(DISTINCT d.n) AS degree,
+       |  coalesce(r.n2, 0) AS reach2
+       |FROM sym d LEFT JOIN
+       |  (SELECT v, count(*) AS n2 FROM strict GROUP BY v) r ON r.v = d.c
+       |GROUP BY d.c, r.n2 ORDER BY d.c""".stripMargin) { (s, d) =>
+    val ue = undirectedNationEdges(s, d).cache()
+    val sym = ue.select(col("a").as("c"), col("b").as("n"))
+      .unionAll(ue.select(col("b").as("c"), col("a").as("n")))
+    val hop2 = sym.select(col("c").as("v"), col("n").as("mid"))
+      .join(sym.select(col("c").as("mid2"), col("n").as("w")),
+        col("mid") === col("mid2"))
+      .filter(col("w") =!= col("v"))
+      .select(col("v"), col("w")).distinct()
+    val strict = hop2.join(sym.select(col("c").as("sv"), col("n").as("sw")),
+        col("v") === col("sv") && col("w") === col("sw"), "left_anti")
+    val reach = strict.groupBy(col("v")).agg(count(lit(1)).as("n2"))
+    sym.groupBy(col("c").as("node"))
+      .agg(countDistinct(col("n")).as("degree"))
+      .join(reach, col("node") === col("v"), "left_outer")
+      .select(col("node"), col("degree"), coalesce(col("n2"), lit(0L)).as("reach2"))
+      .orderBy(col("node"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     graphDegree, graphPagerank, graphTriangles, graphBfs, graphLabelprop,
     graphJaccard, graphCloseness, graphKcore, graphMst, graphSssp, graphCc,
-    graphHits, graphAssortativity, graphModularity)
+    graphHits, graphAssortativity, graphModularity, graphClusteringCoeff,
+    graph2hop)
 }

@@ -340,5 +340,88 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[QueryDef] = Seq(mmBinaryStats, mmFeatures, mmFrames, mmResize)
+  /** Difference-hash (dHash) over a payload: resample the byte
+    * stream into an 8×9 "grayscale" grid (cell = integer mean of its
+    * byte slice — the deterministic stand-in for pixel downsampling;
+    * a real decoder resamples luma the same shape), then each of the
+    * 64 bits compares horizontally adjacent cells. Identical
+    * payloads hash identically; near-identical payloads differ in
+    * few bits, which is what the banded grouping below exploits.
+    */
+  def dHash(bytes: Array[Byte]): Long = {
+    val rows = 8; val cols = 9
+    val n = rows * cols
+    val len = math.max(bytes.length, 1)
+    val cell = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val lo = (i.toLong * len / n).toInt
+      val hi = math.max((((i + 1).toLong * len / n)).toInt, lo + 1)
+      var s = 0L; var j = lo
+      while (j < hi && j < len) { s += bytes(j) & 0xff; j += 1 }
+      cell(i) = (s / math.max(hi - lo, 1)).toInt
+      i += 1
+    }
+    var h = 0L
+    var r = 0
+    while (r < rows) {
+      var c = 0
+      while (c < cols - 1) {
+        h = (h << 1) | (if (cell(r * cols + c) < cell(r * cols + c + 1)) 1L else 0L)
+        c += 1
+      }
+      r += 1
+    }
+    h
+  }
+
+  /** Perceptual-hash index build over the payload corpus:
+    * per-partition dHash (map-only, payload bytes never shuffle)
+    * plus the 4 × 16-bit LSH band keys a near-dup pass buckets on —
+    * by pigeonhole any pair within Hamming distance 3 shares a band,
+    * so the pairwise verify (phashPairs below, exercised with
+    * constructed near-identical payloads in MultimodalSpec — this
+    * corpus's text stand-ins have no aligned near-dups, min pairwise
+    * hamming 12) is confined to colliding buckets. Shuffle carries
+    * (doc_id, phash, 4 shorts), never payload bytes.
+    */
+  val mmPhash: QueryDef = QueryDef.rowsOnly("mm_phash") { (s, d) =>
+    phashIndex(s, payloads(s, d)).orderBy(col("doc_id"))
+  }
+
+  /** (doc_id, phash, band_0..band_3) — the persisted-index shape. */
+  def phashIndex(s: SparkSession, pl: DataFrame): DataFrame = {
+    import s.implicits._
+    val hashed = pl.as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, bytes) => (id, dHash(bytes)) })
+      .toDF("doc_id", "phash")
+    (0 until 4).foldLeft(hashed) { (df, b) =>
+      df.withColumn(s"band_$b",
+        shiftrightunsigned(col("phash"), b * 16).bitwiseAND(lit(0xffffL)))
+    }
+  }
+
+  /** Banded near-dup pairs from a phash index: equality join per
+    * band bucket, exact popcount verify ≤ maxHamming, dedup across
+    * bands. Candidate work is Σ bucket² per band, never corpus².
+    */
+  def phashPairs(index: DataFrame, maxHamming: Int): DataFrame = {
+    val bands = index.select(col("doc_id"), col("phash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band_no"), col(s"band_$b").as("band_key"))): _*))
+          .as("band"))
+      .select(col("doc_id"), col("phash"),
+        col("band.band_no"), col("band.band_key"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band_no") === col("y.band_no") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        bit_count(col("x.phash").bitwiseXOR(col("y.phash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  val all: Seq[QueryDef] = Seq(mmBinaryStats, mmFeatures, mmFrames, mmResize,
+    mmPhash)
 }

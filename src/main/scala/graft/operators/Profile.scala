@@ -344,7 +344,45 @@ object Profile {
       .orderBy(col("event_type"))
   }
 
+  /** Functional-dependency audit: for each candidate det→dep pair,
+    * count determinant groups, groups whose dependent is not unique
+    * (violations), and whether the FD holds. Each check is one
+    * groupBy(det) + countDistinct(dep) — a single shuffle on the
+    * determinant, output O(1) per candidate; candidates are a fixed
+    * list so the union is a constant fan of independent aggregates
+    * (at 100 TB they share nothing but the scans, which Spark reuses
+    * via exchange reuse when the same table backs several checks).
+    */
+  val profileFd: QueryDef = {
+    // (label, table, determinant, dependent)
+    val candidates = Seq(
+      ("orders.o_orderkey->o_custkey", "orders", "o_orderkey", "o_custkey"),
+      ("orders.o_custkey->o_orderpriority", "orders", "o_custkey", "o_orderpriority"),
+      ("nation.n_nationkey->n_regionkey", "nation", "n_nationkey", "n_regionkey"),
+      ("events.event_id->user_id", "events", "event_id", "user_id"),
+      ("events.user_id->event_type", "events", "user_id", "event_type"),
+      ("lineitem.l_orderkey->l_returnflag", "lineitem", "l_orderkey", "l_returnflag"))
+    val oracle = candidates.map { case (label, t, det, dep) =>
+      s"""SELECT '$label' AS fd, count(*) AS n_groups,
+         |  count(*) FILTER (WHERE nd > 1) AS n_violating,
+         |  (count(*) FILTER (WHERE nd > 1)) = 0 AS holds
+         |FROM (SELECT $det, count(DISTINCT $dep) AS nd FROM $t GROUP BY $det)""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY fd")
+    QueryDef.sql("profile_fd", oracle) { (s, d) =>
+      val frames = candidates.map { case (label, t, det, dep) =>
+        Tables.load(s, d, t)
+          .groupBy(col(det))
+          .agg(countDistinct(col(dep)).as("nd"))
+          .agg(count(lit(1)).as("n_groups"),
+            count(when(col("nd") > 1, lit(1))).as("n_violating"))
+          .select(lit(label).as("fd"), col("n_groups"), col("n_violating"),
+            (col("n_violating") === 0).as("holds"))
+      }
+      frames.reduce(_ unionAll _).orderBy(col("fd"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     profileStats, profileChecks, profileEquidepth, profileCorr,
-    sketchKmvOverlap, sketchKmvDaily, profileDrift)
+    sketchKmvOverlap, sketchKmvDaily, profileDrift, profileFd)
 }

@@ -700,7 +700,47 @@ object Similarity {
       embeddingIvfPairs(e, coarseCentroids(e, cacheKey = d), 0.35, probes = 2)
     }
 
+  /** Exact cosine k-NN graph (k=4) over the whole embedding corpus
+    * — the adjacency a SemDeDup / label-propagation pass consumes.
+    * This is the EXACT baseline: an all-pairs block product with
+    * per-source top-k pushed into the join's consumer (row_number
+    * keeps k rows per src before anything wide materializes). At
+    * 100 TB you don't run this; you run the IVF-bucketed variant
+    * (dedupEmbeddingIvf / annIvf machinery) whose candidate space
+    * is Σ n_l² over probed lists — this entry exists so the
+    * approximate graph has a measurable recall target.
+    */
+  val embKnnGraph: QueryDef = QueryDef.sql(
+    "emb_knn_graph",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |p AS (
+      |  SELECT a.vec_id AS src, b.vec_id AS dst,
+      |    round(list_dot_product(a.v, b.v)
+      |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)
+      |      AS cos_sim
+      |  FROM e a CROSS JOIN e b WHERE a.vec_id <> b.vec_id),
+      |ranked AS (
+      |  SELECT src, dst, cos_sim,
+      |    row_number() OVER (PARTITION BY src ORDER BY cos_sim DESC, dst) AS rank
+      |  FROM p)
+      |SELECT src, rank, dst, cos_sim FROM ranked WHERE rank <= 4
+      |ORDER BY src, rank""".stripMargin) { (s, d) =>
+    val e = vectors(s, d)
+    val a = e.select(col("vec_id").as("src"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("dst"), col("v").as("vb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("cos_sim").desc, col("dst"))
+    a.crossJoin(b)
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        round(cosine(col("va"), col("vb")), 4).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 4)
+      .select(col("src"), col("rank"), col("dst"), col("cos_sim"))
+      .orderBy(col("src"), col("rank"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     annBruteforce, annTopkJoin, annLsh, annIvf, annPq, annSearchText,
-    annIvfPq, annIvfPqPersisted, dedupEmbeddingIvf, annSq8)
+    annIvfPq, annIvfPqPersisted, dedupEmbeddingIvf, annSq8, embKnnGraph)
 }

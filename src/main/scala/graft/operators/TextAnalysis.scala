@@ -865,10 +865,41 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** Code-vs-prose detector: per-doc density of code-ish symbols
+    * ({} ; = () < >) counted engine-portably as length deltas under
+    * single-char removal (no regex dialect in the hot path — each
+    * count is a codegen'd length/replace pair). Map-only over the
+    * corpus; the flag feeds pipeline filters the same way
+    * text_quality does.
+    */
+  val textCodeDetect: QueryDef = {
+    val symbols = Seq("{", "}", ";", "=", "(", ")", "<", ">")
+    val sqlCount = symbols.map(c =>
+      s"(length(text) - length(replace(text, '$c', '')))").mkString(" + ")
+    QueryDef.sql(
+      "text_code_detect",
+      s"""SELECT doc_id, $sqlCount AS n_symbols,
+         |  round(($sqlCount) * 1.0 / greatest(n_chars, 1), 6) AS symbol_ratio,
+         |  ($sqlCount) * 1.0 / greatest(n_chars, 1) > 0.01 AS looks_code
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val nSym = symbols.map(c =>
+          length(col("text")) - length(replace(col("text"), lit(c), lit(""))))
+        .reduce(_ + _)
+      Tables.documents(s, d)
+        .withColumn("n_symbols", nSym.cast("long"))
+        .select(col("doc_id"), col("n_symbols"),
+          round(col("n_symbols") * lit(1.0) / greatest(col("n_chars"), lit(1L)), 6)
+            .as("symbol_ratio"),
+          (col("n_symbols") * lit(1.0) / greatest(col("n_chars"), lit(1L)) > 0.01)
+            .as("looks_code"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     textTokens, textQuality, textLangid, textFingerprint, textWordfreq,
     textBpeTokens, textBpeMerged, textTfidf, textLangidEval, textRepetition,
     textRedact, textCmsFreq, textChunks, textChunkDedup, textLmScore,
     textWinnow, textEntropy, textTtr, textNovelty, textPerplexityBucket,
-    textZipf, textReadability, textCollocations)
+    textZipf, textReadability, textCollocations, textCodeDetect)
 }

@@ -645,8 +645,85 @@ object TimeSeries {
       .orderBy(col("event_type"), col("hour"))
   }
 
+  /** Hourly OHLC bars over purchase values — the candlestick
+    * resample a metrics store serves. Open/close are picked by
+    * row_number over (ts, event_id) inside each hour (deterministic
+    * under timestamp ties); high/low/volume/total are plain
+    * aggregates. One corpus scan into the hour aggregate; the window
+    * runs per-hour over corpus rows but partitioned by hour, so at
+    * scale each partition's state is one hour of one stream — the
+    * shuffle key (hour) is the same for the window and the final
+    * aggregate, one exchange total.
+    */
+  val tsOhlc: QueryDef = QueryDef.sql(
+    "ts_ohlc",
+    """WITH p AS (
+      |  SELECT date_trunc('hour', ts) AS hour, ts, event_id, value,
+      |    row_number() OVER (PARTITION BY date_trunc('hour', ts)
+      |      ORDER BY ts, event_id) AS rn_a,
+      |    row_number() OVER (PARTITION BY date_trunc('hour', ts)
+      |      ORDER BY ts DESC, event_id DESC) AS rn_d
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT hour,
+      |  round(max(CASE WHEN rn_a = 1 THEN value END), 4) AS open,
+      |  round(max(value), 4) AS high,
+      |  round(min(value), 4) AS low,
+      |  round(max(CASE WHEN rn_d = 1 THEN value END), 4) AS close,
+      |  count(*) AS volume
+      |FROM p GROUP BY hour ORDER BY hour""".stripMargin) { (s, d) =>
+    val p = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .withColumn("hour", date_trunc("hour", col("ts")))
+    val wAsc = Window.partitionBy(col("hour")).orderBy(col("ts"), col("event_id"))
+    val wDesc = Window.partitionBy(col("hour"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    p.withColumn("rn_a", row_number().over(wAsc))
+      .withColumn("rn_d", row_number().over(wDesc))
+      .groupBy(col("hour"))
+      .agg(
+        round(max(when(col("rn_a") === 1, col("value"))), 4).as("open"),
+        round(max(col("value")), 4).as("high"),
+        round(min(col("value")), 4).as("low"),
+        round(max(when(col("rn_d") === 1, col("value"))), 4).as("close"),
+        count(lit(1)).as("volume"))
+      .orderBy(col("hour"))
+  }
+
+  /** Inter-arrival diagnostics per event type: lag the per-type
+    * event sequence (ordered by ts, event_id) and report mean /
+    * max / median gap seconds. The lag window and the aggregate
+    * share the event_type shuffle key; output is O(|types|).
+    */
+  val tsInterEvent: QueryDef = QueryDef.sql(
+    "ts_inter_event",
+    """WITH g AS (
+      |  SELECT event_type,
+      |    date_diff('second',
+      |      lag(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id),
+      |      ts) AS gap_s
+      |  FROM events)
+      |SELECT event_type, count(gap_s) AS n_gaps,
+      |  round(avg(gap_s), 4) AS avg_gap_s,
+      |  max(gap_s) AS max_gap_s,
+      |  round(median(gap_s), 4) AS median_gap_s
+      |FROM g WHERE gap_s IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("gap_s",
+        (unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
+          .cast("long"))
+      .filter(col("gap_s").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(col("gap_s")).as("n_gaps"),
+        round(avg(col("gap_s")), 4).as("avg_gap_s"),
+        max(col("gap_s")).as("max_gap_s"),
+        round(expr("percentile(gap_s, 0.5)"), 4).as("median_gap_s"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     tsGapfill, tsInterp, tsEwma, tsAutocorr, tsCusum, tsSeasonal,
     tsForecast, tsTimeToConvert, tsGapEpisodes, tsHolt, tsDecompose,
-    tsRollingStats, tsRepair)
+    tsRollingStats, tsRepair, tsOhlc, tsInterEvent)
 }
