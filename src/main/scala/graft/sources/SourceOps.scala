@@ -185,6 +185,77 @@ object SourceOps {
     dir.toString
   }
 
+  val ManifestFiles = 8
+
+  /** Iceberg/Delta-shape FILE SKIPPING from a stored min/max
+    * manifest: the data lays out range-partitioned on the filter
+    * column (so each file covers a narrow slice), and a once-per-
+    * ingest manifest table records per-file (min, max, rows). A range
+    * query consults the manifest FIRST — O(files) driver work against
+    * kilobytes, the exact job of Iceberg's manifest files / Delta's
+    * stats in the log — and opens only the files whose interval
+    * intersects the predicate; the residual filter cleans up the
+    * boundary files. At 100 TB this is the difference between
+    * listing+reading every file and touching the 2 files that
+    * matter; parquet row-group stats do the same pruning only AFTER
+    * each footer is fetched, which at cloud-object-store latency is
+    * exactly what the manifest avoids. Oracle = the same range query
+    * over the unpruned table; file-count pruning is pinned in
+    * ScalaTest.
+    */
+  val srcManifestScan: QueryDef = QueryDef.sql(
+    "src_manifest_scan",
+    """SELECT count(*) AS n,
+      |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+      |  round(sum(l_extendedprice), 2) AS total
+      |FROM lineitem
+      |WHERE l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'""".stripMargin) { (s, d) =>
+    val (dataDir, manDir) = manifestLineitem(s, d)
+    val (lo, hi) = ("1995-01-01", "1995-03-31")
+    val pruned = s.read.parquet(manDir)
+      .filter(col("min_ship") <= lit(hi).cast("date") &&
+        col("max_ship") >= lit(lo).cast("date"))
+      .select("file").collect().map(_.getString(0))
+    val src = if (pruned.isEmpty) s.read.parquet(dataDir)
+      else s.read.parquet(pruned.toIndexedSeq: _*)
+    src.filter(col("l_shipdate").between(lit(lo).cast("date"), lit(hi).cast("date")))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        round(sum(col("l_extendedprice")), 2).as("total"))
+  }
+
+  /** Once-per-corpus manifest build: lineitem rewritten range-
+    * partitioned on l_shipdate (ManifestFiles files, sorted within
+    * each so every file covers a tight date interval), plus the
+    * per-file stats manifest derived in one scan of the laid-out
+    * table via the _metadata.file_path virtual column. Returns
+    * (dataDir, manifestDir); reused across runs by source-dir hash
+    * like the bucketed/z-order layouts.
+    */
+  def manifestLineitem(s: SparkSession, d: String): (String, String) = synchronized {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
+    val dataDir = new org.apache.hadoop.fs.Path(wh, s"graft_li_mfdata_$h")
+    val manDir = new org.apache.hadoop.fs.Path(wh, s"graft_li_manifest_$h")
+    val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(manDir, "_SUCCESS"))) {
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice")
+        .repartitionByRange(ManifestFiles, col("l_shipdate"))
+        .sortWithinPartitions(col("l_shipdate"))
+        .write.mode("overwrite").parquet(dataDir.toString)
+      s.read.parquet(dataDir.toString)
+        .groupBy(col("_metadata.file_path").as("file"))
+        .agg(min(col("l_shipdate")).as("min_ship"),
+          max(col("l_shipdate")).as("max_ship"),
+          count(lit(1)).as("n_rows"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(manDir.toString)
+    }
+    (dataDir.toString, manDir.toString)
+  }
+
   val CompactTargetFiles = 4
 
   /** Small-file compaction — the operational fix for the classic
@@ -418,5 +489,5 @@ object SourceOps {
     srcTextPoints, srcCsvRoundtrip, srcJsonRoundtrip, srcPartitionedScan,
     srcOrcRoundtrip, srcZorderScan, srcCompactSmallFiles, srcSchemaEvolution,
     srcCsvMalformed, srcBinaryFiles, srcIgnoreCorrupt, srcDateDim,
-    srcPointsV2, srcPointsV2Roundtrip)
+    srcPointsV2, srcPointsV2Roundtrip, srcManifestScan)
 }

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Curation, Graph, KMeans, RelationalExt, RelationalMore}
+import graft.sources.{SourceOps, Tables}
+
+/** Invariant pins for the round-5 session-3 operators (exact values
+  * are covered by the DuckDB oracle gate; these pin structural
+  * properties that must hold at ANY scale factor).
+  */
+class Round5cOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("q_temporal_join: validity intervals partition the timeline per key") {
+    val rows = RelationalExt.qTemporalJoin.fn(spark, sf).collect()
+    val matched = rows.map(_.getAs[Long]("n_rows")).sum
+    // a fact row is in some version's validity iff its shipdate is on
+    // or after the key's EARLIEST valid_from (the synthetic shipdates
+    // are random, so some precede it; and for keys whose update
+    // effective date precedes the original valid_from, the earliest
+    // version is the opened one); within that population every row
+    // matches EXACTLY one version — matched == eligible proves both
+    // no-loss and no-double-count.
+    val firstFrom = RelationalExt.scd2Dim(spark, sf)
+      .groupBy(col("o_orderkey").as("k"))
+      .agg(min(col("valid_from")).as("first_from"))
+    val eligible = Tables.lineitem(spark, sf)
+      .join(firstFrom, col("l_orderkey") === col("k"))
+      .filter(date_format(col("l_shipdate"), "yyyy-MM-dd") >= col("first_from"))
+      .count()
+    assert(matched == eligible, s"$matched matched vs $eligible eligible")
+    // both the closed and the open version populations are exercised
+    assert(rows.map(_.getAs[Boolean]("is_current")).toSet == Set(true, false))
+  }
+
+  test("q_incremental_agg: MV + delta merge equals the full recompute") {
+    val merged = RelationalMore.qIncrementalAgg.fn(spark, sf)
+    val full = Tables.orders(spark, sf)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("mo"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("mo"))
+    assert(merged.collect().toSeq == full.collect().toSeq)
+  }
+
+  test("kmeans_silhouette: scores bounded, population conserved") {
+    val rows = KMeans.kmeansSilhouette.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val s = r.getAs[Double]("mean_sil")
+      // a = min distance by construction, so s is in [0, 1]
+      assert(s >= 0.0 && s <= 1.0, s"silhouette out of range: $r")
+    }
+    assert(rows.map(_.getAs[Long]("n")).sum == Tables.lineitem(spark, sf).count())
+  }
+
+  test("graph_bipartite: oriented pairs, deterministic descending cut") {
+    val rows = Graph.graphBipartite.fn(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach(r =>
+      assert(r.getAs[Long]("s1") < r.getAs[Long]("s2"), s"unoriented pair: $r"))
+    val w = rows.map(_.getAs[Long]("shared"))
+    assert(w.zip(w.tail).forall { case (a, b) => a >= b }, "weights not descending")
+  }
+
+  test("graph_walks: one walk per node, every hop is a real edge") {
+    val walks = Graph.graphWalks.fn(spark, sf).collect()
+    val edges = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, sf), col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey").cast("long").as("a"),
+        col("s_nationkey").cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct().collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+      .toSet
+    val nodes = edges.map(_._1)
+    assert(walks.length == nodes.size)
+    walks.foreach { r =>
+      val path = (0 to 3).map(i => r.get(i).asInstanceOf[Number].longValue)
+      path.zip(path.tail).foreach { hop =>
+        assert(edges.contains(hop), s"walk used a non-edge $hop: $r")
+      }
+    }
+  }
+
+  test("graph_walks is deterministic across runs") {
+    val a = Graph.graphWalks.fn(spark, sf).collect().toSeq
+    val b = Graph.graphWalks.fn(spark, sf).collect().toSeq
+    assert(a == b)
+  }
+
+  test("pipeline_kfold: folds partition the corpus, train = rest") {
+    val rows = Curation.pipelineKfold.fn(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("fold")).toSeq == Seq(0, 1, 2, 3, 4))
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("train_docs") == total - r.getAs[Long]("n_docs"))
+      // hash-banded folds are balanced within a loose band
+      assert(r.getAs[Long]("n_docs") > total / 10, s"fold badly unbalanced: $r")
+    }
+  }
+
+  test("src_manifest_scan: the manifest actually prunes the file list") {
+    val (_, manDir) = SourceOps.manifestLineitem(spark, sf)
+    val man = spark.read.parquet(manDir)
+      .select(col("min_ship").cast("date").cast("string").as("lo"),
+        col("max_ship").cast("date").cast("string").as("hi"))
+      .collect()
+    assert(man.length == SourceOps.ManifestFiles)
+    val pruned = man.count { r =>
+      r.getAs[String]("lo") <= "1995-03-31" && r.getAs[String]("hi") >= "1995-01-01"
+    }
+    assert(pruned < man.length,
+      s"range probe selected all $pruned files - no pruning")
+    // range layout: file intervals are non-overlapping up to boundaries
+    val iv = man.map(r => (r.getAs[String]("lo"), r.getAs[String]("hi"))).sortBy(_._1)
+    iv.zip(iv.tail).foreach { case ((_, hi), (lo2, _)) =>
+      assert(hi <= lo2, s"file intervals overlap: $hi > $lo2")
+    }
+  }
+}
