@@ -225,6 +225,46 @@ object Curation {
       .orderBy(col("split"))
   }
 
+  /** Minority-language oversampling — the rebalancing pass a
+    * multilingual training mix runs when low-resource languages
+    * would otherwise be drowned out: each language is replicated
+    * ceil(max_lang_count / count) times, capped at 4× (the standard
+    * guard against memorizing a tiny slice). The corpus ACTUALLY
+    * materializes through explode(sequence(1, factor)) — per-row
+    * fan-out, no shuffle beyond the final O(langs) aggregate; the
+    * factor relation is an O(langs) broadcast. Integer-exact factor
+    * arithmetic ((max + n − 1) div n) so both engines compute
+    * identical replication; replicated counts = n_orig × factor is
+    * pinned in ScalaTest.
+    */
+  val pipelineOversample: QueryDef = QueryDef.sql(
+    "pipeline_oversample",
+    """WITH l AS (SELECT lang, count(*) AS n_orig FROM documents GROUP BY lang),
+      |m AS (SELECT max(n_orig) AS maxn FROM l),
+      |f AS (SELECT lang, n_orig,
+      |        least((maxn + n_orig - 1) // n_orig, 4) AS factor
+      |      FROM l, m),
+      |o AS (SELECT d.lang, d.n_chars, f.n_orig, f.factor
+      |      FROM documents d JOIN f ON d.lang = f.lang,
+      |           UNNEST(generate_series(1, CAST(f.factor AS INT))))
+      |SELECT lang, any_value(n_orig) AS n_orig,
+      |  CAST(any_value(factor) AS BIGINT) AS factor,
+      |  count(*) AS n_total, CAST(sum(n_chars) AS BIGINT) AS chars_total
+      |FROM o GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val langs = Tables.documents(s, d)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_orig"))
+      .withColumn("factor",
+        least(expr("(max(n_orig) OVER () + n_orig - 1) div n_orig"), lit(4L)))
+    Tables.documents(s, d).select(col("lang"), col("n_chars"))
+      .join(broadcast(langs), "lang")
+      .withColumn("k", explode(sequence(lit(1L), col("factor"))))
+      .groupBy(col("lang"))
+      .agg(first(col("n_orig")).as("n_orig"), first(col("factor")).as("factor"),
+        count(lit(1)).as("n_total"), sum(col("n_chars")).as("chars_total"))
+      .orderBy(col("lang"))
+  }
+
   /** Deterministic k-fold cross-validation assignment (k = 5):
     * fold = md5(doc_id) 4-hex-prefix band (0x3333/0x6666/0x9999/
     * 0xcccc cut points ≈ 20% each) — pipeline_split's machinery
@@ -734,5 +774,5 @@ object Curation {
     pipelineQualityModel, pipelinePack, pipelineObserved,
     pipelineDatasetCard, pipelineDecontaminate,
     pipelineEpochShuffle, pipelineInterleave, pipelineCurriculum,
-    pipelineKfold)
+    pipelineKfold, pipelineOversample)
 }

@@ -1142,7 +1142,28 @@ object EventOps {
       .limit(20)
   }
 
+  /** Watermark late-data semantics, oracle-checked: batch 2 arrives
+    * after the watermark advanced past most of its windows, and only
+    * rows whose window is still open are counted — see
+    * EventStreams.streamLateData for the mechanics. The oracle
+    * replays the acceptance rule (window_end > max(batch1) − 1 h)
+    * in plain SQL.
+    */
+  val streamLateData: QueryDef = QueryDef.sql(
+    "stream_late_data",
+    """WITH b1 AS (SELECT * FROM events WHERE event_id % 3 <> 0),
+      |wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM b1),
+      |b2 AS (
+      |  SELECT e.* FROM events e, wm
+      |  WHERE e.event_id % 3 = 0
+      |    AND date_trunc('hour', e.ts) + INTERVAL 1 HOUR > wm.w),
+      |u AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+      |SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+      |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)(
+    EventStreams.streamLateData)
+
   val all: Seq[QueryDef] = Seq(
+    streamLateData,
     eventsHourly, streamHourly, eventsSessions, eventsSessionWindow,
     streamSessions, streamUserStats, streamJoin, streamSinkRoundtrip,
     eventsFunnel, eventsRetention, eventsAnomaly, eventsPaths,

@@ -1021,9 +1021,119 @@ object Graph {
       .orderBy(col("start"))
   }
 
+  private val BrandesDepth = 4
+
+  /** Exact betweenness centrality by Brandes' algorithm (2001) —
+    * unweighted shortest-path dependency accumulation, every node a
+    * source (the nation graph's diameter ≤ 4 = BrandesDepth, so the
+    * BFS covers every shortest path). Forward phase: multi-source
+    * BFS levels carrying per-(src, v) shortest-path COUNTS σ (sum
+    * over predecessor frontier — one equality join + one aggregate
+    * per level, the graph_closeness shape with σ instead of hops).
+    * Backward phase: δ(v) = Σ_{w∈succ(v)} σ_v/σ_w · (1 + δ(w)),
+    * one level at a time from the deepest — again equality joins
+    * only; bc(v) = Σ_src δ_src(v)/2. State is O(|V|·sources) and at
+    * 100 TB-scale graphs the standard move is SAMPLED sources
+    * (k-sample Brandes, an unbiased estimator) — the per-source cost
+    * and plan shape are identical, only the source relation shrinks.
+    * σ values are exact int64; δ rounds at 4 decimals (floor
+    * convention) to absorb float-summation order. Oracle replays the
+    * identical level chain; Σ bc = Σ(pairwise-dist − 1) sanity is
+    * pinned in ScalaTest.
+    */
+  val graphBetweenness: QueryDef = QueryDef.sql(
+    "graph_betweenness", {
+      val fwd = (1 to BrandesDepth).map { i =>
+        val p = i - 1
+        s"""l$i AS MATERIALIZED (
+           |  SELECT f.src, s.n AS v, sum(f.sigma) AS sigma
+           |  FROM l$p f JOIN sym s ON s.c = f.v
+           |  WHERE NOT EXISTS (SELECT 1 FROM vis$p t
+           |                    WHERE t.src = f.src AND t.v = s.n)
+           |  GROUP BY f.src, s.n),
+           |vis$i AS MATERIALIZED (
+           |  SELECT * FROM vis$p UNION ALL SELECT src, v FROM l$i)""".stripMargin
+      }.mkString(",\n")
+      val bwd = (BrandesDepth - 1 to 1 by -1).map { i =>
+        val q = i + 1
+        s"""cn$i AS (
+           |  SELECT a.src, a.v,
+           |    sum(CAST(a.sigma AS DOUBLE) / b.sigma * (1 + d.delta)) AS delta
+           |  FROM l$i a JOIN sym s ON s.c = a.v
+           |  JOIN l$q b ON b.src = a.src AND b.v = s.n
+           |  JOIN d$q d ON d.src = b.src AND d.v = b.v
+           |  GROUP BY a.src, a.v),
+           |d$i AS MATERIALIZED (
+           |  SELECT a.src, a.v, coalesce(c.delta, 0) AS delta
+           |  FROM l$i a LEFT JOIN cn$i c ON c.src = a.src AND c.v = a.v)""".stripMargin
+      }.mkString(",\n")
+      val unions = (1 to BrandesDepth).map(i => s"SELECT v, delta FROM d$i")
+        .mkString(" UNION ALL ")
+      s"""WITH ue AS MATERIALIZED ($undirectedSql),
+         |sym AS (SELECT a AS c, b AS n FROM ue UNION ALL SELECT b, a FROM ue),
+         |nodes AS (SELECT DISTINCT c FROM sym),
+         |l0 AS MATERIALIZED (
+         |  SELECT c AS src, c AS v, CAST(1 AS BIGINT) AS sigma FROM nodes),
+         |vis0 AS MATERIALIZED (SELECT src, v FROM l0),
+         |""".stripMargin + fwd + ",\n" +
+        s"d$BrandesDepth AS MATERIALIZED (SELECT src, v, CAST(0 AS DOUBLE) AS delta FROM l$BrandesDepth),\n" +
+        bwd +
+        s"""
+           |SELECT v AS node,
+           |  floor(sum(delta) / 2 * 10000 + 0.5) / 10000 AS bc
+           |FROM ($unions) GROUP BY v ORDER BY v""".stripMargin
+    }) { (s, d) =>
+    val ue = undirectedNationEdges(s, d).cache()
+    val sym = ue.select(col("a").as("c"), col("b").as("n"))
+      .unionAll(ue.select(col("b").as("c"), col("a").as("n"))).cache()
+    val nodes = sym.select(col("c")).distinct()
+    // forward: lv(i) = (src, v, sigma) at BFS depth i
+    val lv = new Array[DataFrame](BrandesDepth + 1)
+    lv(0) = nodes.select(col("c").as("src"), col("c").as("v"),
+      lit(1L).as("sigma")).cache()
+    var visited = lv(0).select(col("src"), col("v")).cache()
+    for (i <- 1 to BrandesDepth) {
+      val f = lv(i - 1).select(col("src"), col("v").as("fv"), col("sigma"))
+      val cand = f.join(sym, col("fv") === col("c"))
+        .groupBy(col("src"), col("n").as("v"))
+        .agg(sum(col("sigma")).as("sigma"))
+      lv(i) = cand.join(visited, Seq("src", "v"), "left_anti")
+        .localCheckpoint(eager = true)
+      visited = visited.unionAll(lv(i).select(col("src"), col("v")))
+        .localCheckpoint(eager = true)
+    }
+    // backward: dl(i) = (src, v, delta) over exactly lv(i)'s rows
+    val dl = new Array[DataFrame](BrandesDepth + 1)
+    dl(BrandesDepth) = lv(BrandesDepth)
+      .select(col("src"), col("v"), lit(0.0).as("delta"))
+    for (i <- BrandesDepth - 1 to 1 by -1) {
+      val a = lv(i).select(col("src"), col("v"), col("sigma"))
+      val b = lv(i + 1).select(col("src").as("bs"), col("v").as("bv"),
+        col("sigma").as("bsigma"))
+      val dn = dl(i + 1).select(col("src").as("ds"), col("v").as("dv"),
+        col("delta").as("dnext"))
+      val contrib = a.join(sym, col("v") === col("c"))
+        .join(b, col("src") === col("bs") && col("n") === col("bv"))
+        .join(dn, col("src") === col("ds") && col("n") === col("dv"))
+        .groupBy(col("src"), col("v"))
+        .agg(sum(col("sigma").cast("double") / col("bsigma") *
+          (lit(1.0) + col("dnext"))).as("delta"))
+      dl(i) = a.select(col("src"), col("v"))
+        .join(contrib, Seq("src", "v"), "left_outer")
+        .select(col("src"), col("v"),
+          coalesce(col("delta"), lit(0.0)).as("delta"))
+        .localCheckpoint(eager = true)
+    }
+    (1 to BrandesDepth).map(i => dl(i).select(col("v"), col("delta")))
+      .reduce(_ unionAll _)
+      .groupBy(col("v").as("node"))
+      .agg((floor(sum(col("delta")) / 2 * 10000 + 0.5) / 10000).as("bc"))
+      .orderBy(col("node"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     graphDegree, graphPagerank, graphTriangles, graphBfs, graphLabelprop,
     graphJaccard, graphCloseness, graphKcore, graphMst, graphSssp, graphCc,
     graphHits, graphAssortativity, graphModularity, graphClusteringCoeff,
-    graph2hop, graphBipartite, graphWalks)
+    graph2hop, graphBipartite, graphWalks, graphBetweenness)
 }

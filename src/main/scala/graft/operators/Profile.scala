@@ -382,7 +382,52 @@ object Profile {
     }
   }
 
+  /** Benford first-digit audit over l_extendedprice — the forensic
+    * data-quality screen (fabricated or unit-mangled numeric columns
+    * drift from the log distribution real multiplicative data
+    * follows). Digit extraction is engine-exact integer/string work:
+    * first char of the int64 cent value (floor(x·100 + 0.5) — no
+    * log10-near-power-boundary hazard); one corpus scan into an
+    * O(9) aggregate, shares folded from a window over it. Expected
+    * Benford shares are Scala-formatted literals embedded in BOTH
+    * plans, so the comparison column is bit-identical by
+    * construction. Floor-rounding convention (see ts_interp).
+    */
+  val profileBenford: QueryDef = {
+    val expected = (1 to 9)
+      .map(dd => dd -> "%.6f".format(math.log10(1.0 + 1.0 / dd))).toMap
+    val sqlCase = (1 to 9)
+      .map(dd => s"WHEN $dd THEN ${expected(dd)}").mkString(" ")
+    QueryDef.sql(
+      "profile_benford",
+      s"""WITH dg AS (
+         |  SELECT CAST(substr(CAST(CAST(floor(l_extendedprice * 100 + 0.5)
+         |    AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+         |  FROM lineitem),
+         |a AS (SELECT digit, count(*) AS n FROM dg GROUP BY digit)
+         |SELECT digit, n,
+         |  floor(n * 10000.0 / sum(n) OVER () + 0.5) / 10000 AS obs_share,
+         |  CASE digit $sqlCase END AS benford_share
+         |FROM a ORDER BY digit""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val digit = substring(
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").cast("string"),
+        1, 1).cast("int")
+      val benford = (1 to 9).foldLeft(lit(null).cast("double")) { (acc, dd) =>
+        when(col("digit") === dd, lit(expected(dd).toDouble)).otherwise(acc)
+      }
+      Tables.lineitem(s, d)
+        .select(digit.as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        .withColumn("obs_share",
+          floor(col("n") * 10000.0 / sum(col("n")).over(Window.partitionBy()) + 0.5) / 10000)
+        .withColumn("benford_share", benford)
+        .orderBy(col("digit"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     profileStats, profileChecks, profileEquidepth, profileCorr,
-    sketchKmvOverlap, sketchKmvDaily, profileDrift, profileFd)
+    sketchKmvOverlap, sketchKmvDaily, profileDrift, profileFd,
+    profileBenford)
 }

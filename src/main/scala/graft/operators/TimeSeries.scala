@@ -722,8 +722,49 @@ object TimeSeries {
       .orderBy(col("event_type"))
   }
 
+  /** Theil–Sen robust trend estimate per event type: the MEDIAN of
+    * all pairwise slopes (y_j − y_i)/(days between) over the daily
+    * count series — a single outlier day that would drag a
+    * least-squares slope (ts_forecast's regr_slope) arbitrarily far
+    * moves this estimator not at all until 29% of days are corrupt.
+    * The O(days²) pair join runs on the O(types·days) DAILY AGGREGATE
+    * (30 days → 435 pairs/type; at any corpus scale the aggregate
+    * stays calendar-bounded, so the quadratic is in days, never
+    * rows). Exact median via percentile ↔ quantile_cont (the
+    * q_median parity); slopes are exact-int differences divided by
+    * exact day counts, so both engines rank identical doubles.
+    */
+  val tsTheilsen: QueryDef = QueryDef.sql(
+    "ts_theilsen",
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |         count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT a.event_type,
+      |    CAST(b.n - a.n AS DOUBLE) / date_diff('day', a.day, b.day) AS slope
+      |  FROM daily a JOIN daily b
+      |    ON a.event_type = b.event_type AND a.day < b.day)
+      |SELECT event_type, count(*) AS n_pairs,
+      |  round(quantile_cont(slope, 0.5), 6) AS trend_per_day
+      |FROM pairs GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val a = daily.select(col("event_type"), col("day").as("d1"), col("n").as("y1"))
+    val b = daily.select(col("event_type").as("et2"), col("day").as("d2"), col("n").as("y2"))
+    a.join(b, col("event_type") === col("et2") && col("d1") < col("d2"))
+      .select(col("event_type"),
+        ((col("y2") - col("y1")).cast("double") / datediff(col("d2"), col("d1")))
+          .as("slope"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(expr("percentile(slope, 0.5)"), 6).as("trend_per_day"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     tsGapfill, tsInterp, tsEwma, tsAutocorr, tsCusum, tsSeasonal,
     tsForecast, tsTimeToConvert, tsGapEpisodes, tsHolt, tsDecompose,
-    tsRollingStats, tsRepair, tsOhlc, tsInterEvent)
+    tsRollingStats, tsRepair, tsOhlc, tsInterEvent, tsTheilsen)
 }

@@ -460,6 +460,61 @@ object EventStreams {
       .orderBy(col("user_id"), col("start_min"))
   }
 
+  /** Late-data accounting under a watermark — the semantics every
+    * production stream job must get right: after the first batch
+    * (events with event_id % 3 ≠ 0) drains, the watermark stands at
+    * max(batch1.ts) − 1 h; the second batch then delivers the
+    * REMAINING rows "late", and the hourly aggregation accepts a late
+    * row only if its window is still open (window_end > watermark) —
+    * everything older is dropped by the state store, exactly as an
+    * unbounded deployment would drop it. Append mode + a far-future
+    * sentinel (event_type 'wm_probe') flushes every real window; the
+    * sentinel's own window never finalizes, so it can't reach the
+    * append-mode sink. The oracle replays the acceptance
+    * rule in SQL: batch1 ∪ {late rows with hour+1h > wm}. The
+    * batches are id-hash splits, so the run is deterministic.
+    */
+  def streamLateData(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val maxTs = graft.sources.Tables.events(s, dir)
+      .agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_late")
+    raw.filter(col("event_id") % 3 =!= 0)
+      .coalesce(1).write.mode("append").parquet(tmp.toString)
+    val src = s.readStream.schema(rawEventSchema(s, dir)).parquet(tmp.toString)
+    // no sentinel filter here: Catalyst would push it BELOW the
+    // watermark operator and the probe row would never advance the
+    // clock. The sentinel's own far-future window never finalizes,
+    // so it can't reach the append-mode sink anyway.
+    val agg = graft.sources.Tables.normalizeEventTs(src)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"))
+    val name = "stream_late_sink"
+    s.streams.active.filter(_.name == name).foreach(_.stop())
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions.toString)
+    try {
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable() // batch 1 → watermark = max1 − 1 h
+        raw.filter(col("event_id") % 3 === 0)
+          .coalesce(1).write.mode("append").parquet(tmp.toString)
+        q.processAllAvailable() // batch 2 arrives late
+        appendSentinel(s, tmp, rawEventSchema(s, dir)("ts").dataType,
+          maxTs.toInstant.plusSeconds(24 * 3600), Seq((-1L, -1L, "wm_probe")))
+        q.processAllAvailable() // flush all real windows
+      } finally {
+        q.stop()
+        deleteRecursively(tmp)
+      }
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.table(name).orderBy(col("hour"), col("event_type"))
+  }
+
   /** Stream-static enrichment join: each micro-batch of events joins
     * the STATIC customer dimension (broadcast — no state, no
     * watermark needed on the static side; Structured Streaming

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Curation, Graph, KMeans, RelationalExt, RelationalMore}
+import graft.operators.{Curation, EventOps, Graph, KMeans, Profile, RelationalExt, RelationalMore, TimeSeries}
 import graft.sources.{SourceOps, Tables}
 
 /** Invariant pins for the round-5 session-3 operators (exact values
@@ -102,6 +102,96 @@ class Round5cOpsSpec extends AnyFunSuite {
       // hash-banded folds are balanced within a loose band
       assert(r.getAs[Long]("n_docs") > total / 10, s"fold badly unbalanced: $r")
     }
+  }
+
+  test("stream_late_data: late rows behind the watermark are dropped") {
+    val counted = EventOps.streamLateData.fn(spark, sf).collect()
+      .map(_.getAs[Long]("n")).sum
+    val total = Tables.events(spark, sf).count()
+    // batch replay of the acceptance rule the stream must enforce
+    val ev = Tables.events(spark, sf)
+    val wm = ev.filter(col("event_id") % 3 =!= 0)
+      .agg(max(col("ts"))).collect()(0).getTimestamp(0).toInstant
+      .minusSeconds(3600)
+    val accepted = ev.filter(col("event_id") % 3 =!= 0).count() +
+      ev.filter(col("event_id") % 3 === 0 &&
+        date_trunc("hour", col("ts")) + expr("INTERVAL 1 HOUR") >
+          lit(java.sql.Timestamp.from(wm))).count()
+    assert(counted == accepted, s"stream counted $counted vs batch $accepted")
+    assert(counted < total, "no late row was dropped - watermark inert")
+  }
+
+  test("graph_betweenness: sum identity against independent BFS distances") {
+    val bc = Graph.graphBetweenness.fn(spark, sf).collect()
+      .map(r => r.get(0).asInstanceOf[Number].longValue ->
+        r.getAs[Double]("bc")).toMap
+    // independent driver-side BFS over the collected 25-node graph
+    val edges = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, sf), col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey").cast("long").as("a"),
+        col("s_nationkey").cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct().collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nodes = adj.keySet.toSeq.sorted
+    def bfsDist(s: Long): Map[Long, Int] = {
+      var dist = Map(s -> 0); var frontier = Set(s); var d = 0
+      while (frontier.nonEmpty) {
+        d += 1
+        frontier = frontier.flatMap(adj(_)).diff(dist.keySet)
+        dist ++= frontier.map(_ -> d)
+      }
+      dist
+    }
+    // Σ_v bc(v) = Σ_{s<t} (d(s,t) − 1): interior nodes of each
+    // shortest path, summed over unordered reachable pairs
+    val expected = (for {
+      s <- nodes; t <- nodes if s < t
+      dd <- bfsDist(s).get(t)
+    } yield (dd - 1).toLong).sum.toDouble
+    val got = bc.values.sum
+    assert(math.abs(got - expected) < 0.01,
+      s"sum(bc) = $got but pairwise-distance identity gives $expected")
+    assert(bc.values.forall(_ >= 0.0))
+  }
+
+  test("profile_benford: all digits, shares sum to ~1, population conserved") {
+    val rows = Profile.profileBenford.fn(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("digit")).toSeq == (1 to 9))
+    assert(rows.map(_.getAs[Long]("n")).sum == Tables.lineitem(spark, sf).count())
+    val shareSum = rows.map(_.getAs[Double]("obs_share")).sum
+    assert(math.abs(shareSum - 1.0) < 0.001, s"shares sum to $shareSum")
+    val benfordSum = rows.map(_.getAs[Double]("benford_share")).sum
+    assert(math.abs(benfordSum - 1.0) < 0.001)
+  }
+
+  test("ts_theilsen: pair counts are exactly days-choose-2 per type") {
+    val pairs = TimeSeries.tsTheilsen.fn(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_pairs")).toMap
+    val days = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(date_trunc("day", col("ts"))).as("nd")).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("nd")).toMap
+    assert(pairs.keySet == days.keySet)
+    pairs.foreach { case (t, np) =>
+      val nd = days(t)
+      assert(np == nd * (nd - 1) / 2, s"$t: $np pairs for $nd days")
+    }
+  }
+
+  test("pipeline_oversample: replication exact, capped, majority untouched") {
+    val rows = Curation.pipelineOversample.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val f = r.getAs[Long]("factor")
+      assert(f >= 1 && f <= 4, s"factor out of band: $r")
+      assert(r.getAs[Long]("n_total") == r.getAs[Long]("n_orig") * f,
+        s"materialized count != n x factor: $r")
+    }
+    val majority = rows.maxBy(_.getAs[Long]("n_orig"))
+    assert(majority.getAs[Long]("factor") == 1, s"majority lang was oversampled")
   }
 
   test("src_manifest_scan: the manifest actually prunes the file list") {
