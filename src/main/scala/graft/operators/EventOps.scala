@@ -1162,8 +1162,153 @@ object EventOps {
       |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)(
     EventStreams.streamLateData)
 
+  /** Per-user ML feature assembly — the feature-store
+    * materialization every churn/LTV/propensity model trains on:
+    * event counts (total + per-type via conditional aggregation),
+    * monetary total, active-day count, and recency vs the corpus
+    * horizon, all in ONE user-keyed shuffle (the per-type counts are
+    * FILTER aggregates in the same pass, never separate scans); the
+    * corpus max-day is a broadcast 1-row aggregate. Output is
+    * O(users) — the relation a trainer would join features from.
+    */
+  val eventsFeatures: QueryDef = QueryDef.sql(
+    "events_features",
+    """WITH g AS (SELECT max(date_trunc('day', ts)) AS gmax FROM events)
+      |SELECT user_id,
+      |  count(*) AS n_events,
+      |  count(*) FILTER (event_type = 'click') AS n_click,
+      |  count(*) FILTER (event_type = 'view') AS n_view,
+      |  count(*) FILTER (event_type = 'purchase') AS n_purchase,
+      |  round(sum(value), 2) AS total_value,
+      |  count(DISTINCT date_trunc('day', ts)) AS days_active,
+      |  date_diff('day', max(date_trunc('day', ts)), (SELECT gmax FROM g))
+      |    AS recency_days
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val g = ev.agg(max(date_trunc("day", col("ts"))).as("gmax"))
+    ev.groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "click", 1)).as("n_click"),
+        count(when(col("event_type") === "view", 1)).as("n_view"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
+        round(sum(col("value")), 2).as("total_value"),
+        countDistinct(date_trunc("day", col("ts"))).as("days_active"),
+        max(date_trunc("day", col("ts"))).as("last_day"))
+      .crossJoin(broadcast(g))
+      .select(col("user_id"), col("n_events"), col("n_click"), col("n_view"),
+        col("n_purchase"), col("total_value"), col("days_active"),
+        datediff(col("gmax"), col("last_day")).cast("long").as("recency_days"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Period-over-period mover detection: monthly revenue per nation,
+    * MoM delta from a lag window over the O(nations × months)
+    * aggregate, top-10 movers by |delta| with a total (|delta|,
+    * month, nation) order so the cut is deterministic. Deltas are
+    * computed from the ROUNDED monthly revenues, so both engines
+    * subtract identical doubles. The corpus shuffles once (the
+    * aggregate); everything after runs on the bounded relation.
+    */
+  val qMovers: QueryDef = QueryDef.sql(
+    "q_movers",
+    """WITH m AS (
+      |  SELECT n_name, date_trunc('month', o_orderdate) AS mo,
+      |    round(sum(o_totalprice), 2) AS rev
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2),
+      |lagged AS (
+      |  SELECT n_name, CAST(mo AS TIMESTAMP) AS mo, rev,
+      |    lag(rev) OVER (PARTITION BY n_name ORDER BY mo) AS prev_rev
+      |  FROM m)
+      |SELECT n_name, mo, rev, prev_rev,
+      |  round(rev - prev_rev, 2) AS delta
+      |FROM lagged WHERE prev_rev IS NOT NULL
+      |ORDER BY abs(rev - prev_rev) DESC, mo, n_name LIMIT 10""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val m = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), date_trunc("month", col("o_orderdate")).as("mo"))
+      .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+    m.withColumn("prev_rev",
+        lag(col("rev"), 1).over(Window.partitionBy(col("n_name")).orderBy(col("mo"))))
+      .filter(col("prev_rev").isNotNull)
+      .withColumn("delta", round(col("rev") - col("prev_rev"), 2))
+      .orderBy(abs(col("rev") - col("prev_rev")).desc, col("mo"), col("n_name"))
+      .limit(10)
+  }
+
+  /** Checkpoint-incremental batch ETL (Trigger.AvailableNow): two
+    * invocations of the same streaming job, each consuming only the
+    * files that arrived since the last run — see
+    * EventStreams.incrementalRuns. Oracle = one batch aggregate over
+    * the full table; the only-the-delta property is pinned in
+    * ScalaTest via run 2's numInputRows.
+    */
+  val streamIncremental: QueryDef = QueryDef.sql(
+    "stream_incremental",
+    """SELECT o_orderpriority, count(*) AS n,
+      |  round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)(
+    EventStreams.streamIncremental)
+
+  /** Linear multi-touch attribution — the fair-share counterpart of
+    * events_attribution's last-touch: every purchase splits its value
+    * equally across ALL its touches in the preceding 7 days (no
+    * touch → full credit to 'direct'). One user-keyed equality join
+    * bounded by per-user activity (the time range is a residual
+    * predicate), per-purchase touch counts from a window over the
+    * join result, then an O(channels) rollup. Credit conservation
+    * (Σ credited == Σ purchase value) pinned in ScalaTest.
+    */
+  val eventsAttributionLinear: QueryDef = QueryDef.sql(
+    "events_attribution_linear",
+    """WITH p AS (
+      |  SELECT user_id, event_id AS pid, ts AS pts, value
+      |  FROM events WHERE event_type = 'purchase'),
+      |t AS (
+      |  SELECT user_id AS tuid, event_type AS channel, ts AS tts
+      |  FROM events WHERE event_type <> 'purchase'),
+      |m AS (
+      |  SELECT p.pid, p.value, t.channel
+      |  FROM p LEFT JOIN t ON p.user_id = t.tuid
+      |    AND t.tts < p.pts AND t.tts >= p.pts - INTERVAL 7 DAY),
+      |c AS (
+      |  SELECT pid, value, coalesce(channel, 'direct') AS channel,
+      |    count(*) OVER (PARTITION BY pid) AS n_touch
+      |  FROM m)
+      |SELECT channel, count(*) AS n_touches,
+      |  round(sum(value / n_touch), 2) AS credited_revenue
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"),
+        col("ts").as("pts"), col("value"))
+    val t = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id").as("tuid"), col("event_type").as("channel"),
+        col("ts").as("tts"))
+    val m = p.join(t,
+      col("user_id") === col("tuid") &&
+        col("tts") < col("pts") &&
+        col("tts") >= col("pts") - expr("INTERVAL 7 DAY"), "left_outer")
+    m.select(col("pid"), col("value"),
+        coalesce(col("channel"), lit("direct")).as("channel"))
+      .withColumn("n_touch",
+        count(lit(1)).over(Window.partitionBy(col("pid"))))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        round(sum(col("value") / col("n_touch")), 2).as("credited_revenue"))
+      .orderBy(col("channel"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    streamLateData,
+    streamLateData, eventsFeatures, qMovers, streamIncremental,
+    eventsAttributionLinear,
     eventsHourly, streamHourly, eventsSessions, eventsSessionWindow,
     streamSessions, streamUserStats, streamJoin, streamSinkRoundtrip,
     eventsFunnel, eventsRetention, eventsAnomaly, eventsPaths,

@@ -140,6 +140,64 @@ object Graph {
       .orderBy(col("node"))
   }
 
+  private val PprSource = 0L
+  private val PprIters = 8
+
+  /** Personalized PageRank: the teleport lands on ONE source node
+    * instead of uniformly — rank becomes "importance AS SEEN FROM
+    * the source", the similarity-to-seed score that powers
+    * related-item recommendation and local community detection
+    * (vs graph_pagerank's global importance). Identical per-iteration
+    * plan (one equality join + O(|V|) aggregate); only the teleport
+    * constant differs, so the scale posture is graph_pagerank's. At
+    * web scale PPR is run from many seeds at once by carrying a seed
+    * column through the same joins (the graph_closeness multi-source
+    * trick). Oracle = generated chained-CTE replay.
+    */
+  val graphPpr: QueryDef = QueryDef.sql(
+    "graph_ppr", {
+      val steps = (1 to PprIters).map { i =>
+        s"""pr$i AS (
+           |  SELECT v.node,
+           |         CASE WHEN v.node = $PprSource THEN 0.15 ELSE 0 END +
+           |         0.85 * coalesce(sum(p.r / od.outdeg), 0) AS r
+           |  FROM v
+           |  LEFT JOIN e ON e.dst = v.node
+           |  LEFT JOIN pr${i - 1} p ON p.node = e.src
+           |  LEFT JOIN od ON od.node = e.src
+           |  GROUP BY v.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED ($nationEdgesSql),
+         |v AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |od AS MATERIALIZED (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY src),
+         |pr0 AS (SELECT node, CASE WHEN node = $PprSource THEN 1.0 ELSE 0 END AS r FROM v),
+         |$steps
+         |SELECT node, round(r, 8) AS rank FROM pr$PprIters ORDER BY node""".stripMargin
+    }) { (s, d) =>
+    val e = nationEdges(s, d).select(col("src"), col("dst")).distinct().cache()
+    val vertices = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().cache()
+    val outdeg = e.groupBy(col("src").as("od_node"))
+      .agg(count(lit(1)).as("outdeg"))
+    val teleport = when(col("node") === PprSource, lit(0.15)).otherwise(lit(0.0))
+    var ranks = vertices.withColumn("rank",
+      when(col("node") === PprSource, lit(1.0)).otherwise(lit(0.0)))
+    for (i <- 1 to PprIters) {
+      val contribs = e
+        .join(ranks, col("src") === col("node"))
+        .join(outdeg, col("src") === col("od_node"))
+        .select(col("dst"), (col("rank") / col("outdeg")).as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("inflow"))
+      ranks = vertices
+        .join(contribs, col("node") === col("dst"), "left_outer")
+        .select(col("node"),
+          (teleport + lit(0.85) * coalesce(col("inflow"), lit(0.0))).as("rank"))
+      if (i % 3 == 0 && i < PprIters) ranks = ranks.localCheckpoint(eager = true)
+    }
+    ranks.select(col("node"), round(col("rank"), 8).as("rank"))
+      .orderBy(col("node"))
+  }
+
   /** Undirected nation co-trade edges with src < dst (each link once). */
   private def undirectedNationEdges(s: SparkSession, d: String): DataFrame = {
     val e = nationEdges(s, d)
@@ -1135,5 +1193,5 @@ object Graph {
     graphDegree, graphPagerank, graphTriangles, graphBfs, graphLabelprop,
     graphJaccard, graphCloseness, graphKcore, graphMst, graphSssp, graphCc,
     graphHits, graphAssortativity, graphModularity, graphClusteringCoeff,
-    graph2hop, graphBipartite, graphWalks, graphBetweenness)
+    graph2hop, graphBipartite, graphWalks, graphBetweenness, graphPpr)
 }

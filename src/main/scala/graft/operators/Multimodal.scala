@@ -232,6 +232,53 @@ object Multimodal {
     Tables.documents(s, d)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
 
+  val ShardBytes = 16384L
+  private val ShardBlock = 100L
+
+  /** WebDataset-style shard assignment: payloads packed into
+    * contiguous ~16 KiB shards in doc_id order (training loaders
+    * want few big sequential files, not one object per sample).
+    * shard = exclusive-prefix-sum of byte lengths div the budget —
+    * computed as a TWO-PHASE prefix sum (within-block windows
+    * partitioned by doc_id range + O(blocks) carry-in offsets, the
+    * events_concurrency machinery), so no corpus-sized
+    * single-partition window exists anywhere; integer arithmetic
+    * throughout, so the distributed result equals the oracle's
+    * plain sequential cumsum bit-for-bit.
+    */
+  val mmShards: QueryDef = QueryDef.sql(
+    "mm_shards",
+    s"""WITH b AS (
+       |  SELECT doc_id, octet_length(CAST(text AS BLOB)) AS len FROM documents),
+       |c AS (
+       |  SELECT doc_id, len,
+       |    sum(len) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - len AS cum_before
+       |  FROM b)
+       |SELECT CAST(cum_before // $ShardBytes AS BIGINT) AS shard,
+       |  count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS bytes
+       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val b = Tables.documents(s, d)
+      .select(col("doc_id"),
+        length(col("text").cast("binary")).cast("long").as("len"),
+        expr(s"doc_id div $ShardBlock").as("blk"))
+    val wIn = Window.partitionBy(col("blk")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = b.withColumn("cum_in", sum(col("len")).over(wIn))
+    val wOff = Window.orderBy(col("ob"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = b.groupBy(col("blk").as("ob"))
+      .agg(sum(col("len")).as("bsum"))
+      .withColumn("off", coalesce(sum(col("bsum")).over(wOff), lit(0L)))
+      .select(col("ob"), col("off"))
+    within.join(broadcast(offsets), col("blk") === col("ob"))
+      .withColumn("cum_before", col("off") + col("cum_in") - col("len"))
+      .groupBy(expr(s"cum_before div $ShardBytes").as("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("bytes"))
+      .orderBy(col("shard"))
+  }
+
   /** Typed metadata over the binary column — pure codegen'd
     * expressions, no decode needed (the 100 TB fast path: metadata
     * queries never touch payload internals).
@@ -423,5 +470,5 @@ object Multimodal {
   }
 
   val all: Seq[QueryDef] = Seq(mmBinaryStats, mmFeatures, mmFrames, mmResize,
-    mmPhash)
+    mmPhash, mmShards)
 }

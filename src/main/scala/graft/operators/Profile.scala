@@ -426,8 +426,52 @@ object Profile {
     }
   }
 
+  /** k-anonymity audit — the privacy gate a dataset release runs
+    * before publishing quasi-identifiers: for each candidate QI set,
+    * the equivalence-class profile (group count, smallest class
+    * k_min, classes below k=5, and ROWS AT RISK inside them — the
+    * re-identifiable population). Each QI set is one groupBy shuffle
+    * producing an O(classes) relation the audit folds to one row;
+    * class relations never leave the executor tier. Two QI sets show
+    * the monotonicity every anonymization pipeline relies on:
+    * coarsening the QI (dropping a column) can only grow classes.
+    */
+  val profileKanon: QueryDef = QueryDef.sql(
+    "profile_kanon",
+    """WITH g2 AS (
+      |  SELECT c_nationkey, c_mktsegment, count(*) AS n
+      |  FROM customer GROUP BY 1, 2),
+      |g1 AS (SELECT c_nationkey, count(*) AS n FROM customer GROUP BY 1)
+      |SELECT * FROM (
+      |  SELECT 'nation+segment' AS qi, count(*) AS n_classes,
+      |    min(n) AS k_min,
+      |    count(*) FILTER (n < 5) AS classes_lt5,
+      |    CAST(coalesce(sum(n) FILTER (n < 5), 0) AS BIGINT) AS rows_at_risk
+      |  FROM g2
+      |  UNION ALL
+      |  SELECT 'nation', count(*), min(n),
+      |    count(*) FILTER (n < 5),
+      |    CAST(coalesce(sum(n) FILTER (n < 5), 0) AS BIGINT)
+      |  FROM g1)
+      |ORDER BY qi""".stripMargin) { (s, d) =>
+    def audit(label: String, grouped: org.apache.spark.sql.DataFrame) =
+      grouped.agg(
+        count(lit(1)).as("n_classes"),
+        min(col("n")).as("k_min"),
+        count(when(col("n") < 5, 1)).as("classes_lt5"),
+        coalesce(sum(when(col("n") < 5, col("n"))), lit(0L)).as("rows_at_risk"))
+        .select(lit(label).as("qi"), col("n_classes"), col("k_min"),
+          col("classes_lt5"), col("rows_at_risk"))
+    val c = Tables.customer(s, d)
+    audit("nation+segment",
+        c.groupBy(col("c_nationkey"), col("c_mktsegment")).agg(count(lit(1)).as("n")))
+      .unionAll(audit("nation",
+        c.groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))))
+      .orderBy(col("qi"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     profileStats, profileChecks, profileEquidepth, profileCorr,
     sketchKmvOverlap, sketchKmvDaily, profileDrift, profileFd,
-    profileBenford)
+    profileBenford, profileKanon)
 }

@@ -263,6 +263,48 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_temporal_join: equality-keyed hash join, interval only residual") {
+    val p = plan("q_temporal_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"temporal join degenerated to a non-equality join:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"no keyed join in:\n$p")
+  }
+
+  test("graph_bipartite: customer-key self-join, never cartesian") {
+    val p = plan("graph_bipartite")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 must not global-sort:\n$p")
+  }
+
+  test("graph_walks: every step is an equality join") {
+    val p = plan("graph_walks")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("src_manifest_scan reads only the manifest-selected files") {
+    val df = SparkEntry.queries("src_manifest_scan")(spark, sf)
+    val dataFiles = df.queryExecution.executedPlan.toString
+    // the pruned scan lists fewer than the full layout's file count
+    val files = df.inputFiles.count(_.contains("graft_li_mfdata"))
+    assert(files > 0 && files < graft.sources.SourceOps.ManifestFiles,
+      s"scan reads $files of ${graft.sources.SourceOps.ManifestFiles} files")
+  }
+
+  test("kmeans_silhouette: map-side scoring, one hash exchange") {
+    val p = plan("kmeans_silhouette")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 1, s"expected 1 hash exchange, got $shuffles:\n$p")
+    assert(!p.toLowerCase.contains("udf"))
+  }
+
+  test("pipeline_oversample: factor relation broadcasts, no sort-merge") {
+    val p = plan("pipeline_oversample")
+    assert(p.contains("BroadcastHashJoin"), s"factor join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("Generate explode"), s"no explode fan-out in:\n$p")
+  }
+
   test("native dot product stays inside whole-stage codegen") {
     val e = graft.operators.Similarity.vectors(spark, sf)
     val p = e.select(graft.functions.VectorFunctions

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Curation, EventOps, Graph, KMeans, Profile, RelationalExt, RelationalMore, TimeSeries}
+import graft.operators.{Curation, EventOps, Graph, KMeans, Multimodal, Profile, RelationalExt, RelationalMore, TimeSeries}
 import graft.sources.{SourceOps, Tables}
 
 /** Invariant pins for the round-5 session-3 operators (exact values
@@ -192,6 +192,93 @@ class Round5cOpsSpec extends AnyFunSuite {
     }
     val majority = rows.maxBy(_.getAs[Long]("n_orig"))
     assert(majority.getAs[Long]("factor") == 1, s"majority lang was oversampled")
+  }
+
+  test("graph_ppr: probability-like mass, source-localized") {
+    val ppr = Graph.graphPpr.fn(spark, sf).collect()
+      .map(r => r.get(0).asInstanceOf[Number].longValue ->
+        r.getAs[Double]("rank")).toMap
+    assert(ppr.values.forall(_ >= 0.0))
+    // mass ≤ 1 (dangling nodes leak, never create, mass)
+    assert(ppr.values.sum <= 1.0 + 1e-6, s"mass ${ppr.values.sum} > 1")
+    assert(ppr(0L) > 0.15 - 1e-9, "source lost its own teleport mass")
+    // personalization: differs from the global pagerank ordering
+    val global = Graph.graphPagerank.fn(spark, sf).collect()
+      .map(r => r.get(0).asInstanceOf[Number].longValue ->
+        r.getAs[Double]("rank")).toMap
+    assert(ppr.maxBy(_._2)._1 == 0L || global.maxBy(_._2)._1 != ppr.maxBy(_._2)._1 ||
+      math.abs(ppr.values.sum - global.values.sum) > 1e-9,
+      "ppr is indistinguishable from global pagerank")
+  }
+
+  test("events_features: one row per user, internally consistent") {
+    val rows = EventOps.eventsFeatures.fn(spark, sf).collect()
+    val nUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.length == nUsers)
+    rows.foreach { r =>
+      val typed = r.getAs[Long]("n_click") + r.getAs[Long]("n_view") +
+        r.getAs[Long]("n_purchase")
+      assert(typed <= r.getAs[Long]("n_events"), s"typed counts exceed total: $r")
+      assert(r.getAs[Long]("recency_days") >= 0)
+      assert(r.getAs[Long]("days_active") >= 1)
+    }
+  }
+
+  test("q_movers: descending |delta|, delta consistent with revenues") {
+    val rows = EventOps.qMovers.fn(spark, sf).collect()
+    assert(rows.length == 10)
+    val deltas = rows.map(r => math.abs(r.getAs[Double]("delta")))
+    assert(deltas.zip(deltas.tail).forall { case (a, b) => a >= b - 0.011 },
+      s"movers not |delta|-descending: ${deltas.toSeq}")
+    rows.foreach { r =>
+      val d = BigDecimal(r.getAs[Double]("rev")) - BigDecimal(r.getAs[Double]("prev_rev"))
+      assert((BigDecimal(r.getAs[Double]("delta")) - d).abs < 0.011, s"delta mismatch: $r")
+    }
+  }
+
+  test("profile_kanon: coarsening the QI can only grow classes") {
+    val rows = Profile.profileKanon.fn(spark, sf).collect()
+      .map(r => r.getAs[String]("qi") -> r).toMap
+    val fine = rows("nation+segment"); val coarse = rows("nation")
+    assert(coarse.getAs[Long]("k_min") >= fine.getAs[Long]("k_min"))
+    assert(coarse.getAs[Long]("n_classes") <= fine.getAs[Long]("n_classes"))
+    assert(coarse.getAs[Long]("rows_at_risk") <= fine.getAs[Long]("rows_at_risk"))
+  }
+
+  test("mm_shards: shards contiguous, partition the corpus, budget-bounded") {
+    val rows = Multimodal.mmShards.fn(spark, sf).collect()
+    val shardIds = rows.map(_.getAs[Long]("shard")).toSeq
+    assert(shardIds == (0L until shardIds.length).toSeq, s"gaps in shards: $shardIds")
+    val stats = Tables.documents(spark, sf)
+      .select(length(col("text").cast("binary")).cast("long").as("len"))
+      .agg(count(lit(1)), sum(col("len")), max(col("len"))).collect()(0)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == stats.getLong(0))
+    assert(rows.map(_.getAs[Long]("bytes")).sum == stats.getLong(1))
+    // a doc straddling the boundary is the only way past the budget
+    rows.foreach(r => assert(r.getAs[Long]("bytes") <
+      Multimodal.ShardBytes + stats.getLong(2), s"shard overflows: $r"))
+  }
+
+  test("stream_incremental: run 2 consumes only the delta") {
+    val (out, counts) = graft.streaming.EventStreams.incrementalRuns(spark, sf)
+    val total = Tables.orders(spark, sf).count()
+    assert(counts.length == 2)
+    assert(counts.sum == total, s"runs consumed ${counts.sum} of $total rows")
+    assert(counts(1) > 0 && counts(1) < total,
+      s"run 2 was not incremental: $counts")
+    assert(out.agg(sum(col("n"))).collect()(0).getLong(0) == total)
+  }
+
+  test("events_attribution_linear: credit is conserved") {
+    val rows = EventOps.eventsAttributionLinear.fn(spark, sf).collect()
+    val credited = rows.map(r => BigDecimal(r.getAs[Double]("credited_revenue"))).sum
+    val purchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .agg(sum(col("value"))).collect()(0).getDouble(0)
+    assert((credited - purchases).abs < 0.05,
+      s"credited $credited vs purchase revenue $purchases")
+    assert(rows.map(_.getAs[String]("channel")).contains("direct") ||
+      rows.nonEmpty)
   }
 
   test("src_manifest_scan: the manifest actually prunes the file list") {
