@@ -1306,9 +1306,40 @@ object EventOps {
       .orderBy(col("channel"))
   }
 
+  /** Rate-based bot screening — the ingest-hygiene pass every
+    * clickstream pipeline runs before analytics: a user whose PEAK
+    * hourly event rate reaches the threshold is flagged, and the
+    * readout shows how many users/events each verdict absorbs. Two
+    * chained aggregates (user-hour, then user) over one user-keyed
+    * shuffle; O(2) output. The per-cell threshold is exact integer
+    * comparison, so the verdict is engine-identical.
+    */
+  val eventsBotDetect: QueryDef = QueryDef.sql(
+    "events_bot_detect",
+    """WITH uh AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS h, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |u AS (
+      |  SELECT user_id, max(n) AS peak_rate, CAST(sum(n) AS BIGINT) AS n_events
+      |  FROM uh GROUP BY 1)
+      |SELECT CASE WHEN peak_rate >= 3 THEN 'bot' ELSE 'human' END AS verdict,
+      |  count(*) AS n_users, CAST(sum(n_events) AS BIGINT) AS n_events,
+      |  CAST(max(peak_rate) AS BIGINT) AS max_rate
+      |FROM u GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(max(col("n")).as("peak_rate"), sum(col("n")).as("n_events"))
+      .groupBy(when(col("peak_rate") >= 3, "bot").otherwise("human").as("verdict"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n_events")).as("n_events"),
+        max(col("peak_rate")).as("max_rate"))
+      .orderBy(col("verdict"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     streamLateData, eventsFeatures, qMovers, streamIncremental,
-    eventsAttributionLinear,
+    eventsAttributionLinear, eventsBotDetect,
     eventsHourly, streamHourly, eventsSessions, eventsSessionWindow,
     streamSessions, streamUserStats, streamJoin, streamSinkRoundtrip,
     eventsFunnel, eventsRetention, eventsAnomaly, eventsPaths,

@@ -256,6 +256,85 @@ object SourceOps {
     (dataDir.toString, manDir.toString)
   }
 
+  val GdprBuckets = 16
+
+  /** Build the user-bucketed events layout GDPR deletion operates
+    * on: partition column ub = user_id % GdprBuckets. User-keyed
+    * partitioning is the canonical right-to-be-forgotten layout — a
+    * delete request touches exactly the requester's bucket, not the
+    * whole corpus.
+    */
+  def gdprBuild(s: SparkSession, d: String, root: String): Unit =
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        pmod(col("user_id"), lit(GdprBuckets.toLong)).as("ub"))
+      .write.mode("overwrite").partitionBy("ub").parquet(root)
+
+  /** Apply the deterministic delete request (user_id % 97 == 0) by
+    * DYNAMIC PARTITION OVERWRITE: only the buckets containing a
+    * requester are read back, filtered, and rewritten — every other
+    * partition's files are untouched on disk (pinned in ScalaTest by
+    * mtime). The affected-bucket list is an O(buckets) driver
+    * collect. Affected rows are checkpointed before the overwrite
+    * (read-then-overwrite of the same files); at scale the rewrite
+    * streams to new files under the same partition path, which is
+    * exactly what partitionOverwriteMode=dynamic commits.
+    */
+  def gdprApply(s: SparkSession, root: String): Unit = {
+    val layout = s.read.parquet(root)
+    val affected = layout.filter(col("user_id") % 97 === 0)
+      .select(col("ub")).distinct().collect().map(_.getAs[Number](0).longValue)
+    if (affected.nonEmpty) {
+      val survivors = layout.filter(col("ub").isin(affected.toIndexedSeq: _*))
+        .filter(col("user_id") % 97 =!= 0)
+        .localCheckpoint(eager = true)
+      // dynamic overwrite replaces exactly the partitions present in
+      // the written data — a bucket whose rows ALL belonged to the
+      // requester produces no output partition and would silently
+      // keep its old files (found the hard way at sf0.001, where a
+      // bucket held a single user); such buckets are dropped
+      // explicitly, which is what a lakehouse DELETE's commit does.
+      val nonEmpty = survivors.select(col("ub")).distinct().collect()
+        .map(_.getAs[Number](0).longValue).toSet
+      val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        if (nonEmpty.nonEmpty)
+          survivors.filter(col("ub").isin(nonEmpty.toSeq: _*))
+            .write.mode("overwrite").partitionBy("ub").parquet(root)
+      } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      affected.filterNot(nonEmpty).foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, s"ub=$b"), true)
+      }
+    }
+  }
+
+  private val gdprDone = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Right-to-be-forgotten as a storage operation: see gdprBuild /
+    * gdprApply. The layout+delete run once per process; the audited
+    * readout aggregates the surviving table, oracle = the events
+    * table minus the requesters.
+    */
+  val srcGdprDelete: QueryDef = QueryDef.sql(
+    "src_gdpr_delete",
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+      |FROM events WHERE user_id % 97 <> 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val root = gdprDone.computeIfAbsent(d, { dir =>
+      val p = java.nio.file.Files.createTempDirectory("graft_gdpr").toString
+      gdprBuild(s, dir, p)
+      gdprApply(s, p)
+      p
+    })
+    s.read.parquet(root)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .orderBy(col("event_type"))
+  }
+
   val CompactTargetFiles = 4
 
   /** Small-file compaction — the operational fix for the classic
@@ -489,5 +568,5 @@ object SourceOps {
     srcTextPoints, srcCsvRoundtrip, srcJsonRoundtrip, srcPartitionedScan,
     srcOrcRoundtrip, srcZorderScan, srcCompactSmallFiles, srcSchemaEvolution,
     srcCsvMalformed, srcBinaryFiles, srcIgnoreCorrupt, srcDateDim,
-    srcPointsV2, srcPointsV2Roundtrip, srcManifestScan)
+    srcPointsV2, srcPointsV2Roundtrip, srcManifestScan, srcGdprDelete)
 }

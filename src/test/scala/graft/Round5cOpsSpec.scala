@@ -281,6 +281,51 @@ class Round5cOpsSpec extends AnyFunSuite {
       rows.nonEmpty)
   }
 
+  test("src_gdpr_delete: requester rows gone, untouched buckets not rewritten") {
+    val root = java.nio.file.Files.createTempDirectory("gdpr_test").toString
+    SourceOps.gdprBuild(spark, sf, root)
+    // recursive listing of parquet files -> mtime
+    def list(): Map[String, Long] = {
+      def rec(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(rec) else Seq(f)
+      rec(new java.io.File(root)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> f.lastModified).toMap
+    }
+    val before = list()
+    val rowsBefore = spark.read.parquet(root).count()
+    val affected = spark.read.parquet(root)
+      .filter(col("user_id") % 97 === 0)
+      .select(col("ub")).distinct().collect()
+      .map(_.getAs[Number](0).longValue).toSet
+    SourceOps.gdprApply(spark, root)
+    val after = list()
+    val layout = spark.read.parquet(root)
+    assert(layout.filter(col("user_id") % 97 === 0).count() == 0,
+      "requester rows survived the delete")
+    val deleted = rowsBefore - layout.count()
+    assert(deleted > 0, "nothing was deleted")
+    // untouched buckets: identical files, identical mtimes
+    val untouchedBefore = before.filter { case (p, _) =>
+      !affected.exists(b => p.contains(s"ub=$b/")) }
+    untouchedBefore.foreach { case (p, m) =>
+      assert(after.get(p).contains(m), s"untouched partition rewritten: $p")
+    }
+    // affected buckets: files actually replaced
+    val touchedBefore = before.keySet.filter(p =>
+      affected.exists(b => p.contains(s"ub=$b/")))
+    assert(touchedBefore.exists(p => !after.contains(p)),
+      "no affected-bucket file was replaced")
+  }
+
+  test("events_bot_detect: verdicts partition users, threshold respected") {
+    val rows = EventOps.eventsBotDetect.fn(spark, sf).collect()
+      .map(r => r.getAs[String]("verdict") -> r).toMap
+    val nUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.values.map(_.getAs[Long]("n_users")).sum == nUsers)
+    rows.get("human").foreach(r => assert(r.getAs[Long]("max_rate") < 3))
+    rows.get("bot").foreach(r => assert(r.getAs[Long]("max_rate") >= 3))
+  }
+
   test("src_manifest_scan: the manifest actually prunes the file list") {
     val (_, manDir) = SourceOps.manifestLineitem(spark, sf)
     val man = spark.read.parquet(manDir)
