@@ -1079,6 +1079,66 @@ object Graph {
       .orderBy(col("start"))
   }
 
+  private val SccRounds = 6
+
+  /** Strongly connected components of the DIRECTED trade graph —
+    * graph_cc's directed sibling (u and v in one SCC iff reachable
+    * BOTH ways): fixed-round reachability closure (round = one
+    * equality join frontier⋈edges + distinct, lineage cut every 2),
+    * then scc_id(v) = min over the MUTUAL set {u : v→u ∧ u→v} — one
+    * self-join of the closure on swapped endpoints. Rounds exceed
+    * the graph's directed diameter (closure-reached pinned in
+    * ScalaTest: one more round adds nothing). At scale the closure
+    * relation is the bound — SCC there runs forward/backward
+    * reachability from pivots instead (same join shape, sources
+    * shrink to the pivot set); the bounded nation graph keeps the
+    * oracle exact here.
+    */
+  val graphScc: QueryDef = QueryDef.sql(
+    "graph_scc", {
+      val rounds = (1 to SccRounds).map { i =>
+        s"""r$i AS MATERIALIZED (
+           |  SELECT DISTINCT a, b FROM (
+           |    SELECT a, b FROM r${i - 1}
+           |    UNION ALL
+           |    SELECT r.a, e.dst AS b FROM r${i - 1} r JOIN e ON e.src = r.b))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED ($nationEdgesSql),
+         |v AS (SELECT src AS n FROM e UNION SELECT dst FROM e),
+         |r0 AS MATERIALIZED (SELECT n AS a, n AS b FROM v),
+         |$rounds
+         |SELECT f.a AS node, min(f.b) AS scc_id
+         |FROM r$SccRounds f JOIN r$SccRounds g ON g.a = f.b AND g.b = f.a
+         |GROUP BY f.a ORDER BY node""".stripMargin
+    }) { (s, d) =>
+    val closure = reachClosure(nationEdges(s, d), SccRounds)
+      .localCheckpoint(eager = true)
+    closure.as("f")
+      .join(closure.as("g"),
+        col("g.a") === col("f.b") && col("g.b") === col("f.a"))
+      .groupBy(col("f.a").as("node"))
+      .agg(min(col("f.b")).as("scc_id"))
+      .orderBy(col("node"))
+  }
+
+  /** Fixed-round directed reachability closure over an edge relation:
+    * pairs (a, b) with a path a→b of length ≤ rounds (plus a→a).
+    */
+  def reachClosure(edges: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().cache()
+    val v = e.select(col("src").as("n"))
+      .union(e.select(col("dst").as("n"))).distinct()
+    var reach = v.select(col("n").as("a"), col("n").as("b"))
+    for (i <- 1 to rounds) {
+      reach = reach
+        .unionAll(reach.join(e, col("b") === col("src"))
+          .select(col("a"), col("dst").as("b")))
+        .distinct()
+      if (i % 2 == 0 && i < rounds) reach = reach.localCheckpoint(eager = true)
+    }
+    reach
+  }
+
   private val BrandesDepth = 4
 
   /** Exact betweenness centrality by Brandes' algorithm (2001) —
@@ -1193,5 +1253,6 @@ object Graph {
     graphDegree, graphPagerank, graphTriangles, graphBfs, graphLabelprop,
     graphJaccard, graphCloseness, graphKcore, graphMst, graphSssp, graphCc,
     graphHits, graphAssortativity, graphModularity, graphClusteringCoeff,
-    graph2hop, graphBipartite, graphWalks, graphBetweenness, graphPpr)
+    graph2hop, graphBipartite, graphWalks, graphBetweenness, graphPpr,
+    graphScc)
 }

@@ -521,9 +521,32 @@ object RelationalMore {
       .orderBy(col("mo"))
   }
 
+  /** Exact-decimal money aggregation — the financial-reporting
+    * contract double arithmetic can't give: every price is cast to
+    * DECIMAL(18,2) at the scan and summed in exact scaled-integer
+    * arithmetic (Spark's Decimal sum, DuckDB's HUGEINT-backed
+    * decimal), so the totals carry NO float summation-order noise —
+    * any partitioning, any engine, the same cents. Emitted as
+    * strings ("…X.XX") because the exact textual value IS the
+    * deliverable; one scan, O(priorities) output.
+    */
+  val qDecimalAgg: QueryDef = QueryDef.sql(
+    "q_decimal_agg",
+    """SELECT o_orderpriority, count(*) AS n,
+      |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+      |    AS VARCHAR) AS total_exact
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("decimal(18,2)").cast("string").as("total_exact"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     qLateralTopk, qStringAgg, qMode, qHllPartitioned, qNativeTopk,
     qTopkRewrite, qPercentRank, qRecursiveChain, qUnpivot, qWinsorized,
     qTwophaseDistinct, qCrosstab, qGroupingId, qWeightedSample,
-    qHistogramEquiwidth, qGrowthAccounting, qIncrementalAgg)
+    qHistogramEquiwidth, qGrowthAccounting, qIncrementalAgg, qDecimalAgg)
 }

@@ -65,6 +65,37 @@ object TextAnalysis {
       |      + 0.4 * (CAST(alpha_chars AS DOUBLE) / n_chars)
       |      + 0.3 * (1 - CAST(n_stops AS DOUBLE) / n_tokens), 4)""".stripMargin
 
+  /** Sequence-length planning profile — the readout a training run
+    * consults before fixing context length and packing strategy: per
+    * source, doc count, exact median/p90/max token counts, and how
+    * many docs exceed the candidate 64-token context (those must
+    * chunk — text_chunks — or truncate). One map-side token count
+    * (codegen'd regexp_count) into an O(sources) aggregate; exact
+    * percentile ↔ quantile_cont parity as q_median.
+    */
+  val textSeqLenProfile: QueryDef = QueryDef.sql(
+    "text_seq_len_profile",
+    """WITH t AS (
+      |  SELECT source,
+      |    CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n
+      |  FROM documents)
+      |SELECT source, count(*) AS n_docs,
+      |  round(quantile_cont(n, 0.5), 2) AS p50_tokens,
+      |  round(quantile_cont(n, 0.9), 2) AS p90_tokens,
+      |  max(n) AS max_tokens,
+      |  count(*) FILTER (n > 64) AS n_over_ctx
+      |FROM t GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("source"), tokenCount(col("text")).cast("long").as("n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(expr("percentile(n, 0.5)"), 2).as("p50_tokens"),
+        round(expr("percentile(n, 0.9)"), 2).as("p90_tokens"),
+        max(col("n")).as("max_tokens"),
+        count(when(col("n") > 64, 1)).as("n_over_ctx"))
+      .orderBy(col("source"))
+  }
+
   val textTokens: QueryDef = QueryDef.sql(
     "text_tokens",
     """SELECT doc_id,
@@ -901,5 +932,6 @@ object TextAnalysis {
     textBpeTokens, textBpeMerged, textTfidf, textLangidEval, textRepetition,
     textRedact, textCmsFreq, textChunks, textChunkDedup, textLmScore,
     textWinnow, textEntropy, textTtr, textNovelty, textPerplexityBucket,
-    textZipf, textReadability, textCollocations, textCodeDetect)
+    textZipf, textReadability, textCollocations, textCodeDetect,
+    textSeqLenProfile)
 }

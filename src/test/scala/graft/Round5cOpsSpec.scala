@@ -326,6 +326,54 @@ class Round5cOpsSpec extends AnyFunSuite {
     rows.get("bot").foreach(r => assert(r.getAs[Long]("max_rate") >= 3))
   }
 
+  test("graph_scc: rounds reach closure, scc is an equivalence partition") {
+    val e = Graph.nationEdges(spark, sf)
+    val c6 = Graph.reachClosure(e, 6).collect()
+      .map(r => (r.get(0).asInstanceOf[Number].longValue,
+        r.get(1).asInstanceOf[Number].longValue)).toSet
+    val c7 = Graph.reachClosure(e, 7).collect()
+      .map(r => (r.get(0).asInstanceOf[Number].longValue,
+        r.get(1).asInstanceOf[Number].longValue)).toSet
+    assert(c6 == c7, "one more round changed the closure - rounds too few")
+    val scc = Graph.graphScc.fn(spark, sf).collect()
+      .map(r => r.get(0).asInstanceOf[Number].longValue ->
+        r.get(1).asInstanceOf[Number].longValue).toMap
+    // equivalence: every member of a component reports the same id,
+    // and the id is a member that reaches back (mutual by def)
+    scc.groupBy(_._2).foreach { case (id, members) =>
+      assert(scc(id) == id, s"scc id $id does not name itself")
+      members.keys.foreach { v =>
+        assert(c6.contains((v, id)) && c6.contains((id, v)),
+          s"$v and its scc id $id are not mutually reachable")
+      }
+    }
+  }
+
+  test("q_decimal_agg: totals are exact to the cent") {
+    val rows = RelationalMore.qDecimalAgg.fn(spark, sf).collect()
+    val expected = Tables.orders(spark, sf)
+      .select(col("o_orderpriority"), col("o_totalprice")).collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(r => BigDecimal(r.getDouble(1))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum).toMap
+    rows.foreach { r =>
+      val got = BigDecimal(r.getAs[String]("total_exact"))
+      val exp = expected(r.getAs[String]("o_orderpriority"))
+      assert(got == exp, s"decimal total drifted: $got vs $exp")
+    }
+  }
+
+  test("text_seq_len_profile: ordered percentiles, bounded over-context") {
+    val rows = graft.operators.TextAnalysis.textSeqLenProfile.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p50, p90) = (r.getAs[Double]("p50_tokens"), r.getAs[Double]("p90_tokens"))
+      assert(p50 <= p90 && p90 <= r.getAs[Long]("max_tokens").toDouble,
+        s"percentiles out of order: $r")
+      assert(r.getAs[Long]("n_over_ctx") <= r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("src_manifest_scan: the manifest actually prunes the file list") {
     val (_, manDir) = SourceOps.manifestLineitem(spark, sf)
     val man = spark.read.parquet(manDir)
