@@ -113,6 +113,37 @@ object Linkage {
       .limit(500)
   }
 
+  /** Association rules from the frequent itemsets — the actionable
+    * half of basket mining ("customers who bought X also buy Y"):
+    * FP-Growth's rule generation, confidence = freq(A∪B)/freq(A),
+    * lift = confidence/support(B). Top-100 by (confidence, lift,
+    * antecedent, consequent) — a total order, so the cut is
+    * deterministic even where confidences tie. Rows-only (the rule
+    * scores are ratios of exact counts, but the itemset model is
+    * MLlib-internal); bounds + a directly recounted
+    * confidence-spot-check pinned in ScalaTest.
+    */
+  val miningAssoc: QueryDef = QueryDef.rowsOnly("mining_assoc") { (s, d) =>
+    import org.apache.spark.ml.fpm.FPGrowth
+    val baskets = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("items"))
+    val nBaskets = baskets.count()
+    val model = new FPGrowth()
+      .setItemsCol("items").setMinSupport((3.0 - 0.5) / nBaskets)
+      .setMinConfidence(0.3)
+      .fit(baskets)
+    model.associationRules
+      .select(
+        concat_ws(",", array_sort(col("antecedent"))).as("antecedent"),
+        concat_ws(",", array_sort(col("consequent"))).as("consequent"),
+        round(col("confidence"), 6).as("confidence"),
+        round(col("lift"), 4).as("lift"))
+      .orderBy(col("confidence").desc, col("lift").desc,
+        col("antecedent"), col("consequent"))
+      .limit(100)
+  }
+
   /** Collaborative-filtering recommendations by implicit-feedback
     * ALS (Hu/Koren/Volinsky 2008; MLlib's block-partitioned
     * implementation — users and items are hash-blocked and each
@@ -209,5 +240,5 @@ object Linkage {
   }
 
   val all: Seq[QueryDef] = Seq(qCopurchase, qFuzzyJoin, miningFpgrowth, miningAls,
-    miningPrefixspan)
+    miningPrefixspan, miningAssoc)
 }

@@ -666,6 +666,47 @@ object RelationalExt {
       .orderBy(col("is_current"))
   }
 
+  /** Changelog compaction — the read-side materialization of a CDC
+    * upsert stream (the Kafka-compacted-topic / Delta MERGE input
+    * shape): a deterministic 3-version-per-key changelog (every 10th
+    * order; version 3 is a DELETE for every 50th) compacts to the
+    * LATEST version per key via max_by(…, seq) — one key-shuffle
+    * aggregate, no window sort, O(keys) state regardless of
+    * changelog length (the streaming analogue keeps exactly this
+    * per-key state) — then drops tombstones. The readout audits
+    * live/deleted counts and the surviving total.
+    */
+  val qCdcCompact: QueryDef = QueryDef.sql(
+    "q_cdc_compact",
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, round(o_totalprice, 2) AS p
+      |  FROM orders WHERE o_orderkey % 10 = 0),
+      |log AS (
+      |  SELECT k, v AS seq, round(p + 100 * v, 2) AS price,
+      |    CASE WHEN v = 3 AND k % 50 = 0 THEN 'D' ELSE 'U' END AS op
+      |  FROM base, UNNEST(generate_series(1, 3)) AS t(v)),
+      |latest AS (
+      |  SELECT k, max_by(op, seq) AS op, max_by(price, seq) AS price
+      |  FROM log GROUP BY k)
+      |SELECT count(*) FILTER (op = 'U') AS n_live,
+      |  count(*) FILTER (op = 'D') AS n_deleted,
+      |  round(sum(price) FILTER (op = 'U'), 2) AS total_live
+      |FROM latest""".stripMargin) { (s, d) =>
+    val base = Tables.orders(s, d).filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey").as("k"), round(col("o_totalprice"), 2).as("p"))
+    val log = base
+      .withColumn("seq", explode(sequence(lit(1), lit(3))))
+      .select(col("k"), col("seq"),
+        round(col("p") + lit(100) * col("seq"), 2).as("price"),
+        when(col("seq") === 3 && col("k") % 50 === 0, "D").otherwise("U").as("op"))
+    log.groupBy(col("k"))
+      .agg(expr("max_by(op, seq)").as("op"), expr("max_by(price, seq)").as("price"))
+      .agg(
+        count(when(col("op") === "U", 1)).as("n_live"),
+        count(when(col("op") === "D", 1)).as("n_deleted"),
+        round(sum(when(col("op") === "U", col("price"))), 2).as("total_live"))
+  }
+
   val BloomFpp = 0.01
 
   /** Distributed Bloom-filter build over the (filtered) dim keys:
@@ -843,5 +884,5 @@ object RelationalExt {
     qIntersect, qExcept, qCube, qMedian, qSkewStats, qOrderGaps,
     qCorrelatedScalar, qGroupingSets, qRangeFrame, qNtile, qIntervalJoin,
     qMergeUpsert, qDppJoin, qScd2, qBloomJoin, qSnapshotDiff,
-    qShuffleHashJoin, qPitSnapshot, qTemporalJoin)
+    qShuffleHashJoin, qPitSnapshot, qTemporalJoin, qCdcCompact)
 }

@@ -374,6 +374,38 @@ class Round5cOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_cdc_compact: tombstones and live keys partition the changelog") {
+    val r = RelationalExt.qCdcCompact.fn(spark, sf).collect()(0)
+    val keys = Tables.orders(spark, sf)
+      .filter(col("o_orderkey") % 10 === 0)
+      .select("o_orderkey").distinct().collect().map(_.getLong(0))
+    assert(r.getAs[Long]("n_live") + r.getAs[Long]("n_deleted") == keys.length)
+    assert(r.getAs[Long]("n_deleted") == keys.count(_ % 50 == 0))
+  }
+
+  test("mining_assoc: rules exist, confidence recounts from the baskets") {
+    val rules = graft.operators.Linkage.miningAssoc.fn(spark, sf).collect()
+    assert(rules.nonEmpty, "no association rules at min confidence")
+    rules.foreach { r =>
+      val c = r.getAs[Double]("confidence")
+      assert(c > 0.0 && c <= 1.0, s"confidence out of range: $r")
+      assert(r.getAs[Double]("lift") > 0.0)
+    }
+    // spot-check the top rule's confidence against a direct recount
+    val top = rules.head
+    val ante = top.getAs[String]("antecedent").split(",").map(_.toLong).toSet
+    val cons = top.getAs[String]("consequent").split(",").map(_.toLong).toSet
+    val baskets = Tables.lineitem(spark, sf)
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("items"))
+      .collect().map(_.getSeq[Long](1).toSet)
+    val nAnte = baskets.count(b => ante.subsetOf(b))
+    val nBoth = baskets.count(b => (ante ++ cons).subsetOf(b))
+    assert(nAnte > 0)
+    assert(math.abs(top.getAs[Double]("confidence") - nBoth.toDouble / nAnte) < 1e-4,
+      s"confidence ${top.getAs[Double]("confidence")} != $nBoth/$nAnte")
+  }
+
   test("src_manifest_scan: the manifest actually prunes the file list") {
     val (_, manDir) = SourceOps.manifestLineitem(spark, sf)
     val man = spark.read.parquet(manDir)
