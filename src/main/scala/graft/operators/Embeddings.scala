@@ -200,6 +200,59 @@ object Embeddings {
       .orderBy(col("dim"))
   }
 
+  /** Matryoshka truncation evaluation (Kusupati et al. 2022): how
+    * much ANN quality survives keeping only the first d dimensions —
+    * the memory/recall dial MRL-trained embeddings expose. For d ∈
+    * {8, 16, 32, 64}: exact cosine top-10 under the truncated prefix
+    * (slice() — codegen'd, no UDF), overlap counted against the
+    * full-dimension top-10. Rankings use the ROUNDED similarity +
+    * vec_id tie-break (the ann_bruteforce parity convention), so
+    * both engines cut identical top-10 sets. The readout tells a
+    * pipeline which prefix length is safe to store: at 100 TB,
+    * storing 16 of 64 dims is a 4× index-size cut, and this is the
+    * query that justifies it.
+    */
+  val embMatryoshka: QueryDef = QueryDef.sql(
+    "emb_matryoshka", {
+      val dims = Seq(8, 16, 32, 64)
+      val ctes = dims.map { dd =>
+        s"""t$dd AS (
+           |  SELECT vec_id FROM (
+           |    SELECT vec_id,
+           |      round(list_dot_product(v[1:$dd], qv[1:$dd])
+           |        / (sqrt(list_dot_product(v[1:$dd], v[1:$dd]))
+           |           * sqrt(list_dot_product(qv[1:$dd], qv[1:$dd]))), 4) AS c
+           |    FROM e CROSS JOIN q WHERE vec_id <> 0
+           |    ORDER BY c DESC, vec_id LIMIT 10))""".stripMargin
+      }.mkString(",\n")
+      val rows = dims.map(dd =>
+        s"SELECT $dd AS dim, (SELECT count(*) FROM t$dd WHERE vec_id IN (SELECT vec_id FROM t64)) AS overlap_full")
+        .mkString(" UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |$ctes
+         |SELECT dim, overlap_full FROM ($rows) ORDER BY dim""".stripMargin
+    }) { (s, d) =>
+    import s.implicits._
+    val e = Similarity.vectors(s, d)
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    def top10(dd: Int): Set[Long] = {
+      val v = slice(col("v"), 1, dd); val qv = slice(col("qv"), 1, dd)
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(Similarity.dot(v, qv) /
+            (sqrt(Similarity.dot(v, v)) * sqrt(Similarity.dot(qv, qv))), 4).as("c"))
+        .orderBy(col("c").desc, col("vec_id"))
+        .limit(10).select("vec_id").collect().map(_.getLong(0)).toSet
+    }
+    val full = top10(64)
+    Seq(8, 16, 32, 64)
+      .map(dd => (dd.toLong, (top10(dd) & full).size.toLong))
+      .toDF("dim", "overlap_full")
+      .orderBy(col("dim"))
+  }
+
   val all: Seq[QueryDef] = Seq(embPca, embCluster, embRandomProjection,
-    embDimStats)
+    embDimStats, embMatryoshka)
 }

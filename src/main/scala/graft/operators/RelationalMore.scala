@@ -544,9 +544,50 @@ object RelationalMore {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Nested-data computation via HIGHER-ORDER FUNCTIONS — the
+    * Spark-first way to work denormalized: lineitems nest into a
+    * per-order array<struct> once (one shuffle), and the per-order
+    * metrics run INSIDE the array with codegen'd lambda expressions
+    * (size, aggregate() fold for the item-revenue total) — no
+    * re-explode, no UDF, no second shuffle. This is the document
+    * model every nested-parquet/JSON warehouse stores, computed the
+    * way Catalyst wants it. Oracle = the equivalent flat SQL: the
+    * nest/compute/unnest roundtrip must lose nothing.
+    */
+  val qNestedHof: QueryDef = QueryDef.sql(
+    "q_nested_hof",
+    """WITH li AS (
+      |  SELECT l_orderkey, count(*) AS ni,
+      |    sum(l_quantity * l_extendedprice) AS tot
+      |  FROM lineitem GROUP BY 1)
+      |SELECT o_orderpriority, count(*) AS n_orders,
+      |  round(avg(ni), 2) AS avg_items,
+      |  round(sum(tot), 2) AS total_item_rev
+      |FROM li JOIN orders ON o_orderkey = l_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val nested = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(collect_list(struct(col("l_quantity").as("q"),
+        col("l_extendedprice").as("p"))).as("items"))
+    val perOrder = nested.select(
+      col("l_orderkey"),
+      size(col("items")).as("ni"),
+      aggregate(col("items"), lit(0.0),
+        (acc, x) => acc + x.getField("q") * x.getField("p")).as("tot"))
+    perOrder
+      .join(Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(avg(col("ni")), 2).as("avg_items"),
+        round(sum(col("tot")), 2).as("total_item_rev"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     qLateralTopk, qStringAgg, qMode, qHllPartitioned, qNativeTopk,
     qTopkRewrite, qPercentRank, qRecursiveChain, qUnpivot, qWinsorized,
     qTwophaseDistinct, qCrosstab, qGroupingId, qWeightedSample,
-    qHistogramEquiwidth, qGrowthAccounting, qIncrementalAgg, qDecimalAgg)
+    qHistogramEquiwidth, qGrowthAccounting, qIncrementalAgg, qDecimalAgg,
+    qNestedHof)
 }

@@ -406,6 +406,30 @@ class Round5cOpsSpec extends AnyFunSuite {
       s"confidence ${top.getAs[Double]("confidence")} != $nBoth/$nAnte")
   }
 
+  test("emb_matryoshka: full dim overlaps itself, all overlaps bounded") {
+    val rows = graft.operators.Embeddings.embMatryoshka.fn(spark, sf).collect()
+      .map(r => r.getAs[Long]("dim") -> r.getAs[Long]("overlap_full")).toMap
+    assert(rows.keySet == Set(8L, 16L, 32L, 64L))
+    assert(rows(64L) == 10L, "full-dim top-10 must overlap itself completely")
+    rows.values.foreach(o => assert(o >= 0 && o <= 10))
+  }
+
+  test("q_nested_hof: nested HOF computation equals the flat recompute") {
+    val nested = RelationalMore.qNestedHof.fn(spark, sf).collect().toSeq
+    val flat = Tables.lineitem(spark, sf)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("ni"),
+        sum(col("l_quantity") * col("l_extendedprice")).as("tot"))
+      .join(Tables.orders(spark, sf).select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(avg(col("ni")), 2).as("avg_items"),
+        round(sum(col("tot")), 2).as("total_item_rev"))
+      .orderBy(col("o_orderpriority")).collect().toSeq
+    assert(nested == flat)
+  }
+
   test("src_manifest_scan: the manifest actually prunes the file list") {
     val (_, manDir) = SourceOps.manifestLineitem(spark, sf)
     val man = spark.read.parquet(manDir)
