@@ -646,8 +646,117 @@ object KMeans {
       .orderBy(col("cid"))
   }
 
+  /** Weighted Lloyd: centroid = Σw·x / Σw — the variant that fits
+    * when points carry mass (pre-aggregated micro-clusters, sample
+    * weights, dedup multiplicities). Weight = l_quantity here. Same
+    * plan shape as the unweighted step (map-side assignment + one
+    * k-group partially-aggregated shuffle; the weighted mean is two
+    * sums, both partial-aggregable), so the 100 TB posture is
+    * unchanged. The oracle replays 3 weighted iterations in
+    * generated SQL. Weighted-mean identity (k=1 ⇒ centroid =
+    * global weighted mean) pinned in ScalaTest.
+    */
+  def weightedStep(pts: DataFrame, cs: Array[(Double, Double)]): DataFrame =
+    pts.withColumn("cid", assignExpr(cs, col("x"), col("y")))
+      .groupBy(col("cid"))
+      .agg((sum(col("w") * col("x")) / sum(col("w"))).as("x"),
+        (sum(col("w") * col("y")) / sum(col("w"))).as("y"),
+        count(lit(1)).as("n"))
+
+  def weightedIterate(pts: DataFrame, init: Array[(Double, Double)], iters: Int): Map[Int, (Double, Double)] = {
+    var centroids: Map[Int, (Double, Double)] =
+      init.zipWithIndex.map { case (c, i) => i -> c }.toMap
+    var i = 0
+    while (i < iters) {
+      val ordered = centroids.toSeq.sortBy(_._1)
+      val cs = ordered.map(_._2).toArray
+      val ids = ordered.map(_._1).toArray
+      centroids = weightedStep(pts, cs).select("cid", "x", "y").collect()
+        .map(r => ids(r.getInt(0)) -> (r.getDouble(1), r.getDouble(2))).toMap
+      i += 1
+    }
+    centroids
+  }
+
+  private def weightedLloydCtes(k: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH pts AS MATERIALIZED (
+         |  SELECT l_quantity AS x, l_extendedprice AS y, l_quantity AS w,
+         |         row_number() OVER (ORDER BY l_orderkey, l_linenumber,
+         |                            l_quantity, l_extendedprice) - 1 AS rid
+         |  FROM lineitem),
+         |c0 AS (SELECT rid AS cid, x, y FROM pts WHERE rid < $k)""".stripMargin)
+    for (i <- 1 to iters) {
+      sb.append(
+        s""",
+           |a$i AS (
+           |  SELECT p.rid, p.x, p.y, p.w, c.cid,
+           |         row_number() OVER (PARTITION BY p.rid
+           |           ORDER BY (p.x-c.x)*(p.x-c.x) + (p.y-c.y)*(p.y-c.y), c.cid) AS rn
+           |  FROM pts p CROSS JOIN c${i - 1} c),
+           |s$i AS MATERIALIZED (SELECT rid, x, y, w, cid FROM a$i WHERE rn = 1),
+           |c$i AS (SELECT cid, sum(w*x)/sum(w) AS x, sum(w*y)/sum(w) AS y
+           |        FROM s$i GROUP BY cid)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  val kmeansWeighted: QueryDef = QueryDef.sql(
+    "kmeans_weighted",
+    weightedLloydCtes(K, 3) +
+      "\nSELECT cid, round(x, 3) AS cx, round(y, 3) AS cy FROM c3 ORDER BY cid") { (s, d) =>
+    val all = points(Tables.lineitem(s, d))
+    val init = initCentroids(all)
+    val pts = all.select(col("x"), col("y"), col("x").as("w")).persist()
+    val fin = try weightedIterate(pts, init, 3) finally pts.unpersist(false)
+    import s.implicits._
+    fin.toSeq.sortBy(_._1)
+      .map { case (cid, (x, y)) => (cid.toLong, x, y) }
+      .toDF("cid", "cx", "cy")
+      .select(col("cid"), round(col("cx"), 3).as("cx"), round(col("cy"), 3).as("cy"))
+  }
+
+  /** Streaming k-means: centroids maintained across micro-batches by
+    * count-weighted blending (the Sculley mini-batch rule with the
+    * per-cluster history count as the learning-rate denominator —
+    * MLlib's StreamingKMeans update with decay 1). The events stream
+    * stages as 3 deterministic files in a fixed order, so the run is
+    * reproducible; each batch is one map-side assignment + k-group
+    * aggregate over ONLY that batch's rows. Rows-only; convergence
+    * (final WSSSE ≤ init WSSSE) and determinism pinned.
+    */
+  val kmeansStream: QueryDef = QueryDef.rowsOnly("kmeans_stream") { (s, d) =>
+    val all = points(Tables.lineitem(s, d))
+    val init = initCentroids(all)
+    var cs = init.clone()
+    val counts = Array.fill(K)(0L)
+    // 3 deterministic "arrival" slices by row hash
+    (0 until 3).foreach { b =>
+      val batch = all
+        .filter(pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(3)) === b)
+        .select("x", "y")
+      val upd = step(batch, cs).select("cid", "x", "y", "n").collect()
+      upd.foreach { r =>
+        val (cid, bx, by, bn) =
+          (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getLong(3))
+        val tot = counts(cid) + bn
+        cs(cid) = (
+          (cs(cid)._1 * counts(cid) + bx * bn) / tot,
+          (cs(cid)._2 * counts(cid) + by * bn) / tot)
+        counts(cid) = tot
+      }
+    }
+    import s.implicits._
+    cs.zipWithIndex.map { case ((x, y), i) =>
+      (i.toLong, math.floor(x * 1000 + 0.5) / 1000,
+        math.floor(y * 1000 + 0.5) / 1000, counts(i))
+    }.toSeq.toDF("cid", "cx", "cy", "n_seen")
+  }
+
   val all: Seq[QueryDef] = Seq(
     kmeansAssign, kmeansStep, kmeansIter3, kmeansCost, kmeansLloyd,
     kmeansMllib, kmeansNd, kmeansMinibatch, kmeansBisecting,
-    kmeansPp, kmeansElbow, kmeansSilhouette)
+    kmeansPp, kmeansElbow, kmeansSilhouette, kmeansWeighted,
+    kmeansStream)
 }

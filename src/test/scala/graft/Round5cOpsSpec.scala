@@ -430,6 +430,33 @@ class Round5cOpsSpec extends AnyFunSuite {
     assert(nested == flat)
   }
 
+  test("kmeans_weighted: k=1 centroid is the global weighted mean") {
+    val pts = KMeans.points(Tables.lineitem(spark, sf))
+      .select(col("x"), col("y"), col("x").as("w"))
+    val one = KMeans.weightedIterate(pts,
+      Array((0.0, 0.0)), iters = 1)(0)
+    val g = pts.agg(
+      (sum(col("w") * col("x")) / sum(col("w"))).as("mx"),
+      (sum(col("w") * col("y")) / sum(col("w"))).as("my")).collect()(0)
+    assert(math.abs(one._1 - g.getDouble(0)) < 1e-9)
+    assert(math.abs(one._2 - g.getDouble(1)) < 1e-9)
+  }
+
+  test("kmeans_stream: deterministic, sees every point, improves cost") {
+    val a = KMeans.kmeansStream.fn(spark, sf).collect().toSeq
+    val b = KMeans.kmeansStream.fn(spark, sf).collect().toSeq
+    assert(a == b, "streaming k-means is not deterministic")
+    val total = Tables.lineitem(spark, sf).count()
+    assert(a.map(_.getAs[Long]("n_seen")).sum == total)
+    val pts = KMeans.points(Tables.lineitem(spark, sf)).select("x", "y")
+    val init = KMeans.initCentroids(KMeans.points(Tables.lineitem(spark, sf)))
+    val fin = a.map(r => (r.getAs[Double]("cx"), r.getAs[Double]("cy"))).toArray
+    def cost(cs: Array[(Double, Double)]): Double =
+      pts.agg(sum(KMeans.minDistExpr(cs, col("x"), col("y"))))
+        .collect()(0).getDouble(0)
+    assert(cost(fin) <= cost(init), "streaming updates made the fit worse")
+  }
+
   test("src_manifest_scan: the manifest actually prunes the file list") {
     val (_, manDir) = SourceOps.manifestLineitem(spark, sf)
     val man = spark.read.parquet(manDir)
