@@ -882,7 +882,51 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Policy-driven survivor selection: within each exact-duplicate
+    * group, keep the RICHEST copy (longest text, then lowest doc_id)
+    * instead of dedup_exact's lowest-id default — the survivorship
+    * rule real curation uses when near-identical copies differ in
+    * completeness (one has the full article, another a truncation
+    * that normalizes equal after whitespace collapse would not — but
+    * trailing metadata variants do). One fingerprint-keyed shuffle;
+    * the ranked pick is max_by over a (n_chars, −doc_id) struct —
+    * an aggregate, not a window sort. Emits only multi-member
+    * groups; total order so both engines cut identically.
+    */
+  /** Survivor pick per fingerprint group — exposed for the planted-
+    * duplicate policy test. Input needs (doc_id, n_chars, fp).
+    */
+  def bestSurvivors(byFp: DataFrame): DataFrame =
+    byFp.groupBy(col("fp"))
+      .agg(
+        expr("max_by(doc_id, struct(n_chars, -doc_id))").as("survivor_id"),
+        count(lit(1)).as("n_members"),
+        max(col("n_chars")).as("survivor_chars"))
+      .select(col("survivor_id"), col("n_members"), col("survivor_chars"))
+
+  val dedupBestSurvivor: QueryDef = QueryDef.sql(
+    "dedup_best_survivor",
+    """WITH g AS (
+      |  SELECT doc_id, n_chars,
+      |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |  FROM documents),
+      |r AS (
+      |  SELECT fp, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY fp
+      |      ORDER BY n_chars DESC, doc_id) AS rk,
+      |    count(*) OVER (PARTITION BY fp) AS n_members
+      |  FROM g)
+      |SELECT doc_id AS survivor_id, n_members,
+      |  CAST(n_chars AS BIGINT) AS survivor_chars
+      |FROM r WHERE rk = 1
+      |ORDER BY survivor_id""".stripMargin) { (s, d) =>
+    bestSurvivors(Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), md5(norm(col("text"))).as("fp")))
+      .orderBy(col("survivor_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
+    dedupBestSurvivor,
     dedupExact, dedupExactNfc, dedupStats, dedupNgram, dedupContainment,
     dedupMinhash,
     dedupSimhash, dedupEmbedding, streamDedup, dedupGroups, dedupNearCorpus,

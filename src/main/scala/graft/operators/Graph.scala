@@ -1079,6 +1079,34 @@ object Graph {
       .orderBy(col("start"))
   }
 
+  /** Directed reciprocity — the share of directed edges whose
+    * reverse edge also exists (do nations that sell to X also buy
+    * from X?): one equality self-join of the deduped directed edge
+    * set against its swapped self, two counts, one ratio. Self-loops
+    * excluded (trivially reciprocal). O(|E|) work, O(1) output.
+    */
+  val graphReciprocity: QueryDef = QueryDef.sql(
+    "graph_reciprocity",
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT src, dst FROM ($nationEdgesSql) WHERE src <> dst)
+       |SELECT count(*) AS n_edges,
+       |  (SELECT count(*) FROM e a JOIN e b
+       |   ON b.src = a.dst AND b.dst = a.src) AS n_reciprocal,
+       |  floor((SELECT count(*) FROM e a JOIN e b
+       |         ON b.src = a.dst AND b.dst = a.src) * 1.0 / count(*)
+       |        * 1000000 + 0.5) / 1000000 AS reciprocity
+       |FROM e""".stripMargin) { (s, d) =>
+    val e = nationEdges(s, d).filter(col("src") =!= col("dst")).cache()
+    val rec = e.as("a")
+      .join(e.as("b"),
+        col("b.src") === col("a.dst") && col("b.dst") === col("a.src"))
+      .count()
+    val n = e.count()
+    import s.implicits._
+    Seq((n, rec, math.floor(rec * 1.0 / n * 1000000 + 0.5) / 1000000))
+      .toDF("n_edges", "n_reciprocal", "reciprocity")
+  }
+
   private val SccRounds = 6
 
   /** Strongly connected components of the DIRECTED trade graph —
@@ -1254,5 +1282,5 @@ object Graph {
     graphJaccard, graphCloseness, graphKcore, graphMst, graphSssp, graphCc,
     graphHits, graphAssortativity, graphModularity, graphClusteringCoeff,
     graph2hop, graphBipartite, graphWalks, graphBetweenness, graphPpr,
-    graphScc)
+    graphScc, graphReciprocity)
 }

@@ -62,6 +62,61 @@ object RelationalExt {
       .orderBy(col("purchase_id"))
   }
 
+  /** Nearest-event join — the bidirectional as-of: each purchase
+    * pairs with the temporally NEAREST click (before or after, ties
+    * to the earlier side), the enrichment mode sensor/trace pipelines
+    * need when causality can run either way. Same single user_id
+    * shuffle as q_asof_join: one backward ignore-nulls window + one
+    * forward one, nearest picked by exact integer-µs comparison —
+    * never a range self-join.
+    */
+  val qAsofNearest: QueryDef = QueryDef.sql(
+    "q_asof_nearest",
+    """WITH ec AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+      |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_id,
+      |    last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_us,
+      |    first_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_id,
+      |    first_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_us
+      |  FROM events WHERE event_type IN ('click', 'purchase'))
+      |SELECT event_id AS purchase_id, user_id,
+      |  CASE WHEN prev_id IS NULL THEN next_id
+      |       WHEN next_id IS NULL THEN prev_id
+      |       WHEN us - prev_us <= next_us - us THEN prev_id
+      |       ELSE next_id END AS nearest_click_id
+      |FROM ec WHERE event_type = 'purchase'
+      |ORDER BY purchase_id""".stripMargin) { (s, d) =>
+    val wb = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wf = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val clickId = when(col("event_type") === "click", col("event_id"))
+    val clickUs = when(col("event_type") === "click", unix_micros(col("ts")))
+    Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_id", last(clickId, ignoreNulls = true).over(wb))
+      .withColumn("prev_us", last(clickUs, ignoreNulls = true).over(wb))
+      .withColumn("next_id", first(clickId, ignoreNulls = true).over(wf))
+      .withColumn("next_us", first(clickUs, ignoreNulls = true).over(wf))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        when(col("prev_id").isNull, col("next_id"))
+          .when(col("next_id").isNull, col("prev_id"))
+          .when(col("us") - col("prev_us") <= col("next_us") - col("us"),
+            col("prev_id"))
+          .otherwise(col("next_id")).as("nearest_click_id"))
+      .orderBy(col("purchase_id"))
+  }
+
   val SkewSalts = 8
 
   /** Skew-salted join: the fact side salts deterministically, the
@@ -884,5 +939,6 @@ object RelationalExt {
     qIntersect, qExcept, qCube, qMedian, qSkewStats, qOrderGaps,
     qCorrelatedScalar, qGroupingSets, qRangeFrame, qNtile, qIntervalJoin,
     qMergeUpsert, qDppJoin, qScd2, qBloomJoin, qSnapshotDiff,
-    qShuffleHashJoin, qPitSnapshot, qTemporalJoin, qCdcCompact)
+    qShuffleHashJoin, qPitSnapshot, qTemporalJoin, qCdcCompact,
+    qAsofNearest)
 }

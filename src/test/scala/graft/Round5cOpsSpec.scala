@@ -457,6 +457,54 @@ class Round5cOpsSpec extends AnyFunSuite {
     assert(cost(fin) <= cost(init), "streaming updates made the fit worse")
   }
 
+  test("q_asof_nearest: chosen click is genuinely the nearest") {
+    val rows = RelationalExt.qAsofNearest.fn(spark, sf).collect()
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")).collect()
+    val clicksByUser = ev.filter(_.getString(2) == "click")
+      .groupBy(_.getLong(1)).view
+      .mapValues(_.map(r => (r.getLong(0), r.getLong(3)))).toMap
+    val purchases = ev.filter(_.getString(2) == "purchase")
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    rows.foreach { r =>
+      val pid = r.getAs[Long]("purchase_id")
+      val (uid, pus) = purchases(pid)
+      val clicks = clicksByUser.getOrElse(uid, Array.empty[(Long, Long)])
+      val chosen = Option(r.get(2)).map(_.asInstanceOf[Long])
+      if (clicks.isEmpty) assert(chosen.isEmpty, s"click invented: $r")
+      else {
+        val best = clicks.map { case (_, cus) => math.abs(cus - pus) }.min
+        val got = clicks.find(_._1 == chosen.get).get
+        assert(math.abs(got._2 - pus) == best,
+          s"purchase $pid picked a non-nearest click (|d|=${math.abs(got._2 - pus)} best=$best)")
+      }
+    }
+  }
+
+  test("dedup_best_survivor: planted duplicates keep the richest copy") {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, 10L, "fpA"), (2L, 50L, "fpA"), (3L, 50L, "fpA"), // tie → lowest id wins among longest
+      (4L, 7L, "fpB"),
+      (5L, 3L, "fpC"), (6L, 9L, "fpC"))
+      .toDF("doc_id", "n_chars", "fp")
+    val out = graft.operators.Dedup.bestSurvivors(planted)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((2L, 3L, 50L), (4L, 1L, 7L), (6L, 2L, 9L)), s"got $out")
+    // corpus: one survivor per group, Σ members == corpus size
+    val rows = graft.operators.Dedup.dedupBestSurvivor.fn(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_members")).sum ==
+      Tables.documents(spark, sf).count())
+  }
+
+  test("graph_reciprocity: ratio consistent with its own counts") {
+    val r = Graph.graphReciprocity.fn(spark, sf).collect()(0)
+    val (n, rec) = (r.getAs[Long]("n_edges"), r.getAs[Long]("n_reciprocal"))
+    assert(n > 0 && rec >= 0 && rec <= n)
+    assert(math.abs(r.getAs[Double]("reciprocity") - rec.toDouble / n) < 1e-6)
+  }
+
   test("src_manifest_scan: the manifest actually prunes the file list") {
     val (_, manDir) = SourceOps.manifestLineitem(spark, sf)
     val man = spark.read.parquet(manDir)
