@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryDef
 import graft.sources.Tables
@@ -925,8 +926,63 @@ object Dedup {
       .orderBy(col("survivor_id"))
   }
 
+  /** Prefix-filtered exact set-similarity self-join (SSJoin/PPJoin
+    * family): 3-shingle Jaccard ≥ 0.6 WITHOUT MinHash approximation
+    * and WITHOUT the all-pairs join. Under a global rarest-first
+    * token order (df asc, token asc), any pair with Jaccard ≥ t must
+    * share a token within each side's first m − ⌈t·m⌉ + 1 tokens —
+    * so candidates come from equi-joining only those PREFIX tokens
+    * (rare by construction → tiny buckets), then exact verification
+    * runs on candidates alone. No global row_number is needed: the
+    * (df, token) pair itself is the total order, so the only
+    * per-token state is its df and the per-doc prefix is one
+    * partitionBy(doc) window. Oracle = exact all-pairs on the same
+    * bounded range (the bound keeps the QUADRATIC oracle constant;
+    * the Spark plan itself never goes quadratic and runs corpus-wide
+    * in the ScalaTest completeness pin).
+    */
+  val SetSimThreshold = 0.6
+
+  def setSimPrefixPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val toks = shingles(docs) // distinct (doc_id, sh)
+    val dfreq = toks.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val tr = toks.join(dfreq, "sh")
+    val m = tr.groupBy(col("doc_id")).agg(count(lit(1)).as("m"))
+    val prefix = tr.join(m, "doc_id")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
+      .filter(col("pos") <= col("m") - ceil(lit(threshold) * col("m")) + 1)
+      .select(col("doc_id"), col("sh"))
+    val cand = prefix.toDF("id1", "sh")
+      .join(prefix.toDF("id2", "sh2"),
+        col("sh") === col("sh2") && col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+    jaccardVerify(toks, cand, threshold)
+  }
+
+  val dedupSetsimPrefix: QueryDef = QueryDef.sql(
+    "dedup_setsim_prefix",
+    """WITH t0 AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+      |           FROM documents WHERE doc_id < 300),
+      |t AS (SELECT DISTINCT doc_id,
+      |             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+      |      FROM t0, UNNEST(generate_series(1, len(toks) - 2)) AS u(i)
+      |      WHERE len(toks) >= 3),
+      |c AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+      |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+      |      FROM t a JOIN t b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2)
+      |SELECT id1, id2,
+      |       round(CAST(inter AS DOUBLE) / (c1.n + c2.n - inter), 4) AS jaccard
+      |FROM p JOIN c c1 ON p.id1 = c1.doc_id JOIN c c2 ON p.id2 = c2.doc_id
+      |WHERE CAST(inter AS DOUBLE) / (c1.n + c2.n - inter) >= 0.6
+      |ORDER BY id1, id2""".stripMargin) { (s, d) =>
+    setSimPrefixPairs(
+      Tables.documents(s, d).filter(col("doc_id") < 300L), SetSimThreshold)
+  }
+
   val all: Seq[QueryDef] = Seq(
-    dedupBestSurvivor,
+    dedupBestSurvivor, dedupSetsimPrefix,
     dedupExact, dedupExactNfc, dedupStats, dedupNgram, dedupContainment,
     dedupMinhash,
     dedupSimhash, dedupEmbedding, streamDedup, dedupGroups, dedupNearCorpus,

@@ -253,6 +253,45 @@ object Embeddings {
       .orderBy(col("dim"))
   }
 
+  /** PCA whitening (ZCA-style decorrelation): z = Λ^{-1/2}·W·(v − μ)
+    * over the full d = 64 basis, then the post-whitening per-component
+    * mean/variance as the self-audit — a whitened space must read
+    * μ ≈ 0, σ² ≈ 1 on every axis, which is what downstream cosine/PQ
+    * quantizers assume when they treat dimensions as exchangeable.
+    * Same 100 TB shape as emb_pca: one GramianAgg pass for the fit, a
+    * map-only codegen'd projection (components are plan literals),
+    * one O(d) aggregate for the audit. Rows-only (eigendecomposition);
+    * the ScalaTest pins unit variance, zero mean, and decorrelation.
+    */
+  val embWhitening: QueryDef = QueryDef.rowsOnly("emb_whitening") { (s, d) =>
+    val v = Similarity.vectors(s, d)
+    val model = fitPca(v, k = Dim)
+    val whitened = whiten(v, model)
+    whitened
+      .select(posexplode(col("z")).as(Seq("dim", "zv")))
+      .groupBy(col("dim"))
+      .agg(round(avg(col("zv")), 3).as("mean_w"),
+        round(avg(col("zv") * col("zv")) - avg(col("zv")) * avg(col("zv")), 3)
+          .as("var_w"))
+      .orderBy(col("dim"))
+  }
+
+  /** Append a whitened array column `z` (length = retained components
+    * with λ > 1e-9): each entry one codegen'd graft_dot against the
+    * literal row of Λ^{-1/2}·W, centering folded into a constant.
+    */
+  def whiten(vectors: DataFrame, model: PcaModel, vecCol: String = "v"): DataFrame = {
+    val comps = model.components.zip(model.eigenvalues)
+      .filter { case (_, ev) => ev > 1e-9 }
+    val zCols: Seq[Column] = comps.map { case (w, ev) =>
+      val invSd = 1.0 / math.sqrt(ev)
+      val wLit: Column = array(w.map(wi => lit(wi * invSd)): _*)
+      val center = w.zip(model.mean).map { case (wi, mi) => wi * mi }.sum * invSd
+      VectorFunctions.dot_product(col(vecCol), wLit) - lit(center)
+    }.toSeq
+    vectors.withColumn("z", array(zCols: _*))
+  }
+
   val all: Seq[QueryDef] = Seq(embPca, embCluster, embRandomProjection,
-    embDimStats, embMatryoshka)
+    embDimStats, embMatryoshka, embWhitening)
 }

@@ -1337,7 +1337,38 @@ object EventOps {
       .orderBy(col("verdict"))
   }
 
+  /** Bitmap-index cohort intersection: exact common-user counts for
+    * every event-type pair via Roaring-style 64-bit bitmap words —
+    * the shuffle carries (type, word_idx, bits) where one word covers
+    * 64 users, so audience overlap over billions of users moves
+    * ~1.6% of the distinct-pair volume and the pairwise step is a
+    * word-aligned AND + popcount, never a user-level self-join. The
+    * oracle is the semantic ground truth (distinct user intersection);
+    * the bitmap path must reproduce it exactly.
+    */
+  val eventsBitmapCohort: QueryDef = QueryDef.sql(
+    "events_bitmap_cohort",
+    """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events)
+      |SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |       count(*) AS n_common
+      |FROM tu a JOIN tu b
+      |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val tu = Tables.events(s, d)
+      .select(col("event_type"), col("user_id")).distinct()
+    val bm = tu.groupBy(col("event_type"), expr("user_id DIV 64").as("w"))
+      .agg(expr("bit_or(shiftleft(1L, cast(user_id % 64 AS int)))").as("bits"))
+    bm.toDF("type_a", "w", "bits_a")
+      .join(bm.toDF("type_b", "w2", "bits_b"),
+        col("w") === col("w2") && col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(sum(expr("bit_count(bits_a & bits_b)")).cast("long").as("n_common"))
+      .filter(col("n_common") > 0)
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   val all: Seq[QueryDef] = Seq(
+    eventsBitmapCohort,
     streamLateData, eventsFeatures, qMovers, streamIncremental,
     eventsAttributionLinear, eventsBotDetect,
     eventsHourly, streamHourly, eventsSessions, eventsSessionWindow,

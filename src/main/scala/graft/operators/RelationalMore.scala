@@ -584,10 +584,69 @@ object RelationalMore {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** 2-D skyline (Pareto frontier): parts no other part dominates on
+    * (price ↓, size ↑). The naive spelling is an O(n²) dominance
+    * self-join; the scalable exact plan exploits the 2-D structure —
+    * after one groupBy(price) the frontier test is a running max of
+    * size over strictly-cheaper prices, i.e. ONE aggregate shuffle
+    * plus ONE window over the |distinct prices| relation, then a hash
+    * join back to the fact. Dominated iff a strictly cheaper part has
+    * size ≥ mine, or a same-price part has size > mine.
+    */
+  val qSkyline: QueryDef = QueryDef.sql(
+    "q_skyline",
+    """SELECT p_partkey, p_retailprice, p_size
+      |FROM part a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM part b
+      |  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+      |    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+      |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    val part = Tables.part(s, d)
+    val perPrice = part.groupBy(col("p_retailprice").as("price"))
+      .agg(max(col("p_size")).as("price_max"))
+    val w = Window.orderBy(col("price"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = perPrice
+      .withColumn("cheaper_max", max(col("price_max")).over(w))
+    part
+      .join(frontier, col("p_retailprice") === col("price"))
+      .filter((col("cheaper_max").isNull || col("cheaper_max") < col("p_size")) &&
+        col("p_size") === col("price_max"))
+      .select("p_partkey", "p_retailprice", "p_size")
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Relational division — "customers who ordered in EVERY priority
+    * class": per-key distinct count equal to the universe size. The
+    * universe cardinality joins in as a broadcast single-row aggregate
+    * (never a driver collect), so the whole query is two aggregates +
+    * one broadcast — the division pattern that survives any fact-table
+    * scale.
+    */
+  val qDivision: QueryDef = QueryDef.sql(
+    "q_division",
+    """SELECT o_custkey, count(DISTINCT o_orderpriority) AS n_priorities
+      |FROM orders GROUP BY o_custkey
+      |HAVING count(DISTINCT o_orderpriority) =
+      |  (SELECT count(DISTINCT o_orderpriority) FROM orders)
+      |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    val orders = Tables.orders(s, d)
+    val universe = orders.agg(
+      countDistinct(col("o_orderpriority")).as("n_total"))
+    orders
+      .groupBy(col("o_custkey"))
+      .agg(countDistinct(col("o_orderpriority")).as("n_priorities"))
+      .crossJoin(broadcast(universe))
+      .filter(col("n_priorities") === col("n_total"))
+      .select("o_custkey", "n_priorities")
+      .orderBy(col("o_custkey"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     qLateralTopk, qStringAgg, qMode, qHllPartitioned, qNativeTopk,
     qTopkRewrite, qPercentRank, qRecursiveChain, qUnpivot, qWinsorized,
     qTwophaseDistinct, qCrosstab, qGroupingId, qWeightedSample,
     qHistogramEquiwidth, qGrowthAccounting, qIncrementalAgg, qDecimalAgg,
-    qNestedHof)
+    qNestedHof, qSkyline, qDivision)
 }

@@ -927,11 +927,95 @@ object TextAnalysis {
     }
   }
 
+  /** χ² token–language association (feature selection): for the 20
+    * highest-document-frequency tokens, the chi-square statistic of
+    * the 2×2 contingency (token present? × lang == en?). All four
+    * cell counts and both chi² products stay EXACT int64 (N·(ad−bc)²
+    * ≤ ~3e18 at sf0.1) so the only float op is the final division —
+    * identical IEEE on both engines. Corpus totals ride in as a
+    * broadcast single-row aggregate, presence counts as one distinct
+    * (doc, token) aggregate — two shuffles total, no driver loop.
+    */
+  val textChi2: QueryDef = QueryDef.sql(
+    "text_chi2",
+    """WITH dw AS (SELECT DISTINCT * FROM (
+      |    SELECT doc_id, lang = 'en' AS is_en,
+      |           unnest(regexp_extract_all(lower(text), '\S+')) AS word
+      |    FROM documents)),
+      |tot AS (SELECT count(*) AS n_docs,
+      |               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+      |        FROM documents),
+      |per AS (SELECT word, count(*) AS df,
+      |               CAST(sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) AS n11
+      |        FROM dw GROUP BY word),
+      |top AS (SELECT * FROM per ORDER BY df DESC, word LIMIT 20),
+      |c AS (SELECT word, df, n11,
+      |             n_en - n11 AS n10, df - n11 AS n01,
+      |             n_docs - n_en - (df - n11) AS n00, n_docs, n_en
+      |      FROM top, tot)
+      |SELECT word, df, n11,
+      |  CASE WHEN (n_en * (n_docs - n_en)) * (df * (n_docs - df)) = 0 THEN 0.0
+      |       ELSE round(
+      |         CAST(n_docs * (n11*n00 - n10*n01) * (n11*n00 - n10*n01) AS DOUBLE) /
+      |         CAST((n_en * (n_docs - n_en)) * (df * (n_docs - df)) AS DOUBLE), 4)
+      |  END AS chi2
+      |FROM c ORDER BY word""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val dw = docs.select(
+      col("doc_id"), (col("lang") === "en").as("is_en"),
+      explode(array_distinct(
+        regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)))).as("word"))
+    val tot = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+    val per = dw.groupBy(col("word")).agg(
+      count(lit(1)).as("df"),
+      sum(when(col("is_en"), 1L).otherwise(0L)).as("n11"))
+    val top = per.orderBy(col("df").desc, col("word")).limit(20)
+    val c = top.crossJoin(broadcast(tot))
+      .withColumn("n10", col("n_en") - col("n11"))
+      .withColumn("n01", col("df") - col("n11"))
+      .withColumn("n00", col("n_docs") - col("n_en") - (col("df") - col("n11")))
+    val diff = col("n11") * col("n00") - col("n10") * col("n01")
+    val den = (col("n_en") * (col("n_docs") - col("n_en"))) *
+      (col("df") * (col("n_docs") - col("df")))
+    c.select(col("word"), col("df"), col("n11"),
+        when(den === 0L, lit(0.0))
+          .otherwise(round(
+            (col("n_docs") * diff * diff).cast("double") / den.cast("double"), 4))
+          .as("chi2"))
+      .orderBy(col("word"))
+  }
+
+  /** Feature hashing ("hashing trick"): tokens land in 256 buckets by
+    * md5 hex prefix — the fixed-width vectorization that never needs a
+    * vocabulary broadcast. Map-side hash + one bucket aggregate; the
+    * bucket id is the 2-hex-char prefix itself, so both engines agree
+    * with no hex→int dialect gap. Collision load (distinct tokens per
+    * bucket) is the quality metric a pipeline monitors.
+    */
+  val textHashingTrick: QueryDef = QueryDef.sql(
+    "text_hashing_trick",
+    """SELECT substr(md5(word), 1, 2) AS bucket,
+      |       count(*) AS n_tokens,
+      |       count(DISTINCT word) AS n_distinct
+      |FROM (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS word
+      |      FROM documents) t
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(
+        regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))).as("word"))
+      .groupBy(substring(md5(col("word")), 1, 2).as("bucket"))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("word")).as("n_distinct"))
+      .orderBy(col("bucket"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     textTokens, textQuality, textLangid, textFingerprint, textWordfreq,
     textBpeTokens, textBpeMerged, textTfidf, textLangidEval, textRepetition,
     textRedact, textCmsFreq, textChunks, textChunkDedup, textLmScore,
     textWinnow, textEntropy, textTtr, textNovelty, textPerplexityBucket,
     textZipf, textReadability, textCollocations, textCodeDetect,
-    textSeqLenProfile)
+    textSeqLenProfile, textChi2, textHashingTrick)
 }

@@ -763,8 +763,62 @@ object TimeSeries {
       .orderBy(col("event_type"))
   }
 
+  /** Single change-point detection per series (CUSUM argmax): the
+    * split day t* maximizing |T·Sₜ − t·S_T| over the daily count
+    * series — the scaled CUSUM statistic kept in EXACT int64 (counts
+    * × day-index products, no float drift), so the argmax and its
+    * statistic hash-match across engines. All windows run over the
+    * O(types × days) daily aggregate; the corpus contributes one
+    * groupBy. Tie-break: earliest day.
+    */
+  val tsChangepoint: QueryDef = QueryDef.sql(
+    "ts_changepoint",
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |         count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, day, n,
+      |    CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day
+      |                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+      |    CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS s_total,
+      |    count(*) OVER (PARTITION BY event_type) AS n_days
+      |  FROM daily),
+      |scored AS (
+      |  SELECT event_type, day,
+      |         abs(n_days * cum - t * s_total) AS stat,
+      |         row_number() OVER (PARTITION BY event_type
+      |           ORDER BY abs(n_days * cum - t * s_total) DESC, day) AS rn
+      |  FROM w WHERE t < n_days)
+      |SELECT event_type, day AS change_day, stat
+      |FROM scored WHERE rn = 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val byDay = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val whole = Window.partitionBy(col("event_type"))
+    val w = daily
+      .withColumn("cum", sum(col("n")).over(
+        byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("t", row_number().over(byDay))
+      .withColumn("s_total", sum(col("n")).over(whole))
+      .withColumn("n_days", count(lit(1)).over(whole))
+      .filter(col("t") < col("n_days"))
+      .withColumn("stat",
+        abs(col("n_days") * col("cum") - col("t") * col("s_total")))
+    w.withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("stat").desc, col("day"))))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("day").as("change_day"), col("stat"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     tsGapfill, tsInterp, tsEwma, tsAutocorr, tsCusum, tsSeasonal,
     tsForecast, tsTimeToConvert, tsGapEpisodes, tsHolt, tsDecompose,
-    tsRollingStats, tsRepair, tsOhlc, tsInterEvent, tsTheilsen)
+    tsRollingStats, tsRepair, tsOhlc, tsInterEvent, tsTheilsen,
+    tsChangepoint)
 }

@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Embeddings, EventOps, RelationalMore, Similarity, TextAnalysis, TimeSeries}
+import graft.sources.Tables
+
+/** Invariant pins for the round-5 session-4 operators (exact values
+  * are covered by the DuckDB oracle gate; these pin structural
+  * properties that must hold at ANY scale factor).
+  */
+class Round5dOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("q_skyline: frontier is mutually non-dominated and complete") {
+    val frontier = RelationalMore.qSkyline.fn(spark, sf).collect()
+      .map(r => (r.getAs[Double]("p_retailprice"), r.getAs[Int]("p_size")))
+    assert(frontier.nonEmpty)
+    for (a <- frontier; b <- frontier if a != b)
+      assert(!(b._1 <= a._1 && b._2 >= a._2 && (b._1 < a._1 || b._2 > a._2)),
+        s"$b dominates $a inside the frontier")
+    // completeness: every part is dominated-or-on-frontier — spot-check
+    // that nothing outside the frontier beats a frontier point
+    val all = Tables.part(spark, sf)
+      .select(col("p_retailprice"), col("p_size")).collect()
+      .map(r => (r.getDouble(0), r.getInt(1)))
+    val fset = frontier.toSet
+    for (p <- all if !fset.contains(p))
+      assert(frontier.exists(f =>
+        f._1 <= p._1 && f._2 >= p._2 && (f._1 < p._1 || f._2 > p._2)),
+        s"non-frontier $p is not dominated by any frontier point")
+  }
+
+  test("q_division: every kept customer covers the full priority universe") {
+    val kept = RelationalMore.qDivision.fn(spark, sf).collect()
+    val universe = Tables.orders(spark, sf)
+      .select(col("o_orderpriority")).distinct().count()
+    assert(kept.nonEmpty)
+    kept.foreach(r =>
+      assert(r.getAs[Long]("n_priorities") == universe, r.toString))
+    // recount one kept key independently
+    val k = kept.head.getAs[Long]("o_custkey")
+    val n = Tables.orders(spark, sf).filter(col("o_custkey") === k)
+      .select(col("o_orderpriority")).distinct().count()
+    assert(n == universe)
+  }
+
+  test("text_chi2: 20 rows, counts consistent, chi2 non-negative") {
+    val rows = TextAnalysis.textChi2.fn(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("df") >= r.getAs[Long]("n11"), r.toString)
+      assert(r.getAs[Double]("chi2") >= 0.0, r.toString)
+    }
+  }
+
+  test("text_hashing_trick: bucket mass conserves the token count") {
+    val rows = TextAnalysis.textHashingTrick.fn(spark, sf).collect()
+    assert(rows.length <= 256)
+    rows.foreach(r => assert(r.getAs[String]("bucket").matches("[0-9a-f]{2}")))
+    val total = Tables.documents(spark, sf)
+      .select(size(regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)))
+        .as("n")).agg(sum(col("n"))).head.getLong(0)
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == total)
+  }
+
+  test("dedup_setsim_prefix: corpus-wide prefix filter finds exact-dup pairs") {
+    val docs = Tables.documents(spark, sf)
+    val pairs = Dedup.setSimPrefixPairs(docs, Dedup.SetSimThreshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // ground truth: normalized-exact duplicate groups have Jaccard 1.0
+    // and MUST be found (prefix filtering is exact, never lossy)
+    val dupPair = docs
+      .filter(size(regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))) >= 3)
+      .groupBy(trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("k"))
+      .agg(min(col("doc_id")).as("a"), max(col("doc_id")).as("b"),
+        count(lit(1)).as("n"))
+      .filter(col("n") >= 2).orderBy(col("a")).limit(1)
+      .collect().headOption
+    dupPair.foreach { r =>
+      val (a, b) = (r.getAs[Long]("a"), r.getAs[Long]("b"))
+      assert(pairs.exists(p => p._1 == a && p._2 == b && p._3 == 1.0),
+        s"exact-dup pair ($a,$b) missed by prefix filter")
+    }
+    // every reported pair meets the threshold
+    pairs.foreach(p => assert(p._3 >= Dedup.SetSimThreshold, p.toString))
+  }
+
+  test("events_bitmap_cohort: bitmap AND+popcount equals distinct intersection") {
+    val bm = EventOps.eventsBitmapCohort.fn(spark, sf)
+    val tu = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id")).distinct()
+    val direct = tu.toDF("type_a", "u")
+      .join(tu.toDF("type_b", "u2"),
+        col("u") === col("u2") && col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .orderBy(col("type_a"), col("type_b"))
+    assert(bm.collect().toSeq == direct.collect().toSeq)
+  }
+
+  test("ts_changepoint: one row per type, stat equals the driver recount") {
+    val rows = TimeSeries.tsChangepoint.fn(spark, sf).collect()
+    val types = Tables.events(spark, sf)
+      .select(col("event_type")).distinct().count()
+    assert(rows.length == types)
+    // recount the argmax for one series on the driver
+    val t0 = rows.head.getAs[String]("event_type")
+    val daily = Tables.events(spark, sf).filter(col("event_type") === t0)
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n")).orderBy(col("day"))
+      .collect().map(r => (r.getDate(0), r.getLong(1)))
+    val total = daily.map(_._2).sum
+    val stats = daily.zipWithIndex.init.map { case ((_, _), i) =>
+      val cum = daily.take(i + 1).map(_._2).sum
+      math.abs(daily.length * cum - (i + 1) * total)
+    }
+    assert(rows.head.getAs[Long]("stat") == stats.max)
+  }
+
+  test("emb_whitening: unit variance, zero mean on every axis") {
+    val rows = Embeddings.embWhitening.fn(spark, sf).collect()
+    assert(rows.length == Embeddings.Dim)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("mean_w")) <= 0.001, r.toString)
+      assert(math.abs(r.getAs[Double]("var_w") - 1.0) <= 0.01, r.toString)
+    }
+  }
+
+  test("emb_whitening: whitened components are decorrelated") {
+    val v = Similarity.vectors(spark, sf)
+    val model = Embeddings.fitPca(v, k = Embeddings.Dim)
+    val z = Embeddings.whiten(v, model)
+    // covariance of (z0, z1) should be ~0, of (z0, z0) ~1
+    val r = z.select(
+      avg(col("z")(0) * col("z")(1)).as("c01"),
+      avg(col("z")(0)).as("m0"), avg(col("z")(1)).as("m1"),
+      avg(col("z")(0) * col("z")(0)).as("c00")).head
+    val c01 = r.getDouble(0) - r.getDouble(1) * r.getDouble(2)
+    val c00 = r.getDouble(3) - r.getDouble(1) * r.getDouble(1)
+    assert(math.abs(c01) < 1e-6, s"cross-covariance $c01")
+    assert(math.abs(c00 - 1.0) < 1e-6, s"variance $c00")
+  }
+}
