@@ -1367,8 +1367,23 @@ object EventOps {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** Streaming maintenance of the bitmap cohort table — same oracle
+    * as the batch entry because bit_or needs no dedup state (bitmap
+    * union is idempotent), so one streaming aggregate keeps the word
+    * table exact; see EventStreams.streamBitmapCohort.
+    */
+  val streamBitmapCohort: QueryDef = QueryDef.sql(
+    "stream_bitmap_cohort",
+    """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events)
+      |SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |       count(*) AS n_common
+      |FROM tu a JOIN tu b
+      |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)(
+    graft.streaming.EventStreams.streamBitmapCohort)
+
   val all: Seq[QueryDef] = Seq(
-    eventsBitmapCohort,
+    eventsBitmapCohort, streamBitmapCohort,
     streamLateData, eventsFeatures, qMovers, streamIncremental,
     eventsAttributionLinear, eventsBotDetect,
     eventsHourly, streamHourly, eventsSessions, eventsSessionWindow,

@@ -239,6 +239,45 @@ object Linkage {
       .limit(200)
   }
 
+  /** Topic modeling via MLlib's distributed LDA (EM optimizer —
+    * Griffiths & Steyvers collapsed-Gibbs-style expectation steps on
+    * the GraphX doc-term graph): k=4 topics over the CountVectorizer
+    * term space, top-5 terms per topic. The distributed shape is the
+    * point at scale — the corpus shuffles as (doc, term, count)
+    * edges, topic-term sufficient statistics aggregate per term, no
+    * corpus-sized state ever reaches the driver. Rows-only by
+    * necessity (topic-term weights are FP-path dependent); the
+    * ScalaTest pins shape, weight ordering, bounds, and term-vocab
+    * membership.
+    */
+  val miningLda: QueryDef = QueryDef.rowsOnly("mining_lda") { (s, d) =>
+    import org.apache.spark.ml.feature.CountVectorizer
+    import org.apache.spark.ml.clustering.LDA
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)).as("toks"))
+    val cv = new CountVectorizer()
+      .setInputCol("toks").setOutputCol("features")
+      .setVocabSize(256).setMinDF(2.0)
+      .fit(docs)
+    val vecs = cv.transform(docs).select(col("doc_id"), col("features"))
+    val lda = new LDA().setK(4).setMaxIter(10).setSeed(7)
+      .setOptimizer("em").fit(vecs)
+    val vocab = cv.vocabulary.zipWithIndex
+      .map { case (w, i) => (i, w) }.toSeq.toDF("term_idx", "term")
+    lda.describeTopics(5)
+      .select(col("topic"),
+        posexplode(arrays_zip(col("termIndices"), col("termWeights")))
+          .as(Seq("rank", "tw")))
+      .select(col("topic"), (col("rank") + 1).as("term_rank"),
+        col("tw.termIndices").as("term_idx"),
+        round(col("tw.termWeights"), 4).as("weight"))
+      .join(broadcast(vocab), "term_idx")
+      .select(col("topic"), col("term_rank"), col("term"), col("weight"))
+      .orderBy(col("topic"), col("term_rank"))
+  }
+
   val all: Seq[QueryDef] = Seq(qCopurchase, qFuzzyJoin, miningFpgrowth, miningAls,
-    miningPrefixspan, miningAssoc)
+    miningPrefixspan, miningAssoc, miningLda)
 }

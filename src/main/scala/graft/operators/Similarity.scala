@@ -740,7 +740,40 @@ object Similarity {
       .orderBy(col("src"), col("rank"))
   }
 
+  /** Radius (range) search — the "everything within cosine ≥ r of
+    * the query" API, the other half of the ANN surface next to
+    * top-k: dedup wants "all near-dups of X", not "the 10 nearest".
+    * Exact form is a map-only scan against the broadcast query
+    * vector (zero shuffle — the ideal 100 TB shape for a single
+    * probe); at index scale the same predicate runs inside the IVF
+    * probed lists (embeddingIvfPairs machinery). The cut is on the
+    * UNROUNDED cosine in both engines, output rounded.
+    */
+  val RangeRadius = 0.2
+
+  val annRangeSearch: QueryDef = QueryDef.sql(
+    "ann_range_search",
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+       |SELECT vec_id,
+       |  round(list_dot_product(v, qv)
+       |    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 4) AS cos_sim
+       |FROM e CROSS JOIN q
+       |WHERE vec_id <> 0
+       |  AND list_dot_product(v, qv)
+       |    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) >= $RangeRadius
+       |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val e = vectors(s, d)
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .filter(cosine(col("v"), col("qv")) >= RangeRadius)
+      .select(col("vec_id"), round(cosine(col("v"), col("qv")), 4).as("cos_sim"))
+      .orderBy(col("vec_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     annBruteforce, annTopkJoin, annLsh, annIvf, annPq, annSearchText,
-    annIvfPq, annIvfPqPersisted, dedupEmbeddingIvf, annSq8, embKnnGraph)
+    annIvfPq, annIvfPqPersisted, dedupEmbeddingIvf, annSq8, embKnnGraph,
+    annRangeSearch)
 }

@@ -249,6 +249,31 @@ object EventStreams {
     * sink checkpointing and the parquet roundtrip; checked against the
     * identical oracle as the batch/memory-sink variants.
     */
+  /** Streaming bitmap-cohort maintenance: the stream keeps the
+    * (event_type, word_idx) → 64-bit user bitmap table current with
+    * ONE stateful aggregate — bit_or is idempotent under duplicates,
+    * so unlike a distinct-count the bitmap needs NO dedup state in
+    * front of it (re-delivered events set an already-set bit). The
+    * pairwise AND+popcount cohort-overlap readout then folds over
+    * the sink view per refresh — the same "stream maintains the
+    * aggregate, reader folds over the view" split as stream_anomaly.
+    * Must equal the batch events_bitmap_cohort exactly (same oracle).
+    */
+  def streamBitmapCohort(s: SparkSession, dir: String): DataFrame = {
+    val (src, tmp) = eventsStream(s, dir)
+    val words = src
+      .groupBy(col("event_type"), expr("user_id DIV 64").as("w"))
+      .agg(expr("bit_or(shiftleft(1L, cast(user_id % 64 AS int)))").as("bits"))
+    val bm = runToTable(s, "stream_bitmap_cohort_sink", "update", words, tmp)
+    bm.toDF("type_a", "w", "bits_a")
+      .join(bm.toDF("type_b", "w2", "bits_b"),
+        col("w") === col("w2") && col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(sum(expr("bit_count(bits_a & bits_b)")).cast("long").as("n_common"))
+      .filter(col("n_common") > 0)
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   // per-process egress root: a concurrent test and bench JVM must not
   // overwrite each other's sink files (same reason as SourceOps)
   private lazy val sinkRoot: java.nio.file.Path = {

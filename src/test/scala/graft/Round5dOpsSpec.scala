@@ -128,6 +128,57 @@ class Round5dOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ann_range_search: equals the brute-force radius recount") {
+    val got = Similarity.annRangeSearch.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    got.foreach { case (id, c) =>
+      assert(id != 0L)
+      assert(c >= Similarity.RangeRadius - 5e-5, s"below radius: $id $c")
+    }
+    val e = Similarity.vectors(spark, sf)
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val expect = e.filter(col("vec_id") =!= 0).crossJoin(q)
+      .select(col("vec_id"),
+        Similarity.cosine(col("v"), col("qv")).as("c"))
+      .filter(col("c") >= Similarity.RangeRadius)
+      .count()
+    assert(got.length == expect)
+  }
+
+  test("stream_bitmap_cohort equals the batch bitmap cohort") {
+    val st = EventOps.streamBitmapCohort.fn(spark, sf).collect().toSeq
+    val ba = EventOps.eventsBitmapCohort.fn(spark, sf).collect().toSeq
+    assert(st == ba)
+  }
+
+  test("mining_lda: k×5 shape, descending positive weights, vocab terms") {
+    val rows = graft.operators.Linkage.miningLda.fn(spark, sf).collect()
+    assert(rows.length == 20)
+    val byTopic = rows.groupBy(_.getAs[Int]("topic"))
+    assert(byTopic.keySet == Set(0, 1, 2, 3))
+    byTopic.values.foreach { trs =>
+      val sorted = trs.sortBy(_.getAs[Int]("term_rank"))
+      val ws = sorted.map(_.getAs[Double]("weight"))
+      assert(ws.forall(w => w > 0.0 && w <= 1.0), ws.mkString(","))
+      assert(ws.zip(ws.tail).forall { case (a, b) => a >= b }, ws.mkString(","))
+      val terms = sorted.map(_.getAs[String]("term"))
+      assert(terms.distinct.length == terms.length)
+    }
+  }
+
+  test("new ops avoid cartesian/nested-loop joins in their plans") {
+    for (name <- Seq("q_skyline", "dedup_setsim_prefix", "events_bitmap_cohort")) {
+      val p = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian join")
+      // broadcast of the single-row/tiny side is fine; a nested-loop
+      // over two corpus-sized sides is not — these plans must join by
+      // hash or sort-merge on their keys
+      assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+        s"$name has no keyed join:\n$p")
+    }
+  }
+
   test("emb_whitening: whitened components are decorrelated") {
     val v = Similarity.vectors(spark, sf)
     val model = Embeddings.fitPca(v, k = Embeddings.Dim)
