@@ -1382,8 +1382,22 @@ object EventOps {
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)(
     graft.streaming.EventStreams.streamBitmapCohort)
 
+  /** Sliding-window streaming aggregate — 1 h windows every 15 min
+    * (each event in 4 overlapping windows, expanded map-side, state
+    * O(types × open windows)); see EventStreams.streamSliding. The
+    * oracle replays the window-assignment arithmetic.
+    */
+  val streamSliding: QueryDef = QueryDef.sql(
+    "stream_sliding",
+    """SELECT time_bucket(INTERVAL '15 minutes', ts)
+      |         - (k * INTERVAL '15 minutes') AS ws,
+      |       event_type, count(*) AS n
+      |FROM events, (VALUES (0),(1),(2),(3)) o(k)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)(
+    graft.streaming.EventStreams.streamSliding)
+
   val all: Seq[QueryDef] = Seq(
-    eventsBitmapCohort, streamBitmapCohort,
+    eventsBitmapCohort, streamBitmapCohort, streamSliding,
     streamLateData, eventsFeatures, qMovers, streamIncremental,
     eventsAttributionLinear, eventsBotDetect,
     eventsHourly, streamHourly, eventsSessions, eventsSessionWindow,

@@ -278,6 +278,52 @@ object Linkage {
       .orderBy(col("topic"), col("term_rank"))
   }
 
+  /** Distributed multiple linear regression by normal equations:
+    * β = (XᵀX)⁻¹ Xᵀy for extendedprice ~ quantity + discount. The
+    * 100 TB shape is the same as emb_pca's — ONE aggregate pass
+    * reduces the corpus to the O(p²) sufficient statistics (10 sums
+    * for p = 2 features + intercept), the p×p solve happens on the
+    * driver, and SSE/R² fall out of the same statistics with no
+    * second scan (SSE = yᵀy − 2βᵀXᵀy + βᵀXᵀXβ). Rows-only (float
+    * summation order); residual orthogonality — the defining normal-
+    * equation property — is pinned in ScalaTest.
+    */
+  def olsSufficientStats(s: SparkSession, d: String): org.apache.spark.sql.Row =
+    Tables.lineitem(s, d)
+      .select(col("l_quantity").cast("double").as("x1"),
+        col("l_discount").cast("double").as("x2"),
+        col("l_extendedprice").cast("double").as("y"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x1")).as("s1"), sum(col("x2")).as("s2"), sum(col("y")).as("sy"),
+        sum(col("x1") * col("x1")).as("s11"), sum(col("x1") * col("x2")).as("s12"),
+        sum(col("x2") * col("x2")).as("s22"), sum(col("x1") * col("y")).as("s1y"),
+        sum(col("x2") * col("y")).as("s2y"), sum(col("y") * col("y")).as("syy"))
+      .head
+
+  def olsFit(s: SparkSession, d: String): (Array[Double], Double) = {
+    val r = olsSufficientStats(s, d)
+    val Seq(n, s1, s2, sy, s11, s12, s22, s1y, s2y, syy) =
+      (0 until 10).map(r.getDouble)
+    val a = breeze.linalg.DenseMatrix(
+      (n, s1, s2), (s1, s11, s12), (s2, s12, s22))
+    val b = breeze.linalg.DenseVector(sy, s1y, s2y)
+    val beta = a \ b
+    val sse = syy - 2.0 * (beta dot b) + (beta dot (a * beta))
+    val sst = syy - sy * sy / n
+    (beta.toArray, 1.0 - sse / sst)
+  }
+
+  val miningOls: QueryDef = QueryDef.rowsOnly("mining_ols") { (s, d) =>
+    val (beta, r2) = olsFit(s, d)
+    import s.implicits._
+    Seq(("intercept", beta(0)), ("l_quantity", beta(1)),
+      ("l_discount", beta(2)), ("r2", r2))
+      .map { case (t, v) =>
+        (t, BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .toDF("term", "value")
+  }
+
   val all: Seq[QueryDef] = Seq(qCopurchase, qFuzzyJoin, miningFpgrowth, miningAls,
-    miningPrefixspan, miningAssoc, miningLda)
+    miningPrefixspan, miningAssoc, miningLda, miningOls)
 }

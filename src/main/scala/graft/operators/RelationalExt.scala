@@ -311,6 +311,39 @@ object RelationalExt {
       .orderBy(col("o_custkey"))
   }
 
+  /** INTERSECT ALL (bag semantics): per-part line counts that exist
+    * on BOTH sides keep their minimum multiplicity — the dup-aware
+    * variant warehouses need when rows are legitimately repeated
+    * (Spark plans it as a hash aggregate over counts, no join
+    * explosion: min(count_L, count_R) copies per key).
+    */
+  val qIntersectAll: QueryDef = QueryDef.sql(
+    "q_intersect_all",
+    """SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+      |INTERSECT ALL
+      |SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+      |ORDER BY l_partkey""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    li.filter(col("l_returnflag") === "R").select("l_partkey")
+      .intersectAll(li.filter(col("l_returnflag") === "A").select("l_partkey"))
+      .orderBy(col("l_partkey"))
+  }
+
+  /** EXCEPT ALL (bag semantics): multiplicity-subtracting difference —
+    * max(count_L − count_R, 0) copies per key.
+    */
+  val qExceptAll: QueryDef = QueryDef.sql(
+    "q_except_all",
+    """SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+      |EXCEPT ALL
+      |SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+      |ORDER BY l_partkey""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    li.filter(col("l_returnflag") === "R").select("l_partkey")
+      .exceptAll(li.filter(col("l_returnflag") === "A").select("l_partkey"))
+      .orderBy(col("l_partkey"))
+  }
+
   /** CUBE grouping sets over two dimensions. */
   val qCube: QueryDef = QueryDef.sql(
     "q_cube",
@@ -936,7 +969,8 @@ object RelationalExt {
   val all: Seq[QueryDef] = Seq(
     qApproxDistinct, qApproxPercentile, qAsofJoin, qSkewSaltedJoin,
     qBucketedJoin, qPivot, qFullOuter, qTopPerKeyAgg, qScalarSubquery,
-    qIntersect, qExcept, qCube, qMedian, qSkewStats, qOrderGaps,
+    qIntersect, qExcept, qIntersectAll, qExceptAll, qCube, qMedian,
+    qSkewStats, qOrderGaps,
     qCorrelatedScalar, qGroupingSets, qRangeFrame, qNtile, qIntervalJoin,
     qMergeUpsert, qDppJoin, qScd2, qBloomJoin, qSnapshotDiff,
     qShuffleHashJoin, qPitSnapshot, qTemporalJoin, qCdcCompact,

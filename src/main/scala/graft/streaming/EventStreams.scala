@@ -149,6 +149,26 @@ object EventStreams {
     runToTable(s, "stream_hourly_counts_sink", "complete", agg, tmp)
   }
 
+  /** SLIDING-window streaming aggregate — 1-hour windows every 15
+    * minutes, so each event lands in 4 overlapping windows: the
+    * standard "smooth trailing rate" readout tumbling windows can't
+    * give. Spark expands the event into its 4 window assignments
+    * map-side (no self-join); state is O(types × open windows) and
+    * the watermark closes windows 1 h after their end. Oracle
+    * replays the same assignment arithmetic (floor-to-15-min minus
+    * k·15 min, k = 0..3).
+    */
+  def streamSliding(s: SparkSession, dir: String): DataFrame = {
+    val (src, tmp) = eventsStream(s, dir)
+    val agg = src
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+    runToTable(s, "stream_sliding_sink", "complete", agg, tmp)
+      .orderBy(col("ws"), col("event_type"))
+  }
+
   /** Gap-based sessionization through Structured Streaming's native
     * session windows: watermarked state store (complete mode —
     * session-window aggregation does not allow update). At scale the

@@ -179,6 +179,64 @@ class Round5dOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_intersect_all / q_except_all: bag multiplicities are exact") {
+    val li = Tables.lineitem(spark, sf)
+    def cnt(flag: String) = li.filter(col("l_returnflag") === flag)
+      .groupBy("l_partkey").agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cr = cnt("R"); val ca = cnt("A")
+    val inter = graft.operators.RelationalExt.qIntersectAll.fn(spark, sf)
+      .groupBy("l_partkey").agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    inter.foreach { case (k, c) =>
+      assert(c == math.min(cr(k), ca.getOrElse(k, 0L)), s"key $k")
+    }
+    val exc = graft.operators.RelationalExt.qExceptAll.fn(spark, sf)
+      .groupBy("l_partkey").agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exc.foreach { case (k, c) =>
+      assert(c == cr(k) - ca.getOrElse(k, 0L), s"key $k")
+    }
+  }
+
+  test("stream_sliding: every event lands in exactly 4 windows") {
+    val rows = EventOps.streamSliding.fn(spark, sf)
+    val total = rows.agg(sum(col("n"))).head.getLong(0)
+    val nEvents = Tables.events(spark, sf).count()
+    assert(total == 4 * nEvents, s"$total vs 4×$nEvents")
+    // spot-check one window against a direct interval recount
+    val r0 = rows.orderBy(col("ws"), col("event_type")).limit(1).head
+    val (ws, et) = (r0.getTimestamp(0), r0.getString(1))
+    val direct = Tables.events(spark, sf)
+      .filter(col("event_type") === et &&
+        col("ts") >= lit(ws) && col("ts") < lit(ws) + expr("INTERVAL 1 HOUR"))
+      .count()
+    assert(r0.getLong(2) == direct)
+  }
+
+  test("mining_ols: residuals are orthogonal to the design matrix") {
+    val (beta, r2) = graft.operators.Linkage.olsFit(spark, sf)
+    assert(r2 >= 0.0 && r2 <= 1.0, s"r2=$r2")
+    val li = Tables.lineitem(spark, sf).select(
+      col("l_quantity").cast("double").as("x1"),
+      col("l_discount").cast("double").as("x2"),
+      col("l_extendedprice").cast("double").as("y"))
+    val resid = col("y") - (lit(beta(0)) + lit(beta(1)) * col("x1") +
+      lit(beta(2)) * col("x2"))
+    val r = li.agg(sum(resid).as("r0"), sum(resid * col("x1")).as("r1"),
+      sum(resid * col("x2")).as("r2"), sum(abs(col("y"))).as("scale")).head
+    val scale = r.getDouble(3)
+    for (i <- 0 to 2)
+      assert(math.abs(r.getDouble(i)) < 1e-6 * scale,
+        s"normal equation $i violated: ${r.getDouble(i)} vs scale $scale")
+    // cross-check the marginal slope magnitude against a univariate
+    // regr_slope on the same data (the synthetic schema has near-zero
+    // price-quantity correlation, so multivariate ≈ univariate)
+    val uni = li.agg(covar_samp(col("y"), col("x1")) / var_samp(col("x1"))).head.getDouble(0)
+    assert(math.abs(beta(1) - uni) < math.abs(uni) * 0.25 + 1.0,
+      s"multivariate slope ${beta(1)} far from univariate $uni")
+  }
+
   test("emb_whitening: whitened components are decorrelated") {
     val v = Similarity.vectors(spark, sf)
     val model = Embeddings.fitPca(v, k = Embeddings.Dim)
