@@ -344,6 +344,60 @@ object RelationalExt {
       .orderBy(col("l_partkey"))
   }
 
+  /** NULL-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL
+    * keys MATCH each other instead of silently dropping — the join
+    * semantics dimension tables with "unknown" buckets need (a plain
+    * equi-join loses every NULL row on both sides). Spark plans it
+    * as an ordinary hash join on the null-safe key, same cost as
+    * `=` at any scale.
+    */
+  val qNullsafeJoin: QueryDef = QueryDef.sql(
+    "q_nullsafe_join",
+    """WITH a AS (SELECT nullif(o_orderstatus, 'P') AS k, count(*) AS n_a
+      |           FROM orders GROUP BY 1),
+      |b AS (SELECT nullif(o_orderstatus, 'F') AS k, count(*) AS n_b
+      |      FROM orders GROUP BY 1)
+      |SELECT a.k AS k, n_a, n_b
+      |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+      |ORDER BY k""".stripMargin) { (s, d) =>
+    val ord = Tables.orders(s, d)
+    val a = ord.groupBy(nullif(col("o_orderstatus"), lit("P")).as("k"))
+      .agg(count(lit(1)).as("n_a"))
+    val b = ord.groupBy(nullif(col("o_orderstatus"), lit("F")).as("k2"))
+      .agg(count(lit(1)).as("n_b"))
+    a.join(b, col("k") <=> col("k2"))
+      .select(col("k"), col("n_a"), col("n_b"))
+      .orderBy(col("k"))
+  }
+
+  /** Exact DISCRETE percentile per group (PERCENTILE_DISC): the p90
+    * is an ACTUAL data value — the element at position ⌈0.9·n⌉ of the
+    * sorted multiset — not an interpolation (q_median's CONT
+    * convention); spelled as identical window arithmetic in both
+    * engines so no quantile-dialect ambiguity exists. One window
+    * over the group shuffle; the value at the target position is
+    * well-defined regardless of tie order.
+    */
+  val qPercentileDisc: QueryDef = QueryDef.sql(
+    "q_percentile_disc",
+    """WITH r AS (SELECT l_returnflag, l_quantity,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |                       ORDER BY l_quantity) AS rn,
+      |    count(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM lineitem)
+      |SELECT l_returnflag, l_quantity AS p90
+      |FROM r WHERE rn = CAST(ceil(0.9 * n) AS BIGINT)
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val byFlag = Window.partitionBy(col("l_returnflag"))
+    val r = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_quantity"))
+      .withColumn("rn", row_number().over(byFlag.orderBy(col("l_quantity"))))
+      .withColumn("n", count(lit(1)).over(byFlag))
+    r.filter(col("rn") === ceil(lit(0.9) * col("n")).cast("long"))
+      .select(col("l_returnflag"), col("l_quantity").as("p90"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** CUBE grouping sets over two dimensions. */
   val qCube: QueryDef = QueryDef.sql(
     "q_cube",
@@ -969,7 +1023,8 @@ object RelationalExt {
   val all: Seq[QueryDef] = Seq(
     qApproxDistinct, qApproxPercentile, qAsofJoin, qSkewSaltedJoin,
     qBucketedJoin, qPivot, qFullOuter, qTopPerKeyAgg, qScalarSubquery,
-    qIntersect, qExcept, qIntersectAll, qExceptAll, qCube, qMedian,
+    qIntersect, qExcept, qIntersectAll, qExceptAll, qNullsafeJoin,
+    qPercentileDisc, qCube, qMedian,
     qSkewStats, qOrderGaps,
     qCorrelatedScalar, qGroupingSets, qRangeFrame, qNtile, qIntervalJoin,
     qMergeUpsert, qDppJoin, qScd2, qBloomJoin, qSnapshotDiff,

@@ -816,9 +816,78 @@ object TimeSeries {
       .orderBy(col("event_type"))
   }
 
+  /** LTTB (largest-triangle-three-buckets, Steinarsson 2013) indices
+    * for one series: always keep the endpoints, and from each of
+    * target−2 interior buckets keep the point maximizing the
+    * triangle area with the previously KEPT point and the next
+    * bucket's centroid — the downsampling that preserves visual
+    * shape (peaks/valleys) where per-bucket averaging flattens it.
+    * Ties break to the earliest point.
+    */
+  private[operators] def lttbSelect(
+      xs: Array[Double], ys: Array[Double], target: Int): Array[Int] = {
+    val n = xs.length
+    if (n <= target || target < 3) return Array.range(0, n)
+    val buckets = target - 2
+    def bound(i: Int): Int =
+      1 + math.round(i.toDouble * (n - 2) / buckets).toInt
+    val picked = scala.collection.mutable.ArrayBuffer(0)
+    var prev = 0
+    for (b <- 0 until buckets) {
+      val lo = bound(b)
+      val hi = math.min(bound(b + 1), n - 1)
+      val (nl, nh) =
+        if (b + 1 < buckets) (bound(b + 1), math.min(bound(b + 2), n - 1))
+        else (n - 1, n)
+      val ax = xs.slice(nl, nh).sum / (nh - nl)
+      val ay = ys.slice(nl, nh).sum / (nh - nl)
+      var best = lo
+      var bestArea = -1.0
+      for (i <- lo until hi) {
+        val area = math.abs(
+          (xs(prev) - ax) * (ys(i) - ys(prev)) -
+            (xs(prev) - xs(i)) * (ay - ys(prev)))
+        if (area > bestArea) { bestArea = area; best = i }
+      }
+      picked += best
+      prev = best
+    }
+    picked += (n - 1)
+    picked.toArray
+  }
+
+  /** Downsample each daily series to ≤10 visually-representative
+    * points via LTTB — what a dashboard renders when the raw series
+    * is too dense to plot. The sequential pass is inherent to LTTB
+    * (each pick depends on the previous), but it runs per-series
+    * over the O(days) DAILY AGGREGATE inside flatMapGroups — the
+    * corpus contributes one groupBy, series state is O(days), and
+    * parallelism comes from the series key shuffle. Rows-only (pick
+    * depends on float triangle areas); endpoints/subset/count pinned.
+    */
+  val tsLttb: QueryDef = QueryDef.rowsOnly("ts_lttb") { (s, d) =>
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("day").cast("string").as("day"),
+        unix_date(col("day")).cast("double").as("x"),
+        col("n"))
+      .as[(String, String, Double, Long)]
+    daily.groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        val pts = it.toArray.sortBy(_._2)
+        val idx = lttbSelect(pts.map(_._3), pts.map(_._4.toDouble), 10)
+        idx.iterator.map(i => (k, pts(i)._2, pts(i)._4))
+      }
+      .toDF("event_type", "day", "n")
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     tsGapfill, tsInterp, tsEwma, tsAutocorr, tsCusum, tsSeasonal,
     tsForecast, tsTimeToConvert, tsGapEpisodes, tsHolt, tsDecompose,
     tsRollingStats, tsRepair, tsOhlc, tsInterEvent, tsTheilsen,
-    tsChangepoint)
+    tsChangepoint, tsLttb)
 }

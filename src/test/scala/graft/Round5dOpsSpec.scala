@@ -237,6 +237,51 @@ class Round5dOpsSpec extends AnyFunSuite {
       s"multivariate slope ${beta(1)} far from univariate $uni")
   }
 
+  test("q_nullsafe_join: NULL keys match each other") {
+    val rows = graft.operators.RelationalExt.qNullsafeJoin.fn(spark, sf).collect()
+    // the NULL bucket must survive the join (a plain equi-join drops it)
+    assert(rows.exists(_.isNullAt(0)), "NULL key row missing")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_a") > 0 && r.getAs[Long]("n_b") > 0)
+    }
+  }
+
+  test("q_percentile_disc: p90 is an actual value at the right rank") {
+    val rows = graft.operators.RelationalExt.qPercentileDisc.fn(spark, sf).collect()
+    val flags = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag")).distinct().count()
+    assert(rows.length == flags)
+    rows.foreach { r =>
+      val flag = r.getString(0)
+      val p90 = r.getDouble(1)
+      val vals = Tables.lineitem(spark, sf)
+        .filter(col("l_returnflag") === flag)
+        .select(col("l_quantity")).collect().map(_.getDouble(0)).sorted
+      assert(p90 == vals(math.ceil(0.9 * vals.length).toInt - 1))
+    }
+  }
+
+  test("ts_lttb: endpoints kept, points are a subset, count bounded") {
+    val rows = TimeSeries.tsLttb.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").cast("string").as("day"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val byType = daily.groupBy(_._1)
+    val outByType = rows.groupBy(_._1)
+    assert(outByType.keySet == byType.keySet)
+    for ((t, pts) <- outByType) {
+      val series = byType(t).sortBy(_._2)
+      assert(pts.length == math.min(10, series.length), s"$t size")
+      assert(pts.toSet.subsetOf(series.toSet), s"$t not a subset")
+      val days = pts.map(_._2).sorted
+      assert(days.head == series.head._2 && days.last == series.last._2,
+        s"$t endpoints")
+    }
+  }
+
   test("emb_whitening: whitened components are decorrelated") {
     val v = Similarity.vectors(spark, sf)
     val model = Embeddings.fitPca(v, k = Embeddings.Dim)
