@@ -981,8 +981,44 @@ object Dedup {
       Tables.documents(s, d).filter(col("doc_id") < 300L), SetSimThreshold)
   }
 
+  /** Sketch-pipeline CALIBRATION report — the QA gate a production
+    * near-dedup deployment runs before trusting MinHash+LSH on a new
+    * corpus: on a bounded range where the exact all-pairs ground
+    * truth is computable, measure what the LSH pipeline recovers.
+    * Reports truth/candidate/verified pair counts and recall; the
+    * post-verify stage makes precision 1.0 by construction (every
+    * emitted pair is exactly re-checked), so RECALL is the number
+    * that needs watching — at 64 perms / 16 bands the collision
+    * probability at Jaccard 0.8 is 1−(1−0.8⁴)¹⁶ ≈ 0.9998. Rows-only
+    * (sketch path); recall ≥ 0.9 and verified ⊆ truth pinned.
+    */
+  val dedupEval: QueryDef = QueryDef.rowsOnly("dedup_eval") { (s, d) =>
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 300L)
+    val truth = ngramPairs(docs, 300L, 0.8).select("id1", "id2")
+      .localCheckpoint(eager = true)
+    val sh = shinglesHashed(docs).cache()
+    try {
+      val verified = jaccardVerify(
+        sh, lshCandidates(minhashSignatures(sh)), 0.8)
+        .select("id1", "id2").localCheckpoint(eager = true)
+      val nTruth = truth.count()
+      val nVerified = verified.count()
+      val nHit = truth.join(verified, Seq("id1", "id2"), "left_semi").count()
+      import s.implicits._
+      Seq(
+        ("n_truth", nTruth.toDouble),
+        ("n_verified", nVerified.toDouble),
+        ("n_recovered", nHit.toDouble),
+        ("recall",
+          if (nTruth == 0) 1.0
+          else BigDecimal(nHit.toDouble / nTruth)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .toDF("metric", "value")
+    } finally sh.unpersist(false)
+  }
+
   val all: Seq[QueryDef] = Seq(
-    dedupBestSurvivor, dedupSetsimPrefix,
+    dedupBestSurvivor, dedupSetsimPrefix, dedupEval,
     dedupExact, dedupExactNfc, dedupStats, dedupNgram, dedupContainment,
     dedupMinhash,
     dedupSimhash, dedupEmbedding, streamDedup, dedupGroups, dedupNearCorpus,

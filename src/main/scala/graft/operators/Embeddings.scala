@@ -292,6 +292,73 @@ object Embeddings {
     vectors.withColumn("z", array(zCols: _*))
   }
 
+  /** Deterministic orthogonal "model-upgrade" transform for the
+    * Procrustes demo: coordinate permutation + sign flips, both from
+    * the splitmix64 finalizer (full avalanche, no LCG correlation).
+    * p is a Fisher–Yates shuffle driven by the hash; s is a ±1 per
+    * target coordinate.
+    */
+  private[graft] val ProcrustesPerm: Array[Int] = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val p = Array.range(0, Dim)
+    var i = Dim - 1
+    while (i > 0) {
+      val j = java.lang.Long.remainderUnsigned(mix(i.toLong + 7L), i + 1L).toInt
+      val t = p(i); p(i) = p(j); p(j) = t
+      i -= 1
+    }
+    p
+  }
+
+  private[graft] val ProcrustesSign: Array[Double] =
+    Array.tabulate(Dim)(j => if ((rpSign(j, 63 - j) : Int) > 0) 1.0 else -1.0)
+
+  /** Orthogonal Procrustes alignment of two embedding spaces — the
+    * "model upgrade" operator: given vectors under an old and a new
+    * embedding model, recover the rotation R* = argmin ‖AR − B‖_F =
+    * UVᵀ from SVD(AᵀB) so old vectors can be queried against the new
+    * index without re-embedding the corpus. The 100 TB shape: AᵀB
+    * comes from ONE mergeable GramianAgg pass over the STACKED
+    * [a;b] vector (the 128×128 upper triangle contains the full
+    * 64×64 cross block), the SVD is a driver-side d×d solve — the
+    * fitPca pattern applied to alignment. Here B is a deterministic
+    * permutation+sign transform of A, so the recovered R must BE
+    * that transform: each output row reports the dominant target
+    * coordinate and its weight (≈ ±1). Rows-only (SVD); exact
+    * permutation recovery pinned in ScalaTest.
+    */
+  val embProcrustes: QueryDef = QueryDef.rowsOnly("emb_procrustes") { (s, d) =>
+    val v = Similarity.vectors(s, d)
+    // b[j] = sign_j * a[perm(j)] — plan literals, map-side only
+    val bCols: Seq[Column] = (0 until Dim).map(j =>
+      lit(ProcrustesSign(j)) * col("v")(ProcrustesPerm(j)))
+    val stacked = v.withColumn("ab", concat(col("v"), array(bCols: _*)))
+    val stats = stacked
+      .agg(SketchFunctions.gramian(col("ab"), 2 * Dim).as("g"))
+      .head.getSeq[Double](0).toArray
+    // upper-triangle offsets of the stacked 128×128 gramian: entry
+    // (i, k) for i ≤ k lives at 1 + 2d + (i*(2*2d - i + 1))/2 + (k - i)
+    val dd = 2 * Dim
+    def tri(i: Int, k: Int): Double =
+      stats(1 + dd + i * (2 * dd - i + 1) / 2 + (k - i))
+    val m = breeze.linalg.DenseMatrix.tabulate(Dim, Dim)((i, j) => tri(i, Dim + j))
+    val svd = breeze.linalg.svd(m)
+    val r = svd.U * svd.Vt
+    import s.implicits._
+    (0 until Dim).map { i =>
+      val row = (0 until Dim).map(j => r(i, j))
+      val jmax = row.indices.maxBy(j => math.abs(row(j)))
+      (i, jmax,
+        BigDecimal(row(jmax)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("source_dim", "target_dim", "weight")
+      .orderBy(col("source_dim"))
+  }
+
   val all: Seq[QueryDef] = Seq(embPca, embCluster, embRandomProjection,
-    embDimStats, embMatryoshka, embWhitening)
+    embDimStats, embMatryoshka, embWhitening, embProcrustes)
 }

@@ -282,6 +282,29 @@ class Round5dOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("emb_procrustes: recovers the planted permutation exactly") {
+    val rows = Embeddings.embProcrustes.fn(spark, sf).collect()
+    assert(rows.length == 64)
+    rows.foreach { r =>
+      val (src, tgt, w) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      assert(Embeddings.ProcrustesPerm(tgt) == src,
+        s"dim $src mapped to $tgt but perm($tgt)=${Embeddings.ProcrustesPerm(tgt)}")
+      assert(math.abs(math.abs(w) - 1.0) <= 1e-3, s"weight $w not ±1")
+      assert(math.signum(w) == Embeddings.ProcrustesSign(tgt), s"sign at $tgt")
+    }
+  }
+
+  test("dedup_eval: LSH recall is high and verified pairs are sound") {
+    val rows = Dedup.dedupEval.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rows("recall") >= 0.9, s"recall ${rows("recall")}")
+    // post-verify precision is 1.0 by construction: every verified
+    // pair must be in the exact ground truth
+    assert(rows("n_recovered") == rows("n_verified"),
+      s"verified ${rows("n_verified")} vs recovered ${rows("n_recovered")}")
+    assert(rows("n_truth") > 0, "bounded range has no true pairs")
+  }
+
   test("emb_whitening: whitened components are decorrelated") {
     val v = Similarity.vectors(spark, sf)
     val model = Embeddings.fitPca(v, k = Embeddings.Dim)
