@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Partition-count invariance: the determinism claim behind every
+  * oracle hash-match is that results do not depend on HOW the data
+  * was partitioned — float formulas are algebraically conditioned,
+  * orders are total, rounding absorbs reassociation noise. The
+  * oracle gate runs at ONE fixed parallelism, so it cannot see a
+  * violation; this suite reruns a float-/window-heavy sample of the
+  * surface at 2 vs 17 shuffle partitions and requires identical
+  * rows. A failure here is a real 1000-executor bug even when the
+  * single-partitioning oracle is green.
+  */
+class PartitionInvarianceSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val names = Seq(
+    "q1_pricing",          // grouped float sums (rounded)
+    "q_running_sum",       // running window over float col
+    "ts_ewma",             // closed-form cascade, claimed order-safe
+    "ts_holt",             // double cascade over one window
+    "graph_pagerank",      // iterative float mass propagation
+    "text_entropy",        // log2 aggregation, conditioned form
+    "events_user_entropy", // same family over events
+    "profile_corr",        // one-scan correlation matrix
+    "kmeans_lloyd",        // reference-semantics iterative means
+    "emb_random_projection", // map-only: trivially invariant control
+    "q_skyline",           // window-over-aggregate frontier
+    "text_chi2",           // int64-exact chi-square
+    "mining_ols"           // normal-equation sums (rounded to 4)
+  )
+
+  private def runWith(name: String, parts: String): Seq[String] = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    try SparkEntry.queries(name)(spark, sf).collect().map(_.toString).sorted.toSeq
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  for (name <- names)
+    test(s"$name: identical rows at 2 vs 17 shuffle partitions") {
+      assert(runWith(name, "2") == runWith(name, "17"))
+    }
+}
