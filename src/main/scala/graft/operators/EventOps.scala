@@ -1396,8 +1396,57 @@ object EventOps {
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)(
     graft.streaming.EventStreams.streamSliding)
 
+  /** CEP-lite sequence matching (the MATCH_RECOGNIZE shape): each
+    * (user, day) behavior stream becomes a single-char-coded string
+    * in exact (ts, event_id) order, and the pattern "one or more
+    * views, then a click, then a purchase" is the regex `v+cp` —
+    * counted with non-overlapping greedy semantics identical in both
+    * engines. The scale posture: ONE (user, day) shuffle, per-group
+    * state bounded by a day's events (array_sort inside the
+    * aggregate, no window over the corpus), regex on the tiny coded
+    * string. Users/days with zero matches drop out.
+    */
+  val eventsSequenceMatch: QueryDef = QueryDef.sql(
+    "events_sequence_match",
+    """WITH coded AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |         ts, event_id,
+      |         CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+      |              WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+      |              ELSE 'e' END AS code
+      |  FROM events),
+      |seqs AS (
+      |  SELECT user_id, day,
+      |         string_agg(code, '' ORDER BY ts, event_id) AS seq
+      |  FROM coded GROUP BY 1, 2)
+      |SELECT user_id, day,
+      |       CAST(len(regexp_extract_all(seq, 'v+cp')) AS BIGINT) AS n_matches
+      |FROM seqs
+      |WHERE len(regexp_extract_all(seq, 'v+cp')) > 0
+      |ORDER BY user_id, day""".stripMargin) { (s, d) =>
+    val coded = Tables.events(s, d).select(
+      col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"),
+      col("ts"), col("event_id"),
+      when(col("event_type") === "view", "v")
+        .when(col("event_type") === "click", "c")
+        .when(col("event_type") === "purchase", "p")
+        .when(col("event_type") === "signup", "s")
+        .otherwise("e").as("code"))
+    coded
+      .groupBy(col("user_id"), col("day"))
+      .agg(array_join(
+        expr("transform(array_sort(collect_list(struct(ts, event_id, code))), x -> x.code)"),
+        "").as("seq"))
+      .withColumn("n_matches",
+        size(regexp_extract_all(col("seq"), lit("v+cp"), lit(0))).cast("long"))
+      .filter(col("n_matches") > 0)
+      .select(col("user_id"), col("day"), col("n_matches"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     eventsBitmapCohort, streamBitmapCohort, streamSliding,
+    eventsSequenceMatch,
     streamLateData, eventsFeatures, qMovers, streamIncremental,
     eventsAttributionLinear, eventsBotDetect,
     eventsHourly, streamHourly, eventsSessions, eventsSessionWindow,

@@ -398,6 +398,45 @@ object RelationalExt {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Banded numeric join (|a.value − b.value| ≤ ε within a type)
+    * WITHOUT the range-join explosion: both sides bucket by
+    * floor(value / 2ε), the left probes only buckets {b−1, b, b+1}
+    * (bucket width 2ε guarantees any ε-close pair lands in adjacent
+    * buckets with slack ε, so FP boundary noise can't lose a pair),
+    * and the exact |diff| ≤ ε predicate filters candidates. Each
+    * qualifying pair matches in EXACTLY one bucket equality, so no
+    * distinct is needed. Work = Σ bucket²-per-type, never n².
+    * Oracle = the quadratic θ-join on the same bounded range.
+    */
+  val BandEps = 0.01
+
+  val qBandJoin: QueryDef = QueryDef.sql(
+    "q_band_join",
+    s"""SELECT a.event_id AS id1, b.event_id AS id2,
+       |       round(abs(a.value - b.value), 4) AS diff
+       |FROM events a JOIN events b
+       |  ON a.event_type = b.event_type AND a.event_id < b.event_id
+       | AND abs(a.value - b.value) <= $BandEps
+       |WHERE a.event_id < 2000 AND b.event_id < 2000
+       |ORDER BY id1, id2""".stripMargin) { (s, d) =>
+    val width = 2 * BandEps
+    val ev = Tables.events(s, d).filter(col("event_id") < 2000L)
+      .select(col("event_id"), col("event_type"), col("value"),
+        floor(col("value") / width).cast("long").as("b"))
+    val probes = ev.select(col("event_id").as("id1"),
+        col("event_type").as("t1"), col("value").as("v1"),
+        explode(array(col("b") - 1, col("b"), col("b") + 1)).as("pb"))
+    probes
+      .join(ev.select(col("event_id").as("id2"), col("event_type").as("t2"),
+          col("value").as("v2"), col("b").as("b2")),
+        col("t1") === col("t2") && col("pb") === col("b2") &&
+          col("id1") < col("id2"))
+      .filter(abs(col("v1") - col("v2")) <= BandEps)
+      .select(col("id1"), col("id2"),
+        round(abs(col("v1") - col("v2")), 4).as("diff"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** CUBE grouping sets over two dimensions. */
   val qCube: QueryDef = QueryDef.sql(
     "q_cube",
@@ -1024,7 +1063,7 @@ object RelationalExt {
     qApproxDistinct, qApproxPercentile, qAsofJoin, qSkewSaltedJoin,
     qBucketedJoin, qPivot, qFullOuter, qTopPerKeyAgg, qScalarSubquery,
     qIntersect, qExcept, qIntersectAll, qExceptAll, qNullsafeJoin,
-    qPercentileDisc, qCube, qMedian,
+    qPercentileDisc, qBandJoin, qCube, qMedian,
     qSkewStats, qOrderGaps,
     qCorrelatedScalar, qGroupingSets, qRangeFrame, qNtile, qIntervalJoin,
     qMergeUpsert, qDppJoin, qScd2, qBloomJoin, qSnapshotDiff,

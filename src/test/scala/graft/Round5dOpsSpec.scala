@@ -305,6 +305,38 @@ class Round5dOpsSpec extends AnyFunSuite {
     assert(rows("n_truth") > 0, "bounded range has no true pairs")
   }
 
+  test("events_sequence_match: regex counts match a driver replay") {
+    val rows = EventOps.eventsSequenceMatch.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // replay one matched (user, day) on the driver
+    val r0 = rows.head
+    val (u, day) = (r0.getLong(0), r0.getDate(1))
+    val seq = Tables.events(spark, sf)
+      .filter(col("user_id") === u &&
+        date_trunc("day", col("ts")).cast("date") === lit(day))
+      .orderBy(col("ts"), col("event_id"))
+      .select(col("event_type")).collect()
+      .map(r => r.getString(0) match {
+        case "view" => 'v'; case "click" => 'c'; case "purchase" => 'p'
+        case "signup" => 's'; case _ => 'e'
+      }).mkString
+    assert("v+cp".r.findAllIn(seq).size.toLong == r0.getLong(2),
+      s"user $u day $day seq=$seq")
+  }
+
+  test("q_band_join: bucketed candidates equal the quadratic recount") {
+    val got = graft.operators.RelationalExt.qBandJoin.fn(spark, sf)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = Tables.events(spark, sf).filter(col("event_id") < 2000L)
+      .select(col("event_id"), col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val expect = (for {
+      a <- ev; b <- ev
+      if a._2 == b._2 && a._1 < b._1 && math.abs(a._3 - b._3) <= 0.01
+    } yield (a._1, b._1)).toSet
+    assert(got == expect)
+  }
+
   test("emb_whitening: whitened components are decorrelated") {
     val v = Similarity.vectors(spark, sf)
     val model = Embeddings.fitPca(v, k = Embeddings.Dim)
