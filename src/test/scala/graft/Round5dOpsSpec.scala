@@ -167,7 +167,8 @@ class Round5dOpsSpec extends AnyFunSuite {
   }
 
   test("new ops avoid cartesian/nested-loop joins in their plans") {
-    for (name <- Seq("q_skyline", "dedup_setsim_prefix", "events_bitmap_cohort")) {
+    for (name <- Seq("q_skyline", "dedup_setsim_prefix", "events_bitmap_cohort",
+        "q_band_join")) {
       val p = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian join")
