@@ -754,9 +754,100 @@ object KMeans {
     }.toSeq.toDF("cid", "cx", "cy", "n_seen")
   }
 
+  /** Density-based clustering (DBSCAN, Ester et al. 1996) — the
+    * non-centroidal complement to Lloyd's: finds arbitrary-shape
+    * clusters and an explicit noise set, no k required. Grid-cell
+    * bucketing makes it shuffle-native at scale: points land in
+    * ⌈eps⌉-sized cells (map-side), each point probes only its 3×3
+    * cell neighborhood via ONE equality join on cell id (the 9-cell
+    * expansion is a map-side explode of the probe side — candidate
+    * work is Σ|cell|·|neighborhood|, never n²), the exact eps test
+    * filters candidates, core points are a neighbor-count aggregate,
+    * and the cluster partition is connected components over the
+    * core-core eps graph (Dedup.connectedComponents: size-adaptive —
+    * driver union-find when tiny, pointer-jumping label rounds when
+    * not). Border points attach to their minimum-label core
+    * neighbor; everything else is noise. Coordinates are min-max
+    * normalized to [0,100]² (one broadcast 1-row aggregate) so eps
+    * is scale-free across SFs. Output: per-cluster core/border
+    * counts plus one (-1) noise row — cluster ids are component
+    * minima, so the whole result is deterministic under any
+    * partitioning (pinned, with the density invariants, in
+    * ScalaTest; SQL-inexpressible: the component fixpoint).
+    */
+  val clusterDbscan: QueryDef = QueryDef.rowsOnly("cluster_dbscan") { (s, d) =>
+    val eps = 0.5
+    val minPts = 5
+    val pts = points(Tables.lineitem(s, d))
+      .select((col("l_orderkey") * 100 + col("l_linenumber")).as("pid"),
+        col("x"), col("y"))
+    val bounds = pts.agg(
+      min(col("x")).as("x0"), max(col("x")).as("x1"),
+      min(col("y")).as("y0"), max(col("y")).as("y1"))
+    val norm = pts.join(broadcast(bounds))
+      .select(col("pid"),
+        (lit(100.0) * (col("x") - col("x0")) /
+          greatest(col("x1") - col("x0"), lit(1e-12))).as("nx"),
+        (lit(100.0) * (col("y") - col("y0")) /
+          greatest(col("y1") - col("y0"), lit(1e-12))).as("ny"))
+    val withCell = norm
+      .withColumn("cx", floor(col("nx") / eps).cast("long"))
+      .withColumn("cy", floor(col("ny") / eps).cast("long"))
+    // probe side explodes to its 9-cell neighborhood; build side keyed
+    // by its own cell → equality shuffle on (cell_x, cell_y)
+    val probe = withCell.select(col("pid"), col("nx"), col("ny"),
+        explode(array((-1 to 1).flatMap(dx => (-1 to 1).map(dy =>
+          struct((col("cx") + dx).as("jx"), (col("cy") + dy).as("jy")))): _*)).as("nb"))
+      .select(col("pid"), col("nx"), col("ny"),
+        col("nb.jx").as("jx"), col("nb.jy").as("jy"))
+    val build = withCell.select(col("pid").as("pid2"), col("nx").as("nx2"),
+      col("ny").as("ny2"), col("cx").as("jx"), col("cy").as("jy"))
+    // the eps-neighbor relation feeds three branches (core counts,
+    // core-core edges, border attachment) — materialize it once
+    val nbrs = probe.join(build, Seq("jx", "jy"))
+      .filter((col("nx") - col("nx2")) * (col("nx") - col("nx2")) +
+        (col("ny") - col("ny2")) * (col("ny") - col("ny2")) <= lit(eps * eps))
+      .select(col("pid"), col("pid2"))
+      .persist()
+    try {
+      // neighbor count INCLUDES self (pid==pid2 survives the eps test)
+      val cores = nbrs.groupBy(col("pid")).agg(count(lit(1)).as("n_nbr"))
+        .filter(col("n_nbr") >= minPts).select(col("pid"))
+      val coreEdges = nbrs
+        .join(cores, Seq("pid"))
+        .join(cores.select(col("pid").as("pid2")), Seq("pid2"))
+        .filter(col("pid") < col("pid2"))
+        .select(col("pid").as("id1"), col("pid2").as("id2"))
+      val labels = Dedup.connectedComponents(
+        coreEdges.union(cores.select(col("pid").as("id1"), col("pid").as("id2"))))
+      val coreLabeled = labels.select(col("id").as("core_id"), col("label"))
+      // border: non-core with ≥1 core neighbor → minimum core label
+      val borders = nbrs
+        .join(cores.select(col("pid")), Seq("pid"), "left_anti")
+        .join(coreLabeled, col("pid2") === col("core_id"))
+        .groupBy(col("pid")).agg(min(col("label")).as("label"))
+      val nPts = withCell.count()
+      // per-cluster summary is O(#clusters) — bounded driver collect,
+      // so the expensive neighbor relation can be released eagerly
+      val perCluster = coreLabeled
+        .groupBy(col("label")).agg(count(lit(1)).as("n_core"))
+        .join(borders.groupBy(col("label")).agg(count(lit(1)).as("n_border")),
+          Seq("label"), "left_outer")
+        .select(col("label").as("cluster"), col("n_core"),
+          coalesce(col("n_border"), lit(0L)).as("n_border"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val assigned = perCluster.map(c => c._2 + c._3).sum
+      import s.implicits._
+      (perCluster.toSeq :+ ((-1L, 0L, nPts - assigned)))
+        .toDF("cluster", "n_core", "n_border")
+        .orderBy(col("cluster"))
+    } finally nbrs.unpersist(false)
+  }
+
   val all: Seq[QueryDef] = Seq(
     kmeansAssign, kmeansStep, kmeansIter3, kmeansCost, kmeansLloyd,
     kmeansMllib, kmeansNd, kmeansMinibatch, kmeansBisecting,
     kmeansPp, kmeansElbow, kmeansSilhouette, kmeansWeighted,
-    kmeansStream)
+    kmeansStream, clusterDbscan)
 }

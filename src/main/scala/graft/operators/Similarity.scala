@@ -772,8 +772,46 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Maximum-inner-product search (MIPS) — recommendation-serving's
+    * scoring primitive (user·item, not cosine: item popularity lives
+    * in the norm, so the two rankings genuinely differ). Exact
+    * top-10 by inner product for the first 5 query vectors: query
+    * set broadcasts, ONE corpus scan serves all queries, and the
+    * per-query top-k runs through the native TopKPerKey operator
+    * (bounded per-partition heaps + final k-merge) instead of a
+    * window rank — no corpus-sized sort, no single-partition-per-
+    * query shuffle skew. The scale path to sub-linear MIPS is the
+    * norm-augmentation reduction to cosine (x→[x, √(M²−‖x‖²)],
+    * q→[q, 0], Bachrach et al. 2014), after which any cosine ANN
+    * index in this file applies; the reduction's rank-equivalence is
+    * pinned in ScalaTest against this exact operator.
+    */
+  val annMips: QueryDef = QueryDef.sql(
+    "ann_mips",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+      |p AS (SELECT qid, vec_id, list_inner_product(v, qv) AS ip
+      |      FROM e CROSS JOIN q WHERE vec_id <> qid),
+      |r AS (SELECT qid, vec_id, ip, row_number() OVER (PARTITION BY qid
+      |        ORDER BY ip DESC, vec_id) AS rn FROM p)
+      |SELECT qid, vec_id, round(ip, 4) AS ip
+      |FROM r WHERE rn <= 10 ORDER BY qid, ip DESC, vec_id""".stripMargin) { (s, d) =>
+    val e = vectors(s, d)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), dot(col("v"), col("qv")).as("ip"))
+    org.apache.spark.sql.graft.TopKOps.topKPerKey(scored,
+        keys = Seq(col("qid")),
+        order = Seq(col("ip").desc, col("vec_id").asc),
+        k = 10)
+      .select(col("qid"), col("vec_id"), round(col("ip"), 4).as("ip"))
+      .orderBy(col("qid"), col("ip").desc, col("vec_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     annBruteforce, annTopkJoin, annLsh, annIvf, annPq, annSearchText,
     annIvfPq, annIvfPqPersisted, dedupEmbeddingIvf, annSq8, embKnnGraph,
-    annRangeSearch)
+    annRangeSearch, annMips)
 }

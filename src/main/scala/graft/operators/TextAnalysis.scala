@@ -1011,11 +1011,68 @@ object TextAnalysis {
       .orderBy(col("bucket"))
   }
 
+  /** TRAINED language ID: multinomial Naive Bayes with Laplace
+    * smoothing, fit distributed on the corpus's own truth labels and
+    * applied back — the learned upgrade over the fixed marker-word
+    * heuristic (text_langid), and the standard fast classifier real
+    * pipelines run at ingest (fastText-class). Whitespace tokens so
+    * CJK text stays informative. Training is ONE (lang, token)
+    * shuffle with partial aggregation; the fitted model
+    * (|langs|×|vocab| log-likelihood table) and the |langs|
+    * prior/total row both BROADCAST to the scoring pass, which is
+    * map-side ×|langs| expansion + one (doc, lang) aggregate — at
+    * open-vocab web scale the model join degrades gracefully to a
+    * token-key shuffle, never corpus². Output is the confusion
+    * matrix vs truth. Rows-only by design: the per-doc argmax
+    * compares float log-sums whose SQL replay would be summation-
+    * order sensitive; self-consistency (diagonal dominance,
+    * population conservation, accuracy ≥ the heuristic's) is pinned
+    * in ScalaTest.
+    */
+  val textNbLangid: QueryDef = QueryDef.rowsOnly("text_nb_langid") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+    val toks = docs
+      .select(col("doc_id"), col("lang"),
+        explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    // ---- fit (truth labels) ----
+    val counts = toks.groupBy(col("lang").as("clang"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val langTot = counts.groupBy(col("clang"))
+      .agg(sum(col("cnt")).as("tot"))
+    val vocab = counts.select(col("tok")).distinct().count() // bounded: |vocab|
+    val nDocs = docs.count()
+    val priors = docs.groupBy(col("lang").as("clang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("clang"), log(col("n_docs").cast("double") / nDocs).as("logprior"))
+    val langSide = langTot.join(priors, Seq("clang"))
+    // ---- score every doc under every language ----
+    val scored = toks.select(col("doc_id"), col("tok"))
+      .crossJoin(broadcast(langSide))
+      .join(broadcast(counts), Seq("clang", "tok"), "left_outer")
+      .select(col("doc_id"), col("clang"), col("logprior"),
+        log((coalesce(col("cnt"), lit(0L)) + lit(1.0)) /
+          (col("tot") + lit(vocab.toDouble))).as("ll"))
+      .groupBy(col("doc_id"), col("clang"))
+      .agg((sum(col("ll")) + first(col("logprior"))).as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("clang"))
+    val pred = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("clang").as("pred_lang"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(pred, Seq("doc_id"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     textTokens, textQuality, textLangid, textFingerprint, textWordfreq,
     textBpeTokens, textBpeMerged, textTfidf, textLangidEval, textRepetition,
     textRedact, textCmsFreq, textChunks, textChunkDedup, textLmScore,
     textWinnow, textEntropy, textTtr, textNovelty, textPerplexityBucket,
     textZipf, textReadability, textCollocations, textCodeDetect,
-    textSeqLenProfile, textChi2, textHashingTrick)
+    textSeqLenProfile, textChi2, textHashingTrick, textNbLangid)
 }

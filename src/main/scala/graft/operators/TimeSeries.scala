@@ -885,9 +885,76 @@ object TimeSeries {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Sakoe–Chiba banded dynamic-time-warping distance (the classic
+    * elastic series-similarity measure) between every pair of
+    * event-type daily-mean series. The sequential DP is confined to
+    * per-PAIR work on the tiny daily aggregates (|days| per series,
+    * band b=7 ⇒ O(|days|·b) cells — never the raw event stream);
+    * the corpus-sized stage is only the daily groupBy. Series are
+    * z-normalized (DTW convention) so the distance measures shape,
+    * not level. Pairs are built by broadcasting the O(#types)
+    * aggregated series array; at 1000s of series the same plan
+    * shards the pair grid over the cluster since each pair's inputs
+    * are two small arrays. SQL-inexpressible (the warping-path DP);
+    * identity/symmetry/Euclidean-upper-bound pinned in ScalaTest.
+    */
+  val tsDtw: QueryDef = QueryDef.rowsOnly("ts_dtw") { (s, d) =>
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(avg(col("value")).as("v"))
+      .as[(String, java.sql.Date, Double)]
+    val series: Array[(String, Array[Double])] = daily.collect()
+      .groupBy(_._1).toArray
+      .map { case (k, rows) =>
+        val vs = rows.sortBy(_._2.getTime).map(_._3)
+        val n = vs.length
+        val mean = vs.sum / n
+        val sd = math.sqrt(vs.map(x => (x - mean) * (x - mean)).sum / n)
+        (k, vs.map(x => if (sd > 0) (x - mean) / sd else 0.0))
+      }
+      .sortBy(_._1)
+    val pairs = for {
+      i <- series.indices
+      j <- (i + 1) until series.length
+    } yield (series(i)._1, series(j)._1, series(i)._2, series(j)._2)
+    val band = 7
+    s.sparkContext.parallelize(pairs.toSeq, math.max(1, pairs.length / 4))
+      .map { case (a, b, xs, ys) =>
+        (a, b, math.floor(dtwBanded(xs, ys, band) * 10000 + 0.5) / 10000)
+      }
+      .toDF("type_a", "type_b", "dtw")
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** Banded DTW DP: cost = Σ (xi−yj)² along the optimal monotone
+    * path, cells restricted to |i−j| ≤ band (plus the slope needed
+    * when lengths differ). Returns √cost.
+    */
+  private[graft] def dtwBanded(xs: Array[Double], ys: Array[Double], band: Int): Double = {
+    val n = xs.length; val m = ys.length
+    if (n == 0 || m == 0) return Double.PositiveInfinity
+    val w = math.max(band, math.abs(n - m)) // feasibility widening
+    val INF = Double.PositiveInfinity
+    var prev = Array.fill(m + 1)(INF)
+    var cur = Array.fill(m + 1)(INF)
+    prev(0) = 0.0
+    for (i <- 1 to n) {
+      java.util.Arrays.fill(cur, INF)
+      val lo = math.max(1, i - w); val hi = math.min(m, i + w)
+      for (j <- lo to hi) {
+        val c = (xs(i - 1) - ys(j - 1)) * (xs(i - 1) - ys(j - 1))
+        cur(j) = c + math.min(prev(j), math.min(cur(j - 1), prev(j - 1)))
+      }
+      val t = prev; prev = cur; cur = t
+    }
+    math.sqrt(prev(m))
+  }
+
   val all: Seq[QueryDef] = Seq(
     tsGapfill, tsInterp, tsEwma, tsAutocorr, tsCusum, tsSeasonal,
     tsForecast, tsTimeToConvert, tsGapEpisodes, tsHolt, tsDecompose,
     tsRollingStats, tsRepair, tsOhlc, tsInterEvent, tsTheilsen,
-    tsChangepoint, tsLttb)
+    tsChangepoint, tsLttb, tsDtw)
 }

@@ -455,8 +455,241 @@ object Tpch {
       .orderBy(col("c_nationkey"))
   }
 
+  // ---- derived part-supplier relation (the partsupp stand-in) --------
+
+  /** The testdata has no partsupp table, so the five partsupp-backed
+    * TPC-H queries (Q2/Q9/Q11/Q16/Q20) derive the supply relation
+    * from observed lineitems: one (l_partkey, l_suppkey) shuffle
+    * producing per-pair unit cost (cheapest observed unit price) and
+    * total supplied quantity. Partial aggregation applies (the
+    * combiner), and every query that needs the relation builds it
+    * from THIS helper so the derivation can never diverge between
+    * queries (and the matching CTE below keeps the oracles aligned).
+    */
+  private def derivedPartSupp(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey"),
+        (col("l_extendedprice") / col("l_quantity")).as("unit"),
+        col("l_quantity"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("unit")).as("ps_supplycost"),
+        sum(col("l_quantity")).as("ps_qty"))
+
+  private val derivedPartSuppSql: String =
+    """ps AS (SELECT l_partkey, l_suppkey,
+      |         min(l_extendedprice / l_quantity) AS ps_supplycost,
+      |         sum(l_quantity) AS ps_qty
+      |       FROM lineitem GROUP BY 1, 2)""".stripMargin
+
+  /** Q2: minimum-cost supplier per qualifying part. The derived
+    * supply relation is the one corpus shuffle; the part filter and
+    * the region-restricted supplier dimension both broadcast, so the
+    * min-per-part window runs over a |qualifying pairs|-sized
+    * relation, never the corpus.
+    */
+  val q2Mincost: QueryDef = QueryDef.sql(
+    "q2_mincost",
+    s"""WITH $derivedPartSuppSql,
+      |sp AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+      |       FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |       WHERE n_regionkey = 1),
+      |el AS (SELECT p_partkey, s_name, s_acctbal, n_name, ps_supplycost
+      |       FROM ps JOIN part ON l_partkey = p_partkey
+      |               JOIN sp ON l_suppkey = s_suppkey
+      |       WHERE p_type = 'PROMO' AND p_size <= 10),
+      |m AS (SELECT p_partkey, min(ps_supplycost) AS mc FROM el GROUP BY 1)
+      |SELECT s_acctbal, s_name, n_name, el.p_partkey,
+      |       round(ps_supplycost, 2) AS supplycost
+      |FROM el JOIN m ON el.p_partkey = m.p_partkey AND ps_supplycost = mc
+      |ORDER BY s_acctbal DESC, n_name, s_name, el.p_partkey LIMIT 100""".stripMargin) { (s, d) =>
+    val sp = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d).filter(col("n_regionkey") === 1)
+          .select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val qualifying = Tables.part(s, d)
+      .filter(col("p_type") === "PROMO" && col("p_size") <= 10)
+      .select("p_partkey")
+    val el = derivedPartSupp(s, d)
+      .join(broadcast(qualifying), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sp), col("l_suppkey") === col("s_suppkey"))
+    val w = Window.partitionBy(col("p_partkey"))
+    el.withColumn("mc", min(col("ps_supplycost")).over(w))
+      .filter(col("ps_supplycost") === col("mc"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+        r2(col("ps_supplycost")).as("supplycost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  /** Q9: product-type profit by supplier nation and order year.
+    * profit = revenue − derived unit cost × quantity. Two corpus
+    * shuffles by necessity: the (part,supp) supply aggregation and
+    * the lineitem⋈orders orderkey join; the supply join back to
+    * lineitem reuses the (l_partkey, l_suppkey) hash partitioning on
+    * the aggregate side. Part-name filter and supplier→nation
+    * dimension broadcast.
+    */
+  val q9Profit: QueryDef = QueryDef.sql(
+    "q9_profit",
+    s"""WITH $derivedPartSuppSql
+      |SELECT n_name AS nation, year(o_orderdate) AS o_year,
+      |       round(sum(l_extendedprice * (1 - l_discount)
+      |                 - ps_supplycost * l_quantity), 2) AS profit
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN ps ON lineitem.l_partkey = ps.l_partkey
+      |       AND lineitem.l_suppkey = ps.l_suppkey
+      |JOIN part ON lineitem.l_partkey = p_partkey
+      |JOIN supplier ON lineitem.l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_name LIKE '%red%'
+      |GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin) { (s, d) =>
+    val sn = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val greenParts = Tables.part(s, d)
+      .filter(col("p_name").like("%red%")).select("p_partkey")
+    val ps = derivedPartSupp(s, d)
+      .select(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"),
+        col("ps_supplycost"))
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity")
+      .join(broadcast(greenParts), col("l_partkey") === col("p_partkey"))
+      .join(ps, col("l_partkey") === col("ps_partkey") &&
+        col("l_suppkey") === col("ps_suppkey"))
+      .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+        - col("ps_supplycost") * col("l_quantity"))).as("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** Q11: important stock — parts whose supply value through one
+    * nation's suppliers exceeds a fraction of the nation's total.
+    * Supply value = derived unit cost × total supplied quantity.
+    * The global total is a single-row broadcast (the correlated
+    * scalar); everything after the supply aggregation is
+    * |parts|-sized.
+    */
+  val q11Important: QueryDef = QueryDef.sql(
+    "q11_important",
+    s"""WITH $derivedPartSuppSql,
+      |natsupp AS (SELECT s_suppkey FROM supplier
+      |            JOIN nation ON s_nationkey = n_nationkey
+      |            WHERE n_regionkey = 2),
+      |pv AS (SELECT l_partkey AS p_key,
+      |              sum(ps_supplycost * ps_qty) AS value
+      |       FROM ps JOIN natsupp ON l_suppkey = s_suppkey
+      |       GROUP BY 1),
+      |tot AS (SELECT sum(value) AS t FROM pv)
+      |SELECT p_key AS p_partkey, round(value, 2) AS value
+      |FROM pv, tot WHERE value > 0.001 * t
+      |ORDER BY value DESC, p_partkey""".stripMargin) { (s, d) =>
+    val natsupp = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d).filter(col("n_regionkey") === 2)
+          .select("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val pv = derivedPartSupp(s, d)
+      .join(broadcast(natsupp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey").as("p_partkey"))
+      .agg(sum(col("ps_supplycost") * col("ps_qty")).as("value"))
+    val tot = pv.agg(sum(col("value")).as("t"))
+    pv.join(broadcast(tot))
+      .filter(col("value") > lit(0.001) * col("t"))
+      .select(col("p_partkey"), r2(col("value")).as("value"))
+      .orderBy(col("value").desc, col("p_partkey"))
+  }
+
+  /** Q16: how many suppliers can supply each part profile, excluding
+    * flagged suppliers (negative balance — the available-column
+    * spelling of the complaints predicate). One distinct-pair
+    * shuffle; the exclusion is a broadcast anti-join; the part
+    * profile join is broadcast; count distinct runs over
+    * |pairs|-sized data.
+    */
+  val q16Supptype: QueryDef = QueryDef.sql(
+    "q16_supptype",
+    """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+      |SELECT p_brand, p_type, p_size,
+      |       count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM pairs
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#9' AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY 1, 2, 3
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin) { (s, d) =>
+    val flagged = Tables.supplier(s, d)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    val profile = Tables.part(s, d)
+      .filter(col("p_brand") =!= "Brand#9" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    Tables.lineitem(s, d).select("l_partkey", "l_suppkey").distinct()
+      .join(broadcast(flagged), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(profile), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** Q20: suppliers who dominate supply of a qualifying part — their
+    * 1996 shipped quantity exceeds half of ALL suppliers' 1996
+    * quantity for that part (the availqty>½demand re-expression).
+    * One (part,supp) shuffle; the per-part total is a window over
+    * the aggregate (suppliers-per-part sized partitions); part and
+    * nation dimensions broadcast. Quantities are integer-valued so
+    * the dominance comparison is exact under any summation order.
+    */
+  val q20Promotion: QueryDef = QueryDef.sql(
+    "q20_promotion",
+    """WITH q AS (SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+      |           FROM lineitem
+      |           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |             AND l_shipdate < TIMESTAMP '1997-01-01'
+      |           GROUP BY 1, 2),
+      |t AS (SELECT l_partkey, l_suppkey, qty,
+      |             sum(qty) OVER (PARTITION BY l_partkey) AS part_qty
+      |      FROM q),
+      |dom AS (SELECT DISTINCT l_suppkey FROM t
+      |        JOIN part ON l_partkey = p_partkey
+      |        WHERE p_name LIKE '%blue%' AND qty > 0.5 * part_qty)
+      |SELECT s_name, n_name
+      |FROM dom JOIN supplier ON l_suppkey = s_suppkey
+      |         JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_regionkey = 0
+      |ORDER BY s_name""".stripMargin) { (s, d) =>
+    val q = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1997-01-01"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("qty"))
+    val blueParts = Tables.part(s, d)
+      .filter(col("p_name").like("%blue%")).select("p_partkey")
+    val w = Window.partitionBy(col("l_partkey"))
+    val dom = q
+      .join(broadcast(blueParts), col("l_partkey") === col("p_partkey"))
+      .withColumn("part_qty", sum(col("qty")).over(w))
+      .filter(col("qty") > lit(0.5) * col("part_qty"))
+      .select("l_suppkey").distinct()
+    val sn = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d).filter(col("n_regionkey") === 0)
+          .select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "n_name")
+    dom.join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .select("s_name", "n_name")
+      .orderBy(col("s_name"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q4Priority, q6Forecast, q7Volume, q8Mktshare, q10Returns, q12Shiplag,
-    q13Custdist, q14Promo, q15Topsupp, q17Smallqty, q18Bigorders,
-    q19Disjunctive, q21Waiting, q22Inactive)
+    q2Mincost, q4Priority, q6Forecast, q7Volume, q8Mktshare, q9Profit,
+    q10Returns, q11Important, q12Shiplag, q13Custdist, q14Promo, q15Topsupp,
+    q16Supptype, q17Smallqty, q18Bigorders, q19Disjunctive, q20Promotion,
+    q21Waiting, q22Inactive)
 }

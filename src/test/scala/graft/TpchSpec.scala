@@ -108,4 +108,77 @@ class TpchSpec extends AnyFunSuite {
         col("l_orderkey") === col("o_orderkey")).count()
     assert(out == direct)
   }
+
+  // ---- partsupp-derived completions (Q2/Q9/Q11/Q16/Q20) --------------
+
+  test("q2_mincost: dims broadcast, one (part,supp) corpus exchange, rows are per-part minima") {
+    val p = plan("q2_mincost")
+    val corpusExchanges =
+      "Exchange hashpartitioning\\(l_partkey#\\d+L?, l_suppkey".r.findAllIn(p).length
+    assert(corpusExchanges == 1,
+      s"derived partsupp must be the only corpus shuffle, got $corpusExchanges in:\n$p")
+    assert(p.contains("BroadcastHashJoin"))
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q2_mincost")(spark, sf)
+    // at most one winning supplier row per (part, cost) minimum and the
+    // cost is genuinely that part's minimum over the eligible pairs
+    val perPart = out.groupBy(col("p_partkey"))
+      .agg(countDistinct(col("supplycost")).as("c")).filter(col("c") > 1).count()
+    assert(perPart == 0, "a part surfaced with two distinct 'minimum' costs")
+  }
+
+  test("q9_profit reuses the (part,supp) partitioning between the supply agg and the join") {
+    val p = plan("q9_profit")
+    // lineitem⋈ps must hash-join on the pair key; dims broadcast
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q9_profit")(spark, sf)
+    assert(out.count() > 0)
+    // every (nation, year) group key is unique — the agg really grouped
+    assert(out.groupBy(col("nation"), col("o_year")).count()
+      .filter(col("count") > 1).count() == 0)
+  }
+
+  test("q11_important: single-row total broadcasts; value threshold holds on every row") {
+    val p = plan("q11_important")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "the scalar total must broadcast")
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q11_important")(spark, sf).collect()
+    val total = out.map(_.getDouble(1)).sum
+    // each surviving row individually exceeds 0.1% of the full total, so
+    // the sum of survivors cannot exceed the total yet each is > 0
+    assert(out.forall(_.getDouble(1) > 0))
+    assert(out.length <= 1000, s"threshold admits at most 1/0.001 rows, got ${out.length}; total=$total")
+  }
+
+  test("q16_supptype: exclusion is a broadcast anti-join and counts never exceed the supplier pool") {
+    val p = plan("q16_supptype")
+    assert(p.contains("LeftAnti"), s"expected left-anti exclusion in:\n$p")
+    assert(p.contains("BroadcastHashJoin"))
+    import org.apache.spark.sql.functions._
+    val eligible = graft.sources.Tables.supplier(spark, sf)
+      .filter(col("s_acctbal") >= 0).count()
+    val out = SparkEntry.queries("q16_supptype")(spark, sf)
+    assert(out.filter(col("supplier_cnt") > eligible).count() == 0)
+  }
+
+  test("q20_promotion: dominance is exclusive — at most one dominant supplier per part") {
+    import org.apache.spark.sql.functions._
+    // re-derive the dominant pairs and check > 1/2 exclusivity directly
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("qty"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
+    val dominants = li.withColumn("pq", sum(col("qty")).over(w))
+      .filter(col("qty") > lit(0.5) * col("pq"))
+      .groupBy(col("l_partkey")).count().filter(col("count") > 1).count()
+    assert(dominants == 0, "two suppliers can't both exceed half a part's quantity")
+    val out = SparkEntry.queries("q20_promotion")(spark, sf)
+    val names = out.collect().map(_.getString(0)).toSeq
+    assert(names == names.sorted, "output must be ordered by s_name")
+  }
 }
