@@ -776,11 +776,23 @@ object KMeans {
     * ScalaTest; SQL-inexpressible: the component fixpoint).
     */
   val clusterDbscan: QueryDef = QueryDef.rowsOnly("cluster_dbscan") { (s, d) =>
-    val eps = 0.5
-    val minPts = 5
-    val pts = points(Tables.lineitem(s, d))
-      .select((col("l_orderkey") * 100 + col("l_linenumber")).as("pid"),
-        col("x"), col("y"))
+    val minPts = 4
+    // events in (time, log-magnitude) space — both axes genuinely
+    // continuous, so eps-balls see 2-D density. (The k-means lineitem
+    // points are degenerate here: x = l_quantity has 50 distinct
+    // values, so every eps chain percolates along 1-D price lines
+    // into huge-diameter components and the CC rounds blow up.)
+    val pts = Tables.events(s, d)
+      .select(col("event_id").as("pid"),
+        unix_timestamp(col("ts")).cast("double").as("x"),
+        log1p(col("value")).as("y"))
+    // density-adaptive radius: eps sized so a point expects ~3
+    // eps-neighbors under uniform density (π·eps²·n / 100² ≈ 3) —
+    // candidate pairs, core-graph edges, and component sizes all stay
+    // O(n·const) at ANY corpus size instead of percolating into one
+    // giant everything-cluster as density grows with SF
+    val nPts = pts.count()
+    val eps = 100.0 * math.sqrt(3.0 / (math.Pi * nPts))
     val bounds = pts.agg(
       min(col("x")).as("x0"), max(col("x")).as("x1"),
       min(col("y")).as("y0"), max(col("y")).as("y1"))
@@ -826,7 +838,6 @@ object KMeans {
         .join(cores.select(col("pid")), Seq("pid"), "left_anti")
         .join(coreLabeled, col("pid2") === col("core_id"))
         .groupBy(col("pid")).agg(min(col("label")).as("label"))
-      val nPts = withCell.count()
       // per-cluster summary is O(#clusters) — bounded driver collect,
       // so the expensive neighbor relation can be released eagerly
       val perCluster = coreLabeled

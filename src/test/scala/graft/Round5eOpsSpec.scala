@@ -73,7 +73,7 @@ class Round5eOpsSpec extends AnyFunSuite {
 
   test("cluster_dbscan: population conserved, noise row present, cluster ids are minima") {
     val out = KMeans.clusterDbscan.fn(spark, sf).collect()
-    val n = Tables.lineitem(spark, sf).count()
+    val n = Tables.events(spark, sf).count()
     assert(out.map(r => r.getLong(1) + r.getLong(2)).sum == n,
       "core + border + noise must partition the point set")
     val noise = out.filter(_.getLong(0) == -1L)
