@@ -1444,7 +1444,94 @@ object EventOps {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** Kaplan–Meier survival estimate of user lifetimes — THE
+    * censoring-aware retention curve (a plain "avg lifetime" is
+    * biased low: users still active at corpus end haven't finished
+    * living). Lifetime = days between a user's first and last event;
+    * users whose last event falls within 14 days of the corpus
+    * horizon are right-CENSORED (they leave the risk set without
+    * counting as churn). Per-duration risk set nᵢ, deaths dᵢ and
+    * censorings cᵢ come from ONE O(users) groupBy + an O(durations)
+    * aggregate; the product-limit estimator S(t)=Π(1−dᵢ/nᵢ) is a
+    * cumulative exp∘sum∘ln window over that tiny relation (exact-int
+    * inputs; the only floats are the final hazard/survival, floored
+    * to 4 decimals on both engines; a dᵢ=nᵢ full-extinction step is
+    * flagged through a cumulative max so S snaps to exact 0 instead
+    * of exp(ln 0)). Horizon is a single-row broadcast. Scale: the
+    * corpus-sized stage is the user groupBy; everything after is
+    * |durations|-sized.
+    */
+  val eventsSurvival: QueryDef = QueryDef.sql(
+    "events_survival",
+    """WITH u AS (
+      |  SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts
+      |  FROM events GROUP BY 1),
+      |h AS (SELECT max(ts) AS horizon FROM events),
+      |life AS (
+      |  SELECT date_diff('day', CAST(first_ts AS DATE), CAST(last_ts AS DATE)) AS t,
+      |    CASE WHEN last_ts >= (SELECT horizon FROM h) - INTERVAL 14 DAY
+      |         THEN 1 ELSE 0 END AS censored
+      |  FROM u),
+      |byt AS (
+      |  SELECT t, CAST(sum(1 - censored) AS BIGINT) AS d,
+      |    CAST(sum(censored) AS BIGINT) AS c
+      |  FROM life GROUP BY 1),
+      |km AS (
+      |  SELECT t, d, c,
+      |    CAST((SELECT count(*) FROM life)
+      |      - coalesce(sum(d + c) OVER (ORDER BY t
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+      |  FROM byt),
+      |s AS (
+      |  SELECT t, n_risk, d, c,
+      |    max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+      |      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead,
+      |    sum(CASE WHEN d < n_risk THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk) ELSE 0 END)
+      |      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lnsum
+      |  FROM km)
+      |SELECT t, n_risk, d, c,
+      |  floor(d * 10000.0 / n_risk + 0.5) / 10000 AS hazard,
+      |  CASE WHEN dead = 1 THEN 0.0
+      |       ELSE floor(exp(lnsum) * 10000 + 0.5) / 10000 END AS survival
+      |FROM s ORDER BY t""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val u = ev.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+    val horizon = ev.agg(max(col("ts")).as("horizon"))
+    val life = u.crossJoin(broadcast(horizon)) // single-row horizon
+      .select(
+        datediff(col("last_ts").cast("date"), col("first_ts").cast("date"))
+          .cast("long").as("t"), // long: matches DuckDB date_diff's BIGINT
+        when(col("last_ts") >= col("horizon") - expr("INTERVAL 14 DAY"), 1)
+          .otherwise(0).as("censored"))
+    val byt = life.groupBy(col("t"))
+      .agg(sum(lit(1) - col("censored")).as("d"), sum(col("censored")).as("c"))
+      .cache() // O(durations) rows; both readers below share one corpus pass
+    // total users as a single-row broadcast over the O(durations)
+    // aggregate — no second corpus pass, no driver count
+    val total = byt.agg(sum(col("d") + col("c")).as("n_users"))
+    val wPrev = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byt.crossJoin(broadcast(total))
+      .withColumn("n_risk",
+        col("n_users") - coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+      .withColumn("dead",
+        max(when(col("d") >= col("n_risk"), 1).otherwise(0)).over(wCum))
+      .withColumn("lnsum",
+        sum(when(col("d") < col("n_risk"),
+            log(lit(1.0) - col("d").cast("double") / col("n_risk")))
+          .otherwise(lit(0.0))).over(wCum))
+      .select(col("t"), col("n_risk"), col("d"), col("c"),
+        (floor(col("d") * 10000.0 / col("n_risk") + 0.5) / 10000).as("hazard"),
+        when(col("dead") === 1, lit(0.0))
+          .otherwise(floor(exp(col("lnsum")) * 10000 + 0.5) / 10000).as("survival"))
+      .orderBy(col("t"))
+  }
+
   val all: Seq[QueryDef] = Seq(
+    eventsSurvival,
     eventsBitmapCohort, streamBitmapCohort, streamSliding,
     eventsSequenceMatch,
     streamLateData, eventsFeatures, qMovers, streamIncremental,

@@ -470,8 +470,68 @@ object Profile {
       .orderBy(col("qi"))
   }
 
+  /** l-diversity audit — k-anonymity's necessary complement: a class
+    * can be large (k-safe) yet SENSITIVE-HOMOGENEOUS, so membership
+    * alone discloses the sensitive value (Machanavajjhala et al.
+    * 2007). Sensitive attribute = account-balance band; for each
+    * candidate QI set: class count, l_min (fewest distinct sensitive
+    * values in any class), homogeneous classes (l = 1) and the rows
+    * inside them. Each QI set is one groupBy(QI, sensitive) shuffle
+    * folded through a second O(classes) aggregate to one row —
+    * class-level data never reaches the driver. The two QI sets pin
+    * the merge monotonicity (coarsening the QI unions sensitive
+    * sets, so l_min can only grow).
+    */
+  val profileLdiversity: QueryDef = QueryDef.sql(
+    "profile_ldiversity",
+    """WITH t AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    CASE WHEN c_acctbal < 0 THEN 'debt'
+      |         WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS sens
+      |  FROM customer),
+      |g2 AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    count(*) AS n, count(DISTINCT sens) AS l
+      |  FROM t GROUP BY 1, 2),
+      |g1 AS (
+      |  SELECT c_nationkey, count(*) AS n, count(DISTINCT sens) AS l
+      |  FROM t GROUP BY 1)
+      |SELECT * FROM (
+      |  SELECT 'nation+segment' AS qi, count(*) AS n_classes,
+      |    min(l) AS l_min,
+      |    count(*) FILTER (l = 1) AS homogeneous_classes,
+      |    CAST(coalesce(sum(n) FILTER (l = 1), 0) AS BIGINT) AS rows_disclosed
+      |  FROM g2
+      |  UNION ALL
+      |  SELECT 'nation', count(*), min(l),
+      |    count(*) FILTER (l = 1),
+      |    CAST(coalesce(sum(n) FILTER (l = 1), 0) AS BIGINT)
+      |  FROM g1)
+      |ORDER BY qi""".stripMargin) { (s, d) =>
+    val t = Tables.customer(s, d).select(
+      col("c_nationkey"), col("c_mktsegment"),
+      when(col("c_acctbal") < 0, "debt")
+        .when(col("c_acctbal") < 5000, "mid")
+        .otherwise("high").as("sens"))
+    def audit(label: String, grouped: org.apache.spark.sql.DataFrame) =
+      grouped.agg(
+        count(lit(1)).as("n_classes"),
+        min(col("l")).as("l_min"),
+        count(when(col("l") === 1, 1)).as("homogeneous_classes"),
+        coalesce(sum(when(col("l") === 1, col("n"))), lit(0L)).as("rows_disclosed"))
+        .select(lit(label).as("qi"), col("n_classes"), col("l_min"),
+          col("homogeneous_classes"), col("rows_disclosed"))
+    audit("nation+segment",
+        t.groupBy(col("c_nationkey"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), countDistinct(col("sens")).as("l")))
+      .unionAll(audit("nation",
+        t.groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n"), countDistinct(col("sens")).as("l"))))
+      .orderBy(col("qi"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     profileStats, profileChecks, profileEquidepth, profileCorr,
     sketchKmvOverlap, sketchKmvDaily, profileDrift, profileFd,
-    profileBenford, profileKanon)
+    profileBenford, profileKanon, profileLdiversity)
 }

@@ -810,8 +810,80 @@ object Similarity {
       .orderBy(col("qid"), col("ip").desc, col("vec_id"))
   }
 
+  /** kNN classification over the embedding space — the similarity
+    * index applied to LABELING: each vector's class predicted by the
+    * majority label of its k=5 nearest neighbors (rounded cosine,
+    * self excluded), evaluated against the stored truth label as a
+    * confusion matrix. The neighbor stage is emb_knn_graph's exact
+    * formulation (rounding BEFORE ranking keeps both engines' ties
+    * identical); the vote is one (src) aggregate with a
+    * count-desc/label-asc deterministic tie-break via max_by on an
+    * exact (count, −label) struct order. Exact all-pairs here; at
+    * corpus scale the neighbor source swaps to the IVF/LSH candidate
+    * machinery (ann_ivf) — the vote and evaluation stages are
+    * unchanged. Leave-one-out accuracy-vs-majority-baseline pinned
+    * in ScalaTest.
+    */
+  val embKnnClassify: QueryDef = QueryDef.sql(
+    "emb_knn_classify",
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |p AS (
+      |  SELECT a.vec_id AS src, a.label AS truth, b.label AS nb_label,
+      |    round(list_dot_product(a.v, b.v)
+      |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)
+      |      AS cos_sim, b.vec_id AS dst
+      |  FROM e a CROSS JOIN e b WHERE a.vec_id <> b.vec_id),
+      |ranked AS (
+      |  SELECT src, truth, nb_label,
+      |    row_number() OVER (PARTITION BY src ORDER BY cos_sim DESC, dst) AS rank
+      |  FROM p),
+      |votes AS (
+      |  SELECT src, truth, nb_label, count(*) AS n_votes
+      |  FROM ranked WHERE rank <= 5 GROUP BY 1, 2, 3),
+      |pred AS (
+      |  SELECT src, truth, nb_label AS predicted,
+      |    row_number() OVER (PARTITION BY src
+      |      ORDER BY n_votes DESC, nb_label) AS vr
+      |  FROM votes)
+      |SELECT truth, predicted, count(*) AS n
+      |FROM pred WHERE vr = 1
+      |GROUP BY 1, 2 ORDER BY truth, predicted""".stripMargin) { (s, d) =>
+    knnClassify(Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v")), k = 5)
+      .orderBy(col("truth"), col("predicted"))
+  }
+
+  /** kNN-classifier core over (vec_id, label, v) — confusion matrix
+    * of majority-vote-of-k-nearest vs truth. Factored out so the
+    * ScalaTest can pin ≥90% leave-one-out accuracy on planted
+    * Gaussian clusters (the corpus embeddings carry uncorrelated
+    * labels, which only exercises the plumbing).
+    */
+  def knnClassify(e: DataFrame, k: Int): DataFrame = {
+    val a = e.select(col("vec_id").as("src"), col("label").as("truth"),
+      col("v").as("va"))
+    val b = e.select(col("vec_id").as("dst"), col("label").as("nb_label"),
+      col("v").as("vb"))
+    val wNn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("cos_sim").desc, col("dst"))
+    val wVote = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("n_votes").desc, col("nb_label"))
+    a.crossJoin(b).filter(col("src") =!= col("dst"))
+      .select(col("src"), col("truth"), col("nb_label"), col("dst"),
+        round(cosine(col("va"), col("vb")), 4).as("cos_sim"))
+      .withColumn("rank", row_number().over(wNn))
+      .filter(col("rank") <= k)
+      .groupBy(col("src"), col("truth"), col("nb_label"))
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .groupBy(col("truth"), col("nb_label").as("predicted"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     annBruteforce, annTopkJoin, annLsh, annIvf, annPq, annSearchText,
     annIvfPq, annIvfPqPersisted, dedupEmbeddingIvf, annSq8, embKnnGraph,
-    annRangeSearch, annMips)
+    annRangeSearch, annMips, embKnnClassify)
 }

@@ -952,9 +952,67 @@ object TimeSeries {
     math.sqrt(prev(m))
   }
 
+  /** Dominant-cycle detection via the DFT periodogram: per event
+    * type, spectral power of the zero-filled mean-centered daily
+    * count series at candidate periods 2..14 days, reporting the
+    * top-3 periods by power. The corpus-sized stage is the daily
+    * aggregate; the grid is generated map-side (ts_gapfill
+    * machinery), the ×13 period probe is a map-side explode over the
+    * O(types·days) relation, and the trig reduction is ONE
+    * (type, period) aggregate — at any SF the post-aggregate work is
+    * |types|·|periods|. Rows-only by design (Σcos/Σsin are
+    * summation-order-sensitive floats); planted-cycle recovery
+    * (period-7 signal → argmax 7), power non-negativity, and rank
+    * ordering pinned in ScalaTest.
+    */
+  val tsPeriodogram: QueryDef = QueryDef.rowsOnly("ts_periodogram") { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val bounds = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    val types = daily.select(col("event_type")).distinct()
+    val grid = types.crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    val dense = grid.join(daily, Seq("event_type", "day"), "left_outer")
+      .select(col("event_type").as("key"),
+        datediff(col("day"), to_date(lit("2020-01-01"))).cast("long").as("t"),
+        coalesce(col("n"), lit(0.0)).as("x"))
+    periodogramTopK(dense, 2 to 14, 3)
+      .withColumnRenamed("key", "event_type")
+      .orderBy(col("event_type"), col("rank"))
+  }
+
+  /** Periodogram core over a (key, t, x) series: top-k candidate
+    * periods per key by spectral power. Shared by ts_periodogram and
+    * the planted-cycle ScalaTest.
+    */
+  def periodogramTopK(series: DataFrame, periods: Seq[Int], k: Int): DataFrame = {
+    val wKey = Window.partitionBy(col("key"))
+    val centered = series
+      .withColumn("xc", col("x") - avg(col("x")).over(wKey))
+      .withColumn("n", count(lit(1)).over(wKey))
+    val probes = centered.select(col("key"), col("t"), col("xc"), col("n"),
+      explode(lit(periods.toArray)).as("p"))
+    val angle = lit(2.0 * math.Pi) * (col("t") % col("p")).cast("double") / col("p")
+    val spec = probes
+      .withColumn("cterm", col("xc") * cos(angle))
+      .withColumn("sterm", col("xc") * sin(angle))
+      .groupBy(col("key"), col("p"))
+      .agg(((sum(col("cterm")) * sum(col("cterm"))
+          + sum(col("sterm")) * sum(col("sterm"))) / first(col("n"))).as("power"))
+    val wRank = Window.partitionBy(col("key"))
+      .orderBy(col("power").desc, col("p"))
+    spec.withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("key"), col("rank"), col("p").as("period"),
+        (floor(col("power") * 10000 + 0.5) / 10000).as("power"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     tsGapfill, tsInterp, tsEwma, tsAutocorr, tsCusum, tsSeasonal,
     tsForecast, tsTimeToConvert, tsGapEpisodes, tsHolt, tsDecompose,
     tsRollingStats, tsRepair, tsOhlc, tsInterEvent, tsTheilsen,
-    tsChangepoint, tsLttb, tsDtw)
+    tsChangepoint, tsLttb, tsDtw, tsPeriodogram)
 }

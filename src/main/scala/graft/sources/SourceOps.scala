@@ -564,9 +564,65 @@ object SourceOps {
         round(sum(col("y")), 2).as("sum_y"))
   }
 
+  /** Parquet BLOOM-FILTER layout for point lookups on a
+    * high-cardinality UNSORTED key — the third row-group-skipping
+    * tool next to min/max stats (src_zorder_scan: needs sorted
+    * layout) and partition pruning (src_partitioned_scan: needs low
+    * cardinality). Write once with a bloom filter on o_custkey
+    * (`parquet.bloom.filter.enabled#col`): each row group stores a
+    * few-KB filter; an equality probe for a key a row group never
+    * saw is skipped on the filter's definite-no, with min/max
+    * useless because custkeys interleave through every group. The
+    * probe query IS the oracle query against the plain table (false
+    * positives only cost IO, never correctness). Filter presence in
+    * the footer metadata is asserted in ScalaTest.
+    */
+  /** Once-per-corpus bloom-filtered orders layout (keyed by source
+    * dir, same reuse contract as zorderedLineitem); returns the
+    * staged path so the ScalaTest can inspect the footer.
+    */
+  def bloomOrdersLayout(s: SparkSession, d: String): String = synchronized {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val path = tmpDir(s"orders_bloom_$h")
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartition(4) // several row groups so skipping has targets
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#o_custkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#o_custkey", "20000")
+        // parquet-mr discards the bloom filter when a column is fully
+        // dictionary-encoded (the dictionary already answers exact
+        // membership); at small SF custkey would dict-encode, so force
+        // plain encoding on just this column to keep the layout shape
+        // identical to the 100 TB one (where the dictionary overflows
+        // and bloom filters engage anyway)
+        .option("parquet.enable.dictionary#o_custkey", "false")
+        .parquet(path)
+    }
+    path
+  }
+
+  val srcBloomFilterScan: QueryDef = QueryDef.sql(
+    "src_bloom_filter_scan",
+    """SELECT o_custkey, count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS total
+      |FROM orders WHERE o_custkey IN (7, 421, 1337)
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val path = bloomOrdersLayout(s, d)
+    s.read.parquet(path)
+      .filter(col("o_custkey").isin(7, 421, 1337))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("o_custkey"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     srcTextPoints, srcCsvRoundtrip, srcJsonRoundtrip, srcPartitionedScan,
     srcOrcRoundtrip, srcZorderScan, srcCompactSmallFiles, srcSchemaEvolution,
     srcCsvMalformed, srcBinaryFiles, srcIgnoreCorrupt, srcDateDim,
-    srcPointsV2, srcPointsV2Roundtrip, srcManifestScan, srcGdprDelete)
+    srcPointsV2, srcPointsV2Roundtrip, srcManifestScan, srcGdprDelete,
+    srcBloomFilterScan)
 }
