@@ -677,6 +677,68 @@ object EventOps {
           .as("t_stat"))
   }
 
+  /** CUPED variance reduction (Deng et al. 2013) — the standard
+    * experimentation-platform upgrade over the plain A/B readout
+    * (events_abtest): each user's post-period metric is adjusted by
+    * their own PRE-period activity, Y' = Y − θ(X − mean X), with
+    * θ = cov(X,Y)/var(X) pooled across variants. Pre-experiment
+    * behavior can't be caused by the treatment, so the adjustment
+    * shifts nothing in expectation but cancels the between-user
+    * variance the covariate explains — the same experiment detects
+    * smaller lifts. Pre/post = integer-µs midpoint time split
+    * (profile_drift's convention); ONE user shuffle builds (X, Y)
+    * per user; θ and mean X are a single-row broadcast; per-variant
+    * stats are a 2-row reduce. Output: per-variant n / mean post /
+    * mean adjusted, and the achieved variance-reduction share.
+    */
+  val eventsCuped: QueryDef = QueryDef.sql(
+    "events_cuped",
+    """WITH b AS (SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1 FROM events),
+      |pu AS (
+      |  SELECT user_id, user_id % 2 AS variant,
+      |    sum(CASE WHEN event_type = 'purchase'
+      |             AND epoch_us(ts) <= (SELECT t0 + (t1 - t0) // 2 FROM b)
+      |             THEN value ELSE 0 END) AS x,
+      |    sum(CASE WHEN event_type = 'purchase'
+      |             AND epoch_us(ts) > (SELECT t0 + (t1 - t0) // 2 FROM b)
+      |             THEN value ELSE 0 END) AS y
+      |  FROM events GROUP BY 1, 2),
+      |g AS (SELECT covar_samp(x, y) / var_samp(x) AS theta, avg(x) AS mx FROM pu),
+      |adj AS (
+      |  SELECT variant, y, y - (SELECT theta FROM g) * (x - (SELECT mx FROM g)) AS ya
+      |  FROM pu)
+      |SELECT variant, count(*) AS n,
+      |  floor(avg(y) * 10000 + 0.5) / 10000 AS mean_post,
+      |  floor(avg(ya) * 10000 + 0.5) / 10000 AS mean_adjusted,
+      |  floor((1 - var_samp(ya) / var_samp(y)) * 10000 + 0.5) / 10000
+      |    AS var_reduction
+      |FROM adj GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val bounds = ev.agg(min(unix_micros(col("ts"))).as("t0"),
+      max(unix_micros(col("ts"))).as("t1"))
+    val pu = ev.crossJoin(broadcast(bounds)) // single-row time bounds
+      .withColumn("mid", col("t0") + (col("t1") - col("t0")) / 2)
+      .groupBy(col("user_id"), (col("user_id") % 2).as("variant"))
+      .agg(
+        sum(when(col("event_type") === "purchase" &&
+            unix_micros(col("ts")) <= col("mid"), col("value"))
+          .otherwise(0.0)).as("x"),
+        sum(when(col("event_type") === "purchase" &&
+            unix_micros(col("ts")) > col("mid"), col("value"))
+          .otherwise(0.0)).as("y"))
+    val g = pu.agg((covar_samp(col("x"), col("y")) / var_samp(col("x"))).as("theta"),
+      avg(col("x")).as("mx"))
+    pu.crossJoin(broadcast(g)) // single-row θ / pooled mean
+      .withColumn("ya", col("y") - col("theta") * (col("x") - col("mx")))
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"),
+        (floor(avg(col("y")) * 10000 + 0.5) / 10000).as("mean_post"),
+        (floor(avg(col("ya")) * 10000 + 0.5) / 10000).as("mean_adjusted"),
+        (floor((lit(1) - var_samp(col("ya")) / var_samp(col("y"))) * 10000 + 0.5)
+          / 10000).as("var_reduction"))
+      .orderBy(col("variant"))
+  }
+
   /** Streaming SCD-2 dimension maintenance: micro-batched price
     * updates MERGE into the versioned dim table (see
     * EventStreams.streamScd2). The final table equals the batch
@@ -1542,7 +1604,7 @@ object EventOps {
     eventsHourlyMerge, streamEnrich, eventsSlidingUniques, eventsHistogram,
     eventsMarkov, streamTopk, streamJoinOuter, eventsDau,
     streamSessionsState, eventsAttribution, eventsCohortLtv, eventsAbtest,
-    streamScd2, eventsConcurrency, eventsRfm, eventsPareto, eventsChurn,
+    streamScd2, eventsConcurrency, eventsRfm, eventsPareto, eventsChurn, eventsCuped,
     eventsWindowFunnel, eventsStreaks, eventsHourProfile, eventsAnomalyMad,
     streamAnomaly, eventsUserEntropy)
 }

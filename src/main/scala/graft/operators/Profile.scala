@@ -530,8 +530,51 @@ object Profile {
       .orderBy(col("qi"))
   }
 
+  /** ε-differentially-private count release (ε = 1, sensitivity 1):
+    * per-(nation, segment) customer counts protected by the rounded
+    * Laplace mechanism — the RELEASE-side privacy tool where
+    * k-anonymity/l-diversity are audit-side. Noise is DERANDOMIZED
+    * for replayability (the property every test/pipeline rerun
+    * needs): u = xxhash64(group key, fixed seed) mapped to (0,1),
+    * pushed through the inverse Laplace CDF, rounded to an integer —
+    * per-group, map-side, codegen'd (hash + ln; no UDF, no RNG
+    * state). One groupBy shuffle to O(groups), noise applied to the
+    * aggregate rows only. True counts never appear in the output.
+    * Rows-only by design (xxhash64 has no DuckDB counterpart);
+    * determinism, exact noise replay, and the Laplace tail bound
+    * (all |noise| ≤ (1/ε)·ln(groups/0.05) w.h.p.) pinned in
+    * ScalaTest.
+    */
+  val profileDpCounts: QueryDef = QueryDef.rowsOnly("profile_dp_counts") { (s, d) =>
+    val eps = 1.0
+    val grouped = Tables.customer(s, d)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+    dpRelease(grouped, Seq("c_nationkey", "c_mktsegment"), "n", eps)
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+  }
+
+  /** Rounded-Laplace DP release core: replaces `countCol` with
+    * noisy_<countCol>. Factored out so the ScalaTest can replay the
+    * noise exactly.
+    */
+  def dpRelease(grouped: org.apache.spark.sql.DataFrame, keys: Seq[String],
+      countCol: String, eps: Double): org.apache.spark.sql.DataFrame = {
+    // u ∈ (0,1): 53 mantissa bits of the key hash; the +1/2^54 shift
+    // keeps u strictly inside the interval so ln(1−2|u−½|) is finite
+    val u = (pmod(xxhash64(keys.map(col) :+ lit(42L): _*), lit(1L << 53))
+      .cast("double") + 0.5) / lit((1L << 53).toDouble)
+    val centered = u - 0.5
+    val lap = -signum(centered) * log(lit(1.0) - lit(2.0) * abs(centered)) / eps
+    grouped
+      .withColumn(s"noisy_$countCol",
+        (col(countCol) + round(lap)).cast("long"))
+      .withColumn("epsilon", lit(eps))
+      .drop(countCol)
+  }
+
   val all: Seq[QueryDef] = Seq(
     profileStats, profileChecks, profileEquidepth, profileCorr,
     sketchKmvOverlap, sketchKmvDaily, profileDrift, profileFd,
-    profileBenford, profileKanon, profileLdiversity)
+    profileBenford, profileKanon, profileLdiversity, profileDpCounts)
 }

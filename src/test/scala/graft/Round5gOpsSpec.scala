@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{EventOps, Profile, Similarity}
+import graft.sources.Tables
+
+/** Invariant pins for the round-5 session-7 operators. */
+class Round5gOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  // ---- events_cuped --------------------------------------------------
+
+  test("events_cuped: adjustment is mean-preserving pooled and reduces pooled variance") {
+    val rows = EventOps.eventsCuped.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet == Set(0L, 1L))
+    val nUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.values.map(_.getLong(1)).sum == nUsers)
+    // θ is fit pooled, so Σ(adjusted − post) over ALL users is exactly
+    // −θ·Σ(x − mean x) = 0: the pooled weighted means must agree
+    val pooledPost = rows.values.map(r => r.getDouble(2) * r.getLong(1)).sum
+    val pooledAdj = rows.values.map(r => r.getDouble(3) * r.getLong(1)).sum
+    assert(math.abs(pooledPost - pooledAdj) / math.abs(pooledPost) < 1e-3,
+      s"pooled mean must be invariant: post=$pooledPost adj=$pooledAdj")
+    // CUPED can only help in aggregate: at least one variant's variance
+    // shrinks, and no variant's variance explodes
+    val reds = rows.values.map(_.getDouble(4))
+    assert(reds.max > 0.0, "pooled θ must explain some variance")
+    assert(reds.min > -0.5, "adjustment must never blow up a variant's variance")
+  }
+
+  // ---- profile_dp_counts ---------------------------------------------
+
+  test("profile_dp_counts: deterministic noise with the Laplace tail bound") {
+    val out1 = Profile.profileDpCounts.fn(spark, sf).collect()
+    val out2 = Profile.profileDpCounts.fn(spark, sf).collect()
+    assert(out1.map(_.toString).sameElements(out2.map(_.toString)),
+      "fixed seed ⇒ identical release on replay")
+    assert(out1.forall(_.getDouble(3) == 1.0))
+    // compare to the true (private) counts: every group's noise obeys
+    // the Laplace tail (P(|noise| > t) = e^{-εt}; 15 ⇒ ~3e-7/group)
+    val truth = Tables.customer(spark, sf)
+      .groupBy(col("c_nationkey"), col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out1.length == truth.size, "release must cover every group exactly once")
+    out1.foreach { r =>
+      val noise = r.getLong(2) - truth((r.getInt(0), r.getString(1)))
+      assert(math.abs(noise) <= 15, s"noise $noise outside the ε=1 Laplace tail")
+    }
+    // the mechanism must actually perturb: not every group unchanged
+    val perturbed = out1.count { r =>
+      r.getLong(2) != truth((r.getInt(0), r.getString(1)))
+    }
+    assert(perturbed > 0, "all-zero noise would be a broken mechanism")
+  }
+
+  // ---- ann_nsw -------------------------------------------------------
+
+  test("ann_nsw: deterministic top-10 per query with ≥8/10 brute-force recall") {
+    val out1 = Similarity.annNsw.fn(spark, sf).collect()
+    val out2 = Similarity.annNsw.fn(spark, sf).collect()
+    assert(out1.map(_.toString).sameElements(out2.map(_.toString)))
+    val byQ = out1.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQ.values.foreach(rows => assert(rows.length == 10))
+    // exact brute-force top-10 on the driver (500 vectors at sf0.001)
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    (0L to 4L).foreach { q =>
+      val exact = vecs.collect { case (id, v) if id != q => (id, cos(vecs(q), v)) }
+        .toSeq.sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+      val got = byQ(q).map(_.getLong(2)).toSet
+      assert(exact.intersect(got).size >= 8,
+        s"q$q recall ${exact.intersect(got).size}/10")
+    }
+  }
+
+  test("ann_nsw core: beam search visits a fraction of a large shard") {
+    // 4000-point deterministic shard: the graph must let the beam reach
+    // good neighbors while touching far fewer nodes than a scan
+    def lcg(seed: Long): Long = seed * 6364136223846793005L + 1442695040888963407L
+    val pts = (0 until 4000).map { i =>
+      var s = lcg(i + 13)
+      val v = Array.fill(16) { s = lcg(s); ((s >>> 11) % 2048) / 1024.0 - 1.0 }
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (i.toLong, v.map(_ / n))
+    }.toArray
+    val q = Array(pts(1234)._2)
+    val counter = new java.util.concurrent.atomic.AtomicLong
+    val res = Similarity.nswSearchShard(pts, Array((9999L, q(0))),
+      m = 8, ef = 48, k = 10, visitCounter = counter)
+    assert(res.length == 10)
+    // the query itself is pts(1234): its own vector must come back first
+    assert(res.head._2 == 1234L && res.head._3 > 0.9999)
+    // the counter tallies QUERY-phase visits only: serving cost must be
+    // a small fraction of the shard, not a disguised scan
+    assert(counter.get > 0)
+    assert(counter.get < pts.length / 2,
+      s"beam visited ${counter.get}/${pts.length} nodes — that's a scan")
+  }
+}
