@@ -643,10 +643,55 @@ object RelationalMore {
       .orderBy(col("o_custkey"))
   }
 
+  /** GLOBAL consecutive ranks without a single-partition sort — the
+    * scale answer to `row_number() OVER (ORDER BY …)`, whose naive
+    * plan funnels the corpus through one partition. Two-phase range
+    * enumeration (the distributed prefix-sum shape, same machinery
+    * as events_concurrency): rows band by a coarse range key (price
+    * band), per-band counts make an O(bands) relation whose running
+    * total yields each band's global OFFSET (window over bands
+    * only); the within-band rank is a window PARTITIONED by band
+    * (parallel, band-sized partitions); global rank = offset +
+    * local rank, exact because the band key is a prefix of the
+    * total order. Probed output (top-100 + every 1000th rank) keeps
+    * the result bounded while forcing every rank to be computed.
+    * Oracle spells the same ranks with the naive global window.
+    */
+  val qGlobalRank: QueryDef = QueryDef.sql(
+    "q_global_rank",
+    """WITH r AS (
+      |  SELECT l_orderkey, l_linenumber, l_extendedprice,
+      |    row_number() OVER (ORDER BY l_extendedprice DESC,
+      |      l_orderkey, l_linenumber) AS global_rank
+      |  FROM lineitem)
+      |SELECT global_rank, l_orderkey, l_linenumber,
+      |  round(l_extendedprice, 2) AS price
+      |FROM r WHERE global_rank <= 100 OR global_rank % 1000 = 0
+      |ORDER BY global_rank""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      // coarse range key DESCENDING so band order follows rank order
+      .withColumn("band", -floor(col("l_extendedprice") / 1000).cast("long"))
+    val counts = li.groupBy(col("band")).agg(count(lit(1)).as("n"))
+    val wBands = Window.orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("offset", coalesce(sum(col("n")).over(wBands), lit(0L)))
+      .select(col("band").as("ob"), col("offset"))
+    val wLocal = Window.partitionBy(col("band"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    li.join(broadcast(offsets), col("band") === col("ob"))
+      .withColumn("global_rank", col("offset") + row_number().over(wLocal))
+      .filter(col("global_rank") <= 100 || col("global_rank") % 1000 === 0)
+      .select(col("global_rank"), col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 2).as("price"))
+      .orderBy(col("global_rank"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     qLateralTopk, qStringAgg, qMode, qHllPartitioned, qNativeTopk,
     qTopkRewrite, qPercentRank, qRecursiveChain, qUnpivot, qWinsorized,
     qTwophaseDistinct, qCrosstab, qGroupingId, qWeightedSample,
     qHistogramEquiwidth, qGrowthAccounting, qIncrementalAgg, qDecimalAgg,
-    qNestedHof, qSkyline, qDivision)
+    qNestedHof, qSkyline, qDivision, qGlobalRank)
 }

@@ -1001,8 +1001,72 @@ object Similarity {
     }
   }
 
+  /** Binary-code ANN via sign quantization + Hamming ranking — the
+    * most compressed rung of the quantization ladder (1 bit/dim:
+    * 8 bytes per 64-d vector vs SQ8's 64 and PQ's 8-with-codebooks),
+    * and the only one whose distance is EXACT integer arithmetic:
+    * each vector packs its coordinate signs into two 32-bit halves
+    * (codegen'd shift/or tree, zValue's pattern — no UDF), Hamming =
+    * popcount(xor) + popcount(xor). Sign codes are data-independent
+    * (no training pass), distances are total-ordered integers, so
+    * unlike every float ANN variant the whole operator is
+    * deterministic enough for a SQL oracle. Scan shape: 5-row query
+    * side broadcast, ONE corpus pass scores all queries, per-query
+    * top-10 window over the Hamming-pruned candidates. At serving
+    * scale the packed codes column is the persisted index (the
+    * corpus rescans 16 B/row, not 512 B), and re-ranking the top
+    * Hamming bucket by exact cosine restores float precision —
+    * sign-agreement monotonicity pinned in ScalaTest.
+    */
+  val annHamming: QueryDef = {
+    def duckHalf(v: String, lo: Int): String =
+      (0 until 32).map(i =>
+        s"CASE WHEN $v[${lo + i + 1}] >= 0 THEN ${1L << i} ELSE 0 END")
+        .mkString(" + ")
+    QueryDef.sql(
+      "ann_hamming",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id, ${duckHalf("v", 0)} AS h1,
+        |             ${duckHalf("v", 32)} AS h2 FROM e),
+        |q AS (SELECT vec_id AS qid, h1 AS q1, h2 AS q2 FROM c WHERE vec_id < 5),
+        |p AS (
+        |  SELECT qid, vec_id,
+        |    bit_count(xor(h1, q1)) + bit_count(xor(h2, q2)) AS hamming
+        |  FROM c CROSS JOIN q WHERE vec_id <> qid),
+        |r AS (SELECT qid, vec_id, hamming, row_number() OVER (
+        |        PARTITION BY qid ORDER BY hamming, vec_id) AS rank FROM p)
+        |SELECT qid, rank, vec_id, CAST(hamming AS BIGINT) AS hamming
+        |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val packed = vectors(s, d)
+        .withColumn("h1", signPackHalf(col("v"), 0))
+        .withColumn("h2", signPackHalf(col("v"), 32))
+        .drop("v")
+      val q = packed.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("h1").as("q1"), col("h2").as("q2"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("hamming"), col("vec_id"))
+      packed.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          (bit_count(col("h1").bitwiseXOR(col("q1"))) +
+            bit_count(col("h2").bitwiseXOR(col("q2")))).cast("long").as("hamming"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("qid"), col("rank"), col("vec_id"), col("hamming"))
+        .orderBy(col("qid"), col("rank"))
+    }
+  }
+
+  /** Sign-bit packing of dims [lo, lo+32) into one long — a codegen'd
+    * 32-term shift/or tree (src_zorder_scan's zValue pattern).
+    */
+  def signPackHalf(v: Column, lo: Int): Column =
+    (0 until 32).map { i =>
+      when(element_at(v, lo + i + 1) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+
   val all: Seq[QueryDef] = Seq(
     annBruteforce, annTopkJoin, annLsh, annIvf, annPq, annSearchText,
     annIvfPq, annIvfPqPersisted, dedupEmbeddingIvf, annSq8, embKnnGraph,
-    annRangeSearch, annMips, embKnnClassify, annNsw)
+    annRangeSearch, annMips, embKnnClassify, annNsw, annHamming)
 }

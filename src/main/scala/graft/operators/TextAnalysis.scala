@@ -1068,11 +1068,69 @@ object TextAnalysis {
       .orderBy(col("lang"), col("pred_lang"))
   }
 
+  /** TextRank word scores over the corpus co-occurrence graph
+    * (Mihalcea & Tarau 2004) — graph-centrality keyword extraction,
+    * the unsupervised upgrade over raw frequency (text_wordfreq) and
+    * pairwise lift (text_collocations): a word matters when words
+    * that matter co-occur with it. Nodes = content words (≥4 chars),
+    * undirected edges = adjacent-pair co-occurrence counts, then 10
+    * damped power-iteration rounds r ← (1−d)/N + d·Σ w(u,v)/wdeg(u)
+    * ·r(u) — each round ONE O(|E|) equality join + O(|V|) aggregate
+    * on the word key (graph_pagerank's loop shape; the corpus is
+    * touched once, to build edges). Full rank relation exposed for
+    * the ScalaTest; the query emits the top-20 keywords. Rows-only
+    * (float fixpoint); rank-mass conservation ≈ N, positivity,
+    * determinism, and hub-beats-leaf ordering pinned.
+    */
+  val textTextrank: QueryDef = QueryDef.rowsOnly("text_textrank") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val ranks = textrankScores(s, d)
+    val w = Window.orderBy(col("rank").desc, col("word"))
+    ranks.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+      .select(col("rn").as("position"), col("word"),
+        (floor(col("rank") * 10000 + 0.5) / 10000).as("rank"))
+      .orderBy(col("position"))
+  }
+
+  /** Full TextRank (word, rank) relation — see text_textrank. */
+  def textrankScores(s: SparkSession, d: String): DataFrame = {
+    val damping = 0.85
+    val ws = regexp_extract_all(lower(col("text")), lit("[a-z]{4,}"), lit(0))
+    val n1 = greatest(size(col("ws")) - 1, lit(0))
+    val pairs = Tables.documents(s, d)
+      .select(ws.as("ws"))
+      .select(slice(col("ws"), lit(1), n1).as("a"),
+        slice(col("ws"), lit(2), n1).as("b"))
+      .select(explode(arrays_zip(col("a"), col("b"))).as("p"))
+      .select(col("p.a").as("w1"), col("p.b").as("w2"))
+      .filter(col("w1") =!= col("w2"))
+    // undirected: each pair contributes both directions
+    val edges = pairs
+      .unionAll(pairs.select(col("w2").as("w1"), col("w1").as("w2")))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).cast("double").as("wt"))
+      .cache() // O(|E|) relation drives every iteration
+    val wdeg = edges.groupBy(col("w1")).agg(sum(col("wt")).as("wdeg"))
+    val out = edges.join(wdeg, "w1")
+      .select(col("w1"), col("w2"), (col("wt") / col("wdeg")).as("share"))
+      .cache()
+    var ranks = out.select(col("w1").as("word")).distinct()
+      .withColumn("rank", lit(1.0))
+    for (_ <- 1 to 10) {
+      ranks = out.join(ranks, col("w1") === col("word"))
+        .groupBy(col("w2").as("word"))
+        .agg((lit((1.0 - damping)) + lit(damping) * sum(col("share") * col("rank")))
+          .as("rank"))
+      ranks = ranks.localCheckpoint(eager = false) // cut the iteration lineage
+    }
+    ranks
+  }
+
   val all: Seq[QueryDef] = Seq(
     textTokens, textQuality, textLangid, textFingerprint, textWordfreq,
     textBpeTokens, textBpeMerged, textTfidf, textLangidEval, textRepetition,
     textRedact, textCmsFreq, textChunks, textChunkDedup, textLmScore,
     textWinnow, textEntropy, textTtr, textNovelty, textPerplexityBucket,
     textZipf, textReadability, textCollocations, textCodeDetect,
-    textSeqLenProfile, textChi2, textHashingTrick, textNbLangid)
+    textSeqLenProfile, textChi2, textHashingTrick, textNbLangid, textTextrank)
 }

@@ -106,4 +106,69 @@ class Round5gOpsSpec extends AnyFunSuite {
     assert(counter.get < pts.length / 2,
       s"beam visited ${counter.get}/${pts.length} nodes — that's a scan")
   }
+
+  // ---- q_global_rank -------------------------------------------------
+
+  test("q_global_rank: two-phase ranks equal the naive global window") {
+    import org.apache.spark.sql.expressions.Window
+    val out = graft.operators.RelationalMore.qGlobalRank.fn(spark, sf).collect()
+    val naive = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .withColumn("global_rank", row_number().over(Window.orderBy(
+        col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))))
+      .filter(col("global_rank") <= 100 || col("global_rank") % 1000 === 0)
+      .select(col("global_rank"), col("l_orderkey"), col("l_linenumber"))
+      .collect().map(r => (r.getInt(0).toLong, r.getLong(1), r.getInt(2))).toSet
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet == naive)
+    // ranks are globally consecutive: the probe rows cover 1..100
+    assert(out.map(_.getLong(0)).filter(_ <= 100).sorted.sameElements(1L to 100L))
+  }
+
+  // ---- ann_hamming ---------------------------------------------------
+
+  test("ann_hamming: sign-agreement monotonicity and exactness of the packed codes") {
+    val out = Similarity.annHamming.fn(spark, sf).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def hamming(a: Array[Double], b: Array[Double]): Long =
+      a.indices.count(i => (a(i) >= 0) != (b(i) >= 0)).toLong
+    byQ.foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.length == 10)
+      // reported Hamming equals the driver-recomputed sign disagreement
+      sorted.foreach { r =>
+        assert(r.getLong(3) == hamming(vecs(q), vecs(r.getLong(2))),
+          s"q$q cand ${r.getLong(2)}: packed-code Hamming mismatch")
+      }
+      // distances non-decreasing with rank
+      val ds = sorted.map(_.getLong(3))
+      assert(ds.sameElements(ds.sorted))
+      // top-10 by code = the true 10 smallest sign disagreements
+      val trueTop = vecs.toSeq
+        .collect { case (id, v) if id != q => (hamming(vecs(q), v), id) }
+        .sorted.take(10).map(_._1)
+      assert(ds.sameElements(trueTop))
+    }
+  }
+
+  // ---- text_textrank -------------------------------------------------
+
+  test("text_textrank: rank mass conserved, hubs beat leaves, deterministic") {
+    val full = graft.operators.TextAnalysis.textrankScores(spark, sf).cache()
+    val n = full.count()
+    val total = full.agg(sum("rank")).collect()(0).getDouble(0)
+    // Σranks = N is an exact fixpoint invariant of the damped update
+    assert(math.abs(total - n) / n < 1e-6, s"rank mass $total drifted from $n")
+    assert(full.filter(col("rank") <= 0).count() == 0)
+    val out1 = graft.operators.TextAnalysis.textTextrank.fn(spark, sf).collect()
+    val out2 = graft.operators.TextAnalysis.textTextrank.fn(spark, sf).collect()
+    assert(out1.map(_.toString).sameElements(out2.map(_.toString)))
+    assert(out1.length == 20)
+    val ranks = out1.map(_.getDouble(2))
+    assert(ranks.sameElements(ranks.sortBy(-_)))
+    full.unpersist()
+  }
 }
