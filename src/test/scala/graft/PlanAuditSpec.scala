@@ -305,6 +305,34 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("Generate explode"), s"no explode fan-out in:\n$p")
   }
 
+  test("q_global_rank: corpus window partitioned by band; only the O(bands) offsets pass single-partition") {
+    val p = formatted("q_global_rank")
+    // the corpus-side rank window must carry the band partition key
+    assert(p.contains("windowspecdefinition(band#"),
+      s"corpus window lost its band partitioning:\n$p")
+    // exactly one SinglePartition exchange is allowed: the O(bands)
+    // offsets relation (plus the final ORDER BY of the probe rows)
+    val singles = "Exchange SinglePartition".r.findAllIn(p).length
+    assert(singles <= 1, s"unexpected single-partition exchanges ($singles):\n$p")
+    assert(p.contains("BroadcastExchange"), "offsets must broadcast")
+  }
+
+  test("ann_hamming: 5-row query side broadcasts; sign packing is codegen'd (no UDF)") {
+    val p = plan("ann_hamming")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), "corpus² cartesian is forbidden")
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"))
+  }
+
+  test("events_survival: corpus-sized stage is one user aggregate; KM windows run post-aggregate") {
+    val p = plan("events_survival")
+    // both window passes must sit above the duration aggregate (tiny),
+    // and the horizon/total joins must broadcast
+    assert(p.contains("BroadcastExchange"))
+    assert(!p.contains("SortMergeJoin"), s"KM arithmetic must not shuffle-join:\n$p")
+  }
+
   test("native dot product stays inside whole-stage codegen") {
     val e = graft.operators.Similarity.vectors(spark, sf)
     val p = e.select(graft.functions.VectorFunctions
