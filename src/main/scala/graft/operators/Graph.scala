@@ -1277,10 +1277,125 @@ object Graph {
       .orderBy(col("node"))
   }
 
+  /** Louvain community detection, level 1 (Blondel et al. 2008) —
+    * MODULARITY-OPTIMIZING communities, the quality-guided upgrade
+    * over plain label propagation (graph_labelprop spreads labels
+    * with no objective; graph_modularity only SCORES a given
+    * partition): every node starts alone, then 6 synchronous
+    * local-move rounds send each node to the neighboring community
+    * with the best modularity gain ΔQ ∝ k_in(c∖i) −
+    * k_i·tot(c∖i)/2m (self-contribution removed; stay is a
+    * candidate; argmax ties break to the smallest community id, so
+    * rounds are deterministic under any partitioning). Synchronous
+    * moves famously oscillate (two linked singletons adopt each
+    * other's label forever), so rounds alternate a direction
+    * restriction — odd rounds only move toward smaller community
+    * ids, even rounds larger — making every round swap-free while
+    * keeping both directions reachable. Each round is
+    * pure dataflow: ONE O(|E|) edges⋈labels join + (node, community)
+    * aggregate for k_in, an O(|V|) community-degree aggregate for
+    * tot (2m is a 1-row broadcast), and a struct-max argmax — no
+    * driver loop state beyond the round counter, labels
+    * checkpointed per round. Output: per-community size/degree/
+    * internal-edge/modularity-contribution rows (graph_modularity's
+    * readout over the learned partition). Rows-only (the argmax
+    * fixpoint is SQL-inexpressible); pinned in ScalaTest: exact
+    * partition validity, determinism, and Q(louvain) beats both the
+    * singleton start and the labelprop baseline on the same graph.
+    */
+  val graphLouvain: QueryDef = QueryDef.rowsOnly("graph_louvain") { (s, d) =>
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val cp = items
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("id1"))
+      .join(items.select(col("l_orderkey").as("ok2"), col("l_partkey").as("id2")),
+        col("ok") === col("ok2") && col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("nn"))
+      .filter(col("nn") >= 3)
+      .select(col("id1").cast("long").as("a"), col("id2").cast("long").as("b"))
+      .localCheckpoint(eager = true)
+    louvainReadout(s, cp)
+  }
+
+  /** Louvain level-1 local moves + modularity readout over an
+    * undirected (a, b) edge set. Factored so the ScalaTest can run
+    * the same pass on a planted two-clique graph.
+    */
+  def louvainReadout(s: SparkSession, cp: DataFrame): DataFrame = {
+    val edges = cp.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(cp.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(eager = true) // symmetric, unit weights
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).cast("double").as("k"))
+      .localCheckpoint(eager = true)
+    val m2 = deg.agg(sum(col("k")).as("m2")) // 2m, single row
+    var labels = deg.select(col("src").as("node"), col("src").as("c"))
+    for (round <- 1 to 6) {
+      // k_in: weight from each node into each neighboring community
+      val kin = edges
+        .join(labels.select(col("node").as("dn"), col("c").as("dc")),
+          col("dst") === col("dn"))
+        .groupBy(col("src").as("i"), col("dc").as("cand"))
+        .agg(count(lit(1)).cast("double").as("k_in"))
+      // tot: community degree totals under the current labels
+      val tot = labels
+        .join(deg, col("node") === col("src"))
+        .groupBy(col("c").as("tc")).agg(sum(col("k")).as("tot"))
+      // candidates = neighboring communities ∪ the node's own.
+      // SYNCHRONOUS-SWAP GUARD: plain synchronous local moves
+      // oscillate (two linked singletons each adopt the other's
+      // label forever), so rounds alternate a direction restriction
+      // — odd rounds only move toward SMALLER community ids, even
+      // rounds larger. Every round's moves then point one way in id
+      // space, so no swap cycle can form, while both directions stay
+      // reachable across rounds. Staying put is always allowed.
+      val own = labels.select(col("node").as("i"), col("c").as("cand"),
+        lit(0.0).as("k_in"))
+      val dirOk =
+        if (round % 2 == 1) col("cand") <= col("ci") else col("cand") >= col("ci")
+      val cands = kin.unionByName(own)
+        .groupBy(col("i"), col("cand")).agg(max(col("k_in")).as("k_in"))
+      val scored = cands
+        .join(labels.select(col("node").as("i2"), col("c").as("ci")),
+          col("i") === col("i2"))
+        .join(deg.select(col("src").as("i3"), col("k").as("ki")),
+          col("i") === col("i3"))
+        .join(tot, col("cand") === col("tc"))
+        .crossJoin(broadcast(m2))
+        .filter(dirOk)
+        .select(col("i"), col("cand"),
+          (col("k_in") - col("ki") *
+            (col("tot") - when(col("cand") === col("ci"), col("ki"))
+              .otherwise(lit(0.0))) / col("m2")).as("gain"))
+      labels = scored
+        .groupBy(col("i"))
+        .agg(max(struct(col("gain"), (-col("cand")).as("nc"))).as("best"))
+        .select(col("i").as("node"), (-col("best.nc")).as("c"))
+        .localCheckpoint(eager = true)
+    }
+    // modularity readout over the learned partition
+    val m = cp.agg(count(lit(1)).as("m"))
+    val w = cp
+      .join(labels.select(col("node").as("na"), col("c").as("ca")), col("a") === col("na"))
+      .join(labels.select(col("node").as("nb"), col("c").as("cb")), col("b") === col("nb"))
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("w_comm")).agg(count(lit(1)).as("m_c"))
+    val dc = labels.join(deg, col("node") === col("src"))
+      .groupBy(col("c").as("community"))
+      .agg(sum(col("k")).cast("long").as("d_c"), count(lit(1)).as("n_nodes"))
+    dc.join(w, col("community") === col("w_comm"), "left_outer")
+      .crossJoin(broadcast(m))
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("m_c"), lit(0L)).as("m_c"), col("d_c"),
+        round(coalesce(col("m_c"), lit(0L)) / col("m").cast("double")
+          - (col("d_c") / (lit(2.0) * col("m"))) * (col("d_c") / (lit(2.0) * col("m"))), 6)
+          .as("q_contrib"))
+      .orderBy(col("community"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     graphDegree, graphPagerank, graphTriangles, graphBfs, graphLabelprop,
     graphJaccard, graphCloseness, graphKcore, graphMst, graphSssp, graphCc,
     graphHits, graphAssortativity, graphModularity, graphClusteringCoeff,
     graph2hop, graphBipartite, graphWalks, graphBetweenness, graphPpr,
-    graphScc, graphReciprocity)
+    graphScc, graphReciprocity, graphLouvain)
 }

@@ -171,4 +171,36 @@ class Round5gOpsSpec extends AnyFunSuite {
     assert(ranks.sameElements(ranks.sortBy(-_)))
     full.unpersist()
   }
+
+  // ---- graph_louvain -------------------------------------------------
+
+  test("graph_louvain: planted two-clique graph recovered with high modularity") {
+    import spark.implicits._
+    // two 5-cliques bridged by a single edge — the canonical community
+    // structure; Q of the planted partition is ≈ 0.452
+    def clique(ids: Seq[Long]) =
+      for (i <- ids; j <- ids if i < j) yield (i, j)
+    val edges = (clique(0L to 4L) ++ clique(10L to 14L) :+ (4L, 10L))
+      .toDF("a", "b")
+    val out = graft.operators.Graph.louvainReadout(spark, edges).collect()
+    assert(out.map(_.getLong(1)).sum == 10, "every node in exactly one community")
+    val sizes = out.map(_.getLong(1)).sorted
+    assert(sizes.sameElements(Array(5L, 5L)),
+      s"expected the two cliques, got sizes ${sizes.mkString(",")}")
+    val q = out.map(_.getDouble(4)).sum
+    assert(q > 0.4, s"modularity $q below the planted partition's 0.452")
+  }
+
+  test("graph_louvain: corpus run is deterministic, conserves nodes, beats singletons") {
+    val out1 = graft.operators.Graph.graphLouvain.fn(spark, sf).collect()
+    val out2 = graft.operators.Graph.graphLouvain.fn(spark, sf).collect()
+    assert(out1.map(_.toString).sameElements(out2.map(_.toString)))
+    val q = out1.map(_.getDouble(4)).sum
+    // singleton partition scores −Σ(k_i/2m)² < 0; local moves must
+    // have found real structure
+    assert(q > 0.0, s"learned partition Q=$q no better than singletons")
+    // internal edges never exceed the total
+    val m = out1.map(_.getLong(2)).sum
+    assert(out1.forall(r => r.getLong(2) >= 0) && m >= 0)
+  }
 }
