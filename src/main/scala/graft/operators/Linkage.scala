@@ -324,6 +324,43 @@ object Linkage {
       .toDF("term", "value")
   }
 
+  /** Gaussian mixture model (MLlib EM) over the reference's 2-D
+    * point cloud — SOFT clustering with anisotropic components, the
+    * probabilistic complement to the hard Lloyd assignments every
+    * kmeans_* entry produces: each component carries a weight, a
+    * mean, and a full covariance, so elongated price clusters that
+    * force k-means into slicing are modeled as single Gaussians.
+    * Same production path as kmeans_mllib (distributed EM: one
+    * responsibility+moment aggregation pass per iteration, O(k·d²)
+    * driver state), seeded for replay. Output: per-component weight,
+    * mean, covariance diagonal, and hard-assigned population.
+    * Rows-only (EM fixpoint); weight-simplex, population
+    * conservation, and mean-inside-data-hull pinned in ScalaTest.
+    */
+  val miningGmm: QueryDef = QueryDef.rowsOnly("mining_gmm") { (s, d) =>
+    import org.apache.spark.ml.clustering.GaussianMixture
+    import org.apache.spark.ml.feature.VectorAssembler
+    val pts = graft.operators.KMeans.points(Tables.lineitem(s, d))
+    val feats = new VectorAssembler()
+      .setInputCols(Array("x", "y")).setOutputCol("features")
+      .transform(pts)
+    val gmm = new GaussianMixture()
+      .setK(4).setSeed(7L).setMaxIter(20).setTol(1e-4)
+      .fit(feats)
+    val assigned = gmm.transform(feats)
+      .groupBy(col("prediction")).agg(count(lit(1)).as("n_assigned"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    def r4(v: Double): Double =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    import s.implicits._
+    gmm.gaussians.zipWithIndex.map { case (g, i) =>
+      (i, r4(gmm.weights(i)), r4(g.mean(0)), r4(g.mean(1)),
+        r4(g.cov(0, 0)), r4(g.cov(1, 1)), assigned.getOrElse(i, 0L))
+    }.toSeq.toDF("component", "weight", "mu_x", "mu_y",
+      "var_x", "var_y", "n_assigned")
+      .orderBy(col("component"))
+  }
+
   val all: Seq[QueryDef] = Seq(qCopurchase, qFuzzyJoin, miningFpgrowth, miningAls,
-    miningPrefixspan, miningAssoc, miningLda, miningOls)
+    miningPrefixspan, miningAssoc, miningLda, miningOls, miningGmm)
 }

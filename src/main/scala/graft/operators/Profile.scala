@@ -573,8 +573,50 @@ object Profile {
       .drop(countCol)
   }
 
+  /** Table-level PII exposure audit — the release gate's SUMMARY
+    * view where text_redact is the row-level fix: per document
+    * source, how many docs carry emails / phone numbers, total hits,
+    * and the exposure rate. One corpus scan with map-side codegen'd
+    * regexp counts (text_redact's exact patterns, so audit and
+    * redaction can never disagree on what counts as PII) folded into
+    * an O(sources) aggregate. The audit you run BEFORE shipping a
+    * corpus; rate tells you whether redaction is worth a full pass.
+    */
+  val profilePii: QueryDef = {
+    import graft.operators.TextAnalysis.{emailPattern, phonePattern}
+    QueryDef.sql(
+      "profile_pii",
+      s"""SELECT source, count(*) AS n_docs,
+        |  count(*) FILTER (length(regexp_extract_all(text, '$emailPattern')) > 0)
+        |    AS docs_with_email,
+        |  count(*) FILTER (length(regexp_extract_all(text, '$phonePattern')) > 0)
+        |    AS docs_with_phone,
+        |  CAST(sum(length(regexp_extract_all(text, '$emailPattern'))
+        |    + length(regexp_extract_all(text, '$phonePattern'))) AS BIGINT)
+        |    AS total_hits,
+        |  floor(count(*) FILTER (
+        |      length(regexp_extract_all(text, '$emailPattern')) > 0
+        |      OR length(regexp_extract_all(text, '$phonePattern')) > 0)
+        |    * 10000.0 / count(*) + 0.5) / 10000 AS pii_rate
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val em = regexp_count(col("text"), lit(emailPattern))
+      val ph = regexp_count(col("text"), lit(phonePattern))
+      Tables.documents(s, d)
+        .select(col("source"), em.as("ne"), ph.as("np"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("ne") > 0, 1)).as("docs_with_email"),
+          count(when(col("np") > 0, 1)).as("docs_with_phone"),
+          sum(col("ne") + col("np")).cast("long").as("total_hits"),
+          (floor(count(when(col("ne") > 0 || col("np") > 0, 1)) * 10000.0
+            / count(lit(1)) + 0.5) / 10000).as("pii_rate"))
+        .orderBy(col("source"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     profileStats, profileChecks, profileEquidepth, profileCorr,
     sketchKmvOverlap, sketchKmvDaily, profileDrift, profileFd,
-    profileBenford, profileKanon, profileLdiversity, profileDpCounts)
+    profileBenford, profileKanon, profileLdiversity, profileDpCounts,
+    profilePii)
 }

@@ -1010,9 +1010,75 @@ object TimeSeries {
         (floor(col("power") * 10000 + 0.5) / 10000).as("power"))
   }
 
+  /** AR(2) autoregressive forecaster per event type — the
+    * model-based upgrade over the straight-line trend (ts_forecast:
+    * regr_slope can't bend) and the smoothing-only Holt (ts_holt has
+    * no lag structure): x_t = φ₀ + φ₁x_{t−1} + φ₂x_{t−2} fit by
+    * least squares on the zero-filled daily counts. The distributed
+    * stage is ONE per-type aggregate of the 10 OLS sufficient stats
+    * (+ the two newest values for the forecast) over the lagged
+    * daily relation — O(types) rows to the driver, each solved as a
+    * 3×3 normal-equation system (mining_ols machinery); forecast =
+    * φ₀ + φ₁x_T + φ₂x_{T−1}. At 1M keys the same aggregate shape
+    * holds (the solve could move into the plan; the stats never
+    * grow). Rows-only (float sums); planted-AR(2) coefficient
+    * recovery and forecast arithmetic pinned in ScalaTest.
+    */
+  val tsAr2: QueryDef = QueryDef.rowsOnly("ts_ar2") { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val bounds = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    val types = daily.select(col("event_type")).distinct()
+    val grid = types.crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    val dense = grid.join(daily, Seq("event_type", "day"), "left_outer")
+      .select(col("event_type").as("key"),
+        datediff(col("day"), to_date(lit("2020-01-01"))).cast("long").as("t"),
+        coalesce(col("n"), lit(0.0)).as("x"))
+    ar2Fit(s, dense).orderBy(col("key"))
+  }
+
+  /** AR(2) fit core over a (key, t, x) series — see ts_ar2. */
+  def ar2Fit(s: SparkSession, series: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("key")).orderBy(col("t"))
+    val lagged = series
+      .withColumn("x1", lag(col("x"), 1).over(w))
+      .withColumn("x2", lag(col("x"), 2).over(w))
+      .filter(col("x2").isNotNull)
+    val stats = lagged.groupBy(col("key")).agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("x1")).as("s1"), sum(col("x2")).as("s2"), sum(col("x")).as("sy"),
+      sum(col("x1") * col("x1")).as("s11"), sum(col("x1") * col("x2")).as("s12"),
+      sum(col("x2") * col("x2")).as("s22"), sum(col("x1") * col("x")).as("s1y"),
+      sum(col("x2") * col("x")).as("s2y"), sum(col("x") * col("x")).as("syy"),
+      max(struct(col("t"), col("x"))).getField("x").as("x_last"),
+      max(struct(col("t"), col("x1"))).getField("x1").as("x_prev"))
+    val rows = stats.collect().map { r =>
+      val key = r.getString(0)
+      val Seq(n, s1, s2, sy, s11, s12, s22, s1y, s2y, syy) =
+        (1 to 10).map(r.getDouble)
+      val a = breeze.linalg.DenseMatrix(
+        (n, s1, s2), (s1, s11, s12), (s2, s12, s22))
+      val b = breeze.linalg.DenseVector(sy, s1y, s2y)
+      val beta = a \ b
+      val sse = syy - 2.0 * (beta dot b) + (beta dot (a * beta))
+      val sst = syy - sy * sy / n
+      val r2 = if (sst == 0) 0.0 else 1.0 - sse / sst
+      val forecast = beta(0) + beta(1) * r.getDouble(11) + beta(2) * r.getDouble(12)
+      def r4(v: Double): Double =
+        BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (key, r4(beta(0)), r4(beta(1)), r4(beta(2)), r4(r2), r4(forecast))
+    }
+    import s.implicits._
+    rows.toSeq.toDF("key", "phi0", "phi1", "phi2", "r2", "forecast")
+  }
+
   val all: Seq[QueryDef] = Seq(
     tsGapfill, tsInterp, tsEwma, tsAutocorr, tsCusum, tsSeasonal,
     tsForecast, tsTimeToConvert, tsGapEpisodes, tsHolt, tsDecompose,
     tsRollingStats, tsRepair, tsOhlc, tsInterEvent, tsTheilsen,
-    tsChangepoint, tsLttb, tsDtw, tsPeriodogram)
+    tsChangepoint, tsLttb, tsDtw, tsPeriodogram, tsAr2)
 }

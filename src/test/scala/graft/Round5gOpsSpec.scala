@@ -203,4 +203,77 @@ class Round5gOpsSpec extends AnyFunSuite {
     val m = out1.map(_.getLong(2)).sum
     assert(out1.forall(r => r.getLong(2) >= 0) && m >= 0)
   }
+
+  // ---- profile_pii ---------------------------------------------------
+
+  test("profile_pii: totals agree with text_redact; patterns catch planted PII") {
+    val audit = Profile.profilePii.fn(spark, sf).collect()
+    val redactTotal = graft.operators.TextAnalysis.textRedact.fn(spark, sf)
+      .agg(sum("n_pii")).collect()(0).getLong(0)
+    assert(audit.map(_.getLong(4)).sum == redactTotal,
+      "audit and redaction must count the same PII")
+    // planted strings: the audit patterns must actually fire
+    import spark.implicits._
+    val planted = Seq(
+      ("contact me at jane.doe@example.com please", 1L, 0L),
+      ("call 555-123-4567 or 555.987.6543", 0L, 2L),
+      ("no pii here", 0L, 0L)).toDF("text", "emails", "phones")
+    val checked = planted.select(
+      regexp_count(col("text"),
+        lit(graft.operators.TextAnalysis.emailPattern)).cast("long").as("e"),
+      regexp_count(col("text"),
+        lit(graft.operators.TextAnalysis.phonePattern)).cast("long").as("p"),
+      col("emails"), col("phones")).collect()
+    checked.foreach { r =>
+      assert(r.getLong(0) == r.getLong(2) && r.getLong(1) == r.getLong(3))
+    }
+  }
+
+  // ---- ts_ar2 --------------------------------------------------------
+
+  test("ts_ar2: planted AR(2) coefficients recovered, forecast arithmetic exact") {
+    import spark.implicits._
+    // x_t = 5 + 0.5x₁ − 0.3x₂ + bounded deterministic perturbation
+    def lcg(s: Long): Long = s * 6364136223846793005L + 1442695040888963407L
+    val xs = Array.fill(120)(0.0)
+    xs(0) = 10.0; xs(1) = 11.0
+    var seed = 99L
+    for (t <- 2 until xs.length) {
+      seed = lcg(seed)
+      val eps = ((seed >>> 20) % 1000) / 5000.0 - 0.1 // ±0.1
+      xs(t) = 5.0 + 0.5 * xs(t - 1) - 0.3 * xs(t - 2) + eps
+    }
+    val series = xs.zipWithIndex
+      .map { case (x, t) => ("planted", t.toLong, x) }.toSeq
+      .toDF("key", "t", "x")
+    val fit = graft.operators.TimeSeries.ar2Fit(spark, series).collect()
+    assert(fit.length == 1)
+    val r = fit.head
+    assert(math.abs(r.getDouble(2) - 0.5) < 0.15, s"phi1=${r.getDouble(2)}")
+    assert(math.abs(r.getDouble(3) + 0.3) < 0.15, s"phi2=${r.getDouble(3)}")
+    // forecast must be the fitted recursion applied to the two newest
+    val expect = r.getDouble(1) + r.getDouble(2) * xs(119) + r.getDouble(3) * xs(118)
+    assert(math.abs(r.getDouble(5) - expect) < 2e-3)
+    // corpus run: one row per type, r2 in [0, 1]
+    val corpus = graft.operators.TimeSeries.tsAr2.fn(spark, sf).collect()
+    val types = Tables.events(spark, sf).select("event_type").distinct().count()
+    assert(corpus.length == types)
+    assert(corpus.forall(r => r.getDouble(4) >= -0.0001 && r.getDouble(4) <= 1.0001))
+  }
+
+  // ---- mining_gmm ----------------------------------------------------
+
+  test("mining_gmm: weight simplex, population conservation, sane moments") {
+    val out = graft.operators.Linkage.miningGmm.fn(spark, sf).collect()
+    assert(out.length == 4)
+    assert(math.abs(out.map(_.getDouble(1)).sum - 1.0) < 1e-6)
+    val n = Tables.lineitem(spark, sf).count()
+    assert(out.map(_.getLong(6)).sum == n)
+    // means inside the data hull, variances strictly positive
+    out.foreach { r =>
+      assert(r.getDouble(2) > 0 && r.getDouble(2) < 60)
+      assert(r.getDouble(3) > 0 && r.getDouble(3) < 120000)
+      assert(r.getDouble(4) > 0 && r.getDouble(5) > 0)
+    }
+  }
 }
