@@ -361,6 +361,134 @@ object Linkage {
       .orderBy(col("component"))
   }
 
+  // ---- Isolation forest ----------------------------------------------
+
+  /** One isolation tree: axis-parallel random splits over a sample,
+    * stored as parallel arrays (feature, threshold, left, right,
+    * size-at-node for the external-node path correction).
+    */
+  final case class ITree(feat: Array[Int], thr: Array[Double],
+      left: Array[Int], right: Array[Int], size: Array[Int])
+
+  /** Average unsuccessful-search path length in a BST of n nodes —
+    * the normalizer c(n) from Liu et al. 2008.
+    */
+  def iforestC(n: Int): Double =
+    if (n <= 1) 0.0
+    else 2.0 * (math.log(n - 1.0) + 0.5772156649) - 2.0 * (n - 1.0) / n
+
+  /** Build one iTree over `pts` (rows × 2 features) with a seeded
+    * RNG; depth-limited at ⌈log₂ sample⌉ as in the paper.
+    */
+  def buildITree(pts: Array[Array[Double]], rnd: scala.util.Random,
+      maxDepth: Int): ITree = {
+    val feat = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val thr = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val left = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val right = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val size = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def grow(idx: Array[Int], depth: Int): Int = {
+      val node = feat.length
+      feat += -1; thr += 0.0; left += -1; right += -1; size += idx.length
+      if (idx.length <= 1 || depth >= maxDepth) return node
+      val f = rnd.nextInt(2)
+      val vals = idx.map(i => pts(i)(f))
+      val (lo, hi) = (vals.min, vals.max)
+      if (lo == hi) return node
+      val t = lo + rnd.nextDouble() * (hi - lo)
+      feat(node) = f; thr(node) = t
+      val (li, ri) = idx.partition(i => pts(i)(f) < t)
+      left(node) = grow(li, depth + 1)
+      right(node) = grow(ri, depth + 1)
+      node
+    }
+    grow(pts.indices.toArray, 0)
+    ITree(feat.toArray, thr.toArray, left.toArray, right.toArray, size.toArray)
+  }
+
+  /** Path length of a point through one tree (external-node size
+    * correction applied).
+    */
+  def iforestPath(t: ITree, x: Array[Double]): Double = {
+    var node = 0; var depth = 0.0
+    while (t.feat(node) >= 0) {
+      node = if (x(t.feat(node)) < t.thr(node)) t.left(node) else t.right(node)
+      depth += 1.0
+    }
+    depth + iforestC(t.size(node))
+  }
+
+  /** Isolation-forest anomaly scores (Liu, Ting & Zhou 2008) over
+    * the reference's 2-D point cloud — MODEL-BASED outlier detection
+    * where events_anomaly/events_anomaly_mad are distributional
+    * rules: anomalies are points random axis-parallel splits isolate
+    * QUICKLY, so they catch short-path joint-feature outliers a
+    * per-column z-score can't (e.g. high quantity × low price).
+    * Train: 25 trees × 256-point samples — the samples are
+    * deterministic xxhash64-ordered draws (reproducible on any
+    * partitioning), the O(trees·sample) build is driver-side (6400
+    * points — the paper's point is that tiny samples suffice).
+    * Score: the forest BROADCASTS and ONE map-side corpus pass
+    * computes s = 2^(−E[path]/c(256)) per row — embarrassingly
+    * parallel, no shuffle except the top-20 TakeOrdered. The
+    * justified-imperative case (tree pointer-chasing; no Expression
+    * composes 25 trees). Planted-outlier top rank, score range, and
+    * determinism pinned in ScalaTest.
+    */
+  val miningIforest: QueryDef = QueryDef.rowsOnly("mining_iforest") { (s, d) =>
+    val pts = graft.operators.KMeans.points(Tables.lineitem(s, d))
+      .select(col("l_orderkey"), col("l_linenumber"), col("x"), col("y"))
+    iforestScores(s, pts).limit(20)
+  }
+
+  /** Forest fit + scoring core over (l_orderkey, l_linenumber, x, y)
+    * — returns rows scored DESC. Factored for the planted-outlier
+    * ScalaTest.
+    */
+  def iforestScores(s: SparkSession, pts: DataFrame): DataFrame = {
+    val nTrees = 25
+    val sampleN = 256
+    // deterministic samples: per tree, the sampleN smallest
+    // xxhash64(key, tree) rows — ALL trees drawn in ONE corpus pass
+    // through the native TopKPerKey operator (map-side ×trees
+    // explode, bounded per-partition buffers: the shuffle carries
+    // ≤ trees·sampleN rows per partition, never the corpus, and the
+    // scan runs once instead of once per tree)
+    val hashed = pts
+      .select(col("l_orderkey"), col("l_linenumber"), col("x"), col("y"),
+        explode(lit((0 until nTrees).toArray)).as("ti"))
+      .withColumn("h", xxhash64(col("l_orderkey"), col("l_linenumber"), col("ti")))
+    val sampled = org.apache.spark.sql.graft.TopKOps.topKPerKey(hashed,
+        keys = Seq(col("ti")),
+        order = Seq(col("h").asc, col("l_orderkey").asc, col("l_linenumber").asc),
+        k = sampleN)
+      .select(col("ti"), col("x"), col("y")).collect()
+      .groupBy(_.getInt(0))
+    val trees = (0 until nTrees).map { ti =>
+      val sample = sampled(ti).map(r => Array(r.getDouble(1), r.getDouble(2)))
+      buildITree(sample, new scala.util.Random(1000 + ti),
+        math.ceil(math.log(sampleN.toDouble) / math.log(2.0)).toInt)
+    }.toArray
+    val cNorm = iforestC(sampleN)
+    val bTrees = s.sparkContext.broadcast(trees)
+    import s.implicits._
+    val scored = pts.select(col("l_orderkey"), col("l_linenumber"),
+        col("x"), col("y"))
+      .as[(Long, Int, Double, Double)]
+      .mapPartitions { it =>
+        val forest = bTrees.value
+        it.map { case (ok, ln, x, y) =>
+          val p = Array(x, y)
+          val mean = forest.map(iforestPath(_, p)).sum / forest.length
+          val score = math.pow(2.0, -mean / cNorm)
+          (ok, ln, x, y, math.floor(score * 10000 + 0.5) / 10000)
+        }
+      }
+      .toDF("l_orderkey", "l_linenumber", "x", "y", "score")
+    scored.orderBy(col("score").desc, col("l_orderkey"), col("l_linenumber"))
+  }
+
   val all: Seq[QueryDef] = Seq(qCopurchase, qFuzzyJoin, miningFpgrowth, miningAls,
-    miningPrefixspan, miningAssoc, miningLda, miningOls, miningGmm)
+    miningPrefixspan, miningAssoc, miningLda, miningOls, miningGmm,
+    miningIforest)
 }

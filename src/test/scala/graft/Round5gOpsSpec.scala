@@ -261,6 +261,40 @@ class Round5gOpsSpec extends AnyFunSuite {
     assert(corpus.forall(r => r.getDouble(4) >= -0.0001 && r.getDouble(4) <= 1.0001))
   }
 
+  // ---- mining_iforest ------------------------------------------------
+
+  test("mining_iforest: planted outlier isolates first, scores deterministic in (0,1)") {
+    import spark.implicits._
+    // dense cluster + one far joint-feature outlier the per-axis
+    // z-score would need BOTH axes to flag
+    def lcg(s: Long): Long = s * 6364136223846793005L + 1442695040888963407L
+    var seed = 5L
+    val cluster = (1 to 400).map { i =>
+      seed = lcg(seed)
+      val dx = ((seed >>> 20) % 1000) / 100.0
+      seed = lcg(seed)
+      val dy = ((seed >>> 20) % 1000) * 10.0
+      (i.toLong, 1, 25.0 + dx, 50000.0 + dy)
+    }
+    val planted = (9999L, 1, 500.0, 990000.0)
+    val pts = (cluster :+ planted).toDF("l_orderkey", "l_linenumber", "x", "y")
+    val out1 = graft.operators.Linkage.iforestScores(spark, pts).collect()
+    val out2 = graft.operators.Linkage.iforestScores(spark, pts).collect()
+    assert(out1.map(_.toString).sameElements(out2.map(_.toString)))
+    assert(out1.head.getLong(0) == 9999L,
+      s"planted outlier not ranked first: ${out1.head}")
+    assert(out1.head.getDouble(4) > out1(1).getDouble(4) + 0.1,
+      "outlier score must clearly separate from the cluster")
+    assert(out1.forall(r => r.getDouble(4) > 0.0 && r.getDouble(4) < 1.0))
+  }
+
+  test("mining_iforest: corpus run emits 20 ranked rows") {
+    val out = graft.operators.Linkage.miningIforest.fn(spark, sf).collect()
+    assert(out.length == 20)
+    val scores = out.map(_.getDouble(4))
+    assert(scores.sameElements(scores.sortBy(-(_: Double))))
+  }
+
   // ---- mining_gmm ----------------------------------------------------
 
   test("mining_gmm: weight simplex, population conservation, sane moments") {
