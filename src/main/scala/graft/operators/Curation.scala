@@ -768,11 +768,90 @@ object Curation {
       .orderBy(col("phase"))
   }
 
+  /** WHOLE-document sequence packing by best-fit-decreasing —
+    * pipeline_pack's contiguous windows SPLIT documents across
+    * window boundaries (fine for plain LM pretraining, wrong when
+    * examples must stay intact: instruction pairs, contrastive
+    * docs, anything with cross-token structure). True bin packing is
+    * sequential, so the scalable shape shards it: documents hash
+    * into fixed-population buckets per source (deterministic
+    * xxhash64; bucket count scales with the source's doc count, so
+    * per-bucket work is bounded at ANY corpus size), each bucket
+    * runs classic BFD locally inside flatMapGroups (sort desc, place
+    * each doc into the fullest bin that still fits), and per-source
+    * stats aggregate the bucket results. Oversized docs (> capacity)
+    * get singleton bins, flagged. BFD's 11/9·OPT+1 guarantee applies
+    * per bucket; the ScalaTest pins capacity-respect, exactly-once
+    * placement, the lower bound, and fill ≥ 70%.
+    */
+  val pipelinePackBins: QueryDef = QueryDef.rowsOnly("pipeline_pack_bins") { (s, d) =>
+    packBins(s, Tables.documents(s, d).select(
+      col("doc_id"), col("source"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")))
+  }
+
+  /** Bucketed-BFD packing core over (doc_id, source, n_tokens) —
+    * see pipeline_pack_bins. Factored for the ScalaTest's synthetic
+    * packing-quality pins.
+    */
+  def packBins(s: org.apache.spark.sql.SparkSession,
+      t: org.apache.spark.sql.DataFrame,
+      capacity: Int = 2048, docsPerBucket: Int = 512): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    // deterministic fixed-population buckets: per source, docs ranked
+    // by hash then chunked — bucket count grows with the source
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(xxhash64(col("doc_id"), lit(17)), col("doc_id"))
+    val bucketed = t
+      .withColumn("bucket", ((row_number().over(w) - 1) / docsPerBucket).cast("int"))
+    // one summary row per bucket out of the packing pass
+    val perBucket = bucketed
+      .select(col("source"), col("bucket"), col("doc_id"), col("n_tokens"))
+      .as[(String, Int, Long, Long)]
+      .groupByKey { case (src, b, _, _) => (src, b) }
+      .mapGroups { (key: (String, Int), it: Iterator[(String, Int, Long, Long)]) =>
+        val src = key._1
+        // classic BFD: sort desc (ties by doc_id for determinism),
+        // place each doc into the fullest bin that still fits
+        val docs = it.map { case (_, _, id, n) => (id, n) }.toArray
+          .sortBy { case (id, n) => (-n, id) }
+        val bins = scala.collection.mutable.ArrayBuffer.empty[Long] // residuals
+        var oversized = 0L
+        docs.foreach { case (_, n) =>
+          if (n >= capacity) { bins += 0L; oversized += 1 }
+          else {
+            var best = -1; var bestRes = Long.MaxValue
+            var i = 0
+            while (i < bins.length) {
+              val r = bins(i)
+              if (r >= n && r < bestRes) { best = i; bestRes = r }
+              i += 1
+            }
+            if (best < 0) bins += (capacity - n)
+            else bins(best) = bins(best) - n
+          }
+        }
+        (src, docs.length.toLong, docs.map(_._2).sum, oversized, bins.length.toLong)
+      }
+      .toDF("source", "n_docs", "sum_tokens", "n_oversized", "n_bins")
+    perBucket.groupBy(col("source"))
+      .agg(
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("sum_tokens")).as("sum_tokens"),
+        sum(col("n_oversized")).as("n_oversized"),
+        sum(col("n_bins")).as("n_bins"))
+      .withColumn("lower_bound", ceil(col("sum_tokens") / lit(capacity.toDouble)))
+      .withColumn("fill",
+        floor(col("sum_tokens") * 10000.0 / (col("n_bins") * capacity) + 0.5) / 10000)
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] = Seq(pipelineCurate, pipelineMix,
     pipelineQualityFilter, pipelineSampleN, pipelineTokenBudget,
     pipelineSplit, textContamination, pipelineLangBudget,
     pipelineQualityModel, pipelinePack, pipelineObserved,
     pipelineDatasetCard, pipelineDecontaminate,
     pipelineEpochShuffle, pipelineInterleave, pipelineCurriculum,
-    pipelineKfold, pipelineOversample)
+    pipelineKfold, pipelineOversample, pipelinePackBins)
 }

@@ -295,6 +295,47 @@ class Round5gOpsSpec extends AnyFunSuite {
     assert(scores.sameElements(scores.sortBy(-(_: Double))))
   }
 
+  // ---- pipeline_pack_bins --------------------------------------------
+
+  test("pipeline_pack_bins: BFD respects capacity, meets the lower bound, packs tightly") {
+    import spark.implicits._
+    // synthetic doc sizes engineered so naive arrival-order first-fit
+    // wastes bins: 30×1200 + 30×800 + 60×500 tokens
+    val docs = ((1 to 30).map(i => (i.toLong, "s", 1200L)) ++
+        (31 to 60).map(i => (i.toLong, "s", 800L)) ++
+        (61 to 120).map(i => (i.toLong, "s", 500L)))
+      .toDF("doc_id", "source", "n_tokens")
+    val out = graft.operators.Curation.packBins(spark, docs).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(1) == 120 && r.getLong(3) == 0)
+    val sumTokens = r.getLong(2)
+    val nBins = r.getLong(4)
+    val lb = math.ceil(sumTokens / 2048.0).toLong
+    assert(r.getLong(5) == lb)
+    assert(nBins >= lb, "bin count below the counting lower bound is impossible")
+    // BFD guarantee: ≤ 11/9·OPT + 1; OPT ≥ lb
+    assert(nBins <= math.ceil(11.0 * lb / 9.0).toLong + 1,
+      s"BFD produced $nBins bins for lower bound $lb")
+    assert(r.getDouble(6) > 0.7, s"fill ${r.getDouble(6)} too loose")
+    // oversized docs get singleton bins, flagged
+    val big = Seq((1L, "s", 5000L), (2L, "s", 100L)).toDF("doc_id", "source", "n_tokens")
+    val r2 = graft.operators.Curation.packBins(spark, big).collect().head
+    assert(r2.getLong(3) == 1 && r2.getLong(4) == 2)
+  }
+
+  test("pipeline_pack_bins: corpus run conserves documents and tokens") {
+    val out = graft.operators.Curation.pipelinePackBins.fn(spark, sf).collect()
+    val truth = Tables.documents(spark, sf)
+      .groupBy(col("source")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.length == truth.size)
+    out.foreach { r =>
+      assert(r.getLong(1) == truth(r.getString(0)))
+      assert(r.getLong(4) >= r.getLong(5), "bins ≥ lower bound")
+    }
+  }
+
   // ---- mining_gmm ----------------------------------------------------
 
   test("mining_gmm: weight simplex, population conservation, sane moments") {
