@@ -739,6 +739,62 @@ object EventOps {
       .orderBy(col("variant"))
   }
 
+  /** A/B power analysis — the question every experiment review asks
+    * BEFORE launch: how many users per arm to detect a given lift?
+    * n/arm = 2σ²(z_{α/2}+z_β)²/δ² at α=5%, power 80% (z literals
+    * 1.959964 and 0.841621 spelled identically in both engines),
+    * with σ² and the baseline mean measured from the corpus's own
+    * per-user revenue (events_abtest's metric) in ONE user aggregate;
+    * the MDE grid (1/2/5/10% of baseline) is a map-side explode over
+    * the single stats row. Reports required n per arm and whether
+    * the current population could power each detectable lift.
+    */
+  val eventsPower: QueryDef = QueryDef.sql(
+    "events_power",
+    """WITH per_user AS (
+      |  SELECT user_id,
+      |    sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS revenue
+      |  FROM events GROUP BY 1),
+      |stats AS (
+      |  SELECT count(*) AS n_users, avg(revenue) AS mean_rev,
+      |    var_samp(revenue) AS var_rev
+      |  FROM per_user),
+      |grid AS (
+      |  SELECT n_users, mean_rev, var_rev, mde_pct
+      |  FROM stats CROSS JOIN (VALUES (1), (2), (5), (10)) AS g(mde_pct)),
+      |calc AS (
+      |  SELECT mde_pct, n_users,
+      |    mean_rev * mde_pct / 100.0 AS delta,
+      |    ceil(2.0 * var_rev * power(1.959964 + 0.841621, 2)
+      |      / (mean_rev * mde_pct / 100.0) / (mean_rev * mde_pct / 100.0))
+      |      AS n_per_arm
+      |  FROM grid)
+      |SELECT mde_pct, floor(delta * 10000 + 0.5) / 10000 AS delta,
+      |  CAST(n_per_arm AS BIGINT) AS n_per_arm,
+      |  CASE WHEN 2 * n_per_arm <= n_users THEN 1 ELSE 0 END AS powered
+      |FROM calc ORDER BY mde_pct""".stripMargin) { (s, d) =>
+    val stats = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", col("value"))
+        .otherwise(0.0)).as("revenue"))
+      .agg(count(lit(1)).as("n_users"), avg(col("revenue")).as("mean_rev"),
+        var_samp(col("revenue")).as("var_rev"))
+    val z = lit(1.959964) + lit(0.841621)
+    stats
+      .select(col("n_users"), col("mean_rev"), col("var_rev"),
+        explode(lit(Array(1, 2, 5, 10))).as("mde_pct"))
+      .withColumn("delta", col("mean_rev") * col("mde_pct") / 100.0)
+      .withColumn("n_per_arm",
+        ceil(lit(2.0) * col("var_rev") * pow(z, 2)
+          / col("delta") / col("delta")))
+      .select(col("mde_pct"),
+        (floor(col("delta") * 10000 + 0.5) / 10000).as("delta"),
+        col("n_per_arm").cast("long").as("n_per_arm"),
+        when(lit(2) * col("n_per_arm") <= col("n_users"), 1).otherwise(0)
+          .as("powered"))
+      .orderBy(col("mde_pct"))
+  }
+
   /** Streaming SCD-2 dimension maintenance: micro-batched price
     * updates MERGE into the versioned dim table (see
     * EventStreams.streamScd2). The final table equals the batch
@@ -1604,7 +1660,8 @@ object EventOps {
     eventsHourlyMerge, streamEnrich, eventsSlidingUniques, eventsHistogram,
     eventsMarkov, streamTopk, streamJoinOuter, eventsDau,
     streamSessionsState, eventsAttribution, eventsCohortLtv, eventsAbtest,
-    streamScd2, eventsConcurrency, eventsRfm, eventsPareto, eventsChurn, eventsCuped,
+    streamScd2, eventsConcurrency, eventsRfm, eventsPareto, eventsChurn,
+    eventsCuped, eventsPower,
     eventsWindowFunnel, eventsStreaks, eventsHourProfile, eventsAnomalyMad,
     streamAnomaly, eventsUserEntropy)
 }

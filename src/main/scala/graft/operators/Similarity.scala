@@ -1057,6 +1057,64 @@ object Similarity {
     }
   }
 
+  /** MMR-diversified retrieval (maximal marginal relevance,
+    * Carbonell & Goldstein 1998) — the re-ranking layer RAG serving
+    * puts between ANN shortlist and prompt: plain top-k returns
+    * near-duplicates of the best hit; MMR greedily picks
+    * argmax λ·rel(c) − (1−λ)·max_{s∈S} sim(c,s), trading relevance
+    * against redundancy with what's already selected. The corpus
+    * stage is exactly an ANN shortlist (ONE scan, top-20 by cosine
+    * for the query — any index in this file can substitute); the
+    * greedy loop is O(k·|shortlist|) DRIVER arithmetic over 20
+    * vectors, the textbook cheap-final-stage. λ=0.7, deterministic
+    * (ties to smaller vec_id). Duplicate-skipping pinned on a
+    * planted near-dup shortlist in ScalaTest.
+    */
+  val annMmr: QueryDef = QueryDef.rowsOnly("ann_mmr") { (s, d) =>
+    val e = vectors(s, d)
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val shortlist = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("v"), cosine(col("v"), col("qv")).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id")).limit(20)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    val picks = mmrSelect(shortlist, lambda = 0.7, k = 5)
+    import s.implicits._
+    picks.zipWithIndex
+      .map { case ((id, rel, score), i) =>
+        (i + 1, id, math.floor(rel * 10000 + 0.5) / 10000,
+          math.floor(score * 10000 + 0.5) / 10000)
+      }.toDF("position", "vec_id", "relevance", "mmr_score")
+  }
+
+  /** Greedy MMR over a (id, vector, relevance) shortlist — returns
+    * (id, relevance, mmr score at selection) in pick order. Driver
+    * arithmetic; factored for the planted-near-dup ScalaTest.
+    */
+  def mmrSelect(cands: Array[(Long, Array[Double], Double)],
+      lambda: Double, k: Int): Seq[(Long, Double, Double)] = {
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na * nb)
+    }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double, Double)]
+    val remaining = scala.collection.mutable.ArrayBuffer(cands: _*)
+    while (selected.length < k && remaining.nonEmpty) {
+      val scoredCands = remaining.map { case (id, v, rel) =>
+        val redundancy =
+          if (selected.isEmpty) 0.0
+          else selected.map(sel => cos(v, sel._2)).max
+        (id, v, rel, lambda * rel - (1 - lambda) * redundancy)
+      }
+      val best = scoredCands.minBy { case (id, _, _, score) => (-score, id) }
+      selected += best
+      remaining.remove(remaining.indexWhere(_._1 == best._1))
+    }
+    selected.map { case (id, _, rel, score) => (id, rel, score) }.toSeq
+  }
+
   /** Sign-bit packing of dims [lo, lo+32) into one long — a codegen'd
     * 32-term shift/or tree (src_zorder_scan's zValue pattern).
     */
@@ -1068,5 +1126,5 @@ object Similarity {
   val all: Seq[QueryDef] = Seq(
     annBruteforce, annTopkJoin, annLsh, annIvf, annPq, annSearchText,
     annIvfPq, annIvfPqPersisted, dedupEmbeddingIvf, annSq8, embKnnGraph,
-    annRangeSearch, annMips, embKnnClassify, annNsw, annHamming)
+    annRangeSearch, annMips, embKnnClassify, annNsw, annHamming, annMmr)
 }

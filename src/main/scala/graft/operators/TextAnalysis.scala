@@ -1068,6 +1068,78 @@ object TextAnalysis {
       .orderBy(col("lang"), col("pred_lang"))
   }
 
+  /** Code-switch / mixed-language detection — the curation check
+    * that catches documents whose parts belong to DIFFERENT
+    * languages (concatenation artifacts, boilerplate wrappers,
+    * genuinely bilingual text), which a whole-doc language vote
+    * (text_langid) hides behind the majority half: each document
+    * splits at its character midpoint, each half gets the standard
+    * marker-argmax language id (the SAME markers/precedence as
+    * text_langid, so the two ops can't disagree about what a
+    * language looks like), and the corpus folds into a (first-half
+    * lang, second-half lang) contingency table whose off-diagonal
+    * mass is the mixed-document population. One map-side scan →
+    * O(langs²) aggregate.
+    */
+  val textCodeSwitch: QueryDef = {
+    def duckHalfCounts(which: String, expr0: String): String = markers.map {
+      case (l, p) =>
+        s"CAST(length(regexp_extract_all(lower($expr0), '$p')) AS BIGINT) AS ${which}_$l"
+    }.mkString(", ")
+    def duckArgmax(w: String): String =
+      s"""CASE WHEN greatest(${w}_en, ${w}_es, ${w}_de, ${w}_fr) = 0 THEN 'und'
+         |       WHEN ${w}_en >= ${w}_es AND ${w}_en >= ${w}_de AND ${w}_en >= ${w}_fr THEN 'en'
+         |       WHEN ${w}_es >= ${w}_de AND ${w}_es >= ${w}_fr THEN 'es'
+         |       WHEN ${w}_de >= ${w}_fr THEN 'de'
+         |       ELSE 'fr' END""".stripMargin
+    QueryDef.sql(
+      "text_code_switch",
+      s"""WITH h AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, CAST(floor(length(text) / 2) AS INT)) AS ta,
+        |    substr(text, CAST(floor(length(text) / 2) AS INT) + 1) AS tb
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, ${duckHalfCounts("a", "ta")}, ${duckHalfCounts("b", "tb")}
+        |  FROM h),
+        |l AS (
+        |  SELECT doc_id, ${duckArgmax("a")} AS lang_a, ${duckArgmax("b")} AS lang_b
+        |  FROM c)
+        |SELECT lang_a, lang_b, count(*) AS n_docs,
+        |  CASE WHEN lang_a <> lang_b THEN 1 ELSE 0 END AS mixed
+        |FROM l GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      def halfCounts(which: String, c: Column): Seq[Column] = markers.map {
+        case (l, p) =>
+          regexp_count(lower(c), lit(p)).cast("long").as(s"${which}_$l")
+      }
+      def argmax(w: String): Column =
+        when(greatest(col(s"${w}_en"), col(s"${w}_es"), col(s"${w}_de"),
+            col(s"${w}_fr")) === 0, "und")
+          .when(col(s"${w}_en") >= col(s"${w}_es") &&
+            col(s"${w}_en") >= col(s"${w}_de") &&
+            col(s"${w}_en") >= col(s"${w}_fr"), "en")
+          .when(col(s"${w}_es") >= col(s"${w}_de") &&
+            col(s"${w}_es") >= col(s"${w}_fr"), "es")
+          .when(col(s"${w}_de") >= col(s"${w}_fr"), "de")
+          .otherwise("fr")
+      val mid = floor(length(col("text")) / 2).cast("int")
+      val halves = Tables.documents(s, d).select(
+        col("doc_id"),
+        col("text").substr(lit(1), mid).as("ta"),
+        col("text").substr(mid + 1, length(col("text"))).as("tb"))
+      val counts = halves.select(
+        Seq(col("doc_id")) ++ halfCounts("a", col("ta"))
+          ++ halfCounts("b", col("tb")): _*)
+      counts
+        .select(argmax("a").as("lang_a"), argmax("b").as("lang_b"))
+        .groupBy(col("lang_a"), col("lang_b"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("mixed",
+          when(col("lang_a") =!= col("lang_b"), 1).otherwise(0))
+        .orderBy(col("lang_a"), col("lang_b"))
+    }
+  }
+
   /** TextRank word scores over the corpus co-occurrence graph
     * (Mihalcea & Tarau 2004) — graph-centrality keyword extraction,
     * the unsupervised upgrade over raw frequency (text_wordfreq) and
@@ -1132,5 +1204,6 @@ object TextAnalysis {
     textRedact, textCmsFreq, textChunks, textChunkDedup, textLmScore,
     textWinnow, textEntropy, textTtr, textNovelty, textPerplexityBucket,
     textZipf, textReadability, textCollocations, textCodeDetect,
-    textSeqLenProfile, textChi2, textHashingTrick, textNbLangid, textTextrank)
+    textSeqLenProfile, textChi2, textHashingTrick, textNbLangid, textTextrank,
+    textCodeSwitch)
 }

@@ -295,6 +295,68 @@ class Round5gOpsSpec extends AnyFunSuite {
     assert(scores.sameElements(scores.sortBy(-(_: Double))))
   }
 
+  // ---- ann_mmr -------------------------------------------------------
+
+  test("ann_mmr: near-duplicate of the best hit is skipped for a diverse pick") {
+    val a = Array(1.0, 0.0, 0.0, 0.0)
+    val aDup = Array(0.999, 0.01, 0.0, 0.0) // ~same direction as a
+    val b = Array(0.0, 1.0, 0.0, 0.0) // orthogonal
+    val cands = Array((1L, a, 0.90), (2L, aDup, 0.89), (3L, b, 0.50))
+    val picks = Similarity.mmrSelect(cands, lambda = 0.7, k = 2)
+    assert(picks.map(_._1) == Seq(1L, 3L),
+      s"MMR must pick the diverse b over the near-dup a': $picks")
+    // pure relevance would have picked the duplicate
+    assert(cands.sortBy(-_._3).take(2).map(_._1).toSeq == Seq(1L, 2L))
+    // first pick is always the relevance argmax
+    assert(picks.head._2 == 0.90)
+  }
+
+  test("ann_mmr: corpus run returns 5 ordered picks led by the top hit") {
+    val out = Similarity.annMmr.fn(spark, sf).collect()
+    assert(out.length == 5)
+    assert(out.map(_.getInt(0)).sameElements(1 to 5))
+    // position 1 must be the brute-force top-1 for query 0
+    val top1 = Similarity.annBruteforce.fn(spark, sf).collect().head.getLong(0)
+    assert(out.head.getLong(1) == top1)
+    // mmr scores non-increasing in pick order
+    val scores = out.map(_.getDouble(3))
+    assert(scores.sameElements(scores.sortBy(-(_: Double))))
+  }
+
+  // ---- events_power --------------------------------------------------
+
+  test("events_power: formula replay and monotone sample sizes") {
+    val out = EventOps.eventsPower.fn(spark, sf).collect()
+    assert(out.map(_.getInt(0)).sameElements(Array(1, 2, 5, 10)))
+    val ns = out.map(_.getLong(2))
+    // higher detectable lift ⇒ fewer users needed, ~quadratically
+    assert(ns.sameElements(ns.sorted.reverse))
+    assert(ns(0) > ns(1) * 3 && ns(0) < ns(1) * 5, "1% vs 2% MDE must be ~4×")
+    // replay the formula from the raw per-user stats
+    val st = Tables.events(spark, sf).groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", col("value"))
+        .otherwise(0.0)).as("rev"))
+      .agg(avg(col("rev")), var_samp(col("rev"))).collect()(0)
+    val (mean, v) = (st.getDouble(0), st.getDouble(1))
+    val z2 = math.pow(1.959964 + 0.841621, 2)
+    out.foreach { r =>
+      val delta = mean * r.getInt(0) / 100.0
+      assert(r.getLong(2) == math.ceil(2.0 * v * z2 / delta / delta).toLong)
+    }
+  }
+
+  // ---- text_code_switch ----------------------------------------------
+
+  test("text_code_switch: contingency table conserves docs; mixed flag consistent") {
+    val out = graft.operators.TextAnalysis.textCodeSwitch.fn(spark, sf).collect()
+    val n = Tables.documents(spark, sf).count()
+    assert(out.map(_.getLong(2)).sum == n)
+    out.foreach { r =>
+      val expectMixed = if (r.getString(0) != r.getString(1)) 1 else 0
+      assert(r.getInt(3) == expectMixed)
+    }
+  }
+
   // ---- pipeline_pack_bins --------------------------------------------
 
   test("pipeline_pack_bins: BFD respects capacity, meets the lower bound, packs tightly") {
