@@ -33,6 +33,15 @@ object EventOps {
   val streamHourly: QueryDef =
     QueryDef.sql("stream_hourly", hourlySql)(EventStreams.streamHourly)
 
+  /** Exactly-once file sink via idempotent batch-partition replay
+    * (see EventStreams.streamIdempotentSink — the last batch is
+    * deliberately re-delivered after the run); shares the hourly
+    * oracle, which an append-duplicating sink would fail.
+    */
+  val streamIdempotentSink: QueryDef =
+    QueryDef.sql("stream_idempotent_sink", hourlySql)(
+      EventStreams.streamIdempotentSink)
+
   /** Gap-based sessionization (30-min inactivity gap): mark session
     * starts with lag(), number sessions with a running sum — two
     * window passes over the same (user_id, ts) shuffle.
@@ -1661,7 +1670,7 @@ object EventOps {
     eventsMarkov, streamTopk, streamJoinOuter, eventsDau,
     streamSessionsState, eventsAttribution, eventsCohortLtv, eventsAbtest,
     streamScd2, eventsConcurrency, eventsRfm, eventsPareto, eventsChurn,
-    eventsCuped, eventsPower,
+    eventsCuped, eventsPower, streamIdempotentSink,
     eventsWindowFunnel, eventsStreaks, eventsHourProfile, eventsAnomalyMad,
     streamAnomaly, eventsUserEntropy)
 }

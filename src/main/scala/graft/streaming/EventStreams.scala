@@ -302,6 +302,58 @@ object EventStreams {
     p
   }
 
+  /** EXACTLY-ONCE file sink by idempotent batch replay — the
+    * recovery contract production streaming jobs rely on: after a
+    * crash, Structured Streaming re-runs the last uncommitted batch,
+    * and the sink must absorb the duplicate delivery. Each
+    * micro-batch writes its raw rows into a partition KEYED BY BATCH
+    * ID with dynamic partition overwrite, so re-delivering a batch
+    * rewrites its own partition instead of appending a duplicate.
+    * The failure is SIMULATED, not assumed: after the stream
+    * completes, the newest batch partition is read back and written
+    * AGAIN through the same sink path (what a restarted job would
+    * do), and the returned aggregate still hash-matches the plain
+    * batch oracle — an append-mode sink would double that batch's
+    * counts and fail the gate.
+    */
+  def streamIdempotentSink(s: SparkSession, dir: String): DataFrame = {
+    val (src, tmp) = stagedStream(s, dir, "events.parquet", rawEventSchema(s, dir))
+    val events = graft.sources.Tables.normalizeEventTs(src)
+    val dataDir = sinkRoot.resolve("idem_" + java.util.UUID.randomUUID().toString.take(8)).toString
+    val chk = java.nio.file.Files.createTempDirectory("graft_idem_chk")
+    val maxBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
+    def writeBatch(batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+        id: Long): Unit =
+      batch.withColumn("batch_id", lit(id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(dataDir)
+    val q = events.select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", chk.toString)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        writeBatch(batch, id)
+        maxBatch.updateAndGet(m => math.max(m, id)): Unit
+      }
+      .start()
+    try q.processAllAvailable() finally {
+      q.stop()
+      deleteRecursively(tmp)
+      deleteRecursively(chk)
+    }
+    // simulate the crash-recovery re-delivery of the newest batch
+    val last = maxBatch.get()
+    val replay = s.read.parquet(dataDir)
+      .filter(col("batch_id") === last)
+      .drop("batch_id")
+    writeBatch(replay, last)
+    s.read.parquet(dataDir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
   def streamSinkRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val (src, tmp) = eventsStream(s, dir)
     val dataDir = sinkRoot.resolve("hourly").toString

@@ -44,4 +44,14 @@ class StreamBatchParitySpec extends AnyFunSuite {
     val streamed = EventStreams.streamClickPurchaseJoin(spark, sf).collect().toSet
     assert(streamed === batch)
   }
+
+  test("stream_idempotent_sink equals the batch hourly aggregate despite batch re-delivery") {
+    // the sink path re-delivers the newest batch internally (simulated
+    // crash recovery); idempotent partition overwrite must absorb it
+    val batch = EventStreams.hourlyAgg(Tables.events(spark, sf))
+      .collect().toSet
+    val sunk = EventStreams.streamIdempotentSink(spark, sf).collect().toSet
+    assert(sunk === batch,
+      "replayed batch duplicated rows — the sink is not idempotent")
+  }
 }
