@@ -705,46 +705,93 @@ object EventOps {
     """WITH b AS (SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1 FROM events),
       |pu AS (
       |  SELECT user_id, user_id % 2 AS variant,
-      |    sum(CASE WHEN event_type = 'purchase'
+      |    CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
       |             AND epoch_us(ts) <= (SELECT t0 + (t1 - t0) // 2 FROM b)
-      |             THEN value ELSE 0 END) AS x,
-      |    sum(CASE WHEN event_type = 'purchase'
+      |             THEN CAST(floor(value * 1000000.0) AS BIGINT) ELSE 0 END), 0)
+      |      AS BIGINT) AS x,
+      |    CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
       |             AND epoch_us(ts) > (SELECT t0 + (t1 - t0) // 2 FROM b)
-      |             THEN value ELSE 0 END) AS y
+      |             THEN CAST(floor(value * 1000000.0) AS BIGINT) ELSE 0 END), 0)
+      |      AS BIGINT) AS y
       |  FROM events GROUP BY 1, 2),
-      |g AS (SELECT covar_samp(x, y) / var_samp(x) AS theta, avg(x) AS mx FROM pu),
-      |adj AS (
-      |  SELECT variant, y, y - (SELECT theta FROM g) * (x - (SELECT mx FROM g)) AS ya
-      |  FROM pu)
-      |SELECT variant, count(*) AS n,
-      |  floor(avg(y) * 10000 + 0.5) / 10000 AS mean_post,
-      |  floor(avg(ya) * 10000 + 0.5) / 10000 AS mean_adjusted,
-      |  floor((1 - var_samp(ya) / var_samp(y)) * 10000 + 0.5) / 10000
-      |    AS var_reduction
-      |FROM adj GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      |v AS (
+      |  SELECT variant, count(*) AS nv,
+      |    CAST(sum(x) AS DOUBLE) * 1e-6 AS sx,
+      |    CAST(sum(y) AS DOUBLE) * 1e-6 AS sy,
+      |    CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) * 1e-12 AS sxx,
+      |    CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DOUBLE) * 1e-12 AS sxy,
+      |    CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE) * 1e-12 AS syy
+      |  FROM pu GROUP BY 1),
+      |g AS (
+      |  SELECT CAST(sum(nv) AS DOUBLE) AS n, sum(sx) AS gsx, sum(sy) AS gsy,
+      |    sum(sxx) AS gsxx, sum(sxy) AS gsxy
+      |  FROM v),
+      |t AS (
+      |  SELECT gsx / n AS mx,
+      |    (gsxy - gsx * gsy / n) / (gsxx - gsx * gsx / n) AS theta
+      |  FROM g),
+      |o AS (
+      |  SELECT variant, nv,
+      |    sy / nv AS mean_post,
+      |    (sy - theta * (sx - mx * nv)) / nv AS mean_adjusted,
+      |    1 - ((syy - 2 * theta * sxy + 2 * theta * mx * sy
+      |          + theta * theta * sxx - 2 * theta * theta * mx * sx
+      |          + theta * theta * mx * mx * nv)
+      |         - (sy - theta * (sx - mx * nv)) * (sy - theta * (sx - mx * nv)) / nv)
+      |      / (syy - sy * sy / nv) AS var_reduction
+      |  FROM v, t)
+      |SELECT variant, CAST(nv AS BIGINT) AS n,
+      |  floor(mean_post * 10000 + 0.5) / 10000 AS mean_post,
+      |  floor(mean_adjusted * 10000 + 0.5) / 10000 AS mean_adjusted,
+      |  floor(var_reduction * 10000 + 0.5) / 10000 AS var_reduction
+      |FROM o ORDER BY variant""".stripMargin) { (s, d) =>
     val ev = Tables.events(s, d)
     val bounds = ev.agg(min(unix_micros(col("ts"))).as("t0"),
       max(unix_micros(col("ts"))).as("t1"))
+    // EXACT sufficient statistics: per-user pre/post revenue in int64
+    // micro-units, per-variant sums exact (int64 / decimal(38,0)) —
+    // every float below derives from exact inputs through ONE fixed
+    // scalar expression tree, so the result is bit-identical on any
+    // partitioning and any engine (the avg/covar_samp formulation
+    // failed the 2-vs-17-partition invariance suite by 1e-4 exactly
+    // at a floor-rounding boundary).
+    val micro = when(col("event_type") === "purchase",
+      floor(col("value") * 1000000.0).cast("long")).otherwise(0L)
     val pu = ev.crossJoin(broadcast(bounds)) // single-row time bounds
       .withColumn("mid", col("t0") + (col("t1") - col("t0")) / 2)
       .groupBy(col("user_id"), (col("user_id") % 2).as("variant"))
       .agg(
-        sum(when(col("event_type") === "purchase" &&
-            unix_micros(col("ts")) <= col("mid"), col("value"))
-          .otherwise(0.0)).as("x"),
-        sum(when(col("event_type") === "purchase" &&
-            unix_micros(col("ts")) > col("mid"), col("value"))
-          .otherwise(0.0)).as("y"))
-    val g = pu.agg((covar_samp(col("x"), col("y")) / var_samp(col("x"))).as("theta"),
-      avg(col("x")).as("mx"))
-    pu.crossJoin(broadcast(g)) // single-row θ / pooled mean
-      .withColumn("ya", col("y") - col("theta") * (col("x") - col("mx")))
-      .groupBy(col("variant"))
-      .agg(count(lit(1)).as("n"),
-        (floor(avg(col("y")) * 10000 + 0.5) / 10000).as("mean_post"),
-        (floor(avg(col("ya")) * 10000 + 0.5) / 10000).as("mean_adjusted"),
-        (floor((lit(1) - var_samp(col("ya")) / var_samp(col("y"))) * 10000 + 0.5)
-          / 10000).as("var_reduction"))
+        coalesce(sum(when(unix_micros(col("ts")) <= col("mid"), micro)
+          .otherwise(0L)), lit(0L)).as("x"),
+        coalesce(sum(when(unix_micros(col("ts")) > col("mid"), micro)
+          .otherwise(0L)), lit(0L)).as("y"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val v = pu.groupBy(col("variant")).agg(
+      count(lit(1)).as("nv"),
+      (sum(col("x")).cast("double") * 1e-6).as("sx"),
+      (sum(col("y")).cast("double") * 1e-6).as("sy"),
+      (sum(dec(col("x")) * col("x")).cast("double") * 1e-12).as("sxx"),
+      (sum(dec(col("x")) * col("y")).cast("double") * 1e-12).as("sxy"),
+      (sum(dec(col("y")) * col("y")).cast("double") * 1e-12).as("syy"))
+    val g = v.agg(sum(col("nv")).cast("double").as("n"),
+      sum(col("sx")).as("gsx"), sum(col("sy")).as("gsy"),
+      sum(col("sxx")).as("gsxx"), sum(col("sxy")).as("gsxy"))
+    val t = g.select((col("gsx") / col("n")).as("mx"),
+      ((col("gsxy") - col("gsx") * col("gsy") / col("n"))
+        / (col("gsxx") - col("gsx") * col("gsx") / col("n"))).as("theta"))
+    val sya = col("sy") - col("theta") * (col("sx") - col("mx") * col("nv"))
+    val syyAdj = col("syy") - lit(2) * col("theta") * col("sxy") +
+      lit(2) * col("theta") * col("mx") * col("sy") +
+      col("theta") * col("theta") * col("sxx") -
+      lit(2) * col("theta") * col("theta") * col("mx") * col("sx") +
+      col("theta") * col("theta") * col("mx") * col("mx") * col("nv")
+    v.crossJoin(broadcast(t)) // single-row θ / pooled mean
+      .select(col("variant"), col("nv").cast("long").as("n"),
+        (floor(col("sy") / col("nv") * 10000 + 0.5) / 10000).as("mean_post"),
+        (floor(sya / col("nv") * 10000 + 0.5) / 10000).as("mean_adjusted"),
+        (floor((lit(1) - (syyAdj - sya * sya / col("nv"))
+            / (col("syy") - col("sy") * col("sy") / col("nv")))
+          * 10000 + 0.5) / 10000).as("var_reduction"))
       .orderBy(col("variant"))
   }
 

@@ -28,7 +28,17 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "emb_random_projection", // map-only: trivially invariant control
     "q_skyline",           // window-over-aggregate frontier
     "text_chi2",           // int64-exact chi-square
-    "mining_ols"           // normal-equation sums (rounded to 4)
+    "mining_ols",          // normal-equation sums (rounded to 4)
+    "events_survival",     // KM windows over the duration aggregate
+    "events_cuped",        // pooled θ from covar/var sums
+    "graph_louvain",       // synchronous local moves + argmax ties
+    "ann_nsw",             // hash-sharded graph build + beam ties
+    "profile_dp_counts",   // hash-derandomized noise
+    "mining_iforest",      // hash-ordered samples + float scores
+    "text_textrank",       // damped power iteration over word graph
+    "ts_ar2",              // per-type sufficient-stat sums
+    "pipeline_pack_bins",  // bucketed BFD (hash bucket membership)
+    "ann_mmr"              // greedy re-rank over an exact shortlist
   )
 
   private def runWith(name: String, parts: String): Seq[String] = {
