@@ -469,6 +469,46 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** End-to-end perceptual image dedup — the multimodal sibling of
+    * dedup_minhash_corpus: dHash index (mm_phash) → banded Hamming
+    * candidate pairs (equality join per 16-bit band, Σ bucket² work,
+    * never corpus²; pigeonhole: ≤6 differing bits over 4 bands
+    * guarantees one clean band, so banding loses NO qualifying pair)
+    * → exact popcount verify → size-adaptive connected components →
+    * one survivor per visual cluster (smallest doc_id). Output: per
+    * multi-member cluster, the representative, member count, and max
+    * intra-cluster Hamming. The pipeline a 100 TB image corpus runs
+    * at ingest; cluster validity + determinism + pigeonhole recall
+    * pinned in ScalaTest.
+    */
+  val mmPhashDedup: QueryDef = QueryDef.rowsOnly("mm_phash_dedup") { (s, d) =>
+    import s.implicits._
+    // the synthetic corpus has no natural byte-level near-dups (every
+    // payload distinct), so plant the condition the operator exists
+    // for: re-encoded variants of 20 images (a few bytes perturbed —
+    // the dHash moves ≤ a few bits, as a JPEG re-compression would)
+    val base = payloads(s, d)
+    val variants = base.filter(col("doc_id") < 20)
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val b = bytes.clone()
+        if (b.length > 4) b(b.length / 2) = (b(b.length / 2) ^ 0x01).toByte
+        (id + 1000000L, b)
+      }.toDF("doc_id", "payload")
+    val idx = phashIndex(s, base.unionAll(variants)).localCheckpoint(eager = true)
+    val pairs = phashPairs(idx, maxHamming = 6).localCheckpoint(eager = true)
+    val cc = graft.operators.Dedup.connectedComponents(
+      pairs.select(col("a").as("id1"), col("b").as("id2")))
+    val sizes = cc.groupBy(col("label").as("cluster_rep"))
+      .agg(count(lit(1)).as("n_members"))
+    val maxHam = pairs
+      .join(cc.select(col("id").as("a"), col("label").as("cl")), "a")
+      .groupBy(col("cl")).agg(max(col("hamming")).as("max_hamming"))
+    sizes.join(maxHam, col("cluster_rep") === col("cl"))
+      .select(col("cluster_rep"), col("n_members"), col("max_hamming"))
+      .orderBy(col("cluster_rep"))
+  }
+
   val all: Seq[QueryDef] = Seq(mmBinaryStats, mmFeatures, mmFrames, mmResize,
-    mmPhash, mmShards)
+    mmPhash, mmShards, mmPhashDedup)
 }

@@ -1041,6 +1041,64 @@ object TimeSeries {
     ar2Fit(s, dense).orderBy(col("key"))
   }
 
+  /** TIME-weighted average value per event type — the correct mean
+    * for step-function metrics (a price that held for six hours must
+    * outweigh one that held a minute; the row-weighted avg —
+    * q1-style — silently assumes uniform spacing). Each event's
+    * value is weighted by its HOLD duration (epoch-second gap to the
+    * type's next event via ONE lead window on the type exchange; the
+    * final, open-ended observation drops out). All arithmetic is
+    * EXACT until the last division: values in int64 micro-units,
+    * weights in whole seconds, Σ(value·dur) in DECIMAL(38,0) — so
+    * the result is partition-invariant and engine-identical by
+    * construction (the events_cuped lesson, applied from the start).
+    * Output also carries the plain avg so the bias is visible.
+    */
+  val tsTwa: QueryDef = QueryDef.sql(
+    "ts_twa",
+    """WITH o AS (
+      |  SELECT event_type, value, epoch_us(ts) AS tus,
+      |    lead(epoch_us(ts)) OVER (PARTITION BY event_type
+      |      ORDER BY epoch_us(ts), event_id) AS nxt
+      |  FROM events),
+      |w AS (
+      |  SELECT event_type,
+      |    CAST(floor(value * 1000000.0) AS BIGINT) AS vm,
+      |    (nxt - tus) // 1000000 AS dur
+      |  FROM o WHERE nxt IS NOT NULL),
+      |a AS (
+      |  SELECT event_type, count(*) AS n,
+      |    CAST(sum(CAST(vm AS DECIMAL(38,0)) * dur) AS DOUBLE) * 1e-6 AS wsum,
+      |    CAST(sum(dur) AS DOUBLE) AS dsum,
+      |    CAST(sum(vm) AS DOUBLE) * 1e-6 AS vsum
+      |  FROM w GROUP BY 1)
+      |SELECT event_type, n,
+      |  floor(wsum / dsum * 10000 + 0.5) / 10000 AS time_weighted_avg,
+      |  floor(vsum / n * 10000 + 0.5) / 10000 AS row_avg
+      |FROM a ORDER BY event_type""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("tus"), col("event_id"))
+    val o = Tables.events(s, d)
+      .select(col("event_type"), col("value"), col("event_id"),
+        unix_micros(col("ts")).as("tus"))
+      .withColumn("nxt", lead(col("tus"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("event_type"),
+        floor(col("value") * 1000000.0).cast("long").as("vm"),
+        ((col("nxt") - col("tus")) / 1000000).cast("long").as("dur"))
+    o.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("vm").cast("decimal(38,0)") * col("dur")).cast("double") * 1e-6)
+          .as("wsum"),
+        sum(col("dur")).cast("double").as("dsum"),
+        (sum(col("vm")).cast("double") * 1e-6).as("vsum"))
+      .select(col("event_type"), col("n"),
+        (floor(col("wsum") / col("dsum") * 10000 + 0.5) / 10000)
+          .as("time_weighted_avg"),
+        (floor(col("vsum") / col("n") * 10000 + 0.5) / 10000).as("row_avg"))
+      .orderBy(col("event_type"))
+  }
+
   /** AR(2) fit core over a (key, t, x) series — see ts_ar2. */
   def ar2Fit(s: SparkSession, series: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("key")).orderBy(col("t"))
@@ -1080,5 +1138,5 @@ object TimeSeries {
     tsGapfill, tsInterp, tsEwma, tsAutocorr, tsCusum, tsSeasonal,
     tsForecast, tsTimeToConvert, tsGapEpisodes, tsHolt, tsDecompose,
     tsRollingStats, tsRepair, tsOhlc, tsInterEvent, tsTheilsen,
-    tsChangepoint, tsLttb, tsDtw, tsPeriodogram, tsAr2)
+    tsChangepoint, tsLttb, tsDtw, tsPeriodogram, tsAr2, tsTwa)
 }

@@ -38,7 +38,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "text_textrank",       // damped power iteration over word graph
     "ts_ar2",              // per-type sufficient-stat sums
     "pipeline_pack_bins",  // bucketed BFD (hash bucket membership)
-    "ann_mmr"              // greedy re-rank over an exact shortlist
+    "ann_mmr",             // greedy re-rank over an exact shortlist
+    "ts_twa",              // exact int sufficient sums by construction
+    "mm_phash_dedup"       // banded hamming + connected components
   )
 
   private def runWith(name: String, parts: String): Seq[String] = {

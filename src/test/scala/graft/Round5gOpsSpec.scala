@@ -357,6 +357,38 @@ class Round5gOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- mm_phash_dedup ------------------------------------------------
+
+  test("mm_phash_dedup: planted re-encoded variants cluster with their originals") {
+    val out = graft.operators.Multimodal.mmPhashDedup.fn(spark, sf).collect()
+    // 20 planted variant pairs; representative = smallest member id
+    assert(out.length == 20)
+    assert(out.map(_.getLong(0)).sorted.sameElements(0L until 20L))
+    out.foreach { r =>
+      assert(r.getLong(1) == 2, s"cluster ${r.getLong(0)} size ${r.getLong(1)}")
+      assert(r.getInt(2) >= 0 && r.getInt(2) <= 6)
+    }
+    val out2 = graft.operators.Multimodal.mmPhashDedup.fn(spark, sf).collect()
+    assert(out.map(_.toString).sameElements(out2.map(_.toString)))
+  }
+
+  // ---- ts_twa --------------------------------------------------------
+
+  test("ts_twa: hold-duration weighting measurably differs from the row average") {
+    val out = graft.operators.TimeSeries.tsTwa.fn(spark, sf).collect()
+    val types = Tables.events(spark, sf).select("event_type").distinct().count()
+    assert(out.length == types)
+    // the last (open-ended) observation per type carries no duration
+    val perType = Tables.events(spark, sf).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(r.getLong(1) == perType(r.getString(0)) - 1)
+      assert(r.getDouble(2) > 0 && r.getDouble(3) > 0)
+    }
+    // weighting must actually reweight somewhere (values vary by gap)
+    assert(out.exists(r => math.abs(r.getDouble(2) - r.getDouble(3)) > 1e-4))
+  }
+
   // ---- pipeline_pack_bins --------------------------------------------
 
   test("pipeline_pack_bins: BFD respects capacity, meets the lower bound, packs tightly") {
