@@ -359,6 +359,86 @@ object Embeddings {
       .orderBy(col("source_dim"))
   }
 
+  /** Hubness audit (Radovanović et al. 2010) — the embedding-space
+    * pathology detector every vector-search deployment should run:
+    * in high dimensions some points ("hubs") appear in a huge share
+    * of OTHER points' k-NN lists while antihubs appear in none,
+    * silently skewing retrieval, dedup, and kNN-classification
+    * quality. k-occurrence N_k(King) = how often each vector shows up
+    * in someone else's top-4 (emb_knn_graph's exact neighbor stage —
+    * at corpus scale the ANN graph substitutes); the audit is the
+    * N_k distribution: histogram + moment-based skewness + hub/
+    * antihub counts. A healthy space has skewness near 0; large
+    * positive skew says distance concentration is biting. One
+    * O(n·k) aggregate over the neighbor relation. Exact-int
+    * histogram; skewness floats derive from int sums (exact
+    * sufficient statistics — partition-invariant).
+    */
+  val embHubness: QueryDef = QueryDef.sql(
+    "emb_hubness",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |p AS (
+      |  SELECT a.vec_id AS src, b.vec_id AS dst,
+      |    round(list_dot_product(a.v, b.v)
+      |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)
+      |      AS cos_sim
+      |  FROM e a CROSS JOIN e b WHERE a.vec_id <> b.vec_id),
+      |ranked AS (
+      |  SELECT src, dst, row_number() OVER (PARTITION BY src
+      |    ORDER BY cos_sim DESC, dst) AS rank FROM p),
+      |occ AS (
+      |  SELECT e.vec_id,
+      |    CAST(coalesce(k.nk, 0) AS BIGINT) AS nk
+      |  FROM e LEFT JOIN (
+      |    SELECT dst, count(*) AS nk FROM ranked WHERE rank <= 4 GROUP BY 1) k
+      |    ON e.vec_id = k.dst),
+      |s AS (
+      |  SELECT count(*) AS n,
+      |    CAST(sum(nk) AS DOUBLE) AS s1,
+      |    CAST(sum(nk * nk) AS DOUBLE) AS s2,
+      |    CAST(sum(nk * nk * nk) AS DOUBLE) AS s3,
+      |    CAST(sum(CASE WHEN nk >= 8 THEN 1 ELSE 0 END) AS BIGINT) AS hubs,
+      |    CAST(sum(CASE WHEN nk = 0 THEN 1 ELSE 0 END) AS BIGINT) AS antihubs
+      |  FROM occ)
+      |SELECT CAST(n AS BIGINT) AS n, hubs, antihubs,
+      |  floor(s1 / n * 10000 + 0.5) / 10000 AS mean_nk,
+      |  floor((s2 / n - (s1 / n) * (s1 / n)) * 10000 + 0.5) / 10000 AS var_nk,
+      |  floor((s3 / n - 3 * (s1 / n) * (s2 / n - (s1 / n) * (s1 / n))
+      |         - (s1 / n) * (s1 / n) * (s1 / n))
+      |    / power(s2 / n - (s1 / n) * (s1 / n), 1.5) * 10000 + 0.5) / 10000
+      |    AS skewness
+      |FROM s""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = graft.operators.Similarity.vectors(s, d)
+    val a = e.select(col("vec_id").as("src"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("dst"), col("v").as("vb"))
+    val w = Window.partitionBy(col("src")).orderBy(col("cos_sim").desc, col("dst"))
+    val nk = a.crossJoin(b).filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        round(graft.operators.Similarity.cosine(col("va"), col("vb")), 4)
+          .as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 4)
+      .groupBy(col("dst")).agg(count(lit(1)).as("nk0"))
+    val occ = e.select(col("vec_id"))
+      .join(nk, col("vec_id") === col("dst"), "left_outer")
+      .select(coalesce(col("nk0"), lit(0L)).as("nk"))
+    val st = occ.agg(
+      count(lit(1)).as("n"),
+      sum(col("nk")).cast("double").as("s1"),
+      sum(col("nk") * col("nk")).cast("double").as("s2"),
+      sum(col("nk") * col("nk") * col("nk")).cast("double").as("s3"),
+      sum(when(col("nk") >= 8, 1).otherwise(0)).cast("long").as("hubs"),
+      sum(when(col("nk") === 0, 1).otherwise(0)).cast("long").as("antihubs"))
+    val m = col("s1") / col("n")
+    val v2 = col("s2") / col("n") - m * m
+    st.select(col("n").cast("long").as("n"), col("hubs"), col("antihubs"),
+      (floor(m * 10000 + 0.5) / 10000).as("mean_nk"),
+      (floor(v2 * 10000 + 0.5) / 10000).as("var_nk"),
+      (floor((col("s3") / col("n") - lit(3) * m * v2 - m * m * m)
+        / pow(v2, 1.5) * 10000 + 0.5) / 10000).as("skewness"))
+  }
+
   val all: Seq[QueryDef] = Seq(embPca, embCluster, embRandomProjection,
-    embDimStats, embMatryoshka, embWhitening, embProcrustes)
+    embDimStats, embMatryoshka, embWhitening, embProcrustes, embHubness)
 }

@@ -795,6 +795,90 @@ object EventOps {
       .orderBy(col("variant"))
   }
 
+  /** Difference-in-differences (DiD) — the quasi-experimental
+    * estimator for when assignment ISN'T randomized (a feature
+    * shipped to one cohort at time T): effect = (post−pre) change in
+    * the treated group MINUS the same change in the control group,
+    * so any shared trend (seasonality, platform growth) cancels and
+    * only the treatment-correlated divergence remains. Cells =
+    * (user_id-parity group) × (midpoint time split); per-cell means
+    * from ONE user aggregate in exact int64 micro-units (the
+    * events_cuped discipline: every float derives from exact sums
+    * through one fixed expression tree — partition-invariant,
+    * engine-identical). Output: the four cell means, each group's
+    * delta, and the DiD estimate.
+    */
+  val eventsDid: QueryDef = QueryDef.sql(
+    "events_did",
+    """WITH b AS (SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1 FROM events),
+      |pu AS (
+      |  SELECT user_id, user_id % 2 AS grp,
+      |    CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+      |             AND epoch_us(ts) <= (SELECT t0 + (t1 - t0) // 2 FROM b)
+      |             THEN CAST(floor(value * 1000000.0) AS BIGINT) ELSE 0 END), 0)
+      |      AS BIGINT) AS pre,
+      |    CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+      |             AND epoch_us(ts) > (SELECT t0 + (t1 - t0) // 2 FROM b)
+      |             THEN CAST(floor(value * 1000000.0) AS BIGINT) ELSE 0 END), 0)
+      |      AS BIGINT) AS post
+      |  FROM events GROUP BY 1, 2),
+      |g AS (
+      |  SELECT grp, count(*) AS n,
+      |    CAST(sum(pre) AS DOUBLE) * 1e-6 AS sp,
+      |    CAST(sum(post) AS DOUBLE) * 1e-6 AS sq
+      |  FROM pu GROUP BY 1),
+      |c AS (
+      |  SELECT
+      |    (SELECT sp / n FROM g WHERE grp = 0) AS pre_control,
+      |    (SELECT sq / n FROM g WHERE grp = 0) AS post_control,
+      |    (SELECT sp / n FROM g WHERE grp = 1) AS pre_treated,
+      |    (SELECT sq / n FROM g WHERE grp = 1) AS post_treated)
+      |SELECT
+      |  floor(pre_control * 10000 + 0.5) / 10000 AS pre_control,
+      |  floor(post_control * 10000 + 0.5) / 10000 AS post_control,
+      |  floor(pre_treated * 10000 + 0.5) / 10000 AS pre_treated,
+      |  floor(post_treated * 10000 + 0.5) / 10000 AS post_treated,
+      |  floor((post_control - pre_control) * 10000 + 0.5) / 10000 AS delta_control,
+      |  floor((post_treated - pre_treated) * 10000 + 0.5) / 10000 AS delta_treated,
+      |  floor(((post_treated - pre_treated) - (post_control - pre_control))
+      |    * 10000 + 0.5) / 10000 AS did
+      |FROM c""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val bounds = ev.agg(min(unix_micros(col("ts"))).as("t0"),
+      max(unix_micros(col("ts"))).as("t1"))
+    val micro = when(col("event_type") === "purchase",
+      floor(col("value") * 1000000.0).cast("long")).otherwise(0L)
+    val pu = ev.crossJoin(broadcast(bounds))
+      .withColumn("mid", col("t0") + (col("t1") - col("t0")) / 2)
+      .groupBy(col("user_id"), (col("user_id") % 2).as("grp"))
+      .agg(
+        coalesce(sum(when(unix_micros(col("ts")) <= col("mid"), micro)
+          .otherwise(0L)), lit(0L)).as("pre"),
+        coalesce(sum(when(unix_micros(col("ts")) > col("mid"), micro)
+          .otherwise(0L)), lit(0L)).as("post"))
+    val g = pu.groupBy(col("grp")).agg(
+      count(lit(1)).as("n"),
+      (sum(col("pre")).cast("double") * 1e-6).as("sp"),
+      (sum(col("post")).cast("double") * 1e-6).as("sq"))
+    val c0 = g.filter(col("grp") === 0)
+      .select((col("sp") / col("n")).as("pre_control"),
+        (col("sq") / col("n")).as("post_control"))
+    val c1 = g.filter(col("grp") === 1)
+      .select((col("sp") / col("n")).as("pre_treated"),
+        (col("sq") / col("n")).as("post_treated"))
+    def f4(c: org.apache.spark.sql.Column) = floor(c * 10000 + 0.5) / 10000
+    c0.crossJoin(c1) // both single rows
+      .select(
+        f4(col("pre_control")).as("pre_control"),
+        f4(col("post_control")).as("post_control"),
+        f4(col("pre_treated")).as("pre_treated"),
+        f4(col("post_treated")).as("post_treated"),
+        f4(col("post_control") - col("pre_control")).as("delta_control"),
+        f4(col("post_treated") - col("pre_treated")).as("delta_treated"),
+        f4((col("post_treated") - col("pre_treated"))
+          - (col("post_control") - col("pre_control"))).as("did"))
+  }
+
   /** A/B power analysis — the question every experiment review asks
     * BEFORE launch: how many users per arm to detect a given lift?
     * n/arm = 2σ²(z_{α/2}+z_β)²/δ² at α=5%, power 80% (z literals
@@ -1717,7 +1801,7 @@ object EventOps {
     eventsMarkov, streamTopk, streamJoinOuter, eventsDau,
     streamSessionsState, eventsAttribution, eventsCohortLtv, eventsAbtest,
     streamScd2, eventsConcurrency, eventsRfm, eventsPareto, eventsChurn,
-    eventsCuped, eventsPower, streamIdempotentSink,
+    eventsCuped, eventsPower, eventsDid, streamIdempotentSink,
     eventsWindowFunnel, eventsStreaks, eventsHourProfile, eventsAnomalyMad,
     streamAnomaly, eventsUserEntropy)
 }

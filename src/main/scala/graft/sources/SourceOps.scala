@@ -619,10 +619,68 @@ object SourceOps {
       .orderBy(col("o_custkey"))
   }
 
+  /** MERGE-ON-READ table layout (the Hudi MOR / Iceberg
+    * position-delete reading discipline): the base snapshot is
+    * written once and UPDATES LAND AS SMALL DELTA FILES instead of
+    * rewriting base data — writes stay cheap and constant-size; the
+    * READER reconciles, unioning base + deltas and keeping the
+    * newest version per key (one row_number window keyed on the
+    * primary key — at scale both sides bucket by key so the
+    * reconcile is co-partitioned, and compaction folds deltas back
+    * periodically, which src_compact_small_files models). Deltas
+    * here: a deterministic price correction for every 97th order +
+    * appended late orders. The reader's aggregate is oracle-checked
+    * against the same merge spelled declaratively over the source
+    * table — a reader that dropped deltas, duplicated keys, or
+    * picked the stale version fails the hash.
+    */
+  val srcMorRead: QueryDef = QueryDef.sql(
+    "src_mor_read",
+    """WITH merged AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 10.0
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+      |  FROM orders WHERE o_orderkey % 1000 = 0)
+      |SELECT o_orderstatus, count(*) AS n,
+      |  round(sum(o_totalprice), 2) AS total
+      |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val root = tmpDir(s"orders_mor_$h")
+    val orders = Tables.orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    if (!new java.io.File(s"$root/base/_SUCCESS").exists()) {
+      orders.withColumn("version", lit(0L))
+        .write.mode("overwrite").parquet(s"$root/base")
+      // delta 1: price corrections (updates to existing keys)
+      orders.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 10.0)
+        .withColumn("version", lit(1L))
+        .write.mode("overwrite").parquet(s"$root/delta1")
+      // delta 2: late-arriving orders (new keys)
+      orders.filter(col("o_orderkey") % 1000 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        .withColumn("version", lit(2L))
+        .write.mode("overwrite").parquet(s"$root/delta2")
+    }
+    // the merge-on-read reader: newest version per key wins
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderkey")).orderBy(col("version").desc)
+    s.read.parquet(s"$root/base", s"$root/delta1", s"$root/delta2")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     srcTextPoints, srcCsvRoundtrip, srcJsonRoundtrip, srcPartitionedScan,
     srcOrcRoundtrip, srcZorderScan, srcCompactSmallFiles, srcSchemaEvolution,
     srcCsvMalformed, srcBinaryFiles, srcIgnoreCorrupt, srcDateDim,
     srcPointsV2, srcPointsV2Roundtrip, srcManifestScan, srcGdprDelete,
-    srcBloomFilterScan)
+    srcBloomFilterScan, srcMorRead)
 }

@@ -389,6 +389,52 @@ class Round5gOpsSpec extends AnyFunSuite {
     assert(out.exists(r => math.abs(r.getDouble(2) - r.getDouble(3)) > 1e-4))
   }
 
+  // ---- emb_hubness ---------------------------------------------------
+
+  test("emb_hubness: mean k-occurrence is exactly k; hub counts bounded") {
+    val r = graft.operators.Embeddings.embHubness.fn(spark, sf).collect().head
+    val n = Tables.embeddings(spark, sf).count()
+    assert(r.getLong(0) == n)
+    // each of n points contributes exactly k=4 neighbor slots, so the
+    // N_k distribution's mean is k by double counting — exactly
+    assert(r.getDouble(3) == 4.0, s"mean_nk ${r.getDouble(3)} must be exactly k")
+    assert(r.getLong(1) + r.getLong(2) <= n)
+    assert(r.getDouble(4) >= 0.0)
+    assert(!r.getDouble(5).isNaN && !r.getDouble(5).isInfinite)
+  }
+
+  // ---- events_did ----------------------------------------------------
+
+  test("events_did: estimate equals the difference of group deltas") {
+    val r = EventOps.eventsDid.fn(spark, sf).collect().head
+    val did = r.getDouble(6)
+    val recomputed = (r.getDouble(3) - r.getDouble(2)) - (r.getDouble(1) - r.getDouble(0))
+    assert(math.abs(did - recomputed) < 2e-4,
+      s"did $did vs recomputed $recomputed")
+    (0 to 3).foreach(i => assert(r.getDouble(i) > 0, s"cell mean $i must be positive"))
+  }
+
+  // ---- src_mor_read --------------------------------------------------
+
+  test("src_mor_read: reader applies updates, adds inserts, and re-reads idempotently") {
+    val out1 = graft.sources.SourceOps.srcMorRead.fn(spark, sf).collect()
+    val out2 = graft.sources.SourceOps.srcMorRead.fn(spark, sf).collect()
+    assert(out1.map(_.toString).sameElements(out2.map(_.toString)))
+    val base = Tables.orders(spark, sf)
+    val baseN = base.count()
+    val inserts = base.filter(col("o_orderkey") % 1000 === 0).count()
+    assert(out1.map(_.getLong(1)).sum == baseN + inserts,
+      "merged row count = base + late inserts, no duplicates")
+    // every 97th order got +10: total lifts by exactly 10 per correction
+    val corrections = base.filter(col("o_orderkey") % 97 === 0).count()
+    val baseTotalPlus = base
+      .agg(sum(col("o_totalprice"))).collect()(0).getDouble(0) + 10.0 * corrections
+    val insertTotal = base.filter(col("o_orderkey") % 1000 === 0)
+      .agg(sum(col("o_totalprice"))).collect()(0).getDouble(0)
+    val mergedTotal = out1.map(_.getDouble(2)).sum
+    assert(math.abs(mergedTotal - (baseTotalPlus + insertTotal)) < 1.0)
+  }
+
   // ---- pipeline_pack_bins --------------------------------------------
 
   test("pipeline_pack_bins: BFD respects capacity, meets the lower bound, packs tightly") {
