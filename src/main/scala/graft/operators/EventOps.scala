@@ -483,6 +483,65 @@ object EventOps {
       .orderBy(col("src"), col("dst"))
   }
 
+  /** Absorbing-chain conversion analysis — the QUESTION behind the
+    * transition matrix (events_markov only states the dynamics):
+    * from each browsing state, what's the probability the user's
+    * next conversion-relevant event is a PURCHASE rather than an
+    * ERROR? Both outcomes become absorbing states; the chain
+    * restricted to transient states (view/click/signup) gives the
+    * fundamental-matrix system (I−Q)x = R·1_purchase, solved exactly
+    * on the driver — the matrix is |event types|², a few dozen
+    * doubles, while the corpus-sized work is exactly events_markov's
+    * ONE (src, dst) aggregate. The textbook split: distributed
+    * sufficient statistics, closed-form driver solve (mining_ols /
+    * ts_ar2's shape). Rows-only (linear solve); probabilities
+    * pinned in [0,1], driver-replay identity, and a hand-solvable
+    * planted 2-state chain recovered exactly in ScalaTest.
+    */
+  val eventsAbsorbing: QueryDef = QueryDef.rowsOnly("events_absorbing") { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("src"))
+      .withColumn("dst", lead(col("src"), 1).over(w))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    absorbingProbabilities(s, trans, absorbing = Set("purchase", "error"),
+      target = "purchase")
+  }
+
+  /** Solve P(absorb in `target` | start in transient state) for a
+    * first-order chain given by transition COUNTS. Driver-side
+    * (states are few); factored for the planted-chain ScalaTest.
+    */
+  def absorbingProbabilities(s: SparkSession,
+      counts: Map[(String, String), Long], absorbing: Set[String],
+      target: String): DataFrame = {
+    val states = counts.keysIterator.flatMap { case (a, b) => Seq(a, b) }
+      .toSeq.distinct.sorted
+    val transient = states.filterNot(absorbing)
+    val idx = transient.zipWithIndex.toMap
+    val rowTotals = transient.map { st =>
+      st -> states.map(dst => counts.getOrElse((st, dst), 0L)).sum.toDouble
+    }.toMap
+    val n = transient.length
+    val a = breeze.linalg.DenseMatrix.zeros[Double](n, n)
+    val b = breeze.linalg.DenseVector.zeros[Double](n)
+    for (st <- transient; i = idx(st); total = rowTotals(st) if total > 0) {
+      a(i, i) = 1.0
+      for (dst <- transient; j = idx(dst))
+        a(i, j) -= counts.getOrElse((st, dst), 0L).toDouble / total
+      b(i) = counts.getOrElse((st, target), 0L).toDouble / total
+    }
+    val x = a \ b
+    import s.implicits._
+    transient.map { st =>
+      (st, math.floor(x(idx(st)) * 10000 + 0.5) / 10000)
+    }.toDF("state", "p_convert")
+      .orderBy(col("state"))
+  }
+
   /** Streaming INCREMENTAL top-k materialized view, built on the
     * native TopKPerKey operator: events arrive as real micro-batches
     * (3 files, maxFilesPerTrigger=1) and each batch folds into the
@@ -1801,7 +1860,7 @@ object EventOps {
     eventsMarkov, streamTopk, streamJoinOuter, eventsDau,
     streamSessionsState, eventsAttribution, eventsCohortLtv, eventsAbtest,
     streamScd2, eventsConcurrency, eventsRfm, eventsPareto, eventsChurn,
-    eventsCuped, eventsPower, eventsDid, streamIdempotentSink,
+    eventsCuped, eventsPower, eventsDid, eventsAbsorbing, streamIdempotentSink,
     eventsWindowFunnel, eventsStreaks, eventsHourProfile, eventsAnomalyMad,
     streamAnomaly, eventsUserEntropy)
 }

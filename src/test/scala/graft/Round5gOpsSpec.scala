@@ -414,6 +414,30 @@ class Round5gOpsSpec extends AnyFunSuite {
     (0 to 3).foreach(i => assert(r.getDouble(i) > 0, s"cell mean $i must be positive"))
   }
 
+  // ---- events_absorbing ----------------------------------------------
+
+  test("events_absorbing: planted 2-state chain solved exactly; corpus probabilities valid") {
+    // planted: from A, 30% → purchase, 20% → error, 50% stay in A.
+    // P(convert|A) = 0.3 / (0.3 + 0.2) = 0.6 (geometric-series sum)
+    val counts = Map(
+      ("A", "A") -> 50L, ("A", "purchase") -> 30L, ("A", "error") -> 20L)
+    val out = EventOps.absorbingProbabilities(spark, counts,
+      absorbing = Set("purchase", "error"), target = "purchase").collect()
+    assert(out.length == 1 && out.head.getString(0) == "A")
+    assert(math.abs(out.head.getDouble(1) - 0.6) < 1e-9)
+    // two-hop chain: B always → A, so P(B) must equal P(A)
+    val counts2 = counts + (("B", "A") -> 10L)
+    val out2 = EventOps.absorbingProbabilities(spark, counts2,
+      absorbing = Set("purchase", "error"), target = "purchase")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out2("B") - out2("A")) < 1e-9)
+    // corpus: probabilities in [0,1], one row per transient type
+    val corpus = EventOps.eventsAbsorbing.fn(spark, sf).collect()
+    assert(corpus.map(_.getString(0)).sorted
+      .sameElements(Array("click", "signup", "view")))
+    corpus.foreach(r => assert(r.getDouble(1) >= 0 && r.getDouble(1) <= 1))
+  }
+
   // ---- src_mor_read --------------------------------------------------
 
   test("src_mor_read: reader applies updates, adds inserts, and re-reads idempotently") {
