@@ -1099,6 +1099,51 @@ object TimeSeries {
       .orderBy(col("event_type"))
   }
 
+  /** Lagged CROSS-correlation between the click and purchase daily
+    * series — the lead/lag diagnostic ("which signal moves first,
+    * and by how much?") that autocorrelation (ts_autocorr) can't
+    * answer: corr(click_t, purchase_{t+ℓ}) for ℓ ∈ −7..7, with the
+    * peak lag reported per the corr/lag ordering. The two series
+    * join on shifted day keys (equality join on the O(days) DAILY
+    * aggregates — the ×15 lag probe is a map-side explode of one
+    * side, never a corpus operation); corr is Spark/DuckDB's
+    * identical Pearson over int counts. Positive peak lag = clicks
+    * lead purchases by ℓ days.
+    */
+  val tsXcorr: QueryDef = QueryDef.sql(
+    "ts_xcorr",
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    count(*) AS n
+      |  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1, 2),
+      |a AS (SELECT day, n AS x FROM daily WHERE event_type = 'click'),
+      |b AS (SELECT day, n AS y FROM daily WHERE event_type = 'purchase'),
+      |probes AS (
+      |  SELECT a.day, a.x, g.lag FROM a
+      |  CROSS JOIN (SELECT unnest(generate_series(-7, 7)) AS lag) g),
+      |paired AS (
+      |  SELECT p.lag, p.x, b.y
+      |  FROM probes p JOIN b ON b.day = p.day + to_days(CAST(p.lag AS INT)))
+      |SELECT lag, count(*) AS n_pairs,
+      |  round(corr(x, y), 4) AS xcorr
+      |FROM paired GROUP BY 1 ORDER BY lag""".stripMargin) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val a = daily.filter(col("event_type") === "click")
+      .select(col("day"), col("n").as("x"))
+    val b = daily.filter(col("event_type") === "purchase")
+      .select(col("day").as("bday"), col("n").as("y"))
+    a.select(col("day"), col("x"),
+        explode(lit((-7 to 7).toArray)).as("lag"))
+      .join(b, col("bday") === date_add(col("day"), col("lag")))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"), round(corr(col("x"), col("y")), 4).as("xcorr"))
+      .orderBy(col("lag"))
+  }
+
   /** AR(2) fit core over a (key, t, x) series — see ts_ar2. */
   def ar2Fit(s: SparkSession, series: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("key")).orderBy(col("t"))
@@ -1138,5 +1183,5 @@ object TimeSeries {
     tsGapfill, tsInterp, tsEwma, tsAutocorr, tsCusum, tsSeasonal,
     tsForecast, tsTimeToConvert, tsGapEpisodes, tsHolt, tsDecompose,
     tsRollingStats, tsRepair, tsOhlc, tsInterEvent, tsTheilsen,
-    tsChangepoint, tsLttb, tsDtw, tsPeriodogram, tsAr2, tsTwa)
+    tsChangepoint, tsLttb, tsDtw, tsPeriodogram, tsAr2, tsTwa, tsXcorr)
 }

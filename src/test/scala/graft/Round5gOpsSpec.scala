@@ -438,6 +438,21 @@ class Round5gOpsSpec extends AnyFunSuite {
     corpus.foreach(r => assert(r.getDouble(1) >= 0 && r.getDouble(1) <= 1))
   }
 
+  // ---- ts_xcorr ------------------------------------------------------
+
+  test("ts_xcorr: 15 lags, pair counts peak at lag 0, correlations bounded") {
+    val out = graft.operators.TimeSeries.tsXcorr.fn(spark, sf).collect()
+    assert(out.length == 15)
+    assert(out.map(_.getInt(0)).sameElements(-7 to 7))
+    val byLag = out.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // overlap shrinks as |lag| grows
+    assert(byLag(0) >= byLag(7) && byLag(0) >= byLag(-7))
+    out.foreach { r =>
+      val c = r.getDouble(2)
+      assert(c >= -1.0001 && c <= 1.0001)
+    }
+  }
+
   // ---- src_mor_read --------------------------------------------------
 
   test("src_mor_read: reader applies updates, adds inserts, and re-reads idempotently") {
