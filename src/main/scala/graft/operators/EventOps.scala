@@ -832,6 +832,7 @@ object EventOps {
       (sum(dec(col("x")) * col("x")).cast("double") * 1e-12).as("sxx"),
       (sum(dec(col("x")) * col("y")).cast("double") * 1e-12).as("sxy"),
       (sum(dec(col("y")) * col("y")).cast("double") * 1e-12).as("syy"))
+      .cache() // 2 rows; θ derivation and the readout share one corpus pass
     val g = v.agg(sum(col("nv")).cast("double").as("n"),
       sum(col("sx")).as("gsx"), sum(col("sy")).as("gsy"),
       sum(col("sxx")).as("gsxx"), sum(col("sxy")).as("gsxy"))
@@ -919,6 +920,7 @@ object EventOps {
       count(lit(1)).as("n"),
       (sum(col("pre")).cast("double") * 1e-6).as("sp"),
       (sum(col("post")).cast("double") * 1e-6).as("sq"))
+      .cache() // 2 rows; both cell branches share one corpus pass
     val c0 = g.filter(col("grp") === 0)
       .select((col("sp") / col("n")).as("pre_control"),
         (col("sq") / col("n")).as("post_control"))
