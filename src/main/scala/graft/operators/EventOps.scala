@@ -33,6 +33,15 @@ object EventOps {
   val streamHourly: QueryDef =
     QueryDef.sql("stream_hourly", hourlySql)(EventStreams.streamHourly)
 
+  /** Per-micro-batch progress ledger (see
+    * EventStreams.streamProgressMetrics) — streaming observability
+    * through Spark's own StreamingQueryProgress API; input-row
+    * conservation pinned in ScalaTest.
+    */
+  val streamProgressMetrics: QueryDef =
+    QueryDef.rowsOnly("stream_progress_metrics")(
+      EventStreams.streamProgressMetrics)
+
   /** Exactly-once file sink via idempotent batch-partition replay
     * (see EventStreams.streamIdempotentSink — the last batch is
     * deliberately re-delivered after the run); shares the hourly
@@ -1862,7 +1871,7 @@ object EventOps {
     eventsMarkov, streamTopk, streamJoinOuter, eventsDau,
     streamSessionsState, eventsAttribution, eventsCohortLtv, eventsAbtest,
     streamScd2, eventsConcurrency, eventsRfm, eventsPareto, eventsChurn,
-    eventsCuped, eventsPower, eventsDid, eventsAbsorbing, streamIdempotentSink,
+    eventsCuped, eventsPower, eventsDid, eventsAbsorbing, streamIdempotentSink, streamProgressMetrics,
     eventsWindowFunnel, eventsStreaks, eventsHourProfile, eventsAnomalyMad,
     streamAnomaly, eventsUserEntropy)
 }

@@ -1322,6 +1322,15 @@ object Graph {
     * the same pass on a planted two-clique graph.
     */
   def louvainReadout(s: SparkSession, cp: DataFrame): DataFrame = {
+    val labels = louvainLabels(s, cp)
+    louvainModularity(cp, labels)
+  }
+
+  /** Louvain level-1 label assignment over an undirected (a, b) edge
+    * set — the local-move loop of louvainReadout, exposed so
+    * graph_conductance can score the same partition.
+    */
+  def louvainLabels(s: SparkSession, cp: DataFrame): DataFrame = {
     val edges = cp.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(cp.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint(eager = true) // symmetric, unit weights
@@ -1372,7 +1381,13 @@ object Graph {
         .select(col("i").as("node"), (-col("best.nc")).as("c"))
         .localCheckpoint(eager = true)
     }
-    // modularity readout over the learned partition
+    labels
+  }
+
+  /** Per-community modularity readout over given labels. */
+  def louvainModularity(cp: DataFrame, labels: DataFrame): DataFrame = {
+    val deg = cp.select(col("a").as("src")).unionAll(cp.select(col("b")))
+      .groupBy(col("src")).agg(count(lit(1)).cast("double").as("k"))
     val m = cp.agg(count(lit(1)).as("m"))
     val w = cp
       .join(labels.select(col("node").as("na"), col("c").as("ca")), col("a") === col("na"))
@@ -1392,10 +1407,66 @@ object Graph {
       .orderBy(col("community"))
   }
 
+  /** Community CONDUCTANCE φ(C) = cut(C) / min(vol(C), 2m−vol(C)) —
+    * the cut-quality score that audits a partition from the other
+    * side of modularity (modularity rewards internal density;
+    * conductance exposes communities that leak: a low-φ community
+    * has few boundary edges relative to its volume; Leskovec's NCP
+    * machinery). Scores the Louvain partition on the co-purchase
+    * graph: cut and volume are two O(|E|) equality-join aggregates
+    * over the label relation, min/ratio per community — no extra
+    * corpus work beyond the labels themselves. Rows-only (labels
+    * come from the Louvain fixpoint); φ∈[0,1], the planted
+    * two-clique φ = 1/21 exactly, and isolated-community φ = 0
+    * pinned in ScalaTest.
+    */
+  val graphConductance: QueryDef = QueryDef.rowsOnly("graph_conductance") { (s, d) =>
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val cp = items
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("id1"))
+      .join(items.select(col("l_orderkey").as("ok2"), col("l_partkey").as("id2")),
+        col("ok") === col("ok2") && col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("nn"))
+      .filter(col("nn") >= 3)
+      .select(col("id1").cast("long").as("a"), col("id2").cast("long").as("b"))
+      .localCheckpoint(eager = true)
+    conductance(s, cp, louvainLabels(s, cp))
+  }
+
+  /** φ per community over an undirected (a,b) edge set and (node, c)
+    * labels — factored for the planted-graph ScalaTest.
+    */
+  def conductance(s: SparkSession, cp: DataFrame, labels: DataFrame): DataFrame = {
+    val la = labels.select(col("node").as("na"), col("c").as("ca"))
+    val lb = labels.select(col("node").as("nb"), col("c").as("cb"))
+    val tagged = cp
+      .join(la, col("a") === col("na"))
+      .join(lb, col("b") === col("nb"))
+      .select(col("ca"), col("cb"))
+      .localCheckpoint(eager = true)
+    val m2 = tagged.count() * 2.0 // 2m (each edge contributes 2 volume)
+    // volume per community: degree mass = edge endpoints in C
+    val vol = tagged.select(col("ca").as("c")).unionAll(tagged.select(col("cb")))
+      .groupBy(col("c")).agg(count(lit(1)).cast("double").as("vol"))
+    // cut per community: edges with exactly one endpoint inside
+    val cut = tagged.filter(col("ca") =!= col("cb"))
+      .select(explode(array(col("ca"), col("cb"))).as("c"))
+      .groupBy(col("c")).agg(count(lit(1)).cast("double").as("cut"))
+    vol.join(cut, Seq("c"), "left_outer")
+      .select(col("c").as("community"), col("vol").cast("long").as("volume"),
+        coalesce(col("cut"), lit(0.0)).cast("long").as("cut_edges"),
+        when(least(col("vol"), lit(m2) - col("vol")) === 0, 0.0)
+          .otherwise(floor(coalesce(col("cut"), lit(0.0))
+            / least(col("vol"), lit(m2) - col("vol")) * 10000 + 0.5) / 10000)
+          .as("phi"))
+      .orderBy(col("community"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     graphDegree, graphPagerank, graphTriangles, graphBfs, graphLabelprop,
     graphJaccard, graphCloseness, graphKcore, graphMst, graphSssp, graphCc,
     graphHits, graphAssortativity, graphModularity, graphClusteringCoeff,
     graph2hop, graphBipartite, graphWalks, graphBetweenness, graphPpr,
-    graphScc, graphReciprocity, graphLouvain)
+    graphScc, graphReciprocity, graphLouvain, graphConductance)
 }

@@ -453,6 +453,39 @@ class Round5gOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- graph_conductance / stream_progress_metrics -------------------
+
+  test("graph_conductance: planted two-clique scores phi = 1/21 exactly") {
+    import spark.implicits._
+    def clique(ids: Seq[Long]) =
+      for (i <- ids; j <- ids if i < j) yield (i, j)
+    val edges = (clique(0L to 4L) ++ clique(10L to 14L) :+ (4L, 10L))
+      .toDF("a", "b")
+    val labels = ((0L to 4L).map(n => (n, 0L)) ++ (10L to 14L).map(n => (n, 10L)))
+      .toDF("node", "c")
+    val out = graft.operators.Graph.conductance(spark, edges, labels)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // each clique: vol = 2·10 + 1 = 21, cut = 1 ⇒ φ = 1/21 ≈ 0.0476
+    Seq(0L, 10L).foreach { c =>
+      assert(out(c).getLong(1) == 21 && out(c).getLong(2) == 1)
+      assert(out(c).getDouble(3) == 0.0476, s"phi ${out(c).getDouble(3)}")
+    }
+    // corpus partition: phi bounded, isolated communities score 0
+    val corpus = graft.operators.Graph.graphConductance.fn(spark, sf).collect()
+    corpus.foreach(r => assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+  }
+
+  test("stream_progress_metrics: the batch ledger conserves the corpus row count") {
+    val out = EventOps.streamProgressMetrics.fn(spark, sf).collect()
+    assert(out.length >= 2, "maxFilesPerTrigger=1 over 3 slices must yield multiple batches")
+    val total = out.map(_.getLong(1)).sum
+    assert(total == Tables.events(spark, sf).count(),
+      s"progress ledger total $total must equal the corpus")
+    // state rows grow monotonically in complete-mode aggregation
+    val states = out.sortBy(_.getLong(0)).map(_.getLong(2))
+    assert(states.sameElements(states.sorted))
+  }
+
   // ---- src_mor_read --------------------------------------------------
 
   test("src_mor_read: reader applies updates, adds inserts, and re-reads idempotently") {
