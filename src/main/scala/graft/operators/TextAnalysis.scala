@@ -1068,6 +1068,80 @@ object TextAnalysis {
       .orderBy(col("lang"), col("pred_lang"))
   }
 
+  /** Interpolated Kneser–Ney bigram LM (Kneser & Ney 1995; Chen &
+    * Goodman's benchmark winner) — the principled upgrade over the
+    * count-ratio bigram table (text_lm_score): absolute discounting
+    * frees mass from every seen bigram, and the freed mass backs off
+    * to the CONTINUATION distribution P_cont(w) ∝ |distinct
+    * contexts w follows| — so "francisco" (frequent but only after
+    * "san") stops stealing probability from genuinely versatile
+    * words. Fully RELATIONAL: the model is three relations (bigram
+    * counts; per-context totals + follower diversity; per-word
+    * continuation mass) built in one bigram aggregate pass, and
+    * scoring is map-side explode + three hash joins on token keys —
+    * at web scale the model stays distributed (no driver table, no
+    * broadcast-size ceiling; the join degrades to a token-key
+    * shuffle). Unseen context backs off to pure continuation;
+    * unseen word floors. Output: per-source mean KN log-prob +
+    * perplexity. Rows-only; the EXACT normalization Σ_w P(w|v) = 1
+    * per context — the property Laplace tables only approximate
+    * after truncation — is pinned in ScalaTest, plus determinism.
+    */
+  val textKnLm: QueryDef = QueryDef.rowsOnly("text_kn_lm") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val (bgc, ctx, cont) = knModel(docs)
+    val bg = docs.select(col("doc_id"), col("source"),
+        explode(wordBigrams(col("text"))).as("b"))
+      .select(col("doc_id"), col("source"),
+        col("b.v").as("v"), col("b.w").as("w"))
+    val scored = bg
+      .join(bgc, Seq("v", "w"), "left")
+      .join(ctx, Seq("v"), "left")
+      .join(cont, Seq("w"), "left")
+      .withColumn("p",
+        when(col("c_v").isNotNull && col("p_cont").isNotNull,
+          greatest(col("c_vw") - lit(KnDiscount), lit(0.0)) / col("c_v")
+            + lit(KnDiscount) * col("n1p_v") / col("c_v") * col("p_cont"))
+        .when(col("p_cont").isNotNull, col("p_cont")) // unseen context
+        .otherwise(lit(math.exp(LmFloor))))           // unseen word
+      .withColumn("lnp", log(col("p")))
+    scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (floor(sum(col("lnp")) / count(lit(1)) * 10000 + 0.5) / 10000)
+          .as("mean_kn_logprob"))
+      .withColumn("perplexity",
+        floor(exp(-col("mean_kn_logprob")) * 100 + 0.5) / 100)
+      .orderBy(col("source"))
+  }
+
+  val KnDiscount = 0.75
+
+  /** (v, w) word-bigram structs of a text column, map-side. */
+  def wordBigrams(text: Column): Column = {
+    val ws = split(lower(text), "\\s+")
+    val n1 = greatest(size(ws) - 1, lit(0))
+    zip_with(slice(ws, lit(1), n1), slice(ws, lit(2), n1),
+      (a, b) => struct(a.as("v"), b.as("w")))
+  }
+
+  /** The three KN model relations from one bigram aggregate:
+    * (v, w, c_vw); (v, c_v, n1p_v); (w, p_cont). Exposed for the
+    * normalization ScalaTest.
+    */
+  def knModel(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val bgc = docs.select(explode(wordBigrams(col("text"))).as("b"))
+      .select(col("b.v").as("v"), col("b.w").as("w"))
+      .filter(length(col("v")) > 0 && length(col("w")) > 0)
+      .groupBy(col("v"), col("w")).agg(count(lit(1)).cast("double").as("c_vw"))
+      .persist()
+    val ctx = bgc.groupBy(col("v"))
+      .agg(sum(col("c_vw")).as("c_v"), count(lit(1)).cast("double").as("n1p_v"))
+    val n1pp = bgc.count().toDouble // distinct bigram types
+    val cont = bgc.groupBy(col("w"))
+      .agg((count(lit(1)) / n1pp).as("p_cont"))
+    (bgc, ctx, cont)
+  }
+
   /** Code-switch / mixed-language detection — the curation check
     * that catches documents whose parts belong to DIFFERENT
     * languages (concatenation artifacts, boilerplate wrappers,
@@ -1205,5 +1279,5 @@ object TextAnalysis {
     textWinnow, textEntropy, textTtr, textNovelty, textPerplexityBucket,
     textZipf, textReadability, textCollocations, textCodeDetect,
     textSeqLenProfile, textChi2, textHashingTrick, textNbLangid, textTextrank,
-    textCodeSwitch)
+    textCodeSwitch, textKnLm)
 }

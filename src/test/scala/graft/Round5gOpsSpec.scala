@@ -486,6 +486,33 @@ class Round5gOpsSpec extends AnyFunSuite {
     assert(states.sameElements(states.sorted))
   }
 
+  // ---- text_kn_lm ----------------------------------------------------
+
+  test("text_kn_lm: Kneser-Ney distributions normalize to exactly 1 per context") {
+    val docs = Tables.documents(spark, sf)
+    val (bgc, ctx, cont) = graft.operators.TextAnalysis.knModel(docs)
+    val d = graft.operators.TextAnalysis.KnDiscount
+    // continuation distribution itself must be a distribution
+    val contSum = cont.agg(sum("p_cont")).collect()(0).getDouble(0)
+    assert(math.abs(contSum - 1.0) < 1e-9, s"sum p_cont = $contSum")
+    // pick the 3 highest-volume contexts and verify sum_w P(w|v) = 1:
+    // seen mass (c_vw - D)/c_v plus backoff (D n1p/c_v) * 1
+    val tops = ctx.orderBy(col("c_v").desc).limit(3).collect()
+    val byV = bgc.collect().groupBy(_.getString(0))
+    tops.foreach { t =>
+      val v = t.getString(0); val cV = t.getDouble(1); val n1p = t.getDouble(2)
+      val seen = byV(v).map(r => math.max(r.getDouble(2) - d, 0.0) / cV).sum
+      val total = seen + d * n1p / cV * contSum
+      assert(math.abs(total - 1.0) < 1e-9, s"context '$v' sums to $total")
+    }
+    bgc.unpersist()
+    // corpus query: deterministic, finite perplexities
+    val out1 = graft.operators.TextAnalysis.textKnLm.fn(spark, sf).collect()
+    val out2 = graft.operators.TextAnalysis.textKnLm.fn(spark, sf).collect()
+    assert(out1.map(_.toString).sameElements(out2.map(_.toString)))
+    out1.foreach(r => assert(r.getDouble(3) > 1.0 && r.getDouble(3) < 1e6))
+  }
+
   // ---- src_mor_read --------------------------------------------------
 
   test("src_mor_read: reader applies updates, adds inserts, and re-reads idempotently") {
