@@ -148,6 +148,32 @@ object EventOps {
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)(
     EventStreams.streamUserStats)
 
+  /** Per-user running stats via the Spark-4 state API v2 —
+    * transformWithState with named typed ValueState on RocksDB (see
+    * EventStreams.streamUserStatsV2); must equal the
+    * mapGroupsWithState variant, so it shares the batch oracle.
+    */
+  val streamUserStatsV2: QueryDef = QueryDef.sql(
+    "stream_user_stats_v2",
+    """SELECT user_id, count(*) AS n_events,
+      |  round(sum(value), 2) AS total_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)(
+    EventStreams.streamUserStatsV2)
+
+  /** Chained hourly→daily rollup cascade in ONE streaming query
+    * (see EventStreams.streamTwoLevel — append-mode
+    * multiple-stateful-operator chaining; the daily grain aggregates
+    * closed hourly partials, O(hours) not O(events)).
+    */
+  val streamTwoLevel: QueryDef = QueryDef.sql(
+    "stream_two_level",
+    """WITH h AS (SELECT date_trunc('hour', ts) AS hr, count(*) AS n
+      |           FROM events GROUP BY 1)
+      |SELECT date_trunc('day', hr) AS day, CAST(sum(n) AS BIGINT) AS n,
+      |       count(*) AS n_hours
+      |FROM h GROUP BY 1 ORDER BY 1""".stripMargin)(
+    EventStreams.streamTwoLevel)
+
   /** Stream-stream interval join (purchase ⋈ clicks ≤ 30 min prior,
     * per user) — same oracle as the equivalent batch join.
     */
@@ -1865,7 +1891,8 @@ object EventOps {
     streamLateData, eventsFeatures, qMovers, streamIncremental,
     eventsAttributionLinear, eventsBotDetect,
     eventsHourly, streamHourly, eventsSessions, eventsSessionWindow,
-    streamSessions, streamUserStats, streamJoin, streamSinkRoundtrip,
+    streamSessions, streamUserStats, streamUserStatsV2, streamTwoLevel,
+    streamJoin, streamSinkRoundtrip,
     eventsFunnel, eventsRetention, eventsAnomaly, eventsPaths,
     eventsHourlyMerge, streamEnrich, eventsSlidingUniques, eventsHistogram,
     eventsMarkov, streamTopk, streamJoinOuter, eventsDau,

@@ -1179,9 +1179,101 @@ object TimeSeries {
     rows.toSeq.toDF("key", "phi0", "phi1", "phi2", "r2", "forecast")
   }
 
+  // Kalman local-level noise parameters (shared by the driver gain
+  // loop and, as literals, by the oracle's recursive CTE).
+  private val KalQ = 0.01
+  private val KalR = 1.0
+
+  /** Time-varying Kalman gain/normalizer sequence for the local-level
+    * model, p0 = 1: k_t = (p+q)/(p+q+r), p ← r·k_t, c_t = Π(1−k_i).
+    * The recursion is DATA-INDEPENDENT (it never sees an
+    * observation), so the O(days) scalar loop runs on the driver —
+    * bounded by the calendar, not the corpus — and broadcast-joins
+    * by day index. Expression order mirrors the oracle's recursive
+    * CTE literally, so the doubles are bit-identical.
+    */
+  private def kalmanGains(n: Int): Seq[(Int, Double, Double)] = {
+    var p = 1.0
+    var c = 1.0
+    (1 to n).map { rn =>
+      val k = (p + KalQ) / (p + KalQ + KalR)
+      p = KalR * k
+      c = c * (1 - k)
+      (rn, k, c)
+    }
+  }
+
+  /** KALMAN FILTER (local level): the optimal recursive smoother
+    * l_t = l_{t-1} + k_t·(x_t − l_{t-1}) over the daily count series
+    * per event type — unlike ts_ewma's fixed α, the gain k_t starts
+    * high (trust the data while the level estimate is uncertain) and
+    * converges to the steady-state signal-to-noise optimum, which is
+    * why Kalman initialization doesn't suffer EWMA's warm-up bias.
+    * Distributed form: the time-varying linear recursion has the
+    * closed form l_t = c_t · Σ_{j≤t} (k_j/c_j)·x_j with
+    * c_t = Π_{i≤t}(1−k_i), so the corpus cost is ONE daily aggregate
+    * + one cumulative-sum window over the O(types×days) relation;
+    * the gain sequence itself is data-independent (computed driver-
+    * side, broadcast). c_t decays geometrically toward the
+    * steady-state rate, so for multi-year horizons a production
+    * deployment renormalizes per segment (chunk the series and chain
+    * segment boundaries) — same O(aggregate) cost. Oracle replays
+    * the identical gain recursion via a recursive CTE and the same
+    * windowed closed form.
+    */
+  val tsKalman: QueryDef = QueryDef.sql(
+    "ts_kalman",
+    """WITH RECURSIVE daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |         CAST(count(*) AS DOUBLE) AS x
+      |  FROM events GROUP BY 1, 2),
+      |idx AS (
+      |  SELECT event_type, day, x,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      |  FROM daily),
+      |gains(rn, k, p, c) AS (
+      |  SELECT 1,
+      |         (1.0 + 0.01) / (1.0 + 0.01 + 1.0),
+      |         1.0 * ((1.0 + 0.01) / (1.0 + 0.01 + 1.0)),
+      |         1 - (1.0 + 0.01) / (1.0 + 0.01 + 1.0)
+      |  UNION ALL
+      |  SELECT rn + 1,
+      |         (p + 0.01) / (p + 0.01 + 1.0),
+      |         1.0 * ((p + 0.01) / (p + 0.01 + 1.0)),
+      |         c * (1 - (p + 0.01) / (p + 0.01 + 1.0))
+      |  FROM gains WHERE rn < (SELECT max(rn) FROM idx))
+      |SELECT i.event_type, i.day, CAST(i.x AS BIGINT) AS n,
+      |       round(g.k, 6) AS gain,
+      |       round(g.c * sum(g.k / g.c * i.x) OVER (
+      |         PARTITION BY i.event_type ORDER BY i.rn
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 3) AS level
+      |FROM idx i JOIN gains g ON g.rn = i.rn
+      |ORDER BY event_type, day""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("x"))
+    // max series length: one tiny two-stage aggregate, O(1) to driver
+    val nDays = daily.groupBy(col("event_type")).count()
+      .agg(max("count")).head().getLong(0).toInt
+    val gains = kalmanGains(nDays).toDF("rn", "k", "c")
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("rn"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("rn", row_number().over(wOrd))
+      .join(broadcast(gains), "rn")
+      .withColumn("level",
+        col("c") * sum(col("k") / col("c") * col("x")).over(wCum))
+      .select(col("event_type"), col("day"), col("x").cast("long").as("n"),
+        round(col("k"), 6).as("gain"), round(col("level"), 3).as("level"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     tsGapfill, tsInterp, tsEwma, tsAutocorr, tsCusum, tsSeasonal,
     tsForecast, tsTimeToConvert, tsGapEpisodes, tsHolt, tsDecompose,
     tsRollingStats, tsRepair, tsOhlc, tsInterEvent, tsTheilsen,
-    tsChangepoint, tsLttb, tsDtw, tsPeriodogram, tsAr2, tsTwa, tsXcorr)
+    tsChangepoint, tsLttb, tsDtw, tsPeriodogram, tsAr2, tsTwa, tsXcorr,
+    tsKalman)
 }

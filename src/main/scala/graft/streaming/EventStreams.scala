@@ -616,6 +616,115 @@ object EventStreams {
       .orderBy(col("user_id"), col("start_min"))
   }
 
+  /** CHAINED STATEFUL AGGREGATION — two time-window aggregates in
+    * ONE streaming query (Spark's multiple-stateful-operator
+    * support): the hourly rollup feeds a daily rollup of the hourly
+    * partials. Append mode is what makes the cascade sound: an
+    * hourly window flows downstream exactly once, when the watermark
+    * finalizes it, so the daily operator only ever aggregates CLOSED
+    * partials (update/complete would re-emit open windows and
+    * double-count). A finite source's watermark never passes its
+    * newest rows, so the runner appends a far-future sentinel after
+    * the data drains — the sentinel's own hourly window never
+    * finalizes, so it cannot reach the daily level. At scale this is
+    * the streaming rollup cascade (minute→hour→day) that maintains
+    * coarse grains from fine partials instead of re-scanning the raw
+    * feed per grain: the daily operator's input is O(hours), not
+    * O(events). Exact-integer outputs; the oracle replays hour→day.
+    */
+  def streamTwoLevel(s: SparkSession, dir: String): DataFrame = {
+    val maxTs = graft.sources.Tables.events(s, dir)
+      .agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    val (src, tmp) = eventsStream(s, dir)
+    val hourly = src
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+    val daily = hourly
+      .groupBy(window(col("window"), "1 day"))
+      .agg(sum(col("n")).as("n"), count(lit(1)).as("n_hours"))
+      .select(col("window.start").as("day"), col("n"), col("n_hours"))
+    val name = "stream_two_level_sink"
+    s.streams.active.filter(_.name == name).foreach(_.stop())
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions.toString)
+    try {
+      val q = daily.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        appendSentinel(s, tmp, rawEventSchema(s, dir)("ts").dataType,
+          maxTs.toInstant.plusSeconds(72 * 3600), Seq((-1L, -1L, "wm_probe")))
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        deleteRecursively(tmp)
+      }
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.table(name).orderBy(col("day"))
+  }
+
+  /** State API v2 processor for the per-user running stats: one
+    * named ValueState handle per key, no TTL, no timers. The typed
+    * handle is initialized once per partition in init() — the v2
+    * contract that lets one processor own several independently
+    * evolvable state variables (vs mapGroupsWithState's single
+    * opaque blob).
+    */
+  private class UserStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Double), UserStat] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TTLConfig, ValueState}
+    @transient private var agg: ValueState[UserStat] = _
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      agg = getHandle.getValueState[UserStat]("agg",
+        org.apache.spark.sql.Encoders.product[UserStat], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[UserStat] = {
+      val prev = if (agg.exists()) agg.get() else UserStat(key, 0L, 0.0)
+      var n = prev.n_events
+      var tot = prev.total_value
+      rows.foreach { r => n += 1; tot += r._2 }
+      val next = UserStat(key, n, tot)
+      agg.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** Per-user running stats through transformWithState — the Spark-4
+    * arbitrary-state API (state v2): named typed state variables on
+    * the RocksDB state store provider (required by the operator; the
+    * conf is scoped to this runner and restored after). Semantics
+    * identical to streamUserStats's mapGroupsWithState, re-expressed
+    * against the API long-running production jobs target — named
+    * handles, TTL, timers, and state evolution — so both state APIs
+    * are first-class engine surface. Shares the batch per-user
+    * oracle.
+    */
+  def streamUserStatsV2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val (src, tmp) = eventsStream(s, dir)
+    val out = src.select(col("user_id"), col("value")).as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new UserStatsProcessor,
+        TimeMode.None(), OutputMode.Update())
+      .toDF()
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = s.conf.getOption(providerKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val res =
+      try runToTable(s, "stream_user_stats_v2_sink", "update", out, tmp)
+      finally prevProvider match {
+        case Some(v) => s.conf.set(providerKey, v)
+        case None => s.conf.unset(providerKey)
+      }
+    res.select(col("user_id"), col("n_events"),
+        round(col("total_value"), 2).as("total_value"))
+      .orderBy(col("user_id"))
+  }
+
   /** Late-data accounting under a watermark — the semantics every
     * production stream job must get right: after the first batch
     * (events with event_id % 3 ≠ 0) drains, the watermark stands at

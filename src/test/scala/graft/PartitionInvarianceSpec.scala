@@ -40,7 +40,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "pipeline_pack_bins",  // bucketed BFD (hash bucket membership)
     "ann_mmr",             // greedy re-rank over an exact shortlist
     "ts_twa",              // exact int sufficient sums by construction
-    "mm_phash_dedup"       // banded hamming + connected components
+    "mm_phash_dedup",      // banded hamming + connected components
+    "ts_kalman",           // driver gain sequence + one cum window
+    "stream_two_level"     // chained stateful cascade (exact ints)
   )
 
   private def runWith(name: String, parts: String): Seq[String] = {

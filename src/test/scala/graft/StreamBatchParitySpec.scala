@@ -45,6 +45,29 @@ class StreamBatchParitySpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("stream_two_level equals the batch hour→day rollup") {
+    val batch = Tables.events(spark, sf)
+      .groupBy(date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("hn"))
+      .groupBy(date_trunc("day", col("hr")).as("day"))
+      .agg(sum(col("hn")).as("n"), count(lit(1)).as("n_hours"))
+      .collect().toSet
+    val streamed = EventStreams.streamTwoLevel(spark, sf).collect().toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+    // every real daily window closed: total events conserved
+    val total = Tables.events(spark, sf).count()
+    assert(streamed.toSeq.map(_.getLong(1)).sum === total,
+      "chained cascade lost or duplicated events")
+  }
+
+  test("stream_user_stats_v2 (transformWithState) equals the mapGroupsWithState variant") {
+    val v1 = EventStreams.streamUserStats(spark, sf).collect().toSet
+    val v2 = EventStreams.streamUserStatsV2(spark, sf).collect().toSet
+    assert(v2 === v1)
+    assert(v1.nonEmpty)
+  }
+
   test("stream_idempotent_sink equals the batch hourly aggregate despite batch re-delivery") {
     // the sink path re-delivers the newest batch internally (simulated
     // crash recovery); idempotent partition overwrite must absorb it
