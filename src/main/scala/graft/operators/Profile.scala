@@ -614,9 +614,138 @@ object Profile {
     }
   }
 
+  /** t-CLOSENESS audit — the third leg of the release-risk triad
+    * (profile_kanon: class sizes; profile_ldiversity: value variety;
+    * here: value DISTRIBUTION): a class can be k-anonymous and
+    * l-diverse yet still leak because its sensitive-value mix is far
+    * from the population's (90% 'debt' in one nation+segment cell is
+    * a disclosure even with all three values present). Per class,
+    * distance = ordered-EMD between the class's and the global
+    * sensitive distribution — with the 3 ordered levels this is the
+    * mean |cumulative difference| at the two interior cuts, the
+    * Li/Li/Venkatasubramanian formulation. Cost: ONE corpus
+    * aggregate to the (qi, sens) contingency (exact int counts);
+    * everything after runs on O(classes) rows with the global
+    * 3-vector broadcast as a literal cross join. Readout per QI
+    * grain: class count, worst-class EMD, classes and rows past the
+    * t = 0.2 policy line.
+    */
+  val profileTcloseness: QueryDef = QueryDef.sql(
+    "profile_tcloseness",
+    """WITH t AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    CASE WHEN c_acctbal < 0 THEN 'debt'
+      |         WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS sens
+      |  FROM customer),
+      |g AS (
+      |  SELECT CAST(count(*) FILTER (sens = 'debt') AS DOUBLE) / count(*) AS gd,
+      |         CAST(count(*) FILTER (sens = 'mid') AS DOUBLE) / count(*) AS gm
+      |  FROM t),
+      |cls AS (
+      |  SELECT c_nationkey, c_mktsegment, count(*) AS n,
+      |    CAST(count(*) FILTER (sens = 'debt') AS DOUBLE) / count(*) AS pd,
+      |    CAST(count(*) FILTER (sens = 'mid') AS DOUBLE) / count(*) AS pm
+      |  FROM t GROUP BY 1, 2),
+      |emd AS (
+      |  SELECT c_nationkey, c_mktsegment, n,
+      |    (abs(pd - gd) + abs((pd + pm) - (gd + gm))) / 2 AS d
+      |  FROM cls, g)
+      |SELECT 'nation+segment' AS qi, count(*) AS n_classes,
+      |  round(max(d), 6) AS t_max,
+      |  count(*) FILTER (d > 0.2) AS classes_over,
+      |  CAST(coalesce(sum(n) FILTER (d > 0.2), 0) AS BIGINT) AS rows_over
+      |FROM emd""".stripMargin) { (s, d) =>
+    val t = Tables.customer(s, d).select(
+      col("c_nationkey"), col("c_mktsegment"),
+      when(col("c_acctbal") < 0, "debt")
+        .when(col("c_acctbal") < 5000, "mid")
+        .otherwise("high").as("sens"))
+    def props(g: org.apache.spark.sql.RelationalGroupedDataset): DataFrame = g.agg(
+      count(lit(1)).as("n"),
+      (count(when(col("sens") === "debt", 1)).cast("double") /
+        count(lit(1))).as("pd"),
+      (count(when(col("sens") === "mid", 1)).cast("double") /
+        count(lit(1))).as("pm"))
+    val global = props(t.groupBy())
+      .select(col("pd").as("gd"), col("pm").as("gm"))
+    val cls = props(t.groupBy(col("c_nationkey"), col("c_mktsegment")))
+    cls.crossJoin(broadcast(global))
+      .withColumn("d",
+        (abs(col("pd") - col("gd")) +
+          abs((col("pd") + col("pm")) - (col("gd") + col("gm")))) / 2)
+      .agg(count(lit(1)).as("n_classes"),
+        round(max(col("d")), 6).as("t_max"),
+        count(when(col("d") > 0.2, 1)).as("classes_over"),
+        coalesce(sum(when(col("d") > 0.2, col("n"))), lit(0L)).as("rows_over"))
+      .select(lit("nation+segment").as("qi"), col("n_classes"),
+        col("t_max"), col("classes_over"), col("rows_over"))
+  }
+
+  /** MUTUAL INFORMATION between two categorical columns — the
+    * dependence profiler for non-numeric pairs where profile_corr
+    * (Pearson) is undefined: MI = Σ p_ij·ln(p_ij/(p_i·p_j)) over the
+    * order-priority × order-status contingency, plus the marginal
+    * entropies and the normalized coefficient
+    * U = 2·MI/(H(X)+H(Y)) ∈ [0,1] analysts actually threshold on.
+    * Cost: ONE corpus aggregate to the |X|×|Y| (≤15-cell) exact-int
+    * contingency; marginals re-aggregate from the cells (no second
+    * scan) and every float derives from exact counts through one
+    * fixed expression tree. The log-sum reassociation across ≤15
+    * cells is ~1e-16 against a round-to-6 readout.
+    */
+  val profileMi: QueryDef = QueryDef.sql(
+    "profile_mi",
+    """WITH cells AS (
+      |  SELECT o_orderpriority AS x, o_orderstatus AS y, count(*) AS n
+      |  FROM orders GROUP BY 1, 2),
+      |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM cells),
+      |mx AS (SELECT x, sum(n) AS nx FROM cells GROUP BY 1),
+      |my AS (SELECT y, sum(n) AS ny FROM cells GROUP BY 1),
+      |mi AS (
+      |  SELECT sum((c.n / t.total) *
+      |             ln(c.n * t.total / (CAST(mx.nx AS DOUBLE) * my.ny))) AS mi
+      |  FROM cells c
+      |  JOIN mx ON mx.x = c.x JOIN my ON my.y = c.y
+      |  CROSS JOIN tot t),
+      |hx AS (SELECT -sum((nx / t.total) * ln(nx / t.total)) AS h
+      |       FROM mx, tot t),
+      |hy AS (SELECT -sum((ny / t.total) * ln(ny / t.total)) AS h
+      |       FROM my, tot t)
+      |SELECT 'priority_x_status' AS pair,
+      |  round(mi.mi, 6) AS mi,
+      |  round(hx.h, 6) AS h_x, round(hy.h, 6) AS h_y,
+      |  round(2 * mi.mi / (hx.h + hy.h), 6) AS uncertainty_coef
+      |FROM mi, hx, hy""".stripMargin) { (s, d) =>
+    val cells = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("x"), col("o_orderstatus").as("y"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = true) // tiny; marginals re-aggregate from it
+    val tot = cells.agg(sum(col("n")).cast("double").as("total"))
+    val mx = cells.groupBy(col("x")).agg(sum(col("n")).as("nx"))
+    val my = cells.groupBy(col("y")).agg(sum(col("n")).as("ny"))
+    val mi = cells.crossJoin(broadcast(tot))
+      .join(broadcast(mx), "x").join(broadcast(my), "y")
+      .agg(sum((col("n") / col("total")) *
+        log(col("n") * col("total") /
+          (col("nx").cast("double") * col("ny")))).as("mi"))
+    val hx = mx.crossJoin(broadcast(tot))
+      .agg((-sum((col("nx") / col("total")) *
+        log(col("nx") / col("total")))).as("h"))
+    val hy = my.crossJoin(broadcast(tot))
+      .agg((-sum((col("ny") / col("total")) *
+        log(col("ny") / col("total")))).as("h"))
+    mi.crossJoin(broadcast(hx.select(col("h").as("h_x"))))
+      .crossJoin(broadcast(hy.select(col("h").as("h_y"))))
+      .select(lit("priority_x_status").as("pair"),
+        round(col("mi"), 6).as("mi"),
+        round(col("h_x"), 6).as("h_x"), round(col("h_y"), 6).as("h_y"),
+        round(lit(2) * col("mi") / (col("h_x") + col("h_y")), 6)
+          .as("uncertainty_coef"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     profileStats, profileChecks, profileEquidepth, profileCorr,
     sketchKmvOverlap, sketchKmvDaily, profileDrift, profileFd,
     profileBenford, profileKanon, profileLdiversity, profileDpCounts,
-    profilePii)
+    profilePii, profileTcloseness, profileMi)
 }

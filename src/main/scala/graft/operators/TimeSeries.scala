@@ -1270,10 +1270,87 @@ object TimeSeries {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** ROLLING-ORIGIN BACKTEST — the honest evaluation ts_forecast
+    * itself can't provide: for each of the last 5 days (folds), fit
+    * the linear trend ONLY on strictly earlier days and score the
+    * held-out day, then report per-type MAPE. This is how a forecast
+    * op earns trust in production (a model evaluated on its own
+    * training window always looks good). Exact-statistics pattern:
+    * per (type, cutoff), the OLS fit reduces to 5 integer sums
+    * (m, Σx, Σy, Σxy, Σx²) over the O(types×days) daily aggregate —
+    * exact in int64 regardless of partitioning — and the prediction
+    * is ONE shared float expression
+    * ŷ = [(ΣyΣx² − ΣxΣxy) + (mΣxy − ΣxΣy)·x₀] / (mΣx² − (Σx)²),
+    * spelled identically in the oracle. The ×5 fold probe is a
+    * map-side explode over the aggregate, never corpus work.
+    */
+  val tsBacktest: QueryDef = QueryDef.sql(
+    "ts_backtest",
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |         count(*) AS y
+      |  FROM events GROUP BY 1, 2),
+      |idx AS (
+      |  SELECT event_type, day, y,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      |  FROM daily),
+      |folds AS (
+      |  SELECT event_type, max(rn) - k.k AS cutoff
+      |  FROM idx CROSS JOIN (VALUES (0),(1),(2),(3),(4)) k(k)
+      |  GROUP BY event_type, k.k),
+      |fit AS (
+      |  SELECT f.event_type, f.cutoff,
+      |    count(*) AS m, sum(i.rn) AS sx, sum(i.y) AS sy,
+      |    sum(i.rn * i.y) AS sxy, sum(i.rn * i.rn) AS sxx
+      |  FROM folds f JOIN idx i
+      |    ON i.event_type = f.event_type AND i.rn < f.cutoff
+      |  GROUP BY 1, 2),
+      |pred AS (
+      |  SELECT t.event_type, t.cutoff, a.y,
+      |    CAST((t.sy * t.sxx - t.sx * t.sxy)
+      |         + (t.m * t.sxy - t.sx * t.sy) * t.cutoff AS DOUBLE)
+      |      / (t.m * t.sxx - t.sx * t.sx) AS yhat
+      |  FROM fit t JOIN idx a
+      |    ON a.event_type = t.event_type AND a.rn = t.cutoff)
+      |SELECT event_type, count(*) AS n_folds,
+      |  round(avg(abs(yhat - y) / y), 6) AS mape
+      |FROM pred GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+    val idx = daily.withColumn("rn", row_number().over(
+      Window.partitionBy(col("event_type")).orderBy(col("day"))))
+    val folds = idx.groupBy(col("event_type")).agg(max(col("rn")).as("rmax"))
+      .withColumn("k", explode(sequence(lit(0), lit(4))))
+      .select(col("event_type").as("f_type"),
+        (col("rmax") - col("k")).cast("long").as("cutoff"))
+    val fit = idx
+      .join(broadcast(folds),
+        col("event_type") === col("f_type") && col("rn") < col("cutoff"))
+      .groupBy(col("event_type"), col("cutoff"))
+      .agg(count(lit(1)).as("m"), sum(col("rn")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("rn") * col("y")).as("sxy"),
+        sum(col("rn") * col("rn")).as("sxx"))
+    val actual = idx.select(col("event_type").as("a_type"),
+      col("rn").cast("long").as("a_rn"), col("y"))
+    fit
+      .join(broadcast(actual),
+        col("a_type") === col("event_type") && col("a_rn") === col("cutoff"))
+      .withColumn("yhat",
+        ((col("sy") * col("sxx") - col("sx") * col("sxy"))
+          + (col("m") * col("sxy") - col("sx") * col("sy")) * col("cutoff"))
+          .cast("double")
+          / (col("m") * col("sxx") - col("sx") * col("sx")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_folds"),
+        round(avg(abs(col("yhat") - col("y")) / col("y")), 6).as("mape"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     tsGapfill, tsInterp, tsEwma, tsAutocorr, tsCusum, tsSeasonal,
     tsForecast, tsTimeToConvert, tsGapEpisodes, tsHolt, tsDecompose,
     tsRollingStats, tsRepair, tsOhlc, tsInterEvent, tsTheilsen,
     tsChangepoint, tsLttb, tsDtw, tsPeriodogram, tsAr2, tsTwa, tsXcorr,
-    tsKalman)
+    tsKalman, tsBacktest)
 }

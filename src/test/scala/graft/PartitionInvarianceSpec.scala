@@ -42,7 +42,10 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "ts_twa",              // exact int sufficient sums by construction
     "mm_phash_dedup",      // banded hamming + connected components
     "ts_kalman",           // driver gain sequence + one cum window
-    "stream_two_level"     // chained stateful cascade (exact ints)
+    "stream_two_level",    // chained stateful cascade (exact ints)
+    "profile_tcloseness",  // EMD from exact contingency counts
+    "profile_mi",          // log-sum over exact ≤15-cell contingency
+    "ts_backtest"          // exact int OLS sufficient sums per fold
   )
 
   private def runWith(name: String, parts: String): Seq[String] = {

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.TimeSeries
+import graft.operators.{Profile, TimeSeries}
 import graft.sources.Tables
 
 /** Invariant pins for the round-5 session-8 operators. */
@@ -45,6 +45,96 @@ class Round5hOpsSpec extends AnyFunSuite {
     }
     assert(math.abs(gains.last - steady) < 0.01,
       s"gain ${gains.last} should approach steady state ~$steady")
+  }
+
+  // ---- profile_tcloseness --------------------------------------------
+
+  test("profile_tcloseness: readout matches a direct replay of the EMD audit") {
+    val row = Profile.profileTcloseness.fn(spark, sf).head()
+    val tMax = row.getDouble(2)
+    assert(tMax >= 0.0 && tMax <= 1.0)
+    assert(row.getLong(3) <= row.getLong(1), "classes_over cannot exceed classes")
+    // direct replay on the collected (tiny at test SF) table
+    val rows = Tables.customer(spark, sf)
+      .select(col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
+      .collect()
+      .map { r =>
+        val sens =
+          if (r.getDouble(2) < 0) "debt"
+          else if (r.getDouble(2) < 5000) "mid" else "high"
+        ((r.getInt(0), r.getString(1)), sens)
+      }
+    def dist(xs: Seq[String]): (Double, Double) =
+      (xs.count(_ == "debt").toDouble / xs.size,
+        xs.count(_ == "mid").toDouble / xs.size)
+    val (gd, gm) = dist(rows.map(_._2).toSeq)
+    val direct = rows.groupBy(_._1).values.map { cls =>
+      val (pd, pm) = dist(cls.map(_._2).toSeq)
+      (math.abs(pd - gd) + math.abs((pd + pm) - (gd + gm))) / 2
+    }.max
+    assert(math.abs(tMax - direct) < 1e-6,
+      s"op t_max $tMax != direct replay $direct")
+  }
+
+  // ---- profile_mi ----------------------------------------------------
+
+  test("profile_mi: information-theoretic bounds hold and MI matches a direct replay") {
+    val row = Profile.profileMi.fn(spark, sf).head()
+    val (mi, hx, hy, u) =
+      (row.getDouble(1), row.getDouble(2), row.getDouble(3), row.getDouble(4))
+    assert(mi >= -1e-9, "MI is non-negative")
+    assert(mi <= math.min(hx, hy) + 1e-9, "MI bounded by min marginal entropy")
+    assert(u >= -1e-9 && u <= 1.0 + 1e-9)
+    val pairs = Tables.orders(spark, sf)
+      .select(col("o_orderpriority"), col("o_orderstatus")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val n = pairs.length.toDouble
+    val cXY = pairs.groupBy(identity).map { case (_, v) => v.length }
+    val cX = pairs.groupBy(_._1).map { case (_, v) => v.length.toDouble / n }
+    val cY = pairs.groupBy(_._2).map { case (_, v) => v.length.toDouble / n }
+    val directMi = pairs.groupBy(identity).map { case ((x, y), v) =>
+      val pxy = v.length / n
+      pxy * math.log(pxy / (pairs.count(_._1 == x) / n * (pairs.count(_._2 == y) / n)))
+    }.sum
+    assert(math.abs(mi - directMi) < 1e-5, s"MI $mi != direct $directMi")
+    assert(math.abs(hx - cX.map(p => -p * math.log(p)).sum) < 1e-5)
+    assert(math.abs(hy - cY.map(p => -p * math.log(p)).sum) < 1e-5)
+    assert(cXY.sum == n.toInt)
+  }
+
+  // ---- ts_backtest ---------------------------------------------------
+
+  test("ts_backtest: MAPE matches a direct rolling-origin replay per type") {
+    val out = TimeSeries.tsBacktest.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.nonEmpty)
+    out.values.foreach { case (folds, mape) =>
+      assert(folds === 5L, "exactly 5 rolling folds per type")
+      assert(mape >= 0.0)
+    }
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+    daily.groupBy(_._1).foreach { case (tpe, rows) =>
+      val ys = rows.sortBy(_._2.getTime).map(_._3)
+      val apes = (0 to 4).map { k =>
+        val cut = ys.length - k // 1-based cutoff rn
+        val train = (1 until cut).map(rn => (rn.toLong, ys(rn - 1)))
+        val m = train.length.toLong
+        val sx = train.map(_._1).sum
+        val sy = train.map(_._2).sum
+        val sxy = train.map(t => t._1 * t._2).sum
+        val sxx = train.map(t => t._1 * t._1).sum
+        val yhat = ((sy * sxx - sx * sxy) + (m * sxy - sx * sy) * cut).toDouble /
+          (m * sxx - sx * sx)
+        val y = ys(cut - 1).toDouble
+        math.abs(yhat - y) / y
+      }
+      val direct = apes.sum / apes.length
+      assert(math.abs(out(tpe)._2 - direct) < 1e-5,
+        s"$tpe: op mape ${out(tpe)._2} != direct $direct")
+    }
   }
 
   test("ts_kalman smooths: filtered level variance below raw variance") {
