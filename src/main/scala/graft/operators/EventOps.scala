@@ -1884,7 +1884,53 @@ object EventOps {
       .orderBy(col("t"))
   }
 
+  /** TRENDING leaderboard — exponentially time-decayed activity
+    * scores (λ=0.9/day): S(u) = Σ_d n_{u,d}·λ^(ref−d), the decayed
+    * counter ranking every "what's hot now" surface uses instead of
+    * raw lifetime counts (yesterday's burst outranks last month's).
+    * Corpus cost: ONE (user, day) aggregate (exact int counts); the
+    * decay-weighted fold then runs as an ORDERED cumulative window
+    * per user over O(users×days) rows — sequential accumulation in
+    * day order, identical in both engines, so the float total is
+    * deterministic under any partitioning (an unordered SUM would
+    * reassociate). Top-20 is a total order on (score, user).
+    */
+  val eventsTrending: QueryDef = QueryDef.sql(
+    "events_trending",
+    """WITH daily AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |         count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |ref AS (SELECT max(day) AS refday FROM daily),
+      |scored AS (
+      |  SELECT user_id, day,
+      |    sum(n * power(0.9, date_diff('day', day, refday))) OVER (
+      |      PARTITION BY user_id ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY day DESC) AS rd
+      |  FROM daily CROSS JOIN ref)
+      |SELECT user_id, round(s, 6) AS score
+      |FROM scored WHERE rd = 1
+      |ORDER BY score DESC, user_id LIMIT 20""".stripMargin) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val ref = daily.agg(max(col("day")).as("refday"))
+    val wCum = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLast = Window.partitionBy(col("user_id")).orderBy(col("day").desc)
+    daily.crossJoin(broadcast(ref))
+      .withColumn("s", sum(col("n") *
+        pow(lit(0.9), datediff(col("refday"), col("day")))).over(wCum))
+      .withColumn("rd", row_number().over(wLast))
+      .filter(col("rd") === 1)
+      .select(col("user_id"), round(col("s"), 6).as("score"))
+      .orderBy(col("score").desc, col("user_id"))
+      .limit(20)
+  }
+
   val all: Seq[QueryDef] = Seq(
+    eventsTrending,
     eventsSurvival,
     eventsBitmapCohort, streamBitmapCohort, streamSliding,
     eventsSequenceMatch,

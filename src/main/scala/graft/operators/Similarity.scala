@@ -1123,8 +1123,46 @@ object Similarity {
       when(element_at(v, lo + i + 1) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
 
+  /** FILTERED vector search — the tenant/shard-scoped query every
+    * production vector store serves ("nearest neighbors WHERE
+    * label = X"): exact cosine top-10 for the vec_id=0 query
+    * restricted to its own label class. The strategy is
+    * PRE-filtering: the query's label resolves first (one O(1)
+    * driver lookup, exactly how a vector store resolves the tenant),
+    * then lands in the scan as a LITERAL predicate — `PushedFilters`
+    * carries it into the parquet reader, so the vector math only
+    * ever touches the qualifying class. Post-filtering (search
+    * first, filter the top-k after) is the WRONG plan at any scale:
+    * it under-fills k whenever the query's class is a minority of
+    * its neighborhood. Composes with the IVF/PQ entries unchanged —
+    * the filter prunes before list assignment.
+    */
+  val annFiltered: QueryDef = QueryDef.sql(
+    "ann_filtered",
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT label AS ql, v AS qv FROM e WHERE vec_id = 0)
+      |SELECT vec_id, label,
+      |  round(list_dot_product(v, qv)
+      |    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 4) AS cos_sim
+      |FROM e CROSS JOIN q
+      |WHERE vec_id <> 0 AND label = ql
+      |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") === 0).head()
+    val (ql, qv) = (q.getInt(1), q.getSeq[Double](2))
+    e.filter(col("vec_id") =!= 0 && col("label") === lit(ql))
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("v"),
+          lit(qv.toArray)), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
   val all: Seq[QueryDef] = Seq(
     annBruteforce, annTopkJoin, annLsh, annIvf, annPq, annSearchText,
     annIvfPq, annIvfPqPersisted, dedupEmbeddingIvf, annSq8, embKnnGraph,
-    annRangeSearch, annMips, embKnnClassify, annNsw, annHamming, annMmr)
+    annRangeSearch, annMips, embKnnClassify, annNsw, annHamming, annMmr,
+    annFiltered)
 }

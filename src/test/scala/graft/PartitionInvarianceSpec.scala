@@ -45,7 +45,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "stream_two_level",    // chained stateful cascade (exact ints)
     "profile_tcloseness",  // EMD from exact contingency counts
     "profile_mi",          // log-sum over exact ≤15-cell contingency
-    "ts_backtest"          // exact int OLS sufficient sums per fold
+    "ts_backtest",         // exact int OLS sufficient sums per fold
+    "events_trending"      // ordered decayed cumsum per user
   )
 
   private def runWith(name: String, parts: String): Seq[String] = {

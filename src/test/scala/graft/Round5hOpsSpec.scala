@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Profile, TimeSeries}
+import graft.operators.{EventOps, Profile, Similarity, TimeSeries}
 import graft.sources.Tables
 
 /** Invariant pins for the round-5 session-8 operators. */
@@ -135,6 +135,62 @@ class Round5hOpsSpec extends AnyFunSuite {
       assert(math.abs(out(tpe)._2 - direct) < 1e-5,
         s"$tpe: op mape ${out(tpe)._2} != direct $direct")
     }
+  }
+
+  // ---- ann_filtered --------------------------------------------------
+
+  test("ann_filtered: label purity and brute-force replay equality") {
+    val out = Similarity.annFiltered.fn(spark, sf).collect()
+    assert(out.length === 10)
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val (qid, ql, qv) = e.find(_._1 == 0L).get
+    assert(qid === 0L)
+    // every hit carries the query's label (pre-filter, not post-filter)
+    assert(out.forall(_.getInt(1) == ql))
+    // replay: exact cosine over the label class only
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expect = e.filter(r => r._1 != 0L && r._2 == ql)
+      .map(r => (r._1, math.floor(cos(r._3, qv) * 1e4 + 0.5) / 1e4))
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSeq
+    assert(out.map(_.getLong(0)).toSeq === expect)
+  }
+
+  // ---- events_trending -----------------------------------------------
+
+  test("events_trending: decayed score bounded by raw count and matches a replay") {
+    val out = EventOps.eventsTrending.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.nonEmpty && out.size <= 20)
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2)))
+    val refMs = daily.map(_._2).max
+    val direct = daily.groupBy(_._1).map { case (u, rows) =>
+      u -> rows.sortBy(_._2).map { case (_, dayMs, n) =>
+        val dd = ((refMs - dayMs) / 86400000L).toInt
+        n * math.pow(0.9, dd.toDouble)
+      }.sum
+    }
+    out.foreach { case (u, s) =>
+      assert(math.abs(s - direct(u)) < 1e-4, s"user $u: $s != ${direct(u)}")
+      // λ ≤ 1 ⇒ decayed score cannot exceed the raw event count
+      val raw = daily.filter(_._1 == u).map(_._3).sum.toDouble
+      assert(s <= raw + 1e-9)
+    }
+    // the op returns the true global top-20
+    val top = direct.toSeq.map { case (u, s) =>
+      (u, math.floor(s * 1e6 + 0.5) / 1e6)
+    }.sortBy { case (u, s) => (-s, u) }.take(out.size).map(_._1)
+    assert(out.keySet === top.toSet)
   }
 
   test("ts_kalman smooths: filtered level variance below raw variance") {
