@@ -718,7 +718,13 @@ object Curation {
       row_number().over(
         Window.partitionBy(col("source")).orderBy(col("doc_id"))).as("rnk"))
     val t = r.withColumn("vt", col("rnk").cast("double") / col("w"))
-    t.withColumn("pos",
+    // vt is strictly increasing in rnk within a source (w is fixed per
+    // source), so the global top-30 can only contain each source's
+    // first 30 docs — pre-pruning to rnk ≤ 30 bounds the unpartitioned
+    // ranking window to O(30·sources) rows instead of the corpus (an
+    // unpartitioned WindowExec is a single-partition sort).
+    t.filter(col("rnk") <= 30)
+      .withColumn("pos",
         row_number().over(Window.orderBy(col("vt"), col("source"), col("rnk"))))
       .filter(col("pos") <= 30)
       .select(col("pos"), col("source"), col("doc_id"))
@@ -728,11 +734,12 @@ object Curation {
   /** Curriculum ordering: rank the corpus easy→hard by a
     * deterministic difficulty key (mean word length, then doc
     * length, then doc_id as the total-order tie-break) and cut it
-    * into 4 curriculum phases with ntile. The per-doc features are
-    * map-only; the only shuffle is the global sort behind ntile —
-    * at 100 TB that global order would come from a range partition
-    * (sort key sampling), which is exactly what Spark's sort
-    * exchange does; output is O(phases).
+    * into 4 curriculum phases. The per-doc features are map-only;
+    * the phase assignment is the TWO-PHASE exact global rank
+    * (q_global_rank's banded machinery — an unpartitioned ntile
+    * window would single-partition the corpus), with
+    * ntile(n) ≡ floor((rank−1)·n/N)+1 keeping the result identical
+    * to the oracle's ntile; output is O(phases).
     */
   val pipelineCurriculum: QueryDef = QueryDef.sql(
     "pipeline_curriculum",
@@ -756,9 +763,34 @@ object Curation {
           length(replace(col("text"), lit(" "), lit(""))) + lit(1), lit(1))
         .cast("long").as("n_words"))
     import org.apache.spark.sql.expressions.Window
-    f.withColumn("phase",
-        ntile(4).over(Window.orderBy(
-          col("text_len") * lit(1.0) / col("n_words"), col("n_chars"), col("doc_id"))))
+    // ntile(4) without a partition clause is a SINGLE-PARTITION sort —
+    // a scale-killer on the documents corpus. Two-phase exact global
+    // rank instead (q_global_rank's machinery): band on a monotone
+    // integer image of the leading sort key, per-band counts → prefix
+    // offsets (O(bands) relation), per-band local row_number + offset
+    // = the exact global rank, and ntile(n) ≡ floor((rank−1)·n/N)+1
+    // (the SQL ntile identity, first N mod n groups one larger) — so
+    // the result is bit-identical to the oracle's ntile while every
+    // window is partitioned.
+    // floor(4·key) with key = the double sort key below: ×4 is an
+    // exact power-of-two scaling, so the band is exactly monotone in
+    // the key (an integer-division band could disagree with the
+    // double ordering at a rounding-collapsed boundary)
+    val banded = f.withColumn("band",
+      floor(col("text_len") * lit(4.0) / col("n_words")).cast("long"))
+    val counts = banded.groupBy(col("band")).agg(count(lit(1)).as("bn"))
+    val wBands = Window.orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("offset", coalesce(sum(col("bn")).over(wBands), lit(0L)))
+      .select(col("band").as("ob"), col("offset"))
+    val total = f.count()
+    val wLocal = Window.partitionBy(col("band")).orderBy(
+      col("text_len") * lit(1.0) / col("n_words"), col("n_chars"), col("doc_id"))
+    banded.join(broadcast(offsets), col("band") === col("ob"))
+      .withColumn("grank", col("offset") + row_number().over(wLocal))
+      .withColumn("phase",
+        expr(s"cast((grank - 1) * 4 div $total as int) + 1"))
       .groupBy(col("phase"))
       .agg(count(lit(1)).as("n_docs"),
         round(sum(col("text_len")) * lit(1.0) / sum(col("n_words")), 6).as("avg_wlen"),
