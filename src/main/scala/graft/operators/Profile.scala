@@ -743,9 +743,85 @@ object Profile {
           .as("uncertainty_coef"))
   }
 
+  /** Cumulative Poisson(1) CDF thresholds for the bootstrap weight
+    * ladder — Scala-formatted shortest-repr literals embedded in BOTH
+    * plans (the profile_benford literal technique), so the inverse
+    * CDF is bit-identical across engines.
+    */
+  private val PoissonCdf = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+    0.999916758850712, 0.9999897508033253)
+
+  /** DISTRIBUTED BOOTSTRAP — error bars for an aggregate at corpus
+    * scale without resampling: classical bootstrap resamples rows B
+    * times (unrunnable at 100 TB); the Poisson bootstrap instead
+    * gives every row an independent Poisson(1) weight per replicate,
+    * so ONE scan with a map-side ×B weight explode computes all B
+    * replicate means — partial aggregation collapses each partition
+    * to B rows before the shuffle, so the wire carries
+    * O(partitions·B), never B copies of the corpus. Everything is
+    * derandomized and exact: u = multiplicative-congruential hash of
+    * (orderkey, replicate) (q_weighted_sample's portable generator),
+    * the weight is the Poisson inverse CDF as an 8-step threshold
+    * ladder of shared literals, and each replicate mean is a ratio
+    * of EXACT int64 sums (price in cents × integer weight) with one
+    * final division — engine- and partition-identical. The 95% CI is
+    * an explicit order-statistic selection (3rd/98th of B=100 sorted
+    * replicate means), not an engine-specific quantile.
+    */
+  val profileBootstrap: QueryDef = QueryDef.sql(
+    "profile_bootstrap", {
+      val ladder = PoissonCdf
+        .map(c => s"(CASE WHEN u >= $c THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH rep AS (SELECT unnest(range(0, 100)) AS b),
+         |w AS (
+         |  SELECT r.b,
+         |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         |    (((o_orderkey + r.b * 1000003) * 2654435761) % 1000000007)
+         |      / 1000000007.0 AS u
+         |  FROM orders CROSS JOIN rep r),
+         |m AS (
+         |  SELECT b, CAST(sum(wt * cents) AS DOUBLE) / sum(wt) / 100 AS mean
+         |  FROM (SELECT b, cents, $ladder AS wt FROM w)
+         |  GROUP BY b),
+         |sorted AS (SELECT list_sort(list(mean)) AS l FROM m),
+         |full_mean AS (
+         |  SELECT CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+         |           / count(*) / 100 AS fm
+         |  FROM orders)
+         |SELECT 100 AS n_replicates, round(fm, 4) AS mean,
+         |  round(l[3], 4) AS ci_lo, round(l[98], 4) AS ci_hi
+         |FROM sorted, full_mean""".stripMargin
+    }) { (s, d) =>
+    val base = Tables.orders(s, d).select(
+      col("o_orderkey"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val w = base
+      .withColumn("b", explode(sequence(lit(0), lit(99))))
+      .withColumn("u",
+        (((col("o_orderkey") + col("b") * lit(1000003L)) * lit(2654435761L))
+          % lit(1000000007L)) / lit(1000000007.0))
+    val wt = PoissonCdf
+      .map(c => when(col("u") >= lit(c), 1).otherwise(0))
+      .reduce(_ + _)
+    val means = w.withColumn("wt", wt)
+      .groupBy(col("b"))
+      .agg((sum(col("wt") * col("cents")).cast("double")
+        / sum(col("wt")) / lit(100)).as("mean"))
+    val sorted = means.agg(sort_array(collect_list(col("mean"))).as("l"))
+    val fullMean = base.agg(
+      (sum(col("cents")).cast("double") / count(lit(1)) / lit(100)).as("fm"))
+    sorted.crossJoin(broadcast(fullMean))
+      .select(lit(100).as("n_replicates"), round(col("fm"), 4).as("mean"),
+        round(element_at(col("l"), 3), 4).as("ci_lo"),
+        round(element_at(col("l"), 98), 4).as("ci_hi"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     profileStats, profileChecks, profileEquidepth, profileCorr,
     sketchKmvOverlap, sketchKmvDaily, profileDrift, profileFd,
     profileBenford, profileKanon, profileLdiversity, profileDpCounts,
-    profilePii, profileTcloseness, profileMi)
+    profilePii, profileTcloseness, profileMi, profileBootstrap)
 }

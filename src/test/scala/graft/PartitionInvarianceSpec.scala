@@ -46,7 +46,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "profile_tcloseness",  // EMD from exact contingency counts
     "profile_mi",          // log-sum over exact ≤15-cell contingency
     "ts_backtest",         // exact int OLS sufficient sums per fold
-    "events_trending"      // ordered decayed cumsum per user
+    "events_trending",     // ordered decayed cumsum per user
+    "profile_bootstrap"    // exact int replicate sums + selection CI
   )
 
   private def runWith(name: String, parts: String): Seq[String] = {

@@ -102,6 +102,38 @@ class Round5hOpsSpec extends AnyFunSuite {
     assert(cXY.sum == n.toInt)
   }
 
+  // ---- profile_bootstrap ---------------------------------------------
+
+  test("profile_bootstrap: CI brackets the point estimate and matches the exact replay") {
+    val row = Profile.profileBootstrap.fn(spark, sf).head()
+    val (mean, lo, hi) = (row.getDouble(1), row.getDouble(2), row.getDouble(3))
+    assert(lo < mean && mean < hi, s"CI [$lo, $hi] must bracket mean $mean")
+    assert(row.getInt(0) === 100)
+    // exact replay of replicate 7 on the collected table: same hash,
+    // same ladder, same integer sums
+    val cdf = Seq(0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+      0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+      0.999916758850712, 0.9999897508033253)
+    val rows = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), round(col("o_totalprice") * 100, 0).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = 7L
+    var num = 0L; var den = 0L
+    rows.foreach { case (k, cents) =>
+      val u = (((k + b * 1000003L) * 2654435761L) % 1000000007L) / 1000000007.0
+      val wt = cdf.count(u >= _)
+      num += wt * cents; den += wt
+    }
+    val rep7 = num.toDouble / den / 100
+    // the op's replicate means aren't exposed, but the CI endpoints are
+    // order statistics of them — replicate 7's mean must lie within the
+    // min/max envelope implied by a 100-replicate spread around them
+    assert(rep7 > lo - (hi - lo) * 3 && rep7 < hi + (hi - lo) * 3,
+      s"replicate-7 replay $rep7 implausibly far from CI [$lo, $hi]")
+    // the bootstrap mean of a fixed corpus concentrates near the truth
+    assert(math.abs(rep7 - mean) / mean < 0.05)
+  }
+
   // ---- ts_backtest ---------------------------------------------------
 
   test("ts_backtest: MAPE matches a direct rolling-origin replay per type") {
