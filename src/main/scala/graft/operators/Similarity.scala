@@ -98,20 +98,71 @@ object Similarity {
       when(dot(v, planeLit) >= 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  /** LSH-bucketed approximate top-1 neighbor for the first 20
-    * vectors: candidates share the query's hyperplane bucket, so the
-    * join is an equality shuffle on the bucket id, never O(n²).
+  /** Amplification: L independent hash tables (table t's planes from
+    * seed 7+t, so table 0 is the original single-table geometry) —
+    * a near neighbor only has to collide in ONE of them.
+    */
+  val NumTables = 4
+  private lazy val tablePlanes: Array[Array[Array[Double]]] =
+    Array.tabulate(NumTables) { t =>
+      val rnd = new scala.util.Random(7 + t)
+      Array.fill(NumPlanes)(Array.fill(Dim)(rnd.nextGaussian()))
+    }
+
+  /** Signature under table t's planes. Map-side. */
+  def lshSignatureT(t: Int, v: Column): Column =
+    tablePlanes(t).zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(lit): _*)
+      when(dot(v, planeLit) >= 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** array<struct(t, sig)> of all L table signatures. Map-side. */
+  def lshAllSignatures(v: Column): Column =
+    array((0 until NumTables).map(t =>
+      struct(lit(t).as("t"), lshSignatureT(t, v).as("sig"))): _*)
+
+  /** LSH approximate top-1 neighbor for the first 20 vectors —
+    * MULTI-TABLE + MULTIPROBE, the two standard amplifications a
+    * single hyperplane table needs to reach usable recall (one
+    * 8-plane table's top-1 recall is ~5% on this corpus —
+    * ann_recall_eval exposes exactly this):
+    *   - the corpus stores L=4 signatures per vector (seeds 7..10),
+    *     exploded map-side to (t, sig) rows — the shuffle carries
+    *     L rows per vector, the index stays O(L·n);
+    *   - each query probes, per table, its own bucket plus all 8
+    *     Hamming-1 buckets (sign flips of one plane — where a
+    *     boundary-straddling neighbor lands), a map-side explode of
+    *     L·(1+planes) = 36 probe keys per query.
+    * Candidates are the equality join on (t, sig) — never O(n²);
+    * duplicate pairs from different probes collapse with distinct()
+    * before the exact-cosine top-1. Candidate fraction is
+    * ~L·(1+planes)/2^planes of the corpus per query at any scale;
+    * tighter recall targets raise planes AND tables together (the
+    * standard (r,c)-amplification tradeoff).
     */
   val annLsh: QueryDef = QueryDef.rowsOnly("ann_lsh") { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    val e = vectors(s, d).withColumn("bucket", lshSignature(col("v")))
-      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-    val queries = e.filter(col("vec_id") < 20).toDF("id1", "v", "bucket", "nrm")
-    val cands = e.toDF("id2", "v2", "bucket2", "nrm2")
-    val p = queries.join(cands,
-        col("bucket") === col("bucket2") && col("id1") =!= col("id2"))
+    val e = vectors(s, d).withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val corpus = e
+      .withColumn("ts", explode(lshAllSignatures(col("v"))))
+      .select(col("vec_id").as("id2"), col("v").as("v2"),
+        col("nrm").as("nrm2"), col("ts.t").as("t"), col("ts.sig").as("sig"))
+    // probe keys: own bucket + the 8 Hamming-1 flips, per table
+    val flips = (-1 until NumPlanes) // -1 = the unflipped bucket
+    val queries = e.filter(col("vec_id") < 20)
+      .withColumn("ts", explode(lshAllSignatures(col("v"))))
+      .withColumn("probe", explode(array(flips.map { b =>
+        if (b < 0) col("ts.sig")
+        else col("ts.sig").bitwiseXOR(lit(1 << b))
+      }: _*)))
+      .select(col("vec_id").as("id1"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("ts.t").as("qt"), col("probe"))
+    val p = queries.join(corpus,
+        col("qt") === col("t") && col("probe") === col("sig") &&
+          col("id1") =!= col("id2"))
       .select(col("id1"), col("id2"),
-        round(dot(col("v"), col("v2")) / (col("nrm") * col("nrm2")), 4).as("cos_sim"))
+        round(dot(col("qv"), col("v2")) / (col("qnrm") * col("nrm2")), 4).as("cos_sim"))
+      .distinct() // same pair via several tables/probes → one row
     val w = Window.partitionBy(col("id1")).orderBy(col("cos_sim").desc, col("id2"))
     p.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select("id1", "id2", "cos_sim")
@@ -1160,9 +1211,53 @@ object Similarity {
       .limit(10)
   }
 
+  /** RECALL EVALUATION — index quality as data, the gate a vector
+    * deployment runs before trusting an ANN index (an index with
+    * silent 40% recall poisons every downstream consumer): each
+    * approximate rung scored against the exact answer on the same
+    * queries. LSH and IVF report top-1 recall over the 20 standing
+    * queries (a query the method misses entirely — e.g. no LSH
+    * bucket collision — counts as a miss, not a skip); SQ8 reports
+    * top-10 overlap for its query. The exact reference is ONE
+    * broadcast-queries corpus pass; everything downstream is
+    * O(queries). Deterministic end-to-end (fixed planes/centroids/
+    * grids), so the readout is stable across runs and partitionings.
+    */
+  val annRecallEval: QueryDef = QueryDef.rowsOnly("ann_recall_eval") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = vectors(s, d).withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("id1"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("id1")).orderBy(col("cos_sim").desc, col("id2"))
+    val exact1 = e.toDF("id2", "v2", "n2")
+      .join(broadcast(q), col("id1") =!= col("id2"))
+      .select(col("id1"), col("id2"),
+        round(dot(col("qv"), col("v2")) / (col("qn") * col("n2")), 4).as("cos_sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("id1"), col("id2").as("nn"))
+    def top1Recall(method: String, got: DataFrame): DataFrame =
+      exact1.join(got, Seq("id1"), "left_outer")
+        .agg(count(lit(1)).as("nq"),
+          sum(when(col("got") === col("nn"), 1).otherwise(0)).as("hits"))
+        .select(lit(method).as("method"), lit(1).as("k"),
+          col("nq").as("n_queries"),
+          round(col("hits") / col("nq"), 4).as("recall"))
+    val lsh = top1Recall("lsh",
+      annLsh.fn(s, d).select(col("id1"), col("id2").as("got")))
+    val ivf = top1Recall("ivf",
+      annIvf.fn(s, d).select(col("id1"), col("id2").as("got")))
+    val exact10 = annBruteforce.fn(s, d).select(col("vec_id").as("t10"))
+    val sq8 = annSq8.fn(s, d).select(col("vec_id"))
+      .join(broadcast(exact10), col("vec_id") === col("t10"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+      .select(lit("sq8").as("method"), lit(10).as("k"),
+        lit(1L).as("n_queries"), round(col("hits") / lit(10.0), 4).as("recall"))
+    lsh.unionAll(ivf).unionAll(sq8).orderBy(col("method"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     annBruteforce, annTopkJoin, annLsh, annIvf, annPq, annSearchText,
     annIvfPq, annIvfPqPersisted, dedupEmbeddingIvf, annSq8, embKnnGraph,
     annRangeSearch, annMips, embKnnClassify, annNsw, annHamming, annMmr,
-    annFiltered)
+    annFiltered, annRecallEval)
 }
