@@ -1247,12 +1247,17 @@ object Similarity {
     val ivf = top1Recall("ivf",
       annIvf.fn(s, d).select(col("id1"), col("id2").as("got")))
     val exact10 = annBruteforce.fn(s, d).select(col("vec_id").as("t10"))
-    val sq8 = annSq8.fn(s, d).select(col("vec_id"))
-      .join(broadcast(exact10), col("vec_id") === col("t10"), "left_semi")
-      .agg(count(lit(1)).as("hits"))
-      .select(lit("sq8").as("method"), lit(10).as("k"),
-        lit(1L).as("n_queries"), round(col("hits") / lit(10.0), 4).as("recall"))
-    lsh.unionAll(ivf).unionAll(sq8).orderBy(col("method"))
+    def top10Overlap(method: String, df: DataFrame): DataFrame =
+      df.select(col("vec_id"))
+        .join(broadcast(exact10), col("vec_id") === col("t10"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(method).as("method"), lit(10).as("k"),
+          lit(1L).as("n_queries"), round(col("hits") / lit(10.0), 4).as("recall"))
+    val sq8 = top10Overlap("sq8", annSq8.fn(s, d))
+    val pq = top10Overlap("pq", annPq.fn(s, d))
+    val ivfpq = top10Overlap("ivfpq", annIvfPq.fn(s, d))
+    lsh.unionAll(ivf).unionAll(sq8).unionAll(pq).unionAll(ivfpq)
+      .orderBy(col("method"))
   }
 
   val all: Seq[QueryDef] = Seq(

@@ -139,14 +139,17 @@ class Round5hOpsSpec extends AnyFunSuite {
   test("ann_recall_eval: every rung present, recall ladder ordered and above floors") {
     val rows = Similarity.annRecallEval.fn(spark, sf).collect()
       .map(r => r.getString(0) -> r.getDouble(3)).toMap
-    assert(rows.keySet === Set("lsh", "ivf", "sq8"))
+    assert(rows.keySet === Set("lsh", "ivf", "sq8", "pq", "ivfpq"))
     rows.values.foreach(r => assert(r >= 0.0 && r <= 1.0))
     // operating-point floors: multiprobe multi-table LSH must beat the
     // 5% single-table recall this op was built to expose; IVF's probed
-    // exhaustive search and SQ8's exact re-rank sit far above it
+    // exhaustive search and the re-ranked quantization rungs sit far
+    // above it
     assert(rows("lsh") >= 0.25, s"lsh recall ${rows("lsh")} below floor")
     assert(rows("ivf") >= 0.75, s"ivf recall ${rows("ivf")} below floor")
     assert(rows("sq8") >= 0.9, s"sq8 recall ${rows("sq8")} below floor")
+    assert(rows("pq") >= 0.7, s"pq recall ${rows("pq")} below floor")
+    assert(rows("ivfpq") >= 0.6, s"ivfpq recall ${rows("ivfpq")} below floor")
     assert(rows("lsh") <= rows("ivf"), "coarser rung cannot beat finer rung here")
   }
 
