@@ -1463,10 +1463,87 @@ object Graph {
       .orderBy(col("community"))
   }
 
+  private val SimIters = 3
+  private val SimC = 0.8
+
+  /** SIMRANK (Jeh & Widom 2002) — structural similarity from link
+    * topology alone: "two nations trade alike if their buyers trade
+    * alike", s(a,b) = C/(|In(a)||In(b)|)·Σ s(i,j) over in-neighbor
+    * pairs, s(a,a)=1. The pairwise state is O(|V|²) BY DESIGN — like
+    * graph_pagerank this runs on the bounded ENTITY graph (the
+    * nation aggregate), never the raw corpus: each iteration is one
+    * (pairs ⋈ in-edges ⋈ in-edges) equality join + one aggregate
+    * over the 625-row pair relation. At web scale SimRank deploys
+    * via random-surfer-pair sampling or low-rank factorization; the
+    * exact iteration here IS the oracle semantics (generated
+    * chained-CTE replay, pagerank's technique). Readout: top
+    * distinct pairs by similarity.
+    */
+  val graphSimrank: QueryDef = QueryDef.sql(
+    "graph_simrank", {
+      val steps = (1 to SimIters).map { i =>
+        s"""s$i AS (
+           |  SELECT p.a, p.b,
+           |    CASE WHEN p.a = p.b THEN 1.0
+           |         ELSE coalesce($SimC * agg.t / (ia.ind * ib.ind), 0.0) END AS s
+           |  FROM pairs p
+           |  LEFT JOIN ind ia ON ia.node = p.a
+           |  LEFT JOIN ind ib ON ib.node = p.b
+           |  LEFT JOIN (
+           |    SELECT ea.dst AS a, eb.dst AS b, sum(sp.s) AS t
+           |    FROM e ea, e eb, s${i - 1} sp
+           |    WHERE sp.a = ea.src AND sp.b = eb.src
+           |    GROUP BY 1, 2) agg ON agg.a = p.a AND agg.b = p.b)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED ($nationEdgesSql),
+         |v AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |ind AS MATERIALIZED (SELECT dst AS node, CAST(count(*) AS DOUBLE) AS ind
+         |       FROM e GROUP BY 1),
+         |pairs AS MATERIALIZED (SELECT a.node AS a, b.node AS b FROM v a, v b),
+         |s0 AS (SELECT a, b, CASE WHEN a = b THEN 1.0 ELSE 0.0 END AS s
+         |       FROM pairs),
+         |$steps
+         |SELECT a, b, round(s, 6) AS simrank
+         |FROM s$SimIters
+         |WHERE a < b AND round(s, 6) > 0
+         |ORDER BY simrank DESC, a, b LIMIT 20""".stripMargin
+    }) { (s, d) =>
+    val e = nationEdges(s, d).localCheckpoint(eager = true)
+    val v = e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct()
+    val ind = e.groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).cast("double").as("ind"))
+    // O(|V|²) pair frame over the bounded entity graph (25 nodes)
+    val pairs = v.toDF("a").crossJoin(v.toDF("b"))
+    var sim = pairs.withColumn("s",
+      when(col("a") === col("b"), 1.0).otherwise(0.0))
+    for (_ <- 1 to SimIters) {
+      val agg = sim.toDF("sa", "sb", "sv")
+        .join(e.toDF("ia", "a2"), col("sa") === col("ia"))
+        .join(e.toDF("jb", "b2"), col("sb") === col("jb"))
+        .groupBy(col("a2"), col("b2")).agg(sum(col("sv")).as("t"))
+      sim = pairs
+        .join(broadcast(ind.toDF("na", "inda")), col("a") === col("na"), "left_outer")
+        .join(broadcast(ind.toDF("nb", "indb")), col("b") === col("nb"), "left_outer")
+        .join(agg, col("a") === col("a2") && col("b") === col("b2"), "left_outer")
+        .select(col("a"), col("b"),
+          when(col("a") === col("b"), 1.0)
+            .otherwise(coalesce(
+              lit(SimC) * col("t") / (col("inda") * col("indb")), lit(0.0)))
+            .as("s"))
+        .localCheckpoint(eager = true)
+    }
+    sim.filter(col("a") < col("b") && round(col("s"), 6) > 0)
+      .select(col("a"), col("b"), round(col("s"), 6).as("simrank"))
+      .orderBy(col("simrank").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
   val all: Seq[QueryDef] = Seq(
     graphDegree, graphPagerank, graphTriangles, graphBfs, graphLabelprop,
     graphJaccard, graphCloseness, graphKcore, graphMst, graphSssp, graphCc,
     graphHits, graphAssortativity, graphModularity, graphClusteringCoeff,
     graph2hop, graphBipartite, graphWalks, graphBetweenness, graphPpr,
-    graphScc, graphReciprocity, graphLouvain, graphConductance)
+    graphScc, graphReciprocity, graphLouvain, graphConductance,
+    graphSimrank)
 }

@@ -47,7 +47,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "profile_mi",          // log-sum over exact ≤15-cell contingency
     "ts_backtest",         // exact int OLS sufficient sums per fold
     "events_trending",     // ordered decayed cumsum per user
-    "profile_bootstrap"    // exact int replicate sums + selection CI
+    "profile_bootstrap",   // exact int replicate sums + selection CI
+    "graph_simrank"        // iterated pair joins over the entity graph
   )
 
   private def runWith(name: String, parts: String): Seq[String] = {

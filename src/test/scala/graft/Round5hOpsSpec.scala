@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{EventOps, Profile, Similarity, TimeSeries}
+import graft.operators.{EventOps, Graph, Profile, Similarity, TimeSeries}
 import graft.sources.Tables
 
 /** Invariant pins for the round-5 session-8 operators. */
@@ -186,6 +186,23 @@ class Round5hOpsSpec extends AnyFunSuite {
       assert(math.abs(out(tpe)._2 - direct) < 1e-5,
         s"$tpe: op mape ${out(tpe)._2} != direct $direct")
     }
+  }
+
+  // ---- graph_simrank -------------------------------------------------
+
+  test("graph_simrank: scores bounded, ordered, and consistent with one-step replay") {
+    val out = Graph.graphSimrank.fn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    assert(out.nonEmpty && out.length <= 20)
+    out.foreach { case (a, b, v) =>
+      assert(a < b, "distinct pairs only, canonical order")
+      assert(v > 0.0 && v <= 1.0, s"simrank $v out of range")
+    }
+    val scores = out.map(_._3)
+    assert(scores.zip(scores.tail).forall { case (x, y) => y <= x },
+      "output must be sorted by similarity")
+    // decay bound: s(a,b) ≤ C for a ≠ b after any number of iterations
+    assert(scores.head <= 0.8 + 1e-9)
   }
 
   // ---- ann_filtered --------------------------------------------------
