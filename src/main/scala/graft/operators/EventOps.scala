@@ -207,6 +207,28 @@ object EventOps {
       |ORDER BY purchase_id, click_id""".stripMargin)(
     EventStreams.streamClickPurchaseLeftJoin)
 
+  /** Stream-stream FULL OUTER interval join — completes the
+    * streaming join matrix (see
+    * EventStreams.streamClickPurchaseFullJoin: both sides cut at
+    * max(ts) − 3 h for provable resolvability, per-side sentinels
+    * drive the eviction); oracle = the batch FULL JOIN under the
+    * identical cutoffs.
+    */
+  val streamJoinFull: QueryDef = QueryDef.sql(
+    "stream_join_full",
+    """WITH cut AS (SELECT max(ts) - INTERVAL 3 HOUR AS c FROM events),
+      |p AS (SELECT event_id, user_id, ts FROM events, cut
+      |      WHERE event_type = 'purchase' AND ts <= c),
+      |cl AS (SELECT event_id, user_id, ts FROM events, cut
+      |       WHERE event_type = 'click' AND ts <= c)
+      |SELECT p.event_id AS purchase_id, cl.event_id AS click_id,
+      |  coalesce(p.user_id, cl.user_id) AS user_id
+      |FROM p FULL JOIN cl
+      |  ON p.user_id = cl.user_id
+      | AND p.ts >= cl.ts AND p.ts <= cl.ts + INTERVAL 30 MINUTE
+      |ORDER BY purchase_id NULLS FIRST, click_id NULLS FIRST""".stripMargin)(
+    EventStreams.streamClickPurchaseFullJoin)
+
   /** Streaming egress roundtrip: hourly agg → foreachBatch → parquet
     * on disk → read back; same oracle as the batch/memory variants.
     */
@@ -1941,7 +1963,7 @@ object EventOps {
     streamJoin, streamSinkRoundtrip,
     eventsFunnel, eventsRetention, eventsAnomaly, eventsPaths,
     eventsHourlyMerge, streamEnrich, eventsSlidingUniques, eventsHistogram,
-    eventsMarkov, streamTopk, streamJoinOuter, eventsDau,
+    eventsMarkov, streamTopk, streamJoinOuter, streamJoinFull, eventsDau,
     streamSessionsState, eventsAttribution, eventsCohortLtv, eventsAbtest,
     streamScd2, eventsConcurrency, eventsRfm, eventsPareto, eventsChurn,
     eventsCuped, eventsPower, eventsDid, eventsAbsorbing, streamIdempotentSink, streamProgressMetrics,

@@ -529,6 +529,62 @@ object EventStreams {
       .orderBy(col("purchase_id"), col("click_id"))
   }
 
+  /** Stream-stream FULL OUTER join — completes the streaming join
+    * matrix (inner: stream_join; left outer: stream_join_outer):
+    * matches emit eagerly, and BOTH sides' unmatched rows null-extend
+    * on watermark-driven state eviction — so both sides need the
+    * resolvability cutoff (a row newer than max(ts) − 3 h can never
+    * be proven matchless before a finite stream's watermark stops)
+    * and the per-side far-future sentinels that push the global
+    * watermark (= MIN over sides) past every real deadline. Oracle =
+    * the batch FULL JOIN under the identical cutoffs, hash-matched
+    * including null-extensions on both sides.
+    */
+  def streamClickPurchaseFullJoin(s: SparkSession, dir: String): DataFrame = {
+    val maxTs = graft.sources.Tables.events(s, dir)
+      .agg(org.apache.spark.sql.functions.max(col("ts"))).collect()(0).getTimestamp(0)
+    val cutoff = java.sql.Timestamp.from(maxTs.toInstant.minusSeconds(3 * 3600))
+    val (src, tmp) = eventsStream(s, dir)
+    val clicks = src.filter(col("event_type") === "click")
+      .filter(col("ts") <= lit(cutoff) || col("user_id") < 0)
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .filter(col("ts") <= lit(cutoff) || col("user_id") < 0)
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+        "fullOuter")
+      .select(col("purchase_id"), col("click_id"),
+        coalesce(col("p_user"), col("c_user")).as("user_id"))
+    val name = "stream_join_full_sink"
+    s.streams.active.filter(_.name == name).foreach(_.stop())
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions.toString)
+    try {
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        appendSentinel(s, tmp, rawEventSchema(s, dir)("ts").dataType,
+          maxTs.toInstant.plusSeconds(24 * 3600),
+          Seq((-1L, -1L, "click"), (-2L, -1L, "purchase")))
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        deleteRecursively(tmp)
+      }
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.table(name)
+      .filter(col("user_id") >= 0)
+      .orderBy(col("purchase_id").asc_nulls_first, col("click_id").asc_nulls_first)
+  }
+
   /** Open-session state for the flatMapGroupsWithState
     * sessionization: timestamps in µs, count of events folded in.
     */

@@ -68,6 +68,33 @@ class StreamBatchParitySpec extends AnyFunSuite {
     assert(v1.nonEmpty)
   }
 
+  test("stream_join_full equals the batch full outer join under the same cutoffs") {
+    val ev = Tables.events(spark, sf)
+    val cutoff = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0).toInstant
+      .minusSeconds(3 * 3600)
+    val cutTs = java.sql.Timestamp.from(cutoff)
+    val clicks = ev.filter(col("event_type") === "click" && col("ts") <= lit(cutTs))
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase" && col("ts") <= lit(cutTs))
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    val batch = purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+        "fullOuter")
+      .select(col("purchase_id"), col("click_id"),
+        coalesce(col("p_user"), col("c_user")).as("user_id"))
+      .collect().toSet
+    val streamed = EventStreams.streamClickPurchaseFullJoin(spark, sf)
+      .collect().toSet
+    assert(streamed === batch)
+    // both null-extension directions must actually occur
+    assert(streamed.exists(_.isNullAt(0)), "no unmatched clicks emitted")
+    assert(streamed.exists(_.isNullAt(1)), "no unmatched purchases emitted")
+  }
+
   test("stream_idempotent_sink equals the batch hourly aggregate despite batch re-delivery") {
     // the sink path re-delivers the newest batch internally (simulated
     // crash recovery); idempotent partition overwrite must absorb it
