@@ -677,10 +677,51 @@ object SourceOps {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** NESTED-SCHEMA parquet roundtrip — the denormalized document
+    * layout lakehouses actually store (an order with its line items
+    * as an array<struct>, written once, read everywhere) versus the
+    * flat join the warehouse runs: the nested table is built with
+    * ONE orders⋈lineitem co-key aggregation (items sorted in-array
+    * for determinism), written to parquet, read back, and the
+    * readout explodes items and re-aggregates — which must equal the
+    * flat-join SQL over the original tables, proving the
+    * pack/unpack roundtrip is lossless. Reading selects ONLY
+    * items.l_extendedprice, so nested-schema pruning
+    * (spark.sql.optimizer.nestedSchemaPruning, default on) prunes
+    * the struct to one field at the scan — at 100 TB the nested
+    * layout then reads a single column stripe instead of
+    * re-shuffling the join every query.
+    */
+  val srcNestedParquet: QueryDef = QueryDef.sql(
+    "src_nested_parquet",
+    """SELECT o_orderpriority AS priority, count(*) AS n_items,
+      |  round(sum(l_extendedprice), 2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val path = tmpDir("orders_nested")
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(struct(
+        col("l_partkey"), col("l_quantity"), col("l_extendedprice")))).as("items"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("items"))
+      .write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+      .select(col("o_orderpriority"),
+        explode(col("items.l_extendedprice")).as("price"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"), round(sum(col("price")), 2).as("revenue"))
+      .select(col("o_orderpriority").as("priority"), col("n_items"), col("revenue"))
+      .orderBy(col("priority"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     srcTextPoints, srcCsvRoundtrip, srcJsonRoundtrip, srcPartitionedScan,
     srcOrcRoundtrip, srcZorderScan, srcCompactSmallFiles, srcSchemaEvolution,
     srcCsvMalformed, srcBinaryFiles, srcIgnoreCorrupt, srcDateDim,
     srcPointsV2, srcPointsV2Roundtrip, srcManifestScan, srcGdprDelete,
-    srcBloomFilterScan, srcMorRead)
+    srcBloomFilterScan, srcMorRead, srcNestedParquet)
 }

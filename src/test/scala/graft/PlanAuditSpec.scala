@@ -333,6 +333,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"KM arithmetic must not shuffle-join:\n$p")
   }
 
+  test("src_nested_parquet prunes the item struct to the selected field") {
+    val p = formatted("src_nested_parquet")
+    // the 3-field struct must shrink to the one field the query reads
+    assert(p.contains("items:array<struct<l_extendedprice:double>>"),
+      s"nested schema pruning missing:\n$p")
+    assert(!p.contains("l_partkey"), "unselected nested field still read")
+  }
+
   test("native dot product stays inside whole-stage codegen") {
     val e = graft.operators.Similarity.vectors(spark, sf)
     val p = e.select(graft.functions.VectorFunctions
