@@ -688,10 +688,63 @@ object RelationalMore {
       .orderBy(col("global_rank"))
   }
 
+  /** GINI COEFFICIENT of order revenue — the inequality readout
+    * behind every "top X% of customers drive Y%" claim
+    * (q_movers/events_pareto give the curve; Gini is its scalar):
+    * G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) over the ascending-rank
+    * values. The global rank comes from the banded TWO-PHASE exact
+    * rank (q_global_rank's machinery — integer bands of the cent
+    * value, per-band offsets, partitioned local row_number; a bare
+    * global window would single-partition the corpus), and every
+    * sum is exact integer (cents, rank·cents as decimal(38,0) so the
+    * formula survives any corpus size) with ONE final cast to double
+    * — partition- and engine-identical. Oracle replays with a plain
+    * window (oracle-side scale doesn't matter) and the identical
+    * final expression.
+    */
+  val qGini: QueryDef = QueryDef.sql(
+    "q_gini",
+    """WITH w AS (
+      |  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+      |         o_orderkey
+      |  FROM orders),
+      |r AS (SELECT cents,
+      |        row_number() OVER (ORDER BY cents, o_orderkey) AS i
+      |      FROM w),
+      |agg AS (SELECT count(*) AS n, sum(cents) AS s, sum(i * cents) AS t
+      |        FROM r)
+      |SELECT n, round(CAST(s AS DOUBLE) / n / 100, 4) AS mean_price,
+      |  round(CAST(2 * t - (n + 1) * s AS DOUBLE)
+      |        / CAST(n AS DOUBLE) / CAST(s AS DOUBLE), 6) AS gini
+      |FROM agg""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types.DecimalType
+    val w = Tables.orders(s, d).select(
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+      col("o_orderkey"))
+      .withColumn("band", expr("cents div 100000"))
+    val counts = w.groupBy(col("band")).agg(count(lit(1)).as("bn"))
+    val wBands = Window.orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("offset", coalesce(sum(col("bn")).over(wBands), lit(0L)))
+      .select(col("band").as("ob"), col("offset"))
+    val wLocal = Window.partitionBy(col("band"))
+      .orderBy(col("cents"), col("o_orderkey"))
+    w.join(broadcast(offsets), col("band") === col("ob"))
+      .withColumn("i", col("offset") + row_number().over(wLocal))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).cast(DecimalType(38, 0)).as("s"),
+        sum((col("i") * col("cents")).cast(DecimalType(38, 0))).as("t"))
+      .select(col("n"),
+        round(col("s").cast("double") / col("n") / lit(100), 4).as("mean_price"),
+        round((lit(2) * col("t") - (col("n") + 1) * col("s")).cast("double")
+          / col("n").cast("double") / col("s").cast("double"), 6).as("gini"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     qLateralTopk, qStringAgg, qMode, qHllPartitioned, qNativeTopk,
     qTopkRewrite, qPercentRank, qRecursiveChain, qUnpivot, qWinsorized,
     qTwophaseDistinct, qCrosstab, qGroupingId, qWeightedSample,
     qHistogramEquiwidth, qGrowthAccounting, qIncrementalAgg, qDecimalAgg,
-    qNestedHof, qSkyline, qDivision, qGlobalRank)
+    qNestedHof, qSkyline, qDivision, qGlobalRank, qGini)
 }

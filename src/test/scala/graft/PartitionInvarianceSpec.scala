@@ -48,7 +48,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "ts_backtest",         // exact int OLS sufficient sums per fold
     "events_trending",     // ordered decayed cumsum per user
     "profile_bootstrap",   // exact int replicate sums + selection CI
-    "graph_simrank"        // iterated pair joins over the entity graph
+    "graph_simrank",       // iterated pair joins over the entity graph
+    "q_gini"               // banded exact rank + decimal sums
   )
 
   private def runWith(name: String, parts: String): Seq[String] = {

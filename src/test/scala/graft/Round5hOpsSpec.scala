@@ -188,6 +188,23 @@ class Round5hOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- q_gini --------------------------------------------------------
+
+  test("q_gini: matches a direct replay and sits in [0, 1)") {
+    val row = graft.operators.RelationalMore.qGini.fn(spark, sf).head()
+    val (n, gini) = (row.getLong(0), row.getDouble(2))
+    assert(gini >= 0.0 && gini < 1.0)
+    val cents = Tables.orders(spark, sf)
+      .select(round(col("o_totalprice") * 100, 0).cast("long"), col("o_orderkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(identity).map(_._1)
+    assert(n === cents.length.toLong)
+    val s = cents.sum
+    val t = cents.zipWithIndex.map { case (c, i0) => (i0 + 1).toLong * c }.sum
+    val direct = (2.0 * t - (n + 1).toDouble * s) / n.toDouble / s.toDouble
+    assert(math.abs(gini - direct) < 1e-5, s"gini $gini != direct $direct")
+  }
+
   // ---- graph_simrank -------------------------------------------------
 
   test("graph_simrank: scores bounded, ordered, and consistent with one-step replay") {
