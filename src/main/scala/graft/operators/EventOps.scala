@@ -1951,7 +1951,84 @@ object EventOps {
       .limit(20)
   }
 
+  /** MANN–WHITNEY U TEST — the nonparametric complement to
+    * events_abtest's Welch t (which trusts means; heavy-tailed
+    * revenue distributions routinely break that): does variant B's
+    * revenue DISTRIBUTION stochastically dominate A's? Entirely
+    * exact-integer until one final expression: per-user revenue in
+    * cents (exact int64), tie groups = the distinct-revenue
+    * aggregate, average ranks via the doubled-rank identity
+    * 2R_A = Σ cnt_A·(2·start + cnt + 1) (never a fractional rank
+    * materialized), tie-corrected variance from Σ(t³−t) — all int64
+    * sums, so the statistic is partition- and engine-identical. The
+    * prefix count `start` uses the banded two-phase offsets
+    * (q_global_rank's machinery), so no unpartitioned window
+    * touches the per-value relation.
+    */
+  val eventsMannwhitney: QueryDef = QueryDef.sql(
+    "events_mannwhitney",
+    """WITH per_user AS (
+      |  SELECT user_id, user_id % 2 AS variant,
+      |    sum(CASE WHEN event_type = 'purchase'
+      |             THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END) AS rev
+      |  FROM events GROUP BY 1, 2),
+      |g AS (SELECT rev, count(*) AS cnt,
+      |        sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS cnt_a
+      |      FROM per_user GROUP BY rev),
+      |o AS (SELECT rev, cnt, cnt_a,
+      |        coalesce(sum(cnt) OVER (ORDER BY rev
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+      |      FROM g),
+      |agg AS (SELECT sum(cnt_a * (2 * start + cnt + 1)) AS r2a,
+      |               sum(cnt * cnt * cnt - cnt) AS t,
+      |               sum(cnt_a) AS na, sum(cnt - cnt_a) AS nb, sum(cnt) AS n
+      |        FROM o)
+      |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      |  round(CAST(r2a - na * (na + 1) AS DOUBLE) / 2, 1) AS u_a,
+      |  round((CAST(r2a - na * (na + 1) - na * nb AS DOUBLE) / 2)
+      |        / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12
+      |               * (CAST(n + 1 AS DOUBLE)
+      |                  - CAST(t AS DOUBLE) / CAST(n AS DOUBLE)
+      |                    / CAST(n - 1 AS DOUBLE))), 4) AS z
+      |FROM agg""".stripMargin) { (s, d) =>
+    val perUser = Tables.events(s, d)
+      .groupBy(col("user_id"), (col("user_id") % 2).as("variant"))
+      .agg(sum(when(col("event_type") === "purchase",
+        round(col("value") * 100, 0).cast("long")).otherwise(0L)).as("rev"))
+    val g = perUser.groupBy(col("rev"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("cnt_a"))
+      .withColumn("band", expr("rev div 100000"))
+    val bandCounts = g.groupBy(col("band")).agg(sum(col("cnt")).as("bn"))
+    val wBands = Window.orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bandCounts
+      .withColumn("offset", coalesce(sum(col("bn")).over(wBands), lit(0L)))
+      .select(col("band").as("ob"), col("offset"))
+    val wLocal = Window.partitionBy(col("band")).orderBy(col("rev"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val o = g.join(broadcast(offsets), col("band") === col("ob"))
+      .withColumn("start",
+        col("offset") + coalesce(sum(col("cnt")).over(wLocal), lit(0L)))
+    o.agg(
+        sum(col("cnt_a") * (lit(2) * col("start") + col("cnt") + 1)).as("r2a"),
+        sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("t"),
+        sum(col("cnt_a")).as("na"),
+        sum(col("cnt") - col("cnt_a")).as("nb"),
+        sum(col("cnt")).as("n"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        round((col("r2a") - col("na") * (col("na") + 1)).cast("double") / 2, 1)
+          .as("u_a"),
+        round(((col("r2a") - col("na") * (col("na") + 1)
+            - col("na") * col("nb")).cast("double") / 2)
+          / sqrt(col("na").cast("double") * col("nb").cast("double") / 12
+            * ((col("n") + 1).cast("double")
+              - col("t").cast("double") / col("n").cast("double")
+                / (col("n") - 1).cast("double"))), 4).as("z"))
+  }
+
   val all: Seq[QueryDef] = Seq(
+    eventsMannwhitney,
     eventsTrending,
     eventsSurvival,
     eventsBitmapCohort, streamBitmapCohort, streamSliding,

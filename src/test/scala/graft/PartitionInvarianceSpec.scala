@@ -49,7 +49,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "events_trending",     // ordered decayed cumsum per user
     "profile_bootstrap",   // exact int replicate sums + selection CI
     "graph_simrank",       // iterated pair joins over the entity graph
-    "q_gini"               // banded exact rank + decimal sums
+    "q_gini",              // banded exact rank + decimal sums
+    "events_mannwhitney"   // all-int doubled-rank sums
   )
 
   private def runWith(name: String, parts: String): Seq[String] = {

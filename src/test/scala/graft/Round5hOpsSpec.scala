@@ -188,6 +188,34 @@ class Round5hOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- events_mannwhitney --------------------------------------------
+
+  test("events_mannwhitney: U matches direct pair counting and z its closed form") {
+    val row = EventOps.eventsMannwhitney.fn(spark, sf).head()
+    val (na, nb, uA, z) =
+      (row.getLong(0), row.getLong(1), row.getDouble(2), row.getDouble(3))
+    val rev = Tables.events(spark, sf)
+      .groupBy(col("user_id"), (col("user_id") % 2).as("v"))
+      .agg(sum(when(col("event_type") === "purchase",
+        round(col("value") * 100, 0).cast("long")).otherwise(0L)).as("rev"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val a = rev.filter(_._1 == 0).map(_._2)
+    val b = rev.filter(_._1 == 1).map(_._2)
+    assert(na === a.length.toLong && nb === b.length.toLong)
+    // O(na·nb) direct pair count — fine at test SF
+    val direct = a.iterator.map { x =>
+      b.count(x > _) + 0.5 * b.count(x == _)
+    }.sum
+    assert(math.abs(uA - direct) < 1e-9, s"U $uA != direct $direct")
+    val n = na + nb
+    val tieT = (a ++ b).groupBy(identity).values
+      .map { g => val c = g.length.toLong; c * c * c - c }.sum
+    val mu = na.toDouble * nb / 2
+    val varU = na.toDouble * nb / 12 *
+      ((n + 1).toDouble - tieT.toDouble / n / (n - 1))
+    assert(math.abs(z - (direct - mu) / math.sqrt(varU)) < 1e-3)
+  }
+
   // ---- q_gini --------------------------------------------------------
 
   test("q_gini: matches a direct replay and sits in [0, 1)") {
