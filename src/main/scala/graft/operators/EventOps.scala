@@ -2027,8 +2027,81 @@ object EventOps {
                 / (col("n") - 1).cast("double"))), 4).as("z"))
   }
 
+  /** TWO-SAMPLE KOLMOGOROV–SMIRNOV TEST — the SHAPE complement to
+    * events_mannwhitney's location shift: D = sup|F_A − F_B| sees a
+    * variance or tail change even when medians agree. Exactness one
+    * step further than MW: the supremum itself stays INTEGER —
+    * D = max|cumA·n_B − cumB·n_A| / (n_A·n_B), the max runs over
+    * exact int64 cross-products (max is order-free), and only the
+    * already-maximized integer divides once. Same per-value
+    * tie-group aggregate + banded two-phase prefix machinery as MW;
+    * asymptotic p from the first Kolmogorov term 2·exp(−2λ²),
+    * λ = D·√(n_A·n_B/n), spelled identically in the oracle.
+    */
+  val eventsKsTest: QueryDef = QueryDef.sql(
+    "events_ks_test",
+    """WITH per_user AS (
+      |  SELECT user_id, user_id % 2 AS variant,
+      |    sum(CASE WHEN event_type = 'purchase'
+      |             THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END) AS rev
+      |  FROM events GROUP BY 1, 2),
+      |g AS (SELECT rev,
+      |        sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS ca,
+      |        sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS cb
+      |      FROM per_user GROUP BY rev),
+      |c AS (SELECT rev,
+      |        sum(ca) OVER (ORDER BY rev
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+      |        sum(cb) OVER (ORDER BY rev
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
+      |      FROM g),
+      |n AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM g),
+      |agg AS (SELECT max(abs(cum_a * n.nb - cum_b * n.na)) AS dnum
+      |        FROM c, n)
+      |SELECT CAST(n.na AS BIGINT) AS n_a, CAST(n.nb AS BIGINT) AS n_b,
+      |  round(CAST(dnum AS DOUBLE) / CAST(n.na AS DOUBLE) / CAST(n.nb AS DOUBLE), 6) AS ks_d,
+      |  round(2 * exp(-2
+      |    * pow(CAST(dnum AS DOUBLE) / CAST(n.na AS DOUBLE) / CAST(n.nb AS DOUBLE), 2)
+      |    * CAST(n.na AS DOUBLE) * CAST(n.nb AS DOUBLE)
+      |      / CAST(n.na + n.nb AS DOUBLE)), 6) AS p_approx
+      |FROM agg, n""".stripMargin) { (s, d) =>
+    val perUser = Tables.events(s, d)
+      .groupBy(col("user_id"), (col("user_id") % 2).as("variant"))
+      .agg(sum(when(col("event_type") === "purchase",
+        round(col("value") * 100, 0).cast("long")).otherwise(0L)).as("rev"))
+    val g = perUser.groupBy(col("rev"))
+      .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("cb"))
+      .withColumn("band", expr("rev div 100000"))
+    val bandTotals = g.groupBy(col("band"))
+      .agg(sum(col("ca")).as("ba"), sum(col("cb")).as("bb"))
+    val wBands = Window.orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bandTotals
+      .withColumn("off_a", coalesce(sum(col("ba")).over(wBands), lit(0L)))
+      .withColumn("off_b", coalesce(sum(col("bb")).over(wBands), lit(0L)))
+      .select(col("band").as("ob"), col("off_a"), col("off_b"))
+    val wLocal = Window.partitionBy(col("band")).orderBy(col("rev"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = g.join(broadcast(offsets), col("band") === col("ob"))
+      .withColumn("cum_a", col("off_a") + sum(col("ca")).over(wLocal))
+      .withColumn("cum_b", col("off_b") + sum(col("cb")).over(wLocal))
+    val n = g.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    c.crossJoin(broadcast(n))
+      .agg(max(abs(col("cum_a") * col("nb") - col("cum_b") * col("na"))).as("dnum"),
+        first(col("na")).as("na"), first(col("nb")).as("nb"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        round(col("dnum").cast("double")
+          / col("na").cast("double") / col("nb").cast("double"), 6).as("ks_d"),
+        round(lit(2) * exp(lit(-2)
+          * pow(col("dnum").cast("double")
+            / col("na").cast("double") / col("nb").cast("double"), 2)
+          * col("na").cast("double") * col("nb").cast("double")
+          / (col("na") + col("nb")).cast("double")), 6).as("p_approx"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    eventsMannwhitney,
+    eventsMannwhitney, eventsKsTest,
     eventsTrending,
     eventsSurvival,
     eventsBitmapCohort, streamBitmapCohort, streamSliding,

@@ -50,7 +50,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "profile_bootstrap",   // exact int replicate sums + selection CI
     "graph_simrank",       // iterated pair joins over the entity graph
     "q_gini",              // banded exact rank + decimal sums
-    "events_mannwhitney"   // all-int doubled-rank sums
+    "events_mannwhitney",  // all-int doubled-rank sums
+    "events_ks_test"       // integer CDF supremum, one division
   )
 
   private def runWith(name: String, parts: String): Seq[String] = {

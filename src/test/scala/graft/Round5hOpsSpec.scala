@@ -216,6 +216,29 @@ class Round5hOpsSpec extends AnyFunSuite {
     assert(math.abs(z - (direct - mu) / math.sqrt(varU)) < 1e-3)
   }
 
+  // ---- events_ks_test ------------------------------------------------
+
+  test("events_ks_test: D matches the direct empirical-CDF supremum") {
+    val row = EventOps.eventsKsTest.fn(spark, sf).head()
+    val (na, nb, d, p) =
+      (row.getLong(0), row.getLong(1), row.getDouble(2), row.getDouble(3))
+    assert(d >= 0.0 && d <= 1.0 && p >= 0.0 && p <= 2.0 + 1e-9)
+    val rev = Tables.events(spark, sf)
+      .groupBy(col("user_id"), (col("user_id") % 2).as("v"))
+      .agg(sum(when(col("event_type") === "purchase",
+        round(col("value") * 100, 0).cast("long")).otherwise(0L)).as("rev"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val a = rev.filter(_._1 == 0).map(_._2).sorted
+    val b = rev.filter(_._1 == 1).map(_._2).sorted
+    assert(na === a.length.toLong && nb === b.length.toLong)
+    val vals = (a ++ b).distinct
+    val direct = vals.map { v =>
+      math.abs(a.count(_ <= v).toDouble / a.length -
+        b.count(_ <= v).toDouble / b.length)
+    }.max
+    assert(math.abs(d - direct) < 1e-6, s"D $d != direct $direct")
+  }
+
   // ---- q_gini --------------------------------------------------------
 
   test("q_gini: matches a direct replay and sits in [0, 1)") {
