@@ -1017,11 +1017,44 @@ object Dedup {
     } finally sh.unpersist(false)
   }
 
+  /** Cross-source duplication matrix — the provenance readout behind
+    * "which ingest feeds copy from which": near-duplicate pairs
+    * (exact n-gram Jaccard ≥ 0.8, bounded corpus) attributed to
+    * their UNORDERED source pair, counted per pair. A feed that
+    * mirrors another shows up as a hot cell; the dedup policy then
+    * keeps one canonical feed instead of running pair dedup forever.
+    * Source lookup is two |pairs|-sized joins against the doc→source
+    * projection (broadcast at matrix scale); least/greatest
+    * canonicalizes the pair so (A,B) and (B,A) land in one cell.
+    * 100 TB path: the pair relation comes from the bucketed LSH
+    * machinery, never all-pairs — this operator only re-keys it.
+    */
+  val dedupSourceMatrix: QueryDef = QueryDef.sql(
+    "dedup_source_matrix",
+    s"""WITH $ngramPairCtes
+       |SELECT least(d1.source, d2.source) AS source_a,
+       |  greatest(d1.source, d2.source) AS source_b,
+       |  count(*) AS n_pairs
+       |FROM pairs
+       |  JOIN documents d1 ON pairs.id1 = d1.doc_id
+       |  JOIN documents d2 ON pairs.id2 = d2.doc_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    ngramPairs(Tables.documents(s, d), 300L, 0.8)
+      .join(broadcast(src.toDF("id1", "src1")), "id1")
+      .join(broadcast(src.toDF("id2", "src2")), "id2")
+      .groupBy(least(col("src1"), col("src2")).as("source_a"),
+        greatest(col("src1"), col("src2")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupBestSurvivor, dedupSetsimPrefix, dedupEval,
     dedupExact, dedupExactNfc, dedupStats, dedupNgram, dedupContainment,
     dedupMinhash,
     dedupSimhash, dedupEmbedding, streamDedup, dedupGroups, dedupNearCorpus,
     dedupSimhashLsh, streamDedupWm, dedupMinhashCorpus, dedupIncremental,
-    dedupIncrementalIndexed, streamDedupIndexed, dedupMinhashEst, dedupSubstring)
+    dedupIncrementalIndexed, streamDedupIndexed, dedupMinhashEst, dedupSubstring,
+    dedupSourceMatrix)
 }

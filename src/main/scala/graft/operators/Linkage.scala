@@ -488,7 +488,99 @@ object Linkage {
     scored.orderBy(col("score").desc, col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** Exact distributed decision-stump induction (one-level CART) —
+    * the split-search primitive every tree ensemble is built from,
+    * and the interpretable baseline a data pipeline reaches for
+    * before the LR quality model (pipeline_quality_model): find the
+    * (feature, threshold) whose binary split best purifies the
+    * lang=='en' label by Gini gain. The classic MapReduce-era
+    * formulation (PLANET, Panda et al. 2009): candidate thresholds
+    * are the feature's exact deciles (ONE percentile aggregate per
+    * feature — the q_median cross-engine machinery), and every
+    * candidate's left/right class counts come from ONE conditional
+    * aggregate over the ×9-threshold broadcast probe — O(9n) map
+    * work, shuffle carries 27 partial-agg groups, never a sort or
+    * per-candidate pass. Output = the full scored candidate grid
+    * (gain from exact integer counts, one shared float expression);
+    * the argmax row is the stump. Scales to deep trees by repeating
+    * per node on the node's partition filter.
+    */
+  val miningDtree: QueryDef = QueryDef.sql(
+    "mining_dtree",
+    """WITH feats AS (
+      |  SELECT 'c_en' AS feature,
+      |    CAST(length(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b')) AS DOUBLE) AS value,
+      |    CAST(lang = 'en' AS INT) AS y FROM documents
+      |  UNION ALL
+      |  SELECT 'n_chars', CAST(n_chars AS DOUBLE), CAST(lang = 'en' AS INT)
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'n_tokens', CAST(length(regexp_extract_all(text, '\S+')) AS DOUBLE),
+      |    CAST(lang = 'en' AS INT) FROM documents),
+      |qs AS (
+      |  SELECT feature,
+      |    quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS q
+      |  FROM feats GROUP BY 1),
+      |thr AS (
+      |  SELECT feature, i AS dec, q[i] AS thr
+      |  FROM qs, UNNEST(generate_series(1, 9)) AS t(i)),
+      |cand AS (
+      |  SELECT f.feature, dec, thr,
+      |    count(*) AS n, sum(y) AS pos,
+      |    sum(CASE WHEN value <= thr THEN 1 ELSE 0 END) AS nl,
+      |    sum(CASE WHEN value <= thr THEN y ELSE 0 END) AS pl
+      |  FROM feats f JOIN thr ON f.feature = thr.feature
+      |  GROUP BY 1, 2, 3)
+      |SELECT feature, CAST(dec AS BIGINT) AS dec, round(thr, 4) AS thr,
+      |  CAST(nl AS BIGINT) AS n_left, CAST(pl AS BIGINT) AS pos_left,
+      |  round(
+      |    2.0 * pos / n * (1 - 1.0 * pos / n)
+      |    - CASE WHEN nl = 0 THEN 0
+      |        ELSE (1.0 * nl / n) * (2.0 * pl / nl * (1 - 1.0 * pl / nl)) END
+      |    - CASE WHEN n - nl = 0 THEN 0
+      |        ELSE (1.0 * (n - nl) / n)
+      |          * (2.0 * (pos - pl) / (n - nl) * (1 - 1.0 * (pos - pl) / (n - nl))) END,
+      |    6) AS gain
+      |FROM cand ORDER BY feature, dec""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val stacked = docs.select(
+        explode(array(
+          struct(lit("c_en").as("feature"),
+            regexp_count(lower(col("text")), lit("\\b(the|and|of|to|is)\\b"))
+              .cast("double").as("value")),
+          struct(lit("n_chars").as("feature"), col("n_chars").cast("double").as("value")),
+          struct(lit("n_tokens").as("feature"),
+            regexp_count(col("text"), lit("\\S+")).cast("double").as("value"))))
+          .as("f"),
+        when(col("lang") === "en", 1).otherwise(0).as("y"))
+      .select(col("f.feature").as("feature"), col("f.value").as("value"), col("y"))
+    val thr = stacked.groupBy(col("feature"))
+      .agg(expr("percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("q"))
+      .select(col("feature"), posexplode(col("q")).as(Seq("pos0", "thr")))
+      .select(col("feature"), (col("pos0") + 1).cast("long").as("dec"), col("thr"))
+    val cand = stacked.join(broadcast(thr), "feature")
+      .groupBy(col("feature"), col("dec"), col("thr"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"),
+        sum(when(col("value") <= col("thr"), 1).otherwise(0)).as("nl"),
+        sum(when(col("value") <= col("thr"), col("y")).otherwise(0)).as("pl"))
+    def dbl(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      c.cast("double")
+    def gini(p: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      lit(2.0) * p * (lit(1) - p)
+    val parent = gini(dbl(col("pos")) / dbl(col("n")))
+    val left = when(col("nl") === 0, 0.0).otherwise(
+      (dbl(col("nl")) / dbl(col("n"))) * gini(dbl(col("pl")) / dbl(col("nl"))))
+    val right = when(col("n") - col("nl") === 0, 0.0).otherwise(
+      (dbl(col("n") - col("nl")) / dbl(col("n")))
+        * gini(dbl(col("pos") - col("pl")) / dbl(col("n") - col("nl"))))
+    val gain = parent - left - right
+    cand.select(col("feature"), col("dec"), round(col("thr"), 4).as("thr"),
+        col("nl").cast("long").as("n_left"), col("pl").cast("long").as("pos_left"),
+        round(gain, 6).as("gain"))
+      .orderBy(col("feature"), col("dec"))
+  }
+
   val all: Seq[QueryDef] = Seq(qCopurchase, qFuzzyJoin, miningFpgrowth, miningAls,
     miningPrefixspan, miningAssoc, miningLda, miningOls, miningGmm,
-    miningIforest)
+    miningIforest, miningDtree)
 }

@@ -1272,6 +1272,119 @@ object TextAnalysis {
     ranks
   }
 
+  /** Per-source corpus drift via Jensen–Shannon divergence — the
+    * curation readout that answers "which ingest feeds have moved
+    * away from the corpus mix?" before a bad feed poisons a training
+    * run: JSD(P_s ‖ Q) between each source's unigram distribution
+    * P_s and the whole-corpus distribution Q, in bits (0 = identical
+    * mix, 1 = disjoint vocabularies). The absent-word mass needs no
+    * sources × vocab cross join: for words the source never emits,
+    * p = 0 and the pair term collapses to q/2·log2(2) = q/2, so the
+    * whole absent tail is 0.5·(1 − Σ_{w∈s} q_w) — one subtraction
+    * from the per-source aggregate. 100 TB shape: ONE (source, word)
+    * token shuffle with map-side partial agg → the per-word corpus
+    * relation re-aggregates THAT (vocab-sized, never a second corpus
+    * scan), per-source totals broadcast back; join work is
+    * O(Σ_s vocab_s), never sources × vocab. Exact integer counts
+    * feed one final float expression per (source, word); round(4).
+    */
+  val textJsd: QueryDef = QueryDef.sql(
+    "text_jsd",
+    """WITH toks AS (
+      |  SELECT source, unnest(regexp_extract_all(lower(text), '\S+')) AS word
+      |  FROM documents),
+      |sw AS (SELECT source, word, count(*) AS nsw FROM toks GROUP BY 1, 2),
+      |wt AS (SELECT word, sum(nsw) AS nw FROM sw GROUP BY 1),
+      |st AS (SELECT source, sum(nsw) AS ns FROM sw GROUP BY 1),
+      |tot AS (SELECT sum(nw) AS n FROM wt)
+      |SELECT sw.source, CAST(count(*) AS BIGINT) AS n_words,
+      |  round(sum(0.5 * (
+      |      (CAST(nsw AS DOUBLE) / ns)
+      |        * log2(2 * (CAST(nsw AS DOUBLE) / ns)
+      |               / (CAST(nsw AS DOUBLE) / ns + CAST(nw AS DOUBLE) / n))
+      |      + (CAST(nw AS DOUBLE) / n)
+      |        * log2(2 * (CAST(nw AS DOUBLE) / n)
+      |               / (CAST(nsw AS DOUBLE) / ns + CAST(nw AS DOUBLE) / n))))
+      |    + 0.5 * (1 - sum(CAST(nw AS DOUBLE) / n)), 4) AS jsd
+      |FROM sw JOIN wt USING (word) JOIN st USING (source) CROSS JOIN tot
+      |GROUP BY sw.source ORDER BY sw.source""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d).select(col("source"),
+      explode(regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))).as("word"))
+    val sw = toks.groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("nsw"))
+    val wt = sw.groupBy(col("word")).agg(sum(col("nsw")).as("nw"))
+    val st = sw.groupBy(col("source")).agg(sum(col("nsw")).as("ns"))
+    // corpus token total: O(1) scalar off the vocab-sized relation
+    val n = wt.agg(sum(col("nw"))).head.getLong(0).toDouble
+    val p = col("nsw").cast("double") / col("ns")
+    val q = col("nw").cast("double") / lit(n)
+    sw.join(wt, "word").join(broadcast(st), "source")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        round(
+          sum(lit(0.5) * (p * log2(lit(2) * p / (p + q))
+            + q * log2(lit(2) * q / (p + q))))
+            + lit(0.5) * (lit(1) - sum(q)), 4).as("jsd"))
+      .orderBy(col("source"))
+  }
+
+  /** Gopher quality rules (Rae et al. 2021 §A1.1) — the named
+    * rule-flag battery production corpus filters actually ship, as
+    * distinct from text_quality's blended score: each document gets
+    * a boolean per rule (word count in [10, 100k]; mean word length
+    * in [3, 12]; ≥ 80% of words contain an alphabetic character;
+    * symbol-to-word ratio (#, …) ≤ 0.1; ≥ 2 stopword hits) plus the
+    * conjunction. Per-rule flags are what let an operator see WHY a
+    * feed's pass rate dropped. Pure map-side codegen'd regexp
+    * arithmetic — zero shuffle at any scale; integer counts only,
+    * with the two ratio rules phrased as cross-multiplied integer
+    * comparisons so no float ever enters the predicate.
+    */
+  val textGopherRules: QueryDef = QueryDef.sql(
+    "text_gopher_rules",
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+      |    CAST(length(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS alpha_chars,
+      |    CAST(length(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS BIGINT) AS alpha_words,
+      |    CAST(length(regexp_extract_all(text, '[#…]')) AS BIGINT) AS n_symbols,
+      |    CAST(length(regexp_extract_all(lower(text),
+      |      '\b(the|a|an|of|to|in|and|is|it|for)\b')) AS BIGINT) AS n_stops
+      |  FROM documents)
+      |SELECT doc_id,
+      |  n_words,
+      |  CAST(n_words BETWEEN 10 AND 100000 AS BOOLEAN) AS ok_n_words,
+      |  CAST(alpha_chars >= 3 * n_words AND alpha_chars <= 12 * n_words
+      |    AS BOOLEAN) AS ok_word_len,
+      |  CAST(5 * alpha_words >= 4 * n_words AS BOOLEAN) AS ok_alpha,
+      |  CAST(10 * n_symbols <= n_words AS BOOLEAN) AS ok_symbols,
+      |  CAST(n_stops >= 2 AS BOOLEAN) AS ok_stops,
+      |  CAST(n_words BETWEEN 10 AND 100000
+      |    AND alpha_chars >= 3 * n_words AND alpha_chars <= 12 * n_words
+      |    AND 5 * alpha_words >= 4 * n_words
+      |    AND 10 * n_symbols <= n_words
+      |    AND n_stops >= 2 AS BOOLEAN) AS passes
+      |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val f = Tables.documents(s, d).select(col("doc_id"),
+      regexp_count(col("text"), lit("\\S+")).cast("long").as("n_words"),
+      regexp_count(col("text"), lit("[A-Za-z]")).cast("long").as("alpha_chars"),
+      regexp_count(col("text"), lit("\\S*[A-Za-z]\\S*")).cast("long").as("alpha_words"),
+      regexp_count(col("text"), lit("[#…]")).cast("long").as("n_symbols"),
+      regexp_count(lower(col("text")), lit(stopPattern)).cast("long").as("n_stops"))
+    val okWords = col("n_words").between(10, 100000)
+    // mean word length in [3, 12] as integer cross-multiplication
+    val okLen = col("alpha_chars") >= lit(3) * col("n_words") &&
+      col("alpha_chars") <= lit(12) * col("n_words")
+    val okAlpha = lit(5) * col("alpha_words") >= lit(4) * col("n_words")
+    val okSym = lit(10) * col("n_symbols") <= col("n_words")
+    val okStops = col("n_stops") >= 2
+    f.select(col("doc_id"), col("n_words"),
+        okWords.as("ok_n_words"), okLen.as("ok_word_len"),
+        okAlpha.as("ok_alpha"), okSym.as("ok_symbols"), okStops.as("ok_stops"),
+        (okWords && okLen && okAlpha && okSym && okStops).as("passes"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     textTokens, textQuality, textLangid, textFingerprint, textWordfreq,
     textBpeTokens, textBpeMerged, textTfidf, textLangidEval, textRepetition,
@@ -1279,5 +1392,5 @@ object TextAnalysis {
     textWinnow, textEntropy, textTtr, textNovelty, textPerplexityBucket,
     textZipf, textReadability, textCollocations, textCodeDetect,
     textSeqLenProfile, textChi2, textHashingTrick, textNbLangid, textTextrank,
-    textCodeSwitch, textKnLm)
+    textCodeSwitch, textKnLm, textJsd, textGopherRules)
 }

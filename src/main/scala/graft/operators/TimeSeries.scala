@@ -1347,10 +1347,125 @@ object TimeSeries {
       .orderBy(col("event_type"))
   }
 
+  /** Holt-Winters additive seasonal smoothing (hourly counts, period
+    * 24) — the seasonal upgrade over ts_holt (level+trend only) and
+    * ts_decompose (descriptive, no update rule): level and trend via
+    * the closed-form double-EWMA prefix sum (α = 0.2) on the
+    * DESEASONALIZED series, seasonal state via the γ-EWMA (γ = 0.3)
+    * of the level residuals — and because the seasonal recurrence
+    * seas_t = γ·d_t + (1−γ)·seas_{t−24} only ever references its own
+    * hour-of-day slot, it is an ordinary EWMA WITHIN each
+    * (type, hod) lane: both recurrences collapse to cumulative-sum
+    * window functions, no sequential pass anywhere. Initial indices
+    * seas₀ = lane mean − series mean come from the same O(types ×
+    * hours) dense-grid relation (window avgs, zero extra scans).
+    * Every window partitions by type (or type × hod) over the
+    * bounded TIME GRID — O(days·24) rows per lane regardless of
+    * corpus size; the closed form's pow(decay, rn) rescaling is
+    * exact to ~2000 steps (double range), past which a production
+    * run would chunk the series. Identical formulation both engines.
+    */
+  val tsHoltWinters: QueryDef = QueryDef.sql(
+    "ts_holt_winters",
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (SELECT date_trunc('hour', min(ts)) AS lo,
+      |                  date_trunc('hour', max(ts)) AS hi FROM events),
+      |grid AS (SELECT t.event_type, g.h AS hour
+      |         FROM (SELECT DISTINCT event_type FROM events) t
+      |         CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      |                     FROM bounds) g),
+      |dense AS (
+      |  SELECT g.event_type, g.hour, hour(g.hour) AS hod,
+      |         CAST(coalesce(h.n, 0) AS DOUBLE) AS x
+      |  FROM grid g LEFT JOIN hourly h
+      |    ON h.event_type = g.event_type AND h.hour = g.hour),
+      |seas0 AS (
+      |  SELECT event_type, hour, hod, x,
+      |    avg(x) OVER (PARTITION BY event_type, hod)
+      |      - avg(x) OVER (PARTITION BY event_type) AS s0,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY hour) AS rn,
+      |    row_number() OVER (PARTITION BY event_type, hod ORDER BY hour) AS rnl
+      |  FROM dense),
+      |l1 AS (
+      |  SELECT *,
+      |    power(0.8, rn) * sum((x - s0) * (CASE WHEN rn = 1 THEN 1.0 ELSE 0.2 END)
+      |      / power(0.8, rn)) OVER (PARTITION BY event_type ORDER BY rn
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s1
+      |  FROM seas0),
+      |l2 AS (
+      |  SELECT *,
+      |    power(0.8, rn) * sum(s1 * (CASE WHEN rn = 1 THEN 1.0 ELSE 0.2 END)
+      |      / power(0.8, rn)) OVER (PARTITION BY event_type ORDER BY rn
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s2
+      |  FROM l1),
+      |lev AS (SELECT *, 2 * s1 - s2 AS level FROM l2),
+      |sea AS (
+      |  SELECT *,
+      |    power(0.7, rnl) * s0
+      |      + power(0.7, rnl) * sum(0.3 * (x - level) / power(0.7, rnl))
+      |        OVER (PARTITION BY event_type, hod ORDER BY rnl
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seas
+      |  FROM lev)
+      |SELECT event_type, hour, CAST(x AS BIGINT) AS n,
+      |  round(level, 3) + 0 AS level,
+      |  round(0.25 * (s1 - s2), 3) + 0 AS trend,
+      |  round(seas, 3) + 0 AS seas,
+      |  round(level + seas, 3) + 0 AS fitted
+      |FROM sea ORDER BY event_type, hour""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val hourly = ev
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h_hour"))
+      .agg(count(lit(1)).as("hn"))
+      .withColumnRenamed("event_type", "h_type")
+    val hours = ev
+      .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+        date_trunc("hour", max(col("ts"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("hour"))
+    val dense = ev.select(col("event_type")).distinct().crossJoin(hours)
+      .join(hourly,
+        col("event_type") === col("h_type") && col("hour") === col("h_hour"),
+        "left_outer")
+      .select(col("event_type"), col("hour"), hour(col("hour")).as("hod"),
+        coalesce(col("hn"), lit(0L)).cast("double").as("x"))
+    val wLane = Window.partitionBy(col("event_type"), col("hod"))
+    val wType = Window.partitionBy(col("event_type"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+    val wLaneOrd = Window.partitionBy(col("event_type"), col("hod")).orderBy(col("hour"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("rn"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLaneCum = Window.partitionBy(col("event_type"), col("hod")).orderBy(col("rnl"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def ewmaOf(c: Column): Column =
+      pow(lit(0.8), col("rn")) * sum(
+        c * when(col("rn") === 1, 1.0).otherwise(0.2) / pow(lit(0.8), col("rn"))
+      ).over(wCum)
+    dense
+      .withColumn("s0", avg(col("x")).over(wLane) - avg(col("x")).over(wType))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("rnl", row_number().over(wLaneOrd))
+      .withColumn("s1", ewmaOf(col("x") - col("s0")))
+      .withColumn("s2", ewmaOf(col("s1")))
+      .withColumn("level", lit(2) * col("s1") - col("s2"))
+      .withColumn("seas",
+        pow(lit(0.7), col("rnl")) * col("s0")
+          + pow(lit(0.7), col("rnl")) * sum(
+            lit(0.3) * (col("x") - col("level")) / pow(lit(0.7), col("rnl"))
+          ).over(wLaneCum))
+      .select(col("event_type"), col("hour"), col("x").cast("long").as("n"),
+        // + 0.0 folds IEEE −0.0 to +0.0 so both engines print one zero
+        (round(col("level"), 3) + lit(0.0)).as("level"),
+        (round(lit(0.25) * (col("s1") - col("s2")), 3) + lit(0.0)).as("trend"),
+        (round(col("seas"), 3) + lit(0.0)).as("seas"),
+        (round(col("level") + col("seas"), 3) + lit(0.0)).as("fitted"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     tsGapfill, tsInterp, tsEwma, tsAutocorr, tsCusum, tsSeasonal,
     tsForecast, tsTimeToConvert, tsGapEpisodes, tsHolt, tsDecompose,
     tsRollingStats, tsRepair, tsOhlc, tsInterEvent, tsTheilsen,
     tsChangepoint, tsLttb, tsDtw, tsPeriodogram, tsAr2, tsTwa, tsXcorr,
-    tsKalman, tsBacktest)
+    tsKalman, tsBacktest, tsHoltWinters)
 }
