@@ -2100,8 +2100,126 @@ object EventOps {
           / (col("na") + col("nb")).cast("double")), 6).as("p_approx"))
   }
 
+  /** BENJAMINI–HOCHBERG FDR CONTROL over a FAMILY of per-metric A/B
+    * tests — the multiple-comparisons discipline every experiment
+    * readout needs once it reports more than one metric (5 metrics
+    * at α=0.05 ≈ 23% chance of a fake "win"; BH caps the expected
+    * false-discovery RATE instead of Bonferroni's power-killing
+    * family-wise bound): one KS test per event type (variant = user
+    * parity, metric = per-user summed value in exact cents), then
+    * the step-up p_adj(i) = min_{j≥i} p_(j)·m/j as a reversed
+    * cumulative-min window. Scale posture: the corpus collapses in
+    * ONE pass to per-(type, cent-value) tie groups; cumulative
+    * counts use the banded two-phase prefix (events_ks_test's
+    * machinery with event_type added to every key — no unpartitioned
+    * window touches a corpus-sized relation); the BH windows run
+    * over the O(#hypotheses) p-value relation, small BY NATURE.
+    * Integer-exact through the KS supremum; the p chain is one
+    * deterministic double expression spelled identically in the
+    * oracle, rounded only for display.
+    */
+  val eventsFdrBh: QueryDef = QueryDef.sql(
+    "events_fdr_bh",
+    """WITH per_user AS (
+      |  SELECT event_type, user_id, user_id % 2 AS variant,
+      |    sum(CAST(round(value * 100, 0) AS BIGINT)) AS rev
+      |  FROM events GROUP BY 1, 2, 3),
+      |g AS (SELECT event_type, rev,
+      |        sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS ca,
+      |        sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS cb
+      |      FROM per_user GROUP BY 1, 2),
+      |c AS (SELECT event_type,
+      |        sum(ca) OVER (PARTITION BY event_type ORDER BY rev
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+      |        sum(cb) OVER (PARTITION BY event_type ORDER BY rev
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
+      |      FROM g),
+      |n AS (SELECT event_type, sum(ca) AS na, sum(cb) AS nb
+      |      FROM g GROUP BY 1),
+      |d AS (SELECT c.event_type, n.na, n.nb,
+      |        max(abs(cum_a * n.nb - cum_b * n.na)) AS dnum
+      |      FROM c JOIN n ON n.event_type = c.event_type
+      |      GROUP BY 1, 2, 3),
+      |p AS (SELECT event_type, na, nb,
+      |        CAST(dnum AS DOUBLE) / CAST(na AS DOUBLE)
+      |          / CAST(nb AS DOUBLE) AS ks_d,
+      |        least(1.0, 2 * exp(-2
+      |          * pow(CAST(dnum AS DOUBLE) / CAST(na AS DOUBLE)
+      |                / CAST(nb AS DOUBLE), 2)
+      |          * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+      |          / CAST(na + nb AS DOUBLE))) AS p_raw
+      |      FROM d),
+      |ranked AS (SELECT *,
+      |        row_number() OVER (ORDER BY p_raw, event_type) AS i,
+      |        count(*) OVER () AS m
+      |      FROM p),
+      |adj AS (SELECT *,
+      |        least(1.0, min(p_raw * m / i) OVER (ORDER BY i DESC
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS p_adj
+      |      FROM ranked)
+      |SELECT event_type, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      |  round(ks_d, 6) AS ks_d, round(p_raw, 6) AS p_raw,
+      |  round(p_adj, 6) AS p_adj,
+      |  CAST(p_adj <= 0.10 AS BOOLEAN) AS significant
+      |FROM adj ORDER BY event_type""".stripMargin) { (s, d) =>
+    val perUser = Tables.events(s, d)
+      .groupBy(col("event_type"), col("user_id"),
+        (col("user_id") % 2).as("variant"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("rev"))
+    val g = perUser.groupBy(col("event_type"), col("rev"))
+      .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("cb"))
+      .withColumn("band", expr("rev div 100000"))
+    val bandTotals = g.groupBy(col("event_type"), col("band"))
+      .agg(sum(col("ca")).as("ba"), sum(col("cb")).as("bb"))
+    val wBands = Window.partitionBy(col("event_type")).orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bandTotals
+      .withColumn("off_a", coalesce(sum(col("ba")).over(wBands), lit(0L)))
+      .withColumn("off_b", coalesce(sum(col("bb")).over(wBands), lit(0L)))
+      .select(col("event_type").as("ot"), col("band").as("ob"),
+        col("off_a"), col("off_b"))
+    val wLocal = Window.partitionBy(col("event_type"), col("band"))
+      .orderBy(col("rev"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = g.join(broadcast(offsets),
+        col("event_type") === col("ot") && col("band") === col("ob"))
+      .withColumn("cum_a", col("off_a") + sum(col("ca")).over(wLocal))
+      .withColumn("cum_b", col("off_b") + sum(col("cb")).over(wLocal))
+    val n = g.groupBy(col("event_type").as("nt"))
+      .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val dRel = c.join(broadcast(n), col("event_type") === col("nt"))
+      .groupBy(col("event_type"), col("na"), col("nb"))
+      .agg(max(abs(col("cum_a") * col("nb") - col("cum_b") * col("na")))
+        .as("dnum"))
+    val p = dRel.select(col("event_type"), col("na"), col("nb"),
+      (col("dnum").cast("double") / col("na").cast("double")
+        / col("nb").cast("double")).as("ks_d"),
+      least(lit(1.0), lit(2) * exp(lit(-2)
+        * pow(col("dnum").cast("double") / col("na").cast("double")
+          / col("nb").cast("double"), 2)
+        * col("na").cast("double") * col("nb").cast("double")
+        / (col("na") + col("nb")).cast("double"))).as("p_raw"))
+    // the BH windows run over the O(#hypotheses) relation — one row
+    // per tested metric, small by nature, never corpus-sized
+    val wRank = Window.orderBy(col("p_raw"), col("event_type"))
+    val wStepUp = Window.orderBy(col("i").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p.withColumn("i", row_number().over(wRank))
+      .withColumn("m", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("p_adj",
+        least(lit(1.0), min(col("p_raw") * col("m") / col("i")).over(wStepUp)))
+      .select(col("event_type"), col("na").cast("long").as("n_a"),
+        col("nb").cast("long").as("n_b"),
+        round(col("ks_d"), 6).as("ks_d"), round(col("p_raw"), 6).as("p_raw"),
+        round(col("p_adj"), 6).as("p_adj"),
+        (col("p_adj") <= 0.10).as("significant"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    eventsMannwhitney, eventsKsTest,
+    eventsMannwhitney, eventsKsTest, eventsFdrBh,
     eventsTrending,
     eventsSurvival,
     eventsBitmapCohort, streamBitmapCohort, streamSliding,

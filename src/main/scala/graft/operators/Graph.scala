@@ -1539,11 +1539,207 @@ object Graph {
       .limit(20)
   }
 
+  /** Eccentricity / diameter / radius — the graph's "how far can a
+    * hop-bounded traversal need to go" audit (BFS-round sizing,
+    * message-passing depth budgets, cache-radius planning all read
+    * this): ecc(v) = max hops to any REACHED node from the same
+    * multi-source BFS relation graph_closeness expands (fixed rounds
+    * ≥ diameter, one equality join + min-aggregate per round);
+    * diameter = max ecc, radius = min ecc, and each node is flagged
+    * peripheral (ecc == diameter) or central (ecc == radius). The
+    * summary is a single-row aggregate over the O(|V|) ecc relation,
+    * broadcast back via cross join — no unpartitioned window. Oracle
+    * replays the identical expansion as chained CTEs.
+    */
+  val graphEccentricity: QueryDef = {
+    val iters = BfsIters
+    val steps = (1 to iters).map { i =>
+      s"""h$i AS (
+         |  SELECT src, node, min(hops) AS hops FROM (
+         |    SELECT src, node, hops FROM h${i - 1}
+         |    UNION ALL
+         |    SELECT h.src, sym.b AS node, h.hops + 1 AS hops
+         |    FROM h${i - 1} h JOIN sym ON sym.a = h.node)
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val oracle =
+      s"""WITH ue AS MATERIALIZED ($undirectedSql),
+         |sym AS MATERIALIZED (SELECT a, b FROM ue UNION SELECT b, a FROM ue),
+         |v AS MATERIALIZED (SELECT a AS node FROM sym UNION SELECT b FROM sym),
+         |h0 AS (SELECT node AS src, node, 0 AS hops FROM v),
+         |$steps,
+         |ecc AS (SELECT src AS node, max(hops) AS ecc FROM h$iters GROUP BY src)
+         |SELECT node, ecc,
+         |  CAST(ecc = (SELECT max(ecc) FROM ecc) AS BOOLEAN) AS is_peripheral,
+         |  CAST(ecc = (SELECT min(ecc) FROM ecc) AS BOOLEAN) AS is_central
+         |FROM ecc ORDER BY node""".stripMargin
+    QueryDef.sql("graph_eccentricity", oracle) { (s, d) =>
+      val ue = undirectedNationEdges(s, d)
+      val sym = ue.select(col("a"), col("b"))
+        .union(ue.select(col("b").as("a"), col("a").as("b")))
+        .distinct().cache()
+      val vertices = sym.select(col("a").as("node"))
+        .union(sym.select(col("b").as("node"))).distinct()
+      var hops = vertices.select(col("node").as("src"), col("node"),
+        lit(0).as("hops"))
+      for (i <- 1 to iters) {
+        val expanded = hops
+          .join(sym, col("node") === col("a"))
+          .select(col("src"), col("b").as("node"), (col("hops") + 1).as("hops"))
+        hops = hops.unionAll(expanded)
+          .groupBy(col("src"), col("node")).agg(min(col("hops")).as("hops"))
+        if (i < iters) hops = hops.localCheckpoint(eager = true)
+      }
+      val ecc = hops.groupBy(col("src").as("node"))
+        .agg(max(col("hops")).as("ecc"))
+      val summary = ecc.agg(max(col("ecc")).as("diameter"),
+        min(col("ecc")).as("radius"))
+      ecc.crossJoin(broadcast(summary))
+        .select(col("node"), col("ecc"),
+          (col("ecc") === col("diameter")).as("is_peripheral"),
+          (col("ecc") === col("radius")).as("is_central"))
+        .orderBy(col("node"))
+    }
+  }
+
+  /** Harmonic centrality — closeness's disconnected-graph-safe twin
+    * (Boldi & Vigna 2014: unreached nodes contribute 0 instead of
+    * poisoning the Σhops denominator, so it ranks sensibly across
+    * components): harm(v) = Σ_{u reached, u≠v} 1/d(v,u) over the
+    * SAME multi-source BFS relation graph_closeness expands — zero
+    * new shuffle shape. Exactness: hops ≤ $BfsIters = 4, so each
+    * reciprocal is scaled by lcm(1..4) = 12 and summed as exact
+    * int64 (12 div hops ∈ {12,6,4,3}); ONE final division by
+    * 12·(|V|−1) normalizes to [0,1] — engine-identical, no
+    * float-summation-order exposure.
+    */
+  val graphHarmonic: QueryDef = {
+    val iters = BfsIters
+    val steps = (1 to iters).map { i =>
+      s"""h$i AS (
+         |  SELECT src, node, min(hops) AS hops FROM (
+         |    SELECT src, node, hops FROM h${i - 1}
+         |    UNION ALL
+         |    SELECT h.src, sym.b AS node, h.hops + 1 AS hops
+         |    FROM h${i - 1} h JOIN sym ON sym.a = h.node)
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val oracle =
+      s"""WITH ue AS MATERIALIZED ($undirectedSql),
+         |sym AS MATERIALIZED (SELECT a, b FROM ue UNION SELECT b, a FROM ue),
+         |v AS MATERIALIZED (SELECT a AS node FROM sym UNION SELECT b FROM sym),
+         |nv AS (SELECT count(*) AS n_v FROM v),
+         |h0 AS (SELECT node AS src, node, 0 AS hops FROM v),
+         |$steps,
+         |acc AS (SELECT src AS node,
+         |          sum(CASE WHEN hops > 0 THEN 12 // hops ELSE 0 END) AS h12,
+         |          sum(CASE WHEN hops > 0 THEN 1 ELSE 0 END) AS n_reached
+         |        FROM h$iters GROUP BY src)
+         |SELECT node,
+         |  floor(CAST(h12 AS DOUBLE) / 12 / (nv.n_v - 1) * 10000 + 0.5) / 10000
+         |    AS harmonic,
+         |  CAST(n_reached AS BIGINT) AS n_reached
+         |FROM acc, nv ORDER BY node""".stripMargin
+    QueryDef.sql("graph_harmonic", oracle) { (s, d) =>
+      val ue = undirectedNationEdges(s, d)
+      val sym = ue.select(col("a"), col("b"))
+        .union(ue.select(col("b").as("a"), col("a").as("b")))
+        .distinct().cache()
+      val vertices = sym.select(col("a").as("node"))
+        .union(sym.select(col("b").as("node"))).distinct()
+      var hops = vertices.select(col("node").as("src"), col("node"),
+        lit(0).as("hops"))
+      for (i <- 1 to iters) {
+        val expanded = hops
+          .join(sym, col("node") === col("a"))
+          .select(col("src"), col("b").as("node"), (col("hops") + 1).as("hops"))
+        hops = hops.unionAll(expanded)
+          .groupBy(col("src"), col("node")).agg(min(col("hops")).as("hops"))
+        if (i < iters) hops = hops.localCheckpoint(eager = true)
+      }
+      val nv = vertices.agg(count(lit(1)).as("n_v"))
+      hops.groupBy(col("src").as("node"))
+        .agg(
+          sum(when(col("hops") > 0, expr("12 div hops")).otherwise(0L)).as("h12"),
+          sum(when(col("hops") > 0, 1L).otherwise(0L)).as("n_reached"))
+        .crossJoin(broadcast(nv))
+        .select(col("node"),
+          (floor(col("h12").cast("double") / 12 / (col("n_v") - 1) * 10000
+            + 0.5) / 10000).as("harmonic"),
+          col("n_reached").cast("long").as("n_reached"))
+        .orderBy(col("node"))
+    }
+  }
+
+  private val KtrussK = 4
+  private val KtrussRounds = 3
+
+  /** k-truss decomposition (k = $KtrussK): the TRIANGLE-grounded
+    * cohesive subgraph — every surviving edge must sit in ≥ k−2
+    * triangles among surviving edges (Cohen 2008). Stricter than
+    * graph_kcore's degree peeling (a star has high degree, zero
+    * triangles: k-core keeps it, k-truss shreds it), so it's the
+    * community-core extractor. Iterative EDGE peeling, fixed rounds
+    * (monotone — once stable, extra rounds are no-ops): each round
+    * counts common neighbors per edge via two equality joins over
+    * the surviving symmetric relation — Σ deg² shuffle, the
+    * graph_triangles envelope; the frontier is the O(|E|) edge set,
+    * localCheckpointed so the lazy plan stays flat. At 100 TB the
+    * orientation trick (count from the lower-degree endpoint) caps
+    * hub skew; id orientation keeps the oracle exact here. Oracle
+    * replays the identical peel as chained CTEs.
+    */
+  val graphKtruss: QueryDef = {
+    val support = KtrussK - 2
+    val steps = (1 to KtrussRounds).map { i =>
+      s"""sym${i - 1} AS MATERIALIZED (
+         |  SELECT a, b FROM e${i - 1} UNION SELECT b, a FROM e${i - 1}),
+         |e$i AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM e${i - 1} e
+         |  JOIN sym${i - 1} s1 ON s1.a = e.a
+         |  JOIN sym${i - 1} s2 ON s2.a = e.b AND s2.b = s1.b
+         |  GROUP BY e.a, e.b HAVING count(*) >= $support)""".stripMargin
+    }.mkString(",\n")
+    val oracle =
+      s"""WITH ue AS MATERIALIZED ($undirectedSql),
+         |e0 AS (SELECT a, b FROM ue),
+         |$steps,
+         |symf AS (SELECT a, b FROM e$KtrussRounds
+         |         UNION SELECT b, a FROM e$KtrussRounds)
+         |SELECT e.a, e.b, count(*) AS support
+         |FROM e$KtrussRounds e
+         |JOIN symf s1 ON s1.a = e.a
+         |JOIN symf s2 ON s2.a = e.b AND s2.b = s1.b
+         |GROUP BY e.a, e.b ORDER BY e.a, e.b""".stripMargin
+    QueryDef.sql("graph_ktruss", oracle) { (s, d) =>
+      def symOf(e: DataFrame): DataFrame =
+        e.select(col("a"), col("b"))
+          .union(e.select(col("b").as("a"), col("a").as("b")))
+          .distinct()
+      def supportOf(e: DataFrame): DataFrame = {
+        val sym = symOf(e)
+        e.join(sym.select(col("a").as("s1a"), col("b").as("c1")),
+            col("s1a") === col("a"))
+          .join(sym.select(col("a").as("s2a"), col("b").as("c2")),
+            col("s2a") === col("b") && col("c2") === col("c1"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+      }
+      var edges = undirectedNationEdges(s, d).localCheckpoint(eager = true)
+      for (_ <- 1 to KtrussRounds) {
+        edges = supportOf(edges)
+          .filter(col("support") >= support)
+          .select(col("a"), col("b"))
+          .localCheckpoint(eager = true)
+      }
+      supportOf(edges).orderBy(col("a"), col("b"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     graphDegree, graphPagerank, graphTriangles, graphBfs, graphLabelprop,
     graphJaccard, graphCloseness, graphKcore, graphMst, graphSssp, graphCc,
     graphHits, graphAssortativity, graphModularity, graphClusteringCoeff,
     graph2hop, graphBipartite, graphWalks, graphBetweenness, graphPpr,
     graphScc, graphReciprocity, graphLouvain, graphConductance,
-    graphSimrank)
+    graphSimrank, graphEccentricity, graphHarmonic, graphKtruss)
 }

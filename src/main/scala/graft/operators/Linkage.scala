@@ -80,6 +80,68 @@ object Linkage {
       .orderBy(col("blk"))
   }
 
+  /** Reciprocal best match — the entity-resolution acceptance rule
+    * that turns a candidate similarity relation into LINKS: within
+    * each block, every name's single best match (min edit distance,
+    * deterministic tie-break), kept only when the choice is MUTUAL
+    * (best(x) = y ∧ best(y) = x). One-sided best match links every
+    * record to something and chains A→B→C merges; mutual-best is
+    * the standard high-precision filter (the same reciprocity idea
+    * as graph_reciprocity, applied to record linkage). Candidate
+    * work stays Σ|block|² under the same (first-token, size)
+    * blocking as q_fuzzy_join — never corpus²; the best-match
+    * window partitions by (block, record), bounded by block size.
+    */
+  val qReciprocalMatch: QueryDef = QueryDef.sql(
+    "q_reciprocal_match",
+    """WITH names AS (
+      |  SELECT DISTINCT split_part(p_name, ' ', 1) AS blk, p_size, p_name
+      |  FROM part),
+      |cand AS (
+      |  SELECT a.blk, a.p_size, a.p_name AS n1, b.p_name AS n2,
+      |         levenshtein(a.p_name, b.p_name) AS dist
+      |  FROM names a JOIN names b
+      |    ON a.blk = b.blk AND a.p_size = b.p_size AND a.p_name <> b.p_name),
+      |best AS (
+      |  SELECT blk, p_size, n1, n2, dist,
+      |    row_number() OVER (PARTITION BY blk, p_size, n1
+      |      ORDER BY dist, n2) AS rn
+      |  FROM cand)
+      |SELECT x.blk, x.p_size, x.n1 AS name_a, x.n2 AS name_b,
+      |  CAST(x.dist AS BIGINT) AS dist
+      |FROM best x JOIN best y
+      |  ON x.blk = y.blk AND x.p_size = y.p_size
+      |  AND x.n1 = y.n2 AND x.n2 = y.n1
+      |WHERE x.rn = 1 AND y.rn = 1 AND x.n1 < x.n2
+      |ORDER BY 1, 2, 3, 4""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val names = Tables.part(s, d)
+      .select(split(col("p_name"), " ").getItem(0).as("blk"),
+        col("p_size"), col("p_name"))
+      .distinct()
+    val b = names.select(col("blk").as("blk2"), col("p_size").as("sz2"),
+      col("p_name").as("n2"))
+    val cand = names.select(col("blk"), col("p_size"), col("p_name").as("n1"))
+      .join(b, col("blk") === col("blk2") && col("p_size") === col("sz2") &&
+        col("n1") =!= col("n2"))
+      .select(col("blk"), col("p_size"), col("n1"), col("n2"),
+        levenshtein(col("n1"), col("n2")).as("dist"))
+    val w = Window.partitionBy(col("blk"), col("p_size"), col("n1"))
+      .orderBy(col("dist"), col("n2"))
+    val best = cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("blk"), col("p_size"), col("n1"), col("n2"), col("dist"))
+    val rev = best.select(col("blk").as("rblk"), col("p_size").as("rsz"),
+      col("n1").as("rn1"), col("n2").as("rn2"))
+    best.join(rev,
+        col("blk") === col("rblk") && col("p_size") === col("rsz") &&
+          col("n1") === col("rn2") && col("n2") === col("rn1"))
+      .filter(col("n1") < col("n2"))
+      .select(col("blk"), col("p_size"), col("n1").as("name_a"),
+        col("n2").as("name_b"), col("dist").cast("long").as("dist"))
+      .orderBy(col("blk"), col("p_size"), col("name_a"), col("name_b"))
+  }
+
   /** Frequent itemsets of EVERY size via distributed FP-growth
     * (MLlib `ml.fpm.FPGrowth` — the parallel PFP formulation, Li et
     * al. 2008): baskets are the distinct part sets per order, min
@@ -582,5 +644,5 @@ object Linkage {
 
   val all: Seq[QueryDef] = Seq(qCopurchase, qFuzzyJoin, miningFpgrowth, miningAls,
     miningPrefixspan, miningAssoc, miningLda, miningOls, miningGmm,
-    miningIforest, miningDtree)
+    miningIforest, miningDtree, qReciprocalMatch)
 }

@@ -1010,6 +1010,128 @@ object TimeSeries {
         (floor(col("power") * 10000 + 0.5) / 10000).as("power"))
   }
 
+  /** Spectral entropy per event type — the single-number REGULARITY
+    * score on top of the periodogram (which reports candidate
+    * periods but not how concentrated the spectrum is): normalize
+    * the spectral powers over the probed periods to a distribution
+    * and take Shannon entropy / log2(K) ∈ [0, 1] — near 0 = one
+    * dominant cycle (schedulable, forecastable), near 1 = flat
+    * spectrum (noise; don't bother fitting seasonal models). Same
+    * O(types × days × |periods|) map-side probe explode and O(types
+    * × K) aggregate as ts_periodogram; the entropy fold is a window
+    * over the K-row per-type spectrum. Rows-only (libm trig differs
+    * across engines in the last ulp); direct-replay equality, range,
+    * and dominant-period consistency with ts_periodogram pinned.
+    */
+  val tsSpectralEntropy: QueryDef = QueryDef.rowsOnly("ts_spectral_entropy") { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val bounds = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    val types = daily.select(col("event_type")).distinct()
+    val grid = types.crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    val dense = grid.join(daily, Seq("event_type", "day"), "left_outer")
+      .select(col("event_type").as("key"),
+        datediff(col("day"), to_date(lit("2020-01-01"))).cast("long").as("t"),
+        coalesce(col("n"), lit(0.0)).as("x"))
+    val periods = 2 to 14
+    val spec = periodogramTopK(dense, periods, periods.size)
+    val wKey = Window.partitionBy(col("key"))
+    spec
+      .withColumn("tot", sum(col("power")).over(wKey))
+      .withColumn("share", col("power") / col("tot"))
+      .groupBy(col("key").as("event_type"))
+      .agg(
+        // tie-break equal powers toward the smaller period — the same
+        // (power DESC, p ASC) order periodogramTopK ranks by
+        max_by(col("period"), struct(col("power"), -col("period")))
+          .as("dominant_period"),
+        (floor(sum(when(col("share") > 0,
+            -col("share") * log2(col("share"))).otherwise(0.0))
+          / log2(lit(periods.size.toDouble)) * 10000 + 0.5) / 10000)
+          .as("spectral_entropy"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Mann–Kendall trend test per event type — the NONPARAMETRIC
+    * "is this metric actually trending" gate (ts_forecast's linear
+    * slope and ts_theilsen's median slope both report A trend; MK
+    * says whether to believe it, monotone-robust, no normality
+    * assumption): S = Σ_{i<j} sign(x_j − x_i), tie-corrected
+    * variance Var·18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5), z with the
+    * continuity correction (S∓1)/√Var. Exact-statistics posture:
+    * ONE corpus pass to the O(types×days) daily aggregate, the
+    * i<j pair join runs on that calendar-bounded relation (days²
+    * per type, independent of event volume), and S / the variance
+    * numerator stay exact int64 until a single final divide+sqrt —
+    * partition- and engine-identical. Oracle replays the identical
+    * integer arithmetic.
+    */
+  val tsMannKendall: QueryDef = QueryDef.sql(
+    "ts_mann_kendall",
+    """WITH daily AS (
+      |  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |s AS (
+      |  SELECT x.event_type,
+      |    sum(CASE WHEN y.n > x.n THEN 1 WHEN y.n < x.n THEN -1 ELSE 0 END) AS s
+      |  FROM daily x JOIN daily y
+      |    ON y.event_type = x.event_type AND y.day > x.day
+      |  GROUP BY 1),
+      |nd AS (SELECT event_type, count(*) AS n FROM daily GROUP BY 1),
+      |ties AS (
+      |  SELECT event_type,
+      |    sum(t * (t - 1) * (2 * t + 5)) AS tie_term
+      |  FROM (SELECT event_type, n, count(*) AS t FROM daily GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |v AS (
+      |  SELECT nd.event_type, nd.n, s.s,
+      |    nd.n * (nd.n - 1) * (2 * nd.n + 5) - ties.tie_term AS var18
+      |  FROM nd JOIN s ON s.event_type = nd.event_type
+      |  JOIN ties ON ties.event_type = nd.event_type)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_days, CAST(s AS BIGINT) AS s,
+      |  CAST(var18 AS BIGINT) AS var18,
+      |  round(CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1)
+      |               / sqrt(CAST(var18 AS DOUBLE) / 18)
+      |             WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1)
+      |               / sqrt(CAST(var18 AS DOUBLE) / 18)
+      |             ELSE 0.0 END, 4) AS z
+      |FROM v ORDER BY event_type""".stripMargin) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .cache()
+    val y = daily.select(col("event_type").as("yt"), col("day").as("yday"),
+      col("n").as("yn"))
+    val sRel = daily.join(y,
+        col("yt") === col("event_type") && col("yday") > col("day"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("yn") > col("n"), 1L)
+        .when(col("yn") < col("n"), -1L).otherwise(0L)).as("s"))
+    val nd = daily.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val ties = daily.groupBy(col("event_type"), col("n").as("v"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5))
+        .as("tie_term"))
+    val zExpr = {
+      val varD = (col("var18").cast("double") / 18)
+      when(col("s") > 0, (col("s").cast("double") - 1) / sqrt(varD))
+        .when(col("s") < 0, (col("s").cast("double") + 1) / sqrt(varD))
+        .otherwise(0.0)
+    }
+    nd.join(sRel, Seq("event_type")).join(ties, Seq("event_type"))
+      .withColumn("var18",
+        col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) - col("tie_term"))
+      .select(col("event_type"), col("n").cast("long").as("n_days"),
+        col("s").cast("long").as("s"), col("var18").cast("long").as("var18"),
+        round(zExpr, 4).as("z"))
+      .orderBy(col("event_type"))
+  }
+
   /** AR(2) autoregressive forecaster per event type — the
     * model-based upgrade over the straight-line trend (ts_forecast:
     * regr_slope can't bend) and the smoothing-only Holt (ts_holt has
@@ -1467,5 +1589,5 @@ object TimeSeries {
     tsForecast, tsTimeToConvert, tsGapEpisodes, tsHolt, tsDecompose,
     tsRollingStats, tsRepair, tsOhlc, tsInterEvent, tsTheilsen,
     tsChangepoint, tsLttb, tsDtw, tsPeriodogram, tsAr2, tsTwa, tsXcorr,
-    tsKalman, tsBacktest, tsHoltWinters)
+    tsKalman, tsBacktest, tsHoltWinters, tsSpectralEntropy, tsMannKendall)
 }

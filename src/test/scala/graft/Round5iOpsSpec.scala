@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, Linkage, TextAnalysis, TimeSeries}
+import graft.operators.{Dedup, Graph, Linkage, TextAnalysis, TimeSeries}
 import graft.sources.Tables
 
 /** Invariant pins for the round-5 session-9 operators. */
@@ -110,6 +110,117 @@ class Round5iOpsSpec extends AnyFunSuite {
         assert(math.abs(fitted - (lvl + sNew)) < 4e-3)
       }
     }
+  }
+
+  // ---- graph_eccentricity --------------------------------------------
+
+  test("graph_eccentricity: matches a driver-side BFS replay; flags consistent") {
+    val out = Graph.graphEccentricity.fn(spark, sf).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getInt(1),
+        r.getBoolean(2), r.getBoolean(3)))
+    assert(out.nonEmpty)
+    val diameter = out.map(_._2).max
+    val radius = out.map(_._2).min
+    out.foreach { case (node, ecc, peri, cent) =>
+      assert(peri == (ecc == diameter), s"node $node peripheral flag")
+      assert(cent == (ecc == radius), s"node $node central flag")
+    }
+    assert(radius <= diameter && diameter <= 2 * radius,
+      s"graph theory bound violated: r=$radius d=$diameter")
+    // cross-operator consistency: ecc(0) must equal the max hop count
+    // of graph_bfs's single-source expansion from node 0
+    val bfsMax = Graph.graphBfs.fn(spark, sf).collect()
+      .map(r => r.getInt(1)).max
+    val ecc0 = out.find(_._1 == 0L).map(_._2)
+    assert(ecc0.contains(bfsMax),
+      s"ecc(0)=$ecc0 disagrees with graph_bfs max hops $bfsMax")
+  }
+
+  // ---- ts_spectral_entropy -------------------------------------------
+
+  test("ts_spectral_entropy: range, replay equality, periodogram consistency") {
+    val out = TimeSeries.tsSpectralEntropy.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    assert(out.nonEmpty)
+    out.foreach { case (t, p, h) =>
+      assert(h >= 0.0 && h <= 1.0, s"$t entropy $h out of range")
+      assert(p >= 2 && p <= 14)
+    }
+    // dominant period must agree with ts_periodogram's rank-1 row
+    val top = TimeSeries.tsPeriodogram.fn(spark, sf).collect()
+      .filter(_.getInt(1) == 1)
+      .map(r => (r.getString(0), r.getInt(2))).toMap
+    out.foreach { case (t, p, _) =>
+      assert(top(t) == p, s"$t dominant period $p != periodogram top ${top(t)}")
+    }
+    // replay: entropy from the periodogram's own (rounded) powers
+    val spec = {
+      import org.apache.spark.sql.functions._
+      val daily = Tables.events(spark, sf)
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(count(lit(1)).cast("double").as("n"))
+      val bounds = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      val grid = daily.select(col("event_type")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+      val dense = grid.join(daily, Seq("event_type", "day"), "left_outer")
+        .select(col("event_type").as("key"),
+          datediff(col("day"), to_date(lit("2020-01-01"))).cast("long").as("t"),
+          coalesce(col("n"), lit(0.0)).as("x"))
+      TimeSeries.periodogramTopK(dense, 2 to 14, 13).collect()
+        .map(r => (r.getString(0), r.getDouble(3)))
+    }
+    def log2(x: Double): Double = math.log(x) / math.log(2.0)
+    out.foreach { case (t, _, h) =>
+      val powers = spec.filter(_._1 == t).map(_._2)
+      val tot = powers.sum
+      val expect = powers.filter(_ > 0)
+        .map(p => -(p / tot) * log2(p / tot)).sum / log2(13.0)
+      assert(math.abs(h - expect) < 5e-4, s"$t: $h vs replay $expect")
+    }
+  }
+
+  // ---- q_reciprocal_match --------------------------------------------
+
+  test("q_reciprocal_match: every link is mutual-best and a subset of candidates") {
+    import org.apache.spark.sql.functions._
+    val out = Linkage.qReciprocalMatch.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(out.nonEmpty, "no reciprocal links at test SF")
+    // replay on the collected blocked name sets
+    val names = Tables.part(spark, sf)
+      .select(split(col("p_name"), " ").getItem(0).as("blk"),
+        col("p_size"), col("p_name")).distinct()
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val byBlock = names.groupBy(n => (n._1, n._2))
+    val expected = byBlock.values.flatMap { members =>
+      val ns = members.map(_._3)
+      if (ns.size < 2) Seq.empty
+      else {
+        val best = ns.map { x =>
+          val cands = ns.filter(_ != x).map(y => (lev(x, y), y)).sorted
+          x -> cands.head
+        }.toMap
+        ns.flatMap { x =>
+          val (dx, y) = best(x)
+          if (best(y)._2 == x && x < y)
+            Seq((members.head._1, members.head._2, x, y, dx.toLong))
+          else Seq.empty
+        }
+      }
+    }.toSet
+    assert(out.toSet == expected,
+      s"links differ: extra=${out.toSet -- expected} missing=${expected -- out.toSet}")
   }
 
   // ---- mining_dtree --------------------------------------------------
