@@ -541,6 +541,50 @@ object SourceOps {
       .agg(count(lit(1)).as("n"), round(sum(col("x")), 2).as("sum_x"))
   }
 
+  /** Aggregate pushdown through the V2 connector: the grouped
+    * COUNT/MIN/MAX/SUM folds INSIDE the scan (partial pushdown — each
+    * file emits O(groups) accumulator rows, Spark merges), so the
+    * exchange carries ~50 quantity groups per file instead of every
+    * parsed point — map-side combine pushed past the row boundary
+    * into IO. The x>25 predicate rides the existing filter pushdown
+    * first. PlanAudit pins `PushedAggregation` in the scan
+    * description; the oracle is the originating lineitem relation.
+    */
+  val srcPointsV2Agg: QueryDef = QueryDef.sql(
+    "src_points_v2_agg",
+    """SELECT l_quantity AS x, count(*) AS n,
+      |  round(min(l_extendedprice), 2) AS min_y,
+      |  round(max(l_extendedprice), 2) AS max_y,
+      |  round(sum(l_extendedprice), 2) AS sum_y
+      |FROM lineitem WHERE l_quantity > 25
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    s.read.format(graft.sources.v2.PointsSourceV2.format)
+      .option("path", pointsV2AggDir(s, d)).load()
+      .filter(col("x") > 25)
+      .groupBy(col("x"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("y")), 2).as("min_y"),
+        round(max(col("y")), 2).as("max_y"),
+        round(sum(col("y")), 2).as("sum_y"))
+      .orderBy(col("x"))
+  }
+
+  /** Once-per-corpus staged points dir for the aggregate-pushdown
+    * read (keyed by source dir; reused by the ScalaTest plan pin).
+    */
+  def pointsV2AggDir(s: SparkSession, d: String): String = synchronized {
+    val path = tmpDir("points_v2_agg")
+    val marker = new java.io.File(path, "_SUCCESS_STAGED_" +
+      java.lang.Integer.toHexString(d.hashCode))
+    if (!marker.exists()) {
+      val pts = Tables.lineitem(s, d)
+        .select(col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+      PointsText.writePoints(pts, path)
+      marker.createNewFile()
+    }
+    path
+  }
+
   /** Full V2 round-trip: the SAME connector is sink and source —
     * distributed two-phase-commit write (task part-files + driver
     * _SUCCESS finalization), then a pushed-down read. Oracle = the
@@ -722,6 +766,6 @@ object SourceOps {
     srcTextPoints, srcCsvRoundtrip, srcJsonRoundtrip, srcPartitionedScan,
     srcOrcRoundtrip, srcZorderScan, srcCompactSmallFiles, srcSchemaEvolution,
     srcCsvMalformed, srcBinaryFiles, srcIgnoreCorrupt, srcDateDim,
-    srcPointsV2, srcPointsV2Roundtrip, srcManifestScan, srcGdprDelete,
+    srcPointsV2, srcPointsV2Roundtrip, srcPointsV2Agg, srcManifestScan, srcGdprDelete,
     srcBloomFilterScan, srcMorRead, srcNestedParquet)
 }

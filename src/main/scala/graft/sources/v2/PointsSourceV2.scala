@@ -6,6 +6,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources._
@@ -31,6 +32,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   - `SupportsReportStatistics`: total byte size flows into
   *     Catalyst so join-side broadcast decisions see this source
   *     like any file scan.
+  *   - `SupportsPushDownAggregates` (PARTIAL): COUNT/MIN/MAX/SUM and
+  *     plain-column GROUP BY fold during parsing, so only O(groups)
+  *     accumulator rows per file leave the scan; Spark plans the
+  *     final merge (map-side combine pushed all the way into IO).
   *
   * Executors re-open files through a fresh Hadoop `Configuration`
   * (local/HDFS-default paths); a credentialed deployment would ship
@@ -162,12 +167,29 @@ final class PointsDataWriter(
   override def close(): Unit = ()
 }
 
+/** The aggregate shapes the source can evaluate during the scan —
+  * kept as a tiny serializable ADT so the reader factory ships the
+  * pushed aggregation to executors without dragging Catalyst along.
+  */
+sealed trait PushedAggFunc extends Serializable
+object PushedAggFunc {
+  case object CountStar extends PushedAggFunc
+  final case class CountCol(col: String) extends PushedAggFunc
+  final case class MinCol(col: String) extends PushedAggFunc
+  final case class MaxCol(col: String) extends PushedAggFunc
+  final case class SumCol(col: String) extends PushedAggFunc
+}
+final case class PushedAgg(groupBy: Array[String], funcs: Array[PushedAggFunc])
+    extends Serializable
+
 final class PointsV2ScanBuilder(path: String)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var required: StructType = PointsSourceV2.schema
   private var pushed: Array[Filter] = Array.empty
+  private var agg: Option[PushedAgg] = None
 
   /** A filter is handled iff it is a comparison between one of our
     * two columns and a numeric literal — exactly what the parser can
@@ -193,16 +215,74 @@ final class PointsV2ScanBuilder(path: String)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new PointsV2Scan(path, required, pushed)
+  /** PARTIAL aggregate pushdown (`supportCompletePushDown` stays
+    * false — the honest contract for a multi-file source): each
+    * partition returns its per-file partial COUNT/MIN/MAX/SUM rows
+    * (plus group-by keys) and SPARK plans the final merge, exactly
+    * the map-side-combine shape a 100 TB scan wants — the shuffle
+    * carries O(groups) accumulator rows per file instead of every
+    * parsed point. Handles plain single-column references only;
+    * anything fancier is declined and Spark falls back to a normal
+    * scan + aggregate.
+    */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    def name(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case nr: NamedReference if nr.fieldNames.length == 1 &&
+          (nr.fieldNames()(0) == "x" || nr.fieldNames()(0) == "y") =>
+          Some(nr.fieldNames()(0))
+        case _ => None
+      }
+    val groupBy = aggregation.groupByExpressions.map(name)
+    if (groupBy.exists(_.isEmpty)) return false
+    val funcs = aggregation.aggregateExpressions.map {
+      case _: CountStar => Some(PushedAggFunc.CountStar)
+      case c: Count if !c.isDistinct => name(c.column).map(PushedAggFunc.CountCol)
+      case m: Min => name(m.column).map(PushedAggFunc.MinCol)
+      case m: Max => name(m.column).map(PushedAggFunc.MaxCol)
+      case s: Sum if !s.isDistinct => name(s.column).map(PushedAggFunc.SumCol)
+      case _ => None
+    }
+    if (funcs.exists(_.isEmpty)) return false
+    agg = Some(PushedAgg(groupBy.map(_.get), funcs.map(_.get)))
+    true
+  }
+
+  override def build(): Scan = {
+    val schema = agg match {
+      case None => required
+      case Some(a) =>
+        // group-by keys first, then one field per aggregate — the
+        // positional contract V2ScanRelationPushDown rewrites against
+        StructType(
+          a.groupBy.map(c => StructField(c, DoubleType, nullable = false)) ++
+          a.funcs.zipWithIndex.map {
+            case (PushedAggFunc.CountStar, i) =>
+              StructField(s"agg_$i", org.apache.spark.sql.types.LongType)
+            case (PushedAggFunc.CountCol(_), i) =>
+              StructField(s"agg_$i", org.apache.spark.sql.types.LongType)
+            case (_, i) => StructField(s"agg_$i", DoubleType)
+          })
+    }
+    new PointsV2Scan(path, schema, pushed, agg)
+  }
 }
 
-final class PointsV2Scan(path: String, required: StructType, pushed: Array[Filter])
+final class PointsV2Scan(
+    path: String,
+    required: StructType,
+    pushed: Array[Filter],
+    agg: Option[PushedAgg] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
 
   override def description(): String =
     s"graft-points path=$path, PushedFilters: [${pushed.mkString(", ")}], " +
+      agg.map(a => s"PushedAggregation: [${a.funcs.mkString(", ")}], " +
+        s"PushedGroupBy: [${a.groupBy.mkString(", ")}], ").getOrElse("") +
       s"ReadSchema: ${required.simpleString}"
 
   override def toBatch: Batch = this
@@ -222,7 +302,7 @@ final class PointsV2Scan(path: String, required: StructType, pushed: Array[Filte
     files().map { case (f, len) => PointsFilePartition(f, len): InputPartition }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PointsReaderFactory(required, pushed)
+    new PointsReaderFactory(required, pushed, agg)
 
   override def estimateStatistics(): Statistics = new Statistics {
     private val total = files().map(_._2).sum
@@ -233,11 +313,93 @@ final class PointsV2Scan(path: String, required: StructType, pushed: Array[Filte
 
 final case class PointsFilePartition(file: String, length: Long) extends InputPartition
 
-final class PointsReaderFactory(required: StructType, pushed: Array[Filter])
+final class PointsReaderFactory(
+    required: StructType,
+    pushed: Array[Filter],
+    agg: Option[PushedAgg] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new PointsPartitionReader(
-      partition.asInstanceOf[PointsFilePartition], required, pushed)
+    agg match {
+      case Some(a) => new PointsAggPartitionReader(
+        partition.asInstanceOf[PointsFilePartition], pushed, a)
+      case None => new PointsPartitionReader(
+        partition.asInstanceOf[PointsFilePartition], required, pushed)
+    }
+}
+
+/** Executes a pushed PARTIAL aggregation during the scan: the file
+  * streams through the same parse + pushed-filter path once, folding
+  * into O(groups) accumulators; the partition then emits one partial
+  * row per group (a single row for global aggregates — count 0 /
+  * null min/max/sum on an empty file, matching Spark's merge
+  * semantics). Only these accumulator rows ever leave the scan.
+  */
+final class PointsAggPartitionReader(
+    part: PointsFilePartition,
+    pushed: Array[Filter],
+    agg: PushedAgg) extends PartitionReader[InternalRow] {
+
+  private final class Acc {
+    var count = 0L
+    val minV = Array.fill(agg.funcs.length)(Double.NaN)
+    val maxV = Array.fill(agg.funcs.length)(Double.NaN)
+    val sumV = Array.fill(agg.funcs.length)(0.0)
+    var seen = false
+  }
+
+  private val rows: Iterator[InternalRow] = {
+    val inner = new PointsPartitionReader(part,
+      PointsSourceV2.schema, pushed)
+    val accs = scala.collection.mutable.LinkedHashMap.empty[Seq[Double], Acc]
+    def colVal(name: String, x: Double, y: Double): Double =
+      if (name == "x") x else y
+    try {
+      if (agg.groupBy.isEmpty) accs(Nil) = new Acc
+      while (inner.next()) {
+        val r = inner.get()
+        val x = r.getDouble(0)
+        val y = r.getDouble(1)
+        val key: Seq[Double] = agg.groupBy.toIndexedSeq.map(colVal(_, x, y))
+        val acc = accs.getOrElseUpdate(key, new Acc)
+        acc.count += 1
+        acc.seen = true
+        var i = 0
+        while (i < agg.funcs.length) {
+          agg.funcs(i) match {
+            case PushedAggFunc.MinCol(c) =>
+              val v = colVal(c, x, y)
+              if (acc.minV(i).isNaN || v < acc.minV(i)) acc.minV(i) = v
+            case PushedAggFunc.MaxCol(c) =>
+              val v = colVal(c, x, y)
+              if (acc.maxV(i).isNaN || v > acc.maxV(i)) acc.maxV(i) = v
+            case PushedAggFunc.SumCol(c) => acc.sumV(i) += colVal(c, x, y)
+            case _ => ()
+          }
+          i += 1
+        }
+      }
+    } finally inner.close()
+    accs.iterator.map { case (key, acc) =>
+      val vals = key.map(_.asInstanceOf[Any]) ++
+        agg.funcs.zipWithIndex.map {
+          case (PushedAggFunc.CountStar, _) => acc.count.asInstanceOf[Any]
+          case (PushedAggFunc.CountCol(_), _) => acc.count.asInstanceOf[Any]
+          case (PushedAggFunc.MinCol(_), i) =>
+            if (acc.seen) acc.minV(i).asInstanceOf[Any] else null
+          case (PushedAggFunc.MaxCol(_), i) =>
+            if (acc.seen) acc.maxV(i).asInstanceOf[Any] else null
+          case (PushedAggFunc.SumCol(_), i) =>
+            if (acc.seen) acc.sumV(i).asInstanceOf[Any] else null
+        }
+      new GenericInternalRow(vals.toArray[Any]): InternalRow
+    }
+  }
+
+  private var current: InternalRow = _
+  override def next(): Boolean =
+    if (rows.hasNext) { current = rows.next(); true } else false
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
 }
 
 final class PointsPartitionReader(

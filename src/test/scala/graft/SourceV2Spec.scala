@@ -90,4 +90,56 @@ class SourceV2Spec extends AnyFunSuite {
       .option("path", out).load()
     assert(back.count() == 1000)
   }
+
+  test("aggregate pushdown: grouped COUNT/MIN/MAX/SUM folds inside the scan") {
+    val df = v2.filter(col("x") > 25).groupBy(col("x"))
+      .agg(count(lit(1)).as("n"), min(col("y")).as("min_y"),
+        max(col("y")).as("max_y"), sum(col("y")).as("sum_y"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation"),
+      s"scan description must record the pushed aggregation:\n$plan")
+    assert(plan.contains("PushedGroupBy: [x]"),
+      s"group-by column must be pushed:\n$plan")
+    // values must equal the unpushed aggregate over the v1 text parser
+    val got = df.collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))).sortBy(_._1)
+    val want = graft.sources.PointsText.read(spark, dir)
+      .filter(col("x") > 25).groupBy(col("x"))
+      .agg(count(lit(1)).as("n"), min(col("y")).as("min_y"),
+        max(col("y")).as("max_y"), sum(col("y")).as("sum_y"))
+      .collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))).sortBy(_._1)
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g._1 == w._1 && g._2 == w._2 && g._3 == w._3 && g._4 == w._4,
+        s"exact fields differ: $g vs $w")
+      assert(math.abs(g._5 - w._5) <= math.ulp(w._5) * 64,
+        s"sum differs beyond merge-order noise: $g vs $w")
+    }
+  }
+
+  test("aggregate pushdown: global aggregate over an empty-result filter is exact") {
+    // a predicate matching nothing: every partition emits a null-min
+    // partial row; the final merge must produce (0, null)
+    val df = v2.filter(col("x") > 1e18)
+      .agg(count(lit(1)).as("n"), min(col("y")).as("min_y"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation"),
+      s"global aggregate must push too:\n$plan")
+    val r = df.collect()(0)
+    assert(r.getLong(0) == 0L && r.isNullAt(1),
+      s"empty aggregate must be (0, null), got $r")
+  }
+
+  test("aggregate pushdown declines distinct and falls back to a plain scan") {
+    val df = v2.agg(countDistinct(col("x")).as("nd"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("PushedAggregation"),
+      s"COUNT(DISTINCT) must not be claimed by the source:\n$plan")
+    val direct = graft.sources.PointsText.read(spark, dir)
+      .agg(countDistinct(col("x"))).collect()(0).getLong(0)
+    assert(df.collect()(0).getLong(0) == direct)
+  }
 }
