@@ -2218,8 +2218,121 @@ object EventOps {
       .orderBy(col("event_type"))
   }
 
+  /** mSPRT ALWAYS-VALID sequential A/B monitoring (mixture
+    * sequential probability ratio test — Robbins 1970 mixture rule,
+    * the machinery behind "peek whenever you want" experiment
+    * dashboards): the fixed-horizon tests (events_abtest / MW / KS)
+    * are only valid at ONE pre-committed look, but dashboards are
+    * watched daily and stopped at the first green — that peeking
+    * inflates false positives several-fold. The mixture likelihood
+    * ratio Λ_t = √(V/(V+τ²))·exp(Δ²τ²/(2V(V+τ²))) against a
+    * N(0,τ²) effect prior gives p_t = min(1, 1/Λ_t), and the
+    * running min over days is an ALWAYS-VALID p-value: valid at
+    * every look simultaneously, monotone non-increasing. Scale
+    * posture: ONE corpus pass to per-(day, variant) exact-cent
+    * sufficient statistics (n, Σx, Σx² as int64); every cumulative
+    * window runs over the O(days) calendar-bounded relation. The
+    * float chain (pooled variance → V → Λ → p) is one deterministic
+    * expression over exact ints, spelled identically in the oracle.
+    * (Σx² in int64 is exact to ~10⁹ purchase rows at cent scale;
+    * a larger deployment would widen to DECIMAL(38).)
+    */
+  val eventsMsprt: QueryDef = QueryDef.sql(
+    "events_msprt",
+    """WITH daily AS (
+      |  SELECT date_trunc('day', ts) AS day, user_id % 2 AS variant,
+      |    count(*) AS n,
+      |    sum(CAST(round(value * 100, 0) AS BIGINT)) AS s,
+      |    sum(CAST(round(value * 100, 0) AS BIGINT)
+      |        * CAST(round(value * 100, 0) AS BIGINT)) AS q
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |byday AS (
+      |  SELECT day,
+      |    sum(CASE WHEN variant = 0 THEN n ELSE 0 END) AS na_d,
+      |    sum(CASE WHEN variant = 0 THEN s ELSE 0 END) AS sa_d,
+      |    sum(CASE WHEN variant = 0 THEN q ELSE 0 END) AS qa_d,
+      |    sum(CASE WHEN variant = 1 THEN n ELSE 0 END) AS nb_d,
+      |    sum(CASE WHEN variant = 1 THEN s ELSE 0 END) AS sb_d,
+      |    sum(CASE WHEN variant = 1 THEN q ELSE 0 END) AS qb_d
+      |  FROM daily GROUP BY 1),
+      |cum AS (
+      |  SELECT day,
+      |    sum(na_d) OVER w AS na, sum(sa_d) OVER w AS sa,
+      |    sum(qa_d) OVER w AS qa,
+      |    sum(nb_d) OVER w AS nb, sum(sb_d) OVER w AS sb,
+      |    sum(qb_d) OVER w AS qb
+      |  FROM byday
+      |  WINDOW w AS (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |stat AS (
+      |  SELECT day, na, nb,
+      |    CAST(sb AS DOUBLE) / nb - CAST(sa AS DOUBLE) / na AS delta,
+      |    (CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / na
+      |     + CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / nb)
+      |      / (na + nb - 2) * (1.0 / na + 1.0 / nb) AS v
+      |  FROM cum WHERE na >= 2 AND nb >= 2),
+      |lr AS (
+      |  SELECT day, na, nb, delta,
+      |    CASE WHEN v > 0 THEN least(1.0, 1.0 /
+      |      (sqrt(v / (v + 250000)) *
+      |       exp(delta * delta * 250000 / (2 * v * (v + 250000)))))
+      |    ELSE 1.0 END AS p_t
+      |  FROM stat)
+      |SELECT day, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      |  round(delta, 4) AS delta_cents,
+      |  round(min(p_t) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+      |    AS p_always_valid
+      |FROM lr ORDER BY day""".stripMargin) { (s, d) =>
+    val cents = round(col("value") * 100, 0).cast("long")
+    val daily = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("day", col("ts")).as("day"),
+        (col("user_id") % 2).as("variant"))
+      .agg(count(lit(1)).as("n"), sum(cents).as("s"),
+        sum(cents * cents).as("q"))
+    val byday = daily.groupBy(col("day"))
+      .agg(
+        sum(when(col("variant") === 0, col("n")).otherwise(0L)).as("na_d"),
+        sum(when(col("variant") === 0, col("s")).otherwise(0L)).as("sa_d"),
+        sum(when(col("variant") === 0, col("q")).otherwise(0L)).as("qa_d"),
+        sum(when(col("variant") === 1, col("n")).otherwise(0L)).as("nb_d"),
+        sum(when(col("variant") === 1, col("s")).otherwise(0L)).as("sb_d"),
+        sum(when(col("variant") === 1, col("q")).otherwise(0L)).as("qb_d"))
+    // cumulative windows over the O(days) calendar-bounded relation
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byday.select(col("day"),
+      sum(col("na_d")).over(w).as("na"), sum(col("sa_d")).over(w).as("sa"),
+      sum(col("qa_d")).over(w).as("qa"),
+      sum(col("nb_d")).over(w).as("nb"), sum(col("sb_d")).over(w).as("sb"),
+      sum(col("qb_d")).over(w).as("qb"))
+    val stat = cum.filter(col("na") >= 2 && col("nb") >= 2)
+      .select(col("day"), col("na"), col("nb"),
+        (col("sb").cast("double") / col("nb")
+          - col("sa").cast("double") / col("na")).as("delta"),
+        ((col("qa").cast("double")
+          - col("sa").cast("double") * col("sa").cast("double") / col("na")
+          + col("qb").cast("double")
+          - col("sb").cast("double") * col("sb").cast("double") / col("nb"))
+          / (col("na") + col("nb") - 2)
+          * (lit(1.0) / col("na") + lit(1.0) / col("nb"))).as("v"))
+    val tau2 = lit(250000) // τ = $5 in cents — the effect-size prior
+    val lr = stat.select(col("day"), col("na"), col("nb"), col("delta"),
+      when(col("v") > 0, least(lit(1.0), lit(1.0) /
+        (sqrt(col("v") / (col("v") + tau2)) *
+          exp(col("delta") * col("delta") * tau2
+            / (lit(2) * col("v") * (col("v") + tau2))))))
+        .otherwise(1.0).as("p_t"))
+    lr.select(col("day"), col("na").cast("long").as("n_a"),
+        col("nb").cast("long").as("n_b"),
+        round(col("delta"), 4).as("delta_cents"),
+        round(min(col("p_t")).over(w), 6).as("p_always_valid"))
+      .orderBy(col("day"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    eventsMannwhitney, eventsKsTest, eventsFdrBh,
+    eventsMannwhitney, eventsKsTest, eventsFdrBh, eventsMsprt,
     eventsTrending,
     eventsSurvival,
     eventsBitmapCohort, streamBitmapCohort, streamSliding,

@@ -1735,11 +1735,100 @@ object Graph {
     }
   }
 
+  private val MisRounds = 4
+
+  /** Maximal independent set by Luby's algorithm (Luby 1986) — THE
+    * parallel symmetry-breaking primitive (distributed coloring,
+    * scheduling, and correlation-clustering pivots all reduce to
+    * it): each round every still-active node draws a priority and
+    * joins the MIS iff it beats every active neighbor; winners and
+    * their neighborhoods retire. Priorities are md5(round:node) —
+    * hash-derived like graph_walks' choices, so every run,
+    * partitioning, and engine replays the identical set (rand()
+    * is none of those). Expected O(log |V|) rounds; $MisRounds fixed
+    * rounds here with set-completion pinned in ScalaTest. Each round
+    * is one equality join + a min-aggregate over the active-
+    * restricted symmetric relation (O(|E|) shuffle, O(|V|) state,
+    * the label-propagation envelope); the active frontier is
+    * localCheckpointed so the lazy plan stays flat. Oracle replays
+    * the identical rounds as chained CTEs; independence (no MIS
+    * edge) and maximality (every non-MIS node has a MIS neighbor)
+    * are the pinned invariants.
+    */
+  val graphMis: QueryDef = {
+    val steps = (1 to MisRounds).map { i =>
+      s"""p$i AS (SELECT node,
+         |  md5(concat('$i', ':', CAST(node AS VARCHAR))) AS pri
+         |  FROM a${i - 1}),
+         |n$i AS (SELECT p1.node, min(p2.pri) AS nmin
+         |  FROM sym s JOIN p$i p1 ON p1.node = s.a JOIN p$i p2 ON p2.node = s.b
+         |  GROUP BY p1.node),
+         |w$i AS (SELECT p.node FROM p$i p LEFT JOIN n$i n ON n.node = p.node
+         |  WHERE n.nmin IS NULL OR p.pri < n.nmin),
+         |r$i AS (SELECT DISTINCT s.b AS node
+         |  FROM sym s JOIN w$i w ON w.node = s.a),
+         |a$i AS (SELECT node FROM a${i - 1}
+         |  EXCEPT (SELECT node FROM w$i UNION SELECT node FROM r$i))""".stripMargin
+    }.mkString(",\n")
+    val misUnion = (1 to MisRounds)
+      .map(i => s"SELECT node, $i AS mis_round FROM w$i").mkString(" UNION ALL ")
+    val oracle =
+      s"""WITH ue AS MATERIALIZED ($undirectedSql),
+         |sym AS MATERIALIZED (SELECT a, b FROM ue UNION SELECT b, a FROM ue),
+         |v AS MATERIALIZED (SELECT a AS node FROM sym UNION SELECT b FROM sym),
+         |a0 AS (SELECT node FROM v),
+         |$steps,
+         |mis AS ($misUnion)
+         |SELECT v.node, mis.mis_round IS NOT NULL AS in_mis,
+         |  CAST(mis.mis_round AS BIGINT) AS mis_round
+         |FROM v LEFT JOIN mis ON mis.node = v.node
+         |ORDER BY v.node""".stripMargin
+    QueryDef.sql("graph_mis", oracle) { (s, d) =>
+      val ue = undirectedNationEdges(s, d)
+      val sym = ue.select(col("a"), col("b"))
+        .union(ue.select(col("b").as("a"), col("a").as("b")))
+        .distinct().cache()
+      val vertices = sym.select(col("a").as("node"))
+        .union(sym.select(col("b").as("node"))).distinct()
+        .localCheckpoint(eager = true)
+      var active = vertices
+      var mis: DataFrame = null
+      for (i <- 1 to MisRounds) {
+        val p = active.withColumn("pri",
+          md5(concat_ws(":", lit(i.toString), col("node").cast("string"))))
+        val p2 = p.select(col("node").as("bnode"), col("pri").as("bpri"))
+        val nmin = sym
+          .join(p.select(col("node").as("anode"), col("pri").as("apri")),
+            col("anode") === col("a"))
+          .join(p2, col("bnode") === col("b"))
+          .groupBy(col("anode").as("nnode")).agg(min(col("bpri")).as("nmin"))
+        val winners = p.join(nmin, col("node") === col("nnode"), "left_outer")
+          .filter(col("nmin").isNull || col("pri") < col("nmin"))
+          .select(col("node"))
+          .localCheckpoint(eager = true)
+        val w = winners.withColumn("mis_round", lit(i.toLong))
+        mis = if (mis == null) w else mis.unionAll(w)
+        val retired = winners
+          .unionAll(sym.join(winners.withColumnRenamed("node", "wn"),
+            col("wn") === col("a"), "left_semi").select(col("b").as("node")))
+          .distinct()
+        active = active.join(retired.withColumnRenamed("node", "rn"),
+            col("rn") === col("node"), "left_anti")
+          .localCheckpoint(eager = true)
+      }
+      vertices.join(mis.withColumnRenamed("node", "mn"),
+          col("mn") === col("node"), "left_outer")
+        .select(col("node"), col("mis_round").isNotNull.as("in_mis"),
+          col("mis_round"))
+        .orderBy(col("node"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     graphDegree, graphPagerank, graphTriangles, graphBfs, graphLabelprop,
     graphJaccard, graphCloseness, graphKcore, graphMst, graphSssp, graphCc,
     graphHits, graphAssortativity, graphModularity, graphClusteringCoeff,
     graph2hop, graphBipartite, graphWalks, graphBetweenness, graphPpr,
     graphScc, graphReciprocity, graphLouvain, graphConductance,
-    graphSimrank, graphEccentricity, graphHarmonic, graphKtruss)
+    graphSimrank, graphEccentricity, graphHarmonic, graphKtruss, graphMis)
 }

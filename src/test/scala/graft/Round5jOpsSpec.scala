@@ -104,6 +104,129 @@ class Round5jOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- graph_mis -------------------------------------------------------
+
+  test("graph_mis: independent, maximal, complete, and replay-exact") {
+    val out = Graph.graphMis.fn(spark, sf).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(out.nonEmpty)
+    val mis = out.filter(_._2).map(_._1).toSet
+    assert(mis.nonEmpty, "empty MIS")
+    // rebuild the undirected co-trade edge list the operator runs on:
+    // customers and suppliers of the same order link their nations
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    val pairs = {
+      val cust = Tables.customer(spark, sf)
+        .select(col("c_custkey"), col("c_nationkey"))
+      val supp = Tables.supplier(spark, sf)
+        .select(col("s_suppkey"), col("s_nationkey"))
+      Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey")
+        .join(Tables.orders(spark, sf).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .select(least(col("c_nationkey"), col("s_nationkey")).cast("long").as("a"),
+          greatest(col("c_nationkey"), col("s_nationkey")).cast("long").as("b"))
+        .filter(col("a") < col("b")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
+    pairs.foreach { case (a, b) =>
+      adj(a) = adj(a) + b; adj(b) = adj(b) + a
+    }
+    // independence: no two MIS nodes adjacent
+    pairs.foreach { case (a, b) =>
+      assert(!(mis(a) && mis(b)), s"MIS contains edge ($a,$b)")
+    }
+    // maximality: every non-MIS node has a MIS neighbor
+    out.filter(!_._2).foreach { case (n, _, _) =>
+      assert(adj(n).exists(mis), s"non-MIS node $n has no MIS neighbor")
+    }
+    // completion: every node decided (in MIS or dominated) — the
+    // fixed round count reached the fixpoint
+    out.foreach { case (n, inMis, _) =>
+      assert(inMis || adj(n).exists(mis), s"node $n undecided after 4 rounds")
+    }
+    // replay Luby's rounds exactly (md5 priorities) and compare sets
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def pri(round: Int, node: Long): String =
+      md.digest(s"$round:$node".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    var active = adj.keySet.toSet ++ out.map(_._1).toSet
+    var misReplay = Set.empty[Long]
+    for (i <- 1 to 4) {
+      val p = active.map(n => n -> pri(i, n)).toMap
+      val winners = active.filter { n =>
+        val nbr = adj(n).intersect(active)
+        nbr.isEmpty || p(n) < nbr.map(p).min
+      }
+      misReplay ++= winners
+      active = active -- winners -- winners.flatMap(adj)
+    }
+    assert(mis == misReplay,
+      s"MIS differs from replay: extra=${mis -- misReplay} missing=${misReplay -- mis}")
+  }
+
+  // ---- events_msprt ----------------------------------------------------
+
+  test("events_msprt: always-valid p is monotone, bounded, and replay-exact") {
+    val out = EventOps.eventsMsprt.fn(spark, sf).collect()
+      .map(r => (r.get(0).toString, r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out.nonEmpty)
+    // bounds and monotone non-increasing in time
+    out.foreach { case (day, na, nb, _, p) =>
+      assert(na >= 2 && nb >= 2)
+      assert(p > 0.0 && p <= 1.0, s"$day p=$p out of range")
+    }
+    val ps = out.sortBy(_._1).map(_._5)
+    ps.sliding(2).foreach { w =>
+      if (w.length == 2)
+        assert(w(1) <= w(0) + 1e-9,
+          s"always-valid p must never increase: ${w(0)} -> ${w(1)}")
+    }
+    // replay the whole chain from collected per-day exact statistics
+    val cents = round(col("value") * 100, 0).cast("long")
+    val daily = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("day", col("ts")).as("day"),
+        (col("user_id") % 2).as("variant"))
+      .agg(count(lit(1)).as("n"), sum(cents).as("s"), sum(cents * cents).as("q"))
+      .collect()
+      .map(r => (r.get(0).toString, r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val days = daily.map(_._1).distinct.sorted
+    var (na, sa, qa, nb, sb, qb) = (0L, 0L, 0L, 0L, 0L, 0L)
+    var best = 1.0
+    val tau2 = 250000.0
+    val expected = days.flatMap { day =>
+      daily.filter(_._1 == day).foreach {
+        case (_, 0L, n, s, q) => na += n; sa += s; qa += q
+        case (_, _, n, s, q) => nb += n; sb += s; qb += q
+      }
+      if (na >= 2 && nb >= 2) {
+        val delta = sb.toDouble / nb - sa.toDouble / na
+        val v = (qa.toDouble - sa.toDouble * sa.toDouble / na
+          + qb.toDouble - sb.toDouble * sb.toDouble / nb) / (na + nb - 2) *
+          (1.0 / na + 1.0 / nb)
+        val pT = if (v > 0)
+          math.min(1.0, 1.0 / (math.sqrt(v / (v + tau2)) *
+            math.exp(delta * delta * tau2 / (2 * v * (v + tau2)))))
+        else 1.0
+        best = math.min(best, pT)
+        Some(day -> (delta, best))
+      } else None
+    }.toMap
+    out.foreach { case (day, _, _, delta, p) =>
+      val (ed, ep) = expected(day)
+      assert(math.abs(delta - math.round(ed * 1e4).toDouble / 1e4) < 2e-4,
+        s"$day delta $delta vs $ed")
+      assert(math.abs(p - math.round(ep * 1e6).toDouble / 1e6) < 2e-6,
+        s"$day p $p vs $ep")
+    }
+  }
+
   // ---- events_fdr_bh ---------------------------------------------------
 
   test("events_fdr_bh: BH step-up properties and per-type KS replay") {
