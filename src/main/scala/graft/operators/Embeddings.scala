@@ -439,6 +439,115 @@ object Embeddings {
         / pow(v2, 1.5) * 10000 + 0.5) / 10000).as("skewness"))
   }
 
+  /** Top principal direction by DISTRIBUTED LANCZOS (Krylov-
+    * accelerated power iteration) — the PCA path for dimensions too
+    * wide for the gramian: fitPca ships an O(d²) buffer per
+    * partition and eigendecomposes d×d on the driver, which dies
+    * around d ≈ 10⁴ (10⁸ doubles per buffer); Lanczos never
+    * materializes the covariance at all. Each round is ONE map-side
+    * partial aggregate computing the matvec w = Σᵢ(xᵢ−μ)((xᵢ−μ)ᵀv)
+    * against the broadcast-literal v — shuffle is d doubles per
+    * partition, independent of n AND of d², so it scales to any
+    * embedding width; centering folds into constants ((x−μ)ᵀv =
+    * xᵀv − μᵀv, and the per-dim sums need only the extra scalar Σs).
+    * The Krylov part is why t stays small: plain power iteration
+    * converges like (λ₂/λ₁)ᵗ — hopeless on near-isotropic embedding
+    * spectra (λ₂/λ₁ ≈ 0.93 here ⇒ ~100 passes) — while the Lanczos
+    * Ritz vector converges like a degree-t Chebyshev polynomial of
+    * the same matvecs, reaching machine-level alignment in ~12. The
+    * O(t·d) basis, 3-term recurrence + full reorthogonalization,
+    * and the t×t tridiagonal eig are driver-side arithmetic, same
+    * posture as the k centroids of kmeans.
+    *
+    * Sign convention: largest-|·| component positive. Rows-only
+    * (iterative float fixpoint); ScalaTest pins |cos| ≥ 0.999
+    * against fitPca's exact PC1 and λ₁ to 1e-4 relative.
+    */
+  val LanczosIters = 12
+
+  /** n and per-dimension mean in one pass. */
+  private def meanPass(vectors: DataFrame, vecCol: String, d: Int): (Double, Array[Double]) = {
+    val base = vectors
+      .agg(count(lit(1)).cast("double").as("n"),
+        (0 until d).map(j =>
+          sum(element_at(col(vecCol), j + 1)).as(s"s$j")): _*)
+      .head
+    val n = base.getDouble(0)
+    (n, Array.tabulate(d)(j => base.getDouble(1 + j) / n))
+  }
+
+  /** One distributed centered-covariance matvec: C·v with
+    * C = Σᵢ(xᵢ−μ)(xᵢ−μ)ᵀ/n, computed as a single aggregate pass.
+    */
+  private def matvec(vectors: DataFrame, vecCol: String, d: Int,
+      n: Double, mean: Array[Double], v: Array[Double]): Array[Double] = {
+    val vLit: Column = array(v.map(lit).toIndexedSeq: _*)
+    val muDotV = mean.zip(v).map { case (m, x) => m * x }.sum
+    val score = VectorFunctions.dot_product(col(vecCol), vLit) - lit(muDotV)
+    val r = vectors
+      .agg(sum(score).as("ss"),
+        (0 until d).map(j =>
+          sum(element_at(col(vecCol), j + 1) * score).as(s"w$j")): _*)
+      .head
+    val sumS = r.getDouble(0)
+    Array.tabulate(d)(j => (r.getDouble(1 + j) - mean(j) * sumS) / n)
+  }
+
+  def lanczosTop(vectors: DataFrame, vecCol: String = "v",
+      d: Int = Dim, iters: Int = LanczosIters): (Array[Double], Double, Long) = {
+    val (n, mean) = meanPass(vectors, vecCol, d)
+    def norm(a: Array[Double]): Double = math.sqrt(a.map(x => x * x).sum)
+    // deterministic start (never orthogonal to PC1 in practice)
+    var q = Array.tabulate(d)(j => if (j % 2 == 0) 1.0 else -1.0)
+    val q0n = norm(q); q = q.map(_ / q0n)
+    val basis = scala.collection.mutable.ArrayBuffer(q)
+    val alpha = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val beta = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var done = false
+    while (basis.size <= iters && !done) {
+      val v = basis.last
+      var w = matvec(vectors, vecCol, d, n, mean, v)
+      alpha += v.zip(w).map { case (a, b) => a * b }.sum
+      // full reorthogonalization against the whole basis (t·d driver work)
+      basis.foreach { b =>
+        val c = b.zip(w).map { case (a, x) => a * x }.sum
+        w = w.zip(b).map { case (x, bb) => x - c * bb }
+      }
+      val b = norm(w)
+      if (b < 1e-12) done = true // invariant subspace found early
+      else { beta += b; basis += w.map(_ / b) }
+    }
+    val t = alpha.size
+    val tri = breeze.linalg.DenseMatrix.zeros[Double](t, t)
+    for (i <- 0 until t) {
+      tri(i, i) = alpha(i)
+      if (i + 1 < t) { tri(i, i + 1) = beta(i); tri(i + 1, i) = beta(i) }
+    }
+    val es = breeze.linalg.eigSym(tri)
+    val top = (0 until t).maxBy(es.eigenvalues(_))
+    val lambda = es.eigenvalues(top)
+    val y = (0 until t).map(es.eigenvectors(_, top))
+    var u = Array.tabulate(d)(j =>
+      (0 until t).map(i => y(i) * basis(i)(j)).sum)
+    val un = norm(u); u = u.map(_ / un)
+    val pivot = u.indices.maxBy(j => math.abs(u(j)))
+    if (u(pivot) < 0) u = u.map(-_)
+    (u, lambda, n.toLong)
+  }
+
+  val embPowerIteration: QueryDef = QueryDef.rowsOnly("emb_power_iteration") { (s, d) =>
+    val (v, lambda, n) = lanczosTop(Similarity.vectors(s, d))
+    import s.implicits._
+    val rows = v.zipWithIndex.map { case (x, j) =>
+      (s"loading_${"%02d".format(j)}",
+        BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    } :+ (("lambda1",
+      BigDecimal(lambda).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble)) :+
+      (("n", n.toDouble))
+    rows.toSeq.toDF("term", "value").orderBy(col("term"))
+  }
+
   val all: Seq[QueryDef] = Seq(embPca, embCluster, embRandomProjection,
-    embDimStats, embMatryoshka, embWhitening, embProcrustes, embHubness)
+    embDimStats, embMatryoshka, embWhitening, embProcrustes, embHubness,
+    embPowerIteration)
 }

@@ -1824,11 +1824,84 @@ object Graph {
     }
   }
 
+  /** Distributed greedy graph coloring by the Jones–Plassmann
+    * algorithm (Jones & Plassmann 1993) over the customer↔supplier
+    * conflict graph — the parallel answer to "assign non-conflicting
+    * slots" (register allocation, task scheduling, channel
+    * assignment): every node gets a static md5 priority; each round,
+    * nodes whose priority beats every still-UNCOLORED neighbor pick
+    * the SMALLEST color absent from their already-colored
+    * neighborhood (minimal excludant, computed with codegen'd
+    * higher-order functions: first element of 0..|set| not in the
+    * collected color set), then leave the active set. Rounds =
+    * longest priority-decreasing path, expected O(log n) on random
+    * priorities (vs the sequential greedy's inherently serial Δ+1
+    * sweep); each round is two equality joins over O(|E|) + O(|V|)
+    * state, lineage cut per round — the graph_mis machinery with
+    * winner-only retirement and a color choice. The smallest-free
+    * rule bounds colors by Δ+1 unconditionally.
+    *
+    * Rows-only (rounds are data-dependent); ScalaTest pins proper-
+    * coloring by edge recount, totality, the defining greedy
+    * property (a node colored c has all of 0..c−1 in its
+    * neighborhood), the Δ+1 bound, and rerun determinism.
+    */
+  val graphColoring: QueryDef = QueryDef.rowsOnly("graph_coloring") { (s, d) =>
+    import s.implicits._
+    val e = tradeEdges(s, d)
+    val ed = e.select(concat(lit("c"), col("src").cast("string")).as("a"),
+      concat(lit("s"), col("dst").cast("string")).as("b"))
+    val sym = ed.union(ed.select(col("b").as("a"), col("a").as("b")))
+      .distinct().cache()
+    var active = sym.select(col("a").as("node")).distinct()
+      .withColumn("pri", md5(col("node")))
+      .localCheckpoint(eager = true)
+    var colored = Seq.empty[(String, Int)].toDF("node", "color")
+    var remaining = active.count()
+    var round = 0
+    while (remaining > 0 && round < 64) {
+      round += 1
+      // highest active-neighbor priority per node
+      val nbrMax = sym
+        .join(active.select(col("node").as("bn"), col("pri").as("bpri")),
+          col("bn") === col("b"))
+        .groupBy(col("a").as("nnode")).agg(max(col("bpri")).as("nmax"))
+      val winners = active
+        .join(nbrMax, col("node") === col("nnode"), "left_outer")
+        .filter(col("nmax").isNull || col("pri") > col("nmax"))
+        .select(col("node"))
+      // smallest color not used by any already-colored neighbor
+      val nbrColors = sym
+        .join(colored.select(col("node").as("cn"), col("color").as("bc")),
+          col("cn") === col("b"))
+        .select(col("a").as("wn"), col("bc"))
+      val newly = winners
+        .join(nbrColors, col("wn") === col("node"), "left_outer")
+        .groupBy(col("node")).agg(collect_set(col("bc")).as("cs"))
+        .withColumn("color",
+          element_at(filter(sequence(lit(0), size(col("cs"))),
+            i => !array_contains(col("cs"), i)), 1))
+        .select(col("node"), col("color"))
+        .localCheckpoint(eager = true)
+      colored = colored.unionAll(newly).localCheckpoint(eager = true)
+      active = active.join(newly.select(col("node").as("dn")),
+          col("dn") === col("node"), "left_anti")
+        .localCheckpoint(eager = true)
+      remaining = active.count()
+    }
+    colored
+      .select(substring(col("node"), 1, 1).as("node_type"),
+        expr("CAST(substr(node, 2) AS BIGINT)").as("key"),
+        col("color"))
+      .orderBy(col("node_type"), col("key"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     graphDegree, graphPagerank, graphTriangles, graphBfs, graphLabelprop,
     graphJaccard, graphCloseness, graphKcore, graphMst, graphSssp, graphCc,
     graphHits, graphAssortativity, graphModularity, graphClusteringCoeff,
     graph2hop, graphBipartite, graphWalks, graphBetweenness, graphPpr,
     graphScc, graphReciprocity, graphLouvain, graphConductance,
-    graphSimrank, graphEccentricity, graphHarmonic, graphKtruss, graphMis)
+    graphSimrank, graphEccentricity, graphHarmonic, graphKtruss, graphMis,
+    graphColoring)
 }

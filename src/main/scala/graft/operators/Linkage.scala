@@ -642,7 +642,82 @@ object Linkage {
       .orderBy(col("feature"), col("dec"))
   }
 
+  /** Multinomial Naive Bayes language classifier trained ON the
+    * corpus — the generative counterpart to text_langid's fixed
+    * heuristic profiles and mining_dtree's single split: the MODEL
+    * IS A RELATION. Train (4/5 of docs by xxhash64 split):
+    * P(tri|lang) from one (lang, char-trigram) count aggregate —
+    * O(chars) exploded rows reduce map-side to the |langs|·|vocab|
+    * model, never corpus-sized on the wire; priors from one O(docs)
+    * aggregate. Score (held-out 1/5): per-doc trigram counts join
+    * the model ON THE TRIGRAM KEY (hash join — no broadcast ceiling,
+    * a 10⁹-row model would scale the same way), unseen trigrams get
+    * the Laplace floor 1/(tot+V) via the per-lang broadcast totals,
+    * argmax by struct max. Output: test-set confusion matrix.
+    * (The synthetic corpus draws text i.i.d. regardless of label, so
+    * accuracy sits at the prior BY CONSTRUCTION — the correctness
+    * claim is the classifier math, not the corpus.) Rows-only
+    * (log-float scores); ScalaTest pins smoothed normalization
+    * Σ_tri P(tri|lang) = 1 exactly, population conservation, an
+    * EXACT driver replay of the full train+score pipeline (same
+    * confusion matrix), and determinism.
+    */
+  val NbSeed = 42
+  val NbTestFold = 5
+
+  /** (doc_id, lang, tri, m): per-document character-trigram counts
+    * over lowercased text, whitespace collapsed.
+    */
+  def nbTrigrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+        regexp_replace(lower(col("text")), "\\s+", " ").as("txt"))
+      .select(col("doc_id"), col("lang"),
+        explode(expr(
+          "transform(sequence(1, greatest(length(txt) - 2, 0)), i -> substr(txt, i, 3))"))
+          .as("tri"))
+      .groupBy(col("doc_id"), col("lang"), col("tri"))
+      .agg(count(lit(1)).as("m"))
+
+  def nbIsTest = pmod(xxhash64(col("doc_id"), lit(NbSeed)), lit(NbTestFold)) === 0
+
+  /** Model relations: (lang, tri, cnt) token counts and
+    * (lang, tot, log_prior, n_docs) class stats; vocab size V.
+    */
+  def nbModel(s: SparkSession, d: String): (DataFrame, DataFrame, Long) = {
+    val train = Tables.documents(s, d).filter(!nbIsTest)
+    val tri = nbTrigrams(train)
+    val counts = tri.groupBy(col("lang"), col("tri"))
+      .agg(sum(col("m")).as("cnt")).cache()
+    val vocab = counts.select(col("tri")).distinct().count()
+    val nTrain = train.count()
+    val classes = counts.groupBy(col("lang")).agg(sum(col("cnt")).as("tot"))
+      .join(train.groupBy(col("lang")).agg(count(lit(1)).as("n_docs")), "lang")
+      .withColumn("log_prior", log(col("n_docs").cast("double") / lit(nTrain.toDouble)))
+    (counts, classes, vocab)
+  }
+
+  val miningNaiveBayes: QueryDef = QueryDef.rowsOnly("mining_naive_bayes") { (s, d) =>
+    val (counts, classes, vocab) = nbModel(s, d)
+    val test = nbTrigrams(Tables.documents(s, d).filter(nbIsTest))
+      .withColumnRenamed("lang", "true_lang")
+    // every (test trigram, class) candidate: explode by the ≤|langs|
+    // class list (broadcast), then hash-join the model on (lang, tri)
+    val cand = test.crossJoin(broadcast(classes))
+      .join(counts, Seq("lang", "tri"), "left_outer")
+      .withColumn("logp",
+        log((coalesce(col("cnt"), lit(0L)).cast("double") + 1.0)
+          / (col("tot").cast("double") + lit(vocab.toDouble))))
+    val scored = cand
+      .groupBy(col("doc_id"), col("true_lang"), col("lang"))
+      .agg((first(col("log_prior")) + sum(col("m") * col("logp"))).as("score"))
+      .groupBy(col("doc_id"), col("true_lang"))
+      .agg(max(struct(col("score"), col("lang"))).getField("lang").as("pred_lang"))
+    scored.groupBy(col("true_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("true_lang"), col("pred_lang"))
+  }
+
   val all: Seq[QueryDef] = Seq(qCopurchase, qFuzzyJoin, miningFpgrowth, miningAls,
     miningPrefixspan, miningAssoc, miningLda, miningOls, miningGmm,
-    miningIforest, miningDtree, qReciprocalMatch)
+    miningIforest, miningDtree, qReciprocalMatch, miningNaiveBayes)
 }

@@ -509,6 +509,119 @@ object Multimodal {
       .orderBy(col("cluster_rep"))
   }
 
+  // ---- audio energy / silence detection ------------------------------
+
+  val AudioRate = 16000 // Hz, mono PCM16
+  val AudioSegMs = 50 // planted segment length
+  val AudioSegments = 8
+  val AudioFrameMs = 25 // analysis window (divides the segment evenly)
+  val SilenceRms = 1000.0
+
+  private def mix64(z0: Long): Long = { // splitmix64 finalizer
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic synthetic WAV per doc: 8 × 50 ms segments, mono
+    * 16 kHz PCM16; segment i is silence iff bit i of splitmix64
+    * (doc_id) is set, else a 440 Hz half-amplitude sine. Stands in
+    * for real audio bytes — the layout is recoverable exactly, so
+    * the DSP below is verifiable.
+    */
+  def synthWav(docId: Long): Array[Byte] = {
+    val bits = mix64(docId)
+    val segSamples = AudioRate * AudioSegMs / 1000
+    val n = segSamples * AudioSegments
+    val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(AudioRate).putInt(AudioRate * 2)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(2 * n)
+    var i = 0
+    while (i < n) {
+      val seg = i / segSamples
+      val silent = ((bits >>> seg) & 1L) == 1L
+      val v = if (silent) 0
+      else (16384.0 * math.sin(2 * math.Pi * 440.0 * i / AudioRate)).toInt
+      bb.putShort(v.toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Per-frame RMS over the PCM16 data chunk (frame = AudioFrameMs at
+    * the header's sample rate). Pure byte-level DSP — mapPartitions
+    * territory by the (c) rule.
+    */
+  def wavFrameRms(payload: Array[Byte]): Seq[Double] = {
+    // locate the data chunk (header layout as decodeWav)
+    var off = 12
+    var dataOff = -1; var dataLen = 0
+    while (dataOff < 0 && off + 8 <= payload.length) {
+      val id = new String(payload, off, 4, "US-ASCII")
+      val len = le32(payload, off + 4)
+      if (id == "data") { dataOff = off + 8; dataLen = len }
+      else off += 8 + len + (len & 1)
+    }
+    if (dataOff < 0) return Seq.empty
+    val nSamples = math.min(dataLen, payload.length - dataOff) / 2
+    val frameSamples = AudioRate * AudioFrameMs / 1000
+    (0 until nSamples / frameSamples).map { f =>
+      var acc = 0.0
+      var i = f * frameSamples
+      val end = i + frameSamples
+      while (i < end) {
+        val s = ((payload(dataOff + 2 * i + 1) << 8)
+          | (payload(dataOff + 2 * i) & 0xff)).toShort.toDouble
+        acc += s * s
+        i += 1
+      }
+      math.sqrt(acc / frameSamples)
+    }
+  }
+
+  final case class AudioEnergy(
+      doc_id: Long, n_frames: Int, n_silent: Int, n_bursts: Int,
+      rms_active: Double)
+
+  /** Voice-activity-shape audio analysis over the corpus's audio
+    * payloads: decode the PCM data chunk, window into 25 ms frames,
+    * RMS per frame, classify silence, and count activity BURSTS
+    * (maximal runs of non-silent frames) — the segmentation statistic
+    * speech pipelines cut clips on. All byte-level work happens
+    * inside one mapPartitions pass (payloads never shuffle; output
+    * is 5 narrow columns per doc); the synthetic WAVs stand in for
+    * stored audio, and their planted silence layout lets ScalaTest
+    * verify the DSP EXACTLY (recovered silence bitmap == planted
+    * bits for every doc). Rows-only (binary payloads are outside
+    * DuckDB's surface).
+    */
+  val mmAudioEnergy: QueryDef = QueryDef.rowsOnly("mm_audio_energy") { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val rms = wavFrameRms(synthWav(id))
+          val silent = rms.map(_ < SilenceRms)
+          val bursts = silent.foldLeft((0, true)) { case ((k, prevSilent), sNow) =>
+            (if (!sNow && prevSilent) k + 1 else k, sNow)
+          }._1
+          val active = rms.zip(silent).collect { case (r, false) => r }
+          val meanActive = if (active.isEmpty) 0.0
+          else BigDecimal(active.sum / active.size)
+            .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+          AudioEnergy(id, rms.size, silent.count(identity), bursts, meanActive)
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(mmBinaryStats, mmFeatures, mmFrames, mmResize,
-    mmPhash, mmShards, mmPhashDedup)
+    mmPhash, mmShards, mmPhashDedup, mmAudioEnergy)
 }

@@ -1584,10 +1584,134 @@ object TimeSeries {
       .orderBy(col("event_type"), col("hour"))
   }
 
+  // ---- generalized ESD (Rosner 1983) ---------------------------------
+
+  /** Regularized incomplete beta I_x(a,b) by the Numerical-Recipes
+    * continued fraction (Lentz), driver-side only — feeds the exact
+    * Student-t quantiles the ESD critical values need.
+    */
+  private[graft] def regIncBeta(a: Double, b: Double, x: Double): Double = {
+    if (x <= 0.0) return 0.0
+    if (x >= 1.0) return 1.0
+    def lnGamma(z: Double): Double = { // Lanczos g=7, n=9
+      val c = Array(0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+        771.32342877765313, -176.61502916214059, 12.507343278686905,
+        -0.13857109526572012, 9.9843695780195716e-6, 1.5056327351493116e-7)
+      if (z < 0.5) math.log(math.Pi / math.sin(math.Pi * z)) - lnGamma(1.0 - z)
+      else {
+        val zz = z - 1.0
+        val base = zz + 7.5
+        var s = c(0)
+        var i = 1
+        while (i < 9) { s += c(i) / (zz + i); i += 1 }
+        0.5 * math.log(2 * math.Pi) + (zz + 0.5) * math.log(base) - base + math.log(s)
+      }
+    }
+    def betacf(aa: Double, bb: Double, xx: Double): Double = {
+      val fpmin = 1e-300
+      val qab = aa + bb; val qap = aa + 1.0; val qam = aa - 1.0
+      var c = 1.0
+      var dd = 1.0 - qab * xx / qap
+      if (math.abs(dd) < fpmin) dd = fpmin
+      dd = 1.0 / dd
+      var h = dd
+      var m = 1
+      while (m <= 200) {
+        val m2 = 2 * m
+        var numer = m * (bb - m) * xx / ((qam + m2) * (aa + m2))
+        dd = 1.0 + numer * dd; if (math.abs(dd) < fpmin) dd = fpmin
+        c = 1.0 + numer / c; if (math.abs(c) < fpmin) c = fpmin
+        dd = 1.0 / dd
+        h *= dd * c
+        numer = -(aa + m) * (qab + m) * xx / ((aa + m2) * (qap + m2))
+        dd = 1.0 + numer * dd; if (math.abs(dd) < fpmin) dd = fpmin
+        c = 1.0 + numer / c; if (math.abs(c) < fpmin) c = fpmin
+        dd = 1.0 / dd
+        val del = dd * c
+        h *= del
+        if (math.abs(del - 1.0) < 1e-12) return h
+        m += 1
+      }
+      h
+    }
+    val front = math.exp(lnGamma(a + b) - lnGamma(a) - lnGamma(b)
+      + a * math.log(x) + b * math.log(1.0 - x))
+    if (x < (a + 1.0) / (a + b + 2.0)) front * betacf(a, b, x) / a
+    else 1.0 - math.exp(lnGamma(a + b) - lnGamma(a) - lnGamma(b)
+      + b * math.log(1.0 - x) + a * math.log(x)) * betacf(b, a, 1.0 - x) / b
+  }
+
+  /** Upper-tail Student-t quantile by bisection on the exact CDF
+    * F(t) = 1 − ½·I_{ν/(ν+t²)}(ν/2, ½); p ∈ (0.5, 1), ν ≥ 1.
+    */
+  private[graft] def tQuantile(p: Double, nu: Double): Double = {
+    def cdf(t: Double): Double =
+      if (t >= 0) 1.0 - 0.5 * regIncBeta(nu / 2.0, 0.5, nu / (nu + t * t))
+      else 0.5 * regIncBeta(nu / 2.0, 0.5, nu / (nu + t * t))
+    var lo = 0.0; var hi = 1e3
+    var i = 0
+    while (i < 200) { val mid = (lo + hi) / 2; if (cdf(mid) < p) lo = mid else hi = mid; i += 1 }
+    (lo + hi) / 2
+  }
+
+  val EsdK = 5
+  val EsdAlpha = 0.05
+
+  /** Generalized extreme studentized deviate test (Rosner 1983) on
+    * the DAILY event-count series — "are the k most extreme days
+    * statistically anomalous?", with exact multiple-testing-safe
+    * critical values (the test behind Twitter's S-H-ESD anomaly
+    * alerting). The corpus collapses to O(days) in ONE aggregate;
+    * the k-round strip-the-max loop and the Student-t critical
+    * values λᵢ = (n−i)·t / √((n−i−1+t²)(n−i+1)) are driver-side
+    * O(k·days) arithmetic on that bounded relation — the same
+    * closed-form-driver-solve posture as ts_kalman/ts_ar2, so no
+    * corpus-sized window or second scan exists. ESD's decision rule
+    * is deliberately non-greedy: outliers = all ranks ≤ the LAST i
+    * with Rᵢ > λᵢ (masking-proof). Rows-only (float R/λ); ScalaTest
+    * pins R₁ against a direct replay, λ monotone decreasing, the
+    * decision-rule shape, and determinism.
+    */
+  val tsEsd: QueryDef = QueryDef.rowsOnly("ts_esd") { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1).toDouble))
+      .sortBy(_._1)
+    val n = daily.length
+    val k = math.min(EsdK, math.max(n - 2, 0))
+    var remaining = daily.toVector
+    val rounds = (1 to k).map { i =>
+      val m = remaining.map(_._2).sum / remaining.size
+      val sd = math.sqrt(
+        remaining.map(x => (x._2 - m) * (x._2 - m)).sum / (remaining.size - 1))
+      val cand = remaining.maxBy(x => (math.abs(x._2 - m), x._1))
+      val r = if (sd == 0) 0.0 else math.abs(cand._2 - m) / sd
+      val ni = n - i + 1 // size of the set R_i was computed over
+      val pq = 1.0 - EsdAlpha / (2.0 * ni)
+      val t = tQuantile(pq, (ni - 2).toDouble)
+      val lam = (ni - 1) * t / math.sqrt((ni - 2 + t * t) * ni.toDouble)
+      remaining = remaining.filterNot(_ == cand)
+      (i, cand._1, cand._2.toLong, r, lam)
+    }
+    val lastSig = rounds.filter { case (_, _, _, r, lam) => r > lam }
+      .map(_._1).sorted.lastOption.getOrElse(0)
+    import s.implicits._
+    rounds.map { case (i, day, v, r, lam) =>
+      (i, day, v,
+        BigDecimal(r).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(lam).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        i <= lastSig)
+    }.toDF("rank", "day", "n_events", "r_stat", "lambda", "is_outlier")
+      .orderBy(col("rank"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     tsGapfill, tsInterp, tsEwma, tsAutocorr, tsCusum, tsSeasonal,
     tsForecast, tsTimeToConvert, tsGapEpisodes, tsHolt, tsDecompose,
     tsRollingStats, tsRepair, tsOhlc, tsInterEvent, tsTheilsen,
     tsChangepoint, tsLttb, tsDtw, tsPeriodogram, tsAr2, tsTwa, tsXcorr,
-    tsKalman, tsBacktest, tsHoltWinters, tsSpectralEntropy, tsMannKendall)
+    tsKalman, tsBacktest, tsHoltWinters, tsSpectralEntropy, tsMannKendall,
+    tsEsd)
 }

@@ -762,10 +762,91 @@ object SourceOps {
       .orderBy(col("priority"))
   }
 
+  /** Delta/Iceberg-shape TIME TRAVEL from an add/remove action log.
+    * A table is three commits of immutable parquet files plus a JSON
+    * log of actions — v0 ingests the pre-1995 history as two files
+    * (split by l_orderkey parity), v1 appends the 1995+ file, v2 is
+    * a copy-on-write DELETE (returnflag='R' rows leave the even-key
+    * history file: remove f_a0, add the rewritten f_a0r). A snapshot
+    * AS OF version v is the FOLD of the log up to v — O(actions)
+    * driver work against kilobytes, exactly Delta's _delta_log
+    * replay — and the scan opens only that version's live files; no
+    * file is ever mutated, so readers at different versions share
+    * immutable data (snapshot isolation for free). At 100 TB the
+    * log-fold (KBs) replaces relisting the table, and time travel /
+    * incremental consumers (src_mor_read's sibling) are log
+    * arithmetic, not data copies. Output: (version, n, total) per
+    * snapshot; oracle replays each version's predicate algebra on
+    * the raw table.
+    */
+  def timeTravelTable(s: SparkSession, d: String): (String, String) = synchronized {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val root = java.nio.file.Paths.get(tmpDir(s"timetravel_$h"))
+    val logPath = root.resolve("log.json")
+    if (!java.nio.file.Files.exists(logPath)) {
+      java.nio.file.Files.createDirectories(root)
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_shipdate", "l_returnflag", "l_extendedprice")
+      val hist = li.filter(year(col("l_shipdate")) < 1998)
+      def write(name: String, df: DataFrame): String = {
+        val p = root.resolve(name).toString
+        df.write.mode("overwrite").parquet(p)
+        p
+      }
+      val fa0 = write("f_a0", hist.filter(col("l_orderkey") % 2 === 0))
+      val fa1 = write("f_a1", hist.filter(col("l_orderkey") % 2 === 1))
+      val fb = write("f_b", li.filter(year(col("l_shipdate")) >= 1998))
+      val fa0r = write("f_a0r", hist.filter(col("l_orderkey") % 2 === 0
+        && col("l_returnflag") =!= "R"))
+      val log = Seq(
+        s"""{"version":0,"action":"add","file":"$fa0"}""",
+        s"""{"version":0,"action":"add","file":"$fa1"}""",
+        s"""{"version":1,"action":"add","file":"$fb"}""",
+        s"""{"version":2,"action":"remove","file":"$fa0"}""",
+        s"""{"version":2,"action":"add","file":"$fa0r"}""")
+      java.nio.file.Files.writeString(logPath, log.mkString("\n"))
+    }
+    (root.toString, logPath.toString)
+  }
+
+  /** Live file set at `version`: fold the action log in commit order. */
+  def liveFilesAsOf(s: SparkSession, logPath: String, version: Int): Seq[String] = {
+    val actions = s.read.json(logPath)
+      .filter(col("version") <= version)
+      .orderBy(col("version"))
+      .collect()
+    actions.foldLeft(Vector.empty[String]) { (live, r) =>
+      val f = r.getAs[String]("file")
+      if (r.getAs[String]("action") == "add") live :+ f else live.filterNot(_ == f)
+    }
+  }
+
+  val srcTimeTravel: QueryDef = QueryDef.sql(
+    "src_time_travel",
+    """SELECT 0 AS version, count(*) AS n,
+      |  round(sum(l_extendedprice), 2) AS total
+      |FROM lineitem WHERE year(l_shipdate) < 1998
+      |UNION ALL
+      |SELECT 1, count(*), round(sum(l_extendedprice), 2) FROM lineitem
+      |UNION ALL
+      |SELECT 2, count(*), round(sum(l_extendedprice), 2) FROM lineitem
+      |WHERE NOT (year(l_shipdate) < 1998 AND l_orderkey % 2 = 0
+      |           AND l_returnflag = 'R')
+      |ORDER BY version""".stripMargin) { (s, d) =>
+    val (_, logPath) = timeTravelTable(s, d)
+    (0 to 2).map { v =>
+      s.read.parquet(liveFilesAsOf(s, logPath, v): _*)
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("total"))
+        .select(lit(v).as("version"), col("n"), col("total"))
+    }.reduce(_ unionAll _).orderBy(col("version"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     srcTextPoints, srcCsvRoundtrip, srcJsonRoundtrip, srcPartitionedScan,
     srcOrcRoundtrip, srcZorderScan, srcCompactSmallFiles, srcSchemaEvolution,
     srcCsvMalformed, srcBinaryFiles, srcIgnoreCorrupt, srcDateDim,
     srcPointsV2, srcPointsV2Roundtrip, srcPointsV2Agg, srcManifestScan, srcGdprDelete,
-    srcBloomFilterScan, srcMorRead, srcNestedParquet)
+    srcBloomFilterScan, srcMorRead, srcNestedParquet, srcTimeTravel)
 }
