@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.QueryDef
 import graft.sources.Tables
@@ -879,11 +880,99 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  // ---- DSIR importance resampling ------------------------------------
+
+  private[graft] val DsirBuckets = 4096
+  private[graft] val DsirK = 100
+
+  /** Hashed-unigram feature ids + counts per document: ONE token
+    * explode collapsed map-side to (doc, feature) — the wire carries
+    * distinct-feature rows, never raw tokens.
+    */
+  private[graft] def dsirDocFeatures(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("word"))
+      .select(col("doc_id"),
+        pmod(xxhash64(col("word"), lit(7)), lit(DsirBuckets.toLong)).as("f"))
+      .groupBy(col("doc_id"), col("f")).agg(count(lit(1)).as("c"))
+
+  /** The fitted DSIR bag-of-hashed-unigrams models: per feature the
+    * target count, raw count, and the smoothed log importance ratio
+    * log p̂_t(f) − log p̂_r(f). Returns (model, isTarget, T, R).
+    */
+  private[graft] def dsirModel(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, Long, Long) = {
+    val docs = Tables.documents(s, d)
+    val q = qualityInputs(docs)
+      .filter(col("n_chars") > 0 && col("n_tokens") > 0)
+      .select(col("doc_id"), qualityCol.as("quality"))
+    // exact median quality cut defines the in-domain target corpus
+    val med = q.agg(expr("percentile(quality, 0.5)")).collect()(0).getDouble(0)
+    val isTarget = q.select(col("doc_id"), (col("quality") >= med).as("is_t"))
+    val counts = dsirDocFeatures(docs)
+      .join(isTarget, "doc_id")
+      .groupBy(col("f"))
+      .agg(sum(when(col("is_t"), col("c")).otherwise(0L)).as("ct"),
+        sum(col("c")).as("cr"))
+    val tot = counts.agg(sum(col("ct")), sum(col("cr"))).collect()(0)
+    val (bigT, bigR) = (tot.getLong(0), tot.getLong(1))
+    val model = counts.withColumn("r",
+      log((col("ct") + lit(0.5)) / lit(bigT + 0.5 * DsirBuckets))
+        - log((col("cr") + lit(0.5)) / lit(bigR + 0.5 * DsirBuckets)))
+    (model, isTarget, bigT, bigR)
+  }
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al.
+    * 2023), the raw-pool→target-domain selection step LLM pretraining
+    * pipelines run before training: fit a hashed bag-of-unigrams
+    * model of the TARGET domain (here the corpus's own top-half by
+    * the Gopher-style quality score — the "looks like curated data"
+    * set) and of the raw pool, weight every raw document by
+    * log w = Σ_f c_f · (log p̂_t(f) − log p̂_r(f)), and draw the
+    * training subset by Gumbel-top-k on the log weights — the
+    * without-replacement sampler whose randomness is hash-derived
+    * (q_weighted_sample's machinery), so every run/partitioning
+    * replays identically. Plans: one token explode collapsed
+    * map-side to (doc, feature); the 4096-row model BROADCASTS back
+    * (at open-vocab scale the same join runs on the feature key —
+    * no ceiling); the per-doc float sum folds a SORTED per-doc
+    * feature array (deterministic order — a groupBy-sum of doubles
+    * is shuffle-arrival-ordered and irreproducible); selection is
+    * one TakeOrdered. Rows-only: float log-ratios. ScalaTest pins
+    * EXACT local replay (same sorted-fold), the Gibbs pull
+    * Σ p̂_t log(p̂_t/p̂_r) ≥ 0, selection size, and rerun determinism.
+    */
+  val pipelineDsir: QueryDef = QueryDef.rowsOnly("pipeline_dsir") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val (model, isTarget, _, _) = dsirModel(s, d)
+    val logw = dsirDocFeatures(docs)
+      .join(broadcast(model.select(col("f"), col("r"))), "f")
+      .select(col("doc_id"),
+        struct(col("f"), (col("c") * col("r")).as("v")).as("fc"))
+      .groupBy(col("doc_id"))
+      .agg(aggregate(array_sort(collect_list(col("fc"))), lit(0.0),
+        (acc, x) => acc + x.getField("v")).as("logw"))
+    // Gumbel-top-k: u hash-uniform in (0,1], key = logw + Gumbel(u)
+    val u = (shiftrightunsigned(xxhash64(col("doc_id"), lit(11)), 11) + 1L)
+      .cast("double") / lit(9007199254740992.0)
+    val keyed = logw
+      .join(isTarget, "doc_id")
+      .withColumn("key", col("logw") - log(-log(u)))
+    keyed
+      .orderBy(col("key").desc, col("doc_id"))
+      .limit(DsirK)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("is_t"),
+        round(col("logw"), 6).as("logw"), round(col("key"), 6).as("gumbel_key"))
+      .orderBy(col("gumbel_key").desc, col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(pipelineCurate, pipelineMix,
     pipelineQualityFilter, pipelineSampleN, pipelineTokenBudget,
     pipelineSplit, textContamination, pipelineLangBudget,
     pipelineQualityModel, pipelinePack, pipelineObserved,
     pipelineDatasetCard, pipelineDecontaminate,
     pipelineEpochShuffle, pipelineInterleave, pipelineCurriculum,
-    pipelineKfold, pipelineOversample, pipelinePackBins)
+    pipelineKfold, pipelineOversample, pipelinePackBins, pipelineDsir)
 }

@@ -1896,6 +1896,87 @@ object Graph {
       .orderBy(col("node_type"), col("key"))
   }
 
+  private val MatchRounds = 8
+
+  /** Maximal matching by the distributed "handshake" (locally-minimum
+    * edge) algorithm — Israeli–Itai (1986) symmetry breaking with
+    * hash-derived edge weights, the pairing primitive behind
+    * coarsening (multilevel partitioners), one-to-one assignment, and
+    * Borůvka-style contraction: each round every active edge draws
+    * priority md5(round:a:b) (hash-derived like graph_mis — every
+    * run/partitioning/engine replays identically); an edge joins the
+    * matching iff it is the MINIMUM-priority edge at BOTH endpoints,
+    * then matched endpoints retire with all their incident edges. The
+    * both-endpoints-minimum test needs NO edge-adjacency (deg²) join:
+    * two O(|E|) per-side min aggregates + two equality joins back —
+    * on the bipartite customer↔supplier trade graph the sides are
+    * disjoint namespaces, so per-column groupBys are exact. A
+    * constant expected fraction of edges clears per round; $MatchRounds
+    * fixed rounds (drain-to-empty pinned in ScalaTest), O(|E|)
+    * shuffle per round, matched set grows append-only,
+    * localCheckpoint cuts lineage per round.
+    *
+    * Oracle: chained-CTE replay of the identical $MatchRounds rounds
+    * (DuckDB md5 produces the same lowercase hex). ScalaTest pins
+    * matching validity (no shared endpoints), maximality (no active
+    * edge survives), subset-of-edges, and rerun determinism.
+    */
+  val graphMatching: QueryDef = {
+    val steps = (1 to MatchRounds).map { i =>
+      s"""p$i AS MATERIALIZED (SELECT a, b,
+         |  md5(concat('$i', ':', CAST(a AS VARCHAR), ':', CAST(b AS VARCHAR))) AS pri
+         |  FROM e${i - 1}),
+         |w$i AS MATERIALIZED (SELECT p.a, p.b FROM p$i p
+         |  JOIN (SELECT a, min(pri) AS m FROM p$i GROUP BY a) x
+         |    ON x.a = p.a AND x.m = p.pri
+         |  JOIN (SELECT b, min(pri) AS m FROM p$i GROUP BY b) y
+         |    ON y.b = p.b AND y.m = p.pri),
+         |e$i AS MATERIALIZED (SELECT a, b FROM e${i - 1}
+         |  WHERE a NOT IN (SELECT a FROM w$i)
+         |    AND b NOT IN (SELECT b FROM w$i))""".stripMargin
+    }.mkString(",\n")
+    val matchUnion = (1 to MatchRounds)
+      .map(i => s"SELECT a, b, $i AS match_round FROM w$i").mkString(" UNION ALL ")
+    val oracle =
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT DISTINCT o_custkey AS a, l_suppkey AS b
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |$steps,
+         |m AS ($matchUnion)
+         |SELECT a AS custkey, b AS suppkey, CAST(match_round AS BIGINT) AS match_round
+         |FROM m ORDER BY custkey""".stripMargin
+    QueryDef.sql("graph_matching", oracle) { (s, d) =>
+      var active = tradeEdges(s, d)
+        .select(col("src").as("a"), col("dst").as("b"))
+        .localCheckpoint(eager = true)
+      var matched: DataFrame = null
+      for (i <- 1 to MatchRounds) {
+        val p = active.withColumn("pri",
+          md5(concat_ws(":", lit(i.toString),
+            col("a").cast("string"), col("b").cast("string"))))
+        val na = p.groupBy(col("a").as("xa")).agg(min(col("pri")).as("xm"))
+        val nb = p.groupBy(col("b").as("yb")).agg(min(col("pri")).as("ym"))
+        val w = p
+          .join(na, col("xa") === col("a") && col("xm") === col("pri"))
+          .join(nb, col("yb") === col("b") && col("ym") === col("pri"))
+          .select(col("a"), col("b"))
+          .localCheckpoint(eager = true)
+        val wr = w.withColumn("match_round", lit(i.toLong))
+        matched = if (matched == null) wr else matched.unionAll(wr)
+        active = active
+          .join(w.select(col("a").as("wa")).distinct(),
+            col("wa") === col("a"), "left_anti")
+          .join(w.select(col("b").as("wb")).distinct(),
+            col("wb") === col("b"), "left_anti")
+          .localCheckpoint(eager = true)
+      }
+      matched
+        .select(col("a").as("custkey"), col("b").as("suppkey"),
+          col("match_round"))
+        .orderBy(col("custkey"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     graphDegree, graphPagerank, graphTriangles, graphBfs, graphLabelprop,
     graphJaccard, graphCloseness, graphKcore, graphMst, graphSssp, graphCc,
@@ -1903,5 +1984,5 @@ object Graph {
     graph2hop, graphBipartite, graphWalks, graphBetweenness, graphPpr,
     graphScc, graphReciprocity, graphLouvain, graphConductance,
     graphSimrank, graphEccentricity, graphHarmonic, graphKtruss, graphMis,
-    graphColoring)
+    graphColoring, graphMatching)
 }

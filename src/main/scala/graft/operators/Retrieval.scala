@@ -35,8 +35,12 @@ object Retrieval {
   /** Shared oracle: both the direct and the indexed entries must
     * reproduce this exact ranking (same rounding, same tie-break).
     */
-  private val bm25Oracle =
-    s"""WITH dl AS (
+  /** The shared BM25 CTE chain (everything up to the final ranked
+    * select), so the hybrid-fusion oracle can reuse the exact float
+    * discipline the two bm25 entries already hash-match under.
+    */
+  private val bm25Ctes =
+    s"""dl AS (
        |  SELECT doc_id, CAST(length(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS dl
        |  FROM documents),
        |stats AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
@@ -56,9 +60,13 @@ object Retrieval {
        |${QueryTerms.zipWithIndex.map { case (t, i) =>
             s"    coalesce(max(CASE WHEN word = '$t' THEN c END), 0) AS c$i"
           }.mkString(",\n")}
-       |  FROM contrib GROUP BY doc_id)
-       |SELECT doc_id, round(${QueryTerms.indices.map(i => s"c$i").mkString(" + ")}, 4) AS bm25
+       |  FROM contrib GROUP BY doc_id)""".stripMargin
+
+  private val bm25Select =
+    s"""SELECT doc_id, round(${QueryTerms.indices.map(i => s"c$i").mkString(" + ")}, 4) AS bm25
        |FROM wide ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+
+  private val bm25Oracle = s"WITH $bm25Ctes\n$bm25Select"
 
   /** (doc_id, dl) token-length table — map-side regexp_count, no
     * explode, prunes to the text column only.
@@ -153,5 +161,86 @@ object Retrieval {
     bm25Rank(tf, s.read.parquet(s"$idx/doclen"), n, avgdl)
   }
 
-  val all: Seq[QueryDef] = Seq(textBm25, textBm25Indexed)
+  /** Hybrid retrieval with reciprocal-rank fusion (Cormack, Clarke &
+    * Buettcher 2009) — the fusion step every production search stack
+    * runs between its lexical and vector legs: a search session
+    * carries a text query (the fixed benchmark terms) AND a
+    * query-by-example document (vec_id 0's embedding); each leg
+    * returns its top-20 — exact BM25 (the bm25 entries' shared float
+    * discipline) and exact cosine (the ann_bruteforce discipline,
+    * sims rounded to 4dp before ranking) — and RRF scores the
+    * candidate union as Σ 1/(60 + rank), a rank-space sum that needs
+    * NO score calibration between BM25's unbounded scale and
+    * cosine's [−1,1]. Both legs are independent corpus passes (the
+    * lexical one shuffles only query-term postings, the dense one is
+    * a map-only broadcast-query scan + TakeOrdered); the fusion
+    * itself joins two ≤20-row lists — driver-scale, as in any
+    * aggregator. Ranks and the 1/(60+r) terms are exact small-int
+    * reciprocals in ONE shared rounded expression, so the fused
+    * ordering hash-matches DuckDB.
+    */
+  val textHybridRrf: QueryDef = QueryDef.sql(
+    "text_hybrid_rrf",
+    s"""WITH $bm25Ctes,
+       |lexi AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+       |  FROM ($bm25Select) b),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |dtop AS (
+       |  SELECT vec_id AS doc_id,
+       |    round(list_dot_product(v, qv)
+       |      / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 4) AS cos_sim
+       |  FROM e CROSS JOIN q WHERE vec_id <> 0
+       |  ORDER BY cos_sim DESC, doc_id LIMIT 20),
+       |vect AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS r_vec
+       |  FROM dtop),
+       |fused AS (
+       |  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+       |         l.r_lex AS r_lex, v.r_vec AS r_vec,
+       |         round(coalesce(1.0 / CAST(60 + l.r_lex AS DOUBLE), 0.0)
+       |             + coalesce(1.0 / CAST(60 + v.r_vec AS DOUBLE), 0.0), 6) AS rrf
+       |  FROM lexi l FULL OUTER JOIN vect v ON l.doc_id = v.doc_id)
+       |SELECT doc_id, CAST(r_lex AS BIGINT) AS r_lex,
+       |       CAST(r_vec AS BIGINT) AS r_vec, rrf
+       |FROM fused ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val dl = docLengths(s, d)
+    val Array(stats) = dl.agg(count(lit(1)), sum(col("dl"))).collect()
+    val n = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / n
+    // lexical leg: exact BM25 top-20 (≤20 rows → the unpartitioned
+    // rank window is driver-scale by construction)
+    val lexi = bm25Rank(postingsFor(Tables.documents(s, d), QueryTerms), dl, n, avgdl)
+      .withColumn("r_lex",
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+      .select(col("doc_id"), col("r_lex"))
+    // dense leg: exact cosine top-20 against the broadcast query vector
+    val e = Similarity.vectors(s, d)
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val dtop = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        round(Similarity.cosine(col("v"), col("qv")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("doc_id"))
+      .limit(20)
+    val vect = dtop
+      .withColumn("r_vec",
+        row_number().over(Window.orderBy(col("cos_sim").desc, col("doc_id"))))
+      .select(col("doc_id").as("v_doc_id"), col("r_vec"))
+    lexi.join(vect, col("doc_id") === col("v_doc_id"), "full_outer")
+      .select(
+        coalesce(col("doc_id"), col("v_doc_id")).as("doc_id"),
+        col("r_lex").cast("long").as("r_lex"),
+        col("r_vec").cast("long").as("r_vec"),
+        round(
+          coalesce(lit(1.0) / (lit(60) + col("r_lex")).cast("double"), lit(0.0))
+            + coalesce(lit(1.0) / (lit(60) + col("r_vec")).cast("double"), lit(0.0)),
+          6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  val all: Seq[QueryDef] = Seq(textBm25, textBm25Indexed, textHybridRrf)
 }

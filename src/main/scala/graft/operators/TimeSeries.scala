@@ -1707,11 +1707,93 @@ object TimeSeries {
       .orderBy(col("rank"))
   }
 
+  /** SAX symbolization (Lin et al. 2003) of each event type's daily
+    * count series — the symbolic-aggregate approximation behind
+    * motif/discord discovery and whole-series indexing: z-normalize
+    * the series, average it into 8 PAA buckets, and cut each bucket
+    * mean against the Gaussian quartile breakpoints (±0.6745, 0) into
+    * a 4-letter alphabet; two series with the same word are
+    * distributionally similar regardless of absolute volume. ONE
+    * corpus pass to the O(types×days) daily aggregate; everything
+    * downstream (windows, PAA groupBy) runs on that bounded relation
+    * sharing the event_type exchange. All sufficient statistics
+    * (Σn, Σn², per-bucket sums/counts) stay exact int64; floats enter
+    * once in a single shared z expression — identical IEEE evaluation
+    * order in Spark and DuckDB, rounded to 6dp before the symbol cut
+    * so both engines bucket identical values. Constant series (σ=0)
+    * are excluded by an exact integer variance guard.
+    */
+  val tsSax: QueryDef = QueryDef.sql(
+    "ts_sax",
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |         count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |st AS (
+      |  SELECT event_type, n,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+      |    count(*) OVER (PARTITION BY event_type) AS d,
+      |    CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS s,
+      |    CAST(sum(n * n) OVER (PARTITION BY event_type) AS BIGINT) AS ss
+      |  FROM daily),
+      |paa AS (
+      |  SELECT event_type, d, s, ss,
+      |         CAST(floor(((t - 1) * 8.0) / d) AS BIGINT) AS bucket,
+      |         CAST(sum(n) AS BIGINT) AS bs, count(*) AS bc
+      |  FROM st GROUP BY 1, 2, 3, 4, 5),
+      |z AS (
+      |  SELECT event_type, d, bucket,
+      |    round((CAST(bs AS DOUBLE) / bc - CAST(s AS DOUBLE) / d)
+      |      / sqrt((CAST(ss AS DOUBLE) * d - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+      |             / (CAST(d AS DOUBLE) * d)), 6) AS zz
+      |  FROM paa WHERE ss * d > s * s),
+      |sym AS (
+      |  SELECT event_type, d, bucket,
+      |    CASE WHEN zz < -0.6745 THEN 'a' WHEN zz < 0.0 THEN 'b'
+      |         WHEN zz < 0.6745 THEN 'c' ELSE 'd' END AS sg
+      |  FROM z)
+      |SELECT event_type, CAST(d AS BIGINT) AS n_days,
+      |       string_agg(sg, '' ORDER BY bucket) AS sax_word
+      |FROM sym GROUP BY 1, 2 ORDER BY event_type""".stripMargin) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val byDay = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val whole = Window.partitionBy(col("event_type"))
+    val st = daily
+      .withColumn("t", row_number().over(byDay))
+      .withColumn("d", count(lit(1)).over(whole))
+      .withColumn("s", sum(col("n")).over(whole).cast("long"))
+      .withColumn("ss", sum(col("n") * col("n")).over(whole).cast("long"))
+    val paa = st
+      .withColumn("bucket",
+        floor(((col("t") - 1) * lit(8.0)) / col("d")).cast("long"))
+      .groupBy(col("event_type"), col("d"), col("s"), col("ss"), col("bucket"))
+      .agg(sum(col("n")).cast("long").as("bs"), count(lit(1)).as("bc"))
+    val z = paa
+      .filter(col("ss") * col("d") > col("s") * col("s"))
+      .withColumn("zz",
+        round((col("bs").cast("double") / col("bc")
+            - col("s").cast("double") / col("d"))
+          / sqrt((col("ss").cast("double") * col("d")
+              - col("s").cast("double") * col("s").cast("double"))
+            / (col("d").cast("double") * col("d"))), 6))
+    val sym = z.withColumn("sg",
+      when(col("zz") < -0.6745, "a").when(col("zz") < 0.0, "b")
+        .when(col("zz") < 0.6745, "c").otherwise("d"))
+    sym.groupBy(col("event_type"), col("d").cast("long").as("n_days"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("bucket"), col("sg")))),
+          e => e.getField("sg")), "").as("sax_word"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     tsGapfill, tsInterp, tsEwma, tsAutocorr, tsCusum, tsSeasonal,
     tsForecast, tsTimeToConvert, tsGapEpisodes, tsHolt, tsDecompose,
     tsRollingStats, tsRepair, tsOhlc, tsInterEvent, tsTheilsen,
     tsChangepoint, tsLttb, tsDtw, tsPeriodogram, tsAr2, tsTwa, tsXcorr,
     tsKalman, tsBacktest, tsHoltWinters, tsSpectralEntropy, tsMannKendall,
-    tsEsd)
+    tsEsd, tsSax)
 }

@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Curation, Graph, Retrieval, Similarity, TimeSeries}
+import graft.sources.Tables
+
+/** Invariant pins for the round-5 session-12 operators. */
+class Round5lOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  // ---- graph_matching -------------------------------------------------
+
+  test("graph_matching: valid, maximal, subset-of-edges") {
+    val m = Graph.graphMatching.fn(spark, sf)
+      .select("custkey", "suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(m.nonEmpty)
+    // matching validity: no endpoint appears twice on either side
+    assert(m.map(_._1).distinct.length == m.length, "customer matched twice")
+    assert(m.map(_._2).distinct.length == m.length, "supplier matched twice")
+    // subset: every matched pair is a real trade edge
+    val edges = Graph.tradeEdges(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(m.forall(edges.contains), "matched pair not an edge")
+    // maximality == drain-to-empty within MatchRounds: every edge has
+    // a matched endpoint (no edge could still be added)
+    val mc = m.map(_._1).toSet
+    val ms = m.map(_._2).toSet
+    val uncovered = edges.filterNot(e => mc(e._1) || ms(e._2))
+    assert(uncovered.isEmpty,
+      s"${uncovered.size} edges uncovered — matching not maximal, raise MatchRounds")
+  }
+
+  test("graph_matching: deterministic rerun") {
+    val a = Graph.graphMatching.fn(spark, sf).collect().map(_.toString).sorted
+    val b = Graph.graphMatching.fn(spark, sf).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
+  // ---- ts_sax ---------------------------------------------------------
+
+  test("ts_sax: 8-letter words over the a-d alphabet, one per series") {
+    val rows = TimeSeries.tsSax.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val types = Tables.events(spark, sf).select("event_type").distinct().count()
+    assert(rows.length == types, s"${rows.length} words for $types types")
+    rows.foreach { r =>
+      val word = r.getAs[String]("sax_word")
+      assert(word.length == 8, s"word '$word' not 8 letters")
+      assert(word.forall(c => c >= 'a' && c <= 'd'), s"bad alphabet in '$word'")
+      assert(r.getAs[Long]("n_days") >= 8)
+    }
+  }
+
+  test("ts_sax: word replays from the daily aggregate") {
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    val words = TimeSeries.tsSax.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[String]("sax_word")).toMap
+    daily.groupBy(_._1).foreach { case (et, rows) =>
+      val ns = rows.sortBy(_._2).map(_._3.toDouble)
+      val d = ns.length
+      val mu = ns.sum / d
+      val sd = math.sqrt((ns.map(x => x * x).sum * d - ns.sum * ns.sum) / (d.toDouble * d))
+      val word = (0 until 8).map { b =>
+        val bucket = ns.zipWithIndex.filter { case (_, t) =>
+          math.floor(t * 8.0 / d).toLong == b }.map(_._1)
+        val z = (bucket.sum / bucket.length - mu) / sd
+        if (z < -0.6745) 'a' else if (z < 0.0) 'b' else if (z < 0.6745) 'c' else 'd'
+      }.mkString
+      assert(words(et) == word, s"$et: engine ${words(et)} != replay $word")
+    }
+  }
+
+  // ---- text_hybrid_rrf ------------------------------------------------
+
+  test("text_hybrid_rrf: fused list replays exactly from the two legs") {
+    val fused = Retrieval.textHybridRrf.fn(spark, sf).collect()
+      .map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        r.getDouble(3)))
+    assert(fused.length == 10)
+    val lex = Retrieval.textBm25.fn(spark, sf).collect()
+      .map(_.getLong(0)).zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    val e = Similarity.vectors(spark, sf)
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val den = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id"), round(Similarity.cosine(col("v"), col("qv")), 4).as("cs"))
+      .orderBy(col("cs").desc, col("vec_id")).limit(20).collect()
+      .map(_.getLong(0)).zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    val expect = (lex.keySet ++ den.keySet).toSeq.map { id =>
+      val rrf = lex.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        den.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      (id, lex.get(id), den.get(id),
+        BigDecimal(rrf).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (id, _, _, s) => (-s, id) }.take(10)
+    assert(fused.toSeq == expect,
+      s"fused ${fused.toSeq.take(3)}... != replay ${expect.take(3)}...")
+  }
+
+  // ---- pipeline_dsir --------------------------------------------------
+
+  test("pipeline_dsir: smoothed target-vs-raw KL is non-negative") {
+    val (model, _, bigT, bigR) = Curation.dsirModel(spark, sf)
+    val b = Curation.DsirBuckets
+    val rows = model.collect().map(r => (r.getLong(1), r.getLong(2)))
+    // smoothed distributions over the full bucket space (unseen
+    // buckets contribute the same 0.5 mass to both sides)
+    val seenT = rows.map(_._1).sum; val seenR = rows.map(_._2).sum
+    assert(seenT == bigT && seenR == bigR)
+    val denT = bigT + 0.5 * b; val denR = bigR + 0.5 * b
+    val klSeen = rows.map { case (ct, cr) =>
+      val pt = (ct + 0.5) / denT; val pr = (cr + 0.5) / denR
+      pt * math.log(pt / pr)
+    }.sum
+    val unseen = b - rows.length
+    val klUnseen = unseen * (0.5 / denT) * math.log((0.5 / denT) / (0.5 / denR))
+    assert(klSeen + klUnseen >= -1e-12, s"KL ${klSeen + klUnseen} < 0")
+  }
+
+  test("pipeline_dsir: selection replays exactly; deterministic") {
+    val out = Curation.pipelineDsir.fn(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf)
+      .filter(length(regexp_replace(lower(col("text")), "[^a-z]", "")) > 0).count()
+    assert(out.length == math.min(Curation.DsirK.toLong, nDocs))
+    // exact replay: recompute log-weights locally with the SAME
+    // sorted-feature fold and the same Gumbel keys
+    val (model, _, _, _) = Curation.dsirModel(spark, sf)
+    val ratios = model.collect().map(r => r.getLong(0) -> r.getAs[Double]("r")).toMap
+    val feats = Curation.dsirDocFeatures(Tables.documents(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val logw = feats.groupBy(_._1).map { case (id, fs) =>
+      id -> fs.sortBy(_._2).map { case (_, f, c) => c * ratios(f) }
+        .foldLeft(0.0)(_ + _)
+    }
+    import spark.implicits._
+    val us = logw.keys.toSeq.toDF("doc_id")
+      .select(col("doc_id"),
+        ((shiftrightunsigned(xxhash64(col("doc_id"), lit(11)), 11) + 1L)
+          .cast("double") / lit(9007199254740992.0)).as("u"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val keyed = logw.toSeq.map { case (id, w) =>
+      (id, w, w - math.log(-math.log(us(id))))
+    }
+    val expect = keyed.sortBy { case (id, _, k) => (-k, id) }
+      .take(Curation.DsirK).map(_._1).toSet
+    assert(out.map(_.getLong(0)).toSet == expect)
+    val again = Curation.pipelineDsir.fn(spark, sf).collect().map(_.toString)
+    assert(out.map(_.toString).sameElements(again))
+  }
+}
