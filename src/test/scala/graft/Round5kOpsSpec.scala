@@ -78,9 +78,9 @@ class Round5kOpsSpec extends AnyFunSuite {
 
   test("graph_coloring: proper, total, greedy-minimal, Delta+1-bounded") {
     val out = Graph.graphColoring.fn(spark, sf).collect()
-      .map(r => (r.getString(0) + r.getLong(1), r.getInt(2))).toMap
-    val edges = Graph.tradeEdges(spark, sf).collect()
-      .map(r => ("c" + r.getLong(0), "s" + r.getLong(1)))
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val edges = Graph.intervalConflictEdges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
     assert(edges.nonEmpty && out.nonEmpty)
     // totality: every endpoint colored
     edges.foreach { case (a, b) =>
