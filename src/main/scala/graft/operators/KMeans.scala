@@ -856,9 +856,117 @@ object KMeans {
     } finally nbrs.unpersist(false)
   }
 
+  /** k-means|| oversampling initialization (Bahmani et al., VLDB
+    * 2012) — the cluster-scale init that replaces k-means++'s k
+    * SEQUENTIAL scans with O(rounds) scans: each round samples each
+    * point independently with probability min(1, l·d²(x,C)/φ)
+    * (φ = the current total cost, ONE aggregate), pulling in ~l
+    * candidates per round; after `rounds` rounds the ≤1+rounds·l
+    * candidate set is weighted by its nearest-point population (one
+    * assignment pass) and reduced to k centroids DRIVER-SIDE by
+    * deterministic weighted greedy ++ seeding + weighted Lloyd — the
+    * same recluster MLlib runs. All "randomness" is hash-derived
+    * (xxhash64 uniforms, ppInit's machinery), so every run, any
+    * partitioning, replays identically. Distributed passes:
+    * 2·rounds + 2, independent of k — the point at 100 TB, where
+    * k-means++'s k round trips dominate.
+    */
+  def parallelInit(pts: DataFrame, k: Int, l: Int, rounds: Int)
+      : (Array[(Double, Double)], Int) = {
+    def u(seed: Int): Column =
+      (shiftrightunsigned(xxhash64(col("x"), col("y"), lit(seed)), 11) + 1L)
+        .cast("double") / lit(9007199254740992.0)
+    val first = pts.orderBy(u(100).asc, col("x"), col("y")).limit(1)
+      .select("x", "y").collect()(0)
+    val chosen = scala.collection.mutable.ArrayBuffer(
+      (first.getDouble(0), first.getDouble(1)))
+    for (r <- 1 to rounds) {
+      val d2 = minDistExpr(chosen.toArray, col("x"), col("y"))
+      val phi = pts.agg(sum(d2)).collect()(0).getDouble(0)
+      if (phi > 0) {
+        val fresh = pts
+          .filter(u(100 + r) < least(lit(1.0), d2 * lit(l.toDouble) / lit(phi)))
+          .select("x", "y").distinct().collect()
+          .map(row => (row.getDouble(0), row.getDouble(1)))
+          .filterNot(chosen.contains)
+        chosen ++= fresh
+      }
+    }
+    val cs = chosen.toArray
+    // candidate weights: nearest-point population. NOT assignExpr —
+    // an array_min over ~50 (dist, cid) structs generates a method
+    // past the 8 KB JIT limit and runs interpreted (measured 14 s vs
+    // 3.5 s at sf0.1). Two passes of plain double arithmetic instead:
+    // dmin = least(distances), then cid = first index matching dmin.
+    def candDist(c: (Double, Double)): Column =
+      (col("x") - lit(c._1)) * (col("x") - lit(c._1)) +
+        (col("y") - lit(c._2)) * (col("y") - lit(c._2))
+    val dmin = least(cs.map(candDist).toIndexedSeq: _*)
+    val cidExpr = cs.zipWithIndex.tail.foldLeft(
+      when(candDist(cs(0)) === col("dmin"), 0)) {
+      case (acc, (c, i)) => acc.when(candDist(c) === col("dmin"), i)
+    }
+    val w = pts.withColumn("dmin", dmin).withColumn("cid", cidExpr)
+      .groupBy("cid").agg(count(lit(1)).as("w")).collect()
+      .map(row => row.getInt(0) -> row.getLong(1)).toMap
+    val wts = cs.indices.map(i => w.getOrElse(i, 0L).toDouble).toArray
+    // driver-side weighted greedy ++ seeding over the candidate set
+    def d2p(a: (Double, Double), b: (Double, Double)): Double = {
+      val dx = a._1 - b._1; val dy = a._2 - b._2; dx * dx + dy * dy
+    }
+    val seeds = scala.collection.mutable.ArrayBuffer(
+      cs(wts.indices.maxBy(i => (wts(i), -i))))
+    while (seeds.length < math.min(k, cs.length)) {
+      val next = cs.indices.maxBy { i =>
+        (wts(i) * seeds.map(d2p(cs(i), _)).min, -i)
+      }
+      seeds += cs(next)
+    }
+    // driver-side weighted Lloyd to convergence on the candidates
+    var centers = seeds.toArray
+    var it = 0
+    var moved = true
+    while (moved && it < 20) {
+      val assign = cs.indices.map(i =>
+        centers.indices.minBy(j => (d2p(cs(i), centers(j)), j)))
+      val next = centers.indices.map { j =>
+        val mine = cs.indices.filter(assign(_) == j)
+        val tw = mine.map(wts).sum
+        if (tw == 0) centers(j)
+        else (mine.map(i => wts(i) * cs(i)._1).sum / tw,
+          mine.map(i => wts(i) * cs(i)._2).sum / tw)
+      }.toArray
+      moved = centers.zip(next).exists { case (a, b) => d2p(a, b) > 1e-12 }
+      centers = next
+      it += 1
+    }
+    (centers, cs.length)
+  }
+
+  /** k-means|| init + 3 distributed Lloyd iterations (the kmeans_pp
+    * shape on the O(rounds)-pass init). Rows-only: float sampling
+    * thresholds; ScalaTest pins determinism, the candidate bound,
+    * k distinct centroids, and init quality (final cost beats the
+    * reference line-init after the same Lloyd budget).
+    */
+  val kmeansParallel: QueryDef = QueryDef.rowsOnly("kmeans_parallel") { (s, d) =>
+    val allPts = points(Tables.lineitem(s, d))
+    val pts = allPts.select("x", "y").persist()
+    try {
+      val (init, _) = parallelInit(pts, K, l = 2 * K, rounds = 2)
+      val fin = iterate(pts, init, 3)
+      import s.implicits._
+      fin.toSeq.sortBy(_._1)
+        .map { case (cid, (x, y)) =>
+          (cid.toLong, math.floor(x * 10000 + 0.5) / 10000,
+            math.floor(y * 10000 + 0.5) / 10000) }
+        .toDF("cid", "x", "y")
+    } finally pts.unpersist(false)
+  }
+
   val all: Seq[QueryDef] = Seq(
     kmeansAssign, kmeansStep, kmeansIter3, kmeansCost, kmeansLloyd,
     kmeansMllib, kmeansNd, kmeansMinibatch, kmeansBisecting,
     kmeansPp, kmeansElbow, kmeansSilhouette, kmeansWeighted,
-    kmeansStream, clusterDbscan)
+    kmeansStream, clusterDbscan, kmeansParallel)
 }

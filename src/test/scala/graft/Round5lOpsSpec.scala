@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Curation, Graph, Retrieval, Similarity, TimeSeries}
+import graft.operators.{Curation, Graph, KMeans, Retrieval, Similarity, TimeSeries}
 import graft.sources.Tables
 
 /** Invariant pins for the round-5 session-12 operators. */
@@ -153,5 +153,33 @@ class Round5lOpsSpec extends AnyFunSuite {
     assert(out.map(_.getLong(0)).toSet == expect)
     val again = Curation.pipelineDsir.fn(spark, sf).collect().map(_.toString)
     assert(out.map(_.toString).sameElements(again))
+  }
+
+  // ---- kmeans_parallel ------------------------------------------------
+
+  test("kmeans_parallel: k centroids, candidate bound, beats line init") {
+    val pts = KMeans.points(Tables.lineitem(spark, sf)).select("x", "y").persist()
+    try {
+      val l = 2 * KMeans.K
+      val (init, nCands) = KMeans.parallelInit(pts, KMeans.K, l, rounds = 3)
+      assert(init.length == KMeans.K)
+      assert(init.distinct.length == KMeans.K, "duplicate centroids")
+      assert(nCands >= KMeans.K, s"only $nCands candidates")
+      assert(nCands <= 1 + 3 * 4 * l, s"$nCands candidates blows the bound")
+      def costOf(cs: Array[(Double, Double)]): Double =
+        pts.agg(sum(KMeans.minDistExpr(cs, col("x"), col("y")))).collect()(0).getDouble(0)
+      val finPar = KMeans.iterate(pts, init, 3).toSeq.sortBy(_._1).map(_._2).toArray
+      val finLine = KMeans.iterate(pts,
+        KMeans.initCentroids(KMeans.points(Tables.lineitem(spark, sf))), 3)
+        .toSeq.sortBy(_._1).map(_._2).toArray
+      val (cp, cl) = (costOf(finPar), costOf(finLine))
+      assert(cp <= cl * 1.05, s"parallel-init cost $cp vs line-init $cl")
+    } finally pts.unpersist(false)
+  }
+
+  test("kmeans_parallel: deterministic rerun") {
+    val a = KMeans.kmeansParallel.fn(spark, sf).collect().map(_.toString).toSeq
+    val b = KMeans.kmeansParallel.fn(spark, sf).collect().map(_.toString).toSeq
+    assert(a == b)
   }
 }
