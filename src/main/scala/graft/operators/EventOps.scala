@@ -2331,7 +2331,108 @@ object EventOps {
       .orderBy(col("day"))
   }
 
+  private val PermB = 200
+
+  /** Exact permutation test on the A/B revenue lift — the
+    * assumption-free significance readout next to the t
+    * (events_abtest), rank (events_mannwhitney), and distributional
+    * (events_ks_test) tests: re-randomize the variant assignment B
+    * times and ask how often the permuted |mean lift| reaches the
+    * observed one. Permutations are HASH-DERIVED (md5(b:user) first
+    * hex char parity — 8 of 16 hex chars each side, an exact
+    * fair coin both engines replay identically; rand() is neither).
+    * The corpus collapses to the per-user cents relation ONCE; the
+    * ×B explode shuffles only B groups (map-side partial agg), and
+    * every comparison is EXACT integer arithmetic to the end:
+    * |S₁·n₀ − S₀·n₁| cross-multiplied against the observed rational
+    * in int128 (DuckDB HUGEINT / Spark decimal(38,0)) — no float
+    * enters until the two rounded output columns. p = (1+c)/(B+1),
+    * the add-one permutation p-value.
+    */
+  val eventsPermtest: QueryDef = QueryDef.sql(
+    "events_permtest",
+    s"""WITH per_user AS (
+       |  SELECT user_id, user_id % 2 AS variant,
+       |    sum(CASE WHEN event_type = 'purchase'
+       |             THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END) AS rev
+       |  FROM events GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT count(*) AS n, CAST(sum(rev) AS BIGINT) AS s,
+       |    sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n1,
+       |    CAST(sum(CASE WHEN variant = 1 THEN rev ELSE 0 END) AS BIGINT) AS s1
+       |  FROM per_user),
+       |obs AS (
+       |  SELECT n,
+       |    abs(CAST(s1 AS HUGEINT) * (n - n1) - CAST(s - s1 AS HUGEINT) * n1) AS num,
+       |    CAST(n1 AS HUGEINT) * (n - n1) AS den
+       |  FROM tot),
+       |perms AS (
+       |  SELECT b, user_id, rev,
+       |    ascii(substr(md5(concat(CAST(b AS VARCHAR), ':',
+       |      CAST(user_id AS VARCHAR))), 1, 1)) % 2 AS pv
+       |  FROM per_user CROSS JOIN (SELECT unnest(range(0, $PermB)) AS b)),
+       |pagg AS (
+       |  SELECT b,
+       |    CAST(sum(CASE WHEN pv = 1 THEN rev ELSE 0 END) AS BIGINT) AS s1b,
+       |    sum(CASE WHEN pv = 1 THEN 1 ELSE 0 END) AS n1b,
+       |    count(*) AS nb, CAST(sum(rev) AS BIGINT) AS sb
+       |  FROM perms GROUP BY b),
+       |cnt AS (
+       |  SELECT count(*) AS c FROM pagg, obs
+       |  WHERE n1b > 0 AND n1b < nb
+       |    AND abs(CAST(s1b AS HUGEINT) * (nb - n1b)
+       |            - CAST(sb - s1b AS HUGEINT) * n1b) * obs.den
+       |      >= obs.num * (CAST(n1b AS HUGEINT) * (nb - n1b)))
+       |SELECT CAST(obs.n AS BIGINT) AS n_users,
+       |  round(CAST(obs.num AS DOUBLE) / CAST(obs.den AS DOUBLE) / 100, 4) AS abs_lift,
+       |  CAST(cnt.c AS BIGINT) AS n_extreme,
+       |  round((1.0 + cnt.c) / (1.0 + $PermB), 4) AS p_value
+       |FROM obs, cnt""".stripMargin) { (s, d) =>
+    val cents = round(col("value") * 100, 0).cast("long")
+    val perUser = Tables.events(s, d)
+      .groupBy(col("user_id"), (col("user_id") % 2).as("variant"))
+      .agg(sum(when(col("event_type") === "purchase", cents).otherwise(0L))
+        .as("rev"))
+      .persist()
+    try {
+      perUser.count()
+      val obs = perUser.agg(
+          count(lit(1)).as("n"), sum(col("rev")).as("s"),
+          sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("variant") === 1, col("rev")).otherwise(0L)).as("s1"))
+        .select(col("n"),
+          abs(col("s1").cast("decimal(38,0)") * (col("n") - col("n1"))
+            - (col("s") - col("s1")).cast("decimal(38,0)") * col("n1")).as("num"),
+          (col("n1").cast("decimal(38,0)") * (col("n") - col("n1"))).as("den"))
+      val pagg = perUser
+        .select(col("user_id"), col("rev"),
+          explode(sequence(lit(0), lit(PermB - 1))).as("b"))
+        .withColumn("pv",
+          ascii(substring(md5(concat_ws(":", col("b").cast("string"),
+            col("user_id").cast("string"))), 1, 1)) % 2)
+        .groupBy(col("b"))
+        .agg(sum(when(col("pv") === 1, col("rev")).otherwise(0L)).as("s1b"),
+          sum(when(col("pv") === 1, 1L).otherwise(0L)).as("n1b"),
+          count(lit(1)).as("nb"), sum(col("rev")).as("sb"))
+      val cntRow = pagg.crossJoin(broadcast(obs))
+        .filter(col("n1b") > 0 && col("n1b") < col("nb"))
+        .filter(
+          abs(col("s1b").cast("decimal(38,0)") * (col("nb") - col("n1b"))
+            - (col("sb") - col("s1b")).cast("decimal(38,0)") * col("n1b"))
+            * col("den")
+            >= col("num") * (col("n1b").cast("decimal(38,0)") * (col("nb") - col("n1b"))))
+        .agg(count(lit(1)).as("c"))
+      obs.crossJoin(broadcast(cntRow))
+        .select(col("n").cast("long").as("n_users"),
+          round(col("num").cast("double") / col("den").cast("double") / 100, 4)
+            .as("abs_lift"),
+          col("c").cast("long").as("n_extreme"),
+          round((lit(1.0) + col("c")) / lit(1.0 + PermB), 4).as("p_value"))
+    } finally perUser.unpersist(false)
+  }
+
   val all: Seq[QueryDef] = Seq(
+    eventsPermtest,
     eventsMannwhitney, eventsKsTest, eventsFdrBh, eventsMsprt,
     eventsTrending,
     eventsSurvival,

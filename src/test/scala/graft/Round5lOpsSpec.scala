@@ -182,4 +182,42 @@ class Round5lOpsSpec extends AnyFunSuite {
     val b = KMeans.kmeansParallel.fn(spark, sf).collect().map(_.toString).toSeq
     assert(a == b)
   }
+
+  // ---- events_permtest ------------------------------------------------
+
+  test("events_permtest: extreme-count replays exactly from per-user cents") {
+    val out = graft.operators.EventOps.eventsPermtest.fn(spark, sf).collect()(0)
+    val perUser = Tables.events(spark, sf)
+      .groupBy(col("user_id"), (col("user_id") % 2).as("variant"))
+      .agg(sum(when(col("event_type") === "purchase",
+        round(col("value") * 100, 0).cast("long")).otherwise(0L)).as("rev"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = perUser.length
+    val s1 = perUser.filter(_._2 == 1).map(_._3).sum
+    val n1 = perUser.count(_._2 == 1)
+    val stot = perUser.map(_._3).sum
+    val num = BigInt(s1) * (n - n1) - BigInt(stot - s1) * n1
+    val den = BigInt(n1) * (n - n1)
+    // md5 parity identical to the engine via one vectorized query
+    import spark.implicits._
+    val pv = perUser.map(_._1).toSeq.flatMap(u => (0 until 200).map(b => (u, b)))
+      .toDF("user_id", "b")
+      .withColumn("pv", ascii(substring(md5(concat_ws(":", col("b").cast("string"),
+        col("user_id").cast("string"))), 1, 1)) % 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    val revOf = perUser.map(r => r._1 -> r._3).toMap
+    val c = (0 until 200).count { b =>
+      val ones = perUser.map(_._1).filter(u => pv((u, b)) == 1)
+      val n1b = ones.length; val s1b = ones.map(revOf).sum
+      n1b > 0 && n1b < n && {
+        val numB = (BigInt(s1b) * (n - n1b) - BigInt(stot - s1b) * n1b).abs
+        numB * den >= num.abs * (BigInt(n1b) * (n - n1b))
+      }
+    }
+    assert(out.getAs[Long]("n_extreme") == c,
+      s"engine ${out.getAs[Long]("n_extreme")} != replay $c")
+    assert(out.getAs[Long]("n_users") == n)
+    val p = out.getAs[Double]("p_value")
+    assert(p > 0.0 && p <= 1.0)
+  }
 }
