@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, ExpressionInfo, Multiply, Sqrt}
-import org.apache.spark.sql.graft.{ColumnBridge, DotProduct, PqEncode, VecDivide, VecSubtract}
+import org.apache.spark.sql.graft.{ColumnBridge, DotProduct, HilbertIndex, PqEncode, VecDivide, VecSubtract}
 
 /** Column-API and SQL-registration surface for graft's native
   * vector functions (expression implementation:
@@ -50,6 +50,15 @@ object VectorFunctions {
   def vec_sub(a: Column, b: Column): Column =
     ColumnBridge.column(
       VecSubtract(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** 16-bit 2-D Hilbert curve index, codegen'd as one flat loop (see
+    * org.apache.spark.sql.graft.HilbertIndex — composing the
+    * per-level rotations from Column arithmetic doubles the
+    * expression tree per level).
+    */
+  def hilbert_index(x: Column, y: Column, bits: Int = 16): Column =
+    ColumnBridge.column(
+      HilbertIndex(ColumnBridge.expression(x), ColumnBridge.expression(y), bits))
 
   /** All M PQ codeword ids for a vector column in one codegen'd
     * expression (see org.apache.spark.sql.graft.PqEncode).

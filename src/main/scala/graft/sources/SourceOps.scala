@@ -185,6 +185,61 @@ object SourceOps {
     dir.toString
   }
 
+  /** HILBERT layout: the z-order rewrite with the Morton interleave
+    * swapped for the Hilbert curve (native codegen'd HilbertIndex —
+    * the per-level rotations compose exponentially as Column
+    * arithmetic, so the walk is one generated 16-iteration loop).
+    * Same once-per-corpus ingest contract and the same 2-D box-probe
+    * payoff, but the Hilbert curve has NO quadrant seams: every
+    * adjacent key-space cell pair is adjacent on the curve, so file
+    * bounding rectangles stay compact where z-order's seam files
+    * stretch across the plane — fewer boundary files intersect a
+    * given box. Oracle = the identical box query on the raw table;
+    * file-level pruning is pinned in ScalaTest next to the z-order
+    * layout's.
+    */
+  val srcHilbertScan: QueryDef = QueryDef.sql(
+    "src_hilbert_scan",
+    """SELECT count(*) AS n, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+      |  round(sum(l_extendedprice), 2) AS total
+      |FROM lineitem
+      |WHERE l_partkey BETWEEN 400 AND 600 AND l_suppkey BETWEEN 50 AND 80""".stripMargin) { (s, d) =>
+    s.read.parquet(hilbertLineitem(s, d))
+      .filter(col("l_partkey").between(400, 600) &&
+        col("l_suppkey").between(50, 80))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        round(sum(col("l_extendedprice")), 2).as("total"))
+  }
+
+  /** Once-per-corpus Hilbert-ordered rewrite (zorderedLineitem's
+    * contract with the curve swapped).
+    */
+  def hilbertLineitem(s: SparkSession, d: String): String = synchronized {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
+    val dir = new org.apache.hadoop.fs.Path(wh, s"graft_li_hilbert_$h")
+    val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))) {
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice")
+      val (maxP, maxS) = {
+        val r = li.agg(max("l_partkey"), max("l_suppkey")).collect()(0)
+        (math.max(r.getLong(0), 1L), math.max(r.getLong(1), 1L))
+      }
+      val hv = graft.functions.VectorFunctions.hilbert_index(
+        (col("l_partkey") * 65535L / maxP).cast("long"),
+        (col("l_suppkey") * 65535L / maxS).cast("long"))
+      li.withColumn("graft_h", hv)
+        .repartitionByRange(ZFiles, col("graft_h"))
+        .sortWithinPartitions(col("graft_h"))
+        .drop("graft_h")
+        .write.mode("overwrite").parquet(dir.toString)
+    }
+    dir.toString
+  }
+
   val ManifestFiles = 8
 
   /** Iceberg/Delta-shape FILE SKIPPING from a stored min/max
@@ -848,5 +903,6 @@ object SourceOps {
     srcOrcRoundtrip, srcZorderScan, srcCompactSmallFiles, srcSchemaEvolution,
     srcCsvMalformed, srcBinaryFiles, srcIgnoreCorrupt, srcDateDim,
     srcPointsV2, srcPointsV2Roundtrip, srcPointsV2Agg, srcManifestScan, srcGdprDelete,
-    srcBloomFilterScan, srcMorRead, srcNestedParquet, srcTimeTravel)
+    srcBloomFilterScan, srcMorRead, srcNestedParquet, srcTimeTravel,
+    srcHilbertScan)
 }

@@ -220,4 +220,40 @@ class Round5lOpsSpec extends AnyFunSuite {
     val p = out.getAs[Double]("p_value")
     assert(p > 0.0 && p <= 1.0)
   }
+
+  // ---- src_hilbert_scan -----------------------------------------------
+
+  test("hilbert index: bijective and unit-step adjacent on the full grid") {
+    val h = org.apache.spark.sql.graft.HilbertIndex(null, null, 4)
+    val cells = for (x <- 0 until 16; y <- 0 until 16) yield (x.toLong, y.toLong)
+    val ds = cells.map { case (x, y) => (x, y) -> h.xy2d(x, y) }
+    // bijection onto [0, 256)
+    assert(ds.map(_._2).sorted.toSeq == (0L until 256L).toSeq)
+    // the defining Hilbert property: consecutive d are ADJACENT cells
+    val byD = ds.map { case ((x, y), d) => d -> (x, y) }.toMap
+    (0L until 255L).foreach { d =>
+      val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"d=$d ($x1,$y1)->($x2,$y2) not adjacent")
+    }
+  }
+
+  test("src_hilbert_scan: box probe opens a fraction of the layout's files") {
+    import org.apache.spark.sql.functions.{input_file_name, max => fmax, min => fmin}
+    val dir = graft.sources.SourceOps.hilbertLineitem(spark, sf)
+    val stats = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(fmin("l_partkey").as("pmin"), fmax("l_partkey").as("pmax"),
+        fmin("l_suppkey").as("smin"), fmax("l_suppkey").as("smax"))
+      .collect()
+    val total = stats.length
+    val touched = stats.count { r =>
+      r.getLong(1) >= 400 && r.getLong(2) <= 600 ||
+        !(r.getLong(2) < 400 || r.getLong(1) > 600 ||
+          r.getLong(4) < 50 || r.getLong(3) > 80)
+    }
+    assert(total >= 2)
+    assert(touched < total,
+      s"box intersects all $total files - Hilbert layout gives no pruning")
+  }
 }
