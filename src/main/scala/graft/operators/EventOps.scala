@@ -2431,8 +2431,63 @@ object EventOps {
     } finally perUser.unpersist(false)
   }
 
+  /** Offline UCB1 bandit replay (Auer, Cesa-Bianchi & Fischer 2002)
+    * over the daily arm rewards — the "which placement/creative do I
+    * keep serving" ONLINE decision loop, replayed against the log
+    * the way experimentation platforms sanity-check a policy before
+    * deploying it: arms = event types, reward = the day's mean value
+    * in cents for the pulled arm; after one round-robin pass the
+    * policy pulls argmax of mean̂_a + √(2 ln t / n_a), and the
+    * readout tracks per-day choices and cumulative regret against
+    * the best fixed arm in hindsight. The corpus collapses ONCE to
+    * the O(days×arms) daily aggregate (exact int64 cent sums); the
+    * inherently-sequential decision fold is driver-side arithmetic
+    * on that bounded relation — the ts_esd closed-form-driver-solve
+    * posture, identical at 100 TB. Rows-only (UCB indices are
+    * floats); ScalaTest pins per-step argmax validity recomputed
+    * from the OUTPUT's own history, pull conservation, monotone
+    * regret, and rerun determinism.
+    */
+  val eventsBandit: QueryDef = QueryDef.rowsOnly("events_bandit") { (s, d) =>
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type").as("arm"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("cs"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getString(1),
+        r.getLong(2).toDouble / r.getLong(3)))
+    val byDay = daily.groupBy(_._1).view
+      .mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    val days = byDay.keys.toSeq.sorted
+    val arms = daily.map(_._2).distinct.sorted
+    val hindsightBest = arms.maxBy { a =>
+      val xs = daily.filter(_._2 == a).map(_._3); xs.sum / xs.length
+    }
+    var pulls = arms.map(_ -> 0).toMap
+    var sums = arms.map(_ -> 0.0).toMap
+    var cumRegret = 0.0
+    val rows = days.zipWithIndex.map { case (day, i) =>
+      val t = i + 1
+      val rewards = byDay(day)
+      val chosen =
+        if (i < arms.length) arms(i) // round-robin initialization
+        else arms.maxBy { a =>
+          (sums(a) / pulls(a) + math.sqrt(2.0 * math.log(t) / pulls(a)), a)
+        }
+      val reward = rewards.getOrElse(chosen, 0.0)
+      pulls = pulls.updated(chosen, pulls(chosen) + 1)
+      sums = sums.updated(chosen, sums(chosen) + reward)
+      cumRegret += rewards.getOrElse(hindsightBest, 0.0) - reward
+      (day, chosen,
+        math.floor(reward * 100 + 0.5) / 100,
+        math.floor(cumRegret * 100 + 0.5) / 100)
+    }
+    rows.toDF("day", "chosen_arm", "reward_cents", "cum_regret_cents")
+  }
+
   val all: Seq[QueryDef] = Seq(
-    eventsPermtest,
+    eventsPermtest, eventsBandit,
     eventsMannwhitney, eventsKsTest, eventsFdrBh, eventsMsprt,
     eventsTrending,
     eventsSurvival,

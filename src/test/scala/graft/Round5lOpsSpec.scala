@@ -256,4 +256,54 @@ class Round5lOpsSpec extends AnyFunSuite {
     assert(touched < total,
       s"box intersects all $total files - Hilbert layout gives no pruning")
   }
+
+  // ---- events_bandit --------------------------------------------------
+
+  test("events_bandit: per-step UCB argmax validity, conservation, determinism") {
+    val out = graft.operators.EventOps.eventsBandit.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    val daily = Tables.events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type").as("arm"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("cs"),
+        count(lit(1)).as("n")).collect()
+      .map(r => (r.getDate(0).toString, r.getString(1),
+        r.getLong(2).toDouble / r.getLong(3)))
+    val arms = daily.map(_._2).distinct.sorted
+    val nDays = daily.map(_._1).distinct.length
+    assert(out.length == nDays)
+    // round-robin init covers every arm once
+    assert(out.take(arms.length).map(_._2).toSeq == arms.toSeq)
+    // per-step argmax validity recomputed from the output's own history
+    val hist = scala.collection.mutable.Map(arms.map(_ -> (0, 0.0)): _*)
+    out.zipWithIndex.foreach { case ((_, chosen, reward, _), i) =>
+      val t = i + 1
+      if (i >= arms.length) {
+        def ucb(a: String): Double = {
+          val (n, sm) = hist(a); sm / n + math.sqrt(2.0 * math.log(t) / n)
+        }
+        assert(ucb(chosen) >= arms.map(ucb).max - 1e-6,
+          s"step $t chose $chosen with UCB ${ucb(chosen)} < max ${arms.map(ucb).max}")
+      }
+      val (n, sm) = hist(chosen)
+      hist(chosen) = (n + 1, sm + reward)
+    }
+    // pull conservation
+    assert(hist.values.map(_._1).sum == nDays)
+    // cumulative regret replays as the running sum of per-day
+    // (hindsight-best-arm reward − chosen reward); NOT monotone — a
+    // near-tied chosen arm can beat the fixed best arm on a given day
+    val byDay = daily.groupBy(_._1).view
+      .mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    val best = arms.maxBy { a =>
+      val xs = daily.filter(_._2 == a).map(_._3); xs.sum / xs.length
+    }
+    var cum = 0.0
+    out.foreach { case (day, chosen, _, cumOut) =>
+      cum += byDay(day).getOrElse(best, 0.0) - byDay(day).getOrElse(chosen, 0.0)
+      assert(math.abs(cum - cumOut) < 0.01, s"$day regret $cumOut != replay $cum")
+    }
+    val again = graft.operators.EventOps.eventsBandit.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.sameElements(again))
+  }
 }
