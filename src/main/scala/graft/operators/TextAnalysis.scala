@@ -1385,7 +1385,150 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  // ---- unigram-LM tokenizer (SentencePiece-style) --------------------
+
+  private val UniMaxLen = 6
+  private val UniVocabMulti = 800
+  private val UniAlpha = 0.1
+  private val UniIters = 3
+
+  /** Distinct corpus words with counts — the relation every unigram
+    * training pass runs over (≪ corpus; at web scale still the
+    * right unit: the DP cost is per distinct word, not per token).
+    */
+  private[graft] def uniWords(docs: DataFrame): DataFrame =
+    docs.select(explode(
+        regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+
+  /** Viterbi-best segmentation of one word under piece log-probs
+    * (singles are always in the vocab, so every word is feasible).
+    */
+  private[graft] def uniViterbi(w: String, logp: Map[String, Double]): Seq[String] = {
+    val n = w.length
+    val best = Array.fill(n + 1)(Double.NegativeInfinity)
+    val back = Array.fill(n + 1)(-1)
+    best(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - UniMaxLen)
+      while (j < i) {
+        logp.get(w.substring(j, i)) match {
+          case Some(lp) if best(j) + lp > best(i) =>
+            best(i) = best(j) + lp; back(i) = j
+          case _ =>
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var k = n
+    while (k > 0) { out.prepend(w.substring(back(k), k)); k = back(k) }
+    out.toSeq
+  }
+
+  private[graft] val uniFitCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Map[String, Long], Map[String, Double], Seq[Double])]
+
+  /** Fit the unigram tokenizer: seed vocab = every 2..6-gram of the
+    * distinct-word relation weighted by word count, top 800 by
+    * weight, plus ALL single characters (coverage guarantee); then
+    * Viterbi (hard) EM — each iteration ONE distributed pass over
+    * the word relation with the O(V) vocab broadcast, the per-word
+    * DP inside flatMap (genuinely imperative — the brief's
+    * last-resort tier, scoped to an O(len·maxlen) loop), piece
+    * counts partial-aggregated map-side, the O(V) model re-estimated
+    * driver-side with add-α smoothing. Returns (final counts, final
+    * log-probs, per-iteration Viterbi corpus log-likelihood).
+    */
+  private[graft] def unigramFit(s: SparkSession, d: String)
+      : (Map[String, Long], Map[String, Double], Seq[Double]) =
+    uniFitCache.getOrElseUpdate(d, {
+      import s.implicits._
+      val words = uniWords(Tables.documents(s, d))
+        .as[(String, Long)].persist()
+      try {
+        words.count()
+        val multi = words.flatMap { case (w, cnt) =>
+          for {
+            i <- 0 until w.length
+            l <- 2 to UniMaxLen
+            if i + l <= w.length
+          } yield (w.substring(i, i + l), cnt)
+        }.toDF("piece", "wt")
+          .groupBy(col("piece")).agg(sum(col("wt")).as("wt"))
+          .orderBy(col("wt").desc, col("piece"))
+          .limit(UniVocabMulti)
+          .as[(String, Long)].collect()
+        val singles = words.flatMap { case (w, cnt) =>
+          w.map(c => (c.toString, cnt))
+        }.toDF("piece", "wt")
+          .groupBy(col("piece")).agg(sum(col("wt")).as("wt"))
+          .as[(String, Long)].collect()
+        var counts: Map[String, Long] =
+          (multi ++ singles).groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+        def toLogp(c: Map[String, Long]): Map[String, Double] = {
+          val v = c.size
+          val tot = c.values.map(_.toDouble).sum
+          c.map { case (p, n) =>
+            p -> math.log((n + UniAlpha) / (tot + UniAlpha * v))
+          }
+        }
+        var logp = toLogp(counts)
+        val lls = scala.collection.mutable.ArrayBuffer.empty[Double]
+        for (_ <- 1 to UniIters) {
+          val bc = s.sparkContext.broadcast(logp)
+          val agg = words.flatMap { case (w, cnt) =>
+            val pieces = uniViterbi(w, bc.value)
+            val ll = pieces.map(bc.value).sum * cnt
+            pieces.map(p => (p, cnt, 0.0)) :+ (("", 0L, ll))
+          }.toDF("piece", "n", "ll")
+            .groupBy(col("piece"))
+            .agg(sum(col("n")).as("n"), sum(col("ll")).as("ll"))
+            .as[(String, Long, Double)].collect()
+          lls += agg.find(_._1 == "").map(_._3).getOrElse(0.0)
+          val used = agg.filter(_._1.nonEmpty).map(t => t._1 -> t._2).toMap
+          // keep singles alive even at zero count (coverage); drop
+          // unused multi-char pieces (SentencePiece's prune step)
+          counts = counts.keys.map { p =>
+            p -> used.getOrElse(p, 0L)
+          }.filter { case (p, n) => p.length == 1 || n > 0 }.toMap
+          logp = toLogp(counts)
+          bc.destroy()
+        }
+        (counts, logp, lls.toSeq)
+      } finally words.unpersist(false)
+    })
+
+  /** Unigram-LM (SentencePiece-style) tokenizer training — BPE's
+    * (text_bpe_merged) probabilistic sibling and the tokenizer used
+    * by T5/ALBERT/XLNet: pieces carry probabilities, segmentation is
+    * the Viterbi-best under the model, and training alternates
+    * segmentation with count re-estimation (hard EM, monotone in the
+    * Viterbi objective). Distributed shape documented on unigramFit;
+    * the corpus is touched ONCE (the distinct-word collapse) and
+    * each EM pass runs over the word relation only. Output: the top
+    * 30 multi-character pieces by final usage with their log-probs —
+    * the learned subword inventory. Rows-only (float log-probs);
+    * ScalaTest pins coverage, Viterbi-LL monotonicity across EM
+    * iterations, logp↔count consistency, piece-substring validity,
+    * and determinism.
+    */
+  val textUnigramLm: QueryDef = QueryDef.rowsOnly("text_unigram_lm") { (s, d) =>
+    import s.implicits._
+    val (counts, logp, _) = unigramFit(s, d)
+    counts.toSeq.filter(_._1.length > 1)
+      .sortBy { case (p, n) => (-n, p) }
+      .take(30)
+      .map { case (p, n) =>
+        (p, n, math.floor(logp(p) * 10000 + 0.5) / 10000)
+      }
+      .toDF("piece", "n_uses", "logp")
+  }
+
   val all: Seq[QueryDef] = Seq(
+    textUnigramLm,
     textTokens, textQuality, textLangid, textFingerprint, textWordfreq,
     textBpeTokens, textBpeMerged, textTfidf, textLangidEval, textRepetition,
     textRedact, textCmsFreq, textChunks, textChunkDedup, textLmScore,

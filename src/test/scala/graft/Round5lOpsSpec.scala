@@ -306,4 +306,44 @@ class Round5lOpsSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
     assert(out.sameElements(again))
   }
+
+  // ---- text_unigram_lm ------------------------------------------------
+
+  test("text_unigram_lm: coverage, monotone Viterbi LL, logp consistency") {
+    import graft.operators.TextAnalysis
+    val (counts, logp, lls) = TextAnalysis.unigramFit(spark, sf)
+    // coverage: every distinct corpus word segments under the vocab
+    val words = TextAnalysis.uniWords(Tables.documents(spark, sf))
+      .collect().map(_.getString(0))
+    words.foreach { w =>
+      val seg = TextAnalysis.uniViterbi(w, logp)
+      assert(seg.mkString == w, s"'$w' segments to '${seg.mkString}'")
+    }
+    // hard-EM is monotone in the Viterbi objective (tolerance covers
+    // the add-alpha smoothing and float summation noise)
+    assert(lls.length == 3)
+    lls.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a - math.abs(a) * 1e-6, s"LL decreased: $lls")
+    }
+    // logp is exactly the smoothed log-frequency of the final counts
+    val v = counts.size
+    val tot = counts.values.map(_.toDouble).sum
+    counts.foreach { case (p, n) =>
+      val expect = math.log((n + 0.1) / (tot + 0.1 * v))
+      assert(math.abs(logp(p) - expect) < 1e-12, s"logp($p)")
+    }
+    // output pieces are real substrings and deterministic across a
+    // cache-cleared rerun
+    val out = TextAnalysis.textUnigramLm.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.nonEmpty && out.length <= 30)
+    out.foreach { case (p, n, _) =>
+      assert(p.length > 1 && n > 0)
+      assert(words.exists(_.contains(p)), s"piece '$p' not a corpus substring")
+    }
+    TextAnalysis.uniFitCache.clear()
+    val again = TextAnalysis.textUnigramLm.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.sameElements(again))
+  }
 }
