@@ -2486,7 +2486,93 @@ object EventOps {
     rows.toDF("day", "chosen_arm", "reward_cents", "cum_regret_cents")
   }
 
+  /** Exact Shapley-value multi-touch attribution (Shapley 1953; the
+    * "data-driven attribution" model behind GA4 — see e.g. Zhao et
+    * al. 2018, "Shapley Value Methods for Attribution Modeling") —
+    * the game-theoretic upgrade over last-touch (events_attribution)
+    * and linear (events_attribution_linear): each channel's credit is
+    * its average marginal contribution across ALL orderings of the
+    * channel set, the unique allocation satisfying efficiency /
+    * symmetry / dummy / additivity. Characteristic function v(S) =
+    * total purchase value of journeys whose prior-touch channel set
+    * ⊆ S (the conversions coalition S fully explains). Distributed
+    * shape: ONE corpus pass — per-purchase channel bitmask from four
+    * seen-before window indicators (max-over-preceding-rows, the
+    * events_attribution window machinery), then a ≤2^C-row
+    * (mask → value) aggregate; the lattice walk (v over 16
+    * coalitions, the |S|!(C−|S|−1)!/C! weighted marginals) is O(4·2^C)
+    * DRIVER arithmetic on that bounded relation — the
+    * sufficient-statistics + closed-form-solve pattern
+    * (events_absorbing, events_power). Touchless purchases credit
+    * 'direct'. Efficiency (Σ credit = total touched value) pinned
+    * exactly in ScalaTest along with nonnegativity (v is monotone)
+    * and determinism.
+    */
+  val eventsShapley: QueryDef = QueryDef.sql(
+    "events_shapley",
+    """WITH m AS (
+      |  SELECT value, event_type,
+      |    coalesce(max(CASE WHEN event_type = 'click' THEN 1 END) OVER w, 0)
+      |    + coalesce(max(CASE WHEN event_type = 'error' THEN 2 END) OVER w, 0)
+      |    + coalesce(max(CASE WHEN event_type = 'signup' THEN 4 END) OVER w, 0)
+      |    + coalesce(max(CASE WHEN event_type = 'view' THEN 8 END) OVER w, 0) AS mask
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |j AS (
+      |  SELECT mask, sum(value) AS val FROM m
+      |  WHERE event_type = 'purchase' GROUP BY 1),
+      |coal AS (SELECT i AS s FROM range(16) t(i)),
+      |v AS (
+      |  SELECT c.s, coalesce(sum(j.val), 0) AS v
+      |  FROM coal c LEFT JOIN j ON j.mask <> 0 AND (j.mask & ~c.s & 15) = 0
+      |  GROUP BY 1),
+      |ch AS (SELECT * FROM (VALUES ('click', 1), ('error', 2),
+      |                             ('signup', 4), ('view', 8)) AS t(channel, bit)),
+      |phi AS (
+      |  SELECT ch.channel,
+      |    sum((CASE bit_count(c.s) WHEN 0 THEN 6.0 WHEN 3 THEN 6.0
+      |         ELSE 2.0 END) / 24.0 * (v2.v - v1.v)) AS credit
+      |  FROM ch JOIN coal c ON (c.s & ch.bit) = 0
+      |  JOIN v v1 ON v1.s = c.s
+      |  JOIN v v2 ON v2.s = (c.s | ch.bit)
+      |  GROUP BY 1)
+      |SELECT channel, floor(credit * 100 + 0.5) / 100 AS credit FROM phi
+      |UNION ALL
+      |SELECT 'direct', floor(coalesce(sum(val), 0) * 100 + 0.5) / 100
+      |FROM j WHERE mask = 0
+      |ORDER BY channel""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    def seenBit(ch: String, bit: Int) =
+      coalesce(max(when(col("event_type") === ch, bit)).over(w), lit(0))
+    // bounded by construction: ≤ 2^C rows (C = 4 channels)
+    val byMask = Tables.events(s, d)
+      .withColumn("mask", seenBit("click", 1) + seenBit("error", 2)
+        + seenBit("signup", 4) + seenBit("view", 8))
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("mask")).agg(sum(col("value")).as("val"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val direct = byMask.getOrElse(0, 0.0)
+    // v(S): sum journeys in ascending mask order (fixed float order)
+    def v(sm: Int): Double =
+      (1 to 15).filter(mk => (mk & ~sm) == 0)
+        .map(mk => byMask.getOrElse(mk, 0.0)).sum
+    val weight = Array(6.0, 2.0, 2.0, 6.0).map(_ / 24.0) // by |S|, C = 4
+    val channels = Seq("click" -> 1, "error" -> 2, "signup" -> 4, "view" -> 8)
+    def r2(x: Double): Double = math.floor(x * 100 + 0.5) / 100
+    val rows = channels.map { case (ch, bit) =>
+      val credit = (0 until 16).filter(sm => (sm & bit) == 0).map { sm =>
+        weight(Integer.bitCount(sm)) * (v(sm | bit) - v(sm))
+      }.sum
+      (ch, r2(credit))
+    } :+ ("direct" -> r2(direct))
+    rows.toDF("channel", "credit").orderBy(col("channel"))
+  }
+
   val all: Seq[QueryDef] = Seq(
+    eventsShapley,
     eventsPermtest, eventsBandit,
     eventsMannwhitney, eventsKsTest, eventsFdrBh, eventsMsprt,
     eventsTrending,
