@@ -717,7 +717,107 @@ object Linkage {
       .orderBy(col("true_lang"), col("pred_lang"))
   }
 
+  private val GbtRounds = 5
+  private val GbtLr = 0.5
+
+  /** Gradient-boosted regression stumps (Friedman 2001, squared
+    * loss) — the ensemble built FROM mining_dtree's split-search
+    * primitive, and the distributed shape every production GBDT
+    * (XGBoost/LightGBM on Spark) uses: per boosting round ONE
+    * corpus aggregate computes, for every (feature, decile
+    * threshold) candidate, the residual count/sum left of the
+    * threshold plus the global residual moments — 57 partial-agg
+    * columns, shuffle carries ONE row, never a sort or
+    * per-candidate pass (PLANET, Panda et al. 2009). The model
+    * (≤T stumps) is applied map-side as a chained-when codegen'd
+    * projection — no per-row UDF, no broadcast ceiling concern at
+    * O(T) size. Predicts line revenue extprice·(1−discount) — a
+    * MULTIPLICATIVE interaction additive stumps must approximate —
+    * from (extprice, discount, quantity), where quantity is
+    * independent of the target by construction: a noise feature the
+    * split search must never choose (pinned). Learning rate 0.5,
+    * T=5 rounds, leaf values = γ·mean residual. Output: per round
+    * the chosen split, its variance-reduction gain, and train RMSE
+    * entering the round. Rows-only (float model path); ScalaTest
+    * pins the EXACT squared-loss recurrence SSE_{t+1} = SSE_t −
+    * (2γ−γ²)·gain_t (valid because residuals stay centered: F0 = ȳ
+    * and constant-leaf updates preserve Σr), monotone RMSE, the
+    * noise-feature exclusion, and determinism.
+    */
+  val miningGbt: QueryDef = QueryDef.rowsOnly("mining_gbt") { (s, d) =>
+    import s.implicits._
+    val feats = Seq("ep", "disc", "qty")
+    val li = Tables.lineitem(s, d).select(
+        col("l_extendedprice").cast("double").as("ep"),
+        col("l_discount").cast("double").as("disc"),
+        col("l_quantity").cast("double").as("qty"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("y"))
+      .persist()
+    try {
+      // candidate grid: exact per-feature deciles + the base score,
+      // ONE aggregate over the persisted training frame
+      val decs = (1 to 9).map(_ / 10.0)
+      val qRow = li.agg(
+        avg(col("y")).as("base"),
+        expr(s"percentile(ep, array(${decs.mkString(",")}))").as("ep"),
+        expr(s"percentile(disc, array(${decs.mkString(",")}))").as("disc"),
+        expr(s"percentile(qty, array(${decs.mkString(",")}))").as("qty"))
+        .collect()(0)
+      val base = qRow.getDouble(0)
+      val thr: Map[String, Seq[Double]] =
+        feats.map(f => f -> qRow.getSeq[Double](qRow.fieldIndex(f))).toMap
+      val cand = for { f <- feats; (th, i) <- thr(f).zipWithIndex }
+        yield (f, i + 1, th)
+
+      var stumps = List.empty[(String, Double, Double, Double)]
+      val rows = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, String, Double, Double, Double)]
+      var t = 1
+      var done = false
+      while (t <= GbtRounds && !done) {
+        val pred = stumps.foldLeft(lit(base): org.apache.spark.sql.Column) {
+          case (acc, (f, th, al, ar)) =>
+            acc + when(col(f) <= th, al).otherwise(ar)
+        }
+        val r = col("y") - pred
+        val aggs =
+          Seq(count(lit(1)).cast("double").as("n"), sum(r).as("s"),
+            sum(r * r).as("sse")) ++
+          cand.flatMap { case (f, dec, th) => Seq(
+            sum(when(col(f) <= th, 1.0).otherwise(0.0)).as(s"n_${f}_$dec"),
+            sum(when(col(f) <= th, r).otherwise(0.0)).as(s"s_${f}_$dec")) }
+        val row = li.agg(aggs.head, aggs.tail: _*).collect()(0)
+        val n = row.getDouble(0)
+        val sse = row.getDouble(2)
+        // best candidate by variance-reduction gain; deterministic
+        // tie-break on (feature, decile)
+        val scored = cand.map { case (f, dec, th) =>
+          val nl = row.getDouble(row.fieldIndex(s"n_${f}_$dec"))
+          val sl = row.getDouble(row.fieldIndex(s"s_${f}_$dec"))
+          val nr = n - nl
+          val gain =
+            if (nl == 0 || nr == 0) 0.0
+            else sl * sl / nl + (0.0 - sl) * (0.0 - sl) / nr // Σr = 0
+          (f, dec, th, nl, sl, gain)
+        }
+        val (bf, bdec, bth, nl, sl, gain) =
+          scored.maxBy { case (f, dec, _, _, _, g) => (g, f, -dec) }
+        if (gain <= 0) done = true
+        else {
+          val nr = n - nl
+          stumps = stumps :+ ((bf, bth, GbtLr * sl / nl, GbtLr * (-sl) / nr))
+          rows += ((t, bf, math.floor(bth * 10000 + 0.5) / 10000,
+            math.floor(gain * 100 + 0.5) / 100,
+            math.floor(math.sqrt(sse / n) * 10000 + 0.5) / 10000))
+          t += 1
+        }
+      }
+      rows.toSeq.toDF("round", "feature", "thr", "gain", "rmse_in")
+        .orderBy(col("round"))
+    } finally li.unpersist(false)
+  }
+
   val all: Seq[QueryDef] = Seq(qCopurchase, qFuzzyJoin, miningFpgrowth, miningAls,
     miningPrefixspan, miningAssoc, miningLda, miningOls, miningGmm,
-    miningIforest, miningDtree, qReciprocalMatch, miningNaiveBayes)
+    miningIforest, miningDtree, qReciprocalMatch, miningNaiveBayes, miningGbt)
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.EventOps
+import graft.operators.{EventOps, Linkage}
 import graft.sources.Tables
 
 /** Invariant pins for the round-5 session-13 operators. */
@@ -41,5 +41,36 @@ class Round5mOpsSpec extends AnyFunSuite {
     val again = EventOps.eventsShapley.fn(spark, sf).collect()
       .map(r => (r.getString(0), r.getDouble(1))).toMap
     assert(out == again)
+  }
+
+  // ---- mining_gbt -----------------------------------------------------
+
+  test("mining_gbt: SSE recurrence, monotone RMSE, noise feature unused") {
+    val out = Linkage.miningGbt.fn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(out.length == 5)
+    assert(out.map(_._1).toSeq == (1 to 5))
+    // qty is independent of revenue by construction — the split
+    // search must never pick the noise feature
+    out.foreach { case (_, f, _, _, _) => assert(f != "qty", s"noise split: $f") }
+    // training RMSE strictly decreases (every round had gain > 0)
+    out.map(_._5).sliding(2).foreach { case Array(a, b) =>
+      assert(b < a, s"RMSE not decreasing: ${out.map(_._5).toSeq}")
+    }
+    // the exact squared-loss recurrence SSE_{t+1} = SSE_t - (2γ-γ²)·gain_t
+    // with γ = 0.5 (residuals stay centered, leaves are exact means)
+    val n = Tables.lineitem(spark, sf).count().toDouble
+    out.sliding(2).foreach { case Array((_, _, _, g, r1), (_, _, _, _, r2)) =>
+      val lhs = r2 * r2 * n
+      val rhs = r1 * r1 * n - 0.75 * g
+      assert(math.abs(lhs - rhs) / rhs < 1e-4,
+        s"recurrence: $lhs vs $rhs (gain $g)")
+    }
+    // determinism
+    val again = Linkage.miningGbt.fn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(out.sameElements(again))
   }
 }
