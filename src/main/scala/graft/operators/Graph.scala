@@ -2019,7 +2019,79 @@ object Graph {
     }
   }
 
+  private val AnfK = 32     // FM bitmasks per node (rel. err ~0.78/√k)
+  private val AnfRounds = 8 // ≥ bipartite trade-graph effective diameter
+
+  /** Approximate neighborhood function N(h) + effective diameter via
+    * ANF (Palmer et al. KDD 2002; the HyperANF/HADI lineage Boldi et
+    * al. WWW 2011 scaled to billions of nodes) — the ONLY way to ask
+    * "how many pairs are within h hops" on a graph where exact
+    * all-pairs BFS (graph_eccentricity's 25-node luxury) is
+    * impossible: each node carries k=32 Flajolet–Martin bitmasks
+    * (bit p set with prob 2^-(p+1), from xxhash64 — deterministic);
+    * one round of register merging along edges makes mask(x) cover
+    * exactly the ≤h-hop ball, because bitwise-OR is the union of the
+    * underlying node sets. Spark shape: masks are 32 LONG COLUMNS
+    * and the merge is the built-in codegen'd bit_or aggregate — no
+    * UDAF, no array state; per round ONE O(2|E|) message shuffle +
+    * O(n) group-agg, lineage cut every 3 rounds (pagerank pattern).
+    * Ball-size estimate per node = 2^R/0.77351, R = mean lowest-zero
+    * -bit position; N(h) = Σ nodes' estimates (one tiny agg per h).
+    * Runs on the namespaced undirected bipartite customer↔supplier
+    * graph. Output: (h, est reachable pairs, share of the h=max
+    * plateau). Rows-only; ScalaTest pins exact determinism (hashes +
+    * OR are order-free), monotone N(h), estimate-vs-exact (driver
+    * BFS closure at sf0.001) within FM tolerance, and N(0) ≈ n.
+    */
+  val graphAnf: QueryDef = QueryDef.rowsOnly("graph_anf") { (s, d) =>
+    import s.implicits._
+    val e = tradeEdges(s, d)
+    // disjoint node namespace: customer 2k, supplier 2k+1
+    val und = e.select((col("src") * 2).as("u"), (col("dst") * 2 + 1).as("v"))
+    val edges = und.union(und.select(col("v").as("u"), col("u").as("v")))
+      .persist()
+    val mcols = (0 until AnfK).map(j => s"m$j")
+    // init: one geometric bit per (node, mask): lowest set bit of the
+    // 64-bit hash — p with prob 2^-(p+1), all codegen'd bit math
+    def geoBit(j: Int): Column = {
+      val h = xxhash64(col("node"), lit(j))
+      // h & -h isolates the lowest set bit (a power of two)
+      call_function("shiftleft", lit(1L),
+        log2((h.bitwiseAND(-h)).cast("double")).cast("int"))
+    }
+    var state = edges.select(col("u").as("node")).distinct()
+      .select(col("node") +: (0 until AnfK).map(j => geoBit(j).as(s"m$j")): _*)
+      .localCheckpoint(eager = true)
+    // ball-size estimate: R = mean lowest-ZERO-bit position, est = 2^R/φ
+    val lowestZero = mcols.map { m =>
+      // ~m & (m+1) isolates the lowest zero bit of m
+      log2((bitwise_not(col(m)).bitwiseAND(col(m) + 1)).cast("double"))
+    }.reduce(_ + _) / AnfK
+    def nh(st: DataFrame): Double =
+      st.select(sum(pow(lit(2.0), lowestZero) / lit(0.77351)).as("n"))
+        .as[Double].collect()(0)
+    val curve = scala.collection.mutable.ArrayBuffer(nh(state))
+    for (h <- 1 to AnfRounds) {
+      val msgs = edges.join(state, col("u") === col("node"))
+        .select(col("v").as("node") +: mcols.map(col): _*)
+      state = msgs.union(state)
+        .groupBy(col("node"))
+        .agg(bit_or(col(mcols.head)).as(mcols.head),
+          mcols.tail.map(m => bit_or(col(m)).as(m)): _*)
+      if (h % 3 == 0 || h == AnfRounds)
+        state = state.localCheckpoint(eager = true)
+      curve += nh(state)
+    }
+    edges.unpersist(false)
+    val plateau = curve.last
+    curve.toSeq.zipWithIndex.map { case (n, h) =>
+      (h, math.floor(n * 100 + 0.5) / 100,
+        math.floor(n / plateau * 10000 + 0.5) / 10000)
+    }.toDF("h", "est_pairs", "pct_of_plateau").orderBy(col("h"))
+  }
+
   val all: Seq[QueryDef] = Seq(
+    graphAnf,
     graphDegree, graphPagerank, graphTriangles, graphBfs, graphLabelprop,
     graphJaccard, graphCloseness, graphKcore, graphMst, graphSssp, graphCc,
     graphHits, graphAssortativity, graphModularity, graphClusteringCoeff,

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{EventOps, Linkage}
+import graft.operators.{EventOps, Graph, Linkage}
 import graft.sources.Tables
 
 /** Invariant pins for the round-5 session-13 operators. */
@@ -71,6 +71,47 @@ class Round5mOpsSpec extends AnyFunSuite {
     val again = Linkage.miningGbt.fn(spark, sf).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getDouble(2), r.getDouble(3),
         r.getDouble(4)))
+    assert(out.sameElements(again))
+  }
+
+  // ---- graph_anf ------------------------------------------------------
+
+  test("graph_anf: monotone, plateau matches exact closure, deterministic") {
+    val out = Graph.graphAnf.fn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    assert(out.map(_._1).toSeq == (0 to 8))
+    // masks only gain bits, so N(h) is monotone nondecreasing
+    out.map(_._2).sliding(2).foreach { case Array(a, b) =>
+      assert(b >= a, s"N(h) decreased: ${out.map(_._2).toSeq}")
+    }
+    // exact reachability closure via driver union-find on the small graph
+    val edges = Graph.tradeEdges(spark, sf).collect()
+      .map(r => (r.getLong(0) * 2, r.getLong(1) * 2 + 1))
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val parent = scala.collection.mutable.Map(nodes.map(x => x -> x): _*)
+    def find(x: Long): Long = {
+      var r = x; while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val exactPairs = nodes.groupBy(find).values
+      .map(c => c.size.toDouble * c.size).sum
+    val plateau = out.last._2
+    assert(math.abs(plateau - exactPairs) / exactPairs < 0.2,
+      s"plateau $plateau vs exact $exactPairs")
+    // N(0): per-node singleton balls — FM small-set bias is bounded
+    val n0 = out.head._2
+    assert(n0 >= nodes.length * 0.8 && n0 <= nodes.length * 2.5,
+      s"N(0)=$n0 for n=${nodes.length}")
+    // plateau share column consistent
+    out.foreach { case (_, est, pct) =>
+      assert(math.abs(pct - math.floor(est / plateau * 10000 + 0.5) / 10000) < 1e-9)
+    }
+    // hashes and bitwise-OR are order-free: exact determinism
+    val again = Graph.graphAnf.fn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
     assert(out.sameElements(again))
   }
 }
