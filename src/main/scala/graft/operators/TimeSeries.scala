@@ -1789,7 +1789,77 @@ object TimeSeries {
       .orderBy(col("event_type"))
   }
 
+  private val MotifW = 24   // subsequence length (hours)
+  private val MotifPaa = 6  // PAA segments per SAX word
+  private val MotifSeg = MotifW / MotifPaa
+
+  /** Time-series motif discovery via SAX collision bucketing (Chiu,
+    * Keogh, Lonardi KDD 2003 — probabilistic motif discovery; the
+    * LSH pattern of dedup_minhash applied to subsequences): find
+    * recurring 24-hour shapes in each event type's hourly series.
+    * Pipeline: hourly aggregate (the only corpus-sized work) →
+    * sliding w=24 subsequences from a window collect over the
+    * O(hours) relation → per-subsequence z-normalization + 6-segment
+    * PAA + quartile-breakpoint SAX word, ALL as codegen'd
+    * higher-order array expressions (aggregate/transform/slice —
+    * no UDF) → candidate pairs ONLY within (type, word) collision
+    * buckets via equality self-join (candidate work Σ|bucket|²,
+    * never windows²; word length/alphabet tune bucket granularity
+    * at scale) → exact z-normalized Euclidean distance per candidate
+    * (zip_with + aggregate) with trivial-match exclusion (overlap
+    * < w apart) → top-3 motif pairs per type from a window over the
+    * candidate relation. Rows-only (float distances); ScalaTest
+    * pins bucket validity (pair words match), exact distance replay
+    * driver-side, non-overlap, within-bucket minimality of rank 1,
+    * and determinism (fixed array orders end-to-end).
+    */
+  val tsMotif: QueryDef = QueryDef.rowsOnly("ts_motif") { (s, d) =>
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val byHour = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+    val sub = hourly
+      .withColumn("t", row_number().over(byHour))
+      .withColumn("xs",
+        collect_list(col("n")).over(byHour.rowsBetween(0, MotifW - 1)))
+      .filter(size(col("xs")) === MotifW)
+      .withColumn("mu", expr(s"aggregate(xs, 0D, (a, x) -> a + x) / $MotifW"))
+      .withColumn("sd", expr(
+        s"sqrt(aggregate(xs, 0D, (a, x) -> a + (x - mu) * (x - mu)) / $MotifW)"))
+      .filter(col("sd") > 0)
+      .withColumn("zs", expr("transform(xs, x -> (x - mu) / sd)"))
+      .withColumn("word", expr(
+        s"""array_join(transform(sequence(0, ${MotifPaa - 1}), j ->
+           |  CASE WHEN aggregate(slice(zs, j * $MotifSeg + 1, $MotifSeg),
+           |              0D, (a, x) -> a + x) / $MotifSeg < -0.6745 THEN 'a'
+           |       WHEN aggregate(slice(zs, j * $MotifSeg + 1, $MotifSeg),
+           |              0D, (a, x) -> a + x) / $MotifSeg < 0.0 THEN 'b'
+           |       WHEN aggregate(slice(zs, j * $MotifSeg + 1, $MotifSeg),
+           |              0D, (a, x) -> a + x) / $MotifSeg < 0.6745 THEN 'c'
+           |       ELSE 'd' END), '')""".stripMargin))
+      .select(col("event_type"), col("t"), col("word"), col("zs"))
+    val a = sub.select(col("event_type"), col("word"),
+      col("t").as("t1"), col("zs").as("za"))
+    val b = sub.select(col("event_type").as("et2"), col("word").as("w2"),
+      col("t").as("t2"), col("zs").as("zb"))
+    val cand = a.join(b,
+        col("event_type") === col("et2") && col("word") === col("w2")
+          && col("t1") + MotifW <= col("t2"))
+      .withColumn("dist", sqrt(expr(
+        "aggregate(zip_with(za, zb, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)")))
+    val ranked = cand
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("dist"), col("t1"), col("t2"))))
+      .filter(col("rank") <= 3)
+    ranked.select(col("event_type"), col("rank"), col("t1"), col("t2"),
+        col("word").as("sax_word"),
+        (floor(col("dist") * 10000 + lit(0.5)) / 10000).as("dist"))
+      .orderBy(col("event_type"), col("rank"))
+  }
+
   val all: Seq[QueryDef] = Seq(
+    tsMotif,
     tsGapfill, tsInterp, tsEwma, tsAutocorr, tsCusum, tsSeasonal,
     tsForecast, tsTimeToConvert, tsGapEpisodes, tsHolt, tsDecompose,
     tsRollingStats, tsRepair, tsOhlc, tsInterEvent, tsTheilsen,

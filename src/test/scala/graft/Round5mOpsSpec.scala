@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{EventOps, Graph, Linkage}
+import graft.operators.{EventOps, Graph, Linkage, TimeSeries}
 import graft.sources.Tables
 
 /** Invariant pins for the round-5 session-13 operators. */
@@ -112,6 +112,63 @@ class Round5mOpsSpec extends AnyFunSuite {
     // hashes and bitwise-OR are order-free: exact determinism
     val again = Graph.graphAnf.fn(spark, sf).collect()
       .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    assert(out.sameElements(again))
+  }
+
+  // ---- ts_motif -------------------------------------------------------
+
+  test("ts_motif: bucket validity, exact distances, bucket minimality") {
+    val w = 24; val paa = 6; val seg = w / paa
+    val out = TimeSeries.tsMotif.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getString(4), r.getDouble(5)))
+    assert(out.nonEmpty)
+    // driver replay of the subsequence/SAX machinery
+    val hourly = Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).cast("double").as("n"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+    val series = hourly.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2.getTime).map(_._3).toArray).toMap
+    def znorm(xs: Array[Double]): Option[Array[Double]] = {
+      val mu = xs.sum / w
+      val sd = math.sqrt(xs.map(x => (x - mu) * (x - mu)).sum / w)
+      if (sd > 0) Some(xs.map(x => (x - mu) / sd)) else None
+    }
+    def word(zs: Array[Double]): String =
+      (0 until paa).map { j =>
+        val m = zs.slice(j * seg, (j + 1) * seg).sum / seg
+        if (m < -0.6745) 'a' else if (m < 0.0) 'b'
+        else if (m < 0.6745) 'c' else 'd'
+      }.mkString
+    def dist(a: Array[Double], b: Array[Double]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    // subsequences per type: t is 1-based over the hour-ordered rows
+    val subs: Map[String, Map[Int, (String, Array[Double])]] =
+      series.map { case (et, xs) =>
+        et -> (1 to xs.length - w + 1).flatMap { t =>
+          znorm(xs.slice(t - 1, t - 1 + w)).map(zs => t -> (word(zs), zs))
+        }.toMap
+      }
+    out.foreach { case (et, _, t1, t2, saxWord, dd) =>
+      assert(t1 + w <= t2, s"overlap: $et $t1 $t2")
+      val (w1, z1) = subs(et)(t1)
+      val (w2, z2) = subs(et)(t2)
+      assert(w1 == saxWord && w2 == saxWord, s"bucket: $w1 $w2 vs $saxWord")
+      assert(math.abs(dist(z1, z2) - dd) < 1e-3, s"dist replay: $et $t1 $t2")
+    }
+    // rank 1 is the within-bucket minimum for its type
+    out.filter(_._2 == 1).foreach { case (et, _, t1, t2, _, dd) =>
+      val best = (for {
+        (ta, (wa, za)) <- subs(et).toSeq
+        (tb, (wb, zb)) <- subs(et).toSeq
+        if wa == wb && ta + w <= tb
+      } yield dist(za, zb)).min
+      assert(dd <= best + 1e-3, s"$et rank1 $dd vs bucket min $best")
+    }
+    val again = TimeSeries.tsMotif.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getString(4), r.getDouble(5)))
     assert(out.sameElements(again))
   }
 }
