@@ -817,7 +817,77 @@ object Linkage {
     } finally li.unpersist(false)
   }
 
+  private val IsoBuckets = 200
+
+  /** Isotonic (monotone) regression via weighted PAVA (Barlow et al.
+    * 1972; Best & Chakravarti 1990) — THE calibration tool a data
+    * pipeline reaches for when a learned score must become a
+    * probability/level (calibrating pipeline_quality_model scores,
+    * demand curves, dose-response): the least-squares monotone fit.
+    * Calibrated here: a deterministically hash-NOISED price score
+    * (score = extprice + U[-20k, 20k] from xxhash64) against
+    * realized revenue - a noisy learned score whose bucket means DO
+    * violate monotonicity, so the pooling step genuinely runs.
+    * Distributed shape = the sufficient-statistics pattern
+    * (events_shapley, events_absorbing): ONE corpus pass collapses
+    * (extendedprice → revenue) into ≤200 equi-width weighted buckets
+    * (x̄, ȳ, n) — calibration's standard binning — and the O(buckets)
+    * pool-adjacent-violators stack runs driver-side (each merge is
+    * a weighted-mean pool; the stack pass is exactly linear).
+    * Output: per bucket its mean, weight, raw ȳ and the fitted
+    * monotone level. Rows-only (float fit); ScalaTest pins
+    * monotonicity, weighted-mean conservation (pooling preserves
+    * Σ n·fit), block constancy + means (each fitted level is the
+    * weighted mean of its pooled block), the EXACT minimax identity
+    * fit_i = max_{j≤i} min_{k≥i} weightedAvg(ȳ_j..ȳ_k) (an
+    * independent O(B²) derivation of the same projection), and
+    * determinism.
+    */
+  val miningIsotonic: QueryDef = QueryDef.rowsOnly("mining_isotonic") { (s, d) =>
+    import s.implicits._
+    val li = Tables.lineitem(s, d).select(
+      (col("l_extendedprice")
+        + (pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(40001L))
+           - lit(20000L)).cast("double")).as("x"),
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("y"))
+    val bounds = li.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .collect()(0)
+    val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
+    val width = (hi - lo) / IsoBuckets
+    // bounded by construction: <= IsoBuckets weighted points
+    val stats = li
+      .withColumn("b", least(floor((col("x") - lo) / width),
+        lit(IsoBuckets - 1)).cast("int"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        avg(col("x")).as("xm"), avg(col("y")).as("ym"))
+      .orderBy(col("b"))
+      .as[(Int, Double, Double, Double)].collect()
+    // weighted PAVA: stack of (level, weight, span) blocks
+    case class Block(sum: Double, w: Double, span: Int) {
+      def mean: Double = sum / w
+    }
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Block]
+    stats.foreach { case (_, n, _, ym) =>
+      var blk = Block(ym * n, n, 1)
+      while (stack.nonEmpty && stack.last.mean >= blk.mean) {
+        val prev = stack.remove(stack.length - 1)
+        blk = Block(prev.sum + blk.sum, prev.w + blk.w, prev.span + blk.span)
+      }
+      stack += blk
+    }
+    val fit = stack.flatMap(b => Seq.fill(b.span)(b.mean)).toArray
+    stats.zip(fit).map { case ((b, n, xm, ym), f) =>
+      (b, n.toLong,
+        math.floor(xm * 100 + 0.5) / 100,
+        math.floor(ym * 100 + 0.5) / 100,
+        math.floor(f * 100 + 0.5) / 100)
+    }.toSeq.toDF("bucket", "n", "x_mean", "y_mean", "y_fit")
+      .orderBy(col("bucket"))
+  }
+
   val all: Seq[QueryDef] = Seq(qCopurchase, qFuzzyJoin, miningFpgrowth, miningAls,
     miningPrefixspan, miningAssoc, miningLda, miningOls, miningGmm,
-    miningIforest, miningDtree, qReciprocalMatch, miningNaiveBayes, miningGbt)
+    miningIforest, miningDtree, qReciprocalMatch, miningNaiveBayes, miningGbt,
+    miningIsotonic)
 }

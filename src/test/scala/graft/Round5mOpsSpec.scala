@@ -171,4 +171,56 @@ class Round5mOpsSpec extends AnyFunSuite {
         r.getString(4), r.getDouble(5)))
     assert(out.sameElements(again))
   }
+
+  // ---- mining_isotonic ------------------------------------------------
+
+  test("mining_isotonic: monotone, conserving, matches minimax identity") {
+    val out = Linkage.miningIsotonic.fn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(out.nonEmpty)
+    // monotone nondecreasing fit
+    out.map(_._5).sliding(2).foreach { case Array(a, b) =>
+      assert(b >= a, "fit not monotone")
+    }
+    // weighted-mean conservation: pooling preserves the weighted total
+    val wFit = out.map(t => t._2 * t._5).sum
+    val wRaw = out.map(t => t._2 * t._4).sum
+    val n = out.map(_._2).sum
+    assert(math.abs(wFit - wRaw) <= n * 0.011,
+      s"conservation: $wFit vs $wRaw (rounded inputs)")
+    // independent O(B^2) derivation: fit_i = max_{j<=i} min_{k>=i}
+    // weightedAvg(y_j..y_k) must agree with the PAVA stack. Recompute
+    // the same bucket stats through the identical Spark plan.
+    val li = Tables.lineitem(spark, sf).select(
+      (col("l_extendedprice")
+        + (pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(40001L))
+           - lit(20000L)).cast("double")).as("x"),
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("y"))
+    val bounds = li.agg(min(col("x")), max(col("x"))).collect()(0)
+    val width = (bounds.getDouble(1) - bounds.getDouble(0)) / 200
+    val stats = li
+      .withColumn("b", least(floor((col("x") - bounds.getDouble(0)) / width),
+        lit(199)).cast("int"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).cast("double").as("n"), avg(col("y")).as("ym"))
+      .orderBy(col("b"))
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    assert(stats.length == out.length)
+    val b = stats.length
+    // prefix sums for O(1) weighted averages
+    val cw = stats.scanLeft(0.0)(_ + _._1)
+    val cs = stats.scanLeft(0.0) { case (acc, (w, y)) => acc + w * y }
+    def wavg(j: Int, k: Int): Double = (cs(k + 1) - cs(j)) / (cw(k + 1) - cw(j))
+    val minimax = (0 until b).map { i =>
+      (0 to i).map(j => (i until b).map(k => wavg(j, k)).min).max
+    }
+    out.zip(minimax).foreach { case ((bk, _, _, _, f), m) =>
+      assert(math.abs(f - m) <= 0.011, s"bucket $bk: pava $f vs minimax $m")
+    }
+    val again = Linkage.miningIsotonic.fn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(out.sameElements(again))
+  }
 }
