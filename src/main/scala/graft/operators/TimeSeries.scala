@@ -1813,12 +1813,16 @@ object TimeSeries {
     * driver-side, non-overlap, within-bucket minimality of rank 1,
     * and determinism (fixed array orders end-to-end).
     */
-  val tsMotif: QueryDef = QueryDef.rowsOnly("ts_motif") { (s, d) =>
+  /** Shared subsequence relation for ts_motif / ts_discord:
+    * (event_type, t, word, zs) — sliding w=24 z-normalized hourly
+    * subsequences with their SAX words, O(hours) rows.
+    */
+  private[graft] def saxSubs(s: SparkSession, d: String): DataFrame = {
     val hourly = Tables.events(s, d)
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
       .agg(count(lit(1)).cast("double").as("n"))
     val byHour = Window.partitionBy(col("event_type")).orderBy(col("hour"))
-    val sub = hourly
+    hourly
       .withColumn("t", row_number().over(byHour))
       .withColumn("xs",
         collect_list(col("n")).over(byHour.rowsBetween(0, MotifW - 1)))
@@ -1838,6 +1842,10 @@ object TimeSeries {
            |              0D, (a, x) -> a + x) / $MotifSeg < 0.6745 THEN 'c'
            |       ELSE 'd' END), '')""".stripMargin))
       .select(col("event_type"), col("t"), col("word"), col("zs"))
+  }
+
+  val tsMotif: QueryDef = QueryDef.rowsOnly("ts_motif") { (s, d) =>
+    val sub = saxSubs(s, d)
     val a = sub.select(col("event_type"), col("word"),
       col("t").as("t1"), col("zs").as("za"))
     val b = sub.select(col("event_type").as("et2"), col("word").as("w2"),
@@ -1858,8 +1866,67 @@ object TimeSeries {
       .orderBy(col("event_type"), col("rank"))
   }
 
+  private val DiscordCands = 8
+
+  /** Time-series discord discovery — HOT SAX (Keogh, Lin, Fu ICDM
+    * 2005): the subsequence FARTHEST from its nearest neighbor, i.e.
+    * the most anomalous 24-hour shape per event type (the
+    * subsequence-level counterpart of the pointwise detectors
+    * events_anomaly / ts_esd: a discord can be anomalous while every
+    * individual point is normal). Exact discord needs all-pairs NN;
+    * HOT SAX's insight is that discords live in RARE SAX buckets, so
+    * restrict the outer loop to the 8 rarest-bucket subsequences per
+    * type and compute their EXACT nearest neighbor against all
+    * non-overlapping same-type subsequences — O(cands·n) distance
+    * work instead of O(n²), on the already-O(hours) subsequence
+    * relation (shared with ts_motif). Distances are the same
+    * codegen'd zip_with/aggregate expressions; NN = min over a
+    * (dist, t) struct (deterministic tie-break). Output: top-2
+    * discords per type with their bucket size, NN index and NN
+    * distance. Reported discords are exact NN distances; the
+    * restriction to rare buckets is the documented HOT SAX heuristic
+    * for the outer candidate set. Rows-only; ScalaTest pins exact
+    * driver NN replay, candidate-set membership (rarest buckets),
+    * rank ordering, and determinism.
+    */
+  val tsDiscord: QueryDef = QueryDef.rowsOnly("ts_discord") { (s, d) =>
+    // O(hours) relation computed twice (candidates + NN probe) — a
+    // persist would be unpersisted before the lazy result executes,
+    // and the recompute is one small window pass
+    val sub = saxSubs(s, d)
+    locally {
+      val rare = sub.groupBy(col("event_type"), col("word"))
+        .agg(count(lit(1)).as("bsz"))
+      val cands = sub.join(rare, Seq("event_type", "word"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("event_type"))
+            .orderBy(col("bsz"), col("word"), col("t"))))
+        .filter(col("rn") <= DiscordCands)
+        .select(col("event_type").as("cet"), col("t").as("ct"),
+          col("word").as("cword"), col("zs").as("czs"), col("bsz"))
+      val nn = cands
+        .join(sub, col("cet") === col("event_type")
+          && abs(col("t") - col("ct")) >= MotifW)
+        .withColumn("dist", sqrt(expr(
+          "aggregate(zip_with(czs, zs, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)")))
+        .groupBy(col("cet"), col("ct"), col("cword"), col("bsz"))
+        .agg(min(struct(col("dist"), col("t"))).as("nn"))
+        .select(col("cet"), col("ct"), col("cword"), col("bsz"),
+          col("nn.t").as("nn_t"), col("nn.dist").as("nn_dist"))
+      nn.withColumn("rank", row_number().over(
+          Window.partitionBy(col("cet"))
+            .orderBy(col("nn_dist").desc, col("ct"))))
+        .filter(col("rank") <= 2)
+        .select(col("cet").as("event_type"), col("rank"), col("ct").as("t"),
+          col("cword").as("sax_word"), col("bsz").as("bucket_size"),
+          col("nn_t"),
+          (floor(col("nn_dist") * 10000 + lit(0.5)) / 10000).as("nn_dist"))
+        .orderBy(col("event_type"), col("rank"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
-    tsMotif,
+    tsMotif, tsDiscord,
     tsGapfill, tsInterp, tsEwma, tsAutocorr, tsCusum, tsSeasonal,
     tsForecast, tsTimeToConvert, tsGapEpisodes, tsHolt, tsDecompose,
     tsRollingStats, tsRepair, tsOhlc, tsInterEvent, tsTheilsen,

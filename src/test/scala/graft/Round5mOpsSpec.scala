@@ -172,6 +172,53 @@ class Round5mOpsSpec extends AnyFunSuite {
     assert(out.sameElements(again))
   }
 
+  // ---- ts_discord -----------------------------------------------------
+
+  test("ts_discord: exact NN replay, rare-bucket candidates, ordering") {
+    val w = 24
+    val out = TimeSeries.tsDiscord.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3),
+        r.getLong(4), r.getInt(5), r.getDouble(6)))
+    assert(out.nonEmpty)
+    // driver replay from the shared subsequence relation
+    val subs = TimeSeries.saxSubs(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getSeq[Double](3).toArray))
+    val byType = subs.groupBy(_._1)
+    def dist(a: Array[Double], b: Array[Double]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    out.foreach { case (et, _, t, saxWord, bsz, nnT, nnD) =>
+      val all = byType(et)
+      val me = all.find(_._2 == t).get
+      assert(me._3 == saxWord)
+      // bucket size matches the word's collision count
+      assert(all.count(_._3 == saxWord) == bsz)
+      // exact NN over all non-overlapping same-type subsequences,
+      // (dist, t) tie-break as in the operator
+      val (bd, bt) = all.filter(s => math.abs(s._2 - t) >= w)
+        .map(s => (dist(me._4, s._4), s._2)).min
+      assert(bt == nnT, s"$et t=$t nn $bt vs $nnT")
+      assert(math.abs(bd - nnD) < 1e-3, s"$et t=$t dist $bd vs $nnD")
+      // candidate membership: t is among the 8 rarest-bucket
+      // subsequences by the operator's (bsz, word, t) ordering
+      val order = all.map { case (_, tt, ww, _) =>
+        (all.count(_._3 == ww).toLong, ww, tt)
+      }.sorted.take(8).map(_._3).toSet
+      assert(order.contains(t), s"$et t=$t not a rare-bucket candidate")
+    }
+    // per type: rank 1 NN distance >= rank 2
+    out.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      sorted.map(_._7).sliding(2).foreach { case Array(a, b) =>
+        assert(a >= b)
+      }
+    }
+    val again = TimeSeries.tsDiscord.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3),
+        r.getLong(4), r.getInt(5), r.getDouble(6)))
+    assert(out.sameElements(again))
+  }
+
   // ---- mining_isotonic ------------------------------------------------
 
   test("mining_isotonic: monotone, conserving, matches minimax identity") {
