@@ -964,9 +964,74 @@ object KMeans {
     } finally pts.unpersist(false)
   }
 
+  private val FuzzyIters = 5
+
+  /** Fuzzy c-means (Bezdek 1981, fuzzifier m=2) — SOFT clustering on
+    * the reference's own point set: every point belongs to every
+    * cluster with membership u_j ∝ 1/d_j² (normalized), centroids
+    * are u²-weighted means, and the objective J = ΣΣ u_j²·d_j² is
+    * guaranteed non-increasing under the alternating update (the EM
+    * counterpart of Lloyd's hard assignment; mining_gmm's
+    * geometric sibling without the covariance model). Distributed
+    * shape identical to kmeans_step: centroids are O(k) driver
+    * literals inside ONE codegen'd aggregate per iteration — all 8
+    * memberships, their squares, weighted coordinates and the
+    * objective reduce map-side to a single 1-row collect (5k+1
+    * partial-agg columns, zero shuffle of point rows), so
+    * per-iteration cluster traffic is O(k·partitions) at any scale.
+    * d²=0 guarded by an epsilon floor. Same deterministic init as
+    * the Lloyd family. Output: per (iter, cluster) the updated
+    * centroid, fuzzy mass Σu, and the objective entering the
+    * iteration. Rows-only; ScalaTest pins monotone J, membership
+    * conservation (Σ masses == n exactly, since each point's
+    * memberships sum to 1), J consistency with a driver replay at
+    * sf0.001, and determinism.
+    */
+  val kmeansFuzzy: QueryDef = QueryDef.rowsOnly("kmeans_fuzzy") { (s, d) =>
+    import s.implicits._
+    val pts = points(Tables.lineitem(s, d)).select(col("x"), col("y")).persist()
+    try {
+      var cents = initCentroids(pts)
+      val k = cents.length
+      val rows = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, Int, Double, Double, Double, Double)]
+      for (iter <- 1 to FuzzyIters) {
+        val d2 = cents.map { case (cx, cy) =>
+          (col("x") - cx) * (col("x") - cx) + (col("y") - cy) * (col("y") - cy)
+        }
+        val inv = d2.map(dd => lit(1.0) / greatest(dd, lit(1e-12)))
+        val denom = inv.reduce(_ + _)
+        val u = inv.map(_ / denom)
+        val aggs = (0 until k).flatMap { j =>
+          Seq(sum(u(j) * u(j) * col("x")).as(s"wx$j"),
+            sum(u(j) * u(j) * col("y")).as(s"wy$j"),
+            sum(u(j) * u(j)).as(s"w$j"),
+            sum(u(j)).as(s"m$j"),
+            sum(u(j) * u(j) * d2(j)).as(s"o$j"))
+        }
+        val r = pts.agg(aggs.head, aggs.tail: _*).collect()(0)
+        val obj = (0 until k).map(j => r.getDouble(r.fieldIndex(s"o$j"))).sum
+        cents = (0 until k).map { j =>
+          val w = r.getDouble(r.fieldIndex(s"w$j"))
+          (r.getDouble(r.fieldIndex(s"wx$j")) / w,
+            r.getDouble(r.fieldIndex(s"wy$j")) / w)
+        }.toArray
+        (0 until k).foreach { j =>
+          rows += ((iter, j,
+            math.floor(cents(j)._1 * 10000 + 0.5) / 10000,
+            math.floor(cents(j)._2 * 10000 + 0.5) / 10000,
+            math.floor(r.getDouble(r.fieldIndex(s"m$j")) * 100 + 0.5) / 100,
+            math.floor(obj * 100 + 0.5) / 100))
+        }
+      }
+      rows.toSeq.toDF("iter", "cid", "cx", "cy", "fuzzy_mass", "j_before")
+        .orderBy(col("iter"), col("cid"))
+    } finally pts.unpersist(false)
+  }
+
   val all: Seq[QueryDef] = Seq(
     kmeansAssign, kmeansStep, kmeansIter3, kmeansCost, kmeansLloyd,
     kmeansMllib, kmeansNd, kmeansMinibatch, kmeansBisecting,
     kmeansPp, kmeansElbow, kmeansSilhouette, kmeansWeighted,
-    kmeansStream, clusterDbscan, kmeansParallel)
+    kmeansStream, clusterDbscan, kmeansParallel, kmeansFuzzy)
 }

@@ -219,6 +219,48 @@ class Round5mOpsSpec extends AnyFunSuite {
     assert(out.sameElements(again))
   }
 
+  // ---- kmeans_fuzzy ---------------------------------------------------
+
+  test("kmeans_fuzzy: monotone J, mass conservation, driver J replay") {
+    import graft.operators.KMeans
+    val res = KMeans.kmeansFuzzy.fn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(res.length == 5 * 8)
+    // objective entering each iteration is non-increasing
+    val js = res.groupBy(_._1).toSeq.sortBy(_._1).map(_._2.head._6)
+    js.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + math.abs(a) * 1e-9, s"J increased: $js")
+    }
+    // each point's memberships sum to 1 → fuzzy masses sum to n
+    val n = Tables.lineitem(spark, sf).count().toDouble
+    res.groupBy(_._1).values.foreach { rows =>
+      val mass = rows.map(_._5).sum
+      assert(math.abs(mass - n) < 0.5, s"mass $mass vs n $n")
+    }
+    // driver replay of J_1: init centroids + optimal memberships
+    val pts = KMeans.points(Tables.lineitem(spark, sf))
+      .select(col("x"), col("y")).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    val cents = KMeans.initCentroids(
+      KMeans.points(Tables.lineitem(spark, sf)))
+    val j1 = pts.map { case (x, y) =>
+      val d2 = cents.map { case (cx, cy) =>
+        math.max((x - cx) * (x - cx) + (y - cy) * (y - cy), 1e-12)
+      }
+      val inv = d2.map(1.0 / _)
+      val denom = inv.sum
+      d2.zip(inv).map { case (dd, iv) =>
+        val u = iv / denom; u * u * dd
+      }.sum
+    }.sum
+    assert(math.abs(j1 - js.head) / j1 < 1e-6, s"J1 replay: $j1 vs ${js.head}")
+    val again = KMeans.kmeansFuzzy.fn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(res.sameElements(again))
+  }
+
   // ---- mining_isotonic ------------------------------------------------
 
   test("mining_isotonic: monotone, conserving, matches minimax identity") {
