@@ -1527,7 +1527,82 @@ object TextAnalysis {
       .toDF("piece", "n_uses", "logp")
   }
 
+  /** RAKE keyphrase extraction (Rose et al. 2010) — the unsupervised
+    * corpus-keyphrase counterpart of text_textrank's sentence
+    * ranking and text_collocations' bigram PMI: candidate phrases
+    * are maximal stopword-free token runs (delimited by the shared
+    * stopPattern list), word score = deg(w)/freq(w) where freq
+    * counts occurrences and deg sums the lengths of the phrases each
+    * occurrence sits in (within-phrase co-occurrence), phrase score
+    * = Σ word scores. Fully relational at scale: tokenization is a
+    * map-side posexplode, phrase grouping is a per-document window
+    * (bounded by doc length), and BOTH statistics joins are on the
+    * WORD KEY (hash join — vocabulary-sized relations, no broadcast
+    * ceiling), then one phrase-keyed rollup. Ranking rounds BEFORE
+    * ordering so the top-20 cut is ulp-stable across engines.
+    * Output: top-20 (phrase, occurrences, score).
+    */
+  val textRake: QueryDef = QueryDef.sql(
+    "text_rake",
+    """WITH toks AS (
+      |  SELECT doc_id, i, lst[i] AS w,
+      |    lst[i] IN ('the','a','an','of','to','in','and','is','it','for') AS stop
+      |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS lst
+      |        FROM documents),
+      |       UNNEST(generate_series(1, length(lst))) AS t(i)),
+      |grp AS (
+      |  SELECT doc_id, i, w, stop,
+      |    sum(CASE WHEN stop THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY i) AS g
+      |  FROM toks),
+      |pw AS (SELECT doc_id, g, i, w FROM grp WHERE NOT stop),
+      |ph AS (
+      |  SELECT doc_id, g, string_agg(w, ' ' ORDER BY i) AS phrase,
+      |         count(*) AS len
+      |  FROM pw GROUP BY 1, 2),
+      |ws AS (
+      |  SELECT w, count(*) AS freq, sum(len) AS deg
+      |  FROM pw JOIN ph USING (doc_id, g) GROUP BY 1),
+      |ps AS (
+      |  SELECT p.doc_id, p.g, p.phrase,
+      |         sum(CAST(ws.deg AS DOUBLE) / ws.freq) AS pscore
+      |  FROM pw t JOIN ph p USING (doc_id, g) JOIN ws ON t.w = ws.w
+      |  GROUP BY 1, 2, 3)
+      |SELECT phrase, count(*) AS n,
+      |       floor(max(pscore) * 10000 + 0.5) / 10000 AS score
+      |FROM ps GROUP BY 1
+      |ORDER BY score DESC, phrase LIMIT 20""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val stops = Seq("the", "a", "an", "of", "to", "in", "and", "is", "it", "for")
+    val toks = Tables.documents(s, d).select(col("doc_id"),
+        posexplode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+          .as(Seq("i", "w")))
+      .withColumn("stop", col("w").isInCollection(stops))
+    val pw = toks
+      .withColumn("g", sum(when(col("stop"), 1).otherwise(0)).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("i"))))
+      .filter(!col("stop"))
+      .select(col("doc_id"), col("g"), col("i"), col("w"))
+    val ph = pw.groupBy(col("doc_id"), col("g"))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("i"), col("w")))),
+          e => e.getField("w")), " ").as("phrase"),
+        count(lit(1)).as("len"))
+    val withLen = pw.join(ph, Seq("doc_id", "g"))
+    val ws = withLen.groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
+    val ps = withLen.join(ws, "w")
+      .groupBy(col("doc_id"), col("g"), col("phrase"))
+      .agg(sum(col("deg").cast("double") / col("freq")).as("pscore"))
+    ps.groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n"),
+        (floor(max(col("pscore")) * 10000 + lit(0.5)) / 10000).as("score"))
+      .orderBy(col("score").desc, col("phrase"))
+      .limit(20)
+  }
+
   val all: Seq[QueryDef] = Seq(
+    textRake,
     textUnigramLm,
     textTokens, textQuality, textLangid, textFingerprint, textWordfreq,
     textBpeTokens, textBpeMerged, textTfidf, textLangidEval, textRepetition,

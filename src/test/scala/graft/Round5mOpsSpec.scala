@@ -261,6 +261,32 @@ class Round5mOpsSpec extends AnyFunSuite {
     assert(res.sameElements(again))
   }
 
+  // ---- text_rake ------------------------------------------------------
+
+  test("text_rake: stopword-free phrases, positive scores, determinism") {
+    import graft.operators.TextAnalysis
+    val stops = Set("the", "a", "an", "of", "to", "in", "and", "is", "it", "for")
+    val out = TextAnalysis.textRake.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.nonEmpty && out.length <= 20)
+    out.foreach { case (phrase, n, score) =>
+      assert(phrase.nonEmpty && n >= 1 && score > 0)
+      phrase.split(" ").foreach { w =>
+        assert(w.matches("[a-z]+") && !stops.contains(w), s"bad token '$w'")
+      }
+      // RAKE favors longer runs: every phrase scores >= its word count
+      // (deg(w)/freq(w) >= 1 always, since deg counts w itself)
+      assert(score >= phrase.split(" ").length - 1e-9)
+    }
+    // ranked by rounded score desc, then phrase
+    out.sliding(2).foreach { case Array((p1, _, s1), (p2, _, s2)) =>
+      assert(s1 > s2 || (s1 == s2 && p1 < p2))
+    }
+    val again = TextAnalysis.textRake.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.sameElements(again))
+  }
+
   // ---- mining_isotonic ------------------------------------------------
 
   test("mining_isotonic: monotone, conserving, matches minimax identity") {
