@@ -65,7 +65,12 @@ object Bench {
       "q_bucketed_join", "src_zorder_scan", "text_bm25_indexed",
       "ann_ivfpq_persisted", "dedup_incremental_indexed",
       "stream_dedup_indexed", "q_hll_partitioned",
-      "sketch_kmv_daily", "sketch_kmv_overlap")
+      "sketch_kmv_daily", "sketch_kmv_overlap",
+      // round-5 layout/lakehouse artifacts (hilbert layout, manifest
+      // table, time-travel log + mor base — all built-once-per-corpus)
+      "src_hilbert_scan", "src_manifest_scan", "src_mor_read",
+      "src_time_travel", "src_gdpr_delete",
+      "src_points_v2_agg", "src_bloom_filter_scan")
     val builds = selected.filter(p => indexBacked(p._1)).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
