@@ -968,7 +968,33 @@ object Curation {
       .orderBy(col("gumbel_key").desc, col("doc_id"))
   }
 
-  val all: Seq[QueryDef] = Seq(pipelineCurate, pipelineMix,
+  /** Soft deduplication — DOWNWEIGHT duplicates instead of dropping
+    * them (the SoftDeDup observation: hard dedup throws away the
+    * signal that a document was independently published m times;
+    * weighting each copy 1/m keeps the corpus distribution while
+    * removing the gradient multiplier): copies counted on a 128-bit
+    * content hash so the count shuffle carries 16-byte keys, never
+    * document text; the weight joins back on the same hash. Training
+    * weight = 1/m, so every duplicate GROUP contributes exactly one
+    * effective document (Σ weights = distinct texts).
+    */
+  val pipelineSoftDedup: QueryDef = QueryDef.sql(
+    "pipeline_soft_dedup",
+    """WITH c AS (SELECT md5(text) AS h, count(*) AS m
+      |           FROM documents GROUP BY 1)
+      |SELECT d.doc_id, CAST(c.m AS INT) AS n_copies,
+      |       round(1.0 / c.m, 4) AS weight
+      |FROM documents d JOIN c ON md5(d.text) = c.h
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).withColumn("h", md5(col("text")))
+    val counts = docs.groupBy(col("h")).agg(count(lit(1)).as("m"))
+    docs.join(counts, Seq("h"))
+      .select(col("doc_id"), col("m").cast("int").as("n_copies"),
+        round(lit(1.0) / col("m"), 4).as("weight"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(pipelineSoftDedup, pipelineCurate, pipelineMix,
     pipelineQualityFilter, pipelineSampleN, pipelineTokenBudget,
     pipelineSplit, textContamination, pipelineLangBudget,
     pipelineQualityModel, pipelinePack, pipelineObserved,

@@ -1049,7 +1049,87 @@ object Dedup {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  // ---- dedup_cdc_chunks -------------------------------------------------
+
+  /** Gear table for content-defined chunking: 256 pseudorandom 64-bit
+    * values derived from a splitmix64 finalizer of the byte value —
+    * deterministic everywhere, no stored state.
+    */
+  private val gearTable: Array[Long] = Array.tabulate(256) { i =>
+    var z = i.toLong + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private val CdcMin = 16
+  private val CdcMax = 256
+  private val CdcMask = 0x3fL // boundary prob 1/64 → ~64-byte chunks
+
+  /** Content-defined chunk list of a payload: Gear rolling hash
+    * (h = (h<<1) + G[b]), boundary when (h & mask) == 0 past the
+    * minimum size, forced at the maximum. Returns (fnv1a64, length)
+    * per chunk. Shared with the spec's shift-resistance replay.
+    */
+  private[graft] def cdcChunks(bytes: Array[Byte]): Array[(Long, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    var start = 0
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h << 1) + gearTable(bytes(i) & 0xff)
+      val len = i - start + 1
+      if ((len >= CdcMin && (h & CdcMask) == 0L) || len >= CdcMax ||
+          i == bytes.length - 1) {
+        var f = 0xcbf29ce484222325L
+        var j = start
+        while (j <= i) { f = (f ^ (bytes(j) & 0xffL)) * 0x100000001b3L; j += 1 }
+        out += ((f, len))
+        start = i + 1
+        h = 0L
+      }
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** Content-defined chunking dedup (Gear/FastCDC lineage; LBFS,
+    * Muthitacharoen et al. SOSP 2001) — byte-level duplicate
+    * detection that SURVIVES INSERTIONS: fixed-window chunking
+    * (text_chunk_dedup) shifts every boundary after an edit, CDC
+    * boundaries are content-anchored so unchanged regions keep their
+    * chunk hashes. Chunking is a narrow mapPartitions (payload bytes
+    * never shuffle — the multimodal posture); the only exchanges are
+    * the chunk-hash count aggregate and the hash-key join back, both
+    * O(total chunks). Output: the docs carrying the most duplicated
+    * bytes. Rows-only; ScalaTest pins partition/coverage invariants,
+    * the shift-resistance property itself (prefix edit preserves the
+    * chunk-hash multiset tail), and a full driver replay.
+    */
+  val dedupCdcChunks: QueryDef = QueryDef.rowsOnly("dedup_cdc_chunks") { (s, d) =>
+    import s.implicits._
+    val chunks = Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, b) =>
+        cdcChunks(b).iterator.map { case (h, len) => (id, h, len) }
+      })
+      .toDF("doc_id", "chunk_hash", "chunk_len")
+    val counts = chunks.groupBy(col("chunk_hash"))
+      .agg(count(lit(1)).as("n_occurrences"))
+    chunks.join(counts, Seq("chunk_hash"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_chunks"),
+        sum(when(col("n_occurrences") > 1, 1L).otherwise(0L)).cast("int")
+          .as("n_dup_chunks"),
+        round(sum(when(col("n_occurrences") > 1, col("chunk_len")).otherwise(0L))
+          / sum(col("chunk_len")), 4).as("dup_byte_share"))
+      .orderBy(col("dup_byte_share").desc, col("doc_id"))
+      .limit(20)
+  }
+
   val all: Seq[QueryDef] = Seq(
+    dedupCdcChunks,
     dedupBestSurvivor, dedupSetsimPrefix, dedupEval,
     dedupExact, dedupExactNfc, dedupStats, dedupNgram, dedupContainment,
     dedupMinhash,

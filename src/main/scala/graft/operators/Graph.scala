@@ -2090,8 +2090,240 @@ object Graph {
     }.toDF("h", "est_pairs", "pct_of_plateau").orderBy(col("h"))
   }
 
+  /** Full per-supplier butterfly counts over the repeat-trade
+    * bipartite graph — shared by the query (top-20 projection) and
+    * the ScalaTest brute-force recount.
+    */
+  private[graft] def butterflyCounts(s: SparkSession, d: String): DataFrame = {
+    val e = repeatTradeEdges(s, d) // sparse (cust, supp), distinct
+    // wedge-pair counts: suppliers s1<s2 with `shared` common customers.
+    // Work = Σ_c deg(c)² on the REPEAT graph (single-digit avg degree at
+    // every SF); the join is an equality hash join on the customer key.
+    val w = e.select(col("src").as("c1"), col("dst").as("s1"))
+      .join(e.select(col("src").as("c2"), col("dst").as("s2")),
+        col("c1") === col("c2") && col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 2)
+      // C(shared,2) butterflies per supplier pair — computed
+      // ARITHMETICALLY from the wedge count; 4-tuples never materialize
+      .withColumn("bf", expr("shared * (shared - 1) div 2"))
+    w.select(col("s1").as("supplier"), col("bf"))
+      .unionAll(w.select(col("s2").as("supplier"), col("bf")))
+      .groupBy(col("supplier"))
+      .agg(sum(col("bf")).as("n_butterflies"), count(lit(1)).as("n_partners"))
+  }
+
+  /** Butterfly (bipartite 4-cycle) counting — the standard cohesion
+    * motif for bipartite graphs (Sanei-Mehri et al., KDD 2018): a
+    * butterfly is (c1,c2,s1,s2) with all four trade edges present.
+    * For each supplier pair the count is C(shared_customers, 2), so
+    * one wedge join + one integer expression yields exact counts with
+    * no 4-tuple enumeration; per-supplier totals are one more
+    * |pairs|-sized aggregate. Runs on the sparse repeat-trade
+    * projection (≥2 distinct orders per edge) so wedge work stays
+    * Σ deg² of a bounded-degree graph at any SF. All-integer output →
+    * engine-exact hash match.
+    */
+  val graphButterflies: QueryDef = QueryDef.sql(
+    "graph_butterflies",
+    """WITH e AS MATERIALIZED (
+      |  SELECT o_custkey AS c, l_suppkey AS s
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2 HAVING count(DISTINCT l_orderkey) >= 2),
+      |w AS (
+      |  SELECT e1.s AS s1, e2.s AS s2, count(*) AS shared
+      |  FROM e e1 JOIN e e2 ON e1.c = e2.c AND e1.s < e2.s
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |b AS (SELECT s1, s2, shared * (shared - 1) // 2 AS bf FROM w),
+      |per AS (
+      |  SELECT supplier, CAST(sum(bf) AS BIGINT) AS n_butterflies,
+      |         count(*) AS n_partners
+      |  FROM (SELECT s1 AS supplier, bf FROM b
+      |        UNION ALL SELECT s2, bf FROM b)
+      |  GROUP BY supplier)
+      |SELECT supplier, n_butterflies, n_partners
+      |FROM per ORDER BY n_butterflies DESC, supplier LIMIT 20""".stripMargin) { (s, d) =>
+    butterflyCounts(s, d)
+      .orderBy(col("n_butterflies").desc, col("supplier"))
+      .limit(20)
+  }
+
+  private val FastRpDims = 8
+  private val FastRpWeights = Seq(0.0, 1.0, 1.0, 2.0) // per hop 0..3
+
+  /** FastRP node embeddings (Chen et al. 2019; the DeepWalk-family
+    * method that needs NO walk sampling and NO factorization): start
+    * from a hash-derived random sign matrix R (node v, dim j →
+    * ±1/√d via xxhash64 — reproducible at any partitioning), then
+    * E = Σ_k w_k · Â^k R where Â is the degree-normalized adjacency.
+    * Each hop is ONE O(|E|·d) message join + a group-mean — identical
+    * shuffle shape to PageRank with d=8 value columns; nothing ever
+    * materializes per node-PAIR, so the method scales where
+    * walk-and-factorize (NetMF) cannot. Runs on the namespaced
+    * undirected bipartite trade graph (customer 2k ↔ supplier 2k+1).
+    * Shared helper so the spec can replay hops in the driver from
+    * the collected hop-0 matrix.
+    */
+  private[graft] def fastRpEmbeddings(s: SparkSession, d: String): DataFrame = {
+    val e = tradeEdges(s, d)
+    val und = e.select((col("src") * 2).as("u"), (col("dst") * 2 + 1).as("v"))
+    val edges = und.union(und.select(col("v").as("u"), col("u").as("v")))
+    val dims = 0 until FastRpDims
+    def ecol(j: Int) = s"e$j"
+    // hop-0: sparse random projection row per node, ±1/√d signs
+    val init = edges.select(col("u").as("node")).distinct()
+      .select(col("node") +: dims.map(j =>
+        (when(xxhash64(col("node"), lit(j)) % 2 === 0, 1.0).otherwise(-1.0) /
+          math.sqrt(FastRpDims)).as(ecol(j))): _*)
+    var x = init
+    var acc = init.select(col("node") +:
+      dims.map(j => (col(ecol(j)) * FastRpWeights.head).as(ecol(j))): _*)
+    for (k <- 1 to 3) {
+      val msgs = edges.join(x, col("u") === col("node"))
+        .select(col("v").as("node") +: dims.map(j => col(ecol(j))): _*)
+      x = msgs.groupBy(col("node"))
+        .agg(avg(col(ecol(0))).as(ecol(0)),
+          dims.tail.map(j => avg(col(ecol(j))).as(ecol(j))): _*)
+        .localCheckpoint(eager = true)
+      val w = FastRpWeights(k)
+      acc = acc.join(x.select(col("node") +: dims.map(j =>
+          col(ecol(j)).as(s"h$j")): _*), Seq("node"))
+        .select(col("node") +: dims.map(j =>
+          (col(ecol(j)) + col(s"h$j") * w).as(ecol(j))): _*)
+    }
+    acc
+  }
+
+  /** FastRP embedding summary per node: L2 norm + leading dims,
+    * deterministic under any partitioning (hash init, mean
+    * propagation). Rows-only: ScalaTest replays the hop recursion in
+    * the driver and pins edge-vs-non-edge cosine homophily.
+    */
+  val graphFastrp: QueryDef = QueryDef.rowsOnly("graph_fastrp") { (s, d) =>
+    val dims = 0 until FastRpDims
+    fastRpEmbeddings(s, d)
+      .select(col("node"),
+        round(sqrt(dims.map(j => col(s"e$j") * col(s"e$j")).reduce(_ + _)), 6)
+          .as("l2_norm"),
+        round(col("e0"), 6).as("e0"), round(col("e1"), 6).as("e1"))
+      .orderBy(col("node")).limit(50)
+  }
+
+  /** Power-law tail fit of the supplier degree distribution —
+    * Clauset–Shalizi–Newman continuous MLE α = 1 + n/Σ ln(d/(dmin−½))
+    * with σ = (α−1)/√n: the statistic that decides whether the graph
+    * needs skew handling (a heavy power-law tail ⇒ hub-salting /
+    * AQE skew joins; graph_assortativity says who hubs attach to,
+    * this says how heavy the hubs are). One degree aggregate + one
+    * O(1)-row summary aggregate — the ANALYZE posture; only the two
+    * final doubles are rounded.
+    */
+  val graphPowerlaw: QueryDef = QueryDef.sql(
+    "graph_powerlaw",
+    """WITH e AS (
+      |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |deg AS (SELECT s, count(*) AS d FROM e GROUP BY s),
+      |tail AS (SELECT d FROM deg WHERE d >= 5)
+      |SELECT CAST(count(*) AS BIGINT) AS n_tail, 5 AS d_min,
+      |  CAST(max(d) AS BIGINT) AS d_max,
+      |  round(1.0 + count(*) / sum(ln(d / 4.5)), 4) AS alpha_mle,
+      |  round((count(*) / sum(ln(d / 4.5))) / sqrt(count(*)), 4) AS sigma
+      |FROM tail""".stripMargin) { (s, d) =>
+    val deg = tradeEdges(s, d).groupBy(col("dst"))
+      .agg(count(lit(1)).as("d"))
+      .filter(col("d") >= 5)
+    deg.agg(
+      count(lit(1)).as("n_tail"),
+      lit(5).as("d_min"),
+      max(col("d")).as("d_max"),
+      round(lit(1.0) + count(lit(1)) / sum(log(col("d") / 4.5)), 4).as("alpha_mle"),
+      round((count(lit(1)) / sum(log(col("d") / 4.5))) / sqrt(count(lit(1))), 4)
+        .as("sigma"))
+  }
+
+  private val LandmarkCount = 4
+  private val LandmarkRounds = 6
+
+  /** Landmark distance table: multi-source BFS from the L
+    * highest-degree suppliers (deterministic (degree, id) pick) over
+    * the namespaced undirected REPEAT-trade graph (the sparse
+    * projection — the dense raw bipartite graph made each BFS round
+    * shuffle ~30 MB × 8 at sf0.1 for no semantic gain) — L distance
+    * columns relaxed together, one O(|E|·L) join + group-min per
+    * round. Shared with the spec's exact-BFS audit.
+    */
+  private[graft] def landmarkDistances(s: SparkSession, d: String)
+      : (DataFrame, Array[Long]) = {
+    val e = repeatTradeEdges(s, d)
+    val und = e.select((col("src") * 2).as("u"), (col("dst") * 2 + 1).as("v"))
+    val edges = und.union(und.select(col("v").as("u"), col("u").as("v")))
+      .persist()
+    val landmarks = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .filter(col("u") % 2 === 1) // suppliers: hubs of the bipartite graph
+      .orderBy(col("deg").desc, col("u"))
+      .limit(LandmarkCount)
+      .select("u").collect().map(_.getLong(0))
+    val dcols = landmarks.indices.map(i => s"d$i")
+    var state = edges.select(col("u").as("node")).distinct()
+      .select(col("node") +: landmarks.zipWithIndex.map { case (l, i) =>
+        when(col("node") === l, 0).otherwise(lit(null).cast("int")).as(s"d$i")
+      }: _*)
+    for (r <- 1 to LandmarkRounds) {
+      val msgs = edges.join(state, col("u") === col("node"))
+        .select(col("v").as("node") +: dcols.map(c => (col(c) + 1).as(c)): _*)
+      state = msgs.union(state)
+        .groupBy(col("node"))
+        .agg(min(col(dcols.head)).as(dcols.head),
+          dcols.tail.map(c => min(col(c)).as(c)): _*)
+      if (r % 3 == 0 || r == LandmarkRounds)
+        state = state.localCheckpoint(eager = true)
+    }
+    edges.unpersist(false)
+    (state, landmarks)
+  }
+
+  /** Landmark distance oracle (Potamias et al. CIKM 2009 — the
+    * web-scale answer to "how far apart are u and v" when per-query
+    * BFS is unaffordable): precompute distances to L = 4 hub
+    * landmarks (one multi-source BFS, L columns relaxed together);
+    * estimate d̂(u,v) = min_l d(u,l) + d(l,v) — an upper bound by the
+    * triangle inequality, exact whenever a landmark lies on a
+    * shortest path. Query = two id-key joins against the O(n·L)
+    * distance table, NO per-query traversal. Output: estimates for a
+    * deterministic hash-picked panel of customer–supplier pairs.
+    * Rows-only; ScalaTest pins the upper-bound property against
+    * exact driver BFS and exactness through landmarks.
+    */
+  val graphLandmarkDist: QueryDef = QueryDef.rowsOnly("graph_landmark_dist") { (s, d) =>
+    val (state, _) = landmarkDistances(s, d)
+    val dcols = (0 until LandmarkCount).map(i => s"d$i")
+    // deterministic query panel: 5 hash-picked customers × 4
+    // hash-picked suppliers = 20 pairs (both sides are tiny literal
+    // relations, so the cross join is 20 rows, not a plan smell)
+    val custs = state.filter(col("node") % 2 === 0)
+      .orderBy(xxhash64(col("node"), lit(1)))
+      .limit(5).select(col("node").as("cu"))
+    val supps = state.filter(col("node") % 2 === 1)
+      .orderBy(xxhash64(col("node"), lit(2)))
+      .limit(4).select(col("node").as("sv"))
+    val pairs = custs.crossJoin(supps)
+    val uDist = state.select(col("node").as("cu") +:
+      dcols.map(c => col(c).as(s"u_$c")): _*)
+    val vDist = state.select(col("node").as("sv") +:
+      dcols.map(c => col(c).as(s"v_$c")): _*)
+    val est = dcols.map(c => col(s"u_$c") + col(s"v_$c"))
+      .reduce((a, b) => least(a, b))
+    pairs.join(uDist, Seq("cu")).join(vDist, Seq("sv"))
+      .select(col("cu").as("u"), col("sv").as("v"),
+        est.cast("int").as("est_dist"))
+      .orderBy(col("u"), col("v"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    graphAnf,
+    graphAnf, graphButterflies, graphFastrp, graphPowerlaw,
+    graphLandmarkDist,
     graphDegree, graphPagerank, graphTriangles, graphBfs, graphLabelprop,
     graphJaccard, graphCloseness, graphKcore, graphMst, graphSssp, graphCc,
     graphHits, graphAssortativity, graphModularity, graphClusteringCoeff,

@@ -1029,9 +1029,99 @@ object KMeans {
     } finally pts.unpersist(false)
   }
 
+  /** Spherical assignment: on unit vectors argmax cosine = argmax
+    * dot; min over (−dot, cid) structs gives the lowest-cid tie-break.
+    */
+  def sphericalAssignExpr(cs: Array[Array[Double]], v: Column): Column = {
+    val candidates = cs.zipWithIndex.map { case (c, i) =>
+      val cl = array(c.map(lit): _*)
+      struct((lit(0.0) - Similarity.dot(v, cl)).as("negdot"), lit(i).as("cid"))
+    }
+    array_min(array(candidates: _*)).getField("cid")
+  }
+
+  /** Spherical k-means (Dhillon & Modha 2001) on the embedding corpus
+    * — COSINE clustering, the variant text/embedding pipelines use
+    * where direction carries meaning and magnitude is nuisance:
+    * vectors L2-normalized once, assignment = argmax dot (map-side
+    * codegen'd struct-min, kmeans_nd's shape), centroid = the
+    * RE-NORMALIZED member mean (the closed-form maximizer of Σ cos on
+    * the sphere, so the objective is monotone by construction). Each
+    * iteration is ONE Summarizer partial-agg shuffle of O(k·dim);
+    * normalization is O(k·dim) driver arithmetic. Rows-only;
+    * ScalaTest pins unit-norm centroids, monotone mean-cosine,
+    * mass conservation, and determinism.
+    */
+  val kmeansSpherical: QueryDef = QueryDef.rowsOnly("kmeans_spherical") { (s, d) =>
+    val (cs, sizes, cos, _) = sphericalFit(s, d, K, iters = 3)
+    import s.implicits._
+    cs.zipWithIndex.map { case (c, i) =>
+      (i.toLong, sizes(i), math.round(cos(i) * 1e4) / 1e4,
+        math.round(c.map(x => x * x).sum * 1e6) / 1e6)
+    }.toSeq.toDF("cid", "n", "mean_cos", "centroid_norm2")
+      .orderBy(col("cid"))
+  }
+
+  private def l2norm(a: Array[Double]): Array[Double] = {
+    val n = math.sqrt(a.map(x => x * x).sum)
+    if (n == 0) a else a.map(_ / n)
+  }
+
+  /** Shared with the spec: (unit centroids, sizes, per-cluster mean
+    * cosine from the FINAL assignment, per-iteration global objective
+    * trajectory — avg max-cosine measured at assignment time, which
+    * alternating maximization makes non-decreasing).
+    */
+  private[graft] def sphericalFit(s: SparkSession, d: String, k: Int, iters: Int)
+      : (Array[Array[Double]], Array[Long], Array[Double], Seq[Double]) = {
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    import org.apache.spark.ml.stat.Summarizer
+    val pts = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("raw"))
+      .withColumn("nrm", sqrt(Similarity.dot(col("raw"), col("raw"))))
+      .filter(col("nrm") > 0)
+      .select(col("vec_id"), expr("transform(raw, x -> x / nrm)").as("v"))
+      .persist()
+    try {
+      val cs = pts.orderBy(col("vec_id")).limit(k)
+        .select("v").collect().map(r => l2norm(r.getSeq[Double](0).toArray))
+      val sizes = Array.fill(k)(0L)
+      val cos = Array.fill(k)(0.0)
+      val traj = scala.collection.mutable.ArrayBuffer.empty[Double]
+      for (_ <- 1 to iters) {
+        java.util.Arrays.fill(sizes, 0L)
+        // the struct-min carries the winning dot for free — the same
+        // pass yields assignment, objective, and the update statistics
+        val candidates = cs.zipWithIndex.map { case (c, i) =>
+          struct((lit(0.0) - Similarity.dot(col("v"), array(c.map(lit): _*)))
+            .as("negdot"), lit(i).as("cid"))
+        }
+        val rows = pts
+          .withColumn("a", array_min(array(candidates: _*)))
+          .select(col("v"), col("a.cid").as("cid"),
+            (lit(0.0) - col("a.negdot")).as("dotc"))
+          .groupBy(col("cid"))
+          .agg(Summarizer.mean(array_to_vector(col("v"))).as("c"),
+            count(lit(1)).as("n"), avg(col("dotc")).as("mc"))
+          .select(col("cid"), vector_to_array(col("c")).as("c"), col("n"),
+            col("mc"))
+          .collect()
+        rows.foreach { r =>
+          cs(r.getInt(0)) = l2norm(r.getSeq[Double](1).toArray)
+          sizes(r.getInt(0)) = r.getLong(2)
+          cos(r.getInt(0)) = r.getDouble(3)
+        }
+        val total = rows.map(_.getLong(2)).sum
+        traj += rows.map(r => r.getDouble(3) * r.getLong(2)).sum / total
+      }
+      (cs, sizes, cos, traj.toSeq)
+    } finally pts.unpersist(false)
+  }
+
   val all: Seq[QueryDef] = Seq(
     kmeansAssign, kmeansStep, kmeansIter3, kmeansCost, kmeansLloyd,
     kmeansMllib, kmeansNd, kmeansMinibatch, kmeansBisecting,
     kmeansPp, kmeansElbow, kmeansSilhouette, kmeansWeighted,
-    kmeansStream, clusterDbscan, kmeansParallel, kmeansFuzzy)
+    kmeansStream, clusterDbscan, kmeansParallel, kmeansFuzzy,
+    kmeansSpherical)
 }

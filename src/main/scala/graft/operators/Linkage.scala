@@ -886,8 +886,143 @@ object Linkage {
       .orderBy(col("bucket"))
   }
 
+  // ---- mining_hmm -----------------------------------------------------
+
+  /** 2-state HMM parameters for Viterbi decoding of user event
+    * streams (browse vs engage): literal log-probabilities inlined
+    * into the plan so the whole DP is one codegen'd expression.
+    * Event codes: view 0, click 1, error 2, signup 3, purchase 4.
+    */
+  private val HmmPi = Array(0.8, 0.2)
+  private val HmmT = Array(Array(0.85, 0.15), Array(0.30, 0.70))
+  private val HmmE = Array(
+    Array(0.45, 0.40, 0.05, 0.05, 0.05), // browse
+    Array(0.15, 0.30, 0.05, 0.20, 0.30)) // engage
+
+  /** Viterbi decoding of each user's event sequence under a fixed
+    * 2-state behavioural HMM — the max-likelihood browse/engage
+    * segmentation (events_markov gives the observable-chain view;
+    * this is the LATENT-state view). The classic formulation needs a
+    * backpointer table; carrying the engaged-step COUNT of each of
+    * the two frontier paths through the recursion makes the output
+    * statistics available with O(1) state per step, so the whole DP
+    * is ONE `aggregate` lambda over the per-user ordered code array
+    * (codegen'd, no UDF). One groupBy shuffle total; per-user arrays
+    * are bounded by user history length. Ties prefer the lower
+    * state id — deterministic at any partitioning. Rows-only;
+    * ScalaTest replays exact Viterbi with backtracking at sf0.001.
+    */
+  val miningHmm: QueryDef = QueryDef.rowsOnly("mining_hmm") { (s, d) =>
+    def l(p: Double): String = math.log(p).toString
+    val e0 = HmmE(0).map(l).mkString("array(", "D, ", "D)")
+    val e1 = HmmE(1).map(l).mkString("array(", "D, ", "D)")
+    val seqs = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "view", 0)
+          .when(col("event_type") === "click", 1)
+          .when(col("event_type") === "error", 2)
+          .when(col("event_type") === "signup", 3)
+          .otherwise(4).as("code"))
+      .groupBy(col("user_id"))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(ts, event_id, code))), x -> x.code)")
+        .as("codes"))
+    val dp =
+      s"""aggregate(
+         |  codes,
+         |  named_struct('lp0', 0D, 'lp1', 0D, 'c0', 0, 'c1', 0, 'i', 0),
+         |  (a, t) -> IF(a.i = 0,
+         |    named_struct(
+         |      'lp0', ${l(HmmPi(0))}D + element_at($e0, t + 1),
+         |      'lp1', ${l(HmmPi(1))}D + element_at($e1, t + 1),
+         |      'c0', 0, 'c1', 1, 'i', 1),
+         |    named_struct(
+         |      'lp0', greatest(a.lp0 + ${l(HmmT(0)(0))}D, a.lp1 + ${l(HmmT(1)(0))}D)
+         |              + element_at($e0, t + 1),
+         |      'lp1', greatest(a.lp0 + ${l(HmmT(0)(1))}D, a.lp1 + ${l(HmmT(1)(1))}D)
+         |              + element_at($e1, t + 1),
+         |      'c0', IF(a.lp0 + ${l(HmmT(0)(0))}D >= a.lp1 + ${l(HmmT(1)(0))}D, a.c0, a.c1),
+         |      'c1', IF(a.lp0 + ${l(HmmT(0)(1))}D >= a.lp1 + ${l(HmmT(1)(1))}D, a.c0, a.c1) + 1,
+         |      'i', a.i + 1)),
+         |  a -> named_struct(
+         |    'loglik', greatest(a.lp0, a.lp1),
+         |    'n_engaged', IF(a.lp0 >= a.lp1, a.c0, a.c1)))""".stripMargin
+    seqs.select(col("user_id"), size(col("codes")).as("seq_len"),
+        expr(dp).as("v"))
+      .select(col("user_id"), col("seq_len"),
+        col("v.n_engaged").as("n_engaged"),
+        round(col("v.loglik"), 4).as("viterbi_loglik"))
+      .orderBy(col("user_id"))
+  }
+
+  // ---- mining_quantile_reg ---------------------------------------------
+
+  private val QrTaus = Seq(0.5, 0.9)
+  private val QrSteps = 30
+  private val QrLr = 0.5
+
+  /** Shared with the spec: subgradient trajectory for y' = a + b·x'
+    * on the STANDARDIZED (quantity, extendedprice) relation. Each
+    * step is ONE aggregate with 2 sums per τ (pinball subgradients
+    * are bounded by construction, so the fixed step size is stable at
+    * any data scale); μ/σ come from one prior aggregate. Returns
+    * (τ → (a, b)) in standardized space plus the standardization.
+    */
+  private[graft] def quantileRegFit(s: SparkSession, d: String)
+      : (Map[Double, (Double, Double)], (Double, Double, Double, Double)) = {
+    val raw = Tables.lineitem(s, d)
+      .select(col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+    val m = raw.agg(avg(col("x")), stddev_samp(col("x")),
+      avg(col("y")), stddev_samp(col("y"))).collect()(0)
+    val (mx, sx, my, sy) = (m.getDouble(0), m.getDouble(1), m.getDouble(2),
+      m.getDouble(3))
+    val pts = raw.select(((col("x") - mx) / sx).as("x"),
+      ((col("y") - my) / sy).as("y")).persist()
+    try {
+      val ab = scala.collection.mutable.Map(QrTaus.map(t => t -> (0.0, 0.0)): _*)
+      for (_ <- 1 to QrSteps) {
+        val gcols = QrTaus.flatMap { t =>
+          val (a, b) = ab(t)
+          val below = col("y") < lit(a) + lit(b) * col("x")
+          val g = when(below, 1.0 - t).otherwise(-t)
+          Seq(avg(g).as(s"ga_$t"), avg(g * col("x")).as(s"gb_$t"))
+        }
+        val r = pts.agg(gcols.head, gcols.tail: _*).collect()(0)
+        QrTaus.zipWithIndex.foreach { case (t, i) =>
+          val (a, b) = ab(t)
+          ab(t) = (a - QrLr * r.getDouble(2 * i), b - QrLr * r.getDouble(2 * i + 1))
+        }
+      }
+      (ab.toMap, (mx, sx, my, sy))
+    } finally pts.unpersist(false)
+  }
+
+  /** Linear QUANTILE regression (Koenker & Bassett 1978) of extended
+    * price on quantity at τ = 0.5 and 0.9 — conditional-quantile
+    * modeling for tail/SLA questions OLS cannot answer (mining_ols
+    * gives the conditional MEAN; the p90 price line is what quote
+    * validation needs). Pinball-loss subgradient descent on the
+    * standardized relation: 30 steps × ONE tiny aggregate each
+    * (2 bounded-subgradient means per τ, partial-agg); coefficients
+    * back-transformed to data units. Rows-only; ScalaTest pins the
+    * quantile COVERAGE property (≈τ of points below each line), the
+    * p90-above-median ordering on the data range, decreasing pinball
+    * loss, and a sequential driver replay.
+    */
+  val miningQuantileReg: QueryDef = QueryDef.rowsOnly("mining_quantile_reg") { (s, d) =>
+    val (ab, (mx, sx, my, sy)) = quantileRegFit(s, d)
+    import s.implicits._
+    QrTaus.map { t =>
+      val (a, b) = ab(t)
+      // y = my + sy·(a + b·(x−mx)/sx)  →  data-unit intercept/slope
+      val slope = b * sy / sx
+      val icept = my + sy * a - slope * mx
+      (t, math.round(icept * 1e4) / 1e4, math.round(slope * 1e4) / 1e4)
+    }.toDF("tau", "intercept", "slope").orderBy(col("tau"))
+  }
+
   val all: Seq[QueryDef] = Seq(qCopurchase, qFuzzyJoin, miningFpgrowth, miningAls,
     miningPrefixspan, miningAssoc, miningLda, miningOls, miningGmm,
     miningIforest, miningDtree, qReciprocalMatch, miningNaiveBayes, miningGbt,
-    miningIsotonic)
+    miningIsotonic, miningHmm, miningQuantileReg)
 }

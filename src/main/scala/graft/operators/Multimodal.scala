@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.QueryDef
 import graft.sources.Tables
 
@@ -622,6 +623,43 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Shot-boundary detection over the frame relation: a cut is a
+    * consecutive-frame intensity jump above an ADAPTIVE global
+    * threshold (mean + 2σ of all deltas — the standard
+    * histogram-difference heuristic; the per-pixel histogram itself
+    * is the stubbed decode step, mean intensity stands in for it).
+    *
+    * Scale shape: frame extraction is a narrow mapPartitions (no
+    * pixel bytes ever shuffle); the lag window is per-doc (bounded
+    * by frames-per-video); the threshold is a single-row broadcast;
+    * shot counts are one partial-agg groupBy. Rows-only (the oracle
+    * cannot chunk binary payloads); ScalaTest replays the whole
+    * pipeline sequentially on the collected sf0.001 corpus.
+    */
+  val mmShotDetect: QueryDef = QueryDef.rowsOnly("mm_shot_detect") { (s, d) =>
+    import s.implicits._
+    val frames = payloads(s, d).as[(Long, Array[Byte])]
+      .mapPartitions(it => it.flatMap { case (id, b) =>
+        sampledFrames(id, b, step = 1)
+      })
+      .toDF()
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_no"))
+    val deltas = frames
+      .withColumn("delta",
+        abs(col("mean_intensity") - lag(col("mean_intensity"), 1).over(w)))
+    val thr = deltas.filter(col("delta").isNotNull)
+      .agg((avg(col("delta")) + lit(2.0) * stddev_samp(col("delta"))).as("thr"))
+    deltas.crossJoin(broadcast(thr))
+      .withColumn("cut", col("delta").isNotNull && col("delta") > col("thr"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("int").as("n_frames"),
+        (sum(when(col("cut"), 1L).otherwise(0L)) + 1L).cast("int").as("n_shots"),
+        round(coalesce(max(when(col("cut"), col("delta"))), lit(0.0)), 2)
+          .as("max_cut_delta"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(mmBinaryStats, mmFeatures, mmFrames, mmResize,
-    mmPhash, mmShards, mmPhashDedup, mmAudioEnergy)
+    mmPhash, mmShards, mmPhashDedup, mmAudioEnergy, mmShotDetect)
 }

@@ -819,7 +819,98 @@ object Profile {
         round(element_at(col("l"), 98), 4).as("ci_hi"))
   }
 
+  /** Radius-bounded Local Outlier Factor (Breunig et al. 2000) over
+    * the k-means point cloud — DENSITY-RELATIVE outliers that global
+    * z-score / MAD methods (events_anomaly_mad, ts_esd) miss: a point
+    * is anomalous when its local density is low RELATIVE to its
+    * neighbors' densities, so cluster-edge points in sparse regions
+    * don't false-positive.
+    *
+    * Scale design (the cluster_dbscan grid): min-max normalize
+    * (single-row broadcast), bucket to cells of width h = √(c/n)
+    * (density-adaptive → ~c points per cell at ANY corpus size),
+    * candidate pairs from a map-side 9-cell probe explode joined on
+    * cell equality, then the exact radius-h filter. Neighborhood =
+    * all points within radius h, capped at the k=5 nearest (ties
+    * broken by neighbor id) — the textbook MinPts ball, except
+    * k-dist is bounded by h so candidate work is Σ|cell|·9c ≈ 9c·n,
+    * never n². reach-dist/lrd/LOF are three id-key hash joins over
+    * the O(k·n) pair relation. Isolated points (no neighbor within
+    * h) have undefined local density and are excluded (they're
+    * caught by the global methods). Rows-only: ScalaTest replays the
+    * exact quadratic LOF at sf0.001 and pins equality; the ≥1
+    * density-uniformity invariant (LOF ≈ 1 in uniform regions) is
+    * pinned via the median.
+    */
+  val profileLof: QueryDef = QueryDef.rowsOnly("profile_lof") { (s, d) =>
+    val k = 5
+    val raw = KMeans.points(Tables.lineitem(s, d))
+      .select(xxhash64(col("l_orderkey"), col("l_linenumber"), col("x"), col("y"))
+        .as("id"), col("x"), col("y"))
+      .distinct()
+    val stats = raw.agg(
+      min(col("x")).as("xmin"), max(col("x")).as("xmax"),
+      min(col("y")).as("ymin"), max(col("y")).as("ymax"),
+      count(lit(1)).cast("double").as("n"))
+    val pts = raw.crossJoin(broadcast(stats))
+      .select(col("id"),
+        ((col("x") - col("xmin")) / greatest(col("xmax") - col("xmin"), lit(1e-12))).as("u"),
+        ((col("y") - col("ymin")) / greatest(col("ymax") - col("ymin"), lit(1e-12))).as("v"),
+        sqrt(lit(4.0) / col("n")).as("h"))
+    // materialize once: the probe and build sides of the cell join
+    // would otherwise EACH re-run the scan + hash + distinct chain
+    val cells = pts
+      .withColumn("cx", floor(col("u") / col("h")).cast("long"))
+      .withColumn("cy", floor(col("v") / col("h")).cast("long"))
+      .localCheckpoint(true)
+    // probe side explodes to the 9-cell neighborhood (map-side O(9n))
+    val probe = cells.select(col("id").as("a"), col("u").as("ua"),
+        col("v").as("va"), col("h"),
+        explode(array((-1 to 1).flatMap(dx => (-1 to 1).map(dy =>
+          struct((col("cx") + dx).as("jx"), (col("cy") + dy).as("jy")))): _*))
+          .as("j"))
+      .select(col("a"), col("ua"), col("va"), col("h"),
+        col("j.jx").as("cx"), col("j.jy").as("cy"))
+    val pairs = probe.join(
+        cells.select(col("id").as("b"), col("u").as("ub"), col("v").as("vb"),
+          col("cx"), col("cy")),
+        Seq("cx", "cy"))
+      .filter(col("a") =!= col("b"))
+      .withColumn("dist",
+        sqrt(pow(col("ua") - col("ub"), 2) + pow(col("va") - col("vb"), 2)))
+      .filter(col("dist") <= col("h"))
+      .select(col("a"), col("b"), col("dist"))
+    // cap the ball at the k nearest (deterministic (dist, b) tie-break)
+    // with a per-point window over the slim (a, b, dist) relation —
+    // ONE exchange of ~πc·n 24-byte rows; c is sized so the sort fits
+    // execution memory (c=16 spilled ~1 GB at sf0.1, c=4 doesn't and
+    // the expected ball of ~12 still holds k=5 with margin). The k·n-
+    // row result is checkpointed ONCE for its three consumers
+    // (kdist, reach, lof) so the grid-pair stage never re-runs.
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a")).orderBy(col("dist"), col("b"))
+    val knn = pairs.withColumn("rk", row_number().over(wk))
+      .filter(col("rk") <= k)
+      .select(col("a"), col("b"), col("dist"))
+      .localCheckpoint(true)
+    val kdist = knn.groupBy(col("a"))
+      .agg(max(col("dist")).as("kdist"), count(lit(1)).as("ka"))
+    val reach = knn.join(
+        kdist.select(col("a").as("b"), col("kdist").as("kdist_b")), Seq("b"))
+      .withColumn("reach", greatest(col("kdist_b"), col("dist")))
+    val lrd = reach.groupBy(col("a"))
+      .agg((count(lit(1)) / sum(col("reach"))).as("lrd"))
+    val lof = knn.join(lrd.select(col("a").as("b"), col("lrd").as("lrd_b")), Seq("b"))
+      .groupBy(col("a"))
+      .agg(avg(col("lrd_b")).as("mean_lrd_nb"), count(lit(1)).as("n_neighbors"))
+      .join(lrd, Seq("a"))
+      .select(col("a").as("id"), col("n_neighbors").cast("int").as("n_neighbors"),
+        round(col("mean_lrd_nb") / col("lrd"), 4).as("lof"))
+    lof.orderBy(col("lof").desc, col("id")).limit(20)
+  }
+
   val all: Seq[QueryDef] = Seq(
+    profileLof,
     profileStats, profileChecks, profileEquidepth, profileCorr,
     sketchKmvOverlap, sketchKmvDaily, profileDrift, profileFd,
     profileBenford, profileKanon, profileLdiversity, profileDpCounts,

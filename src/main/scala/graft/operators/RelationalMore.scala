@@ -741,7 +741,41 @@ object RelationalMore {
           / col("n").cast("double") / col("s").cast("double"), 6).as("gini"))
   }
 
+  /** Approximate query processing (BlinkDB shape): estimate the
+    * corpus revenue total from a DETERMINISTIC 1% hash sample
+    * (xxhash64(orderkey, linenumber) % 100 — reproducible, and at
+    * 100 TB the sample would live as a maintained 1% sample TABLE so
+    * the scan itself is 1%; here the filter stands in for it) with a
+    * CLT 95% interval from the same single aggregate: the estimator
+    * is N̄·n_s·x̄_s with variance N̄²·n_s·s² (N̄ = 100 the inverse
+    * sampling rate), so mean, s², and the blow-up all come from one
+    * partial-agg pass over the sample. Rows-only (the estimate is
+    * sample-dependent by design); ScalaTest pins CI coverage of the
+    * exact total and the deterministic replay.
+    */
+  val qSampleEstimate: QueryDef = QueryDef.rowsOnly("q_sample_estimate") { (s, d) =>
+    val rate = 100L
+    val sample = Tables.lineitem(s, d)
+      .filter(pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(rate)) === 0)
+      .select(col("l_extendedprice").as("x"))
+    // Var(R·Σ Zᵢxᵢ) = R²·Σx²·(1/R)(1−1/R) ≈ R²·(1−1/R)·Σ_sample x²:
+    // the Bernoulli-thinned TOTAL varies with the second moment Σx²,
+    // NOT n·σ² (the count itself is random; with a large mean, Σx²
+    // dominates σ² and the naive CI is several times too narrow)
+    sample.agg(
+        count(lit(1)).as("n_sample"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sx2"))
+      .select(col("n_sample"),
+        round(col("sx") * rate, 2).as("estimate"),
+        round(col("sx") * rate -
+          lit(1.96 * rate) * sqrt(col("sx2") * (1.0 - 1.0 / rate)), 2).as("ci_lo"),
+        round(col("sx") * rate +
+          lit(1.96 * rate) * sqrt(col("sx2") * (1.0 - 1.0 / rate)), 2).as("ci_hi"))
+  }
+
   val all: Seq[QueryDef] = Seq(
+    qSampleEstimate,
     qLateralTopk, qStringAgg, qMode, qHllPartitioned, qNativeTopk,
     qTopkRewrite, qPercentRank, qRecursiveChain, qUnpivot, qWinsorized,
     qTwophaseDistinct, qCrosstab, qGroupingId, qWeightedSample,

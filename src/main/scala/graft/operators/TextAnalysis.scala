@@ -1601,7 +1601,98 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** S-stemmer vocabulary conflation (Harman 1991) — the
+    * suffix-stripping normalization IR pipelines run before indexing
+    * (text_wordfreq counts surface forms; this groups plural/singular
+    * into one stem). Exactly ONE rule fires per word (ies→y, es→drop
+    * s unless aes/ees/oes, s→drop unless us/ss) — spelled as the same
+    * CASE/LIKE chain in both engines so no regex-dialect gap exists.
+    * Map-side explode + one stem-key aggregate: the same shuffle
+    * shape as wordfreq at any SF. Reports tokens + distinct surface
+    * forms per stem — conflation visible when n_forms ≥ 2.
+    */
+  val textStem: QueryDef = QueryDef.sql(
+    "text_stem",
+    """WITH words AS (
+      |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      |  FROM documents),
+      |stemmed AS (
+      |  SELECT w,
+      |    CASE
+      |      WHEN w LIKE '%ies' AND w NOT LIKE '%eies' AND w NOT LIKE '%aies'
+      |        THEN substr(w, 1, length(w) - 3) || 'y'
+      |      WHEN w LIKE '%es' AND w NOT LIKE '%aes' AND w NOT LIKE '%ees'
+      |           AND w NOT LIKE '%oes'
+      |        THEN substr(w, 1, length(w) - 1)
+      |      WHEN w LIKE '%s' AND w NOT LIKE '%us' AND w NOT LIKE '%ss'
+      |        THEN substr(w, 1, length(w) - 1)
+      |      ELSE w END AS stem
+      |  FROM words)
+      |SELECT stem, count(*) AS n_tokens, count(DISTINCT w) AS n_forms
+      |FROM stemmed GROUP BY stem
+      |ORDER BY n_tokens DESC, stem LIMIT 30""".stripMargin) { (s, d) =>
+    val w = col("w")
+    def endsW(suf: String): Column = w.endsWith(suf)
+    val stem = when(endsW("ies") && !endsW("eies") && !endsW("aies"),
+        concat(expr("substr(w, 1, length(w) - 3)"), lit("y")))
+      .when(endsW("es") && !endsW("aes") && !endsW("ees") && !endsW("oes"),
+        expr("substr(w, 1, length(w) - 1)"))
+      .when(endsW("s") && !endsW("us") && !endsW("ss"),
+        expr("substr(w, 1, length(w) - 1)"))
+      .otherwise(w)
+    Tables.documents(s, d)
+      .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("w"))
+      .select(w, stem.as("stem"))
+      .groupBy(col("stem"))
+      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("w")).as("n_forms"))
+      .orderBy(col("n_tokens").desc, col("stem"))
+      .limit(30)
+  }
+
+  /** Per-doc deflate compression ratio — the model-free redundancy
+    * signal real curation pipelines filter on (boilerplate and
+    * template spam compress far better than natural prose; the
+    * complement of text_entropy's character-level view and
+    * text_repetition's n-gram view, because LZ77 catches LONG-RANGE
+    * repeats both miss). One Deflater per PARTITION (reused,
+    * level 6), payload bytes never shuffle — the multimodal posture;
+    * output is 4 narrow columns. Rows-only (no SQL engine deflates);
+    * ScalaTest replays the same JDK Deflater and pins the
+    * compressible-vs-incompressible ordering on constructed payloads.
+    */
+  val textCompressibility: QueryDef = QueryDef.rowsOnly("text_compressibility") { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](1 << 16)
+        it.map { case (id, t) =>
+          val b = t.getBytes("UTF-8")
+          (id, b.length, deflatedSize(deflater, buf, b))
+        }
+      }
+      .map { case (id, raw, comp) =>
+        (id, raw, comp,
+          if (raw == 0) 0.0 else math.round(comp.toDouble / raw * 1e4) / 1e4)
+      }
+      .toDF("doc_id", "n_bytes", "n_deflated", "ratio")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deflate size of one payload with a reused Deflater. */
+  private[graft] def deflatedSize(deflater: java.util.zip.Deflater,
+      buf: Array[Byte], b: Array[Byte]): Int = {
+    deflater.reset()
+    deflater.setInput(b)
+    deflater.finish()
+    var n = 0
+    while (!deflater.finished()) n += deflater.deflate(buf)
+    n
+  }
+
   val all: Seq[QueryDef] = Seq(
+    textStem, textCompressibility,
     textRake,
     textUnigramLm,
     textTokens, textQuality, textLangid, textFingerprint, textWordfreq,

@@ -1925,7 +1925,163 @@ object TimeSeries {
     }
   }
 
+  /** Croston's method (1972) for INTERMITTENT demand — the forecast
+    * for series that are mostly zeros (per-part weekly order
+    * quantity: ~30 demand weeks out of ~100), where plain EWMA/Holt
+    * bias toward zero right after each demand spike. Croston tracks
+    * two EWMAs over the demand POINTS only: size ẑ (α=0.1, init =
+    * first size) and inter-demand interval q̂ in weeks (init = first
+    * gap); the demand-rate forecast is ẑ/q̂ per week.
+    *
+    * Scale shape: one (part, week) corpus aggregate, a row_number +
+    * lag window over the O(parts × demand-weeks) relation (bounded
+    * per-part groups), then ONE final group aggregate — the EWMA
+    * final value needs no per-step recursion because
+    * ẑ_n = β^n Σ zᵢ·(i=1 ? 1 : α)/β^i (β = 1−α), a plain partial-agg
+    * sum. Matches the ts_ewma power-scaling identity; rounded to 4
+    * decimals so hash-compare survives group-sum ordering noise.
+    */
+  val tsCroston: QueryDef = QueryDef.sql(
+    "ts_croston",
+    """WITH dem AS (
+      |  SELECT l_partkey AS part,
+      |         CAST(date_trunc('week', l_shipdate) AS DATE) AS week,
+      |         round(sum(l_quantity), 6) AS z
+      |  FROM lineitem GROUP BY 1, 2),
+      |idx AS (
+      |  SELECT part, z,
+      |    row_number() OVER (PARTITION BY part ORDER BY week) AS rn,
+      |    datediff('day', lag(week) OVER (PARTITION BY part ORDER BY week),
+      |             week) // 7 AS gap
+      |  FROM dem),
+      |terms AS (
+      |  SELECT part, rn,
+      |    z * (CASE WHEN rn = 1 THEN 1.0 ELSE 0.1 END) / power(0.9, rn) AS sz,
+      |    CASE WHEN rn >= 2 THEN
+      |      gap * (CASE WHEN rn = 2 THEN 1.0 ELSE 0.1 END) / power(0.9, rn - 1)
+      |    END AS sq
+      |  FROM idx),
+      |agg AS (
+      |  SELECT part, max(rn) AS n_demands,
+      |    power(0.9, max(rn)) * sum(sz) AS z_hat,
+      |    power(0.9, max(rn) - 1) * sum(sq) AS q_hat
+      |  FROM terms GROUP BY part HAVING max(rn) >= 2)
+      |SELECT part, CAST(n_demands AS INT) AS n_demands,
+      |  round(z_hat, 4) AS z_hat, round(q_hat, 4) AS q_hat,
+      |  round(z_hat / q_hat, 4) AS demand_rate
+      |FROM agg ORDER BY part""".stripMargin) { (s, d) =>
+    val dem = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey").as("part"),
+        date_trunc("week", col("l_shipdate")).cast("date").as("week"))
+      .agg(round(sum(col("l_quantity")), 6).as("z"))
+    val w = Window.partitionBy(col("part")).orderBy(col("week"))
+    val idx = dem
+      .withColumn("rn", row_number().over(w))
+      .withColumn("gap",
+        expr("datediff(week, lag(week) over (partition by part order by week)) div 7"))
+    val terms = idx.select(col("part"), col("rn"),
+      (col("z") * when(col("rn") === 1, 1.0).otherwise(0.1) /
+        pow(lit(0.9), col("rn"))).as("sz"),
+      when(col("rn") >= 2,
+        col("gap") * when(col("rn") === 2, 1.0).otherwise(0.1) /
+          pow(lit(0.9), col("rn") - 1)).as("sq"))
+    terms.groupBy(col("part"))
+      .agg(max(col("rn")).as("n_demands"),
+        (pow(lit(0.9), max(col("rn"))) * sum(col("sz"))).as("zh"),
+        (pow(lit(0.9), max(col("rn")) - 1) * sum(col("sq"))).as("qh"))
+      .filter(col("n_demands") >= 2)
+      .select(col("part"), col("n_demands"),
+        round(col("zh"), 4).as("z_hat"), round(col("qh"), 4).as("q_hat"),
+        round(col("zh") / col("qh"), 4).as("demand_rate"))
+      .orderBy(col("part"))
+  }
+
+  /** Kleinberg burst detection (KDD 2002, batched two-state form) —
+    * WHEN is an event type running hot, as an optimal segmentation
+    * rather than per-day thresholding (events_anomaly flags days
+    * independently; bursts are coherent EPISODES): state q0 emits
+    * Poisson(λ), state q1 Poisson(2λ), entering a burst costs
+    * γ·ln T, and the min-cost state path is Viterbi. Same engine as
+    * mining_hmm: the whole DP is ONE codegen'd `aggregate` lambda
+    * over the per-type ordered daily-count array, carrying each
+    * frontier path's burst-day and burst-entry counts so no
+    * backpointer table exists. Per-type arrays are O(days) — the
+    * corpus collapses to the daily aggregate first. Lower-state
+    * tie-break ⇒ deterministic. Rows-only; ScalaTest replays the
+    * min-cost recursion with backtracking.
+    */
+  val tsBurst: QueryDef = QueryDef.rowsOnly("ts_burst") { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val series = daily.groupBy(col("event_type"))
+      .agg(expr("transform(array_sort(collect_list(struct(day, n))), x -> x.n)")
+        .as("ns"),
+        avg(col("n")).as("lam0"), count(lit(1)).cast("double").as("t"))
+    // per-day emission costs: c_s(n) = −(n·ln λ_s − λ_s); γ·ln T to enter
+    // the path starts in q0 BEFORE the first day (Kleinberg's
+    // convention), so at i=0 only "previous cost 0 in q0" is a valid
+    // frontier — the q1 side is +Inf until a transition pays ln T
+    val dp =
+      """aggregate(
+        |  ns,
+        |  named_struct('c0', 0D, 'c1', 0D, 'b0', 0, 'b1', 0,
+        |               'e0', 0, 'e1', 0, 'i', 0),
+        |  (a, n) -> named_struct(
+        |    'c0', least(IF(a.i = 0, 0D, a.c0),
+        |                IF(a.i = 0, CAST('Infinity' AS DOUBLE), a.c1))
+        |            - (n * ln(lam0) - lam0),
+        |    'c1', least(IF(a.i = 0, 0D, a.c0) + ln(t),
+        |                IF(a.i = 0, CAST('Infinity' AS DOUBLE), a.c1))
+        |            - (n * ln(2D * lam0) - 2D * lam0),
+        |    'b0', IF(a.i = 0 OR a.c0 <= a.c1, a.b0, a.b1),
+        |    'b1', IF(a.i = 0 OR a.c0 + ln(t) <= a.c1, a.b0, a.b1) + 1,
+        |    'e0', IF(a.i = 0 OR a.c0 <= a.c1, a.e0, a.e1),
+        |    'e1', IF(a.i = 0 OR a.c0 + ln(t) <= a.c1, a.e0 + 1, a.e1),
+        |    'i', a.i + 1),
+        |  a -> named_struct(
+        |    'burst_days', IF(a.c0 <= a.c1, a.b0, a.b1),
+        |    'bursts', IF(a.c0 <= a.c1, a.e0, a.e1),
+        |    'cost', least(a.c0, a.c1)))""".stripMargin
+    series.select(col("event_type"), col("t").cast("int").as("n_days"),
+        expr(dp).as("v"))
+      .select(col("event_type"), col("n_days"),
+        col("v.burst_days").as("n_burst_days"),
+        col("v.bursts").as("n_bursts"),
+        round(col("v.cost"), 4).as("total_cost"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Centered 7-day rolling MEDIAN of daily counts per type — the
+    * robust smoother (ts_ewma/ts_rolling_stats means follow outlier
+    * days; the median ignores up to 3 of 7): exact interpolated
+    * percentile as a WINDOW aggregate over the O(types×days) daily
+    * relation, sharing the event_type exchange. Integer counts make
+    * the interpolation engine-exact (percentile ↔ quantile_cont, the
+    * q_median parity).
+    */
+  val tsRollingMedian: QueryDef = QueryDef.sql(
+    "ts_rolling_median",
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |         count(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, day, n,
+      |  round(quantile_cont(n, 0.5) OVER (PARTITION BY event_type ORDER BY day
+      |        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 2) AS med7
+      |FROM daily ORDER BY event_type, day""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("day"), col("n"),
+        round(expr("percentile(n, 0.5)").over(w), 2).as("med7"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val all: Seq[QueryDef] = Seq(
+    tsCroston, tsBurst, tsRollingMedian,
     tsMotif, tsDiscord,
     tsGapfill, tsInterp, tsEwma, tsAutocorr, tsCusum, tsSeasonal,
     tsForecast, tsTimeToConvert, tsGapEpisodes, tsHolt, tsDecompose,

@@ -898,7 +898,53 @@ object SourceOps {
     }.reduce(_ unionAll _).orderBy(col("version"))
   }
 
+  /** Dynamic partition overwrite — the lakehouse reprocessing
+    * primitive: a late-data backfill rewrites ONLY the partitions it
+    * touches (static overwrite mode would drop the whole table;
+    * merge-on-read (src_mor_read) defers the rewrite, this one
+    * applies it). Day-partitioned event counts written once, then a
+    * 2-day backfill (bot users removed) overwrites exactly those two
+    * directories under partitionOverwriteMode=dynamic. At scale the
+    * write touches O(backfilled days), never the table. Output: per
+    * day, rows before/after + whether the partition was rewritten —
+    * untouched days must be byte-stable (pinned by equality in the
+    * ScalaTest + the before==after column here).
+    */
+  val srcPartitionOverwrite: QueryDef = QueryDef.rowsOnly("src_partition_overwrite") { (s, d) =>
+    val dir = tmpDir("events_day_partitioned")
+    val daily = Tables.events(s, d)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("user_id"), col("event_type"), col("value"))
+    daily.write.mode("overwrite").partitionBy("day").parquet(dir)
+    // materialize eagerly — a lazy plan would re-read the directory
+    // AFTER the overwrite below and "before" would equal "after".
+    // Partition-column type inference turns day into DATE on read;
+    // cast back so the day key stays one type end-to-end.
+    val before = s.read.parquet(dir)
+      .groupBy(col("day").cast("string").as("day"))
+      .agg(count(lit(1)).as("n_before"))
+      .localCheckpoint(true)
+    // backfill: recompute the 2 lexicographically-first days without
+    // "bot" traffic (here: drop a deterministic 10% of users)
+    val days = before.orderBy(col("day")).limit(2)
+      .collect().map(_.getString(0))
+    val backfill = daily
+      .filter(col("day").isin(days.toIndexedSeq: _*))
+      .filter(xxhash64(col("user_id")) % 10 =!= 0)
+    backfill.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day").parquet(dir)
+    val after = s.read.parquet(dir)
+      .groupBy(col("day").cast("string").as("day"))
+      .agg(count(lit(1)).as("n_after"))
+    before.join(after, Seq("day"), "full_outer")
+      .select(col("day"), col("n_before"), col("n_after"),
+        (col("n_before") =!= col("n_after")).as("rewritten"))
+      .orderBy(col("day"))
+  }
+
   val all: Seq[QueryDef] = Seq(
+    srcPartitionOverwrite,
     srcTextPoints, srcCsvRoundtrip, srcJsonRoundtrip, srcPartitionedScan,
     srcOrcRoundtrip, srcZorderScan, srcCompactSmallFiles, srcSchemaEvolution,
     srcCsvMalformed, srcBinaryFiles, srcIgnoreCorrupt, srcDateDim,

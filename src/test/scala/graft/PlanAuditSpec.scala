@@ -341,6 +341,43 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("l_partkey"), "unselected nested field still read")
   }
 
+  test("profile_lof joins on grid-cell equality, never cartesian") {
+    val p = plan("profile_lof")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.toLowerCase.contains("udf"))
+  }
+
+  test("graph_butterflies joins on the customer key, never cartesian") {
+    val p = plan("graph_butterflies")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("graph_landmark_dist queries join on node ids, never a traversal") {
+    val p = plan("graph_landmark_dist")
+    assert(!p.contains("CartesianProduct"))
+    // the only nested-loop is the deliberate 5×4 panel cross join
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnl <= 1, s"unexpected nested-loop joins:\n$p")
+  }
+
+  test("ts_croston is one group aggregate after the bounded window") {
+    val p = plan("ts_croston")
+    // no corpus-sized unpartitioned window anywhere
+    assert(!p.contains("Window [") ||
+      !p.contains("SinglePartition"), s"global window crept in:\n$p")
+    assert(!p.toLowerCase.contains("udf"))
+  }
+
+  test("mining_hmm and ts_burst fold DPs stay UDF-free") {
+    Seq("mining_hmm", "ts_burst").foreach { q =>
+      val p = plan(q)
+      assert(!p.toLowerCase.contains("batchevalpython") &&
+        !p.contains("ScalaUDF"), s"$q uses a UDF:\n$p")
+    }
+  }
+
   test("native dot product stays inside whole-stage codegen") {
     val e = graft.operators.Similarity.vectors(spark, sf)
     val p = e.select(graft.functions.VectorFunctions
