@@ -994,7 +994,91 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[QueryDef] = Seq(pipelineSoftDedup, pipelineCurate, pipelineMix,
+  /** Temperature-scaled source mixing — THE multilingual/multi-source
+    * sampling formula (w_s ∝ n_s^α, α = 0.3; mBERT/XLM-R/mT5 all
+    * train on it): low-resource sources are upsampled, the head is
+    * tamed, without the hard caps of pipeline_lang_budget. One
+    * source-count aggregate; the normalizing windows run over the
+    * O(|sources|) relation. Reports natural vs sampled share and the
+    * per-source upsample factor.
+    */
+  val pipelineTemperatureMix: QueryDef = QueryDef.sql(
+    "pipeline_temperature_mix",
+    """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+      |t AS (SELECT source, n, pow(n, 0.3) AS w FROM c)
+      |SELECT source, n,
+      |  round(n * 1.0 / sum(n) OVER (), 6) AS natural_share,
+      |  round(w / sum(w) OVER (), 6) AS sampled_share,
+      |  round((w / sum(w) OVER ()) / (n * 1.0 / sum(n) OVER ()), 4) AS upsample
+      |FROM t ORDER BY source""".stripMargin) { (s, d) =>
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    Tables.documents(s, d).groupBy(col("source"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("w", pow(col("n"), 0.3))
+      .select(col("source"), col("n"),
+        round(col("n") * 1.0 / sum(col("n")).over(wAll), 6).as("natural_share"),
+        round(col("w") / sum(col("w")).over(wAll), 6).as("sampled_share"),
+        round((col("w") / sum(col("w")).over(wAll)) /
+          (col("n") * 1.0 / sum(col("n")).over(wAll)), 4).as("upsample"))
+      .orderBy(col("source"))
+  }
+
+  /** Bloom-filter decontamination — pipeline_decontaminate at the
+    * scale where the benchmark gram set no longer broadcasts exactly
+    * (real eval suites reach billions of grams): the bench grams
+    * collapse to a mergeable Bloom sketch (a few MB at ANY set size),
+    * a codegen'd might-contain prunes corpus grams MAP-SIDE, and the
+    * exact broadcast join runs only over the surviving suspects —
+    * false positives are discarded there, so the final drop set is
+    * EXACT while the expensive join touches FPP·corpus instead of
+    * the corpus. Reports the bloom-stage suspect count next to the
+    * exact drop count per source so the pruning rate is visible.
+    * Rows-only; ScalaTest pins suspects ⊇ exact drops, the FPP
+    * bound, and equality of the exact counts with
+    * pipeline_decontaminate's.
+    */
+  val pipelineDecontaminateBloom: QueryDef = QueryDef.rowsOnly("pipeline_decontaminate_bloom") { (s, d) =>
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)).as("toks"))
+      .filter(size(col("toks")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(toks) - 5),
+          |  i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2], ' ',
+          |              toks[i+3], ' ', toks[i+4]))""".stripMargin)).as("sh"))
+      .distinct()
+    val benchGrams = grams.filter(col("doc_id") % 37 === 0)
+      .select(col("sh")).distinct().localCheckpoint(true)
+    val nBench = math.max(benchGrams.count(), 1L)
+    // fpp must price in the ~grams-per-doc union bound: a doc is a
+    // false suspect if ANY of its ~300 grams false-positives, so the
+    // per-gram fpp needs to be ≪ 1/300 for the pruning to bite
+    val bits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(nBench, 1e-5)
+    val sketch = benchGrams.select(org.apache.spark.sql.graft.BloomBridge
+        .bloomAgg(col("sh"), nBench, bits))
+      .head.getAs[Array[Byte]](0)
+    val corpusGrams = grams.filter(col("doc_id") % 37 =!= 0)
+    val suspectGrams = corpusGrams.filter(
+      org.apache.spark.sql.graft.BloomBridge.mightContain(sketch, col("sh")))
+    val suspects = suspectGrams.select(col("doc_id")).distinct()
+    val dropped = suspectGrams.join(broadcast(benchGrams), "sh")
+      .select(col("doc_id")).distinct()
+    val docs = Tables.documents(s, d).filter(col("doc_id") % 37 =!= 0)
+      .select(col("doc_id"), col("source"))
+    docs
+      .join(suspects.withColumn("suspect", lit(1)), Seq("doc_id"), "left")
+      .join(dropped.withColumn("drop", lit(1)), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("suspect"), lit(0))).as("n_suspect"),
+        sum(coalesce(col("drop"), lit(0))).as("n_dropped"))
+      .orderBy(col("source"))
+  }
+
+  val all: Seq[QueryDef] = Seq(pipelineSoftDedup, pipelineTemperatureMix,
+    pipelineDecontaminateBloom,
+    pipelineCurate, pipelineMix,
     pipelineQualityFilter, pipelineSampleN, pipelineTokenBudget,
     pipelineSplit, textContamination, pipelineLangBudget,
     pipelineQualityModel, pipelinePack, pipelineObserved,

@@ -547,7 +547,52 @@ object Embeddings {
     rows.toSeq.toDF("term", "value").orderBy(col("term"))
   }
 
+  /** Per-slice embedding drift monitor — the model-observability op
+    * behind "did this source/label/week shift in embedding space?"
+    * (profile_drift covers categorical JSD; this is its dense-vector
+    * sibling): ONE Summarizer pass groups mean + variance vectors by
+    * label, the corpus-global mean derives from the label means by
+    * exact weighted combination (conservation — no second pass), and
+    * each slice reports centroid shift ‖μ_l − μ‖, cosine alignment,
+    * and mean per-dim variance gap. O(labels·d) driver arithmetic
+    * after one partial-agg shuffle. Rows-only; ScalaTest pins the
+    * weighted-mean conservation identity and a collected replay.
+    */
+  val embSliceDrift: QueryDef = QueryDef.rowsOnly("emb_slice_drift") { (s, d) =>
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    import org.apache.spark.ml.stat.Summarizer
+    val rows = Tables.embeddings(s, d)
+      .select(col("label"), array_to_vector(
+        col("embedding").cast("array<double>")).as("v"))
+      .groupBy(col("label"))
+      .agg(Summarizer.mean(col("v")).as("mu"),
+        Summarizer.variance(col("v")).as("var"),
+        count(lit(1)).as("n"))
+      .select(col("label"), vector_to_array(col("mu")).as("mu"),
+        vector_to_array(col("var")).as("var"), col("n"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray,
+        r.getSeq[Double](2).toArray, r.getLong(3)))
+    val total = rows.map(_._4).sum.toDouble
+    val dim = rows.head._2.length
+    val gmu = Array.tabulate(dim)(j => rows.map(r => r._2(j) * r._4).sum / total)
+    val gnorm = math.sqrt(gmu.map(x => x * x).sum)
+    import s.implicits._
+    rows.sortBy(_._1).map { case (label, mu, va, n) =>
+      val diff = math.sqrt(mu.zip(gmu).map { case (a, b) => (a - b) * (a - b) }.sum)
+      val mnorm = math.sqrt(mu.map(x => x * x).sum)
+      val cos = if (mnorm * gnorm == 0) 0.0
+        else mu.zip(gmu).map { case (a, b) => a * b }.sum / (mnorm * gnorm)
+      val gap = va.indices.map { j =>
+        math.abs(va(j) - rows.map(r => r._3(j) * r._4).sum / total)
+      }.sum / dim
+      (label, n, math.floor(diff * 1e6 + 0.5) / 1e6,
+        math.floor(cos * 1e6 + 0.5) / 1e6, math.floor(gap * 1e6 + 0.5) / 1e6)
+    }.toSeq.toDF("label", "n", "centroid_shift", "cos_to_global", "var_gap")
+      .orderBy(col("label"))
+  }
+
   val all: Seq[QueryDef] = Seq(embPca, embCluster, embRandomProjection,
     embDimStats, embMatryoshka, embWhitening, embProcrustes, embHubness,
-    embPowerIteration)
+    embPowerIteration, embSliceDrift)
 }

@@ -2571,7 +2571,149 @@ object EventOps {
     rows.toDF("channel", "credit").orderBy(col("channel"))
   }
 
+  /** Journey transition counts for Markov attribution: each user's
+    * path runs start → events (up to and including the FIRST
+    * purchase) → conv, or → null if the user never converts. ONE
+    * corpus pass: a seen-before window cuts post-conversion events,
+    * a lead window emits transitions, a per-user aggregate adds the
+    * start edge and the terminal edge. Shared with the spec.
+    */
+  private[graft] def journeyTransitions(s: SparkSession, d: String)
+      : Map[(String, String), Long] = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wPrior = w.rowsBetween(Window.unboundedPreceding, -1)
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "purchase", "conv")
+          .otherwise(col("event_type")).as("st"))
+      .withColumn("priorConv",
+        coalesce(count(when(col("st") === "conv", 1)).over(wPrior), lit(0L)))
+      .filter(col("priorConv") === 0) // keep through the first purchase
+      .withColumn("nxt", lead(col("st"), 1).over(w))
+      .withColumn("rn", row_number().over(w))
+    val mids = ev.filter(col("nxt").isNotNull)
+      .groupBy(col("st").as("src"), col("nxt").as("dst"))
+      .agg(count(lit(1)).as("n"))
+    val starts = ev.filter(col("rn") === 1)
+      .groupBy(lit("start").as("src"), col("st").as("dst"))
+      .agg(count(lit(1)).as("n"))
+    val ends = ev.filter(col("nxt").isNull && col("st") =!= "conv")
+      .groupBy(col("st").as("src"), lit("null").as("dst"))
+      .agg(count(lit(1)).as("n"))
+    mids.unionAll(starts).unionAll(ends).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+  }
+
+  /** P(reach conv from start) for a transition-count chain with conv
+    * and null absorbing — the fundamental-matrix solve, reused with
+    * channels removed (their INCOMING edges redirected to null).
+    */
+  private[graft] def convProbability(counts: Map[(String, String), Long],
+      removed: Set[String]): Double = {
+    val redirected = counts.toSeq.map { case ((a, b), n) =>
+      val b2 = if (removed(b)) "null" else b
+      ((a, b2), n)
+    }.filterNot { case ((a, _), _) => removed(a) }
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+    val states = redirected.keysIterator.flatMap { case (a, b) => Seq(a, b) }
+      .toSeq.distinct.sorted
+    val transient = states.filterNot(Set("conv", "null"))
+    val idx = transient.zipWithIndex.toMap
+    if (!idx.contains("start")) return 0.0
+    val n = transient.length
+    val a = breeze.linalg.DenseMatrix.zeros[Double](n, n)
+    val b = breeze.linalg.DenseVector.zeros[Double](n)
+    for (st <- transient; i = idx(st)) {
+      val total = states.map(dst => redirected.getOrElse((st, dst), 0L)).sum.toDouble
+      a(i, i) = 1.0
+      if (total > 0) {
+        for (dst <- transient; j = idx(dst))
+          a(i, j) -= redirected.getOrElse((st, dst), 0L).toDouble / total
+        b(i) = redirected.getOrElse((st, "conv"), 0L).toDouble / total
+      }
+    }
+    val x = a \ b
+    x(idx("start"))
+  }
+
+  /** Markov removal-effect attribution (Anderl et al. 2016; the
+    * model-based channel credit GA360 shipped) — completes the
+    * attribution family: last-touch (events_attribution) and linear
+    * (90m) are positional heuristics, Shapley (events_shapley) is
+    * set-based; the Markov model credits a channel by how much the
+    * START→conversion probability DROPS when journeys can no longer
+    * pass through it (its edges redirect to null). Corpus-sized work
+    * is ONE windowed transition aggregate (journeys cut at the first
+    * purchase); the chain is O(states²) driver doubles and each
+    * removal is one fundamental-matrix solve (events_absorbing's
+    * machinery). Credits normalize removal effects over the total
+    * conversion count. Rows-only; ScalaTest pins RE ∈ [0,1], credit
+    * conservation, a planted-chain exactness case, and the
+    * removal-of-everything identity.
+    */
+  val eventsAttributionMarkov: QueryDef = QueryDef.rowsOnly("events_attribution_markov") { (s, d) =>
+    val counts = journeyTransitions(s, d)
+    val pFull = convProbability(counts, Set.empty)
+    val channels = Seq("click", "error", "signup", "view")
+    val conversions = counts.getOrElse(("start", "conv"), 0L) +
+      counts.collect { case ((a, "conv"), n) if a != "start" => n }.sum
+    val re = channels.map { c =>
+      val p = convProbability(counts, Set(c))
+      c -> math.max(0.0, 1.0 - (if (pFull > 0) p / pFull else 0.0))
+    }
+    val total = re.map(_._2).sum
+    import s.implicits._
+    re.map { case (c, r) =>
+      val credit = if (total > 0) r / total * conversions else 0.0
+      (c, math.floor(r * 1e4 + 0.5) / 1e4, math.floor(credit * 100 + 0.5) / 100)
+    }.toDF("channel", "removal_effect", "credit")
+      .orderBy(col("channel"))
+  }
+
+  /** Synthetic-control impact analysis (CausalImpact shape,
+    * Brodersen et al. 2015, linear-regression counterfactual) — the
+    * observational complement of events_did: regress the TREATED
+    * series (daily purchase count) on a CONTROL series (daily view
+    * count, driven by the same traffic but untouched by the
+    * "intervention"), fit on the PRE window only, forecast the post
+    * window, and read the cumulative effect actual − counterfactual
+    * with a residual-scaled z. On this synthetic corpus there is no
+    * intervention, so the op doubles as its own null test: the spec
+    * pins |z| within noise. Corpus work is ONE daily aggregate; the
+    * 2-parameter OLS and the effect arithmetic are O(days) driver
+    * math (closed-form-driver posture).
+    */
+  val eventsSyntheticControl: QueryDef = QueryDef.rowsOnly("events_synthetic_control") { (s, d) =>
+    val daily = Tables.events(s, d)
+      .filter(col("event_type").isin("purchase", "view"))
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(when(col("event_type") === "purchase", 1)).as("y"),
+        count(when(col("event_type") === "view", 1)).as("x"))
+      .orderBy(col("day"))
+      .collect().map(r => (r.getLong(1).toDouble, r.getLong(2).toDouble))
+    val n = daily.length
+    val cut = n / 2
+    val pre = daily.take(cut)
+    val post = daily.drop(cut)
+    val mx = pre.map(_._2).sum / cut
+    val my = pre.map(_._1).sum / cut
+    val b = pre.map(p => (p._2 - mx) * (p._1 - my)).sum /
+      pre.map(p => (p._2 - mx) * (p._2 - mx)).sum
+    val a = my - b * mx
+    val sdResid = math.sqrt(
+      pre.map(p => math.pow(p._1 - (a + b * p._2), 2)).sum / (cut - 2))
+    val effects = post.map { case (y, x) => y - (a + b * x) }
+    val cum = effects.sum
+    val se = sdResid * math.sqrt(post.length.toDouble)
+    import s.implicits._
+    Seq((cut, post.length, math.floor(b * 1e4 + 0.5) / 1e4,
+      math.floor(cum * 100 + 0.5) / 100, math.floor(se * 100 + 0.5) / 100,
+      math.floor(cum / se * 1e4 + 0.5) / 1e4))
+      .toDF("n_pre", "n_post", "beta", "cum_effect", "se", "z")
+  }
+
   val all: Seq[QueryDef] = Seq(
+    eventsAttributionMarkov, eventsSyntheticControl,
     eventsShapley,
     eventsPermtest, eventsBandit,
     eventsMannwhitney, eventsKsTest, eventsFdrBh, eventsMsprt,

@@ -1021,8 +1021,52 @@ object Linkage {
     }.toDF("tau", "intercept", "slope").orderBy(col("tau"))
   }
 
+
+  /** Split-conformal prediction intervals (Vovk; Lei et al. 2018) —
+    * DISTRIBUTION-FREE coverage for any point model, the modern
+    * answer to "how wide should the error bars be" that needs no
+    * residual-normality assumption (mining_ols's classical intervals
+    * do): a 3-way deterministic hash split fits OLS on TRAIN, takes
+    * the (1−α) quantile of absolute residuals on CALIBRATION, and
+    * the guarantee — P(|y−ŷ| ≤ q) ≥ 1−α on exchangeable new points —
+    * is verified empirically on the held-out TEST split. Three
+    * aggregates total (moments, residual quantile, coverage count);
+    * every pass is partial-agg map-side. Rows-only; ScalaTest pins
+    * test coverage within binomial noise of 1−α and the split
+    * disjointness.
+    */
+  val miningConformal: QueryDef = QueryDef.rowsOnly("mining_conformal") { (s, d) =>
+    val alpha = 0.1
+    val rows = Tables.lineitem(s, d)
+      .select(col("l_quantity").as("x"), col("l_extendedprice").as("y"),
+        pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(3)).as("split"))
+    val m = rows.filter(col("split") === 0).agg(
+      count(lit(1)).as("n"), avg(col("x")).as("mx"), avg(col("y")).as("my"),
+      covar_pop(col("x"), col("y")).as("cxy"), var_pop(col("x")).as("vx"))
+      .collect()(0)
+    val (nTrain, mx, my, cxy, vx) = (m.getLong(0), m.getDouble(1),
+      m.getDouble(2), m.getDouble(3), m.getDouble(4))
+    val b = cxy / vx
+    val a = my - b * mx
+    val resid = abs(col("y") - (lit(a) + lit(b) * col("x")))
+    val cal = rows.filter(col("split") === 1)
+      .agg(count(lit(1)).as("n"),
+        expr(s"percentile(abs(y - ($a + $b * x)), ${1 - alpha})").as("q"))
+      .collect()(0)
+    val (nCal, q) = (cal.getLong(0), cal.getDouble(1))
+    val test = rows.filter(col("split") === 2)
+      .agg(count(lit(1)).as("n"),
+        avg(when(resid <= q, 1.0).otherwise(0.0)).as("cov"))
+      .collect()(0)
+    import s.implicits._
+    Seq((nTrain, nCal, test.getLong(0),
+      math.floor(b * 1e4 + 0.5) / 1e4, math.floor(q * 100 + 0.5) / 100,
+      math.floor(test.getDouble(1) * 1e4 + 0.5) / 1e4))
+      .toDF("n_train", "n_cal", "n_test", "beta", "q_width", "test_coverage")
+  }
+
   val all: Seq[QueryDef] = Seq(qCopurchase, qFuzzyJoin, miningFpgrowth, miningAls,
     miningPrefixspan, miningAssoc, miningLda, miningOls, miningGmm,
     miningIforest, miningDtree, qReciprocalMatch, miningNaiveBayes, miningGbt,
-    miningIsotonic, miningHmm, miningQuantileReg)
+    miningIsotonic, miningHmm, miningQuantileReg, miningConformal)
 }

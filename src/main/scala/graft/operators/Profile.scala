@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.QueryDef
 import graft.sources.Tables
@@ -909,8 +909,76 @@ object Profile {
     lof.orderBy(col("lof").desc, col("id")).limit(20)
   }
 
+  /** Population Stability Index — THE industry drift score for a
+    * numeric column between a reference and a current window
+    * (banking/model-monitoring standard; profile_drift's JSD covers
+    * categorical columns, this covers continuous ones): decile edges
+    * come from the REFERENCE half (exact interpolated percentiles,
+    * the q_median parity), both halves bin against those edges, and
+    * PSI = Σ (p_cur − p_ref)·ln(p_cur/p_ref). The corpus splits at
+    * the median timestamp (single-row broadcast); binning is one
+    * CASE ladder against 9 broadcast literals + one (half, bin)
+    * aggregate. <0.1 stable / 0.1–0.25 shifting / >0.25 drifted.
+    */
+  val profilePsi: QueryDef = QueryDef.sql(
+    "profile_psi",
+    """WITH mid AS (SELECT quantile_cont(epoch(ts), 0.5) AS m FROM events),
+      |halves AS (
+      |  SELECT CASE WHEN epoch(ts) <= (SELECT m FROM mid) THEN 0 ELSE 1 END
+      |           AS half, value
+      |  FROM events),
+      |edges AS (
+      |  SELECT unnest(quantile_cont(value,
+      |           [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])) AS e,
+      |         unnest(range(1, 10)) AS pos
+      |  FROM halves WHERE half = 0),
+      |binned AS (
+      |  SELECT h.half,
+      |         coalesce((SELECT min(pos) FROM edges WHERE h.value <= e), 10)
+      |           AS bin
+      |  FROM halves h),
+      |shares AS (
+      |  SELECT half, bin,
+      |         count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY half) AS p
+      |  FROM binned GROUP BY half, bin),
+      |paired AS (
+      |  SELECT r.bin, r.p AS pr, c.p AS pc
+      |  FROM shares r JOIN shares c ON r.bin = c.bin
+      |  WHERE r.half = 0 AND c.half = 1)
+      |SELECT bin, round(pr, 4) AS p_ref, round(pc, 4) AS p_cur,
+      |  round((pc - pr) * ln(pc / pr), 6) AS psi_term
+      |FROM paired ORDER BY bin""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).select(col("ts"), col("value"))
+    val mid = ev.agg(expr("percentile(unix_micros(ts), 0.5)").as("m"))
+    val halves = ev.crossJoin(broadcast(mid))
+      .select(when(expr("unix_micros(ts)") <= col("m"), 0).otherwise(1)
+        .as("half"), col("value"))
+    val edges = halves.filter(col("half") === 0)
+      .agg(expr(
+        "percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+        .as("es"))
+      .collect()(0).getSeq[Double](0)
+    val bin = edges.zipWithIndex.foldRight(lit(10): Column) {
+      case ((e, i), acc) => when(col("value") <= e, i + 1).otherwise(acc)
+    }
+    val shares = halves.select(col("half"), bin.as("bin"))
+      .groupBy(col("half"), col("bin")).agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n") /
+        sum(col("n")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("half"))))
+    shares.filter(col("half") === 0)
+      .select(col("bin"), col("p").as("pr"))
+      .join(shares.filter(col("half") === 1)
+        .select(col("bin"), col("p").as("pc")), Seq("bin"))
+      .select(col("bin"), round(col("pr"), 4).as("p_ref"),
+        round(col("pc"), 4).as("p_cur"),
+        round((col("pc") - col("pr")) * log(col("pc") / col("pr")), 6)
+          .as("psi_term"))
+      .orderBy(col("bin"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    profileLof,
+    profileLof, profilePsi,
     profileStats, profileChecks, profileEquidepth, profileCorr,
     sketchKmvOverlap, sketchKmvDaily, profileDrift, profileFd,
     profileBenford, profileKanon, profileLdiversity, profileDpCounts,

@@ -1691,8 +1691,55 @@ object TextAnalysis {
     n
   }
 
+  /** Word burstiness — the variance-to-mean (dispersion) index of
+    * per-document counts per word (Church & Gale 1995): function
+    * words spread evenly (index ≈ 1, Poisson), topical words CLUMP
+    * (index ≫ 1) — the statistic behind burstiness-aware term
+    * weighting and stopword induction, orthogonal to raw frequency
+    * (text_wordfreq) and corpus-global entropy (text_entropy).
+    * Map-side tokenization → one (word, doc) count aggregate → one
+    * word-level moment aggregate over the O(vocab×docs-touched)
+    * relation; zero-count docs enter the moments in closed form
+    * (n_docs is a literal) rather than via a fill join. Top-20 by
+    * dispersion among words in ≥ 20 docs.
+    */
+  val textBurstiness: QueryDef = QueryDef.sql(
+    "text_burstiness",
+    """WITH n AS (SELECT count(*) AS nd FROM documents),
+      |wd AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      |  FROM documents),
+      |cnt AS (SELECT w, doc_id, count(*) AS c FROM wd GROUP BY 1, 2),
+      |mom AS (
+      |  SELECT w, count(*) AS n_docs_with,
+      |    sum(c) AS s1, sum(c * c) AS s2
+      |  FROM cnt GROUP BY w)
+      |SELECT w AS word, CAST(n_docs_with AS BIGINT) AS n_docs_with,
+      |  CAST(s1 AS BIGINT) AS n_tokens,
+      |  round((s2 - s1 * s1 * 1.0 / nd) / (nd - 1)
+      |        / (s1 * 1.0 / nd), 4) AS dispersion
+      |FROM mom, n WHERE n_docs_with >= 20
+      |ORDER BY dispersion DESC, word LIMIT 20""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val nd = docs.count()
+    docs.select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+          .as("w"))
+      .groupBy(col("w"), col("doc_id")).agg(count(lit(1)).as("c"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_docs_with"), sum(col("c")).as("s1"),
+        sum(col("c") * col("c")).as("s2"))
+      .filter(col("n_docs_with") >= 20)
+      .select(col("w").as("word"), col("n_docs_with"),
+        col("s1").as("n_tokens"),
+        round((col("s2") - col("s1") * col("s1") * 1.0 / nd) / (nd - 1)
+          / (col("s1") * 1.0 / nd), 4).as("dispersion"))
+      .orderBy(col("dispersion").desc, col("word"))
+      .limit(20)
+  }
+
   val all: Seq[QueryDef] = Seq(
-    textStem, textCompressibility,
+    textStem, textCompressibility, textBurstiness,
     textRake,
     textUnigramLm,
     textTokens, textQuality, textLangid, textFingerprint, textWordfreq,

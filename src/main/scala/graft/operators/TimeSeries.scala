@@ -2080,8 +2080,157 @@ object TimeSeries {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Multi-changepoint detection by binary segmentation (Scott &
+    * Knott 1974; the standard recursive extension of ts_cusum's
+    * single split): find the max-|CUSUM| split of a segment, recurse
+    * into both halves while the normalized statistic |S|/√len clears
+    * the Brownian-bridge 95% bound (1.358) and segments keep ≥ 7
+    * days, depth ≤ 3. The corpus collapses to the O(types×days)
+    * daily aggregate in ONE pass; the recursion is driver arithmetic
+    * over ≤ days points per type (the ts_esd closed-form-driver
+    * posture — no per-split corpus work). Rows-only; ScalaTest pins
+    * depth-1 agreement with ts_cusum's argmax, segment-partition
+    * validity, and the significance rule.
+    */
+  val tsCpdBinseg: QueryDef = QueryDef.rowsOnly("ts_cpd_binseg") { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+      .groupBy(_._1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, java.sql.Timestamp, Int, Double)]
+    daily.foreach { case (tpe, rows) =>
+      val series = rows.sortBy(_._2.getTime).map(t => (t._2, t._3.toDouble))
+      def recurse(lo: Int, hi: Int, depth: Int): Unit = {
+        val len = hi - lo
+        if (depth <= 3 && len >= 14) {
+          val xs = series.slice(lo, hi).map(_._2)
+          val mu = xs.sum / len
+          val sd = math.sqrt(xs.map(x => (x - mu) * (x - mu)).sum / (len - 1))
+          if (sd > 0) {
+            var s = 0.0
+            var best = -1
+            var bestAbs = 0.0
+            for (i <- 0 until len - 1) { // a split AFTER the last point is no split
+              s += (xs(i) - mu) / sd
+              if (math.abs(s) > bestAbs) { bestAbs = math.abs(s); best = i }
+            }
+            val stat = bestAbs / math.sqrt(len.toDouble)
+            if (best >= 6 && best < len - 7 && stat > 1.358) {
+              out += ((tpe, series(lo + best)._1, depth,
+                math.floor(stat * 1e4 + 0.5) / 1e4))
+              recurse(lo, lo + best + 1, depth + 1)
+              recurse(lo + best + 1, hi, depth + 1)
+            }
+          }
+        }
+      }
+      recurse(0, series.length, 1)
+    }
+    import s.implicits._
+    out.toSeq.map(t => (t._1, t._2, t._3, t._4))
+      .toDF("event_type", "changepoint_day", "depth", "norm_stat")
+      .orderBy(col("event_type"), col("changepoint_day"))
+  }
+
+  /** Harmonic regression of the weekly cycle per type — fits
+    * y = β₀ + β₁·sin(2πt/7) + β₂·cos(2πt/7) to daily counts, the
+    * PARAMETRIC seasonal model (ts_seasonal tabulates the weekday
+    * profile; this compresses it to amplitude+phase and an R², the
+    * form forecasting systems extrapolate): the design matrix never
+    * materializes — ONE aggregate per type collects the 9 normal-
+    * equation moments (sin/cos are map-side expressions over the
+    * O(types×days) daily relation), the 3×3 solve is driver
+    * arithmetic (mining_ols's posture). Rows-only; ScalaTest replays
+    * the OLS fit and pins the variance-decomposition identity.
+    */
+  val tsHarmonic: QueryDef = QueryDef.rowsOnly("ts_harmonic") { (s, d) =>
+    val twoPi = 2 * math.Pi
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("y"))
+      .withColumn("t", datediff(col("day"), to_date(lit("1992-01-01"))))
+      .withColumn("sn", sin(col("t") * twoPi / 7))
+      .withColumn("cs", cos(col("t") * twoPi / 7))
+    val m = daily.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("sn")).as("ss"), sum(col("cs")).as("sc"),
+      sum(col("sn") * col("sn")).as("sss"), sum(col("cs") * col("cs")).as("scc"),
+      sum(col("sn") * col("cs")).as("ssc"),
+      sum(col("y")).as("sy"), sum(col("y") * col("sn")).as("sys"),
+      sum(col("y") * col("cs")).as("syc"), sum(col("y") * col("y")).as("syy"))
+      .collect()
+    import s.implicits._
+    m.map { r =>
+      val (n, ss, sc, sss, scc, ssc) = (r.getLong(1).toDouble, r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      val (sy, sys, syc, syy) = (r.getDouble(7), r.getDouble(8),
+        r.getDouble(9), r.getDouble(10))
+      val a = breeze.linalg.DenseMatrix(
+        (n, ss, sc), (ss, sss, ssc), (sc, ssc, scc))
+      val bv = breeze.linalg.DenseVector(sy, sys, syc)
+      val beta = a \ bv
+      val sse = syy - 2 * (beta(0) * sy + beta(1) * sys + beta(2) * syc) +
+        (beta.t * a * beta)
+      val sst = syy - sy * sy / n
+      val r2 = if (sst > 0) math.max(0.0, 1.0 - sse / sst) else 0.0
+      val amp = math.sqrt(beta(1) * beta(1) + beta(2) * beta(2))
+      val phase = math.atan2(beta(2), beta(1))
+      (r.getString(0), math.floor(beta(0) * 1e4 + 0.5) / 1e4,
+        math.floor(amp * 1e4 + 0.5) / 1e4,
+        math.floor(phase * 1e4 + 0.5) / 1e4,
+        math.floor(r2 * 1e6 + 0.5) / 1e6)
+    }.toSeq.toDF("event_type", "level", "amplitude", "phase", "r2")
+      .orderBy(col("event_type"))
+  }
+
+  /** Haar wavelet decomposition of each type's daily series — the
+    * multi-RESOLUTION energy profile (ts_periodogram is frequency-
+    * global; wavelets localize in time, so a 2-day spike and a
+    * 2-month regime change land at different levels): series padded
+    * to 2^L, per level the detail coefficients are
+    * (even−odd)/√2 of the running smooth, energy per level is their
+    * sum of squares. The corpus collapses to the daily aggregate
+    * first; the transform is a codegen'd higher-order array
+    * expression cascade per type (O(days) work, zero extra shuffle).
+    * Rows-only; ScalaTest pins PARSEVAL exactly — Σx² equals total
+    * coefficient energy — plus a driver replay per level.
+    */
+  val tsWavelet: QueryDef = QueryDef.rowsOnly("ts_wavelet") { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val series = daily.groupBy(col("event_type"))
+      .agg(expr("transform(array_sort(collect_list(struct(day, n))), x -> x.n)")
+        .as("xs"))
+      // zero-pad to the next power of two so the cascade is regular
+      .withColumn("len", size(col("xs")))
+      .withColumn("pow2",
+        expr("int(power(2, ceil(log2(double(len)))))"))
+      .withColumn("xs", expr(
+        "concat(xs, array_repeat(0D, pow2 - len))"))
+    // one cascade level: smooth = (even+odd)/√2, detail = (even−odd)/√2
+    def level(in: String, smooth: String, energy: String): Seq[String] = Seq(
+      s"""transform(sequence(0, size($in) div 2 - 1),
+         |  i -> ($in[2*i] + $in[2*i+1]) / sqrt(2D)) AS $smooth""".stripMargin,
+      s"""aggregate(transform(sequence(0, size($in) div 2 - 1),
+         |  i -> ($in[2*i] - $in[2*i+1]) / sqrt(2D)),
+         |  0D, (a, x) -> a + x * x) AS $energy""".stripMargin)
+    var cur = series.select(col("event_type"), col("len"), col("xs").as("s0"))
+    val levels = 5
+    for (l <- 1 to levels)
+      cur = cur.selectExpr(Seq("event_type", "len") ++
+        (1 until l).map(j => s"e$j") ++
+        level(s"s${l - 1}", s"s$l", s"e$l"): _*)
+    cur.select(col("event_type") +: col("len").as("n_days") +:
+        (1 to levels).map(l => round(col(s"e$l"), 4).as(s"energy_l$l")) :+
+        round(expr(s"aggregate(s$levels, 0D, (a, x) -> a + x * x)"), 4)
+          .as("energy_smooth"): _*)
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    tsCroston, tsBurst, tsRollingMedian,
+    tsCroston, tsBurst, tsRollingMedian, tsCpdBinseg, tsHarmonic, tsWavelet,
     tsMotif, tsDiscord,
     tsGapfill, tsInterp, tsEwma, tsAutocorr, tsCusum, tsSeasonal,
     tsForecast, tsTimeToConvert, tsGapEpisodes, tsHolt, tsDecompose,

@@ -633,6 +633,329 @@ class Round5nOpsSpec extends AnyFunSuite {
     assert(again.getDouble(1) == est)
   }
 
+  // ---- ts_cpd_binseg --------------------------------------------------------
+
+  test("ts_cpd_binseg: depth-1 agrees with ts_cusum, significance rule holds") {
+    import graft.operators.TimeSeries
+    import graft.sources.Tables
+    val out = TimeSeries.tsCpdBinseg.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getInt(2), r.getDouble(3)))
+    out.foreach { case (_, _, depth, stat) =>
+      assert(depth >= 1 && depth <= 3)
+      assert(stat > 1.358, s"reported split below the significance bound: $stat")
+    }
+    // depth-1 split must be the interior argmax of |CUSUM| per type
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+      .groupBy(_._1)
+    daily.foreach { case (tpe, rows) =>
+      val series = rows.sortBy(_._2.getTime).map(t => (t._2, t._3.toDouble))
+      val xs = series.map(_._2)
+      val len = xs.length
+      val mu = xs.sum / len
+      val sd = math.sqrt(xs.map(x => (x - mu) * (x - mu)).sum / (len - 1))
+      var s = 0.0
+      var best = -1
+      var bestAbs = 0.0
+      for (i <- 0 until len - 1) {
+        s += (xs(i) - mu) / sd
+        if (math.abs(s) > bestAbs) { bestAbs = math.abs(s); best = i }
+      }
+      val firstSplit = out.filter(t => t._1 == tpe && t._3 == 1)
+      if (firstSplit.nonEmpty) {
+        assert(best >= 6 && best < len - 7, s"$tpe split not interior")
+        assert(firstSplit.head._2 == series(best)._1,
+          s"$tpe depth-1 split disagrees with the CUSUM argmax")
+      } else {
+        val stat = bestAbs / math.sqrt(len.toDouble)
+        assert(stat <= 1.358 || best < 6 || best >= len - 7,
+          s"$tpe: significant interior split exists but was not reported")
+      }
+    }
+  }
+
+  // ---- events_attribution_markov --------------------------------------------
+
+  test("events_attribution_markov: planted chain exact, credits conserve") {
+    import graft.operators.EventOps
+    // planted chain: start→A (all), A→conv 60%, A→null 40%
+    val planted = Map(
+      ("start", "A") -> 100L, ("A", "conv") -> 60L, ("A", "null") -> 40L)
+    assert(math.abs(EventOps.convProbability(planted, Set.empty) - 0.6) < 1e-12)
+    assert(EventOps.convProbability(planted, Set("A")) == 0.0)
+    // a two-hop chain: start→A→B→conv; removing B kills conversion,
+    // removing a non-participant changes nothing
+    val chain = Map(("start", "A") -> 10L, ("A", "B") -> 10L,
+      ("B", "conv") -> 5L, ("B", "null") -> 5L)
+    assert(math.abs(EventOps.convProbability(chain, Set.empty) - 0.5) < 1e-12)
+    assert(EventOps.convProbability(chain, Set("B")) == 0.0)
+    assert(math.abs(EventOps.convProbability(chain, Set("C")) - 0.5) < 1e-12)
+
+    val out = EventOps.eventsAttributionMarkov.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(out.map(_._1).toSeq == Seq("click", "error", "signup", "view"))
+    out.foreach { case (_, re, credit) =>
+      assert(re >= 0.0 && re <= 1.0)
+      assert(credit >= 0.0)
+    }
+    // credits normalize the removal effects over total conversions
+    val counts = EventOps.journeyTransitions(spark, sf)
+    val conversions = counts.collect { case ((_, "conv"), n) => n }.sum
+    val creditSum = out.map(_._3).sum
+    assert(math.abs(creditSum - conversions) < 0.05 * conversions + 1,
+      s"credit sum $creditSum vs $conversions conversions")
+  }
+
+  // ---- emb_slice_drift --------------------------------------------------------
+
+  test("emb_slice_drift: collected replay and conservation") {
+    import graft.operators.Embeddings
+    import graft.sources.Tables
+    val out = Embeddings.embSliceDrift.fn(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))).toMap
+    val raw = Tables.embeddings(spark, sf)
+      .select(col("label"), col("embedding").cast("array<double>")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    assert(out.values.map(_._1).sum == raw.length)
+    val dim = raw.head._2.length
+    val gmu = Array.tabulate(dim)(j => raw.map(_._2(j)).sum / raw.length)
+    raw.groupBy(_._1).foreach { case (label, rows) =>
+      val mu = Array.tabulate(dim)(j => rows.map(_._2(j)).sum / rows.length)
+      val shift = math.sqrt(mu.zip(gmu).map { case (a, b) => (a - b) * (a - b) }.sum)
+      val (n, gotShift, cos, _) = out(label)
+      assert(n == rows.length)
+      assert(math.abs(gotShift - shift) < 1e-4, s"label $label shift")
+      assert(cos >= -1.0 - 1e-9 && cos <= 1.0 + 1e-9)
+    }
+  }
+
+  // ---- profile_psi ------------------------------------------------------------
+
+  test("profile_psi: nonnegative terms, share conservation") {
+    import graft.operators.Profile
+    val out = Profile.profilePsi.fn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.nonEmpty && out.forall(t => t._1 >= 1 && t._1 <= 10))
+    // (p−q)·ln(p/q) ≥ 0 always — a negative term means a binning bug
+    out.foreach { case (bin, pr, pc, term) =>
+      assert(term >= -1e-9, s"bin $bin negative PSI term $term")
+      assert(pr > 0 && pc > 0)
+    }
+    // reference deciles ⇒ each ref share ≈ 0.1 and shares sum to ~1
+    assert(math.abs(out.map(_._2).sum - 1.0) < 0.01)
+    assert(math.abs(out.map(_._3).sum - 1.0) < 0.01)
+    out.foreach { case (_, pr, _, _) => assert(math.abs(pr - 0.1) < 0.05) }
+  }
+
+  // ---- ts_harmonic ------------------------------------------------------------
+
+  test("ts_harmonic: residual orthogonality and variance decomposition") {
+    import graft.operators.TimeSeries
+    import graft.sources.Tables
+    val out = TimeSeries.tsHarmonic.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("y"))
+      .withColumn("t", datediff(col("day"), to_date(lit("1992-01-01"))))
+      .select("event_type", "t", "y")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1)
+    daily.foreach { case (tpe, rows) =>
+      val (level, amp, phase, r2) = out(tpe)
+      assert(amp >= 0 && phase >= -math.Pi - 1e-9 && phase <= math.Pi + 1e-9)
+      assert(r2 >= 0 && r2 <= 1)
+      // reconstruct β from (amp, phase): β₁ = amp·cos(φ), β₂ = amp·sin(φ)
+      val b1 = amp * math.cos(phase)
+      val b2 = amp * math.sin(phase)
+      val resid = rows.map { case (_, t, y) =>
+        val w = 2 * math.Pi * t / 7
+        (y - (level + b1 * math.sin(w) + b2 * math.cos(w)), math.sin(w),
+          math.cos(w))
+      }
+      val n = resid.length
+      // OLS residuals are orthogonal to every design column
+      assert(math.abs(resid.map(_._1).sum / n) < 0.05, s"$tpe intercept resid")
+      assert(math.abs(resid.map(r => r._1 * r._2).sum / n) < 0.05, s"$tpe sin")
+      assert(math.abs(resid.map(r => r._1 * r._3).sum / n) < 0.05, s"$tpe cos")
+      // variance decomposition: R² matches the residual SSE
+      val ys = rows.map(_._3)
+      val mu = ys.sum / n
+      val sst = ys.map(y => (y - mu) * (y - mu)).sum
+      val sse = resid.map(r => r._1 * r._1).sum
+      assert(math.abs((1 - sse / sst) - r2) < 1e-2, s"$tpe r2")
+    }
+  }
+
+  // ---- pipeline_temperature_mix -------------------------------------------------
+
+  test("pipeline_temperature_mix: shares normalize, upsample is monotone") {
+    import graft.operators.Curation
+    val out = Curation.pipelineTemperatureMix.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(math.abs(out.map(_._3).sum - 1.0) < 1e-3)
+    assert(math.abs(out.map(_._4).sum - 1.0) < 1e-3)
+    // w ∝ n^0.3 ⇒ upsample ∝ n^-0.7 — strictly decreasing in n
+    out.sortBy(_._2).map(_._5).sliding(2).foreach {
+      case Array(hi, lo) => assert(hi >= lo - 1e-9, "upsample not monotone")
+      case _ =>
+    }
+  }
+
+  // ---- pipeline_decontaminate_bloom ---------------------------------------------
+
+  test("pipeline_decontaminate_bloom: sound, FPP-bounded, matches exact") {
+    import graft.operators.Curation
+    val out = Curation.pipelineDecontaminateBloom.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // the bloom stage must never LOSE a contaminated doc
+    out.values.foreach { case (_, suspect, dropped) =>
+      assert(suspect >= dropped)
+    }
+    // false suspects bounded by the per-doc union bound (grams·fpp)
+    val fp = out.values.map { case (_, s, d) => s - d }.sum
+    val docs = out.values.map(_._1).sum
+    assert(fp <= 0.05 * docs + 2, s"$fp false suspects over $docs docs")
+    // the exact drop counts equal the broadcast-exact operator's
+    val exact = Curation.pipelineDecontaminate.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    out.foreach { case (src, (_, _, dropped)) =>
+      assert(dropped == exact(src), s"$src: $dropped vs exact ${exact(src)}")
+    }
+  }
+
+  // ---- events_synthetic_control ----------------------------------------------
+
+  test("events_synthetic_control: null intervention stays within noise") {
+    import graft.operators.EventOps
+    import graft.sources.Tables
+    val r = EventOps.eventsSyntheticControl.fn(spark, sf).collect()(0)
+    val (nPre, nPost, beta, cum, se, z) = (r.getInt(0), r.getInt(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    val days = Tables.events(spark, sf)
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(date_trunc("day", col("ts"))).distinct().count()
+    assert(nPre + nPost == days)
+    assert(se > 0)
+    // views and purchases are both driven by daily traffic volume
+    assert(beta > 0, s"control series uncorrelated: beta=$beta")
+    // no intervention exists in the synthetic corpus → the effect is
+    // statistical noise; |z| beyond 4 would mean the counterfactual
+    // machinery is broken
+    assert(math.abs(z) < 4, s"null-case z=$z (cum=$cum, se=$se)")
+  }
+
+  // ---- ts_wavelet -------------------------------------------------------------
+
+  test("ts_wavelet: Parseval identity and driver cascade replay") {
+    import graft.operators.TimeSeries
+    import graft.sources.Tables
+    val out = TimeSeries.tsWavelet.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getInt(1),
+        (2 to 7).map(r.getDouble).toArray)).toMap
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("n")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getDouble(2)))
+      .groupBy(_._1)
+    daily.foreach { case (tpe, rows) =>
+      val xs0 = rows.sortBy(_._2).map(_._3)
+      val pow2 = 1 << math.ceil(math.log(xs0.length) / math.log(2)).toInt
+      var xs = xs0 ++ Array.fill(pow2 - xs0.length)(0.0)
+      val (nDays, energies) = out(tpe)
+      assert(nDays == xs0.length)
+      var total = 0.0
+      for (l <- 0 until 5) {
+        val smooth = Array.tabulate(xs.length / 2)(i =>
+          (xs(2 * i) + xs(2 * i + 1)) / math.sqrt(2))
+        val detail = Array.tabulate(xs.length / 2)(i =>
+          (xs(2 * i) - xs(2 * i + 1)) / math.sqrt(2))
+        val e = detail.map(x => x * x).sum
+        assert(math.abs(energies(l) - e) < 1e-2, s"$tpe level ${l + 1}")
+        total += e
+        xs = smooth
+      }
+      total += xs.map(x => x * x).sum
+      assert(math.abs(energies(5) - xs.map(x => x * x).sum) < 1e-2)
+      // Parseval: total coefficient energy equals the input energy
+      val inputEnergy = xs0.map(x => x * x).sum
+      assert(math.abs(total - inputEnergy) < 1e-4 * inputEnergy + 1e-2,
+        s"$tpe Parseval: $total vs $inputEnergy")
+    }
+  }
+
+  // ---- mining_conformal ---------------------------------------------------------
+
+  test("mining_conformal: held-out coverage within binomial noise of 90%") {
+    import graft.operators.Linkage
+    val r = Linkage.miningConformal.fn(spark, sf).collect()(0)
+    val (nTrain, nCal, nTest, q, cov) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getDouble(4), r.getDouble(5))
+    import graft.sources.Tables
+    val total = Tables.lineitem(spark, sf).count()
+    assert(nTrain + nCal + nTest == total, "splits must partition the corpus")
+    assert(q > 0)
+    // split-conformal guarantee: coverage ≈ 1−α; 4σ binomial noise
+    val tol = 4 * math.sqrt(0.1 * 0.9 / nTest) + 2.0 / nCal
+    assert(math.abs(cov - 0.9) < tol, s"coverage $cov vs 0.9 ± $tol")
+  }
+
+  // ---- graph_adamic_adar ---------------------------------------------------------
+
+  test("graph_adamic_adar: non-edges only, exact driver replay") {
+    import graft.operators.Graph
+    val out = Graph.graphAdamicAdar.fn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+    assert(out.nonEmpty, "no non-edges to predict — graph saturated")
+    val edges = Graph.strongTieEdges(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    val sym = (edges ++ edges.map(_.swap)).distinct
+    val adj = sym.groupBy(_._1).map { case (u, es) => u -> es.map(_._2).toSet }
+    val edgeSet = sym.toSet
+    out.foreach { case (u, v, aa, nc) =>
+      assert(!edgeSet((u, v)) && !edgeSet((v, u)), s"($u,$v) is an edge")
+      assert(aa > 0 && nc >= 1)
+      // exact recompute of the score
+      val common = (adj(u) & adj(v)).filter(z => adj(z).size > 1)
+      val expect = math.floor(common.toSeq.map(z =>
+        1.0 / math.log(adj(z).size)).sum * 10000 + 0.5) / 10000
+      assert(math.abs(aa - expect) < 1e-9, s"($u,$v): $aa vs $expect")
+      assert(nc == common.size)
+    }
+  }
+
+  // ---- text_burstiness --------------------------------------------------------
+
+  test("text_burstiness: dispersion matches a collected recount") {
+    import graft.operators.TextAnalysis
+    import graft.sources.Tables
+    val out = TextAnalysis.textBurstiness.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val nd = docs.length
+    val counts = docs.flatMap { case (id, t) =>
+      "[a-z]+".r.findAllIn(t.toLowerCase).map(w => (w, id))
+    }.groupBy(identity).toSeq.map { case ((w, _), xs) => (w, xs.length) }
+      .groupBy(_._1)
+    out.foreach { case (word, nDocs, nTokens, disp) =>
+      val cs = counts(word).map(_._2).toArray
+      assert(nDocs == cs.length && nDocs >= 20)
+      assert(nTokens == cs.sum)
+      val s1 = cs.sum.toDouble
+      val s2 = cs.map(c => c.toDouble * c).sum
+      val expect = (s2 - s1 * s1 / nd) / (nd - 1) / (s1 / nd)
+      assert(math.abs(disp - expect) < 1e-3, s"$word: $disp vs $expect")
+      assert(disp > 0)
+    }
+  }
+
   test("graph_powerlaw: MLE replay from collected degrees") {
     import graft.operators.Graph
     val r = Graph.graphPowerlaw.fn(spark, sf).collect()(0)
