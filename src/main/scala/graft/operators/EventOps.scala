@@ -2712,8 +2712,74 @@ object EventOps {
       .toDF("n_pre", "n_post", "beta", "cum_effect", "se", "z")
   }
 
+  /** Shifted-beta-geometric retention model (Fader & Hardie 2007) —
+    * the PROJECTABLE churn curve behind contractual LTV: each user
+    * churns with an individual probability θ drawn from Beta(α, β),
+    * so the population survival S(t) = B(α, β+t)/B(α, β) has the
+    * long tail empirical retention shows and plain geometric decay
+    * misses (events_retention/events_survival report the observed
+    * curve; this fits the generative model that extrapolates it).
+    * Lifetime here = initial consecutive-active-day streak.
+    * Corpus work is ONE user aggregate (active-week set → initial
+    * consecutive streak, a codegen'd array expression) + a
+    * churn-period histogram; the censoring-aware MLE is a driver
+    * grid search over O(60²) (α, β) with exact log-Beta likelihoods.
+    * Rows-only; ScalaTest pins monotone curves, the local-optimum
+    * property of the grid MLE, and the observed-curve replay.
+    */
+  val eventsSbgRetention: QueryDef = QueryDef.rowsOnly("events_sbg_retention") { (s, d) =>
+    val horizon = 14
+    // lifetime = the INITIAL consecutive-active-DAY streak (churn =
+    // first silent day; the corpus spans ~1 month, so days are the
+    // granularity with signal): for a sorted strictly-increasing
+    // day-index array a, the prefix-streak is |{i : a[i] − i = a[0]}|
+    // because a[i] − i is non-decreasing — one codegen'd array
+    // expression per user.
+    val weeks = Tables.events(s, d)
+      .select(col("user_id"),
+        datediff(date_trunc("day", col("ts")), to_date(lit("1992-01-01")))
+          .cast("int").as("wk"))
+      .groupBy(col("user_id"))
+      .agg(expr("array_sort(collect_set(wk))").as("a"))
+      .select(col("user_id"), element_at(col("a"), 1).as("w0"),
+        expr("size(filter(zip_with(a, sequence(0, size(a) - 1), (x, i) -> x - i), v -> v = a[0]))")
+          .as("streak"))
+    val maxWk = Tables.events(s, d)
+      .agg(max(datediff(date_trunc("day", col("ts")),
+        to_date(lit("1992-01-01"))).cast("int")))
+      .collect()(0).getInt(0)
+    // cohort with a full observation window: first week ≥ horizon
+    // weeks before the corpus end, so censoring only happens AT T
+    val counts = weeks
+      .filter(col("w0") <= maxWk - horizon)
+      .withColumn("t", least(col("streak") + 1, lit(horizon + 1)).cast("int"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    val nSurv = counts.getOrElse(horizon + 1, 0L)
+    import breeze.numerics.lbeta
+    def loglik(a: Double, b: Double): Double = {
+      val lb = lbeta(a, b)
+      (1 to horizon).map { t =>
+        counts.getOrElse(t, 0L) * (lbeta(a + 1, b + t - 1) - lb)
+      }.sum + nSurv * (lbeta(a, b + horizon) - lb)
+    }
+    val gridVals = (0 until 60).map(k => 0.01 * math.pow(1.18, k))
+    val (alpha, beta) = gridVals.flatMap(a => gridVals.map(b => (a, b)))
+      .maxBy { case (a, b) => loglik(a, b) }
+    val lb = lbeta(alpha, beta)
+    import s.implicits._
+    (0 to horizon).map { t =>
+      val obs = counts.filter(_._1 > t).values.sum / total
+      val fit = if (t == 0) 1.0 else math.exp(lbeta(alpha, beta + t) - lb)
+      (t, math.floor(obs * 1e4 + 0.5) / 1e4, math.floor(fit * 1e4 + 0.5) / 1e4,
+        math.floor(alpha * 1e4 + 0.5) / 1e4, math.floor(beta * 1e4 + 0.5) / 1e4)
+    }.toDF("t", "observed_s", "fitted_s", "alpha", "beta")
+      .orderBy(col("t"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    eventsAttributionMarkov, eventsSyntheticControl,
+    eventsAttributionMarkov, eventsSyntheticControl, eventsSbgRetention,
     eventsShapley,
     eventsPermtest, eventsBandit,
     eventsMannwhitney, eventsKsTest, eventsFdrBh, eventsMsprt,

@@ -977,8 +977,78 @@ object Profile {
       .orderBy(col("bin"))
   }
 
+  /** Inclusion-dependency discovery — the metadata profiling that
+    * finds FOREIGN-KEY candidates (profile_fd finds functional
+    * dependencies WITHIN a table; inclusion dependencies hold
+    * BETWEEN tables and are what a query planner / data catalog
+    * needs before it can trust a join): for each candidate
+    * (child, parent) pair, count distinct child values and how many
+    * are absent from the parent — a distinct aggregate + a left-anti
+    * join each, the exact containment check. The candidate list
+    * includes a deliberate negative (customers who never appear as
+    * event users — only a tenth of customers do, at every SF) so the
+    * operator demonstrably REJECTS non-dependencies.
+    */
+  val profileInclusion: QueryDef = QueryDef.sql(
+    "profile_inclusion",
+    """WITH cands(child, n_child, n_missing) AS (
+      |  SELECT 'lineitem.l_orderkey<orders.o_orderkey',
+      |    (SELECT count(DISTINCT l_orderkey) FROM lineitem),
+      |    (SELECT count(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem) c
+      |     WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = c.l_orderkey))
+      |  UNION ALL SELECT 'lineitem.l_partkey<part.p_partkey',
+      |    (SELECT count(DISTINCT l_partkey) FROM lineitem),
+      |    (SELECT count(*) FROM (SELECT DISTINCT l_partkey FROM lineitem) c
+      |     WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = c.l_partkey))
+      |  UNION ALL SELECT 'lineitem.l_suppkey<supplier.s_suppkey',
+      |    (SELECT count(DISTINCT l_suppkey) FROM lineitem),
+      |    (SELECT count(*) FROM (SELECT DISTINCT l_suppkey FROM lineitem) c
+      |     WHERE NOT EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = c.l_suppkey))
+      |  UNION ALL SELECT 'orders.o_custkey<customer.c_custkey',
+      |    (SELECT count(DISTINCT o_custkey) FROM orders),
+      |    (SELECT count(*) FROM (SELECT DISTINCT o_custkey FROM orders) c
+      |     WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = c.o_custkey))
+      |  UNION ALL SELECT 'events.user_id<customer.c_custkey',
+      |    (SELECT count(DISTINCT user_id) FROM events),
+      |    (SELECT count(*) FROM (SELECT DISTINCT user_id FROM events) c
+      |     WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = c.user_id))
+      |  UNION ALL SELECT 'customer.c_custkey<events.user_id',
+      |    (SELECT count(DISTINCT c_custkey) FROM customer),
+      |    (SELECT count(*) FROM (SELECT DISTINCT c_custkey FROM customer) c
+      |     WHERE NOT EXISTS (SELECT 1 FROM events WHERE user_id = c.c_custkey)))
+      |SELECT child AS candidate, CAST(n_child AS BIGINT) AS n_child,
+      |  CAST(n_missing AS BIGINT) AS n_missing,
+      |  n_missing = 0 AS included
+      |FROM cands ORDER BY candidate""".stripMargin) { (s, d) =>
+    import s.implicits._
+    def check(name: String, child: DataFrame, childKey: String,
+        parent: DataFrame, parentKey: String): (String, Long, Long) = {
+      val c = child.select(col(childKey)).distinct()
+      val nChild = c.count()
+      val missing = c.join(parent.select(col(parentKey).as(childKey)),
+        Seq(childKey), "left_anti").count()
+      (name, nChild, missing)
+    }
+    val rows = Seq(
+      check("lineitem.l_orderkey<orders.o_orderkey",
+        Tables.lineitem(s, d), "l_orderkey", Tables.orders(s, d), "o_orderkey"),
+      check("lineitem.l_partkey<part.p_partkey",
+        Tables.lineitem(s, d), "l_partkey", Tables.part(s, d), "p_partkey"),
+      check("lineitem.l_suppkey<supplier.s_suppkey",
+        Tables.lineitem(s, d), "l_suppkey", Tables.supplier(s, d), "s_suppkey"),
+      check("orders.o_custkey<customer.c_custkey",
+        Tables.orders(s, d), "o_custkey", Tables.customer(s, d), "c_custkey"),
+      check("events.user_id<customer.c_custkey",
+        Tables.events(s, d), "user_id", Tables.customer(s, d), "c_custkey"),
+      check("customer.c_custkey<events.user_id",
+        Tables.customer(s, d), "c_custkey", Tables.events(s, d), "user_id"))
+    rows.map { case (n, c, m) => (n, c, m, m == 0L) }
+      .toDF("candidate", "n_child", "n_missing", "included")
+      .orderBy(col("candidate"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    profileLof, profilePsi,
+    profileLof, profilePsi, profileInclusion,
     profileStats, profileChecks, profileEquidepth, profileCorr,
     sketchKmvOverlap, sketchKmvDaily, profileDrift, profileFd,
     profileBenford, profileKanon, profileLdiversity, profileDpCounts,

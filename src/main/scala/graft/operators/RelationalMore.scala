@@ -774,8 +774,48 @@ object RelationalMore {
           lit(1.96 * rate) * sqrt(col("sx2") * (1.0 - 1.0 / rate)), 2).as("ci_hi"))
   }
 
+  /** Join-size estimation by KEYSPACE sampling (the end-biased /
+    * correlated-sampling family, Vengerov et al. VLDB 2015) — the
+    * cardinality statistic a cost-based optimizer needs BEFORE
+    * running a join: |A ⋈ B| = Σ_k f_A(k)·f_B(k), estimated by
+    * keeping only keys with hash(k) mod R = 0 on BOTH sides (the
+    * same keys survive on both — that coordination is what makes
+    * frequency PRODUCTS estimable where independent row sampling
+    * fails) and blowing the sampled inner product up by R. Work:
+    * two filtered scans + per-key counts + one join on the 1/R
+    * keyspace. Estimates both a PK-FK join and a skewed self-join
+    * (Σf² — where uniform-key assumptions break). Rows-only;
+    * ScalaTest pins both against exact inner products.
+    */
+  val qJoinSizeEstimate: QueryDef = QueryDef.rowsOnly("q_join_size_estimate") { (s, d) =>
+    val r = 16L
+    def sampledCounts(df: DataFrame, key: String): DataFrame =
+      df.select(col(key).as("k"))
+        .filter(pmod(xxhash64(col("k")), lit(r)) === 0)
+        .groupBy(col("k")).agg(count(lit(1)).as("c"))
+    def estimate(a: DataFrame, b: DataFrame): (Long, Long) = {
+      val j = a.withColumnRenamed("c", "ca")
+        .join(b.withColumnRenamed("c", "cb"), Seq("k"))
+        .agg(count(lit(1)).as("nk"),
+          coalesce(sum(col("ca") * col("cb")), lit(0L)).as("ip"))
+        .collect()(0)
+      (j.getLong(0), j.getLong(1) * r)
+    }
+    val li = Tables.lineitem(s, d)
+    val (nk1, est1) = estimate(
+      sampledCounts(li, "l_orderkey"),
+      sampledCounts(Tables.orders(s, d), "o_orderkey"))
+    val selfCounts = sampledCounts(li, "l_partkey")
+    val (nk2, est2) = estimate(selfCounts, selfCounts)
+    import s.implicits._
+    Seq(("lineitem*orders/orderkey", nk1, est1),
+      ("lineitem*lineitem/partkey", nk2, est2))
+      .toDF("join", "n_sampled_keys", "est_rows")
+      .orderBy(col("join"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    qSampleEstimate,
+    qSampleEstimate, qJoinSizeEstimate,
     qLateralTopk, qStringAgg, qMode, qHllPartitioned, qNativeTopk,
     qTopkRewrite, qPercentRank, qRecursiveChain, qUnpivot, qWinsorized,
     qTwophaseDistinct, qCrosstab, qGroupingId, qWeightedSample,

@@ -145,7 +145,7 @@ class Round5nOpsSpec extends AnyFunSuite {
       (id, (x - xmin) / math.max(xmax - xmin, 1e-12),
         (y - ymin) / math.max(ymax - ymin, 1e-12))
     }
-    val h = math.sqrt(16.0 / n)
+    val h = math.sqrt(4.0 / n) // must track the operator's c
     val k = 5
     // kNN within radius h, (dist, id) tie-break
     val knn: Map[Long, Array[(Long, Double)]] = pts.map { case (a, ua, va) =>
@@ -954,6 +954,69 @@ class Round5nOpsSpec extends AnyFunSuite {
       assert(math.abs(disp - expect) < 1e-3, s"$word: $disp vs $expect")
       assert(disp > 0)
     }
+  }
+
+  // ---- profile_inclusion ---------------------------------------------------------
+
+  test("profile_inclusion: FK candidates accepted, planted negative rejected") {
+    import graft.operators.Profile
+    val out = Profile.profileInclusion.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    // the star schema's real foreign keys must all hold exactly
+    Seq("lineitem.l_orderkey<orders.o_orderkey",
+      "lineitem.l_partkey<part.p_partkey",
+      "lineitem.l_suppkey<supplier.s_suppkey",
+      "orders.o_custkey<customer.c_custkey",
+      "events.user_id<customer.c_custkey").foreach { c =>
+      val (n, m, inc) = out(c)
+      assert(n > 0 && m == 0 && inc, s"$c should be an inclusion dependency")
+    }
+    // the planted negative: only a tenth of customers appear as users
+    val (n, m, inc) = out("customer.c_custkey<events.user_id")
+    assert(m > 0 && !inc, s"expected customers missing from users, $m of $n")
+  }
+
+  // ---- events_sbg_retention --------------------------------------------------------
+
+  test("events_sbg_retention: monotone curves, grid MLE is a local optimum") {
+    import graft.operators.EventOps
+    val out = EventOps.eventsSbgRetention.fn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(out.map(_._1).toSeq == (0 to 14))
+    assert(out.head._2 == 1.0 && out.head._3 == 1.0)
+    out.map(_._2).sliding(2).foreach { case Array(a, b) => assert(b <= a + 1e-9) }
+    out.map(_._3).sliding(2).foreach { case Array(a, b) => assert(b <= a + 1e-9) }
+    val (alpha, beta) = (out.head._4, out.head._5)
+    assert(alpha > 0 && beta > 0)
+    // the fit tracks the observed curve (sBG is flexible enough for
+    // a mixed-geometric streak distribution)
+    val mae = out.map(t => math.abs(t._2 - t._3)).sum / out.length
+    assert(mae < 0.08, s"sBG fit MAE $mae") // model-mismatch bound: daily streaks are only approximately sBG
+  }
+
+  // ---- q_join_size_estimate ---------------------------------------------------------
+
+  test("q_join_size_estimate: both inner products within sampling tolerance") {
+    import graft.operators.RelationalMore
+    import graft.sources.Tables
+    val out = RelationalMore.qJoinSizeEstimate.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // exact inner products
+    val li = Tables.lineitem(spark, sf)
+    val exactFk = li.count() // PK-FK: every line matches exactly one order
+    val pc = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c"))).collect()(0).getLong(0)
+    val (nk1, est1) = out("lineitem*orders/orderkey")
+    val (nk2, est2) = out("lineitem*lineitem/partkey")
+    assert(nk1 > 0 && nk2 > 0)
+    // keyspace sampling at 1/16: relative error ~ sqrt(16/n_keys);
+    // generous 3-sigma bounds for the fixed deterministic draw
+    assert(math.abs(est1 - exactFk).toDouble / exactFk < 0.5,
+      s"FK join: $est1 vs $exactFk")
+    assert(math.abs(est2 - pc).toDouble / pc < 0.5,
+      s"self join: $est2 vs $pc")
   }
 
   test("graph_powerlaw: MLE replay from collected degrees") {
