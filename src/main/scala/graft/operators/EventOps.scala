@@ -2778,8 +2778,57 @@ object EventOps {
       .orderBy(col("t"))
   }
 
+  /** Off-policy evaluation by inverse propensity scoring (Horvitz–
+    * Thompson; Dudík/Langford lineage) — "what reward WOULD policy π
+    * have earned" from logged interactions, without deploying it:
+    * V̂_IPS = mean(π(a|x)/μ(a)·r) where μ is the logging policy
+    * (estimated empirically per action — stationary logging), plus
+    * the self-normalized SNIPS and the effective sample size
+    * diagnostic. Two policies evaluated: the LOGGING policy itself
+    * (whose IPS must equal the observed mean reward EXACTLY — the
+    * identity that certifies the estimator) and a deterministic
+    * per-user policy (recommend the user's modal action). Corpus
+    * work: one action-share aggregate, one per-user mode aggregate
+    * (max_by over counts), one weighted-mean pass — all partial-agg.
+    * Rows-only; ScalaTest pins the logging-policy identity, ESS
+    * bounds, and a collected replay of the target-policy estimate.
+    */
+  val eventsOffpolicyIps: QueryDef = QueryDef.rowsOnly("events_offpolicy_ips") { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type").as("a"), col("value").as("r"))
+    val total = ev.count().toDouble
+    val mu = ev.groupBy(col("a")).agg((count(lit(1)) / total).as("p"))
+    // deterministic per-user target: the user's modal action
+    // ((count, action) struct-max → lowest... highest count, then
+    // lexicographically LAST action — deterministic either way)
+    val mode = ev.groupBy(col("user_id"), col("a"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("c"), col("a"))).getField("a").as("rec"))
+    val scored = ev.join(broadcast(mu), Seq("a"))
+      .join(mode, Seq("user_id"))
+      .select(col("r"), col("p"),
+        (when(col("a") === col("rec"), 1.0).otherwise(0.0) / col("p")).as("w"))
+    import s.implicits._
+    val rows = scored.agg(
+      avg(col("r")).as("observed"),
+      avg(col("w") * col("r")).as("ips"),
+      (sum(col("w") * col("r")) / sum(col("w"))).as("snips"),
+      (sum(col("w")) * sum(col("w")) / sum(col("w") * col("w"))).as("ess"))
+      .collect()(0)
+    Seq(
+      ("logging", math.floor(rows.getDouble(0) * 1e4 + 0.5) / 1e4,
+        math.floor(rows.getDouble(0) * 1e4 + 0.5) / 1e4, total),
+      ("user_mode", math.floor(rows.getDouble(1) * 1e4 + 0.5) / 1e4,
+        math.floor(rows.getDouble(2) * 1e4 + 0.5) / 1e4,
+        math.floor(rows.getDouble(3) * 10 + 0.5) / 10))
+      .toDF("policy", "ips", "snips", "ess")
+      .orderBy(col("policy"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     eventsAttributionMarkov, eventsSyntheticControl, eventsSbgRetention,
+    eventsOffpolicyIps,
     eventsShapley,
     eventsPermtest, eventsBandit,
     eventsMannwhitney, eventsKsTest, eventsFdrBh, eventsMsprt,

@@ -848,28 +848,31 @@ object Profile {
       .select(xxhash64(col("l_orderkey"), col("l_linenumber"), col("x"), col("y"))
         .as("id"), col("x"), col("y"))
       .distinct()
-    val stats = raw.agg(
-      min(col("x")).as("xmin"), max(col("x")).as("xmax"),
-      min(col("y")).as("ymin"), max(col("y")).as("ymax"),
-      count(lit(1)).cast("double").as("n"))
-    val pts = raw.crossJoin(broadcast(stats))
-      .select(col("id"),
-        ((col("x") - col("xmin")) / greatest(col("xmax") - col("xmin"), lit(1e-12))).as("u"),
-        ((col("y") - col("ymin")) / greatest(col("ymax") - col("ymin"), lit(1e-12))).as("v"),
-        sqrt(lit(4.0) / col("n")).as("h"))
+    // normalization + grid constants resolve driver-side (O(1) row)
+    // and land in the plan as LITERALS — no broadcast crossJoin, and
+    // the probe rows carry nothing but (id, u, v, cell)
+    val st = raw.agg(
+      min(col("x")), max(col("x")), min(col("y")), max(col("y")),
+      count(lit(1)).cast("double")).collect()(0)
+    val (xmin, xmax, ymin, ymax, n) = (st.getDouble(0), st.getDouble(1),
+      st.getDouble(2), st.getDouble(3), st.getDouble(4))
+    val h = math.sqrt(4.0 / n)
+    val pts = raw.select(col("id"),
+      ((col("x") - xmin) / math.max(xmax - xmin, 1e-12)).as("u"),
+      ((col("y") - ymin) / math.max(ymax - ymin, 1e-12)).as("v"))
     // materialize once: the probe and build sides of the cell join
     // would otherwise EACH re-run the scan + hash + distinct chain
     val cells = pts
-      .withColumn("cx", floor(col("u") / col("h")).cast("long"))
-      .withColumn("cy", floor(col("v") / col("h")).cast("long"))
+      .withColumn("cx", floor(col("u") / h).cast("long"))
+      .withColumn("cy", floor(col("v") / h).cast("long"))
       .localCheckpoint(true)
     // probe side explodes to the 9-cell neighborhood (map-side O(9n))
     val probe = cells.select(col("id").as("a"), col("u").as("ua"),
-        col("v").as("va"), col("h"),
+        col("v").as("va"),
         explode(array((-1 to 1).flatMap(dx => (-1 to 1).map(dy =>
           struct((col("cx") + dx).as("jx"), (col("cy") + dy).as("jy")))): _*))
           .as("j"))
-      .select(col("a"), col("ua"), col("va"), col("h"),
+      .select(col("a"), col("ua"), col("va"),
         col("j.jx").as("cx"), col("j.jy").as("cy"))
     val pairs = probe.join(
         cells.select(col("id").as("b"), col("u").as("ub"), col("v").as("vb"),
@@ -878,7 +881,7 @@ object Profile {
       .filter(col("a") =!= col("b"))
       .withColumn("dist",
         sqrt(pow(col("ua") - col("ub"), 2) + pow(col("va") - col("vb"), 2)))
-      .filter(col("dist") <= col("h"))
+      .filter(col("dist") <= h)
       .select(col("a"), col("b"), col("dist"))
     // cap the ball at the k nearest (deterministic (dist, b) tie-break)
     // with a per-point window over the slim (a, b, dist) relation —

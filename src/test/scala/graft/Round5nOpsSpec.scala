@@ -1019,6 +1019,39 @@ class Round5nOpsSpec extends AnyFunSuite {
       s"self join: $est2 vs $pc")
   }
 
+  // ---- events_offpolicy_ips --------------------------------------------------------
+
+  test("events_offpolicy_ips: logging identity and target-policy replay") {
+    import graft.operators.EventOps
+    import graft.sources.Tables
+    val out = EventOps.eventsOffpolicyIps.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val n = ev.length.toDouble
+    // identity: IPS of the logging policy IS the observed mean reward
+    val observed = ev.map(_._3).sum / n
+    assert(math.abs(out("logging")._1 - observed) < 1e-3)
+    // replay the deterministic user-mode policy estimate
+    val p = ev.groupBy(_._2).map { case (a, xs) => a -> xs.length / n }
+    val rec = ev.groupBy(_._1).map { case (u, xs) =>
+      u -> xs.groupBy(_._2).toSeq.map { case (a, ys) => (ys.length, a) }.max._2
+    }
+    val ws = ev.map { case (u, a, r) =>
+      (if (rec(u) == a) 1.0 / p(a) else 0.0, r)
+    }
+    val ips = ws.map { case (w, r) => w * r }.sum / n
+    val snips = ws.map { case (w, r) => w * r }.sum / ws.map(_._1).sum
+    val ess = math.pow(ws.map(_._1).sum, 2) / ws.map(w => w._1 * w._1).sum
+    val (gIps, gSnips, gEss) = out("user_mode")
+    assert(math.abs(gIps - ips) < 1e-3, s"ips $gIps vs $ips")
+    assert(math.abs(gSnips - snips) < 1e-3, s"snips $gSnips vs $snips")
+    assert(math.abs(gEss - ess) < 0.2 + ess * 1e-3, s"ess $gEss vs $ess")
+    assert(gEss > 0 && gEss <= n)
+  }
+
   test("graph_powerlaw: MLE replay from collected degrees") {
     import graft.operators.Graph
     val r = Graph.graphPowerlaw.fn(spark, sf).collect()(0)
