@@ -1738,8 +1738,63 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** Heaps' law fit over the 3-gram SHINGLE vocabulary —
+    * V(n) ≈ K·n^β, the growth law that sizes every shingle-keyed
+    * structure (dedup/LSH bucket tables, winnowing indexes, n-gram
+    * LM tables) before the corpus is ingested. The WORD vocabulary
+    * of this synthetic corpus is closed (~1k types, saturates in the
+    * first checkpoint — β would be 0), so the op measures the open
+    * combinatorial shingle space, which is also the unit the dedup
+    * family actually stores. Exact with NO prefix re-scans and NO
+    * global sort: V at checkpoint n = count of shingles whose FIRST
+    * containing doc_id falls below the n-quantile of doc ids — one
+    * min-per-shingle aggregate + ONE 8-condition conditional
+    * aggregate gives the whole curve; the log-log OLS over 8 points
+    * is driver arithmetic. β ∈ (0,1) for an open vocabulary.
+    */
+  val textHeapsLaw: QueryDef = QueryDef.rowsOnly("text_heaps_law") { (s, d) =>
+    val fracs = (7 to 0 by -1).map(i => 1.0 / (1 << i)) // 1/128 .. 1
+    val docs = Tables.documents(s, d)
+    val qs = docs.agg(expr(
+      s"percentile(doc_id, array(${fracs.mkString(", ")}))")).collect()(0)
+      .getSeq[Double](0)
+    val nRow = docs.agg(
+      fracs.indices.map(i =>
+        count(when(col("doc_id") <= qs(i), 1)).as(s"n$i")).head,
+      fracs.indices.map(i =>
+        count(when(col("doc_id") <= qs(i), 1)).as(s"n$i")).tail: _*).collect()(0)
+    val fd = docs.select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(toks) - 3),
+          |  i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))""".stripMargin))
+        .as("w"))
+      .groupBy(col("w")).agg(min(col("doc_id")).as("f"))
+    val vRow = fd.agg(
+      fracs.indices.map(i =>
+        count(when(col("f") <= qs(i), 1)).as(s"v$i")).head,
+      fracs.indices.map(i =>
+        count(when(col("f") <= qs(i), 1)).as(s"v$i")).tail: _*).collect()(0)
+    val pts = fracs.indices.map(i =>
+      (nRow.getLong(i).toDouble, vRow.getLong(i).toDouble))
+    val xs = pts.map(p => math.log(p._1))
+    val ys = pts.map(p => math.log(p._2))
+    val m = xs.length
+    val (mx, my) = (xs.sum / m, ys.sum / m)
+    val beta = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
+      xs.map(x => (x - mx) * (x - mx)).sum
+    val lnK = my - beta * mx
+    import s.implicits._
+    pts.zipWithIndex.map { case ((n, v), i) =>
+      (i, n.toLong, v.toLong, math.floor(beta * 1e4 + 0.5) / 1e4,
+        math.floor(lnK * 1e4 + 0.5) / 1e4)
+    }.toDF("checkpoint", "n_docs", "vocab", "beta", "ln_k")
+      .orderBy(col("checkpoint"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    textStem, textCompressibility, textBurstiness,
+    textStem, textCompressibility, textBurstiness, textHeapsLaw,
     textRake,
     textUnigramLm,
     textTokens, textQuality, textLangid, textFingerprint, textWordfreq,

@@ -2229,8 +2229,71 @@ object TimeSeries {
       .orderBy(col("event_type"))
   }
 
+  /** Ljung–Box portmanteau whiteness test per type (Ljung & Box
+    * 1978) — "is there ANY autocorrelation left", the joint test
+    * over lags 1..10 that single-lag checks miss (ts_autocorr reads
+    * lag 1 only): Q = n(n+2)·Σ r_k²/(n−k), compared to χ²₁₀. The
+    * r_k come from ten lag columns over ONE per-type ordered window
+    * pass on the O(types×days) daily relation (all lags share the
+    * exchange); Q and the exact χ² tail (breeze regularized gamma)
+    * are O(types) driver arithmetic. Rows-only; ScalaTest replays
+    * the autocorrelations and the statistic from the collected
+    * series.
+    */
+  /** Exact χ² upper tail for EVEN df: P(X > q) = e^{−q/2}·Σ_{j<df/2}
+    * (q/2)^j/j!. Shared with the spec replay.
+    */
+  private[graft] def chiSqUpperEvenDf(q: Double, df: Int): Double = {
+    val h = q / 2
+    var term = 1.0
+    var sum = 1.0
+    for (j <- 1 until df / 2) { term *= h / j; sum += term }
+    math.exp(-h) * sum
+  }
+
+  val tsLjungBox: QueryDef = QueryDef.rowsOnly("ts_ljung_box") { (s, d) =>
+    val lags = 10
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val lagged = (1 to lags).foldLeft(daily) { (df, k) =>
+      df.withColumn(s"l$k", lag(col("n"), k).over(w))
+    }
+    // per type: n, mean, raw second moment, and the ten lagged
+    // cross products — one aggregate, everything partial-agg
+    val aggCols = Seq(count(lit(1)).as("cnt"), avg(col("n")).as("mu"),
+      sum(col("n") * col("n")).as("s0")) ++
+      (1 to lags).map(k => sum(col("n") * col(s"l$k")).as(s"s$k"))
+    val rows = lagged.groupBy(col("event_type"))
+      .agg(aggCols.head, aggCols.tail: _*).collect()
+    import s.implicits._
+    rows.map { r =>
+      val tpe = r.getString(0)
+      val cnt = r.getLong(1).toDouble
+      val mu = r.getDouble(2)
+      val s2 = r.getDouble(3) - cnt * mu * mu // Σ(x−μ)² up to edge terms
+      // r_k via the standard large-n approximation on the same μ:
+      // Σ(x_t−μ)(x_{t−k}−μ) = Σ x_t·x_{t−k} − μ·(partial sums) ≈
+      // Σxx_k − (n−k)μ² when edge means ≈ μ (exactly replayed in the
+      // spec, which uses this same formula)
+      val q = (1 to lags).map { k =>
+        val sk = r.getDouble(3 + k)
+        val rk = (sk - (cnt - k) * mu * mu) / s2
+        rk * rk / (cnt - k)
+      }.sum * cnt * (cnt + 2)
+      // χ² upper tail for EVEN df has the closed form
+      // e^{−q/2}·Σ_{j<df/2} (q/2)^j / j! — no special functions
+      val p = chiSqUpperEvenDf(q, lags)
+      (tpe, cnt.toLong, math.floor(q * 1e4 + 0.5) / 1e4,
+        math.floor(p * 1e6 + 0.5) / 1e6, p < 0.05)
+    }.toSeq.toDF("event_type", "n_days", "q_stat", "p_value", "reject_white")
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     tsCroston, tsBurst, tsRollingMedian, tsCpdBinseg, tsHarmonic, tsWavelet,
+    tsLjungBox,
     tsMotif, tsDiscord,
     tsGapfill, tsInterp, tsEwma, tsAutocorr, tsCusum, tsSeasonal,
     tsForecast, tsTimeToConvert, tsGapEpisodes, tsHolt, tsDecompose,

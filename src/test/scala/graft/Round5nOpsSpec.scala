@@ -1052,6 +1052,71 @@ class Round5nOpsSpec extends AnyFunSuite {
     assert(gEss > 0 && gEss <= n)
   }
 
+  // ---- text_heaps_law ----------------------------------------------------------
+
+  test("text_heaps_law: checkpoint recount and sublinear growth") {
+    import graft.operators.TextAnalysis
+    import graft.sources.Tables
+    val out = TextAnalysis.textHeapsLaw.fn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length == 8)
+    val beta = out.head._4
+    // natural-language-ish corpora grow vocabulary sublinearly
+    assert(beta > 0 && beta < 1, s"Heaps beta $beta")
+    // recount one interior checkpoint exactly from the collected corpus
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (_, nDocs, vocab, _) = out(4) // the 1/8 checkpoint
+    val sortedIds = docs.map(_._1).sorted
+    val cutoff = sortedIds(math.min(nDocs.toInt - 1, sortedIds.length - 1))
+    val prefixVocab = docs.filter(_._1 <= cutoff)
+      .flatMap { d =>
+        val toks = "[a-z]+".r.findAllIn(d._2.toLowerCase).toArray
+        toks.sliding(3).filter(_.length == 3).map(_.mkString(" "))
+      }.toSet.size
+    assert(vocab == prefixVocab, s"checkpoint vocab $vocab vs $prefixVocab")
+    // monotone growth in both coordinates
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 >= a._2 && b._3 >= a._3)
+      case _ =>
+    }
+  }
+
+  // ---- ts_ljung_box ------------------------------------------------------------
+
+  test("ts_ljung_box: statistic replay and chi-square tail identity") {
+    import graft.operators.TimeSeries
+    import graft.sources.Tables
+    val out = TimeSeries.tsLjungBox.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4))).toMap
+    // closed-form chi-square tail sanity at known points: df=2 →
+    // P(X>q) = e^{−q/2}
+    assert(math.abs(TimeSeries.chiSqUpperEvenDf(2.0, 2) - math.exp(-1.0)) < 1e-12)
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("n")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getDouble(2)))
+      .groupBy(_._1)
+    daily.foreach { case (tpe, rows) =>
+      val xs = rows.sortBy(_._2).map(_._3)
+      val n = xs.length.toDouble
+      val mu = xs.sum / n
+      val s2 = xs.map(x => x * x).sum - n * mu * mu
+      val q = (1 to 10).map { k =>
+        val sk = xs.drop(k).zip(xs.dropRight(k)).map(t => t._1 * t._2).sum
+        val rk = (sk - (n - k) * mu * mu) / s2
+        rk * rk / (n - k)
+      }.sum * n * (n + 2)
+      val (nd, gq, gp, rej) = out(tpe)
+      assert(nd == xs.length)
+      assert(math.abs(gq - q) < 1e-2, s"$tpe Q: $gq vs $q")
+      assert(math.abs(gp - TimeSeries.chiSqUpperEvenDf(q, 10)) < 1e-4)
+      assert(rej == (gp < 0.05))
+      assert(gp >= 0 && gp <= 1)
+    }
+  }
+
   test("graph_powerlaw: MLE replay from collected degrees") {
     import graft.operators.Graph
     val r = Graph.graphPowerlaw.fn(spark, sf).collect()(0)
