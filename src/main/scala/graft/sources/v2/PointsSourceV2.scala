@@ -25,10 +25,16 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     evaluated DURING parsing (rows are dropped before an
   *     InternalRow is built); fully-handled filters are removed from
   *     Spark's post-scan Filter, so the plan carries no residual.
-  *   - one `InputPartition` per file: the natural split unit of
-  *     line-oriented text (a production source would further split
-  *     by byte range at block boundaries — same partition-planning
-  *     hook).
+  *   - byte-range `InputPartition`s with newline realignment: files
+  *     are split into ranges sized by the same discipline Spark's
+  *     own file sources use (`maxSplitBytes = min(maxPartitionBytes,
+  *     max(openCostInBytes, totalBytes/defaultParallelism))`), so a
+  *     single fat file fans out across the cluster instead of
+  *     serializing on one task. A reader whose range starts mid-file
+  *     seeks to its offset and discards the partial first line (it
+  *     belongs to the previous range, which reads one line past its
+  *     end) — the standard Hadoop LineRecordReader ownership rule,
+  *     so every line is parsed exactly once.
   *   - `SupportsReportStatistics`: total byte size flows into
   *     Catalyst so join-side broadcast decisions see this source
   *     like any file scan.
@@ -298,8 +304,37 @@ final class PointsV2Scan(
       .sortBy(_._1)
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
-    files().map { case (f, len) => PointsFilePartition(f, len): InputPartition }.toArray
+  /** Split every file into byte ranges using Spark's FilePartition
+    * sizing rule, so one fat text file becomes many tasks: target =
+    * min(maxPartitionBytes, max(openCostInBytes, totalBytes/cores)).
+    * On a laptop-scale corpus this yields a handful of multi-MB
+    * ranges; at 100 TB it converges to maxPartitionBytes (128 MB)
+    * ranges — the same curve the built-in file sources follow. An
+    * explicit `split_bytes` conf (`spark.graft.points.splitBytes`)
+    * overrides for tests.
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val fileList = files()
+    val session = org.apache.spark.sql.SparkSession.active
+    def bytesConf(key: String, dflt: String): Long =
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        session.conf.get(key, dflt))
+    val openCost = bytesConf("spark.sql.files.openCostInBytes", "4MB")
+    val maxSplit = session.conf.getOption("spark.graft.points.splitBytes")
+      .map(_.toLong).getOrElse {
+        val maxPB = bytesConf("spark.sql.files.maxPartitionBytes", "128MB")
+        val parallelism =
+          math.max(1, session.sparkContext.defaultParallelism)
+        val totalBytes = fileList.map(_._2 + openCost).sum
+        math.min(maxPB, math.max(openCost, totalBytes / parallelism))
+      }
+    fileList.flatMap { case (f, len) =>
+      if (len <= 0) Seq(PointsFilePartition(f, 0L, 0L))
+      else (0L until len by math.max(1L, maxSplit)).map { off =>
+        PointsFilePartition(f, off, math.min(maxSplit, len - off))
+      }
+    }.map(p => p: InputPartition).toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PointsReaderFactory(required, pushed, agg)
@@ -311,7 +346,15 @@ final class PointsV2Scan(
   }
 }
 
-final case class PointsFilePartition(file: String, length: Long) extends InputPartition
+/** A byte range [start, start+length) of one file. Line ownership
+  * follows Hadoop's LineRecordReader: a range starting at 0 owns its
+  * first line; any other range discards the (possibly partial) line
+  * in progress at `start` and reads through the first newline at or
+  * past `start+length`, so adjacent ranges hand every line to
+  * exactly one reader.
+  */
+final case class PointsFilePartition(file: String, start: Long, length: Long)
+    extends InputPartition
 
 final class PointsReaderFactory(
     required: StructType,
@@ -409,8 +452,14 @@ final class PointsPartitionReader(
 
   private val p = new Path(part.file)
   private val in = p.getFileSystem(new Configuration()).open(p)
-  private val reader = new java.io.BufferedReader(
-    new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+  private val end = part.start + part.length
+  private var pos = part.start
+  if (part.start > 0) in.seek(part.start)
+  private val reader = new org.apache.hadoop.util.LineReader(in)
+  private val text = new org.apache.hadoop.io.Text()
+  // a mid-file range starts inside some line: skip it — the previous
+  // range reads one line past its own end, so that line is theirs
+  if (part.start > 0) pos += reader.readLine(text)
 
   // compile the pushed filters once into primitive predicates
   private val preds: Array[(Double, Double) => Boolean] = pushed.map { f =>
@@ -430,9 +479,14 @@ final class PointsPartitionReader(
   private var current: InternalRow = _
 
   override def next(): Boolean = {
-    var line = reader.readLine()
-    while (line != null) {
-      val t = line.trim
+    // Hadoop ownership rule: keep reading while the NEXT line begins
+    // at or before `end` (so the line straddling the boundary is ours;
+    // the next range discards it as its partial first line)
+    while (pos <= end) {
+      val len = reader.readLine(text)
+      if (len == 0) return false // EOF
+      pos += len
+      val t = text.toString.trim
       if (t.nonEmpty) {
         val comma = t.indexOf(',')
         if (comma > 0) {
@@ -452,7 +506,6 @@ final class PointsPartitionReader(
           }
         }
       }
-      line = reader.readLine()
     }
     false
   }
