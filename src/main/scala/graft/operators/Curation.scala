@@ -428,7 +428,13 @@ object Curation {
       .persist()
     try {
       q.count() // materialize once; train + score both read the cache
-      val med = q.agg(expr("percentile(quality, 0.5)")).head().getDouble(0)
+      // weak-label threshold: a median is a THRESHOLD here, not a
+      // reported statistic — the GK sketch (bounded memory, mergeable)
+      // replaces exact percentile's buffer-every-value, which is an
+      // OOM hazard at 100 TB partition sizes; rank error 0.1% moves
+      // the label boundary by ~0.1% of docs, noise for a weak labeler
+      val med = q.agg(expr("approx_percentile(quality, 0.5, 1000)"))
+        .head().getDouble(0)
       val labeled = q.withColumn("label", (col("quality") >= med).cast("double"))
       val model = new LogisticRegression().setMaxIter(50).setRegParam(0.0)
         .setFeaturesCol("features").setLabelCol("label")
@@ -907,8 +913,11 @@ object Curation {
     val q = qualityInputs(docs)
       .filter(col("n_chars") > 0 && col("n_tokens") > 0)
       .select(col("doc_id"), qualityCol.as("quality"))
-    // exact median quality cut defines the in-domain target corpus
-    val med = q.agg(expr("percentile(quality, 0.5)")).collect()(0).getDouble(0)
+    // approx median quality cut defines the in-domain target corpus —
+    // a selection threshold, not a statistic: the GK sketch is
+    // bounded-memory where exact percentile buffers the corpus
+    val med = q.agg(expr("approx_percentile(quality, 0.5, 1000)"))
+      .collect()(0).getDouble(0)
     val isTarget = q.select(col("doc_id"), (col("quality") >= med).as("is_t"))
     val counts = dsirDocFeatures(docs)
       .join(isTarget, "doc_id")

@@ -103,7 +103,14 @@ object Dedup {
     // The pair plan is typically an expensive LSH self-join and feeds
     // three subtrees below (both id projections + the intersection
     // join) — materialize it once instead of replanning it per branch.
-    val p = pairs.select(col("id1"), col("id2")).localCheckpoint(eager = true)
+    // DISTINCT is load-bearing: LSH candidates arrive once per
+    // colliding band, and a duplicated pair row multiplies the
+    // intersection count below — inter > n1+n2 makes the union
+    // denominator negative and silently rejects every true pair
+    // (stream_dedup_indexed returned 0 rows for exactly this reason
+    // until a planted cross-batch duplicate exposed it).
+    val p = pairs.select(col("id1"), col("id2")).distinct()
+      .localCheckpoint(eager = true)
     // Candidate ids are small BY LSH CONSTRUCTION (only colliding
     // buckets pair up); the corpus is not. Everything broadcast below
     // must therefore be restricted to candidate ids FIRST — a
@@ -784,6 +791,25 @@ object Dedup {
     * Test-pinned equal to the batch cross-only path on the same
     * split.
     */
+  /** The streamed increment PLUS one planted cross-batch near-dup of
+    * the lowest-id corpus document (append one token — Jaccard stays
+    * well above 0.8 on any multi-word text): the cross-vs-corpus path
+    * then emits at least one verified pair at EVERY SF, so the
+    * correctness gate exercises the full index-join → verify → sink
+    * path instead of passing vacuously on 0 rows. Shared with the
+    * spec's batch-parity pin, which plants the same document.
+    */
+  private[graft] val PlantedStreamDocId = 900000000L
+  private[graft] def plantedIncrement(docs: DataFrame, split: Long): DataFrame = {
+    val planted = docs.orderBy(col("doc_id")).limit(1)
+      .select(lit(PlantedStreamDocId).as("doc_id"),
+        concat_ws(" ", col("text"), lit("mirrored")).as("text"),
+        col("lang"), col("source"), (col("n_chars") + 9).as("n_chars"))
+    docs.filter(col("doc_id") >= split)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .unionAll(planted)
+  }
+
   val streamDedupIndexed: QueryDef =
     QueryDef.rowsOnly("stream_dedup_indexed") { (s, d) =>
       val docs = Tables.documents(s, d)
@@ -793,7 +819,7 @@ object Dedup {
       val tmp = java.nio.file.Files.createTempDirectory("graft_stream_idx")
       try {
         val srcDir = s"$tmp/src"; val sinkDir = s"$tmp/sink"
-        docs.filter(col("doc_id") >= split).repartition(2)
+        plantedIncrement(docs, split).repartition(2)
           .write.parquet(srcDir)
         val stream = s.readStream
           .schema(graft.streaming.EventStreams.docsSchema)

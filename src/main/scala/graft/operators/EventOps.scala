@@ -2749,10 +2749,17 @@ object EventOps {
         to_date(lit("1992-01-01"))).cast("int")))
       .collect()(0).getInt(0)
     // cohort with a full observation window: first week ≥ horizon
-    // weeks before the corpus end, so censoring only happens AT T
+    // weeks before the corpus end, so censoring only happens AT T.
+    // Churn-period mapping: a streak of s active days means the user
+    // was retained through periods 1..s−1 and churned IN period s
+    // (silent on day s) — t = streak, NOT streak+1: the first active
+    // day is in the streak by construction (streak ≥ 1 always), so a
+    // +1 shift would make the sBG likelihood's t=1 term structurally
+    // zero and phase-shift observed_s vs fitted S(t) by one period.
+    // Survivors past the horizon are censored at t = horizon+1.
     val counts = weeks
       .filter(col("w0") <= maxWk - horizon)
-      .withColumn("t", least(col("streak") + 1, lit(horizon + 1)).cast("int"))
+      .withColumn("t", least(col("streak"), lit(horizon + 1)).cast("int"))
       .groupBy(col("t")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val total = counts.values.sum.toDouble

@@ -180,9 +180,14 @@ object Linkage {
     * FP-Growth's rule generation, confidence = freq(A∪B)/freq(A),
     * lift = confidence/support(B). Top-100 by (confidence, lift,
     * antecedent, consequent) — a total order, so the cut is
-    * deterministic even where confidences tie. Rows-only (the rule
-    * scores are ratios of exact counts, but the itemset model is
-    * MLlib-internal); bounds + a directly recounted
+    * deterministic even where confidences tie. The confidence floor
+    * is 0.01: baskets here are wide (an order spans many parts), so
+    * antecedent frequencies dwarf pair frequencies and rule
+    * confidences sit in the few-percent range at EVERY SF — a 0.3
+    * floor returns zero rules at verify scale, making the gate
+    * vacuous; the top-100 cut, not the floor, bounds the output.
+    * Rows-only (the rule scores are ratios of exact counts, but the
+    * itemset model is MLlib-internal); bounds + a directly recounted
     * confidence-spot-check pinned in ScalaTest.
     */
   val miningAssoc: QueryDef = QueryDef.rowsOnly("mining_assoc") { (s, d) =>
@@ -193,7 +198,7 @@ object Linkage {
     val nBaskets = baskets.count()
     val model = new FPGrowth()
       .setItemsCol("items").setMinSupport((3.0 - 0.5) / nBaskets)
-      .setMinConfidence(0.3)
+      .setMinConfidence(0.01)
       .fit(baskets)
     model.associationRules
       .select(
@@ -754,14 +759,19 @@ object Linkage {
         (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("y"))
       .persist()
     try {
-      // candidate grid: exact per-feature deciles + the base score,
-      // ONE aggregate over the persisted training frame
+      // candidate grid: per-feature APPROXIMATE deciles + the base
+      // score, ONE aggregate over the persisted training frame.
+      // Candidates need coverage of the feature range, not exactness
+      // — and exact `percentile` buffers every value per partition
+      // (an OOM hazard at 100 TB partition sizes), while the
+      // Greenwald-Khanna sketch is bounded-memory and mergeable.
+      // accuracy=1000 → rank error ≤ 0.1% of n, far inside a decile.
       val decs = (1 to 9).map(_ / 10.0)
       val qRow = li.agg(
         avg(col("y")).as("base"),
-        expr(s"percentile(ep, array(${decs.mkString(",")}))").as("ep"),
-        expr(s"percentile(disc, array(${decs.mkString(",")}))").as("disc"),
-        expr(s"percentile(qty, array(${decs.mkString(",")}))").as("qty"))
+        expr(s"approx_percentile(ep, array(${decs.mkString(",")}), 1000)").as("ep"),
+        expr(s"approx_percentile(disc, array(${decs.mkString(",")}), 1000)").as("disc"),
+        expr(s"approx_percentile(qty, array(${decs.mkString(",")}), 1000)").as("qty"))
         .collect()(0)
       val base = qRow.getDouble(0)
       val thr: Map[String, Seq[Double]] =
@@ -977,17 +987,27 @@ object Linkage {
     val (mx, sx, my, sy) = (m.getDouble(0), m.getDouble(1), m.getDouble(2),
       m.getDouble(3))
     val pts = raw.select(((col("x") - mx) / sx).as("x"),
-      ((col("y") - my) / sy).as("y")).persist()
+      ((col("y") - my) / sy).as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      import s.implicits._
       val ab = scala.collection.mutable.Map(QrTaus.map(t => t -> (0.0, 0.0)): _*)
+      // the step's (a, b) enter as DATA (a broadcast one-row frame),
+      // not literals: every step's plan generates byte-identical code,
+      // so janino compiles the subgradient aggregate ONCE and the 29
+      // remaining steps hit the codegen cache instead of paying a
+      // fresh compile per step
       for (_ <- 1 to QrSteps) {
-        val gcols = QrTaus.flatMap { t =>
-          val (a, b) = ab(t)
-          val below = col("y") < lit(a) + lit(b) * col("x")
+        val coefs = broadcast(Seq(QrTaus.map(ab).flatMap(p => Seq(p._1, p._2)))
+          .toDF("c"))
+        val gcols = QrTaus.zipWithIndex.flatMap { case (t, i) =>
+          val below =
+            col("y") < element_at(col("c"), 2 * i + 1) +
+              element_at(col("c"), 2 * i + 2) * col("x")
           val g = when(below, 1.0 - t).otherwise(-t)
           Seq(avg(g).as(s"ga_$t"), avg(g * col("x")).as(s"gb_$t"))
         }
-        val r = pts.agg(gcols.head, gcols.tail: _*).collect()(0)
+        val r = pts.crossJoin(coefs).agg(gcols.head, gcols.tail: _*).collect()(0)
         QrTaus.zipWithIndex.foreach { case (t, i) =>
           val (a, b) = ab(t)
           ab(t) = (a - QrLr * r.getDouble(2 * i), b - QrLr * r.getDouble(2 * i + 1))

@@ -884,16 +884,16 @@ object Profile {
       .filter(col("dist") <= h)
       .select(col("a"), col("b"), col("dist"))
     // cap the ball at the k nearest (deterministic (dist, b) tie-break)
-    // with a per-point window over the slim (a, b, dist) relation —
-    // ONE exchange of ~πc·n 24-byte rows; c is sized so the sort fits
-    // execution memory (c=16 spilled ~1 GB at sf0.1, c=4 doesn't and
-    // the expected ball of ~12 still holds k=5 with margin). The k·n-
-    // row result is checkpointed ONCE for its three consumers
-    // (kdist, reach, lof) so the grid-pair stage never re-runs.
-    val wk = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("a")).orderBy(col("dist"), col("b"))
-    val knn = pairs.withColumn("rk", row_number().over(wk))
-      .filter(col("rk") <= k)
+    // with the NATIVE TopKPerKey operator over the slim (a, b, dist)
+    // relation: the window spelling sorts every per-point partition's
+    // full pair list only to discard all but k rows — TopKPerKey keeps
+    // a bounded k-row buffer per key on the map side, so the one
+    // exchange carries O(k·n) survivors instead of the ~πc·n candidate
+    // pairs, and NO sort runs anywhere. The k·n-row result is
+    // checkpointed ONCE for its three consumers (kdist, reach, lof)
+    // so the grid-pair stage never re-runs.
+    val knn = org.apache.spark.sql.graft.TopKOps.topKPerKey(
+        pairs, Seq(col("a")), Seq(col("dist").asc, col("b").asc), k)
       .select(col("a"), col("b"), col("dist"))
       .localCheckpoint(true)
     val kdist = knn.groupBy(col("a"))

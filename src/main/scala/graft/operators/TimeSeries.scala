@@ -2092,44 +2092,61 @@ object TimeSeries {
     * depth-1 agreement with ts_cusum's argmax, segment-partition
     * validity, and the significance rule.
     */
+  /** The binary-segmentation recursion, shared with the spec's
+    * planted-changepoint fixture: returns (split day, depth, |CUSUM|
+    * statistic, accepted). Accepted splits recurse into both halves;
+    * a depth-1 segment whose best candidate FAILS the significance/
+    * interiority rule still emits that candidate with accepted=false
+    * — a quiet series produces a checkable "best split rejected"
+    * row instead of an empty (vacuously green) result.
+    */
+  private[graft] def binsegSplits(series: Array[(java.sql.Timestamp, Double)])
+      : Seq[(java.sql.Timestamp, Int, Double, Boolean)] = {
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(java.sql.Timestamp, Int, Double, Boolean)]
+    def recurse(lo: Int, hi: Int, depth: Int): Unit = {
+      val len = hi - lo
+      if (depth <= 3 && len >= 14) {
+        val xs = series.slice(lo, hi).map(_._2)
+        val mu = xs.sum / len
+        val sd = math.sqrt(xs.map(x => (x - mu) * (x - mu)).sum / (len - 1))
+        if (sd > 0) {
+          var s = 0.0
+          var best = -1
+          var bestAbs = 0.0
+          for (i <- 0 until len - 1) { // a split AFTER the last point is no split
+            s += (xs(i) - mu) / sd
+            if (math.abs(s) > bestAbs) { bestAbs = math.abs(s); best = i }
+          }
+          val stat = bestAbs / math.sqrt(len.toDouble)
+          if (best >= 6 && best < len - 7 && stat > 1.358) {
+            out += ((series(lo + best)._1, depth,
+              math.floor(stat * 1e4 + 0.5) / 1e4, true))
+            recurse(lo, lo + best + 1, depth + 1)
+            recurse(lo + best + 1, hi, depth + 1)
+          } else if (depth == 1 && best >= 0) {
+            out += ((series(lo + best)._1, depth,
+              math.floor(stat * 1e4 + 0.5) / 1e4, false))
+          }
+        }
+      }
+    }
+    recurse(0, series.length, 1)
+    out.toSeq
+  }
+
   val tsCpdBinseg: QueryDef = QueryDef.rowsOnly("ts_cpd_binseg") { (s, d) =>
     val daily = Tables.events(s, d)
       .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
       .agg(count(lit(1)).as("n")).collect()
       .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
       .groupBy(_._1)
-    val out = scala.collection.mutable.ArrayBuffer.empty[(String, java.sql.Timestamp, Int, Double)]
-    daily.foreach { case (tpe, rows) =>
-      val series = rows.sortBy(_._2.getTime).map(t => (t._2, t._3.toDouble))
-      def recurse(lo: Int, hi: Int, depth: Int): Unit = {
-        val len = hi - lo
-        if (depth <= 3 && len >= 14) {
-          val xs = series.slice(lo, hi).map(_._2)
-          val mu = xs.sum / len
-          val sd = math.sqrt(xs.map(x => (x - mu) * (x - mu)).sum / (len - 1))
-          if (sd > 0) {
-            var s = 0.0
-            var best = -1
-            var bestAbs = 0.0
-            for (i <- 0 until len - 1) { // a split AFTER the last point is no split
-              s += (xs(i) - mu) / sd
-              if (math.abs(s) > bestAbs) { bestAbs = math.abs(s); best = i }
-            }
-            val stat = bestAbs / math.sqrt(len.toDouble)
-            if (best >= 6 && best < len - 7 && stat > 1.358) {
-              out += ((tpe, series(lo + best)._1, depth,
-                math.floor(stat * 1e4 + 0.5) / 1e4))
-              recurse(lo, lo + best + 1, depth + 1)
-              recurse(lo + best + 1, hi, depth + 1)
-            }
-          }
-        }
-      }
-      recurse(0, series.length, 1)
+    val out = daily.toSeq.flatMap { case (tpe, rows) =>
+      val series = rows.sortBy(_._2.getTime).map(t => (t._2, t._3.toDouble)).toArray
+      binsegSplits(series).map(t => (tpe, t._1, t._2, t._3, t._4))
     }
     import s.implicits._
-    out.toSeq.map(t => (t._1, t._2, t._3, t._4))
-      .toDF("event_type", "changepoint_day", "depth", "norm_stat")
+    out.toDF("event_type", "changepoint_day", "depth", "norm_stat", "accepted")
       .orderBy(col("event_type"), col("changepoint_day"))
   }
 
@@ -2257,29 +2274,33 @@ object TimeSeries {
     val daily = Tables.events(s, d)
       .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
       .agg(count(lit(1)).cast("double").as("n"))
-    val lagged = (1 to lags).foldLeft(daily) { (df, k) =>
-      df.withColumn(s"l$k", lag(col("n"), k).over(w))
+    // center FIRST (per-type mean via a broadcast O(types) join), so
+    // the lagged products give the EXACT textbook sample
+    // autocorrelation r_k = Σ_{t>k} x̃_t·x̃_{t−k} / Σ x̃² — the earlier
+    // uncentered large-n shortcut dropped edge-mean terms of O(k/n),
+    // visible at ~100 daily points with lags to 10
+    val mus = daily.groupBy(col("event_type"))
+      .agg(avg(col("n")).as("mu"))
+    val centered = daily.join(broadcast(mus), "event_type")
+      .withColumn("xc", col("n") - col("mu"))
+    val lagged = (1 to lags).foldLeft(centered) { (df, k) =>
+      df.withColumn(s"l$k", lag(col("xc"), k).over(w))
     }
-    // per type: n, mean, raw second moment, and the ten lagged
-    // cross products — one aggregate, everything partial-agg
-    val aggCols = Seq(count(lit(1)).as("cnt"), avg(col("n")).as("mu"),
-      sum(col("n") * col("n")).as("s0")) ++
-      (1 to lags).map(k => sum(col("n") * col(s"l$k")).as(s"s$k"))
+    // per type: n, Σx̃² and the ten lagged cross products (sum skips
+    // null lag products, so each s_k is exactly Σ_{t>k}) — one
+    // aggregate, everything partial-agg
+    val aggCols = Seq(count(lit(1)).as("cnt"),
+      sum(col("xc") * col("xc")).as("s0")) ++
+      (1 to lags).map(k => sum(col("xc") * col(s"l$k")).as(s"s$k"))
     val rows = lagged.groupBy(col("event_type"))
       .agg(aggCols.head, aggCols.tail: _*).collect()
     import s.implicits._
     rows.map { r =>
       val tpe = r.getString(0)
       val cnt = r.getLong(1).toDouble
-      val mu = r.getDouble(2)
-      val s2 = r.getDouble(3) - cnt * mu * mu // Σ(x−μ)² up to edge terms
-      // r_k via the standard large-n approximation on the same μ:
-      // Σ(x_t−μ)(x_{t−k}−μ) = Σ x_t·x_{t−k} − μ·(partial sums) ≈
-      // Σxx_k − (n−k)μ² when edge means ≈ μ (exactly replayed in the
-      // spec, which uses this same formula)
+      val s2 = r.getDouble(2) // Σ(x−μ)², exact
       val q = (1 to lags).map { k =>
-        val sk = r.getDouble(3 + k)
-        val rk = (sk - (cnt - k) * mu * mu) / s2
+        val rk = r.getDouble(2 + k) / s2
         rk * rk / (cnt - k)
       }.sum * cnt * (cnt + 2)
       // χ² upper tail for EVEN df has the closed form

@@ -943,12 +943,46 @@ object SourceOps {
       .orderBy(col("day"))
   }
 
+  /** MICRO-BATCH STREAMING read through the V2 connector: the same
+    * directory, parser, pushed filter and byte-range splitter as the
+    * batch scan, driven by the connector's own MicroBatchStream
+    * (checkpointed file-discovery log, maxFilesPerTrigger=1 → a real
+    * multi-batch run). Rows append to a parquet sink; the final
+    * aggregate over the sink must equal the batch answer — oracle =
+    * the originating lineitem relation under the same predicate.
+    */
+  val srcPointsV2Stream: QueryDef = QueryDef.sql(
+    "src_points_v2_stream",
+    """SELECT count(*) AS n, round(sum(l_quantity), 2) AS sum_x
+      |FROM lineitem WHERE l_quantity > 25""".stripMargin) { (s, d) =>
+    val srcDir = tmpDir("points_v2_stream_src")
+    val sinkDir = tmpDir("points_v2_stream_sink")
+    val chkDir = tmpDir("points_v2_stream_chk")
+    Seq(sinkDir, chkDir).foreach { p =>
+      val f = new java.io.File(p)
+      if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
+    }
+    Tables.lineitem(s, d)
+      .select(concat_ws(",", col("l_quantity"), col("l_extendedprice")).as("value"))
+      .repartition(2) // two files → two triggers under maxFilesPerTrigger=1
+      .write.mode("overwrite").text(srcDir)
+    val stream = s.readStream.format(graft.sources.v2.PointsSourceV2.format)
+      .option("path", srcDir).option("maxFilesPerTrigger", "1").load()
+      .filter(col("x") > 25).select(col("x"))
+    val q = stream.writeStream.outputMode("append").format("parquet")
+      .option("checkpointLocation", chkDir).option("path", sinkDir).start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(sinkDir)
+      .agg(count(lit(1)).as("n"), round(sum(col("x")), 2).as("sum_x"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     srcPartitionOverwrite,
     srcTextPoints, srcCsvRoundtrip, srcJsonRoundtrip, srcPartitionedScan,
     srcOrcRoundtrip, srcZorderScan, srcCompactSmallFiles, srcSchemaEvolution,
     srcCsvMalformed, srcBinaryFiles, srcIgnoreCorrupt, srcDateDim,
-    srcPointsV2, srcPointsV2Roundtrip, srcPointsV2Agg, srcManifestScan, srcGdprDelete,
+    srcPointsV2, srcPointsV2Roundtrip, srcPointsV2Agg, srcPointsV2Stream,
+    srcManifestScan, srcGdprDelete,
     srcBloomFilterScan, srcMorRead, srcNestedParquet, srcTimeTravel,
     srcHilbertScan)
 }

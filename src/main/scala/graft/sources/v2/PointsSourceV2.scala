@@ -67,6 +67,33 @@ object PointsSourceV2 {
     StructField("y", DoubleType, nullable = false)))
 
   val format: String = classOf[PointsSourceV2].getName
+
+  /** Byte-range splits over a file list, shared by the batch scan and
+    * the micro-batch stream: target = min(maxPartitionBytes,
+    * max(openCostInBytes, totalBytes/cores)) — Spark's FilePartition
+    * sizing rule — overridable via `spark.graft.points.splitBytes`.
+    */
+  def splitRanges(fileList: Seq[(String, Long)]): Array[InputPartition] = {
+    val session = org.apache.spark.sql.SparkSession.active
+    def bytesConf(key: String, dflt: String): Long =
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        session.conf.get(key, dflt))
+    val openCost = bytesConf("spark.sql.files.openCostInBytes", "4MB")
+    val maxSplit = session.conf.getOption("spark.graft.points.splitBytes")
+      .map(_.toLong).getOrElse {
+        val maxPB = bytesConf("spark.sql.files.maxPartitionBytes", "128MB")
+        val parallelism =
+          math.max(1, session.sparkContext.defaultParallelism)
+        val totalBytes = fileList.map(_._2 + openCost).sum
+        math.min(maxPB, math.max(openCost, totalBytes / parallelism))
+      }
+    fileList.flatMap { case (f, len) =>
+      if (len <= 0) Seq(PointsFilePartition(f, 0L, 0L))
+      else (0L until len by math.max(1L, maxSplit)).map { off =>
+        PointsFilePartition(f, off, math.min(maxSplit, len - off))
+      }
+    }.map(p => p: InputPartition).toArray
+  }
 }
 
 final class PointsV2Table(path: String) extends Table
@@ -75,9 +102,11 @@ final class PointsV2Table(path: String) extends Table
   override def schema(): StructType = PointsSourceV2.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PointsV2ScanBuilder(path)
+    new PointsV2ScanBuilder(path,
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new PointsV2WriteBuilder(path, info)
 }
@@ -188,7 +217,8 @@ object PushedAggFunc {
 final case class PushedAgg(groupBy: Array[String], funcs: Array[PushedAggFunc])
     extends Serializable
 
-final class PointsV2ScanBuilder(path: String)
+final class PointsV2ScanBuilder(path: String,
+    maxFilesPerTrigger: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
@@ -272,7 +302,7 @@ final class PointsV2ScanBuilder(path: String)
             case (_, i) => StructField(s"agg_$i", DoubleType)
           })
     }
-    new PointsV2Scan(path, schema, pushed, agg)
+    new PointsV2Scan(path, schema, pushed, agg, maxFilesPerTrigger)
   }
 }
 
@@ -280,10 +310,25 @@ final class PointsV2Scan(
     path: String,
     required: StructType,
     pushed: Array[Filter],
-    agg: Option[PushedAgg] = None)
+    agg: Option[PushedAgg] = None,
+    maxFilesPerTrigger: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  /** Micro-batch streaming read over the same directory: the file
+    * list is the log (files are immutable once committed — the same
+    * assumption Spark's own FileStreamSource makes), an offset is a
+    * position in the name-sorted file list, and each trigger plans
+    * the files in (start, end] through the SAME byte-range splitter
+    * and pushed-filter parser the batch path uses — projection and
+    * filter pushdown apply to the stream for free. `maxFilesPerTrigger`
+    * bounds ingest per batch (admission control for backlog catch-up).
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new PointsMicroBatchStream(path, required, pushed, maxFilesPerTrigger,
+      checkpointLocation)
 
   override def description(): String =
     s"graft-points path=$path, PushedFilters: [${pushed.mkString(", ")}], " +
@@ -310,31 +355,11 @@ final class PointsV2Scan(
     * On a laptop-scale corpus this yields a handful of multi-MB
     * ranges; at 100 TB it converges to maxPartitionBytes (128 MB)
     * ranges — the same curve the built-in file sources follow. An
-    * explicit `split_bytes` conf (`spark.graft.points.splitBytes`)
-    * overrides for tests.
+    * explicit `spark.graft.points.splitBytes` conf overrides for
+    * tests.
     */
-  override def planInputPartitions(): Array[InputPartition] = {
-    val fileList = files()
-    val session = org.apache.spark.sql.SparkSession.active
-    def bytesConf(key: String, dflt: String): Long =
-      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-        session.conf.get(key, dflt))
-    val openCost = bytesConf("spark.sql.files.openCostInBytes", "4MB")
-    val maxSplit = session.conf.getOption("spark.graft.points.splitBytes")
-      .map(_.toLong).getOrElse {
-        val maxPB = bytesConf("spark.sql.files.maxPartitionBytes", "128MB")
-        val parallelism =
-          math.max(1, session.sparkContext.defaultParallelism)
-        val totalBytes = fileList.map(_._2 + openCost).sum
-        math.min(maxPB, math.max(openCost, totalBytes / parallelism))
-      }
-    fileList.flatMap { case (f, len) =>
-      if (len <= 0) Seq(PointsFilePartition(f, 0L, 0L))
-      else (0L until len by math.max(1L, maxSplit)).map { off =>
-        PointsFilePartition(f, off, math.min(maxSplit, len - off))
-      }
-    }.map(p => p: InputPartition).toArray
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    PointsSourceV2.splitRanges(files())
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PointsReaderFactory(required, pushed, agg)
@@ -344,6 +369,100 @@ final class PointsV2Scan(
     override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(total)
     override def numRows(): util.OptionalLong = util.OptionalLong.empty()
   }
+}
+
+final case class PointsStreamOffset(n: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = n.toString
+}
+
+/** Micro-batch stream over an append-only directory of "x,y" text
+  * files — the connector's always-on front door.
+  *
+  * The DISCOVERY LOG is the source of truth: file names (with their
+  * frozen lengths) are appended to a log in the query's checkpoint
+  * directory in first-seen order, and an offset is a count of log
+  * entries. This is the FileStreamSource discipline — a bare sorted
+  * directory listing is NOT a valid log because a late file can sort
+  * into the already-consumed prefix and silently shift every replayed
+  * batch; the log pins each batch's file set forever, so restart
+  * replays are exact. Files are assumed immutable once visible (the
+  * two-phase-commit writer guarantees it: part files appear only
+  * after their task commits, `_`-prefixed staging is ignored).
+  *
+  * Each trigger admits at most `maxFilesPerTrigger` unseen files
+  * (backlog admission control), and every planned batch runs through
+  * the same byte-range splitter and pushed-filter parser as the batch
+  * scan — projection/filter pushdown apply to the stream for free.
+  */
+final class PointsMicroBatchStream(
+    path: String,
+    required: StructType,
+    pushed: Array[Filter],
+    maxFilesPerTrigger: Option[Int],
+    checkpointLocation: String)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private val conf = new Configuration()
+  private val logFile = new Path(checkpointLocation, "graft_points_file_log")
+  private val logFs = logFile.getFileSystem(conf)
+
+  private def readLog(): Vector[(String, Long)] =
+    if (!logFs.exists(logFile)) Vector.empty
+    else {
+      val in = logFs.open(logFile)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty)
+        .map { l => val i = l.indexOf('\t'); (l.substring(i + 1), l.substring(0, i).toLong) }
+        .toVector
+      finally in.close()
+    }
+
+  private def writeLog(entries: Vector[(String, Long)]): Unit = {
+    val out = logFs.create(logFile, true)
+    try entries.foreach { case (f, len) =>
+      out.write(s"$len\t$f\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } finally out.close()
+  }
+
+  private def listFiles(): Seq[(String, Long)] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toIndexedSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+        && !s.getPath.getName.startsWith("."))
+      .map(s => (s.getPath.toString, s.getLen))
+      .sortBy(_._1)
+  }
+
+  override def latestOffset(): Offset = {
+    val log = readLog()
+    val seen = log.map(_._1).toSet
+    val unseen = listFiles().filterNot(f => seen(f._1))
+    val admitted = maxFilesPerTrigger.fold(unseen)(m => unseen.take(m))
+    if (admitted.nonEmpty) writeLog(log ++ admitted)
+    PointsStreamOffset(log.length + admitted.length)
+  }
+
+  override def initialOffset(): Offset = PointsStreamOffset(0)
+
+  override def deserializeOffset(json: String): Offset =
+    PointsStreamOffset(json.trim.toInt)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[PointsStreamOffset].n
+    val e = end.asInstanceOf[PointsStreamOffset].n
+    PointsSourceV2.splitRanges(readLog().slice(s, e))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PointsReaderFactory(required, pushed, None)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 /** A byte range [start, start+length) of one file. Line ownership

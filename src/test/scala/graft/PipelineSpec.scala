@@ -111,7 +111,9 @@ class DedupSpec extends AnyFunSuite {
     val split = Dedup.incrementSplit(docs)
     val corpus = docs.filter(col("doc_id") < split)
     val idx = Dedup.dedupIndexDir(spark, sf, corpus)
-    val incSh = Dedup.shinglesHashed(docs.filter(col("doc_id") >= split))
+    // the batch side plants the SAME cross-batch near-dup the stream
+    // ingests, so parity also covers the planted pair
+    val incSh = Dedup.shinglesHashed(Dedup.plantedIncrement(docs, split))
     val expected = Dedup.jaccardVerify(
       Dedup.shinglesHashed(corpus).union(incSh),
       Dedup.incrementCrossCandidates(spark.read.parquet(idx),
@@ -121,6 +123,9 @@ class DedupSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(streamed == expected,
       s"diff=${streamed.diff(expected) ++ expected.diff(streamed)}")
+    // the planted near-dup is recovered: the gate is never vacuous
+    assert(streamed.exists(_._2 == Dedup.PlantedStreamDocId),
+      s"planted cross-batch duplicate not found in $streamed")
   }
 
   test("ivf-bucketed embedding near-dup finds every planted duplicate") {

@@ -638,8 +638,17 @@ class Round5nOpsSpec extends AnyFunSuite {
   test("ts_cpd_binseg: depth-1 agrees with ts_cusum, significance rule holds") {
     import graft.operators.TimeSeries
     import graft.sources.Tables
-    val out = TimeSeries.tsCpdBinseg.fn(spark, sf).collect()
-      .map(r => (r.getString(0), r.getTimestamp(1), r.getInt(2), r.getDouble(3)))
+    val all = TimeSeries.tsCpdBinseg.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getInt(2), r.getDouble(3),
+        r.getBoolean(4)))
+    // never vacuous: every type emits at least its depth-1 best
+    // candidate (accepted or rejected)
+    assert(all.nonEmpty, "binseg must emit a row per type even with no change")
+    all.filter(!_._5).foreach { case (_, _, depth, stat, _) =>
+      assert(depth == 1, "rejected candidates are only reported at depth 1")
+      assert(stat >= 0.0, s"rejected row must carry its statistic: $stat")
+    }
+    val out = all.filter(_._5).map(t => (t._1, t._2, t._3, t._4))
     out.foreach { case (_, _, depth, stat) =>
       assert(depth >= 1 && depth <= 3)
       assert(stat > 1.358, s"reported split below the significance bound: $stat")
@@ -672,8 +681,35 @@ class Round5nOpsSpec extends AnyFunSuite {
         val stat = bestAbs / math.sqrt(len.toDouble)
         assert(stat <= 1.358 || best < 6 || best >= len - 7,
           s"$tpe: significant interior split exists but was not reported")
+        // the rejected row still reports the argmax candidate
+        val rejected = all.filter(t => t._1 == tpe && !t._5)
+        assert(rejected.length == 1, s"$tpe: expected one rejected-best row")
+        assert(rejected.head._2 == series(best)._1,
+          s"$tpe rejected candidate disagrees with the CUSUM argmax")
       }
     }
+  }
+
+  test("ts_cpd_binseg: planted level shift found at the exact boundary; flat series rejects") {
+    import graft.operators.TimeSeries
+    val day0 = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")
+    def day(i: Int) = new java.sql.Timestamp(day0.getTime + i * 86400000L)
+    // 60 days at level 10, then 60 at level 30, mild deterministic ripple
+    val series = (0 until 120).map { i =>
+      val level = if (i < 60) 10.0 else 30.0
+      (day(i), level + (i % 5) * 0.1)
+    }.toArray
+    val res = TimeSeries.binsegSplits(series)
+    val depth1 = res.filter(t => t._4 && t._2 == 1)
+    assert(depth1.length == 1, s"planted shift must be detected once: $res")
+    assert(depth1.head._1 == day(59),
+      s"split at ${depth1.head._1}, want ${day(59)} (last day of regime 1)")
+    assert(depth1.head._3 > 1.358)
+    // a flat (rippled) series yields exactly one rejected depth-1 row
+    val flat = (0 until 60).map(i => (day(i), 5.0 + (i % 3) * 0.01)).toArray
+    val flatRes = TimeSeries.binsegSplits(flat)
+    assert(flatRes.length == 1 && !flatRes.head._4 && flatRes.head._2 == 1,
+      s"flat series must emit one rejected candidate: $flatRes")
   }
 
   // ---- events_attribution_markov --------------------------------------------
@@ -1102,10 +1138,11 @@ class Round5nOpsSpec extends AnyFunSuite {
       val xs = rows.sortBy(_._2).map(_._3)
       val n = xs.length.toDouble
       val mu = xs.sum / n
-      val s2 = xs.map(x => x * x).sum - n * mu * mu
+      // exact textbook sample autocorrelation on the CENTERED series
+      val xc = xs.map(_ - mu)
+      val s2 = xc.map(x => x * x).sum
       val q = (1 to 10).map { k =>
-        val sk = xs.drop(k).zip(xs.dropRight(k)).map(t => t._1 * t._2).sum
-        val rk = (sk - (n - k) * mu * mu) / s2
+        val rk = xc.drop(k).zip(xc.dropRight(k)).map(t => t._1 * t._2).sum / s2
         rk * rk / (n - k)
       }.sum * n * (n + 2)
       val (nd, gq, gp, rej) = out(tpe)

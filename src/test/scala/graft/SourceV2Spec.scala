@@ -166,6 +166,41 @@ class SourceV2Spec extends AnyFunSuite {
       s"empty aggregate must be (0, null), got $r")
   }
 
+  test("micro-batch stream: discovery log, multi-trigger ingest, late file admitted") {
+    val root = java.nio.file.Files.createTempDirectory("v2stream").toString
+    val srcDir = s"$root/src"; val sinkDir = s"$root/sink"; val chk = s"$root/chk"
+    val pts = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+    import org.apache.spark.sql.functions.concat_ws
+    pts.limit(2000).select(concat_ws(",", col("x"), col("y")).as("value"))
+      .repartition(2).write.mode("overwrite").text(srcDir)
+    val stream = spark.readStream
+      .format(graft.sources.v2.PointsSourceV2.format)
+      .option("path", srcDir).option("maxFilesPerTrigger", "1").load()
+      .filter(col("x") > 25).select(col("x"))
+    val q = stream.writeStream.outputMode("append").format("parquet")
+      .option("checkpointLocation", chk).option("path", sinkDir).start()
+    try {
+      q.processAllAvailable()
+      val firstBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(firstBatches >= 2,
+        s"maxFilesPerTrigger=1 over 2 files must take >= 2 non-empty triggers, got $firstBatches")
+      val expected1 = graft.sources.PointsText.read(spark, srcDir)
+        .filter(col("x") > 25).count()
+      assert(spark.read.parquet(sinkDir).count() == expected1)
+      // a LATE file lands after the stream started: the discovery log
+      // must admit it incrementally (never re-reading consumed files)
+      val late = new java.io.File(srcDir, "zzz_late.txt")
+      val w = new java.io.PrintWriter(late)
+      try { w.println("26,1.5"); w.println("30,2.5"); w.println("10,9.0") }
+      finally w.close()
+      q.processAllAvailable()
+      val total = spark.read.parquet(sinkDir).count()
+      assert(total == expected1 + 2, // 26 and 30 pass the pushed x>25; 10 doesn't
+        s"late file must add exactly its 2 passing rows: $total vs ${expected1 + 2}")
+    } finally q.stop()
+  }
+
   test("aggregate pushdown declines distinct and falls back to a plain scan") {
     val df = v2.agg(countDistinct(col("x")).as("nd"))
     val plan = df.queryExecution.executedPlan.toString
