@@ -1131,6 +1131,105 @@ object Graph {
       .orderBy(col("start"))
   }
 
+  /** node2vec-style SECOND-ORDER biased random walks (Grover &
+    * Leskovec, KDD 2016) — the walk generator behind the most widely
+    * deployed graph-embedding recipe, upgrading graph_walks' uniform
+    * chain with the return/in-out bias: from cur (arrived from prev),
+    * candidate n weighs 1/p if n = prev (return), 1 if n is adjacent
+    * to prev (stay in the neighborhood), 1/q otherwise (venture out).
+    * p = 1/4, q = 1/2 here → integer weight classes {4, 1, 2}.
+    *
+    * Sampling is EXACT and deterministic with no RNG state: each
+    * candidate is replicated `wclass` times (a 4-row broadcast
+    * replica dimension filtered k < wclass — discrete weighted
+    * sampling by enumeration), and the walk takes the candidate
+    * owning the argmin md5(step:start:cur:cand:k) — each replica is
+    * equally likely under the hash ordering, so P(cand) ∝ wclass,
+    * and every run / partitioning / engine replays the same walks
+    * (the DuckDB oracle replays the identical chain). Per step: one
+    * equality join to the symmetric edge list, one membership
+    * left-join against the undirected edge set for the distance-1
+    * test, one small non-equi broadcast join for replicas, one
+    * argmin aggregate — O(|V|·deg·4) rows a step, never corpus-sized;
+    * walk count and length are the knobs.
+    */
+  val graphNode2vec: QueryDef = QueryDef.sql(
+    "graph_node2vec", {
+      // NOTE: generated lines must never START with '|' — outer
+      // stripMargin would re-strip them (graph_walks convention).
+      val steps = (2 to 3).map { i =>
+        val prev = if (i == 2) "start" else s"s${i - 2}"
+        val cur = s"s${i - 1}"
+        val carried = ("start" +: (1 until i).map(j => s"s$j")).map(c => s"w.$c")
+          .mkString(", ")
+        s"""p$i AS (
+           |  SELECT $carried, s.n,
+           |    row_number() OVER (PARTITION BY w.start
+           |      ORDER BY md5(concat('$i', ':', CAST(w.start AS VARCHAR),
+           |                   ':', CAST(w.$cur AS VARCHAR),
+           |                   ':', CAST(s.n AS VARCHAR),
+           |                   ':', CAST(r.k AS VARCHAR))), s.n) AS rn
+           |  FROM w${i - 1} w
+           |  JOIN sym s ON s.c = w.$cur
+           |  LEFT JOIN ue e ON e.a = least(w.$prev, s.n)
+           |    AND e.b = greatest(w.$prev, s.n)
+           |  JOIN reps r ON r.k < (CASE WHEN s.n = w.$prev THEN 4
+           |                             WHEN e.a IS NOT NULL THEN 1
+           |                             ELSE 2 END)),
+           |w$i AS (SELECT * EXCLUDE (n, rn), n AS s$i FROM p$i WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ue AS MATERIALIZED ($undirectedSql),
+         |sym AS (SELECT a AS c, b AS n FROM ue UNION ALL SELECT b, a FROM ue),
+         |reps AS (SELECT unnest(generate_series(0, 3)) AS k),
+         |w0 AS (SELECT DISTINCT c AS start FROM sym),
+         |p1 AS (
+         |  SELECT w.start, s.n,
+         |    row_number() OVER (PARTITION BY w.start
+         |      ORDER BY md5(concat('1', ':', CAST(w.start AS VARCHAR),
+         |                   ':', CAST(s.n AS VARCHAR))), s.n) AS rn
+         |  FROM w0 w JOIN sym s ON s.c = w.start),
+         |w1 AS (SELECT start, n AS s1 FROM p1 WHERE rn = 1),
+         |""".stripMargin + steps +
+        "\nSELECT start, s1, s2, s3 FROM w3 ORDER BY start"
+    }) { (s, d) =>
+    val ue = undirectedNationEdges(s, d).cache()
+    val sym = ue.select(col("a").as("c"), col("b").as("n"))
+      .unionAll(ue.select(col("b").as("c"), col("a").as("n")))
+    // step 1: uniform argmin-hash (no prev yet)
+    var walk = sym.select(col("c").as("start")).distinct()
+      .join(sym, col("start") === col("c"))
+      .groupBy(col("start"))
+      .agg(min(struct(
+        md5(concat_ws(":", lit("1"), col("start").cast("string"),
+          col("n").cast("string"))).as("h"),
+        col("n").as("n"))).as("pick"))
+      .select(col("start"), col("pick.n").as("s1"))
+    val reps = s.range(4).select(col("id").as("k"))
+    for (i <- 2 to 3) {
+      val prevC = if (i == 2) col("start") else col(s"s${i - 2}")
+      val curC = col(s"s${i - 1}")
+      val keyCols = walk.columns.toIndexedSeq
+      walk = walk.join(sym, curC === col("c"))
+        .join(ue.select(col("a").as("ea"), col("b").as("eb")),
+          least(prevC, col("n")) === col("ea") &&
+            greatest(prevC, col("n")) === col("eb"), "left")
+        .withColumn("wclass",
+          when(col("n") === prevC, lit(4L))
+            .when(col("ea").isNotNull, lit(1L))
+            .otherwise(lit(2L)))
+        .join(broadcast(reps), col("k") < col("wclass"))
+        .groupBy(keyCols.map(col): _*)
+        .agg(min(struct(
+          md5(concat_ws(":", lit(i.toString), col("start").cast("string"),
+            curC.cast("string"), col("n").cast("string"),
+            col("k").cast("string"))).as("h"),
+          col("n").as("n"))).as("pick"))
+        .select(keyCols.map(col) :+ col("pick.n").as(s"s$i"): _*)
+    }
+    walk.select(col("start"), col("s1"), col("s2"), col("s3"))
+      .orderBy(col("start"))
+  }
+
   /** Directed reciprocity — the share of directed edges whose
     * reverse edge also exists (do nations that sell to X also buy
     * from X?): one equality self-join of the deduped directed edge
@@ -2122,8 +2221,12 @@ object Graph {
         .groupBy(col("node"))
         .agg(bit_or(col(mcols.head)).as(mcols.head),
           mcols.tail.map(m => bit_or(col(m)).as(m)): _*)
-      if (h % 3 == 0 || h == AnfRounds)
-        state = state.localCheckpoint(eager = true)
+        // checkpoint EVERY round, not every 3: the per-round N(h)
+        // aggregate below forces a full evaluation anyway, so an
+        // uncheckpointed round would be recomputed by the next one
+        // (1+2+3 round-executions between cuts ≈ 2-3× wasted work);
+        // the state is a slim O(n)×33-column relation
+        .localCheckpoint(eager = true)
       curve += nh(state)
     }
     edges.unpersist(false)
@@ -2472,7 +2575,7 @@ object Graph {
     graphDegree, graphPagerank, graphTriangles, graphBfs, graphLabelprop,
     graphJaccard, graphCloseness, graphKcore, graphMst, graphSssp, graphCc,
     graphHits, graphAssortativity, graphModularity, graphClusteringCoeff,
-    graph2hop, graphBipartite, graphWalks, graphBetweenness, graphPpr,
+    graph2hop, graphBipartite, graphWalks, graphNode2vec, graphBetweenness, graphPpr,
     graphScc, graphReciprocity, graphLouvain, graphConductance,
     graphSimrank, graphEccentricity, graphHarmonic, graphKtruss, graphMis,
     graphColoring, graphMatching)

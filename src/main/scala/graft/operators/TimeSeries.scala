@@ -543,6 +543,159 @@ object TimeSeries {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Seasonal/trend STRENGTH diagnostics (Hyndman & Athanasopoulos,
+    * fpp3 §4.3; the wang-smith-hyndman feature space): from the
+    * ts_decompose components, F_T = max(0, 1 − Var(R)/Var(T+R)) and
+    * F_S = max(0, 1 − Var(R)/Var(S+R)) — the [0,1] scores a
+    * forecasting pipeline uses to ROUTE series (strong seasonality →
+    * seasonal model; weak trend → level-only) and a monitoring
+    * pipeline uses to rank thousands of series by "how structured".
+    * Same classical decomposition as ts_decompose (7-day centered MA
+    * trend, mean-centered weekday seasonal), then ONE variance
+    * aggregate per type over the O(types×days) component relation.
+    */
+  val tsSeasonalStrength: QueryDef = QueryDef.sql(
+    "ts_seasonal_strength",
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |         count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |ma AS (
+      |  SELECT event_type, day, n, dayofweek(day) AS dow,
+      |    CASE WHEN count(*) OVER w = 7 THEN avg(n) OVER w END AS trend
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |seas AS (
+      |  SELECT event_type, dow, avg(n - trend) AS seasonal_raw
+      |  FROM ma WHERE trend IS NOT NULL GROUP BY 1, 2),
+      |seas2 AS (
+      |  SELECT event_type, dow, seasonal_raw
+      |    - avg(seasonal_raw) OVER (PARTITION BY event_type) AS seasonal
+      |  FROM seas),
+      |comp AS (
+      |  SELECT m.event_type,
+      |    m.n - m.trend - s.seasonal AS r,
+      |    m.n - s.seasonal AS deseas,
+      |    m.n - m.trend AS detr
+      |  FROM ma m JOIN seas2 s
+      |    ON s.event_type = m.event_type AND s.dow = m.dow
+      |  WHERE m.trend IS NOT NULL)
+      |SELECT event_type, count(*) AS n_days,
+      |  floor(greatest(0, 1 - var_samp(r) / var_samp(deseas)) * 10000 + 0.5) / 10000
+      |    AS f_trend,
+      |  floor(greatest(0, 1 - var_samp(r) / var_samp(detr)) * 10000 + 0.5) / 10000
+      |    AS f_seasonal
+      |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    val ma = daily
+      .withColumn("dow", dayofweek(col("day")) - 1)
+      .withColumn("trend",
+        when(count(lit(1)).over(w) === 7, avg(col("n")).over(w)))
+    val seas = ma.filter(col("trend").isNotNull)
+      .groupBy(col("event_type").as("s_type"), col("dow").as("s_dow"))
+      .agg(avg(col("n") - col("trend")).as("seasonal_raw"))
+    val wType = Window.partitionBy(col("s_type"))
+    val seas2 = seas.withColumn("seasonal",
+      col("seasonal_raw") - avg(col("seasonal_raw")).over(wType))
+    ma.filter(col("trend").isNotNull)
+      .join(broadcast(seas2),
+        col("event_type") === col("s_type") && col("dow") === col("s_dow"))
+      .select(col("event_type"),
+        (col("n") - col("trend") - col("seasonal")).as("r"),
+        (col("n") - col("seasonal")).as("deseas"),
+        (col("n") - col("trend")).as("detr"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        (floor(greatest(lit(0),
+          lit(1) - var_samp(col("r")) / var_samp(col("deseas"))) * 10000 + 0.5)
+          / 10000).as("f_trend"),
+        (floor(greatest(lit(0),
+          lit(1) - var_samp(col("r")) / var_samp(col("detr"))) * 10000 + 0.5)
+          / 10000).as("f_seasonal"))
+      .orderBy(col("event_type"))
+  }
+
+  /** HIERARCHICAL forecast reconciliation (Hyndman et al. 2011
+    * lineage, the "forecast proportions" top-down variant): per-type
+    * daily forecasts and the direct total forecast generically
+    * DISAGREE when the base forecaster is nonlinear — here
+    * same-weekday MEDIANS over the train window (a mean would make
+    * bottom-up ≡ direct by linearity and hide the problem). For each
+    * holdout day: the direct total forecast, the bottom-up sum of
+    * per-type forecasts, and the reconciliation ratio that scales
+    * the per-type forecasts to cohere with the total (Σ reconciled =
+    * direct, exactly — pinned). Everything runs over the
+    * O(types×days) daily aggregate: one corpus pass, then bounded
+    * joins; medians are over ≤ |train days| values per group.
+    */
+  val tsReconcile: QueryDef = QueryDef.sql(
+    "ts_reconcile",
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |         count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |cutoff AS (SELECT max(day) - INTERVAL 7 DAY AS cut FROM daily),
+      |train AS (SELECT d.* FROM daily d, cutoff WHERE d.day <= cut),
+      |test AS  (SELECT d.* FROM daily d, cutoff WHERE d.day > cut),
+      |bottom AS (
+      |  SELECT event_type, dayofweek(day) AS dow, quantile_cont(n, 0.5) AS fc
+      |  FROM train GROUP BY 1, 2),
+      |tot_train AS (SELECT day, sum(n) AS n FROM train GROUP BY 1),
+      |direct AS (
+      |  SELECT dayofweek(day) AS dow, quantile_cont(n, 0.5) AS fc
+      |  FROM tot_train GROUP BY 1),
+      |tot_test AS (
+      |  SELECT day, CAST(sum(n) AS BIGINT) AS actual_total
+      |  FROM test GROUP BY 1),
+      |bu AS (
+      |  SELECT t.day, sum(b.fc) AS fc_bu
+      |  FROM test t JOIN bottom b
+      |    ON b.event_type = t.event_type AND b.dow = dayofweek(t.day)
+      |  GROUP BY 1)
+      |SELECT tt.day, tt.actual_total,
+      |  floor(d.fc * 10000 + 0.5) / 10000 AS fc_direct,
+      |  floor(bu.fc_bu * 10000 + 0.5) / 10000 AS fc_bottom_up,
+      |  floor(d.fc / bu.fc_bu * 10000 + 0.5) / 10000 AS recon_ratio
+      |FROM tot_test tt
+      |JOIN direct d ON d.dow = dayofweek(tt.day)
+      |JOIN bu ON bu.day = tt.day
+      |ORDER BY tt.day""".stripMargin) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .cache()
+    val cutoff = daily.agg((max(col("day")) - expr("INTERVAL 7 DAY")).as("cut"))
+    val withCut = daily.crossJoin(broadcast(cutoff))
+    val train = withCut.filter(col("day") <= col("cut"))
+    val test = withCut.filter(col("day") > col("cut"))
+    val bottom = train
+      .groupBy(col("event_type").as("b_type"),
+        (dayofweek(col("day")) - 1).as("b_dow"))
+      .agg(expr("percentile(n, 0.5D)").as("fc"))
+    val totTrain = train.groupBy(col("day")).agg(sum(col("n")).as("n"))
+    val direct = totTrain
+      .groupBy((dayofweek(col("day")) - 1).as("d_dow"))
+      .agg(expr("percentile(n, 0.5D)").as("fc_d"))
+    val totTest = test.groupBy(col("day")).agg(sum(col("n")).as("actual_total"))
+    val bu = test.join(broadcast(bottom),
+        col("event_type") === col("b_type") &&
+          (dayofweek(col("day")) - 1) === col("b_dow"))
+      .groupBy(col("day").as("bu_day")).agg(sum(col("fc")).as("fc_bu"))
+    totTest
+      .join(broadcast(direct), (dayofweek(col("day")) - 1) === col("d_dow"))
+      .join(broadcast(bu), col("day") === col("bu_day"))
+      .select(col("day"), col("actual_total"),
+        (floor(col("fc_d") * 10000 + 0.5) / 10000).as("fc_direct"),
+        (floor(col("fc_bu") * 10000 + 0.5) / 10000).as("fc_bottom_up"),
+        (floor(col("fc_d") / col("fc_bu") * 10000 + 0.5) / 10000).as("recon_ratio"))
+      .orderBy(col("day"))
+  }
+
   /** Rolling-baseline anomaly scan: each hour scored against its
     * TRAILING 24-hour window (mean/stddev over ROWS 24 PRECEDING..1
     * PRECEDING — the hour never baselines itself), flagging
@@ -2318,6 +2471,7 @@ object TimeSeries {
     tsMotif, tsDiscord,
     tsGapfill, tsInterp, tsEwma, tsAutocorr, tsCusum, tsSeasonal,
     tsForecast, tsTimeToConvert, tsGapEpisodes, tsHolt, tsDecompose,
+    tsSeasonalStrength, tsReconcile,
     tsRollingStats, tsRepair, tsOhlc, tsInterEvent, tsTheilsen,
     tsChangepoint, tsLttb, tsDtw, tsPeriodogram, tsAr2, tsTwa, tsXcorr,
     tsKalman, tsBacktest, tsHoltWinters, tsSpectralEntropy, tsMannKendall,

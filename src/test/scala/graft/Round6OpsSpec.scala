@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-6 additions: seasonal/trend strength diagnostics and
+  * hierarchical forecast reconciliation.
+  */
+class Round6OpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  // ---- ts_seasonal_strength ---------------------------------------------
+
+  test("ts_seasonal_strength: bounded scores, exact variance replay") {
+    import graft.operators.TimeSeries
+    import graft.sources.Tables
+    val out = TimeSeries.tsSeasonalStrength.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(out.nonEmpty)
+    out.values.foreach { case (n, ft, fs) =>
+      assert(n > 0)
+      assert(ft >= 0.0 && ft <= 1.0, s"f_trend $ft")
+      assert(fs >= 0.0 && fs <= 1.0, s"f_seasonal $fs")
+    }
+    // replay the decomposition + variances from the collected daily series
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("n")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getDouble(2)))
+      .groupBy(_._1)
+    daily.foreach { case (tpe, rows) =>
+      val xs = rows.sortBy(_._2).map(r => (r._2, r._3))
+      val n = xs.map(_._2)
+      // centered 7-day MA trend (full windows only)
+      val trend = n.indices.map { i =>
+        if (i >= 3 && i < n.length - 3) Some(n.slice(i - 3, i + 4).sum / 7.0)
+        else None
+      }
+      val dow = xs.map(t => ((t._1 / 86400000L + 4) % 7).toInt) // 1970-01-01 = Thursday
+      val det = n.indices.collect { case i if trend(i).isDefined =>
+        (dow(i), n(i) - trend(i).get)
+      }
+      val rawSeas = det.groupBy(_._1).map { case (d, v) => d -> v.map(_._2).sum / v.length }
+      val meanSeas = rawSeas.values.sum / rawSeas.size
+      val seas = rawSeas.map { case (d, v) => d -> (v - meanSeas) }
+      val comp = n.indices.collect { case i if trend(i).isDefined =>
+        val r = n(i) - trend(i).get - seas(dow(i))
+        (r, n(i) - seas(dow(i)), n(i) - trend(i).get)
+      }
+      def varS(v: Seq[Double]): Double = {
+        val m = v.sum / v.length
+        v.map(x => (x - m) * (x - m)).sum / (v.length - 1)
+      }
+      val vr = varS(comp.map(_._1).toSeq)
+      val ft = math.max(0.0, 1.0 - vr / varS(comp.map(_._2).toSeq))
+      val fs = math.max(0.0, 1.0 - vr / varS(comp.map(_._3).toSeq))
+      val (gn, gft, gfs) = out(tpe)
+      assert(gn == comp.length, s"$tpe n_days $gn vs ${comp.length}")
+      assert(math.abs(gft - math.floor(ft * 10000 + 0.5) / 10000) < 2e-4,
+        s"$tpe f_trend $gft vs $ft")
+      assert(math.abs(gfs - math.floor(fs * 10000 + 0.5) / 10000) < 2e-4,
+        s"$tpe f_seasonal $gfs vs $fs")
+    }
+  }
+
+  // ---- graph_node2vec -----------------------------------------------------
+
+  test("graph_node2vec: every hop is a real edge, one walk per node, deterministic") {
+    import graft.operators.Graph
+    def l(r: org.apache.spark.sql.Row, i: Int): Long =
+      r.getAs[Number](i).longValue()
+    val out = Graph.graphNode2vec.fn(spark, sf).collect()
+      .map(r => (l(r, 0), l(r, 1), l(r, 2), l(r, 3)))
+    assert(out.nonEmpty)
+    // symmetric edge set from the same projection
+    val ue = Graph.undirectedNationEdges(spark, sf).collect()
+      .map(r => (l(r, 0), l(r, 1)))
+    val edges = ue.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    out.foreach { case (s0, s1, s2, s3) =>
+      assert(edges((s0, s1)), s"hop1 $s0->$s1 not an edge")
+      assert(edges((s1, s2)), s"hop2 $s1->$s2 not an edge")
+      assert(edges((s2, s3)), s"hop3 $s2->$s3 not an edge")
+    }
+    // exactly one walk per node of the undirected projection
+    val nodes = (ue.map(_._1) ++ ue.map(_._2)).toSet
+    assert(out.map(_._1).toSet == nodes)
+    assert(out.length == nodes.size)
+    // hash-derived picks: exact rerun determinism
+    val again = Graph.graphNode2vec.fn(spark, sf).collect()
+      .map(r => (l(r, 0), l(r, 1), l(r, 2), l(r, 3)))
+    assert(out.sameElements(again))
+    // the return bias (w=4) dominates when prev is the only heavy
+    // class: at least one walk must revisit its start at step 2
+    assert(out.exists { case (s0, _, s2, _) => s2 == s0 },
+      "1/p=4 return bias never fired — weighting is suspect")
+  }
+
+  // ---- ts_reconcile -------------------------------------------------------
+
+  test("ts_reconcile: ratio identity, coherence, holdout shape") {
+    import graft.operators.TimeSeries
+    import graft.sources.Tables
+    val out = TimeSeries.tsReconcile.fn(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(out.length == 7, s"one row per holdout day, got ${out.length}")
+    out.foreach { case (_, actual, direct, bu, ratio) =>
+      assert(actual > 0 && direct > 0 && bu > 0)
+      // the reconciliation ratio IS direct/bottom-up (to rounding)
+      assert(math.abs(ratio - math.floor(direct / bu * 10000 + 0.5) / 10000) < 2e-4,
+        s"ratio $ratio vs ${direct / bu}")
+      // coherence: scaling every per-type forecast by the ratio makes
+      // the bottom-up sum equal the direct total by construction
+      assert(math.abs(bu * ratio - direct) < direct * 1e-3,
+        s"sum(reconciled)=${bu * ratio} vs direct=$direct")
+    }
+    // actual totals recount from the raw corpus
+    val daily = Tables.events(spark, sf)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    val cut = daily.keys.map(_.getTime).max - 7L * 86400000L
+    out.foreach { case (day, actual, _, _, _) =>
+      assert(day.getTime > cut, s"$day inside the train window")
+      assert(actual == daily(day), s"$day actual $actual vs ${daily(day)}")
+    }
+  }
+}
