@@ -843,6 +843,93 @@ object Dedup {
         org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     }
 
+  private val IcwsSamples = 16
+  private val IcwsThreshold = 0.5
+
+  /** WEIGHTED near-dup detection by Improved Consistent Weighted
+    * Sampling (Ioffe, ICDM 2010) — the tf-WEIGHTED upgrade over
+    * set-Jaccard MinHash: two documents sharing vocabulary but with
+    * very different term emphasis score lower, and heavy repeated
+    * terms count proportionally, matching J_w(A,B) =
+    * Σ min(w_A,w_B) / Σ max(w_A,w_B) (the weighted Jaccard that
+    * tf-weighted dedup policies actually want). Per (doc, token,
+    * sample j): ICWS draws r, c ~ Gamma(2,1) and β ~ U(0,1)
+    * DETERMINISTICALLY from xxhash64(token, j, salt) (Gamma(2,1) =
+    * −ln(u·u')), t = ⌊ln w / r + β⌋, a = c / (exp(r·(t−β+1))); the
+    * per-(doc, j) argmin (token, t) is the sample, and
+    * P[sample_A = sample_B] = J_w exactly — Ioffe's theorem. All of
+    * it is codegen'd column math; the argmin is one map-side
+    * aggregate over the O(doc·vocab·K) relation.
+    *
+    * Candidates = docs agreeing on ≥1 of the K=16 (j, token, t)
+    * buckets (bucket join, never all-pairs: collision prob at
+    * J_w=0.5 is 1−0.5¹⁶ ≈ 0.99998); each candidate is then verified
+    * with the EXACT weighted Jaccard over the tf relation restricted
+    * to candidate ids (precision 1 by construction — same discipline
+    * as jaccardVerify). Rows-only (the sketch leg); ScalaTest pins
+    * verified ⊆ exact, recall ≥ 0.9 against exact all-pairs J_w on
+    * the bounded range, the within-doc identity J_w(A,A)=1, and
+    * determinism.
+    */
+  val dedupMinhashWeighted: QueryDef = QueryDef.rowsOnly("dedup_minhash_weighted") { (s, d) =>
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 300L)
+    weightedMinhashPairs(docs, IcwsThreshold)
+  }
+
+  /** The ICWS pipeline shared with the spec: tf weights → K ICWS
+    * samples → bucket-join candidates → exact weighted-Jaccard
+    * verify ≥ threshold. Returns (id1, id2, w_jaccard).
+    */
+  private[graft] def weightedMinhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)))
+          .as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).cast("double").as("w"))
+      .localCheckpoint(eager = true) // feeds samples AND the exact verify
+    // u ∈ (0, 1]: top 53 hash bits + 1 — never 0, so ln is total
+    def u(salt: Int): Column =
+      (shiftrightunsigned(xxhash64(col("tok"), col("j"), lit(salt)), 11) + 1L)
+        .cast("double") / 9007199254740992.0
+    val r = -log(u(1) * u(2))
+    val c = -log(u(3) * u(4))
+    val b = u(5)
+    val t = floor(log(col("w")) / r + b)
+    val a = c / exp(r * (t - b + 1))
+    val sig = tf
+      .withColumn("j", explode(array((0 until IcwsSamples).map(lit): _*)))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(min(struct(a.as("a"), col("tok").as("tok"), t.as("t"))).as("p"))
+      .select(col("doc_id"), col("j"),
+        col("p.tok").as("btok"), col("p.t").as("bt"))
+    val cand = sig.toDF("id1", "j", "btok", "bt")
+      .join(sig.toDF("id2", "j2", "btok2", "bt2"),
+        col("j") === col("j2") && col("btok") === col("btok2")
+          && col("bt") === col("bt2") && col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+      .localCheckpoint(eager = true)
+    // exact weighted Jaccard, candidate-restricted before any work
+    val candIds = cand.select(col("id1").as("doc_id"))
+      .union(cand.select(col("id2").as("doc_id"))).distinct()
+    val tfCand = tf.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+    val totals = tfCand.groupBy("doc_id").agg(sum(col("w")).as("tw"))
+    val interMin = cand
+      .join(tfCand.toDF("id1", "tok", "w1"), "id1")
+      .join(tfCand.toDF("id2b", "tok2", "w2"),
+        col("id2") === col("id2b") && col("tok") === col("tok2"))
+      .groupBy("id1", "id2")
+      .agg(sum(least(col("w1"), col("w2"))).as("imin"))
+    interMin
+      .join(broadcast(totals.toDF("id1", "tw1")), "id1")
+      .join(broadcast(totals.toDF("id2", "tw2")), "id2")
+      .withColumn("w_jaccard",
+        col("imin") / (col("tw1") + col("tw2") - col("imin")))
+      .filter(col("w_jaccard") >= threshold)
+      .select(col("id1"), col("id2"), round(col("w_jaccard"), 4).as("w_jaccard"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** Streaming dedup with watermark-bounded state — per-event-type
     * distinct users through dropDuplicatesWithinWatermark.
     */
@@ -1162,5 +1249,5 @@ object Dedup {
     dedupSimhash, dedupEmbedding, streamDedup, dedupGroups, dedupNearCorpus,
     dedupSimhashLsh, streamDedupWm, dedupMinhashCorpus, dedupIncremental,
     dedupIncrementalIndexed, streamDedupIndexed, dedupMinhashEst, dedupSubstring,
-    dedupSourceMatrix)
+    dedupSourceMatrix, dedupMinhashWeighted)
 }

@@ -96,6 +96,53 @@ class Round6OpsSpec extends AnyFunSuite {
       "1/p=4 return bias never fired — weighting is suspect")
   }
 
+  // ---- dedup_minhash_weighted ----------------------------------------------
+
+  test("dedup_minhash_weighted: verified subset of exact, recall >= 0.9, deterministic") {
+    import graft.operators.Dedup
+    import graft.sources.Tables
+    val out = Dedup.dedupMinhashWeighted.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // exact all-pairs weighted Jaccard on the bounded range
+    val tf = Tables.documents(spark, sf).filter(col("doc_id") < 300L)
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("doc_id", "tok").agg(count(lit(1)).cast("double").as("w"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (id, xs) =>
+        id -> xs.map(t => t._2 -> t._3).toMap
+      }
+    def jw(a: Map[String, Double], b: Map[String, Double]): Double = {
+      val keys = a.keySet ++ b.keySet
+      val mins = keys.toSeq.map(k => math.min(a.getOrElse(k, 0.0), b.getOrElse(k, 0.0))).sum
+      val maxs = keys.toSeq.map(k => math.max(a.getOrElse(k, 0.0), b.getOrElse(k, 0.0))).sum
+      mins / maxs
+    }
+    val ids = tf.keys.toSeq.sorted
+    val exact = (for {
+      i <- ids.indices.iterator; j <- (i + 1) until ids.length
+      v = jw(tf(ids(i)), tf(ids(j))) if v >= 0.5
+    } yield (ids(i), ids(j), v)).toVector
+    val exactSet = exact.map(p => (p._1, p._2)).toSet
+    // precision 1 by construction: every emitted pair is exactly re-verified
+    out.foreach { case (a, b, v) =>
+      assert(exactSet((a, b)), s"($a,$b) verified but not in exact truth")
+      val ev = exact.find(p => p._1 == a && p._2 == b).get._3
+      assert(math.abs(v - ev) < 1e-3, s"($a,$b) jw $v vs exact $ev")
+    }
+    // ICWS-LSH recall at 16 samples over J_w >= 0.5 truth
+    if (exact.nonEmpty) {
+      val got = out.map(p => (p._1, p._2)).toSet
+      val recall = exact.count(p => got((p._1, p._2))).toDouble / exact.size
+      assert(recall >= 0.9, s"recall $recall over ${exact.size} true pairs")
+    }
+    // hash-derived sampling: exact rerun determinism
+    val again = Dedup.dedupMinhashWeighted.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.sameElements(again))
+  }
+
   // ---- ts_reconcile -------------------------------------------------------
 
   test("ts_reconcile: ratio identity, coherence, holdout shape") {
