@@ -51,7 +51,12 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "graph_simrank",       // iterated pair joins over the entity graph
     "q_gini",              // banded exact rank + decimal sums
     "events_mannwhitney",  // all-int doubled-rank sums
-    "events_ks_test"       // integer CDF supremum, one division
+    "events_ks_test",      // integer CDF supremum, one division
+    // round-6 additions
+    "graph_node2vec",      // replica-enumerated argmin-hash walks
+    "dedup_minhash_weighted", // ICWS hash draws + exact verify
+    "ts_reconcile",        // medians + float ratios (rounded)
+    "ts_seasonal_strength" // variance ratios over MA decomposition
   )
 
   private def runWith(name: String, parts: String): Seq[String] = {
