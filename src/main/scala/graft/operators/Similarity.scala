@@ -791,6 +791,58 @@ object Similarity {
       .orderBy(col("src"), col("rank"))
   }
 
+  /** APPROXIMATE kNN graph through the IVF lists — the scale path
+    * for emb_knn_graph, whose exact all-pairs cross join is O(n²)
+    * and the one embedding-family entry without one: every vector is
+    * both corpus (assigned to its nearest coarse list, map-side) and
+    * query (probing its NProbe nearest lists), so candidate work is
+    * O(n · NProbe · n/NLists) — an equality join on the list id that
+    * shards across executors; at production scale NLists grows with
+    * √n and the ratio keeps falling. No duplicate candidates by
+    * construction (each dst lives in exactly ONE list, probes are
+    * distinct lists). Top-4 per source via the NATIVE TopKPerKey
+    * (bounded buffers, no sort of the candidate relation); the rank
+    * column comes from a ≤4-row-per-key window after the cut.
+    * Rows-only; ScalaTest pins per-source shape, exact-cosine
+    * consistency, recall vs the exact graph on the bounded corpus,
+    * and determinism.
+    */
+  val embKnnGraphIvf: QueryDef = QueryDef.rowsOnly("emb_knn_graph_ivf") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = vectors(s, d)
+    val cs = coarseCentroids(e, cacheKey = d)
+    val withUnit = e
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .withColumn("u", scaled(col("v"), col("nrm")))
+    val assigned = withUnit
+      .withColumn("list",
+        array_min(array(centroidStructs(cs, col("u")): _*)).getField("list"))
+      .select(col("vec_id").as("dst"), col("v").as("v2"),
+        col("nrm").as("nrm2"), col("list"))
+      .localCheckpoint(eager = true) // one assignment pass, reused by all probes
+    // a kNN-GRAPH build probes deeper than a point query (it runs
+    // once per corpus and its recall gates everything downstream):
+    // 8 of 16 lists here; at production NLists (√n) the probe
+    // fraction keeps shrinking while absolute probes stay constant
+    val graphProbes = 8
+    val probes = withUnit
+      .withColumn("probe", explode(slice(
+        array_sort(array(centroidStructs(cs, col("u")): _*)), 1, graphProbes)))
+      .select(col("vec_id").as("src"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("probe.list").as("list"))
+    val cand = probes.join(assigned, Seq("list"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        round(dot(col("qv"), col("v2")) / (col("qnrm") * col("nrm2")), 4)
+          .as("cos_sim"))
+    val top = org.apache.spark.sql.graft.TopKOps.topKPerKey(
+      cand, Seq(col("src")), Seq(col("cos_sim").desc, col("dst").asc), 4)
+    val w = Window.partitionBy(col("src")).orderBy(col("cos_sim").desc, col("dst"))
+    top.withColumn("rank", row_number().over(w))
+      .select(col("src"), col("rank"), col("dst"), col("cos_sim"))
+      .orderBy(col("src"), col("rank"))
+  }
+
   /** Radius (range) search — the "everything within cosine ≥ r of
     * the query" API, the other half of the ANN surface next to
     * top-k: dedup wants "all near-dups of X", not "the 10 nearest".
@@ -1263,6 +1315,7 @@ object Similarity {
   val all: Seq[QueryDef] = Seq(
     annBruteforce, annTopkJoin, annLsh, annIvf, annPq, annSearchText,
     annIvfPq, annIvfPqPersisted, dedupEmbeddingIvf, annSq8, embKnnGraph,
+    embKnnGraphIvf,
     annRangeSearch, annMips, embKnnClassify, annNsw, annHamming, annMmr,
     annFiltered, annRecallEval)
 }

@@ -143,6 +143,52 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(out.sameElements(again))
   }
 
+  // ---- emb_knn_graph_ivf ----------------------------------------------------
+
+  test("emb_knn_graph_ivf: shape, exact cosines, recall vs the exact graph") {
+    import graft.operators.Similarity
+    val approx = Similarity.embKnnGraphIvf.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(approx.nonEmpty)
+    // per-source shape: ranks 1..k contiguous, k <= 4, sims descending
+    approx.groupBy(_._1).foreach { case (src, rows) =>
+      val byRank = rows.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq == (1 to byRank.length), s"ranks at $src")
+      assert(byRank.length <= 4)
+      byRank.map(_._4).sliding(2).foreach {
+        case Array(a, b) => assert(b <= a + 1e-9, s"sims not descending at $src")
+        case _ =>
+      }
+    }
+    // emitted cosines are EXACT (the approximation is only in which
+    // candidates were scored, never in the scores)
+    val exact = Similarity.embKnnGraph.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val vecs = Similarity.vectors(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    approx.take(200).foreach { case (s0, _, d0, v) =>
+      assert(math.abs(v - math.floor(cos(vecs(s0), vecs(d0)) * 10000 + 0.5) / 10000) < 2e-4,
+        s"cosine mismatch for ($s0,$d0)")
+    }
+    // recall@4 against the exact graph (probing 4 of 16 lists)
+    val truth = exact.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).toSet }
+    val got = approx.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).toSet }
+    val recall = truth.toSeq.map { case (src, t) =>
+      got.getOrElse(src, Set.empty).intersect(t).size.toDouble / t.size
+    }.sum / truth.size
+    info(s"knn-graph recall@4 = $recall")
+    assert(recall >= 0.75, s"recall $recall (measured 0.842 at 8/16 probes)")
+    // hash-free deterministic pipeline: exact rerun equality
+    val again = Similarity.embKnnGraphIvf.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(approx.sameElements(again))
+  }
+
   // ---- ts_reconcile -------------------------------------------------------
 
   test("ts_reconcile: ratio identity, coherence, holdout shape") {
