@@ -56,7 +56,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "graph_node2vec",      // replica-enumerated argmin-hash walks
     "dedup_minhash_weighted", // ICWS hash draws + exact verify
     "ts_reconcile",        // medians + float ratios (rounded)
-    "ts_seasonal_strength" // variance ratios over MA decomposition
+    "ts_seasonal_strength", // variance ratios over MA decomposition
+    "emb_knn_graph_ivf"    // cached quantizer + rounded-cosine ranks
   )
 
   private def runWith(name: String, parts: String): Seq[String] = {
