@@ -846,6 +846,56 @@ object Dedup {
   private val IcwsSamples = 16
   private val IcwsThreshold = 0.5
 
+  /** EXACT weighted (tf) Jaccard pairs on the bounded truth range —
+    * the hash-matched rung of the WEIGHTED dedup family (what
+    * dedup_ngram is to the unweighted one, and the ground truth
+    * dedup_minhash_weighted's recall is pinned against): J_w =
+    * Σ min(w_A,w_B) / Σ max(w_A,w_B) over term frequencies, via one
+    * token-equality self-join of the tf relation (work = Σ_token
+    * df(token)² — fine on the bounded range; the UNbounded corpus
+    * takes the ICWS sketch path, which never joins raw tokens).
+    * Σmax = W_A + W_B − Σmin keeps it one join + two broadcast
+    * totals, the jaccardVerify algebra.
+    */
+  val dedupWeightedExact: QueryDef = QueryDef.sql(
+    "dedup_weighted_exact",
+    """WITH t AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+      |  FROM documents WHERE doc_id < 300),
+      |tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS w
+      |       FROM t GROUP BY 1, 2),
+      |tot AS (SELECT doc_id, sum(w) AS tw FROM tf GROUP BY 1),
+      |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+      |        sum(least(a.w, b.w)) AS imin
+      |      FROM tf a JOIN tf b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2)
+      |SELECT id1, id2,
+      |  round(imin / (t1.tw + t2.tw - imin), 4) AS w_jaccard
+      |FROM p JOIN tot t1 ON p.id1 = t1.doc_id
+      |       JOIN tot t2 ON p.id2 = t2.doc_id
+      |WHERE imin / (t1.tw + t2.tw - imin) >= 0.5
+      |ORDER BY id1, id2""".stripMargin) { (s, d) =>
+    val tf = Tables.documents(s, d).filter(col("doc_id") < 300L)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)))
+          .as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).cast("double").as("w"))
+      .localCheckpoint(eager = true) // pair join + totals share one scan
+    val tot = tf.groupBy("doc_id").agg(sum(col("w")).as("tw"))
+    tf.toDF("id1", "tok", "w1")
+      .join(tf.toDF("id2", "tok2", "w2"),
+        col("tok") === col("tok2") && col("id1") < col("id2"))
+      .groupBy("id1", "id2")
+      .agg(sum(least(col("w1"), col("w2"))).as("imin"))
+      .join(broadcast(tot.toDF("id1", "tw1")), "id1")
+      .join(broadcast(tot.toDF("id2", "tw2")), "id2")
+      .withColumn("jw", col("imin") / (col("tw1") + col("tw2") - col("imin")))
+      .filter(col("jw") >= IcwsThreshold)
+      .select(col("id1"), col("id2"), round(col("jw"), 4).as("w_jaccard"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** WEIGHTED near-dup detection by Improved Consistent Weighted
     * Sampling (Ioffe, ICDM 2010) — the tf-WEIGHTED upgrade over
     * set-Jaccard MinHash: two documents sharing vocabulary but with
@@ -1249,5 +1299,5 @@ object Dedup {
     dedupSimhash, dedupEmbedding, streamDedup, dedupGroups, dedupNearCorpus,
     dedupSimhashLsh, streamDedupWm, dedupMinhashCorpus, dedupIncremental,
     dedupIncrementalIndexed, streamDedupIndexed, dedupMinhashEst, dedupSubstring,
-    dedupSourceMatrix, dedupMinhashWeighted)
+    dedupSourceMatrix, dedupMinhashWeighted, dedupWeightedExact)
 }

@@ -843,6 +843,38 @@ object Similarity {
       .orderBy(col("src"), col("rank"))
   }
 
+  /** IVF INDEX-QUALITY report — the health check a production ANN
+    * deployment runs before trusting an index (and re-runs as the
+    * corpus drifts): per coarse list its population, share, and mean
+    * L2 residual to the centroid (the quantization error that upper-
+    * bounds how badly a probe can misroute). List-size skew is the
+    * number that matters operationally — a hot list makes every
+    * probe that touches it scan a corpus-sized bucket; the balance
+    * factor (max/mean population) is the alarm. One map-side
+    * assignment pass (the same broadcast-literal centroid structs as
+    * the index itself) + one 16-group aggregate; centroidStructs'
+    * dist is the shifted ‖u−c‖²−1, so the true residual is
+    * √(dist+1) for unit u. Rows-only; population conservation,
+    * share-sum=1, residual bounds, and determinism pinned.
+    */
+  val annIvfStats: QueryDef = QueryDef.rowsOnly("ann_ivf_stats") { (s, d) =>
+    val e = vectors(s, d)
+    val cs = coarseCentroids(e, cacheKey = d)
+    val n = e.count().toDouble
+    val assigned = e
+      .withColumn("u", unit(col("v")))
+      .withColumn("best",
+        array_min(array(centroidStructs(cs, col("u")): _*)))
+      .select(col("best.list").as("list"),
+        sqrt(greatest(col("best.dist") + 1.0, lit(0.0))).as("resid"))
+    assigned.groupBy(col("list"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(count(lit(1)) / n, 4).as("share"),
+        round(avg(col("resid")), 4).as("mean_resid_l2"),
+        round(max(col("resid")), 4).as("max_resid_l2"))
+      .orderBy(col("list"))
+  }
+
   /** Radius (range) search — the "everything within cosine ≥ r of
     * the query" API, the other half of the ANN surface next to
     * top-k: dedup wants "all near-dups of X", not "the 10 nearest".
@@ -1315,7 +1347,7 @@ object Similarity {
   val all: Seq[QueryDef] = Seq(
     annBruteforce, annTopkJoin, annLsh, annIvf, annPq, annSearchText,
     annIvfPq, annIvfPqPersisted, dedupEmbeddingIvf, annSq8, embKnnGraph,
-    embKnnGraphIvf,
+    embKnnGraphIvf, annIvfStats,
     annRangeSearch, annMips, embKnnClassify, annNsw, annHamming, annMmr,
     annFiltered, annRecallEval)
 }

@@ -57,7 +57,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "dedup_minhash_weighted", // ICWS hash draws + exact verify
     "ts_reconcile",        // medians + float ratios (rounded)
     "ts_seasonal_strength", // variance ratios over MA decomposition
-    "emb_knn_graph_ivf"    // cached quantizer + rounded-cosine ranks
+    "emb_knn_graph_ivf",   // cached quantizer + rounded-cosine ranks
+    "dedup_weighted_exact" // fp-exact integer-valued tf sums
   )
 
   private def runWith(name: String, parts: String): Seq[String] = {

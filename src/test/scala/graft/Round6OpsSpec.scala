@@ -189,6 +189,61 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(approx.sameElements(again))
   }
 
+  // ---- dedup_weighted_exact --------------------------------------------------
+
+  test("dedup_weighted_exact: matches a local all-pairs weighted-Jaccard recount") {
+    import graft.operators.Dedup
+    import graft.sources.Tables
+    val out = Dedup.dedupWeightedExact.fn(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val tf = Tables.documents(spark, sf).filter(col("doc_id") < 300L)
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("doc_id", "tok").agg(count(lit(1)).cast("double").as("w"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (id, xs) => id -> xs.map(t => t._2 -> t._3).toMap }
+    val ids = tf.keys.toSeq.sorted
+    val expect = (for {
+      i <- ids.indices.iterator; j <- (i + 1) until ids.length
+      a = tf(ids(i)); b = tf(ids(j))
+      keys = a.keySet ++ b.keySet
+      mins = keys.toSeq.map(k => math.min(a.getOrElse(k, 0.0), b.getOrElse(k, 0.0))).sum
+      maxs = keys.toSeq.map(k => math.max(a.getOrElse(k, 0.0), b.getOrElse(k, 0.0))).sum
+      v = mins / maxs if v >= 0.5
+    } yield (ids(i), ids(j)) -> v).toMap
+    assert(out.keySet == expect.keySet,
+      s"pair sets differ: ${out.keySet.diff(expect.keySet) ++ expect.keySet.diff(out.keySet)}")
+    out.foreach { case (k, v) =>
+      assert(math.abs(v - expect(k)) < 1e-3, s"$k: $v vs ${expect(k)}")
+    }
+    assert(out.nonEmpty, "bounded truth range must contain weighted near-dups")
+  }
+
+  // ---- ann_ivf_stats -----------------------------------------------------------
+
+  test("ann_ivf_stats: population conserved, shares sum to 1, residual bounds") {
+    import graft.operators.Similarity
+    val out = Similarity.annIvfStats.fn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(out.nonEmpty && out.length <= 16)
+    val total = Similarity.vectors(spark, sf).count()
+    assert(out.map(_._2).sum == total, "every vector lands in exactly one list")
+    assert(math.abs(out.map(_._3).sum - 1.0) < 0.01, "shares must sum to ~1")
+    out.foreach { case (list, n, share, mean, mx) =>
+      assert(list >= 0 && list < 16)
+      assert(n > 0 && share > 0)
+      assert(mean >= 0 && mx >= mean - 1e-9, s"list $list: mean $mean max $mx")
+      // unit vectors: residual to a near-unit centroid is < 2 always
+      assert(mx < 2.0 + 1e-6)
+    }
+    val again = Similarity.annIvfStats.fn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(out.sameElements(again))
+  }
+
   // ---- ts_reconcile -------------------------------------------------------
 
   test("ts_reconcile: ratio identity, coherence, holdout shape") {
