@@ -87,6 +87,23 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench-build] $name: $e") }
       (name, (System.nanoTime() - t0) / 1e9)
     }
+    // Storage hygiene between entries: operators cache/localCheckpoint
+    // working state, and blocks that outlive their query evict useful
+    // blocks and add GC pressure for every LATER query (r6: late-suite
+    // entries ran 9-12x their isolated cost). Clearing is OUTSIDE the
+    // timed region — each entry is measured against a clean store, the
+    // same state its isolated_s re-measure sees. Periodic System.gc()
+    // lets ContextCleaner reap checkpoint/broadcast remnants whose
+    // release is driver-GC-triggered.
+    var sinceGc = 0
+    def clearStorage(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+      sinceGc += 1
+      if (sinceGc >= 25) { sinceGc = 0; System.gc() }
+    }
+    clearStorage()
     val results = selected.map { case (name, fn) =>
       Thread.sleep(50) // let straggler listener events drain
       val io0 = io.snapshot
@@ -96,6 +113,7 @@ object Bench {
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
       val sec = (System.nanoTime() - t0) / 1e9
+      clearStorage()
       Thread.sleep(50)
       val io1 = io.snapshot
       def mb(b: Long) = math.round(b / 1e4) / 100.0
@@ -111,7 +129,9 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case e: Throwable => System.err.println(s"[bench-isolated] $name: $e") }
-      (name, (System.nanoTime() - t0) / 1e9)
+      val sec = (System.nanoTime() - t0) / 1e9
+      clearStorage()
+      (name, sec)
     }
     def entry(k: String, v: Double): String =
       s"\"" + k + "\":" + (math.round(v * 1000) / 1000.0)
@@ -127,25 +147,29 @@ object Bench {
     // stdout therefore carries the HEADLINE queries — costliest
     // first, as many as fit a 1800-byte budget — while the complete
     // per-query map + io metrics go to the file.
+    val buildJson = builds.map { case (k, v) => entry(k, v) }
+      .mkString("{", ",", "}")
+    val isolatedJson = isolated.map { case (k, v) => entry(k, v) }
+      .mkString("{", ",", "}")
     val headline = {
+      // Size the headline against the ACTUAL remaining stdout budget
+      // (2000-char driver tail) after the fixed fields and the real
+      // isolatedJson length — a hardcoded cut risked the same
+      // head-truncated unparseable line this code exists to avoid.
+      val fixedOverhead = 120 + isolatedJson.length + sfDir.length
+      val budget = 2000 - fixedOverhead - 50 // margin for log prefix
       val sorted = results.sortBy(-_._2)
       val buf = new StringBuilder
       var n = 0
       sorted.foreach { case (k, v, _, _, _) =>
         val e = entry(k, v)
-        // leave ~400 bytes of the driver's 2000-char stdout tail
-        // budget for the isolated_s map appended below
-        if (buf.length + e.length < 1300) {
+        if (buf.length + e.length + 1 < budget) {
           if (n > 0) buf.append(',')
           buf.append(e); n += 1
         }
       }
       s"{${buf.result()}}"
     }
-    val buildJson = builds.map { case (k, v) => entry(k, v) }
-      .mkString("{", ",", "}")
-    val isolatedJson = isolated.map { case (k, v) => entry(k, v) }
-      .mkString("{", ",", "}")
     val stdoutJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$headline,"isolated_s":$isolatedJson,"sf":"$sfDir"}"""
     val fileJson =

@@ -448,11 +448,12 @@ object Dedup {
         // itself a node id, so one self-join squares the propagation
         // distance per round — O(log diameter) rounds on chains
         // instead of O(diameter).
-        val next = prop
+        // roll: the new generation frees the one it replaces (a bare
+        // per-round localCheckpoint leaks every prior label table)
+        val next = graft.Ckpt.roll(prop
           .join(prop.select(col("id").as("pid"), col("label").as("plabel")),
             col("label") === col("pid"))
-          .select(col("id"), col("plabel").as("label"))
-          .localCheckpoint(true)
+          .select(col("id"), col("plabel").as("label")), labels)
         val cur = labelSum(next)
         done = cur == prev
         prev = cur
@@ -792,16 +793,20 @@ object Dedup {
     * split.
     */
   /** The streamed increment PLUS one planted cross-batch near-dup of
-    * the lowest-id corpus document (append one token — Jaccard stays
-    * well above 0.8 on any multi-word text): the cross-vs-corpus path
-    * then emits at least one verified pair at EVERY SF, so the
-    * correctness gate exercises the full index-join → verify → sink
-    * path instead of passing vacuously on 0 rows. Shared with the
-    * spec's batch-parity pin, which plants the same document.
+    * the LONGEST corpus document (tie-break lowest id; append one
+    * token): for an m-token donor the shingle Jaccard is ~(m-2)/(m-1),
+    * which clears the 0.8 verify threshold only for m ≥ 6 — picking
+    * the longest document (rather than the lowest-id one, which could
+    * be short at some SF) keeps the gate non-vacuous at EVERY SF. The
+    * cross-vs-corpus path then emits at least one verified pair, so
+    * the correctness gate exercises the full index-join → verify →
+    * sink path instead of passing vacuously on 0 rows. Shared with
+    * the spec's batch-parity pin, which plants the same document.
     */
   private[graft] val PlantedStreamDocId = 900000000L
   private[graft] def plantedIncrement(docs: DataFrame, split: Long): DataFrame = {
-    val planted = docs.orderBy(col("doc_id")).limit(1)
+    val planted = docs.filter(col("doc_id") < split)
+      .orderBy(col("n_chars").desc, col("doc_id")).limit(1)
       .select(lit(PlantedStreamDocId).as("doc_id"),
         concat_ws(" ", col("text"), lit("mirrored")).as("text"),
         col("lang"), col("source"), (col("n_chars") + 9).as("n_chars"))

@@ -34,8 +34,34 @@ object Graph {
     */
   private def stagedEdges(s: SparkSession, d: String, name: String)
       (build: => DataFrame): DataFrame = synchronized {
+    // Key the artifact by a CONTENT fingerprint of the base tables,
+    // not just the path: regenerating corpus data in place (refreshed
+    // tables at the same path) must invalidate the derived edges the
+    // way a real ingest invalidates derived artifacts. max-mtime +
+    // total-size over the source files is cheap (one listing) and
+    // changes whenever the corpus is rewritten.
+    val fp = {
+      val conf = s.sparkContext.hadoopConfiguration
+      val base = new org.apache.hadoop.fs.Path(d)
+      val fs = base.getFileSystem(conf)
+      val stats =
+        if (!fs.exists(base)) Seq.empty
+        else Seq("lineitem.parquet", "orders.parquet",
+            "customer.parquet", "supplier.parquet").flatMap { t =>
+          val p = new org.apache.hadoop.fs.Path(base, t)
+          if (fs.exists(p)) {
+            val it = fs.listFiles(p, true)
+            val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+            while (it.hasNext) { val f = it.next(); buf += ((f.getLen, f.getModificationTime)) }
+            buf.toSeq
+          } else Seq.empty
+        }
+      val maxMtime = if (stats.isEmpty) 0L else stats.map(_._2).max
+      val totalLen = stats.map(_._1).sum
+      s"$d|$totalLen|$maxMtime"
+    }
     val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      .digest(fp.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
     val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
     val dir = new org.apache.hadoop.fs.Path(wh, s"graft_edges_${name}_$h")
     val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -139,6 +165,7 @@ object Graph {
     val outdeg = e.groupBy(col("src").as("od_node"))
       .agg(count(lit(1)).as("outdeg"))
     var ranks = vertices.withColumn("rank", lit(1.0 / n))
+    var last: DataFrame = null
     for (i <- 1 to iters) {
       val contribs = e
         .join(ranks, col("src") === col("node"))
@@ -150,8 +177,13 @@ object Graph {
         .select(col("node"),
           (lit((1.0 - damping) / n) +
             lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
-      if (i % 3 == 0 && i < iters) ranks = ranks.localCheckpoint(eager = true)
+      // roll: eager-checkpoint the new state, free the generation it
+      // replaces (a plain in-loop localCheckpoint leaks every prior
+      // generation's blocks until driver GC). Final round checkpoints
+      // too, so the edge/vertex caches can be released before return.
+      if (i % 3 == 0 || i == iters) { ranks = graft.Ckpt.roll(ranks, last); last = ranks }
     }
+    e.unpersist(false); vertices.unpersist(false)
     ranks
   }
 
@@ -234,6 +266,7 @@ object Graph {
     val teleport = when(col("node") === PprSource, lit(0.15)).otherwise(lit(0.0))
     var ranks = vertices.withColumn("rank",
       when(col("node") === PprSource, lit(1.0)).otherwise(lit(0.0)))
+    var last: DataFrame = null
     for (i <- 1 to PprIters) {
       val contribs = e
         .join(ranks, col("src") === col("node"))
@@ -244,8 +277,9 @@ object Graph {
         .join(contribs, col("node") === col("dst"), "left_outer")
         .select(col("node"),
           (teleport + lit(0.85) * coalesce(col("inflow"), lit(0.0))).as("rank"))
-      if (i % 3 == 0 && i < PprIters) ranks = ranks.localCheckpoint(eager = true)
+      if (i % 3 == 0 || i == PprIters) { ranks = graft.Ckpt.roll(ranks, last); last = ranks }
     }
+    e.unpersist(false); vertices.unpersist(false)
     ranks.select(col("node"), round(col("rank"), 8).as("rank"))
       .orderBy(col("node"))
   }
@@ -299,14 +333,16 @@ object Graph {
     val spark = edges.sparkSession
     import spark.implicits._
     var hops = Seq((source, 0)).toDF("node", "hops")
+    var last: DataFrame = null
     for (i <- 1 to iters) {
       val expanded = hops
         .join(sym, col("node") === col("a"))
         .select(col("b").as("node"), (col("hops") + 1).as("hops"))
       hops = hops.union(expanded)
         .groupBy(col("node")).agg(min(col("hops")).as("hops"))
-      if (i % 3 == 0 && i < iters) hops = hops.localCheckpoint(eager = true)
+      if (i % 3 == 0 || i == iters) { hops = graft.Ckpt.roll(hops, last); last = hops }
     }
+    sym.unpersist(false)
     hops
   }
 
@@ -367,7 +403,9 @@ object Graph {
         .filter(col("rk") === 1)
         .select(col("nb_node").as("node"), col("label"))
     }
-    labels
+    val out = labels.localCheckpoint(eager = true)
+    sym.unpersist(false)
+    out
   }
 
   private def labelPropOracle(iters: Int): String = {
@@ -488,6 +526,7 @@ object Graph {
         .union(sym.select(col("b").as("node"))).distinct()
       var hops = vertices.select(col("node").as("src"), col("node"),
         lit(0).as("hops"))
+      var last: DataFrame = null
       for (i <- 1 to iters) {
         val expanded = hops
           .join(sym, col("node") === col("a"))
@@ -497,10 +536,11 @@ object Graph {
         // hops is referenced twice in its own next-round plan (the
         // union arm and the expansion join), so the lazy tree doubles
         // per round — checkpoint the O(|V|·reachable) relation every
-        // round to keep the plan flat (each round then runs exactly
-        // once; the relation is tiny, so the extra action is cheap).
-        if (i < iters) hops = hops.localCheckpoint(eager = true)
+        // round (rolling: each new generation frees the one it
+        // replaces) to keep the plan flat and the store bounded.
+        hops = graft.Ckpt.roll(hops, last); last = hops
       }
+      sym.unpersist(false)
       hops.groupBy(col("src"))
         .agg(count(lit(1)).as("n"), sum(col("hops")).as("sum_hops"))
         .filter(col("sum_hops") > 0)
@@ -557,14 +597,15 @@ object Graph {
         .distinct().cache()
       var alive = sym.select(col("a").as("node"))
         .union(sym.select(col("b").as("node"))).distinct()
+      var last: DataFrame = null
       for (_ <- 1 to KcoreRounds) {
-        alive = sym
+        alive = graft.Ckpt.roll(sym
           .join(alive.withColumnRenamed("node", "na"), col("na") === col("a"), "left_semi")
           .join(alive.withColumnRenamed("node", "nb"), col("nb") === col("b"), "left_semi")
           .groupBy(col("a").as("node")).agg(count(lit(1)).as("c"))
           .filter(col("c") >= KcoreK)
-          .select(col("node"))
-          .localCheckpoint(eager = true)
+          .select(col("node")), last)
+        last = alive
       }
       sym
         .join(alive.withColumnRenamed("node", "na"), col("na") === col("a"), "left_semi")
@@ -629,17 +670,21 @@ object Graph {
         .select(col("e.a").as("a"), col("e.b").as("b"), col("e.w").as("w"),
           col("e.ca").as("ca"), col("e.cb").as("cb"))
         .distinct().localCheckpoint(eager = true)
-      if (chosen.head(1).isEmpty) done = true
+      if (chosen.head(1).isEmpty) { graft.Ckpt.free(chosen); done = true }
       else {
         val edges = chosen.select("a", "b", "w")
-        mst = if (mst == null) edges
-          else mst.unionAll(edges).localCheckpoint(eager = true)
+        // mst must be materialized before `chosen` is freed below —
+        // a lazy view over freed checkpoint blocks is unrecoverable.
+        mst = if (mst == null) edges.localCheckpoint(eager = true)
+          else graft.Ckpt.roll(mst.unionAll(edges), mst)
         val mapping = Dedup.connectedComponents(
           chosen.select(col("ca").as("id1"), col("cb").as("id2")))
           .select(col("id").as("comp0"), col("label").as("newc"))
-        comp = comp.join(mapping, col("comp") === col("comp0"), "left")
-          .select(col("id"), coalesce(col("newc"), col("comp")).as("comp"))
-          .localCheckpoint(eager = true)
+        comp = graft.Ckpt.roll(
+          comp.join(mapping, col("comp") === col("comp0"), "left")
+            .select(col("id"), coalesce(col("newc"), col("comp")).as("comp")),
+          comp)
+        graft.Ckpt.free(chosen)
         rounds += 1
       }
     }
@@ -667,13 +712,15 @@ object Graph {
     val spark = edges.sparkSession
     import spark.implicits._
     var dist = Seq((source, 0.0)).toDF("node", "dist")
+    var last: DataFrame = null
     for (i <- 1 to iters) {
       val relaxed = dist.join(sym, col("node") === col("a"))
         .select(col("b").as("node"), (col("dist") + col("cost")).as("dist"))
       dist = dist.union(relaxed)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-      if (i % 3 == 0 && i < iters) dist = dist.localCheckpoint(eager = true)
+      if (i % 3 == 0 || i == iters) { dist = graft.Ckpt.roll(dist, last); last = dist }
     }
+    sym.unpersist(false)
     dist
   }
 
@@ -777,6 +824,8 @@ object Graph {
       .localCheckpoint(eager = true)
     var hub = nodes.withColumn("h", lit(1.0))
     var auth: DataFrame = null
+    var lastHub: DataFrame = null
+    var lastAuth: DataFrame = null
     for (i <- 1 to HitsIters) {
       val araw = nodes.join(
           e.join(hub.select(col("node").as("hn"), col("h")), col("src") === col("hn"))
@@ -794,11 +843,18 @@ object Graph {
       val htot = hraw.agg(sum(col("raw")).as("t"))
       hub = hraw.crossJoin(broadcast(htot))
         .select(col("node"), (col("raw") / col("t")).as("h"))
-      if (i % 2 == 0 && i < HitsIters) {
-        hub = hub.localCheckpoint(eager = true)
-        auth = auth.localCheckpoint(eager = true)
+      if (i % 2 == 0 || i == HitsIters) {
+        // materialize BOTH new states before freeing EITHER old one:
+        // auth's lazy plan runs through the previous hub checkpoint,
+        // so a hub-roll-then-auth-roll order would free blocks the
+        // auth materialization still needs.
+        val h2 = hub.localCheckpoint(eager = true)
+        val a2 = auth.localCheckpoint(eager = true)
+        graft.Ckpt.free(lastHub); graft.Ckpt.free(lastAuth)
+        hub = h2; auth = a2; lastHub = h2; lastAuth = a2
       }
     }
+    graft.Ckpt.free(e); graft.Ckpt.free(nodes)
     hub.join(auth.select(col("node").as("anode"), col("a")),
         col("node") === col("anode"))
       .select(col("node"), round(col("h"), 8).as("hub"),
@@ -1290,8 +1346,8 @@ object Graph {
          |FROM r$SccRounds f JOIN r$SccRounds g ON g.a = f.b AND g.b = f.a
          |GROUP BY f.a ORDER BY node""".stripMargin
     }) { (s, d) =>
+    // reachClosure returns an already-checkpointed relation
     val closure = reachClosure(nationEdges(s, d), SccRounds)
-      .localCheckpoint(eager = true)
     closure.as("f")
       .join(closure.as("g"),
         col("g.a") === col("f.b") && col("g.b") === col("f.a"))
@@ -1308,13 +1364,15 @@ object Graph {
     val v = e.select(col("src").as("n"))
       .union(e.select(col("dst").as("n"))).distinct()
     var reach = v.select(col("n").as("a"), col("n").as("b"))
+    var last: DataFrame = null
     for (i <- 1 to rounds) {
       reach = reach
         .unionAll(reach.join(e, col("b") === col("src"))
           .select(col("a"), col("dst").as("b")))
         .distinct()
-      if (i % 2 == 0 && i < rounds) reach = reach.localCheckpoint(eager = true)
+      if (i % 2 == 0 || i == rounds) { reach = graft.Ckpt.roll(reach, last); last = reach }
     }
+    e.unpersist(false)
     reach
   }
 
@@ -1389,16 +1447,19 @@ object Graph {
     lv(0) = nodes.select(col("c").as("src"), col("c").as("v"),
       lit(1L).as("sigma")).cache()
     var visited = lv(0).select(col("src"), col("v")).cache()
+    var lastVisited: DataFrame = null
     for (i <- 1 to BrandesDepth) {
       val f = lv(i - 1).select(col("src"), col("v").as("fv"), col("sigma"))
       val cand = f.join(sym, col("fv") === col("c"))
         .groupBy(col("src"), col("n").as("v"))
         .agg(sum(col("sigma")).as("sigma"))
       lv(i) = cand.join(visited, Seq("src", "v"), "left_anti")
-        .localCheckpoint(eager = true)
-      visited = visited.unionAll(lv(i).select(col("src"), col("v")))
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = true) // kept: the backward phase reads every level
+      visited = graft.Ckpt.roll(
+        visited.unionAll(lv(i).select(col("src"), col("v"))), lastVisited)
+      lastVisited = visited
     }
+    graft.Ckpt.free(visited)
     // backward: dl(i) = (src, v, delta) over exactly lv(i)'s rows
     val dl = new Array[DataFrame](BrandesDepth + 1)
     dl(BrandesDepth) = lv(BrandesDepth)
@@ -1421,6 +1482,7 @@ object Graph {
           coalesce(col("delta"), lit(0.0)).as("delta"))
         .localCheckpoint(eager = true)
     }
+    ue.unpersist(false); sym.unpersist(false); lv(0).unpersist(false)
     (1 to BrandesDepth).map(i => dl(i).select(col("v"), col("delta")))
       .reduce(_ unionAll _)
       .groupBy(col("v").as("node"))
@@ -1489,6 +1551,7 @@ object Graph {
       .localCheckpoint(eager = true)
     val m2 = deg.agg(sum(col("k")).as("m2")) // 2m, single row
     var labels = deg.select(col("src").as("node"), col("src").as("c"))
+    var lastLabels: DataFrame = null
     for (round <- 1 to 6) {
       // k_in: weight from each node into each neighboring community
       val kin = edges
@@ -1526,12 +1589,14 @@ object Graph {
           (col("k_in") - col("ki") *
             (col("tot") - when(col("cand") === col("ci"), col("ki"))
               .otherwise(lit(0.0))) / col("m2")).as("gain"))
-      labels = scored
+      labels = graft.Ckpt.roll(scored
         .groupBy(col("i"))
         .agg(max(struct(col("gain"), (-col("cand")).as("nc"))).as("best"))
-        .select(col("i").as("node"), (-col("best.nc")).as("c"))
-        .localCheckpoint(eager = true)
+        .select(col("i").as("node"), (-col("best.nc")).as("c")),
+        lastLabels)
+      lastLabels = labels
     }
+    graft.Ckpt.free(edges); graft.Ckpt.free(deg)
     labels
   }
 
@@ -1668,6 +1733,7 @@ object Graph {
     val pairs = v.toDF("a").crossJoin(v.toDF("b"))
     var sim = pairs.withColumn("s",
       when(col("a") === col("b"), 1.0).otherwise(0.0))
+    var lastSim: DataFrame = null
     for (_ <- 1 to SimIters) {
       val agg = sim.toDF("sa", "sb", "sv")
         .join(e.toDF("ia", "a2"), col("sa") === col("ia"))
@@ -1683,7 +1749,9 @@ object Graph {
               lit(SimC) * col("t") / (col("inda") * col("indb")), lit(0.0)))
             .as("s"))
         .localCheckpoint(eager = true)
+      graft.Ckpt.free(lastSim); lastSim = sim
     }
+    graft.Ckpt.free(e)
     sim.filter(col("a") < col("b") && round(col("s"), 6) > 0)
       .select(col("a"), col("b"), round(col("s"), 6).as("simrank"))
       .orderBy(col("simrank").desc, col("a"), col("b"))
@@ -1733,14 +1801,16 @@ object Graph {
         .union(sym.select(col("b").as("node"))).distinct()
       var hops = vertices.select(col("node").as("src"), col("node"),
         lit(0).as("hops"))
+      var last: DataFrame = null
       for (i <- 1 to iters) {
         val expanded = hops
           .join(sym, col("node") === col("a"))
           .select(col("src"), col("b").as("node"), (col("hops") + 1).as("hops"))
         hops = hops.unionAll(expanded)
           .groupBy(col("src"), col("node")).agg(min(col("hops")).as("hops"))
-        if (i < iters) hops = hops.localCheckpoint(eager = true)
+        hops = graft.Ckpt.roll(hops, last); last = hops
       }
+      sym.unpersist(false)
       val ecc = hops.groupBy(col("src").as("node"))
         .agg(max(col("hops")).as("ecc"))
       val summary = ecc.agg(max(col("ecc")).as("diameter"),
@@ -1800,15 +1870,18 @@ object Graph {
         .union(sym.select(col("b").as("node"))).distinct()
       var hops = vertices.select(col("node").as("src"), col("node"),
         lit(0).as("hops"))
+      var last: DataFrame = null
       for (i <- 1 to iters) {
         val expanded = hops
           .join(sym, col("node") === col("a"))
           .select(col("src"), col("b").as("node"), (col("hops") + 1).as("hops"))
         hops = hops.unionAll(expanded)
           .groupBy(col("src"), col("node")).agg(min(col("hops")).as("hops"))
-        if (i < iters) hops = hops.localCheckpoint(eager = true)
+        hops = graft.Ckpt.roll(hops, last); last = hops
       }
       val nv = vertices.agg(count(lit(1)).as("n_v"))
+        .localCheckpoint(eager = true)
+      sym.unpersist(false)
       hops.groupBy(col("src").as("node"))
         .agg(
           sum(when(col("hops") > 0, expr("12 div hops")).otherwise(0L)).as("h12"),
@@ -1877,10 +1950,10 @@ object Graph {
       }
       var edges = undirectedNationEdges(s, d).localCheckpoint(eager = true)
       for (_ <- 1 to KtrussRounds) {
-        edges = supportOf(edges)
+        val prev = edges
+        edges = graft.Ckpt.roll(supportOf(edges)
           .filter(col("support") >= support)
-          .select(col("a"), col("b"))
-          .localCheckpoint(eager = true)
+          .select(col("a"), col("b")), prev)
       }
       supportOf(edges).orderBy(col("a"), col("b"))
     }
@@ -1943,6 +2016,7 @@ object Graph {
         .union(sym.select(col("b").as("node"))).distinct()
         .localCheckpoint(eager = true)
       var active = vertices
+      var lastActive: DataFrame = null
       var mis: DataFrame = null
       for (i <- 1 to MisRounds) {
         val p = active.withColumn("pri",
@@ -1963,10 +2037,13 @@ object Graph {
           .unionAll(sym.join(winners.withColumnRenamed("node", "wn"),
             col("wn") === col("a"), "left_semi").select(col("b").as("node")))
           .distinct()
-        active = active.join(retired.withColumnRenamed("node", "rn"),
-            col("rn") === col("node"), "left_anti")
-          .localCheckpoint(eager = true)
+        active = graft.Ckpt.roll(
+          active.join(retired.withColumnRenamed("node", "rn"),
+            col("rn") === col("node"), "left_anti"), lastActive)
+        lastActive = active
       }
+      graft.Ckpt.free(active)
+      sym.unpersist(false)
       vertices.join(mis.withColumnRenamed("node", "mn"),
           col("mn") === col("node"), "left_outer")
         .select(col("node"), col("mis_round").isNotNull.as("in_mis"),
@@ -2036,6 +2113,8 @@ object Graph {
       .withColumn("pri", md5(col("node")))
       .localCheckpoint(eager = true)
     var colored = Seq.empty[(String, Int)].toDF("node", "color")
+    var lastColored: DataFrame = null
+    val pendingNewly = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var remaining = active.count()
     var round = 0
     while (remaining > 0 && round < 64) {
@@ -2064,11 +2143,22 @@ object Graph {
         .localCheckpoint(eager = true)
       remaining -= newly.count()
       colored = colored.unionAll(newly)
-      if (round % 4 == 0) colored = colored.localCheckpoint(eager = true)
-      active = active.join(newly.select(col("node").as("dn")),
-          col("dn") === col("node"), "left_anti")
-        .localCheckpoint(eager = true)
+      pendingNewly += newly
+      // next-round active must materialize BEFORE any newly
+      // checkpoint is freed (its anti-join reads this round's newly)
+      active = graft.Ckpt.roll(
+        active.join(newly.select(col("node").as("dn")),
+          col("dn") === col("node"), "left_anti"), active)
+      // colored's union tree references every round's `newly`
+      // checkpoint, so those may only be freed once a periodic
+      // colored checkpoint absorbs them (lineage truncation).
+      if (round % 4 == 0) {
+        colored = graft.Ckpt.roll(colored, lastColored); lastColored = colored
+        pendingNewly.foreach(graft.Ckpt.free); pendingNewly.clear()
+      }
     }
+    graft.Ckpt.free(active)
+    sym.unpersist(false)
     // cap exhaustion must be an explicit failure, never a silently
     // PARTIAL coloring that downstream reads as proper (the dense
     // bipartite graph once drained only 858/1600 nodes in 64 rounds)
@@ -2148,13 +2238,13 @@ object Graph {
           .localCheckpoint(eager = true)
         val wr = w.withColumn("match_round", lit(i.toLong))
         matched = if (matched == null) wr else matched.unionAll(wr)
-        active = active
+        active = graft.Ckpt.roll(active
           .join(w.select(col("a").as("wa")).distinct(),
             col("wa") === col("a"), "left_anti")
           .join(w.select(col("b").as("wb")).distinct(),
-            col("wb") === col("b"), "left_anti")
-          .localCheckpoint(eager = true)
+            col("wb") === col("b"), "left_anti"), active)
       }
+      graft.Ckpt.free(active)
       matched
         .select(col("a").as("custkey"), col("b").as("suppkey"),
           col("match_round"))
@@ -2217,18 +2307,20 @@ object Graph {
     for (h <- 1 to AnfRounds) {
       val msgs = edges.join(state, col("u") === col("node"))
         .select(col("v").as("node") +: mcols.map(col): _*)
-      state = msgs.union(state)
+      state = graft.Ckpt.roll(msgs.union(state)
         .groupBy(col("node"))
         .agg(bit_or(col(mcols.head)).as(mcols.head),
-          mcols.tail.map(m => bit_or(col(m)).as(m)): _*)
+          mcols.tail.map(m => bit_or(col(m)).as(m)): _*),
         // checkpoint EVERY round, not every 3: the per-round N(h)
         // aggregate below forces a full evaluation anyway, so an
         // uncheckpointed round would be recomputed by the next one
         // (1+2+3 round-executions between cuts ≈ 2-3× wasted work);
-        // the state is a slim O(n)×33-column relation
-        .localCheckpoint(eager = true)
+        // the state is a slim O(n)×33-column relation. Rolling frees
+        // the replaced generation.
+        state)
       curve += nh(state)
     }
+    graft.Ckpt.free(state)
     edges.unpersist(false)
     val plateau = curve.last
     curve.toSeq.zipWithIndex.map { case (n, h) =>
@@ -2329,6 +2421,8 @@ object Graph {
     for (k <- 1 to 3) {
       val msgs = edges.join(x, col("u") === col("node"))
         .select(col("v").as("node") +: dims.map(j => col(ecol(j))): _*)
+      // NOTE: previous x generations stay live — acc's lazy tree
+      // joins every hop's checkpoint, so none may be freed here.
       x = msgs.groupBy(col("node"))
         .agg(avg(col(ecol(0))).as(ecol(0)),
           dims.tail.map(j => avg(col(ecol(j))).as(ecol(j))): _*)
@@ -2417,6 +2511,7 @@ object Graph {
       .select(col("node") +: landmarks.zipWithIndex.map { case (l, i) =>
         when(col("node") === l, 0).otherwise(lit(null).cast("int")).as(s"d$i")
       }: _*)
+    var lastState: DataFrame = null
     for (r <- 1 to LandmarkRounds) {
       val msgs = edges.join(state, col("u") === col("node"))
         .select(col("v").as("node") +: dcols.map(c => (col(c) + 1).as(c)): _*)
@@ -2424,11 +2519,63 @@ object Graph {
         .groupBy(col("node"))
         .agg(min(col(dcols.head)).as(dcols.head),
           dcols.tail.map(c => min(col(c)).as(c)): _*)
-      if (r % 3 == 0 || r == LandmarkRounds)
-        state = state.localCheckpoint(eager = true)
+      if (r % 3 == 0 || r == LandmarkRounds) {
+        state = graft.Ckpt.roll(state, lastState); lastState = state
+      }
     }
     edges.unpersist(false)
     (state, landmarks)
+  }
+
+  /** Generated DuckDB replay of landmarkDistances + the md5 panel:
+    * repeat-trade edges, namespaced bipartite graph, the (deg, id)
+    * landmark pick, $LandmarkRounds min-relax rounds as chained CTEs
+    * (NULL = unreached; min and + propagate NULLs identically in
+    * both engines), then the same least(du+dv) estimate over the
+    * md5-ordered 5×4 panel.
+    */
+  private def landmarkOracle: String = {
+    val L = LandmarkCount; val R = LandmarkRounds
+    val dcols = (0 until L).map(i => s"d$i")
+    val rounds = (1 to R).map { r =>
+      val p = r - 1
+      val mins = dcols.map(c => s"min($c) AS $c").mkString(", ")
+      val plus = dcols.map(c => s"s.$c + 1 AS $c").mkString(", ")
+      val sel = dcols.mkString(", ")
+      s"""s$r AS MATERIALIZED (
+         |  SELECT node, $mins FROM (
+         |    SELECT node, $sel FROM s$p
+         |    UNION ALL
+         |    SELECT e.v AS node, $plus FROM s$p s JOIN edges e ON e.u = s.node)
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    val inits = (0 until L).map(i =>
+      s"CASE WHEN node = (SELECT u FROM lm WHERE i = $i) THEN 0 END AS d$i")
+      .mkString(",\n    ")
+    val est = (0 until L).map(i => s"du.d$i + dv.d$i").mkString("least(", ", ", ")")
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT o_custkey AS src, l_suppkey AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2 HAVING count(DISTINCT l_orderkey) >= 2),
+       |und AS (SELECT src * 2 AS u, dst * 2 + 1 AS v FROM e0),
+       |edges AS MATERIALIZED (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+       |lm AS (SELECT u, row_number() OVER (ORDER BY deg DESC, u) - 1 AS i
+       |       FROM (SELECT u, count(*) AS deg FROM edges WHERE u % 2 = 1 GROUP BY u)
+       |       ORDER BY deg DESC, u LIMIT $L),
+       |s0 AS (
+       |  SELECT node,
+       |    $inits
+       |  FROM (SELECT DISTINCT u AS node FROM edges)),
+       |$rounds,
+       |cu AS (SELECT node AS cu FROM s$R WHERE node % 2 = 0
+       |       ORDER BY md5(concat(node, ':1')) LIMIT 5),
+       |sv AS (SELECT node AS sv FROM s$R WHERE node % 2 = 1
+       |       ORDER BY md5(concat(node, ':2')) LIMIT 4)
+       |SELECT cu.cu AS u, sv.sv AS v, CAST($est AS INTEGER) AS est_dist
+       |FROM cu CROSS JOIN sv
+       |JOIN s$R du ON du.node = cu.cu
+       |JOIN s$R dv ON dv.node = sv.sv
+       |ORDER BY u, v""".stripMargin
   }
 
   /** Landmark distance oracle (Potamias et al. CIKM 2009 — the
@@ -2443,17 +2590,20 @@ object Graph {
     * Rows-only; ScalaTest pins the upper-bound property against
     * exact driver BFS and exactness through landmarks.
     */
-  val graphLandmarkDist: QueryDef = QueryDef.rowsOnly("graph_landmark_dist") { (s, d) =>
+  val graphLandmarkDist: QueryDef = QueryDef.sql(
+    "graph_landmark_dist", landmarkOracle) { (s, d) =>
     val (state, _) = landmarkDistances(s, d)
     val dcols = (0 until LandmarkCount).map(i => s"d$i")
     // deterministic query panel: 5 hash-picked customers × 4
     // hash-picked suppliers = 20 pairs (both sides are tiny literal
-    // relations, so the cross join is 20 rows, not a plan smell)
+    // relations, so the cross join is 20 rows, not a plan smell).
+    // md5 (not xxhash64) so the DuckDB oracle replays the pick —
+    // both engines emit identical lowercase hex (graph_mis parity).
     val custs = state.filter(col("node") % 2 === 0)
-      .orderBy(xxhash64(col("node"), lit(1)))
+      .orderBy(md5(concat_ws(":", col("node"), lit(1))))
       .limit(5).select(col("node").as("cu"))
     val supps = state.filter(col("node") % 2 === 1)
-      .orderBy(xxhash64(col("node"), lit(2)))
+      .orderBy(md5(concat_ws(":", col("node"), lit(2))))
       .limit(4).select(col("node").as("sv"))
     val pairs = custs.crossJoin(supps)
     val uDist = state.select(col("node").as("cu") +:

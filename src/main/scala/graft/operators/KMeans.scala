@@ -210,43 +210,51 @@ object KMeans {
     * sf0.001/0.01/0.1; movements near convergence are continuous-
     * valued, so a boundary landing is measure-zero in practice.
     */
-  private def lloydFullCtes(k: Int, maxIter: Int, tol: Double): String = {
+  private def lloydFullCtes(k: Int, maxIter: Int, tol: Double): String =
+    s"""WITH pts AS MATERIALIZED (
+       |  SELECT l_quantity AS x, l_extendedprice AS y,
+       |         row_number() OVER (ORDER BY l_orderkey, l_linenumber,
+       |                            l_quantity, l_extendedprice) - 1 AS rid
+       |  FROM lineitem)""".stripMargin +
+      lloydLoopCtes(k, maxIter, tol, "")
+
+  /** The per-k body of lloydFullCtes (everything after the shared
+    * `pts` CTE), name-prefixed so several k's can share one query —
+    * the kmeans_elbow oracle chains four of these.
+    */
+  private def lloydLoopCtes(k: Int, maxIter: Int, tol: Double, q: String): String = {
     val sb = new StringBuilder
     sb.append(
-      s"""WITH pts AS MATERIALIZED (
-         |  SELECT l_quantity AS x, l_extendedprice AS y,
-         |         row_number() OVER (ORDER BY l_orderkey, l_linenumber,
-         |                            l_quantity, l_extendedprice) - 1 AS rid
-         |  FROM lineitem),
-         |c0 AS MATERIALIZED (SELECT rid AS cid, x, y FROM pts WHERE rid < $k)""".stripMargin)
+      s""",
+         |${q}c0 AS MATERIALIZED (SELECT rid AS cid, x, y FROM pts WHERE rid < $k)""".stripMargin)
     for (i <- 1 to maxIter) {
       val p = i - 1
       sb.append(
         s""",
-           |a$i AS (
+           |${q}a$i AS (
            |  SELECT p.rid, p.x, p.y, c.cid,
            |         row_number() OVER (PARTITION BY p.rid
            |           ORDER BY (p.x-c.x)*(p.x-c.x) + (p.y-c.y)*(p.y-c.y), c.cid) AS rn
-           |  FROM pts p CROSS JOIN c$p c),
-           |s$i AS MATERIALIZED (SELECT rid, x, y, cid FROM a$i WHERE rn = 1),
-           |m$i AS (SELECT cid, avg(x) AS x, avg(y) AS y FROM s$i GROUP BY cid),
-           |c$i AS MATERIALIZED (SELECT cid, x, y FROM m$i
+           |  FROM pts p CROSS JOIN ${q}c$p c),
+           |${q}s$i AS MATERIALIZED (SELECT rid, x, y, cid FROM ${q}a$i WHERE rn = 1),
+           |${q}m$i AS (SELECT cid, avg(x) AS x, avg(y) AS y FROM ${q}s$i GROUP BY cid),
+           |${q}c$i AS MATERIALIZED (SELECT cid, x, y FROM ${q}m$i
            |       UNION ALL
-           |       SELECT cid, x, y FROM c$p WHERE cid NOT IN (SELECT cid FROM m$i)),
-           |v$i AS (SELECT bool_and(abs(n.x - o.x) < $tol AND abs(n.y - o.y) < $tol) AS conv
-           |        FROM c$i n JOIN c$p o USING (cid))""".stripMargin)
+           |       SELECT cid, x, y FROM ${q}c$p WHERE cid NOT IN (SELECT cid FROM ${q}m$i)),
+           |${q}v$i AS (SELECT bool_and(abs(n.x - o.x) < $tol AND abs(n.y - o.y) < $tol) AS conv
+           |        FROM ${q}c$i n JOIN ${q}c$p o USING (cid))""".stripMargin)
     }
     val allc = (1 to maxIter)
-      .map(i => s"SELECT $i AS iter, cid, x, y FROM c$i").mkString(" UNION ALL ")
+      .map(i => s"SELECT $i AS iter, cid, x, y FROM ${q}c$i").mkString(" UNION ALL ")
     val convs = (1 to maxIter)
-      .map(i => s"SELECT $i AS iter, conv FROM v$i").mkString(" UNION ALL ")
+      .map(i => s"SELECT $i AS iter, conv FROM ${q}v$i").mkString(" UNION ALL ")
     sb.append(
       s""",
-         |allc AS ($allc),
-         |convs AS ($convs),
-         |nit AS (SELECT coalesce(min(iter), $maxIter) AS n_iters,
+         |${q}allc AS ($allc),
+         |${q}convs AS ($convs),
+         |${q}nit AS (SELECT coalesce(min(iter), $maxIter) AS n_iters,
          |               coalesce(min(iter), ${maxIter + 1}) <= $maxIter AS converged
-         |        FROM convs WHERE conv)""".stripMargin)
+         |        FROM ${q}convs WHERE conv)""".stripMargin)
     sb.toString
   }
 
@@ -576,27 +584,125 @@ object KMeans {
     * reporting iterations, convergence, and final within-cluster
     * cost per k. Iterations cap at 8 (not the reference's 20): an
     * elbow compares costs ACROSS k, and the cost ordering is stable
-    * long before per-axis convergence — the cap keeps the sweep
-    * ~Σk/K Lloyd-equivalents instead of 4 full fixed-point runs.
-    * Each k runs over the SAME persisted points; cost is one
-    * additional scan per k. Rows-only; cost monotonicity over k is
-    * pinned in ScalaTest.
+    * long before per-axis convergence.
+    *
+    * FUSED SWEEP: the four k's share every corpus pass instead of
+    * running 4 independent Lloyd loops (up to 80 passes). Each
+    * iteration is ONE scan evaluating all still-active k's
+    * assignments (their 30 centroid structs are one codegen'd
+    * expression set) and ONE flat aggregate of 3 conditional columns
+    * per (k, cid) — the kmeans_fuzzy many-column trick — so the whole
+    * sweep costs max-iterations scans, not Σ per-k iterations. Each
+    * k's update trajectory only reads its own centroids, so per-k
+    * centroids / iteration counts / convergence flags are IDENTICAL
+    * to independent runs (parity pinned in ScalaTest); a k that
+    * converges drops out of the scan while the others continue. The
+    * 4 final costs fuse into one last scan the same way.
+    *
+    * Cost is reported in millions, from an EXACT integer sum: each
+    * point's min squared distance quantizes to centi-units
+    * (floor(d·100) as int64) before summing, so the corpus-sized sum
+    * is partition- and engine-identical — a raw float sum at this
+    * magnitude would drift past any useful rounding. Oracle = four
+    * name-prefixed lloydFullCtes chains over one shared pts CTE,
+    * replaying init, per-axis tol, stale-keep, the stopping
+    * iteration, and the quantized cost per k.
     */
-  val kmeansElbow: QueryDef = QueryDef.rowsOnly("kmeans_elbow") { (s, d) =>
+  val kmeansElbow: QueryDef = QueryDef.sql(
+    "kmeans_elbow", {
+      val ks = Seq(2, 4, 8, 16)
+      val chains = ks.map(k => lloydLoopCtes(k, maxIter = 8, tol = 1e-3, q = s"k${k}_"))
+      val perK = ks.map { k =>
+        val q = s"k${k}_"
+        s"""SELECT CAST($k AS BIGINT) AS k,
+           |  CAST(n.n_iters AS BIGINT) AS n_iters, n.converged,
+           |  (SELECT floor(CAST(sum(im) AS DOUBLE) / 100 / 1000000 * 1000 + 0.5) / 1000
+           |   FROM (SELECT min(CAST(floor(((p.x-c.x)*(p.x-c.x) + (p.y-c.y)*(p.y-c.y)) * 100) AS BIGINT)) AS im
+           |         FROM pts p CROSS JOIN (SELECT cid, x, y FROM ${q}allc a
+           |                                JOIN ${q}nit t ON a.iter = t.n_iters) c
+           |         GROUP BY p.rid)) AS cost_m
+           |FROM ${q}nit n""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH pts AS MATERIALIZED (
+         |  SELECT l_quantity AS x, l_extendedprice AS y,
+         |         row_number() OVER (ORDER BY l_orderkey, l_linenumber,
+         |                            l_quantity, l_extendedprice) - 1 AS rid
+         |  FROM lineitem)""".stripMargin +
+        chains.mkString("") +
+        s"\n$perK\nORDER BY k"
+    }) { (s, d) =>
     val allPts = points(Tables.lineitem(s, d))
     val pts = allPts.select("x", "y").persist()
     try {
-      val rows = Seq(2, 4, 8, 16).map { k =>
-        val init = initCentroids(allPts, k)
-        val (cs, iters, converged) = lloyd(pts, init, maxIter = 8)
-        val cost = pts.agg(sum(minDistExpr(cs, col("x"), col("y"))))
-          .head().getDouble(0)
+      val ks = Seq(2, 4, 8, 16)
+      val results = fusedLloydSweep(pts, ks.map(k => k -> initCentroids(allPts, k)).toMap,
+        tol = 1e-3, maxIter = 8)
+      // all 4 final quantized costs in ONE scan, summed as exact int64
+      val costAggs = ks.map { k =>
+        sum(floor(minDistExpr(results(k)._1, col("x"), col("y")) * 100)
+          .cast("long")).as(s"cost_$k")
+      }
+      val crow = pts.agg(costAggs.head, costAggs.tail: _*).head()
+      val rows = ks.map { k =>
+        val (_, iters, converged) = results(k)
         (k.toLong, iters.toLong, converged,
-          math.floor(cost * 100 + 0.5) / 100)
+          math.floor(crow.getAs[Long](s"cost_$k") / 100.0 / 1000000 * 1000 + 0.5) / 1000)
       }
       import s.implicits._
-      rows.toDF("k", "n_iters", "converged", "cost")
+      rows.toDF("k", "n_iters", "converged", "cost_m")
     } finally pts.unpersist(false)
+  }
+
+  /** Lloyd for SEVERAL k at once over one stream of scans: per
+    * iteration, one projection computes each active k's assignment
+    * (a codegen'd struct-min per k) and one flat aggregate computes
+    * Σx / Σy / n per (k, cid) as conditional columns — all
+    * partial-aggregable, so the shuffle is a single 1-row exchange
+    * regardless of corpus size. Per-k semantics are exactly
+    * `lloyd`'s: mean update, stale-keep empty clusters, per-axis
+    * tol, per-k maxIter. Returns (centroids, iterations, converged)
+    * per k.
+    */
+  def fusedLloydSweep(pts: DataFrame,
+      inits: Map[Int, Array[(Double, Double)]],
+      tol: Double, maxIter: Int): Map[Int, (Array[(Double, Double)], Int, Boolean)] = {
+    val ks = inits.keys.toSeq.sorted
+    val cents = scala.collection.mutable.Map(ks.map(k => k -> inits(k).clone()): _*)
+    val iters = scala.collection.mutable.Map(ks.map(_ -> 0): _*)
+    val conv = scala.collection.mutable.Map(ks.map(_ -> false): _*)
+    var round = 0
+    while (round < maxIter && !ks.forall(conv)) {
+      val active = ks.filterNot(conv)
+      // one pass: per-row assignment per active k, computed once each
+      val withCids = pts.select(
+        col("x") +: col("y") +:
+          active.map(k => assignExpr(cents(k), col("x"), col("y")).as(s"cid_$k")): _*)
+      val aggCols = active.flatMap { k =>
+        cents(k).indices.flatMap { c =>
+          Seq(
+            sum(when(col(s"cid_$k") === c, col("x"))).as(s"sx_${k}_$c"),
+            sum(when(col(s"cid_$k") === c, col("y"))).as(s"sy_${k}_$c"),
+            count(when(col(s"cid_$k") === c, lit(1))).as(s"n_${k}_$c"))
+        }
+      }
+      val row = withCids.agg(aggCols.head, aggCols.tail: _*).head()
+      active.foreach { k =>
+        val cs = cents(k)
+        val next = cs.indices.map { c =>
+          val n = row.getAs[Long](s"n_${k}_$c")
+          if (n == 0L) cs(c) // stale-keep, as the reference
+          else (row.getAs[Double](s"sx_${k}_$c") / n,
+            row.getAs[Double](s"sy_${k}_$c") / n)
+        }.toArray
+        conv(k) = cs.zip(next).forall { case ((ox, oy), (nx, ny)) =>
+          math.abs(ox - nx) < tol && math.abs(oy - ny) < tol
+        }
+        cents(k) = next
+        iters(k) += 1
+      }
+      round += 1
+    }
+    ks.map(k => k -> ((cents(k), iters(k), conv(k)))).toMap
   }
 
   /** Simplified silhouette (Hruschka et al.): per point, a = distance

@@ -1009,16 +1009,79 @@ object TimeSeries {
     picked.toArray
   }
 
+  /** Generated DuckDB replay of the LTTB pick chain: the pick for
+    * bucket b is a row_number()=1 argmax over that bucket's rows,
+    * seeded by the previous bucket's pick — 8 chained CTEs, one per
+    * interior bucket. Every area is computed from integer-valued
+    * doubles (day ordinals and counts) with the exact expression
+    * order of lttbSelect, so the float values are engine-identical
+    * and the (area DESC, index ASC) tie-break replays the "strictly
+    * greater keeps first" rule. Series with ≤ 10 points pass through
+    * whole, matching the Scala early-out.
+    */
+  private def lttbOracle(target: Int): String = {
+    val buckets = target - 2
+    def bound(i: String, nc: String = "n") =
+      s"1 + CAST(floor(($i) * ($nc - 2) / $buckets.0 + 0.5) AS BIGINT)"
+    val chain = (0 until buckets).map { b =>
+      val lo = bound(b.toString, "d.n")
+      val hi = s"least(${bound((b + 1).toString, "d.n")}, d.n - 1)"
+      val (nl, nh) =
+        if (b + 1 < buckets)
+          (bound((b + 1).toString), s"least(${bound((b + 2).toString)}, n - 1)")
+        else ("n - 1", "n")
+      s"""nb$b AS ( -- next-bucket centroid per type
+         |  SELECT event_type, sum(x) / count(*) AS ax, sum(y) / count(*) AS ay
+         |  FROM dd WHERE t >= $nl AND t < $nh GROUP BY event_type),
+         |pk${b + 1} AS (
+         |  SELECT event_type, t AS prev FROM (
+         |    SELECT d.event_type, d.t,
+         |      row_number() OVER (PARTITION BY d.event_type ORDER BY
+         |        abs((px.x - c.ax) * (d.y - px.y) - (px.x - d.x) * (c.ay - px.y)) DESC,
+         |        d.t) AS rn
+         |    FROM dd d
+         |    JOIN pk$b p ON p.event_type = d.event_type
+         |    JOIN dd px ON px.event_type = d.event_type AND px.t = p.prev
+         |    JOIN nb$b c ON c.event_type = d.event_type
+         |    WHERE d.t >= $lo AND d.t < $hi)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day0,
+       |         count(*) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |dd AS MATERIALIZED (
+       |  SELECT event_type, CAST(day0 AS VARCHAR) AS day,
+       |    CAST(day0 - DATE '1970-01-01' AS DOUBLE) AS x,
+       |    CAST(cnt AS DOUBLE) AS y, cnt,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY day0) - 1 AS t,
+       |    count(*) OVER (PARTITION BY event_type) AS n
+       |  FROM daily),
+       |dd_big AS (SELECT * FROM dd WHERE n > $target),
+       |pk0 AS (SELECT DISTINCT event_type, CAST(0 AS BIGINT) AS prev FROM dd_big),
+       |$chain,
+       |sel AS (SELECT DISTINCT event_type, t FROM (
+       |  ${(0 to buckets).map(b => s"SELECT event_type, prev AS t FROM pk$b").mkString(" UNION ALL ")}
+       |  UNION ALL SELECT event_type, n - 1 AS t FROM dd_big WHERE t = 0))
+       |SELECT d.event_type, d.day, d.cnt AS n
+       |FROM dd_big d JOIN sel s ON s.event_type = d.event_type AND s.t = d.t
+       |UNION ALL
+       |SELECT event_type, day, cnt AS n FROM dd WHERE n <= $target
+       |ORDER BY event_type, day""".stripMargin
+  }
+
   /** Downsample each daily series to ≤10 visually-representative
     * points via LTTB — what a dashboard renders when the raw series
     * is too dense to plot. The sequential pass is inherent to LTTB
     * (each pick depends on the previous), but it runs per-series
     * over the O(days) DAILY AGGREGATE inside flatMapGroups — the
     * corpus contributes one groupBy, series state is O(days), and
-    * parallelism comes from the series key shuffle. Rows-only (pick
-    * depends on float triangle areas); endpoints/subset/count pinned.
+    * parallelism comes from the series key shuffle. Every triangle
+    * area is integer-derived (day ordinal × count), so the floats —
+    * and therefore the picks — are engine-exact, and the chained-CTE
+    * oracle replays the pick sequence hash-identically.
     */
-  val tsLttb: QueryDef = QueryDef.rowsOnly("ts_lttb") { (s, d) =>
+  val tsLttb: QueryDef = QueryDef.sql("ts_lttb", lttbOracle(10)) { (s, d) =>
     import s.implicits._
     val daily = Tables.events(s, d)
       .groupBy(col("event_type"),

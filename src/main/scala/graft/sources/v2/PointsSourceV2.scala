@@ -87,10 +87,15 @@ object PointsSourceV2 {
         val totalBytes = fileList.map(_._2 + openCost).sum
         math.min(maxPB, math.max(openCost, totalBytes / parallelism))
       }
+    // One clamp used for BOTH the step and the length: a non-positive
+    // split (splitBytes=0/negative, or openCostInBytes=0 with tiny
+    // input) must not zero out the range length — that would silently
+    // read only the first line of each file.
+    val split = math.max(1L, maxSplit)
     fileList.flatMap { case (f, len) =>
       if (len <= 0) Seq(PointsFilePartition(f, 0L, 0L))
-      else (0L until len by math.max(1L, maxSplit)).map { off =>
-        PointsFilePartition(f, off, math.min(maxSplit, len - off))
+      else (0L until len by split).map { off =>
+        PointsFilePartition(f, off, math.min(split, len - off))
       }
     }.map(p => p: InputPartition).toArray
   }
@@ -421,10 +426,19 @@ final class PointsMicroBatchStream(
     }
 
   private def writeLog(entries: Vector[(String, Long)]): Unit = {
-    val out = logFs.create(logFile, true)
+    // Crash-safe publish: a crash mid-write must never truncate the
+    // log that already-committed offsets index into (a restart would
+    // replay wrong/empty batches). Write the full log to a temp file,
+    // then atomically rename over the live one — the same discipline
+    // as Structured Streaming's checkpoint file manager.
+    val tmp = new Path(logFile.getParent,
+      s".${logFile.getName}.${java.util.UUID.randomUUID()}.tmp")
+    val out = logFs.create(tmp, true)
     try entries.foreach { case (f, len) =>
       out.write(s"$len\t$f\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(logFile.toUri, conf)
+    fc.rename(tmp, logFile, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private def listFiles(): Seq[(String, Long)] = {

@@ -246,6 +246,26 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(costs.last > 0)
   }
 
+  test("fused Lloyd sweep matches independent per-k lloyd runs exactly") {
+    val allPts = operators.KMeans.points(Tables.lineitem(spark, sf))
+    val pts = allPts.select("x", "y").persist()
+    try {
+      val ks = Seq(2, 4, 8)
+      val inits = ks.map(k => k -> operators.KMeans.initCentroids(allPts, k)).toMap
+      val fused = operators.KMeans.fusedLloydSweep(pts, inits, tol = 1e-3, maxIter = 8)
+      ks.foreach { k =>
+        val (ics, iiters, iconv) = operators.KMeans.lloyd(pts, inits(k), maxIter = 8)
+        val (fcs, fiters, fconv) = fused(k)
+        assert(fiters === iiters, s"k=$k iteration count diverged")
+        assert(fconv === iconv, s"k=$k convergence flag diverged")
+        ics.zip(fcs).zipWithIndex.foreach { case (((ix, iy), (fx, fy)), c) =>
+          assert(math.abs(ix - fx) < 1e-9 && math.abs(iy - fy) < 1e-9,
+            s"k=$k centroid $c diverged: ($ix,$iy) vs ($fx,$fy)")
+        }
+      }
+    } finally pts.unpersist(false)
+  }
+
   test("text_collocations lift scores are supported and positive") {
     val rows = TextAnalysis.textCollocations.fn(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 20)
