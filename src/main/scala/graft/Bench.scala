@@ -81,7 +81,19 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench-build] graph_edges: $e") }
       ("graph_edges", (System.nanoTime() - t0) / 1e9)
     }
-    val builds = edgeBuild +: selected.filter(p => indexBacked(p._1)).map { case (name, fn) =>
+    // corpus tokenization artifacts (dedup shingles + text tf) — the
+    // staged relations ~12 dedup/text entries read instead of
+    // re-tokenizing documents per query
+    val textBuild = {
+      val t0 = System.nanoTime()
+      try {
+        graft.operators.Dedup.stagedShingles(spark, sfDir).count()
+        graft.operators.TextAnalysis.stagedTfWs(spark, sfDir).count()
+        graft.operators.TextAnalysis.stagedTfAz(spark, sfDir).count()
+      } catch { case e: Throwable => System.err.println(s"[bench-build] text_tf: $e") }
+      ("text_tf", (System.nanoTime() - t0) / 1e9)
+    }
+    val builds = Seq(edgeBuild, textBuild) ++ selected.filter(p => indexBacked(p._1)).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case e: Throwable => System.err.println(s"[bench-build] $name: $e") }

@@ -252,6 +252,18 @@ object Dedup {
         "transform(sequence(0, size(toks) - 3), i -> xxhash64(toks[i], toks[i+1], toks[i+2]))"))
         .as("sh"))
 
+  /** Once-per-corpus STAGED (doc_id, sh) shingle relation (the
+    * Warehouse contract): ~8 dedup entries used to re-derive the
+    * identical tokenize+explode from documents per query — at 100 TB
+    * that's the corpus tokenization paid per query for a relation
+    * one ingest pass produces. doc_id-predicate callers (increment
+    * splits, bounded-truth evals) filter the artifact; only
+    * synthetic/streaming-batch frames still shingle directly.
+    */
+  def stagedShingles(s: SparkSession, d: String): DataFrame =
+    graft.sources.Warehouse.staged(s, d, "dedup_shingles",
+      Seq("documents.parquet"))(shinglesHashed(Tables.documents(s, d)))
+
   /** doc_id → 64-permutation MinHash signature (column `sig`:
     * array<long>) via the native mergeable MinHashAgg — ONE aggregate
     * buffer and one shingle hash per row instead of 64 independent
@@ -307,7 +319,7 @@ object Dedup {
     * the corpus in executor memory.
     */
   val dedupMinhash: QueryDef = QueryDef.rowsOnly("dedup_minhash") { (s, d) =>
-    val sh = shinglesHashed(Tables.documents(s, d)).cache()
+    val sh = stagedShingles(s, d).cache()
     try {
       val cand = lshCandidates(minhashSignatures(sh))
       jaccardVerify(sh, cand, 0.8).localCheckpoint(eager = true)
@@ -326,7 +338,7 @@ object Dedup {
     * DuckDB-expressible); estimator error bounds pinned in ScalaTest.
     */
   val dedupMinhashEst: QueryDef = QueryDef.rowsOnly("dedup_minhash_est") { (s, d) =>
-    val sh = shinglesHashed(Tables.documents(s, d)).cache()
+    val sh = stagedShingles(s, d).cache()
     try {
       val sigs = minhashSignatures(sh)
       val cand = lshCandidates(sigs)
@@ -739,7 +751,7 @@ object Dedup {
   val dedupIncremental: QueryDef = QueryDef.rowsOnly("dedup_incremental") { (s, d) =>
     val docs = Tables.documents(s, d)
     val split = incrementSplit(docs)
-    val sh = shinglesHashed(docs).cache()
+    val sh = stagedShingles(s, d).cache()
     try {
       val out = minhashIncrementPairs(
         sh.filter(col("doc_id") < split), sh.filter(col("doc_id") >= split))
@@ -760,9 +772,9 @@ object Dedup {
       val docs = Tables.documents(s, d)
       val split = incrementSplit(docs)
       val idx = dedupIndexDir(s, d, docs.filter(col("doc_id") < split))
-      val incSh = shinglesHashed(docs.filter(col("doc_id") >= split)).cache()
+      val incSh = stagedShingles(s, d).filter(col("doc_id") >= split).cache()
       try {
-        val corpusSh = shinglesHashed(docs.filter(col("doc_id") < split))
+        val corpusSh = stagedShingles(s, d).filter(col("doc_id") < split)
         minhashIncrementPairsWithIndex(s.read.parquet(idx), corpusSh, incSh)
           .localCheckpoint(eager = true)
       } finally incSh.unpersist(false)
@@ -837,7 +849,7 @@ object Dedup {
             val batchSh = shinglesHashed(batch.toDF())
             val cand = incrementCrossCandidates(s.read.parquet(idx),
               lshBuckets(minhashSignatures(batchSh)))
-            jaccardVerify(shinglesHashed(corpus).union(batchSh), cand, 0.8)
+            jaccardVerify(stagedShingles(s, d).filter(col("doc_id") < split).union(batchSh), cand, 0.8)
               .write.mode("append").parquet(sinkDir)
           }
           .start()
@@ -1164,7 +1176,7 @@ object Dedup {
     val docs = Tables.documents(s, d).filter(col("doc_id") < 300L)
     val truth = ngramPairs(docs, 300L, 0.8).select("id1", "id2")
       .localCheckpoint(eager = true)
-    val sh = shinglesHashed(docs).cache()
+    val sh = stagedShingles(s, d).filter(col("doc_id") < 300L).cache()
     try {
       val verified = jaccardVerify(
         sh, lshCandidates(minhashSignatures(sh)), 0.8)

@@ -2800,7 +2800,36 @@ object EventOps {
     * Rows-only; ScalaTest pins the logging-policy identity, ESS
     * bounds, and a collected replay of the target-policy estimate.
     */
-  val eventsOffpolicyIps: QueryDef = QueryDef.rowsOnly("events_offpolicy_ips") { (s, d) =>
+  private val offpolicyIpsOracle: String =
+    """WITH ev AS (SELECT user_id, event_type AS a, value AS r FROM events),
+      |tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM ev),
+      |mu AS (SELECT a, count(*) / (SELECT total FROM tot) AS p
+      |       FROM ev GROUP BY a),
+      |md AS (SELECT user_id, a AS rec FROM (
+      |  SELECT user_id, a, count(*) AS c,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY count(*) DESC, a DESC) AS rn
+      |  FROM ev GROUP BY user_id, a) WHERE rn = 1),
+      |scored AS (
+      |  SELECT r, CASE WHEN ev.a = md.rec THEN 1.0 ELSE 0.0 END / mu.p AS w
+      |  FROM ev JOIN mu ON mu.a = ev.a JOIN md ON md.user_id = ev.user_id),
+      |agg AS (SELECT avg(r) AS observed, avg(w * r) AS ips,
+      |  sum(w * r) / sum(w) AS snips,
+      |  sum(w) * sum(w) / sum(w * w) AS ess FROM scored)
+      |SELECT * FROM (
+      |  SELECT 'logging' AS policy,
+      |    floor(observed * 1e4 + 0.5) / 1e4 AS ips,
+      |    floor(observed * 1e4 + 0.5) / 1e4 AS snips,
+      |    (SELECT total FROM tot) AS ess
+      |  FROM agg
+      |  UNION ALL
+      |  SELECT 'user_mode', floor(ips * 1e4 + 0.5) / 1e4,
+      |    floor(snips * 1e4 + 0.5) / 1e4, floor(ess * 10 + 0.5) / 10
+      |  FROM agg)
+      |ORDER BY policy""".stripMargin
+
+  val eventsOffpolicyIps: QueryDef = QueryDef.sql(
+    "events_offpolicy_ips", offpolicyIpsOracle) { (s, d) =>
     val ev = Tables.events(s, d)
       .select(col("user_id"), col("event_type").as("a"), col("value").as("r"))
     val total = ev.count().toDouble

@@ -150,8 +150,13 @@ object KMeans {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
+      // md5-derived rotating batch (not xxhash64) so the DuckDB
+      // oracle replays the identical sample per iteration
       val batch = pts.filter(
-        pmod(xxhash64(col("x"), col("y"), lit(iter)), lit(frac)) === 0)
+        pmod(conv(substring(md5(concat_ws(",",
+            round(col("x") * 100).cast("long"),
+            round(col("y") * 100).cast("long"), lit(iter))), 1, 13), 16, 10)
+          .cast("long"), lit(frac)) === 0)
       val updated = step(batch, centroids).select("cid", "x", "y").collect()
         .map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
       val next = centroids.zipWithIndex.map { case (old, i) => updated.getOrElse(i, old) }
@@ -474,13 +479,70 @@ object KMeans {
     } finally pts.unpersist(false)
   }
 
+  /** Generated DuckDB replay of the mini-batch loop: per-iteration
+    * md5 batch filter, batch-mean update, stale-keep, per-axis tol,
+    * and the stopping-iteration pick — lloydFullCtes with a sampled
+    * assignment relation.
+    */
+  private def minibatchOracle(k: Int, maxIter: Int, tol: Double, frac: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH pts AS MATERIALIZED (
+         |  SELECT l_quantity AS x, l_extendedprice AS y,
+         |    CAST(round(l_quantity * 100) AS BIGINT) AS xi,
+         |    CAST(round(l_extendedprice * 100) AS BIGINT) AS yi,
+         |    row_number() OVER (ORDER BY l_orderkey, l_linenumber,
+         |                       l_quantity, l_extendedprice) - 1 AS rid
+         |  FROM lineitem),
+         |c0 AS MATERIALIZED (SELECT rid AS cid, x, y FROM pts WHERE rid < $k)""".stripMargin)
+    for (i <- 1 to maxIter) {
+      val p = i - 1
+      val it = i - 1 // Scala iter counter starts at 0
+      sb.append(
+        s""",
+           |b$i AS (SELECT * FROM pts
+           |  WHERE CAST(concat('0x', substring(md5(concat_ws(',', xi, yi, '$it')), 1, 13)) AS BIGINT)
+           |        % $frac = 0),
+           |a$i AS (
+           |  SELECT p.rid, p.x, p.y, c.cid,
+           |         row_number() OVER (PARTITION BY p.rid
+           |           ORDER BY (p.x-c.x)*(p.x-c.x) + (p.y-c.y)*(p.y-c.y), c.cid) AS rn
+           |  FROM b$i p CROSS JOIN c$p c),
+           |s$i AS MATERIALIZED (SELECT rid, x, y, cid FROM a$i WHERE rn = 1),
+           |m$i AS (SELECT cid, avg(x) AS x, avg(y) AS y FROM s$i GROUP BY cid),
+           |c$i AS MATERIALIZED (SELECT cid, x, y FROM m$i
+           |       UNION ALL
+           |       SELECT cid, x, y FROM c$p WHERE cid NOT IN (SELECT cid FROM m$i)),
+           |v$i AS (SELECT bool_and(abs(n.x - o.x) < $tol AND abs(n.y - o.y) < $tol) AS conv
+           |        FROM c$i n JOIN c$p o USING (cid))""".stripMargin)
+    }
+    val allc = (1 to maxIter)
+      .map(i => s"SELECT $i AS iter, cid, x, y FROM c$i").mkString(" UNION ALL ")
+    val convs = (1 to maxIter)
+      .map(i => s"SELECT $i AS iter, conv FROM v$i").mkString(" UNION ALL ")
+    sb.append(
+      s""",
+         |allc AS ($allc),
+         |convs AS ($convs),
+         |nit AS (SELECT coalesce(min(iter), $maxIter) AS n_iters,
+         |               coalesce(min(iter), ${maxIter + 1}) <= $maxIter AS converged
+         |        FROM convs WHERE conv)
+         |SELECT a.cid,
+         |  floor(a.x * 1000 + 0.5) / 1000 AS cx,
+         |  floor(a.y * 1000 + 0.5) / 1000 AS cy,
+         |  CAST(nit.n_iters AS BIGINT) AS n_iters, nit.converged
+         |FROM allc a JOIN nit ON a.iter = nit.n_iters ORDER BY a.cid""".stripMargin)
+    sb.toString
+  }
+
   /** Mini-batch k-means over the same points/init as kmeans_lloyd —
     * the 100 TB path for the reference's own algorithm (each update
-    * scans 20% of the corpus). Rows-only (the rotating sample isn't
-    * worth a 20-level CTE oracle); WSSSE-vs-full-Lloyd and
-    * determinism pinned in ScalaTest.
+    * scans 20% of the corpus). Oracle replays the md5 rotating
+    * batches as a sampled lloydFullCtes chain; WSSSE-vs-full-Lloyd
+    * and determinism additionally pinned in ScalaTest.
     */
-  val kmeansMinibatch: QueryDef = QueryDef.rowsOnly("kmeans_minibatch") { (s, d) =>
+  val kmeansMinibatch: QueryDef = QueryDef.sql(
+    "kmeans_minibatch", minibatchOracle(K, 20, 1e-3, 5)) { (s, d) =>
     val allPts = points(Tables.lineitem(s, d))
     val init = initCentroids(allPts)
     val pts = allPts.select("x", "y").persist()
@@ -538,11 +600,17 @@ object KMeans {
     * exact-semantics reference point.
     */
   def ppInit(pts: DataFrame, k: Int): Array[(Double, Double)] = {
-    // unsigned-ish uniform in (0,1]: (h >>> 11) has 53 high bits →
-    // exact double in [0,1); +1 in the numerator avoids u=0
-    def u(seed: Int): Column =
-      (shiftrightunsigned(xxhash64(col("x"), col("y"), lit(seed)), 11) + 1L)
-        .cast("double") / lit(9007199254740992.0) // 2^53
+    // uniform in (0,1]: 13 hex chars of md5 over the centi-unit
+    // integer coordinates = 52 bits, exact in a double; +1 avoids
+    // u=0. md5 over INTEGER strings (not raw doubles — double→string
+    // formatting is engine-specific) so the DuckDB oracle replays
+    // the identical priorities.
+    def u(seed: Int): Column = {
+      val xi = round(col("x") * 100).cast("long")
+      val yi = round(col("y") * 100).cast("long")
+      (conv(substring(md5(concat_ws(",", xi, yi, lit(seed))), 1, 13), 16, 10)
+        .cast("long") + 1L).cast("double") / lit(4503599627370496.0) // 2^52
+    }
     val first = pts.orderBy(u(0).asc, col("x"), col("y")).limit(1)
       .select("x", "y").collect()(0)
     val chosen = scala.collection.mutable.ArrayBuffer(
@@ -560,11 +628,61 @@ object KMeans {
     chosen.toArray
   }
 
-  /** k-means++ init + 3 Lloyd iterations (the kmeans_iter3 shape on
-    * the better init). Rows-only: the D² draw depends on float
-    * priorities; determinism + spread are pinned in ScalaTest.
+  /** DuckDB replay of ppInit + 3 Lloyd iterations: the md5-derived
+    * priorities are exact 52-bit rationals, D² is least() over the
+    * already-picked scalar subqueries (exact data values), so every
+    * u/D² ordering decision is engine-identical; the Lloyd chain is
+    * the kmeans_iter3 CTE body seeded from the picks.
     */
-  val kmeansPp: QueryDef = QueryDef.rowsOnly("kmeans_pp") { (s, d) =>
+  private def ppOracle(k: Int, iters: Int): String = {
+    def u(seed: Int): String =
+      s"(CAST(concat('0x', substring(md5(concat_ws(',', xi, yi, '$seed')), 1, 13)) AS BIGINT) + 1) / 4503599627370496.0"
+    val picks = (1 until k).map { j =>
+      val dists = (0 until j).map(i =>
+        s"(x - (SELECT x FROM p$i)) * (x - (SELECT x FROM p$i)) + (y - (SELECT y FROM p$i)) * (y - (SELECT y FROM p$i))")
+        .mkString(",\n        ")
+      val d2 = if (j == 1) dists else s"least($dists)"
+      s"""p$j AS MATERIALIZED (
+         |  SELECT x, y FROM (
+         |    SELECT x, y, ${u(j)} AS uu, $d2 AS d2 FROM pts)
+         |  WHERE d2 > 0 ORDER BY uu / d2, x, y LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val c0 = (0 until k).map(i => s"SELECT $i AS cid, x, y FROM p$i")
+      .mkString(" UNION ALL ")
+    val lloyd = (1 to iters).map { i =>
+      val p = i - 1
+      s"""a$i AS (
+         |  SELECT p.rid, p.x, p.y, c.cid,
+         |         row_number() OVER (PARTITION BY p.rid
+         |           ORDER BY (p.x-c.x)*(p.x-c.x) + (p.y-c.y)*(p.y-c.y), c.cid) AS rn
+         |  FROM pts p CROSS JOIN c$p c),
+         |s$i AS (SELECT rid, x, y, cid FROM a$i WHERE rn = 1),
+         |c$i AS MATERIALIZED (SELECT cid, avg(x) AS x, avg(y) AS y FROM s$i GROUP BY cid)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pts AS MATERIALIZED (
+       |  SELECT l_quantity AS x, l_extendedprice AS y,
+       |    CAST(round(l_quantity * 100) AS BIGINT) AS xi,
+       |    CAST(round(l_extendedprice * 100) AS BIGINT) AS yi,
+       |    row_number() OVER (ORDER BY l_orderkey, l_linenumber,
+       |                       l_quantity, l_extendedprice) - 1 AS rid
+       |  FROM lineitem),
+       |p0 AS MATERIALIZED (
+       |  SELECT x, y FROM pts ORDER BY ${u(0)}, x, y LIMIT 1),
+       |$picks,
+       |c0 AS MATERIALIZED ($c0),
+       |$lloyd
+       |SELECT CAST(cid AS BIGINT) AS cid,
+       |  floor(x * 10000 + 0.5) / 10000 AS x,
+       |  floor(y * 10000 + 0.5) / 10000 AS y
+       |FROM c$iters ORDER BY cid""".stripMargin
+  }
+
+  /** k-means++ init + 3 Lloyd iterations (the kmeans_iter3 shape on
+    * the better init). Oracle replays the md5 D² draws and the Lloyd
+    * chain; determinism + spread additionally pinned in ScalaTest.
+    */
+  val kmeansPp: QueryDef = QueryDef.sql(
+    "kmeans_pp", ppOracle(K, 3)) { (s, d) =>
     val allPts = points(Tables.lineitem(s, d))
     val pts = allPts.select("x", "y").persist()
     try {
@@ -635,7 +753,11 @@ object KMeans {
     val pts = allPts.select("x", "y").persist()
     try {
       val ks = Seq(2, 4, 8, 16)
-      val results = fusedLloydSweep(pts, ks.map(k => k -> initCentroids(allPts, k)).toMap,
+      // the line init has the PREFIX property — init(k) is the first
+      // k points of one fixed ordering — so all four inits come from
+      // ONE TakeOrdered pass instead of four
+      val first = initCentroids(allPts, ks.max)
+      val results = fusedLloydSweep(pts, ks.map(k => k -> first.take(k)).toMap,
         tol = 1e-3, maxIter = 8)
       // all 4 final quantized costs in ONE scan, summed as exact int64
       val costAggs = ks.map { k =>
@@ -673,26 +795,37 @@ object KMeans {
     var round = 0
     while (round < maxIter && !ks.forall(conv)) {
       val active = ks.filterNot(conv)
-      // one pass: per-row assignment per active k, computed once each
+      // one pass: per-row assignment per active k (computed once
+      // each), then ONE fine-grained group aggregate over the
+      // assignment TUPLE — ≤ Πk groups (1024 for {2,4,8,16}), 3
+      // accumulators per row instead of 3·Σk conditional columns;
+      // per-k moments marginalize on the driver over the (sorted,
+      // so FP-deterministic) group rows.
       val withCids = pts.select(
         col("x") +: col("y") +:
           active.map(k => assignExpr(cents(k), col("x"), col("y")).as(s"cid_$k")): _*)
-      val aggCols = active.flatMap { k =>
-        cents(k).indices.flatMap { c =>
-          Seq(
-            sum(when(col(s"cid_$k") === c, col("x"))).as(s"sx_${k}_$c"),
-            sum(when(col(s"cid_$k") === c, col("y"))).as(s"sy_${k}_$c"),
-            count(when(col(s"cid_$k") === c, lit(1))).as(s"n_${k}_$c"))
+      val groups = withCids
+        .groupBy(active.map(k => col(s"cid_$k")): _*)
+        .agg(sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          count(lit(1)).as("n"))
+        .collect()
+        .map { r =>
+          (active.indices.map(r.getInt).toArray,
+            r.getAs[Double]("sx"), r.getAs[Double]("sy"), r.getAs[Long]("n"))
         }
-      }
-      val row = withCids.agg(aggCols.head, aggCols.tail: _*).head()
-      active.foreach { k =>
+        .sortBy(_._1.toSeq.mkString(","))
+      active.zipWithIndex.foreach { case (k, ki) =>
         val cs = cents(k)
+        val sx = Array.fill(cs.length)(0.0)
+        val sy = Array.fill(cs.length)(0.0)
+        val nn = Array.fill(cs.length)(0L)
+        groups.foreach { case (cids, gx, gy, gn) =>
+          val c = cids(ki)
+          sx(c) += gx; sy(c) += gy; nn(c) += gn
+        }
         val next = cs.indices.map { c =>
-          val n = row.getAs[Long](s"n_${k}_$c")
-          if (n == 0L) cs(c) // stale-keep, as the reference
-          else (row.getAs[Double](s"sx_${k}_$c") / n,
-            row.getAs[Double](s"sy_${k}_$c") / n)
+          if (nn(c) == 0L) cs(c) // stale-keep, as the reference
+          else (sx(c) / nn(c), sy(c) / nn(c))
         }.toArray
         conv(k) = cs.zip(next).forall { case ((ox, oy), (nx, ny)) =>
           math.abs(ox - nx) < tol && math.abs(oy - ny) < tol
@@ -1103,7 +1236,54 @@ object KMeans {
     * memberships sum to 1), J consistency with a driver replay at
     * sf0.001, and determinism.
     */
-  val kmeansFuzzy: QueryDef = QueryDef.rowsOnly("kmeans_fuzzy") { (s, d) =>
+  /** Generated DuckDB replay of the fuzzy loop: iteration i expands
+    * pts × c{i-1} to per-(rid, cid) distances, normalizes the inverse
+    * distances per rid (a window sum — 8 terms, so float order noise
+    * is ~1e-16 against 1e-4 output rounding), and aggregates the
+    * u²-weighted sums per cid — relational instead of the Spark
+    * side's 5k+1 fused columns, same algebra.
+    */
+  private def fuzzyOracle(k: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH pts AS MATERIALIZED (
+         |  SELECT l_quantity AS x, l_extendedprice AS y,
+         |         row_number() OVER (ORDER BY l_orderkey, l_linenumber,
+         |                            l_quantity, l_extendedprice) - 1 AS rid
+         |  FROM lineitem),
+         |c0 AS MATERIALIZED (SELECT rid AS cid, x AS cx, y AS cy FROM pts WHERE rid < $k)""".stripMargin)
+    for (i <- 1 to iters) {
+      val p = i - 1
+      sb.append(
+        s""",
+           |u$i AS MATERIALIZED (
+           |  SELECT rid, cid, d2, inv / sum(inv) OVER (PARTITION BY rid) AS u
+           |  FROM (SELECT p.rid, c.cid, p.x, p.y,
+           |          (p.x-c.cx)*(p.x-c.cx) + (p.y-c.cy)*(p.y-c.cy) AS d2,
+           |          1.0 / greatest((p.x-c.cx)*(p.x-c.cx) + (p.y-c.cy)*(p.y-c.cy), 1e-12) AS inv
+           |        FROM pts p CROSS JOIN c$p c)),
+           |g$i AS MATERIALIZED (
+           |  SELECT u.cid,
+           |    sum(u.u * u.u * p.x) / sum(u.u * u.u) AS cx,
+           |    sum(u.u * u.u * p.y) / sum(u.u * u.u) AS cy,
+           |    sum(u.u) AS mass, sum(u.u * u.u * u.d2) AS o
+           |  FROM u$i u JOIN pts p ON p.rid = u.rid
+           |  GROUP BY u.cid),
+           |c$i AS MATERIALIZED (SELECT cid, cx, cy FROM g$i)""".stripMargin)
+    }
+    val rows = (1 to iters).map { i =>
+      s"""SELECT $i AS iter, CAST(cid AS INTEGER) AS cid,
+         |  floor(cx * 10000 + 0.5) / 10000 AS cx,
+         |  floor(cy * 10000 + 0.5) / 10000 AS cy,
+         |  floor(mass * 100 + 0.5) / 100 AS fuzzy_mass,
+         |  floor((SELECT sum(o) FROM g$i) / 1e6 * 1000 + 0.5) / 1000 AS j_before_m
+         |FROM g$i""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    sb.append(s"\n$rows\nORDER BY iter, cid").toString
+  }
+
+  val kmeansFuzzy: QueryDef = QueryDef.sql(
+    "kmeans_fuzzy", fuzzyOracle(K, FuzzyIters)) { (s, d) =>
     import s.implicits._
     val pts = points(Tables.lineitem(s, d)).select(col("x"), col("y")).persist()
     try {
@@ -1137,10 +1317,13 @@ object KMeans {
             math.floor(cents(j)._1 * 10000 + 0.5) / 10000,
             math.floor(cents(j)._2 * 10000 + 0.5) / 10000,
             math.floor(r.getDouble(r.fieldIndex(s"m$j")) * 100 + 0.5) / 100,
-            math.floor(obj * 100 + 0.5) / 100))
+            // J in MILLIONS: the raw objective is a corpus float sum
+            // (~1e12) whose cross-engine order noise exceeds a 0.01
+            // floor; millions at 3dp leaves 5 orders of headroom
+            math.floor(obj / 1e6 * 1000 + 0.5) / 1000))
         }
       }
-      rows.toSeq.toDF("iter", "cid", "cx", "cy", "fuzzy_mass", "j_before")
+      rows.toSeq.toDF("iter", "cid", "cx", "cy", "fuzzy_mass", "j_before_m")
         .orderBy(col("iter"), col("cid"))
     } finally pts.unpersist(false)
   }
@@ -1168,7 +1351,57 @@ object KMeans {
     * ScalaTest pins unit-norm centroids, monotone mean-cosine,
     * mass conservation, and determinism.
     */
-  val kmeansSpherical: QueryDef = QueryDef.rowsOnly("kmeans_spherical") { (s, d) =>
+  /** DuckDB replay of sphericalFit: list_dot_product accumulates in
+    * the same left-to-right order as the codegen'd dot, the argmax
+    * uses the identical (−dot, cid) ordering, and the per-dim member
+    * means + renormalization mirror Summarizer.mean + l2norm. n is
+    * exact; mean_cos floors at 1e-4 (assignment flips would need a
+    * sub-ulp dot margin).
+    */
+  private def sphericalOracle(k: Int, iters: Int): String = {
+    val chain = (1 to iters).map { r =>
+      val p = r - 1
+      s""",
+         |a$r AS (
+         |  SELECT e.vec_id, e.v, c.cid, list_dot_product(e.v, c.c) AS dotc,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY 0.0 - list_dot_product(e.v, c.c), c.cid) AS rn
+         |  FROM e CROSS JOIN c$p c),
+         |s$r AS MATERIALIZED (SELECT vec_id, v, cid, dotc FROM a$r WHERE rn = 1),
+         |g$r AS (SELECT cid, count(*) AS n, avg(dotc) AS mc FROM s$r GROUP BY cid),
+         |x$r AS (SELECT cid, pos, avg(v[pos]) AS val
+         |        FROM s$r, UNNEST(generate_series(1, len(v))) AS t(pos)
+         |        GROUP BY 1, 2),
+         |m$r AS (SELECT cid, list(val ORDER BY pos) AS mv FROM x$r GROUP BY cid),
+         |c$r AS MATERIALIZED (
+         |  SELECT cid,
+         |    list_transform(mv, x -> x / sqrt(list_dot_product(mv, mv))) AS c
+         |  FROM m$r
+         |  UNION ALL
+         |  SELECT cid, c FROM c$p WHERE cid NOT IN (SELECT cid FROM m$r))""".stripMargin
+    }.mkString("")
+    s"""WITH e1 AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS raw,
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings),
+       |e AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(raw, x -> x / nrm) AS v
+       |  FROM e1 WHERE nrm > 0),
+       |init AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k),
+       |c0 AS MATERIALIZED (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+       |    list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS c
+       |  FROM init)
+       |$chain
+       |SELECT CAST(g.cid AS BIGINT) AS cid, g.n,
+       |  floor(g.mc * 1e4 + 0.5) / 1e4 AS mean_cos,
+       |  floor(list_dot_product(c.c, c.c) * 1e6 + 0.5) / 1e6 AS centroid_norm2
+       |FROM g$iters g JOIN c$iters c ON c.cid = g.cid
+       |ORDER BY cid""".stripMargin
+  }
+
+  val kmeansSpherical: QueryDef = QueryDef.sql(
+    "kmeans_spherical", sphericalOracle(K, 3)) { (s, d) =>
     val (cs, sizes, cos, _) = sphericalFit(s, d, K, iters = 3)
     import s.implicits._
     cs.zipWithIndex.map { case (c, i) =>

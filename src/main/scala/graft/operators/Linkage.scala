@@ -355,32 +355,114 @@ object Linkage {
     * summation order); residual orthogonality — the defining normal-
     * equation property — is pinned in ScalaTest.
     */
+  /** Sufficient statistics for y ~ x1 + x2 as EXACT decimals: the
+    * inputs are centi-unit integers (quantity, discount, price all
+    * carry ≤2 decimals), so every moment is an exact DECIMAL(38,0)
+    * sum — partition- and engine-identical by construction, unlike a
+    * raw float sum whose order noise would leak through the 3×3
+    * solve. Unscaling to doubles happens once, identically, in both
+    * engines.
+    */
   def olsSufficientStats(s: SparkSession, d: String): org.apache.spark.sql.Row =
     Tables.lineitem(s, d)
-      .select(col("l_quantity").cast("double").as("x1"),
-        col("l_discount").cast("double").as("x2"),
-        col("l_extendedprice").cast("double").as("y"))
-      .agg(count(lit(1)).cast("double").as("n"),
+      .select(
+        round(col("l_quantity") * 100).cast("decimal(18,0)").as("x1"),
+        round(col("l_discount") * 100).cast("decimal(18,0)").as("x2"),
+        round(col("l_extendedprice") * 100).cast("decimal(18,0)").as("y"))
+      .agg(count(lit(1)).as("n"),
         sum(col("x1")).as("s1"), sum(col("x2")).as("s2"), sum(col("y")).as("sy"),
         sum(col("x1") * col("x1")).as("s11"), sum(col("x1") * col("x2")).as("s12"),
         sum(col("x2") * col("x2")).as("s22"), sum(col("x1") * col("y")).as("s1y"),
         sum(col("x2") * col("y")).as("s2y"), sum(col("y") * col("y")).as("syy"))
       .head
 
-  def olsFit(s: SparkSession, d: String): (Array[Double], Double) = {
-    val r = olsSufficientStats(s, d)
-    val Seq(n, s1, s2, sy, s11, s12, s22, s1y, s2y, syy) =
-      (0 until 10).map(r.getDouble)
-    val a = breeze.linalg.DenseMatrix(
-      (n, s1, s2), (s1, s11, s12), (s2, s12, s22))
-    val b = breeze.linalg.DenseVector(sy, s1y, s2y)
-    val beta = a \ b
-    val sse = syy - 2.0 * (beta dot b) + (beta dot (a * beta))
-    val sst = syy - sy * sy / n
-    (beta.toArray, 1.0 - sse / sst)
+  /** Cramer's-rule 3×3 solve of the symmetric normal equations —
+    * explicit determinant expressions (not an LU factorization) so a
+    * SQL oracle can evaluate the identical operation sequence and
+    * land on the identical doubles. Shared with ts_harmonic.
+    */
+  private[graft] def cramer3(n: Double, s1: Double, s2: Double,
+      s11: Double, s12: Double, s22: Double,
+      sy: Double, s1y: Double, s2y: Double): (Double, Double, Double) = {
+    val det = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s12 - s11 * s2)
+    val d0 = sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) +
+      s2 * (s1y * s12 - s11 * s2y)
+    val d1 = n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s2y - s1y * s2)
+    val d2 = n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) +
+      sy * (s1 * s12 - s11 * s2)
+    (d0 / det, d1 / det, d2 / det)
   }
 
-  val miningOls: QueryDef = QueryDef.rowsOnly("mining_ols") { (s, d) =>
+  /** The SQL text of cramer3 over columns named like the Scala
+    * parameters — term order matches character-for-character.
+    */
+  private[graft] def cramer3Sql: String =
+    """det AS (SELECT n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+      |  s2 * (s1 * s12 - s11 * s2) AS det,
+      |  sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) +
+      |  s2 * (s1y * s12 - s11 * s2y) AS d0,
+      |  n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) +
+      |  s2 * (s1 * s2y - s1y * s2) AS d1,
+      |  n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) +
+      |  sy * (s1 * s12 - s11 * s2) AS d2,
+      |  n, s1, s2, s11, s12, s22, sy, s1y, s2y, syy
+      |  FROM m)""".stripMargin
+
+  def olsFit(s: SparkSession, d: String): (Array[Double], Double) = {
+    val r = olsSufficientStats(s, d)
+    val n = r.getLong(0).toDouble
+    def dec(i: Int, scale: Double): Double =
+      r.getDecimal(i).doubleValue() / scale
+    val (s1, s2, sy) = (dec(1, 100), dec(2, 100), dec(3, 100))
+    val (s11, s12, s22) = (dec(4, 10000), dec(5, 10000), dec(6, 10000))
+    val (s1y, s2y, syy) = (dec(7, 10000), dec(8, 10000), dec(9, 10000))
+    val (b0, b1, b2) = cramer3(n, s1, s2, s11, s12, s22, sy, s1y, s2y)
+    val sse = syy - 2.0 * (b0 * sy + b1 * s1y + b2 * s2y) +
+      (b0 * (n * b0 + s1 * b1 + s2 * b2) +
+        b1 * (s1 * b0 + s11 * b1 + s12 * b2) +
+        b2 * (s2 * b0 + s12 * b1 + s22 * b2))
+    val sst = syy - sy * sy / n
+    (Array(b0, b1, b2), 1.0 - sse / sst)
+  }
+
+  private val olsOracle: String =
+    s"""WITH m AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n,
+       |    CAST(sum(x1) AS DOUBLE) / 100 AS s1,
+       |    CAST(sum(x2) AS DOUBLE) / 100 AS s2,
+       |    CAST(sum(y) AS DOUBLE) / 100 AS sy,
+       |    CAST(sum(x1 * x1) AS DOUBLE) / 10000 AS s11,
+       |    CAST(sum(x1 * x2) AS DOUBLE) / 10000 AS s12,
+       |    CAST(sum(x2 * x2) AS DOUBLE) / 10000 AS s22,
+       |    CAST(sum(x1 * y) AS DOUBLE) / 10000 AS s1y,
+       |    CAST(sum(x2 * y) AS DOUBLE) / 10000 AS s2y,
+       |    CAST(sum(y * y) AS DOUBLE) / 10000 AS syy
+       |  FROM (SELECT
+       |    CAST(round(l_quantity * 100) AS DECIMAL(18,0)) AS x1,
+       |    CAST(round(l_discount * 100) AS DECIMAL(18,0)) AS x2,
+       |    CAST(round(l_extendedprice * 100) AS DECIMAL(18,0)) AS y
+       |   FROM lineitem)),
+       |$cramer3Sql,
+       |beta AS (
+       |  SELECT d0 / det AS b0, d1 / det AS b1, d2 / det AS b2, * FROM det),
+       |fit AS (
+       |  SELECT b0, b1, b2,
+       |    1.0 - (syy - 2.0 * (b0 * sy + b1 * s1y + b2 * s2y) +
+       |      (b0 * (n * b0 + s1 * b1 + s2 * b2) +
+       |       b1 * (s1 * b0 + s11 * b1 + s12 * b2) +
+       |       b2 * (s2 * b0 + s12 * b1 + s22 * b2)))
+       |      / (syy - sy * sy / n) AS r2
+       |  FROM beta)
+       |SELECT term, round(value, 4) AS value FROM (
+       |  SELECT 'intercept' AS term, b0 AS value FROM fit
+       |  UNION ALL SELECT 'l_quantity', b1 FROM fit
+       |  UNION ALL SELECT 'l_discount', b2 FROM fit
+       |  UNION ALL SELECT 'r2', r2 FROM fit)
+       |ORDER BY term""".stripMargin
+
+  val miningOls: QueryDef = QueryDef.sql("mining_ols", olsOracle) { (s, d) =>
     val (beta, r2) = olsFit(s, d)
     import s.implicits._
     Seq(("intercept", beta(0)), ("l_quantity", beta(1)),
@@ -683,7 +765,11 @@ object Linkage {
       .groupBy(col("doc_id"), col("lang"), col("tri"))
       .agg(count(lit(1)).as("m"))
 
-  def nbIsTest = pmod(xxhash64(col("doc_id"), lit(NbSeed)), lit(NbTestFold)) === 0
+  // md5-derived fold (not xxhash64) so the DuckDB oracle replays the
+  // identical train/test split — both engines emit the same hex
+  def nbIsTest = pmod(
+    conv(substring(md5(concat_ws(",", col("doc_id"), lit(NbSeed))), 1, 13), 16, 10)
+      .cast("long"), lit(NbTestFold)) === 0
 
   /** Model relations: (lang, tri, cnt) token counts and
     * (lang, tot, log_prior, n_docs) class stats; vocab size V.
@@ -701,7 +787,53 @@ object Linkage {
     (counts, classes, vocab)
   }
 
-  val miningNaiveBayes: QueryDef = QueryDef.rowsOnly("mining_naive_bayes") { (s, d) =>
+  private val naiveBayesOracle: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, lang,
+       |    regexp_replace(lower(text), '\\s+', ' ', 'g') AS txt,
+       |    (CAST(concat('0x', substring(md5(concat_ws(',', doc_id, '$NbSeed')), 1, 13)) AS BIGINT)
+       |       % $NbTestFold = 0) AS is_test
+       |  FROM documents),
+       |tri0 AS (
+       |  SELECT doc_id, lang, is_test,
+       |    unnest(list_transform(
+       |      generate_series(1, greatest(length(txt) - 2, 0)),
+       |      i -> substring(txt, i, 3))) AS tri
+       |  FROM docs),
+       |tc AS (SELECT doc_id, lang, is_test, tri, count(*) AS m
+       |       FROM tri0 GROUP BY 1, 2, 3, 4),
+       |counts AS (SELECT lang, tri, sum(m) AS cnt
+       |           FROM tc WHERE NOT is_test GROUP BY 1, 2),
+       |vocab AS (SELECT CAST(count(DISTINCT tri) AS DOUBLE) AS v FROM counts),
+       |ntrain AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM docs WHERE NOT is_test),
+       |nd AS (SELECT lang, count(*) AS n_docs
+       |       FROM docs WHERE NOT is_test GROUP BY 1),
+       |classes AS (
+       |  SELECT c.lang, sum(cnt) AS tot, any_value(nd.n_docs) AS n_docs,
+       |    ln(CAST(any_value(nd.n_docs) AS DOUBLE) / (SELECT n FROM ntrain)) AS log_prior
+       |  FROM counts c JOIN nd ON nd.lang = c.lang GROUP BY c.lang),
+       |test AS (SELECT doc_id, lang AS true_lang, tri, m FROM tc WHERE is_test),
+       |cand AS (
+       |  SELECT t.doc_id, t.true_lang, cl.lang, cl.log_prior, t.m,
+       |    ln((CAST(coalesce(c.cnt, 0) AS DOUBLE) + 1.0)
+       |       / (CAST(cl.tot AS DOUBLE) + (SELECT v FROM vocab))) AS logp
+       |  FROM test t CROSS JOIN classes cl
+       |  LEFT JOIN counts c ON c.lang = cl.lang AND c.tri = t.tri),
+       |scored AS (
+       |  SELECT doc_id, true_lang, lang,
+       |    any_value(log_prior) + sum(m * logp) AS score
+       |  FROM cand GROUP BY 1, 2, 3),
+       |pred AS (
+       |  SELECT doc_id, true_lang, lang AS pred_lang FROM (
+       |    SELECT doc_id, true_lang, lang,
+       |      row_number() OVER (PARTITION BY doc_id, true_lang
+       |        ORDER BY score DESC, lang DESC) AS rn
+       |    FROM scored) WHERE rn = 1)
+       |SELECT true_lang, pred_lang, count(*) AS n
+       |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val miningNaiveBayes: QueryDef = QueryDef.sql(
+    "mining_naive_bayes", naiveBayesOracle) { (s, d) =>
     val (counts, classes, vocab) = nbModel(s, d)
     val test = nbTrigrams(Tables.documents(s, d).filter(nbIsTest))
       .withColumnRenamed("lang", "true_lang")
@@ -1055,23 +1187,76 @@ object Linkage {
     * test coverage within binomial noise of 1−α and the split
     * disjointness.
     */
-  val miningConformal: QueryDef = QueryDef.rowsOnly("mining_conformal") { (s, d) =>
-    val alpha = 0.1
+  /** DuckDB replay of split conformal prediction: the fold is
+    * md5-derived, the train fit uses EXACT centi-unit integer
+    * moments (slope/intercept from the closed-form ratio — both
+    * engines see identical doubles), the calibration quantile is
+    * percentile ↔ quantile_cont parity over identical residuals, and
+    * the coverage indicator compares identically-computed floats.
+    */
+  private val conformalOracle: String =
+    """WITH rows0 AS (
+      |  SELECT l_quantity AS x, l_extendedprice AS y,
+      |    CAST(round(l_quantity * 100) AS BIGINT) AS xi,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS yi,
+      |    CAST(concat('0x', substring(md5(concat_ws(',', l_orderkey, l_linenumber)), 1, 13)) AS BIGINT)
+      |      % 3 AS split
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(xi) AS DOUBLE) / 100 AS sx,
+      |    CAST(sum(yi) AS DOUBLE) / 100 AS sy,
+      |    CAST(sum(xi * xi) AS DOUBLE) / 10000 AS sxx,
+      |    CAST(sum(xi * yi) AS DOUBLE) / 10000 AS sxy,
+      |    count(*) AS n_train
+      |  FROM rows0 WHERE split = 0),
+      |fit AS (
+      |  SELECT n_train,
+      |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+      |    sy / n - (n * sxy - sx * sy) / (n * sxx - sx * sx) * (sx / n) AS a
+      |  FROM m),
+      |cal AS (
+      |  SELECT count(*) AS n_cal,
+      |    quantile_cont(abs(y - (a + b * x)), 0.9) AS q
+      |  FROM rows0, fit WHERE split = 1),
+      |tst AS (
+      |  SELECT count(*) AS n_test,
+      |    avg(CASE WHEN abs(y - (a + b * x)) <= q THEN 1.0 ELSE 0.0 END) AS cov
+      |  FROM rows0, fit, cal WHERE split = 2)
+      |SELECT fit.n_train, cal.n_cal, tst.n_test,
+      |  floor(fit.b * 1e4 + 0.5) / 1e4 AS beta,
+      |  floor(cal.q * 100 + 0.5) / 100 AS q_width,
+      |  floor(tst.cov * 1e4 + 0.5) / 1e4 AS test_coverage
+      |FROM fit, cal, tst""".stripMargin
+
+  val miningConformal: QueryDef = QueryDef.sql(
+    "mining_conformal", conformalOracle) { (s, d) =>
     val rows = Tables.lineitem(s, d)
       .select(col("l_quantity").as("x"), col("l_extendedprice").as("y"),
-        pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(3)).as("split"))
+        round(col("l_quantity") * 100).cast("long").as("xi"),
+        round(col("l_extendedprice") * 100).cast("long").as("yi"),
+        pmod(conv(substring(
+            md5(concat_ws(",", col("l_orderkey"), col("l_linenumber"))), 1, 13),
+          16, 10).cast("long"), lit(3)).as("split"))
+    // exact centi-unit moments → engine-identical closed-form fit
     val m = rows.filter(col("split") === 0).agg(
-      count(lit(1)).as("n"), avg(col("x")).as("mx"), avg(col("y")).as("my"),
-      covar_pop(col("x"), col("y")).as("cxy"), var_pop(col("x")).as("vx"))
+      count(lit(1)).as("n_train"),
+      sum(col("xi")).as("sxi"), sum(col("yi")).as("syi"),
+      sum(col("xi") * col("xi")).as("sxxi"),
+      sum(col("xi") * col("yi")).as("sxyi"))
       .collect()(0)
-    val (nTrain, mx, my, cxy, vx) = (m.getLong(0), m.getDouble(1),
-      m.getDouble(2), m.getDouble(3), m.getDouble(4))
-    val b = cxy / vx
-    val a = my - b * mx
+    val nTrain = m.getLong(0)
+    val n = nTrain.toDouble
+    val sx = m.getLong(1).toDouble / 100
+    val sy = m.getLong(2).toDouble / 100
+    val sxx = m.getLong(3).toDouble / 10000
+    val sxy = m.getLong(4).toDouble / 10000
+    val b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val a = sy / n - (n * sxy - sx * sy) / (n * sxx - sx * sx) * (sx / n)
     val resid = abs(col("y") - (lit(a) + lit(b) * col("x")))
     val cal = rows.filter(col("split") === 1)
       .agg(count(lit(1)).as("n"),
-        expr(s"percentile(abs(y - ($a + $b * x)), ${1 - alpha})").as("q"))
+        expr(s"percentile(abs(y - ($a + $b * x)), 0.9)").as("q"))
       .collect()(0)
     val (nCal, q) = (cal.getLong(0), cal.getDouble(1))
     val test = rows.filter(col("split") === 2)

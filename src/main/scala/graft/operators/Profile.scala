@@ -545,7 +545,21 @@ object Profile {
     * (all |noise| ≤ (1/ε)·ln(groups/0.05) w.h.p.) pinned in
     * ScalaTest.
     */
-  val profileDpCounts: QueryDef = QueryDef.rowsOnly("profile_dp_counts") { (s, d) =>
+  private val dpCountsOracle: String =
+    """WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
+      |           FROM customer GROUP BY 1, 2),
+      |r AS (SELECT c_nationkey, c_mktsegment, n,
+      |  (CAST(concat('0x', substring(md5(concat_ws(',', c_nationkey, c_mktsegment, '42')), 1, 13)) AS BIGINT)
+      |    + 0.5) / 4503599627370496.0 AS u
+      |  FROM g)
+      |SELECT c_nationkey, c_mktsegment,
+      |  CAST(n + round(-sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)) / 1.0) AS BIGINT)
+      |    AS noisy_n,
+      |  1.0 AS epsilon
+      |FROM r ORDER BY c_nationkey, c_mktsegment""".stripMargin
+
+  val profileDpCounts: QueryDef = QueryDef.sql(
+    "profile_dp_counts", dpCountsOracle) { (s, d) =>
     val eps = 1.0
     val grouped = Tables.customer(s, d)
       .groupBy(col("c_nationkey"), col("c_mktsegment"))
@@ -556,14 +570,16 @@ object Profile {
 
   /** Rounded-Laplace DP release core: replaces `countCol` with
     * noisy_<countCol>. Factored out so the ScalaTest can replay the
-    * noise exactly.
+    * noise exactly. The uniform draw is md5-derived (52 exact bits)
+    * so the DuckDB oracle replays the identical noise.
     */
   def dpRelease(grouped: org.apache.spark.sql.DataFrame, keys: Seq[String],
       countCol: String, eps: Double): org.apache.spark.sql.DataFrame = {
-    // u ∈ (0,1): 53 mantissa bits of the key hash; the +1/2^54 shift
-    // keeps u strictly inside the interval so ln(1−2|u−½|) is finite
-    val u = (pmod(xxhash64(keys.map(col) :+ lit(42L): _*), lit(1L << 53))
-      .cast("double") + 0.5) / lit((1L << 53).toDouble)
+    // u ∈ (0,1): 52 bits of the key md5; the +0.5/2^52 shift keeps u
+    // strictly inside the interval so ln(1−2|u−½|) is finite
+    val u = (conv(substring(
+        md5(concat_ws(",", keys.map(col) :+ lit(42L): _*)), 1, 13), 16, 10)
+      .cast("long").cast("double") + 0.5) / lit(4503599627370496.0) // 2^52
     val centered = u - 0.5
     val lap = -signum(centered) * log(lit(1.0) - lit(2.0) * abs(centered)) / eps
     grouped

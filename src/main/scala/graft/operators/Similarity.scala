@@ -100,9 +100,17 @@ object Similarity {
 
   /** Amplification: L independent hash tables (table t's planes from
     * seed 7+t, so table 0 is the original single-table geometry) —
-    * a near neighbor only has to collide in ONE of them.
+    * a near neighbor only has to collide in ONE of them. L = 10:
+    * per-table Hamming-1 success is ~0.14 on this corpus, so
+    * 1−(1−p)^L crosses the 0.7 usable-recall line near L = 8; 10
+    * holds it with margin. The cost is linear and explicit — the
+    * stored index is O(L·n) rows and each query probes
+    * L·(1+planes) buckets — which is exactly the (r,c)-amplification
+    * rent hyperplane LSH pays; the IVF rungs beat it on this corpus
+    * and ann_recall_eval reports both so the choice is data, not
+    * folklore.
     */
-  val NumTables = 4
+  val NumTables = 10
   private lazy val tablePlanes: Array[Array[Array[Double]]] =
     Array.tabulate(NumTables) { t =>
       val rnd = new scala.util.Random(7 + t)
@@ -835,12 +843,51 @@ object Similarity {
       .select(col("src"), col("dst"),
         round(dot(col("qv"), col("v2")) / (col("qnrm") * col("nrm2")), 4)
           .as("cos_sim"))
+    // keep a WIDER intermediate list (top-8) for the refinement round
+    // — the extra candidates are exactly the pool NN-descent mines —
+    // and cut to the final 4 after it
     val top = org.apache.spark.sql.graft.TopKOps.topKPerKey(
-      cand, Seq(col("src")), Seq(col("cos_sim").desc, col("dst").asc), 4)
+        cand, Seq(col("src")), Seq(col("cos_sim").desc, col("dst").asc), 8)
+      .localCheckpoint(eager = true) // read 3x below (two self-join arms + union)
+    // ONE NN-DESCENT refinement round (Dong et al. WWW 2011): a
+    // vector's true neighbors are usually neighbors of its current
+    // neighbors, so candidates ∪= neighbors-of-neighbors from the
+    // top-4 graph — one self-join on the middle vertex (O(n·16)
+    // pairs), score, union with the kept edges, re-cut. Closes the
+    // misrouted-probe recall gap (0.84 → ≥0.9 pinned) for one cheap
+    // equality-join round; production ANN builds iterate this to a
+    // fixpoint.
+    val vecs = withUnit.select(col("vec_id"), col("v"), col("nrm"))
+    // SYMMETRIZED adjacency (forward ∪ reverse neighbors) — the
+    // NN-descent neighborhood: being someone's neighbor is as
+    // informative as having one
+    val adj = top.select(col("src"), col("dst"))
+      .unionAll(top.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val nn2 = adj.select(col("src"), col("dst").as("mid"))
+      .join(adj.select(col("src").as("mid"), col("dst").as("dst2")), "mid")
+      .select(col("src"), col("dst2").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val extra = nn2
+      .join(vecs.select(col("vec_id").as("src"), col("v").as("qv"),
+        col("nrm").as("qnrm")), "src")
+      .join(vecs.select(col("vec_id").as("dst"), col("v").as("v2"),
+        col("nrm").as("nrm2")), "dst")
+      .select(col("src"), col("dst"),
+        round(dot(col("qv"), col("v2")) / (col("qnrm") * col("nrm2")), 4)
+          .as("cos_sim"))
+    val refined = top.select("src", "dst", "cos_sim").unionAll(extra)
+      .dropDuplicates("src", "dst")
+    val top2 = org.apache.spark.sql.graft.TopKOps.topKPerKey(
+      refined, Seq(col("src")), Seq(col("cos_sim").desc, col("dst").asc), 4)
     val w = Window.partitionBy(col("src")).orderBy(col("cos_sim").desc, col("dst"))
-    top.withColumn("rank", row_number().over(w))
+    val out = top2.withColumn("rank", row_number().over(w))
       .select(col("src"), col("rank"), col("dst"), col("cos_sim"))
       .orderBy(col("src"), col("rank"))
+      .localCheckpoint(eager = true)
+    graft.Ckpt.free(top); graft.Ckpt.free(assigned)
+    out
   }
 
   /** IVF INDEX-QUALITY report — the health check a production ANN
@@ -857,7 +904,59 @@ object Similarity {
     * √(dist+1) for unit u. Rows-only; population conservation,
     * share-sum=1, residual bounds, and determinism pinned.
     */
-  val annIvfStats: QueryDef = QueryDef.rowsOnly("ann_ivf_stats") { (s, d) =>
+  /** DuckDB replay of the IVF health report: re-fit the coarse
+    * quantizer (unit sample, first-NLists init, 3 n-D Lloyd rounds —
+    * the ndLloydCtes machinery over list ops), then one assignment
+    * pass with the identical shifted-distance expression
+    * ‖c‖² − 2u·c and the per-list population/share/residual rollup.
+    */
+  private def ivfStatsOracle(nLists: Int, iters: Int, sampleCap: Int): String = {
+    val chain = (1 to iters).map { i =>
+      val p = i - 1
+      s"""fa$i AS (
+         |  SELECT s.rn, s.v, c.cid,
+         |    row_number() OVER (PARTITION BY s.rn
+         |      ORDER BY list_dot_product(s.v, s.v) - 2*list_dot_product(s.v, c.c)
+         |               + list_dot_product(c.c, c.c), c.cid) AS rnk
+         |  FROM samp s CROSS JOIN fc$p c),
+         |fs$i AS MATERIALIZED (SELECT rn, v, cid FROM fa$i WHERE rnk = 1),
+         |fx$i AS (SELECT cid, pos, avg(v[pos]) AS val
+         |         FROM fs$i, UNNEST(generate_series(1, len(v))) AS t(pos)
+         |         GROUP BY 1, 2),
+         |fm$i AS (SELECT cid, list(val ORDER BY pos) AS c FROM fx$i GROUP BY cid),
+         |fc$i AS MATERIALIZED (SELECT cid, c FROM fm$i
+         |  UNION ALL
+         |  SELECT cid, c FROM fc$p WHERE cid NOT IN (SELECT cid FROM fm$i))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |eu AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+       |  FROM e0),
+       |samp AS MATERIALIZED (
+       |  SELECT u AS v, rn FROM (
+       |    SELECT u, row_number() OVER (ORDER BY vec_id) AS rn FROM eu)
+       |  WHERE rn <= $sampleCap),
+       |fc0 AS MATERIALIZED (SELECT rn - 1 AS cid, v AS c FROM samp WHERE rn <= $nLists),
+       |$chain,
+       |asg AS (
+       |  SELECT vec_id, list, dist FROM (
+       |    SELECT eu.vec_id, c.cid AS list,
+       |      list_dot_product(c.c, c.c) - 2 * list_dot_product(eu.u, c.c) AS dist,
+       |      row_number() OVER (PARTITION BY eu.vec_id
+       |        ORDER BY list_dot_product(c.c, c.c) - 2 * list_dot_product(eu.u, c.c),
+       |                 c.cid) AS r
+       |    FROM eu CROSS JOIN fc$iters c) WHERE r = 1),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e0)
+       |SELECT list, count(*) AS n_vectors,
+       |  round(count(*) / (SELECT n FROM nn), 4) AS share,
+       |  round(avg(sqrt(greatest(dist + 1.0, 0.0))), 4) AS mean_resid_l2,
+       |  round(max(sqrt(greatest(dist + 1.0, 0.0))), 4) AS max_resid_l2
+       |FROM asg GROUP BY list ORDER BY list""".stripMargin
+  }
+
+  val annIvfStats: QueryDef = QueryDef.sql(
+    "ann_ivf_stats", ivfStatsOracle(NLists, 3, 4096)) { (s, d) =>
     val e = vectors(s, d)
     val cs = coarseCentroids(e, cacheKey = d)
     val n = e.count().toDouble

@@ -181,15 +181,42 @@ object TextAnalysis {
   }
 
   /** Corpus top-20 word frequency (explode → partial-agg count). */
+  /** Once-per-corpus STAGED term-frequency relation
+    * (doc_id, lang, source, word, tf) over lowercased whitespace
+    * tokens — the Warehouse contract: several text entries used to
+    * re-run the identical tokenize+explode+groupBy per query; one
+    * ingest pass now feeds them all. Oracles still read the raw
+    * documents table — the artifact only changes the physical source.
+    */
+  def stagedTfWs(s: SparkSession, d: String): DataFrame =
+    graft.sources.Warehouse.staged(s, d, "text_tf_ws", Seq("documents.parquet")) {
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          explode(regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)))
+            .as("word"))
+        .groupBy(col("doc_id"), col("lang"), col("source"), col("word"))
+        .agg(count(lit(1)).as("tf"))
+    }
+
+  /** The [a-z]+ token variant of [[stagedTfWs]] (tfidf's alphabet). */
+  def stagedTfAz(s: SparkSession, d: String): DataFrame =
+    graft.sources.Warehouse.staged(s, d, "text_tf_az", Seq("documents.parquet")) {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+            .as("word"))
+        .groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("tf"))
+    }
+
   val textWordfreq: QueryDef = QueryDef.sql(
     "text_wordfreq",
     """SELECT word, count(*) AS n
       |FROM (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS word
       |      FROM documents) t
       |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin) { (s, d) =>
-    Tables.documents(s, d)
-      .select(explode(regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))).as("word"))
-      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    stagedTfWs(s, d)
+      .groupBy(col("word")).agg(sum(col("tf")).as("n"))
       .orderBy(col("n").desc, col("word"))
       .limit(20)
   }
@@ -274,10 +301,7 @@ object TextAnalysis {
       |SELECT doc_id, word, tfidf FROM r WHERE rn <= 3
       |ORDER BY doc_id, tfidf DESC, word""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    val tok = Tables.documents(s, d)
-      .select(col("doc_id"),
-        explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("word"))
-    val tf = tok.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val tf = stagedTfAz(s, d)
     val dfr = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val n = tf.select(countDistinct(col("doc_id"))).collect()(0).getLong(0)
     val sc = tf.join(dfr, "word")
@@ -780,10 +804,8 @@ object TextAnalysis {
       |  floor(regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE)))
       |        * 10000 + 0.5) / 10000 AS zipf_slope
       |FROM ranked""".stripMargin) { (s, d) =>
-    val freq = Tables.documents(s, d)
-      .select(explode(regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)))
-        .as("word"))
-      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val freq = stagedTfWs(s, d)
+      .groupBy(col("word")).agg(sum(col("tf")).as("n"))
     val ranked = freq
       .withColumn("rank",
         row_number().over(org.apache.spark.sql.expressions.Window
@@ -961,16 +983,14 @@ object TextAnalysis {
       |  END AS chi2
       |FROM c ORDER BY word""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
-    val dw = docs.select(
-      col("doc_id"), (col("lang") === "en").as("is_en"),
-      explode(array_distinct(
-        regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)))).as("word"))
     val tot = docs.agg(
       count(lit(1)).as("n_docs"),
       sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
-    val per = dw.groupBy(col("word")).agg(
+    // the staged tf relation has one row per (doc, word) — exactly
+    // the distinct doc-word presence the chi2 contingency counts need
+    val per = stagedTfWs(s, d).groupBy(col("word")).agg(
       count(lit(1)).as("df"),
-      sum(when(col("is_en"), 1L).otherwise(0L)).as("n11"))
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n11"))
     val top = per.orderBy(col("df").desc, col("word")).limit(20)
     val c = top.crossJoin(broadcast(tot))
       .withColumn("n10", col("n_en") - col("n11"))
@@ -1029,7 +1049,44 @@ object TextAnalysis {
     * population conservation, accuracy ≥ the heuristic's) is pinned
     * in ScalaTest.
     */
-  val textNbLangid: QueryDef = QueryDef.rowsOnly("text_nb_langid") { (s, d) =>
+  private val nbLangidOracle: String =
+    """WITH docs AS (SELECT doc_id, lang, text FROM documents),
+      |toks AS (
+      |  SELECT doc_id, lang, tok FROM (
+      |    SELECT doc_id, lang,
+      |      unnest(string_split_regex(lower(text), '\s+')) AS tok
+      |    FROM docs)
+      |  WHERE length(tok) > 0),
+      |counts AS (SELECT lang AS clang, tok, count(*) AS cnt
+      |           FROM toks GROUP BY 1, 2),
+      |langtot AS (SELECT clang, sum(cnt) AS tot FROM counts GROUP BY 1),
+      |vocab AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM counts),
+      |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM docs),
+      |priors AS (SELECT lang AS clang,
+      |             ln(count(*) / (SELECT n FROM nd)) AS logprior
+      |           FROM docs GROUP BY 1),
+      |ls AS (SELECT langtot.clang, tot, logprior
+      |       FROM langtot JOIN priors USING (clang)),
+      |scored AS (
+      |  SELECT t.doc_id, ls.clang, any_value(ls.logprior) AS lp,
+      |    sum(ln((coalesce(c.cnt, 0) + 1.0)
+      |      / (ls.tot + (SELECT v FROM vocab)))) AS sll
+      |  FROM (SELECT doc_id, tok FROM toks) t
+      |  CROSS JOIN ls
+      |  LEFT JOIN counts c ON c.clang = ls.clang AND c.tok = t.tok
+      |  GROUP BY 1, 2),
+      |pred AS (
+      |  SELECT doc_id, clang AS pred_lang FROM (
+      |    SELECT doc_id, clang,
+      |      row_number() OVER (PARTITION BY doc_id
+      |        ORDER BY (sll + lp) DESC, clang) AS rn
+      |    FROM scored) WHERE rn = 1)
+      |SELECT d.lang, p.pred_lang, count(*) AS n
+      |FROM docs d JOIN pred p USING (doc_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val textNbLangid: QueryDef = QueryDef.sql(
+    "text_nb_langid", nbLangidOracle) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
     val toks = docs
@@ -1308,10 +1365,8 @@ object TextAnalysis {
       |    + 0.5 * (1 - sum(CAST(nw AS DOUBLE) / n)), 4) AS jsd
       |FROM sw JOIN wt USING (word) JOIN st USING (source) CROSS JOIN tot
       |GROUP BY sw.source ORDER BY sw.source""".stripMargin) { (s, d) =>
-    val toks = Tables.documents(s, d).select(col("source"),
-      explode(regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))).as("word"))
-    val sw = toks.groupBy(col("source"), col("word"))
-      .agg(count(lit(1)).as("nsw"))
+    val sw = stagedTfWs(s, d).groupBy(col("source"), col("word"))
+      .agg(sum(col("tf")).as("nsw"))
     val wt = sw.groupBy(col("word")).agg(sum(col("nsw")).as("nw"))
     val st = sw.groupBy(col("source")).agg(sum(col("nsw")).as("ns"))
     // corpus token total: O(1) scalar off the vocab-sized relation
@@ -1752,7 +1807,45 @@ object TextAnalysis {
     * aggregate gives the whole curve; the log-log OLS over 8 points
     * is driver arithmetic. β ∈ (0,1) for an open vocabulary.
     */
-  val textHeapsLaw: QueryDef = QueryDef.rowsOnly("text_heaps_law") { (s, d) =>
+  /** DuckDB replay of the Heaps-law fit: checkpoint thresholds are
+    * the same interpolated doc_id percentiles (percentile ↔
+    * quantile_cont parity), corpus/vocab sizes are exact counts, and
+    * the 8-point log-log regression reuses the Scala expression
+    * shapes (ulp-level sum-order noise vs a 1e-4 floor).
+    */
+  private val heapsOracle: String = {
+    val fracs = (7 to 0 by -1).map(i => 1.0 / (1 << i))
+    s"""WITH qs AS (
+       |  SELECT quantile_cont(doc_id, [${fracs.mkString(", ")}]) AS q
+       |  FROM documents),
+       |ck AS (SELECT i, q[i + 1] AS qv
+       |       FROM qs, UNNEST(generate_series(0, 7)) AS t(i)),
+       |tri AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(lst) - 2),
+       |    i -> concat(lst[i], ' ', lst[i+1], ' ', lst[i+2]))) AS w
+       |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS lst
+       |        FROM documents)
+       |  WHERE len(lst) >= 3),
+       |fd AS (SELECT w, min(doc_id) AS f FROM tri GROUP BY w),
+       |pts AS (
+       |  SELECT i,
+       |    (SELECT count(*) FROM documents WHERE doc_id <= qv) AS n,
+       |    (SELECT count(*) FROM fd WHERE f <= qv) AS v
+       |  FROM ck),
+       |lg AS (SELECT i, n, v, ln(CAST(n AS DOUBLE)) AS x,
+       |         ln(CAST(v AS DOUBLE)) AS y FROM pts),
+       |mu AS (SELECT sum(x) / 8 AS mx, sum(y) / 8 AS my FROM lg),
+       |fit AS (
+       |  SELECT sum((x - mx) * (y - my)) / sum((x - mx) * (x - mx)) AS beta,
+       |    any_value(my) AS my, any_value(mx) AS mx
+       |  FROM lg, mu)
+       |SELECT CAST(i AS INTEGER) AS checkpoint, n AS n_docs, v AS vocab,
+       |  floor(beta * 1e4 + 0.5) / 1e4 AS beta,
+       |  floor((my - beta * mx) * 1e4 + 0.5) / 1e4 AS ln_k
+       |FROM lg, fit ORDER BY checkpoint""".stripMargin
+  }
+
+  val textHeapsLaw: QueryDef = QueryDef.sql("text_heaps_law", heapsOracle) { (s, d) =>
     val fracs = (7 to 0 by -1).map(i => 1.0 / (1 << i)) // 1/128 .. 1
     val docs = Tables.documents(s, d)
     val qs = docs.agg(expr(

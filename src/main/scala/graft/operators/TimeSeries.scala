@@ -1181,7 +1181,33 @@ object TimeSeries {
     * (period-7 signal → argmax 7), power non-negativity, and rank
     * ordering pinned in ScalaTest.
     */
-  val tsPeriodogram: QueryDef = QueryDef.rowsOnly("ts_periodogram") { (s, d) =>
+  /** Shared dense-grid CTE prefix (daily counts, zero-filled calendar
+    * grid, t = days since 2020-01-01) — the ar2/periodogram input.
+    * Declared BEFORE its first use: object vals initialize in
+    * declaration order.
+    */
+  private val denseGridSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |         count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+      |grid AS (
+      |  SELECT event_type, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM (SELECT DISTINCT event_type FROM daily), b),
+      |dense AS (
+      |  SELECT g.event_type AS key,
+      |    CAST(g.day - DATE '2020-01-01' AS BIGINT) AS t,
+      |    CAST(coalesce(d.cnt, 0) AS BIGINT) AS x
+      |  FROM grid g LEFT JOIN daily d
+      |    ON d.event_type = g.event_type AND d.day = g.day)""".stripMargin
+
+  val tsPeriodogram: QueryDef = QueryDef.sql(
+    "ts_periodogram",
+    s"""$denseGridSql,
+       |${periodogramSqlBody(2 to 14, 3)}
+       |SELECT key AS event_type, rank, period, power FROM spec
+       |ORDER BY event_type, rank""".stripMargin) { (s, d) =>
     val daily = Tables.events(s, d)
       .groupBy(col("event_type"),
         date_trunc("day", col("ts")).cast("date").as("day"))
@@ -1206,18 +1232,30 @@ object TimeSeries {
     */
   def periodogramTopK(series: DataFrame, periods: Seq[Int], k: Int): DataFrame = {
     val wKey = Window.partitionBy(col("key"))
+    // EXACT sufficient statistics: centering is scaled by the series
+    // length (x̃·d = x·d − Σx, integer algebra for count series) and
+    // the trig regressors quantize to micro-units, so Σcos/Σsin
+    // accumulate as exact decimals — engine- and partition-identical
+    // — and the single power expression divides the scales back out.
     val centered = series
-      .withColumn("xc", col("x") - avg(col("x")).over(wKey))
-      .withColumn("n", count(lit(1)).over(wKey))
-    val probes = centered.select(col("key"), col("t"), col("xc"), col("n"),
+      .withColumn("dn", count(lit(1)).over(wKey))
+      .withColumn("sn", sum(col("x")).over(wKey))
+      .withColumn("xd", col("x") * col("dn") - col("sn"))
+    val probes = centered.select(col("key"), col("t"), col("xd"), col("dn"),
       explode(lit(periods.toArray)).as("p"))
     val angle = lit(2.0 * math.Pi) * (col("t") % col("p")).cast("double") / col("p")
+    val c6 = round(cos(angle) * 1e6).cast("decimal(19,0)")
+    val s6 = round(sin(angle) * 1e6).cast("decimal(19,0)")
     val spec = probes
-      .withColumn("cterm", col("xc") * cos(angle))
-      .withColumn("sterm", col("xc") * sin(angle))
+      .withColumn("cterm", col("xd").cast("decimal(19,0)") * c6)
+      .withColumn("sterm", col("xd").cast("decimal(19,0)") * s6)
       .groupBy(col("key"), col("p"))
-      .agg(((sum(col("cterm")) * sum(col("cterm"))
-          + sum(col("sterm")) * sum(col("sterm"))) / first(col("n"))).as("power"))
+      .agg(sum(col("cterm")).as("sc"), sum(col("sterm")).as("ss"),
+        first(col("dn")).as("dd"))
+      .select(col("key"), col("p"),
+        ((col("sc").cast("double") * col("sc").cast("double")
+          + col("ss").cast("double") * col("ss").cast("double"))
+          / 1e12 / col("dd") / col("dd") / col("dd")).as("power"))
     val wRank = Window.partitionBy(col("key"))
       .orderBy(col("power").desc, col("p"))
     spec.withColumn("rank", row_number().over(wRank))
@@ -1225,6 +1263,42 @@ object TimeSeries {
       .select(col("key"), col("rank"), col("p").as("period"),
         (floor(col("power") * 10000 + 0.5) / 10000).as("power"))
   }
+
+  /** SQL body replaying periodogramTopK over a dense CTE named
+    * `dense(key, t, x)` — emits `spec(key, rank, period, power)`.
+    * Shared by the ts_periodogram and ts_spectral_entropy oracles.
+    */
+  private def periodogramSqlBody(periods: Seq[Int], k: Int): String =
+    s"""cent AS (
+       |  SELECT key, t, x,
+       |    count(*) OVER (PARTITION BY key) AS dn,
+       |    sum(x) OVER (PARTITION BY key) AS sn
+       |  FROM dense),
+       |probes AS (
+       |  SELECT key, t, x * dn - sn AS xd, dn, p
+       |  FROM cent CROSS JOIN (SELECT unnest(ARRAY[${periods.mkString(",")}]) AS p)),
+       |terms AS (
+       |  SELECT key, p, dn,
+       |    CAST(xd AS HUGEINT) *
+       |      CAST(round(cos((2 * pi()) * (t % p) / p) * 1e6) AS HUGEINT) AS cterm,
+       |    CAST(xd AS HUGEINT) *
+       |      CAST(round(sin((2 * pi()) * (t % p) / p) * 1e6) AS HUGEINT) AS sterm
+       |  FROM probes),
+       |pw AS (
+       |  SELECT key, p,
+       |    (CAST(sum(cterm) AS DOUBLE) * CAST(sum(cterm) AS DOUBLE)
+       |     + CAST(sum(sterm) AS DOUBLE) * CAST(sum(sterm) AS DOUBLE))
+       |      / 1e12 / any_value(dn) / any_value(dn) / any_value(dn) AS power
+       |  FROM terms GROUP BY key, p),
+       |spec AS (
+       |  SELECT key, rank, p AS period,
+       |    floor(power * 10000 + 0.5) / 10000 AS power
+       |  FROM (SELECT key, p, power,
+       |          row_number() OVER (PARTITION BY key
+       |            ORDER BY power DESC, p) AS rank
+       |        FROM pw)
+       |  WHERE rank <= $k)""".stripMargin
+
 
   /** Spectral entropy per event type — the single-number REGULARITY
     * score on top of the periodogram (which reports candidate
@@ -1239,7 +1313,27 @@ object TimeSeries {
     * across engines in the last ulp); direct-replay equality, range,
     * and dominant-period consistency with ts_periodogram pinned.
     */
-  val tsSpectralEntropy: QueryDef = QueryDef.rowsOnly("ts_spectral_entropy") { (s, d) =>
+  val tsSpectralEntropy: QueryDef = QueryDef.sql(
+    "ts_spectral_entropy", {
+      val periods = 2 to 14
+      s"""$denseGridSql,
+         |${periodogramSqlBody(periods, periods.size)},
+         |sh AS (SELECT key, period, power,
+         |         power / sum(power) OVER (PARTITION BY key) AS share
+         |       FROM spec),
+         |dom AS (SELECT key, period AS dominant_period FROM (
+         |  SELECT key, period,
+         |    row_number() OVER (PARTITION BY key ORDER BY power DESC, period) AS rn
+         |  FROM spec) WHERE rn = 1),
+         |ent AS (SELECT key,
+         |  floor(sum(CASE WHEN share > 0 THEN -share * log2(share)
+         |                 ELSE 0.0 END) / log2(${periods.size}.0) * 10000 + 0.5)
+         |    / 10000 AS spectral_entropy
+         |  FROM sh GROUP BY key)
+         |SELECT d.key AS event_type, d.dominant_period, e.spectral_entropy
+         |FROM dom d JOIN ent e ON e.key = d.key
+         |ORDER BY event_type""".stripMargin
+    }) { (s, d) =>
     val daily = Tables.events(s, d)
       .groupBy(col("event_type"),
         date_trunc("day", col("ts")).cast("date").as("day"))
@@ -1362,7 +1456,69 @@ object TimeSeries {
     * grow). Rows-only (float sums); planted-AR(2) coefficient
     * recovery and forecast arithmetic pinned in ScalaTest.
     */
-  val tsAr2: QueryDef = QueryDef.rowsOnly("ts_ar2") { (s, d) =>
+  /** Generated DuckDB replay of ar2Fit: the daily counts are
+    * integer-valued, so all ten moments sum EXACTLY in doubles in
+    * both engines, and the Cramer solve + sse/forecast algebra is
+    * spelled with the Scala side's exact term order.
+    */
+  private val ar2Oracle: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |         CAST(count(*) AS DOUBLE) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+      |grid AS (
+      |  SELECT event_type, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM (SELECT DISTINCT event_type FROM daily), b),
+      |dense AS (
+      |  SELECT g.event_type AS key,
+      |    CAST(g.day - DATE '2020-01-01' AS BIGINT) AS t,
+      |    coalesce(d.cnt, 0) AS x
+      |  FROM grid g LEFT JOIN daily d
+      |    ON d.event_type = g.event_type AND d.day = g.day),
+      |lagged AS (
+      |  SELECT key, t, x,
+      |    lag(x, 1) OVER (PARTITION BY key ORDER BY t) AS x1,
+      |    lag(x, 2) OVER (PARTITION BY key ORDER BY t) AS x2
+      |  FROM dense),
+      |flt AS (SELECT * FROM lagged WHERE x2 IS NOT NULL),
+      |m AS (
+      |  SELECT key, CAST(count(*) AS DOUBLE) AS n,
+      |    sum(x1) AS s1, sum(x2) AS s2, sum(x) AS sy,
+      |    sum(x1*x1) AS s11, sum(x1*x2) AS s12, sum(x2*x2) AS s22,
+      |    sum(x1*x) AS s1y, sum(x2*x) AS s2y, sum(x*x) AS syy,
+      |    max_by(x, t) AS x_last, max_by(x1, t) AS x_prev
+      |  FROM flt GROUP BY key),
+      |det AS (
+      |  SELECT key,
+      |    n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+      |      s2 * (s1 * s12 - s11 * s2) AS det,
+      |    sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) +
+      |      s2 * (s1y * s12 - s11 * s2y) AS d0,
+      |    n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) +
+      |      s2 * (s1 * s2y - s1y * s2) AS d1,
+      |    n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) +
+      |      sy * (s1 * s12 - s11 * s2) AS d2,
+      |    n, s1, s2, s11, s12, s22, sy, s1y, s2y, syy, x_last, x_prev
+      |  FROM m),
+      |fit AS (
+      |  SELECT key, d0 / det AS b0, d1 / det AS b1, d2 / det AS b2, * FROM det),
+      |res AS (
+      |  SELECT key, b0, b1, b2,
+      |    syy - 2.0 * (b0 * sy + b1 * s1y + b2 * s2y) +
+      |      (b0 * (n * b0 + s1 * b1 + s2 * b2) +
+      |       b1 * (s1 * b0 + s11 * b1 + s12 * b2) +
+      |       b2 * (s2 * b0 + s12 * b1 + s22 * b2)) AS sse,
+      |    syy - sy * sy / n AS sst,
+      |    b0 + b1 * x_last + b2 * x_prev AS forecast
+      |  FROM fit)
+      |SELECT key, round(b0, 4) AS phi0, round(b1, 4) AS phi1,
+      |  round(b2, 4) AS phi2,
+      |  round(CASE WHEN sst = 0 THEN 0.0 ELSE 1.0 - sse / sst END, 4) AS r2,
+      |  round(forecast, 4) AS forecast
+      |FROM res ORDER BY key""".stripMargin
+
+  val tsAr2: QueryDef = QueryDef.sql("ts_ar2", ar2Oracle) { (s, d) =>
     val daily = Tables.events(s, d)
       .groupBy(col("event_type"),
         date_trunc("day", col("ts")).cast("date").as("day"))
@@ -1501,17 +1657,22 @@ object TimeSeries {
       val key = r.getString(0)
       val Seq(n, s1, s2, sy, s11, s12, s22, s1y, s2y, syy) =
         (1 to 10).map(r.getDouble)
-      val a = breeze.linalg.DenseMatrix(
-        (n, s1, s2), (s1, s11, s12), (s2, s12, s22))
-      val b = breeze.linalg.DenseVector(sy, s1y, s2y)
-      val beta = a \ b
-      val sse = syy - 2.0 * (beta dot b) + (beta dot (a * beta))
+      // Cramer's rule (Linkage.cramer3) instead of an LU solve: the
+      // moments are exact (integer-valued inputs sum exactly in
+      // doubles), so the explicit determinant expressions land on
+      // engine-identical betas the DuckDB oracle replays verbatim.
+      val (b0, b1, b2) =
+        Linkage.cramer3(n, s1, s2, s11, s12, s22, sy, s1y, s2y)
+      val sse = syy - 2.0 * (b0 * sy + b1 * s1y + b2 * s2y) +
+        (b0 * (n * b0 + s1 * b1 + s2 * b2) +
+          b1 * (s1 * b0 + s11 * b1 + s12 * b2) +
+          b2 * (s2 * b0 + s12 * b1 + s22 * b2))
       val sst = syy - sy * sy / n
       val r2 = if (sst == 0) 0.0 else 1.0 - sse / sst
-      val forecast = beta(0) + beta(1) * r.getDouble(11) + beta(2) * r.getDouble(12)
+      val forecast = b0 + b1 * r.getDouble(11) + b2 * r.getDouble(12)
       def r4(v: Double): Double =
         BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-      (key, r4(beta(0)), r4(beta(1)), r4(beta(2)), r4(r2), r4(forecast))
+      (key, r4(b0), r4(b1), r4(b2), r4(r2), r4(forecast))
     }
     import s.implicits._
     rows.toSeq.toDF("key", "phi0", "phi1", "phi2", "r2", "forecast")
@@ -2377,14 +2538,79 @@ object TimeSeries {
     * arithmetic (mining_ols's posture). Rows-only; ScalaTest replays
     * the OLS fit and pins the variance-decomposition identity.
     */
-  val tsHarmonic: QueryDef = QueryDef.rowsOnly("ts_harmonic") { (s, d) =>
+  /** DuckDB replay of the harmonic fit. The sin/cos regressors are
+    * QUANTIZED to micro-units (round(·×1e6) as int64) so every
+    * normal-equation moment is an exact integer sum in both engines
+    * — a raw trig double would make the moments float sums whose
+    * order noise leaks through the solve. A last-ulp libm difference
+    * flips a quantized value only within 1e-10 of a rounding
+    * boundary — measure-zero against the 1e-4/1e-6 output floors.
+    */
+  private val harmonicOracle: String =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    CAST(date_trunc('day', ts) AS DATE) - DATE '1992-01-01' AS t,
+      |    count(*) AS y
+      |  FROM events GROUP BY 1, 2),
+      |q AS (
+      |  SELECT event_type, y,
+      |    CAST(round(sin(t * (2 * pi()) / 7) * 1e6) AS BIGINT) AS sn,
+      |    CAST(round(cos(t * (2 * pi()) / 7) * 1e6) AS BIGINT) AS cs
+      |  FROM daily),
+      |m AS (
+      |  SELECT event_type,
+      |    CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(sn) AS DOUBLE) / 1e6 AS s1,
+      |    CAST(sum(cs) AS DOUBLE) / 1e6 AS s2,
+      |    CAST(sum(sn * sn) AS DOUBLE) / 1e12 AS s11,
+      |    CAST(sum(cs * cs) AS DOUBLE) / 1e12 AS s22,
+      |    CAST(sum(sn * cs) AS DOUBLE) / 1e12 AS s12,
+      |    CAST(sum(y) AS DOUBLE) AS sy,
+      |    CAST(sum(y * sn) AS DOUBLE) / 1e6 AS s1y,
+      |    CAST(sum(y * cs) AS DOUBLE) / 1e6 AS s2y,
+      |    CAST(sum(y * y) AS DOUBLE) AS syy
+      |  FROM q GROUP BY event_type),
+      |det AS (
+      |  SELECT event_type,
+      |    n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+      |      s2 * (s1 * s12 - s11 * s2) AS det,
+      |    sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) +
+      |      s2 * (s1y * s12 - s11 * s2y) AS d0,
+      |    n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) +
+      |      s2 * (s1 * s2y - s1y * s2) AS d1,
+      |    n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) +
+      |      sy * (s1 * s12 - s11 * s2) AS d2,
+      |    n, s1, s2, s11, s12, s22, sy, s1y, s2y, syy
+      |  FROM m),
+      |fit AS (
+      |  SELECT event_type, d0 / det AS b0, d1 / det AS b1, d2 / det AS b2, *
+      |  FROM det),
+      |res AS (
+      |  SELECT event_type, b0, b1, b2,
+      |    syy - 2 * (b0 * sy + b1 * s1y + b2 * s2y) +
+      |      (b0 * (n * b0 + s1 * b1 + s2 * b2) +
+      |       b1 * (s1 * b0 + s11 * b1 + s12 * b2) +
+      |       b2 * (s2 * b0 + s12 * b1 + s22 * b2)) AS sse,
+      |    syy - sy * sy / n AS sst
+      |  FROM fit)
+      |SELECT event_type,
+      |  floor(b0 * 1e4 + 0.5) / 1e4 AS level,
+      |  floor(sqrt(b1 * b1 + b2 * b2) * 1e4 + 0.5) / 1e4 AS amplitude,
+      |  floor(atan2(b2, b1) * 1e4 + 0.5) / 1e4 AS phase,
+      |  floor(CASE WHEN sst > 0 THEN greatest(0.0, 1.0 - sse / sst)
+      |             ELSE 0.0 END * 1e6 + 0.5) / 1e6 AS r2
+      |FROM res ORDER BY event_type""".stripMargin
+
+  val tsHarmonic: QueryDef = QueryDef.sql("ts_harmonic", harmonicOracle) { (s, d) =>
     val twoPi = 2 * math.Pi
     val daily = Tables.events(s, d)
       .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
-      .agg(count(lit(1)).cast("double").as("y"))
+      .agg(count(lit(1)).as("y"))
       .withColumn("t", datediff(col("day"), to_date(lit("1992-01-01"))))
-      .withColumn("sn", sin(col("t") * twoPi / 7))
-      .withColumn("cs", cos(col("t") * twoPi / 7))
+      // micro-unit quantized regressors: all moments sum as exact
+      // int64, so the solve sees engine-identical inputs (see oracle)
+      .withColumn("sn", round(sin(col("t") * twoPi / 7) * 1e6).cast("long"))
+      .withColumn("cs", round(cos(col("t") * twoPi / 7) * 1e6).cast("long"))
     val m = daily.groupBy(col("event_type")).agg(
       count(lit(1)).as("n"),
       sum(col("sn")).as("ss"), sum(col("cs")).as("sc"),
@@ -2395,21 +2621,24 @@ object TimeSeries {
       .collect()
     import s.implicits._
     m.map { r =>
-      val (n, ss, sc, sss, scc, ssc) = (r.getLong(1).toDouble, r.getDouble(2),
-        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))
-      val (sy, sys, syc, syy) = (r.getDouble(7), r.getDouble(8),
-        r.getDouble(9), r.getDouble(10))
-      val a = breeze.linalg.DenseMatrix(
-        (n, ss, sc), (ss, sss, ssc), (sc, ssc, scc))
-      val bv = breeze.linalg.DenseVector(sy, sys, syc)
-      val beta = a \ bv
-      val sse = syy - 2 * (beta(0) * sy + beta(1) * sys + beta(2) * syc) +
-        (beta.t * a * beta)
+      val n = r.getLong(1).toDouble
+      val (s1, s2) = (r.getLong(2).toDouble / 1e6, r.getLong(3).toDouble / 1e6)
+      val (s11, s22, s12) = (r.getLong(4).toDouble / 1e12,
+        r.getLong(5).toDouble / 1e12, r.getLong(6).toDouble / 1e12)
+      val sy = r.getLong(7).toDouble
+      val (s1y, s2y) = (r.getLong(8).toDouble / 1e6, r.getLong(9).toDouble / 1e6)
+      val syy = r.getLong(10).toDouble
+      val (b0, b1, b2) =
+        Linkage.cramer3(n, s1, s2, s11, s12, s22, sy, s1y, s2y)
+      val sse = syy - 2 * (b0 * sy + b1 * s1y + b2 * s2y) +
+        (b0 * (n * b0 + s1 * b1 + s2 * b2) +
+          b1 * (s1 * b0 + s11 * b1 + s12 * b2) +
+          b2 * (s2 * b0 + s12 * b1 + s22 * b2))
       val sst = syy - sy * sy / n
       val r2 = if (sst > 0) math.max(0.0, 1.0 - sse / sst) else 0.0
-      val amp = math.sqrt(beta(1) * beta(1) + beta(2) * beta(2))
-      val phase = math.atan2(beta(2), beta(1))
-      (r.getString(0), math.floor(beta(0) * 1e4 + 0.5) / 1e4,
+      val amp = math.sqrt(b1 * b1 + b2 * b2)
+      val phase = math.atan2(b2, b1)
+      (r.getString(0), math.floor(b0 * 1e4 + 0.5) / 1e4,
         math.floor(amp * 1e4 + 0.5) / 1e4,
         math.floor(phase * 1e4 + 0.5) / 1e4,
         math.floor(r2 * 1e6 + 0.5) / 1e6)
@@ -2429,10 +2658,60 @@ object TimeSeries {
     * Rows-only; ScalaTest pins PARSEVAL exactly — Σx² equals total
     * coefficient energy — plus a driver replay per level.
     */
-  val tsWavelet: QueryDef = QueryDef.rowsOnly("ts_wavelet") { (s, d) =>
+  /** DuckDB replay of the Haar cascade: the UNNORMALIZED pairwise
+    * sums/differences are integers (counts), so each level's energy
+    * is an exact integer sum divided once by 2^level — an exact
+    * dyadic double in both engines (the /√2-per-level formulation
+    * was float throughout and engine-divergent). Levels are rowwise
+    * CTEs: group (even, odd) pairs by index half.
+    */
+  private val waveletOracle: String = {
+    val levels = 5
+    val chain = (1 to levels).map { k =>
+      s"""l$k AS MATERIALIZED (
+         |  SELECT event_type, j AS i, ev + ov AS v, ev - ov AS dv FROM (
+         |    SELECT event_type, i // 2 AS j,
+         |      max(CASE WHEN i % 2 = 0 THEN v END) AS ev,
+         |      max(CASE WHEN i % 2 = 1 THEN v END) AS ov
+         |    FROM l${k - 1} GROUP BY 1, 2)),
+         |e$k AS (SELECT event_type,
+         |  round(CAST(sum(dv * dv) AS DOUBLE) / ${1 << k}, 4) AS energy_l$k
+         |  FROM l$k GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+       |         count(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |st AS (
+       |  SELECT event_type, CAST(n AS BIGINT) AS v,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY day) - 1 AS i,
+       |    count(*) OVER (PARTITION BY event_type) AS len
+       |  FROM daily),
+       |pw AS (SELECT event_type, max(len) AS len,
+       |         CAST(power(2, ceil(log2(CAST(max(len) AS DOUBLE)))) AS BIGINT) AS p2
+       |       FROM st GROUP BY 1),
+       |l0 AS MATERIALIZED (
+       |  SELECT event_type, i, v FROM st
+       |  UNION ALL
+       |  SELECT event_type, CAST(unnest(range(len, p2)) AS BIGINT) AS i,
+       |    CAST(0 AS BIGINT) AS v
+       |  FROM pw WHERE p2 > len),
+       |$chain,
+       |sm AS (SELECT event_type,
+       |  round(CAST(sum(v * v) AS DOUBLE) / ${1 << levels}, 4) AS energy_smooth
+       |  FROM l$levels GROUP BY 1)
+       |SELECT pw.event_type, CAST(len AS INTEGER) AS n_days,
+       |  ${(1 to levels).map(k => s"energy_l$k").mkString(", ")}, energy_smooth
+       |FROM pw
+       |${(1 to levels).map(k => s"JOIN e$k ON e$k.event_type = pw.event_type").mkString("\n")}
+       |JOIN sm ON sm.event_type = pw.event_type
+       |ORDER BY pw.event_type""".stripMargin
+  }
+
+  val tsWavelet: QueryDef = QueryDef.sql("ts_wavelet", waveletOracle) { (s, d) =>
     val daily = Tables.events(s, d)
       .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
-      .agg(count(lit(1)).cast("double").as("n"))
+      .agg(count(lit(1)).as("n"))
     val series = daily.groupBy(col("event_type"))
       .agg(expr("transform(array_sort(collect_list(struct(day, n))), x -> x.n)")
         .as("xs"))
@@ -2441,14 +2720,17 @@ object TimeSeries {
       .withColumn("pow2",
         expr("int(power(2, ceil(log2(double(len)))))"))
       .withColumn("xs", expr(
-        "concat(xs, array_repeat(0D, pow2 - len))"))
-    // one cascade level: smooth = (even+odd)/√2, detail = (even−odd)/√2
+        "concat(xs, array_repeat(0L, pow2 - len))"))
+    // one cascade level over UNNORMALIZED integer sums/differences:
+    // smooth = even+odd, detail energy = Σ(even−odd)² — exact int64;
+    // the 1/2^level Haar normalization is applied ONCE at the output
+    // as an exact dyadic division, so every energy is engine-exact
     def level(in: String, smooth: String, energy: String): Seq[String] = Seq(
       s"""transform(sequence(0, size($in) div 2 - 1),
-         |  i -> ($in[2*i] + $in[2*i+1]) / sqrt(2D)) AS $smooth""".stripMargin,
+         |  i -> ($in[2*i] + $in[2*i+1])) AS $smooth""".stripMargin,
       s"""aggregate(transform(sequence(0, size($in) div 2 - 1),
-         |  i -> ($in[2*i] - $in[2*i+1]) / sqrt(2D)),
-         |  0D, (a, x) -> a + x * x) AS $energy""".stripMargin)
+         |  i -> ($in[2*i] - $in[2*i+1])),
+         |  0L, (a, x) -> a + x * x) AS $energy""".stripMargin)
     var cur = series.select(col("event_type"), col("len"), col("xs").as("s0"))
     val levels = 5
     for (l <- 1 to levels)
@@ -2456,8 +2738,10 @@ object TimeSeries {
         (1 until l).map(j => s"e$j") ++
         level(s"s${l - 1}", s"s$l", s"e$l"): _*)
     cur.select(col("event_type") +: col("len").as("n_days") +:
-        (1 to levels).map(l => round(col(s"e$l"), 4).as(s"energy_l$l")) :+
-        round(expr(s"aggregate(s$levels, 0D, (a, x) -> a + x * x)"), 4)
+        (1 to levels).map(l =>
+          round(col(s"e$l").cast("double") / (1 << l), 4).as(s"energy_l$l")) :+
+        round(expr(s"aggregate(s$levels, 0L, (a, x) -> a + x * x)")
+          .cast("double") / (1 << levels), 4)
           .as("energy_smooth"): _*)
       .orderBy(col("event_type"))
   }
@@ -2484,39 +2768,94 @@ object TimeSeries {
     math.exp(-h) * sum
   }
 
-  val tsLjungBox: QueryDef = QueryDef.rowsOnly("ts_ljung_box") { (s, d) =>
+  /** DuckDB replay of the Ljung–Box statistic. Centering is EXACT
+    * integer algebra: x̃·d = n·d − s (d = #days, s = Σ counts), so
+    * every lagged cross product sums as an exact DECIMAL — the d²
+    * scaling cancels in r_k = s_k/s_0 and both engines divide the
+    * identical exact values. The χ² tail is the closed even-df form
+    * with the Scala accumulation order spelled term by term.
+    */
+  private val ljungBoxOracle: String = {
+    val lags = 10
+    val lagCols = (1 to lags)
+      .map(k => s"lag(xcd, $k) OVER (PARTITION BY event_type ORDER BY day) AS l$k")
+      .mkString(",\n    ")
+    val sums = (1 to lags)
+      .map(k => s"CAST(sum(xcd * l$k) AS DOUBLE) AS s$k").mkString(",\n    ")
+    val rks = (1 to lags)
+      .map(k => s"(s$k / s0) * (s$k / s0) / (cnt - $k)").mkString(" + ")
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+       |         count(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |tot AS (SELECT event_type, sum(n) AS s, count(*) AS d
+       |        FROM daily GROUP BY 1),
+       |c AS (SELECT daily.event_type, day,
+       |        CAST(n * d - s AS HUGEINT) AS xcd
+       |      FROM daily JOIN tot ON daily.event_type = tot.event_type),
+       |lagged AS (
+       |  SELECT event_type, xcd,
+       |    $lagCols
+       |  FROM c),
+       |m AS (
+       |  SELECT event_type, CAST(count(*) AS DOUBLE) AS cnt,
+       |    CAST(sum(xcd * xcd) AS DOUBLE) AS s0,
+       |    $sums
+       |  FROM lagged GROUP BY event_type),
+       |qs AS (
+       |  SELECT event_type, CAST(cnt AS BIGINT) AS n_days,
+       |    ($rks) * cnt * (cnt + 2) AS q
+       |  FROM m),
+       |ps AS (
+       |  SELECT event_type, n_days, q, q / 2 AS h,
+       |    (q / 2) AS t1,
+       |    (q / 2) * ((q / 2) / 2) AS t2,
+       |    (q / 2) * ((q / 2) / 2) * ((q / 2) / 3) AS t3,
+       |    (q / 2) * ((q / 2) / 2) * ((q / 2) / 3) * ((q / 2) / 4) AS t4
+       |  FROM qs),
+       |fin AS (
+       |  SELECT event_type, n_days, q,
+       |    exp(-h) * ((((1 + t1) + t2) + t3) + t4) AS p
+       |  FROM ps)
+       |SELECT event_type, n_days,
+       |  floor(q * 1e4 + 0.5) / 1e4 AS q_stat,
+       |  floor(p * 1e6 + 0.5) / 1e6 AS p_value,
+       |  p < 0.05 AS reject_white
+       |FROM fin ORDER BY event_type""".stripMargin
+  }
+
+  val tsLjungBox: QueryDef = QueryDef.sql("ts_ljung_box", ljungBoxOracle) { (s, d) =>
     val lags = 10
     val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
     val daily = Tables.events(s, d)
       .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
-      .agg(count(lit(1)).cast("double").as("n"))
-    // center FIRST (per-type mean via a broadcast O(types) join), so
-    // the lagged products give the EXACT textbook sample
-    // autocorrelation r_k = Σ_{t>k} x̃_t·x̃_{t−k} / Σ x̃² — the earlier
-    // uncentered large-n shortcut dropped edge-mean terms of O(k/n),
-    // visible at ~100 daily points with lags to 10
+      .agg(count(lit(1)).as("n"))
+    // center FIRST, and EXACTLY: x̃·d = n·d − s is integer algebra, so
+    // every lagged cross product sums exactly (the d² scale cancels
+    // in r_k = s_k/s_0) — engine- and partition-identical, where the
+    // earlier float centering left the sums order-sensitive
     val mus = daily.groupBy(col("event_type"))
-      .agg(avg(col("n")).as("mu"))
+      .agg(sum(col("n")).as("s"), count(lit(1)).as("d"))
     val centered = daily.join(broadcast(mus), "event_type")
-      .withColumn("xc", col("n") - col("mu"))
+      .withColumn("xcd", (col("n") * col("d") - col("s")).cast("decimal(38,0)"))
     val lagged = (1 to lags).foldLeft(centered) { (df, k) =>
-      df.withColumn(s"l$k", lag(col("xc"), k).over(w))
+      df.withColumn(s"l$k", lag(col("xcd"), k).over(w))
     }
     // per type: n, Σx̃² and the ten lagged cross products (sum skips
     // null lag products, so each s_k is exactly Σ_{t>k}) — one
     // aggregate, everything partial-agg
     val aggCols = Seq(count(lit(1)).as("cnt"),
-      sum(col("xc") * col("xc")).as("s0")) ++
-      (1 to lags).map(k => sum(col("xc") * col(s"l$k")).as(s"s$k"))
+      sum(col("xcd") * col("xcd")).as("s0")) ++
+      (1 to lags).map(k => sum(col("xcd") * col(s"l$k")).as(s"s$k"))
     val rows = lagged.groupBy(col("event_type"))
       .agg(aggCols.head, aggCols.tail: _*).collect()
     import s.implicits._
     rows.map { r =>
       val tpe = r.getString(0)
       val cnt = r.getLong(1).toDouble
-      val s2 = r.getDouble(2) // Σ(x−μ)², exact
+      val s2 = r.getDecimal(2).doubleValue() // Σ(x̃·d)², exact
       val q = (1 to lags).map { k =>
-        val rk = r.getDouble(2 + k) / s2
+        val rk = r.getDecimal(2 + k).doubleValue() / s2
         rk * rk / (cnt - k)
       }.sum * cnt * (cnt + 2)
       // χ² upper tail for EVEN df has the closed form

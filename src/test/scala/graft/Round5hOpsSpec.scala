@@ -141,11 +141,12 @@ class Round5hOpsSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getDouble(3)).toMap
     assert(rows.keySet === Set("lsh", "ivf", "sq8", "pq", "ivfpq"))
     rows.values.foreach(r => assert(r >= 0.0 && r <= 1.0))
-    // operating-point floors: multiprobe multi-table LSH must beat the
-    // 5% single-table recall this op was built to expose; IVF's probed
-    // exhaustive search and the re-ranked quantization rungs sit far
+    // operating-point floors: 10-table multiprobe LSH clears the 0.7
+    // usable-recall line (measured 0.75; a single 8-plane table sits
+    // at ~5%, which this op was built to expose); IVF's probed
+    // exhaustive search and the re-ranked quantization rungs sit
     // above it
-    assert(rows("lsh") >= 0.25, s"lsh recall ${rows("lsh")} below floor")
+    assert(rows("lsh") >= 0.7, s"lsh recall ${rows("lsh")} below floor")
     assert(rows("ivf") >= 0.75, s"ivf recall ${rows("ivf")} below floor")
     assert(rows("sq8") >= 0.9, s"sq8 recall ${rows("sq8")} below floor")
     assert(rows("pq") >= 0.7, s"pq recall ${rows("pq")} below floor")

@@ -254,7 +254,9 @@ class Round5mOpsSpec extends AnyFunSuite {
         val u = iv / denom; u * u * dd
       }.sum
     }.sum
-    assert(math.abs(j1 - js.head) / j1 < 1e-6, s"J1 replay: $j1 vs ${js.head}")
+    // the operator reports J in millions (corpus-float-sum headroom)
+    assert(math.abs(j1 / 1e6 - js.head) / (j1 / 1e6) < 1e-6,
+      s"J1 replay: ${j1 / 1e6} vs ${js.head}")
     val again = KMeans.kmeansFuzzy.fn(spark, sf).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3),
         r.getDouble(4), r.getDouble(5)))

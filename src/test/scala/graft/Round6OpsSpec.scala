@@ -182,7 +182,8 @@ class Round6OpsSpec extends AnyFunSuite {
       got.getOrElse(src, Set.empty).intersect(t).size.toDouble / t.size
     }.sum / truth.size
     info(s"knn-graph recall@4 = $recall")
-    assert(recall >= 0.75, s"recall $recall (measured 0.842 at 8/16 probes)")
+    assert(recall >= 0.9,
+      s"recall $recall (measured 0.922: 8/16 probes, top-8 pool, one NN-descent round)")
     // hash-free deterministic pipeline: exact rerun equality
     val again = Similarity.embKnnGraphIvf.fn(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
