@@ -146,17 +146,36 @@ object KMeans {
     */
   def minibatchLloyd(pts: DataFrame, init: Array[(Double, Double)],
       tol: Double = 1e-3, maxIter: Int = 20, frac: Int = 5): (Array[(Double, Double)], Int, Boolean) = {
+    // md5-derived rotating batches (not xxhash64) so the DuckDB
+    // oracle replays the identical samples — hashed ONCE per row:
+    // two md5 strings carry twenty 12-bit slices, folded at
+    // materialization into a single 20-BIT MEMBERSHIP MASK long
+    // (bit i set ⇔ row in iteration i's batch), so each of the 20
+    // iteration filters is one cached bitwise test instead of a
+    // per-row string hash or substring+conv.
+    val xi = round(col("x") * 100).cast("long")
+    val yi = round(col("y") * 100).cast("long")
+    def h(m: Int) = md5(concat_ws(",", xi, yi, lit(m)))
+    val mask = (0 until maxIter).map { i =>
+      when(pmod(conv(substring(h(i / 10), 3 * (i % 10) + 1, 3), 16, 10)
+        .cast("long"), lit(frac)) === 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val hashed = pts.select(col("x"), col("y"), mask.as("bmask")).persist()
+    def inBatch(iter: Int): Column =
+      col("bmask").bitwiseAND(lit(1L << iter)) =!= 0L
+    try {
+      minibatchLoop(hashed, init, tol, maxIter, inBatch)
+    } finally hashed.unpersist(false)
+  }
+
+  private def minibatchLoop(pts: DataFrame, init: Array[(Double, Double)],
+      tol: Double, maxIter: Int,
+      inBatch: Int => Column): (Array[(Double, Double)], Int, Boolean) = {
     var centroids = init.clone()
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // md5-derived rotating batch (not xxhash64) so the DuckDB
-      // oracle replays the identical sample per iteration
-      val batch = pts.filter(
-        pmod(conv(substring(md5(concat_ws(",",
-            round(col("x") * 100).cast("long"),
-            round(col("y") * 100).cast("long"), lit(iter))), 1, 13), 16, 10)
-          .cast("long"), lit(frac)) === 0)
+      val batch = pts.filter(inBatch(iter))
       val updated = step(batch, centroids).select("cid", "x", "y").collect()
         .map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
       val next = centroids.zipWithIndex.map { case (old, i) => updated.getOrElse(i, old) }
@@ -501,7 +520,7 @@ object KMeans {
       sb.append(
         s""",
            |b$i AS (SELECT * FROM pts
-           |  WHERE CAST(concat('0x', substring(md5(concat_ws(',', xi, yi, '$it')), 1, 13)) AS BIGINT)
+           |  WHERE CAST(concat('0x', substring(md5(concat_ws(',', xi, yi, '${it / 10}')), ${3 * (it % 10) + 1}, 3)) AS BIGINT)
            |        % $frac = 0),
            |a$i AS (
            |  SELECT p.rid, p.x, p.y, c.cid,
@@ -600,32 +619,41 @@ object KMeans {
     * exact-semantics reference point.
     */
   def ppInit(pts: DataFrame, k: Int): Array[(Double, Double)] = {
-    // uniform in (0,1]: 13 hex chars of md5 over the centi-unit
-    // integer coordinates = 52 bits, exact in a double; +1 avoids
-    // u=0. md5 over INTEGER strings (not raw doubles — double→string
-    // formatting is engine-specific) so the DuckDB oracle replays
-    // the identical priorities.
-    def u(seed: Int): Column = {
+    // Uniforms in (0,1] from md5 over the centi-unit INTEGER
+    // coordinates (double→string formatting is engine-specific, so
+    // the DuckDB oracle replays identical hex). ONE md5 per row
+    // yields FOUR 32-bit priorities (8-hex slices) — the per-pick
+    // hashing that made each of the k corpus scans pay a string md5
+    // is gone; all k priorities materialize once in a persisted
+    // projection and each pick is arithmetic over it. Ties from the
+    // 2^-32 granularity break on (x, y) deterministically.
+    def uExpr(j: Int): Column = {
       val xi = round(col("x") * 100).cast("long")
       val yi = round(col("y") * 100).cast("long")
-      (conv(substring(md5(concat_ws(",", xi, yi, lit(seed))), 1, 13), 16, 10)
-        .cast("long") + 1L).cast("double") / lit(4503599627370496.0) // 2^52
+      val h = md5(concat_ws(",", xi, yi, lit(j / 4)))
+      (conv(substring(h, 8 * (j % 4) + 1, 8), 16, 10)
+        .cast("long") + 1L).cast("double") / lit(4294967296.0) // 2^32
     }
-    val first = pts.orderBy(u(0).asc, col("x"), col("y")).limit(1)
-      .select("x", "y").collect()(0)
-    val chosen = scala.collection.mutable.ArrayBuffer(
-      (first.getDouble(0), first.getDouble(1)))
-    var j = 1
-    while (j < k) {
-      val d2 = minDistExpr(chosen.toArray, col("x"), col("y"))
-      val next = pts
-        .filter(d2 > 0) // never re-pick a chosen point
-        .orderBy((u(j) / d2).asc, col("x"), col("y")).limit(1)
+    val withU = pts.select(
+      col("x") +: col("y") +: (0 until k).map(j => uExpr(j).as(s"u$j")): _*)
+      .persist()
+    try {
+      val first = withU.orderBy(col("u0").asc, col("x"), col("y")).limit(1)
         .select("x", "y").collect()(0)
-      chosen += ((next.getDouble(0), next.getDouble(1)))
-      j += 1
-    }
-    chosen.toArray
+      val chosen = scala.collection.mutable.ArrayBuffer(
+        (first.getDouble(0), first.getDouble(1)))
+      var j = 1
+      while (j < k) {
+        val d2 = minDistExpr(chosen.toArray, col("x"), col("y"))
+        val next = withU
+          .filter(d2 > 0) // never re-pick a chosen point
+          .orderBy((col(s"u$j") / d2).asc, col("x"), col("y")).limit(1)
+          .select("x", "y").collect()(0)
+        chosen += ((next.getDouble(0), next.getDouble(1)))
+        j += 1
+      }
+      chosen.toArray
+    } finally withU.unpersist(false)
   }
 
   /** DuckDB replay of ppInit + 3 Lloyd iterations: the md5-derived
@@ -635,8 +663,8 @@ object KMeans {
     * the kmeans_iter3 CTE body seeded from the picks.
     */
   private def ppOracle(k: Int, iters: Int): String = {
-    def u(seed: Int): String =
-      s"(CAST(concat('0x', substring(md5(concat_ws(',', xi, yi, '$seed')), 1, 13)) AS BIGINT) + 1) / 4503599627370496.0"
+    def u(j: Int): String =
+      s"(CAST(concat('0x', substring(md5(concat_ws(',', xi, yi, '${j / 4}')), ${8 * (j % 4) + 1}, 8)) AS BIGINT) + 1) / 4294967296.0"
     val picks = (1 until k).map { j =>
       val dists = (0 until j).map(i =>
         s"(x - (SELECT x FROM p$i)) * (x - (SELECT x FROM p$i)) + (y - (SELECT y FROM p$i)) * (y - (SELECT y FROM p$i))")
