@@ -562,7 +562,37 @@ object Embeddings {
     * after one partial-agg shuffle. Rows-only; ScalaTest pins the
     * weighted-mean conservation identity and a collected replay.
     */
-  val embSliceDrift: QueryDef = QueryDef.rowsOnly("emb_slice_drift") { (s, d) =>
+  private val sliceDriftOracle: String =
+    """WITH x AS (
+      |  SELECT label, pos, (embedding::DOUBLE[])[pos] AS v
+      |  FROM embeddings, UNNEST(generate_series(1, 64)) AS t(pos)),
+      |st AS (
+      |  SELECT label, pos, avg(v) AS mu, var_samp(v) AS va, count(*) AS n
+      |  FROM x GROUP BY 1, 2),
+      |tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM embeddings),
+      |g AS (
+      |  SELECT pos,
+      |    sum(mu * n) / (SELECT total FROM tot) AS gmu,
+      |    sum(va * n) / (SELECT total FROM tot) AS gva
+      |  FROM st GROUP BY pos),
+      |gn AS (SELECT sqrt(sum(gmu * gmu)) AS gnorm FROM g),
+      |per AS (
+      |  SELECT label, any_value(st.n) AS n,
+      |    sqrt(sum((mu - gmu) * (mu - gmu))) AS diff,
+      |    sqrt(sum(mu * mu)) AS mnorm,
+      |    sum(mu * gmu) AS mdotg,
+      |    sum(abs(va - gva)) / 64 AS gap
+      |  FROM st JOIN g USING (pos) GROUP BY label)
+      |SELECT label, n,
+      |  floor(diff * 1e6 + 0.5) / 1e6 AS centroid_shift,
+      |  floor(CASE WHEN mnorm * gnorm = 0 THEN 0.0
+      |             ELSE mdotg / (mnorm * gnorm) END * 1e6 + 0.5) / 1e6
+      |    AS cos_to_global,
+      |  floor(gap * 1e6 + 0.5) / 1e6 AS var_gap
+      |FROM per, gn ORDER BY label""".stripMargin
+
+  val embSliceDrift: QueryDef = QueryDef.sql(
+    "emb_slice_drift", sliceDriftOracle) { (s, d) =>
     import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
     import org.apache.spark.ml.stat.Summarizer
     val rows = Tables.embeddings(s, d)

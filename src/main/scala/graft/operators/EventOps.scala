@@ -2683,7 +2683,43 @@ object EventOps {
     * 2-parameter OLS and the effect arithmetic are O(days) driver
     * math (closed-form-driver posture).
     */
-  val eventsSyntheticControl: QueryDef = QueryDef.rowsOnly("events_synthetic_control") { (s, d) =>
+  private val syntheticControlOracle: String =
+    """WITH daily AS (
+      |  SELECT date_trunc('day', ts) AS day,
+      |    count(CASE WHEN event_type = 'purchase' THEN 1 END) AS yy,
+      |    count(CASE WHEN event_type = 'view' THEN 1 END) AS xx
+      |  FROM events WHERE event_type IN ('purchase', 'view') GROUP BY 1),
+      |idx AS (
+      |  SELECT CAST(yy AS DOUBLE) AS y, CAST(xx AS DOUBLE) AS x,
+      |    row_number() OVER (ORDER BY day) - 1 AS i,
+      |    count(*) OVER () AS n
+      |  FROM daily),
+      |pre AS (SELECT * FROM idx WHERE i < n // 2),
+      |pst AS (SELECT * FROM idx WHERE i >= n // 2),
+      |m AS (SELECT count(*) AS cut, sum(x) / count(*) AS mx,
+      |        sum(y) / count(*) AS my FROM pre),
+      |fit AS (
+      |  SELECT m.cut, m.mx, m.my,
+      |    sum((x - mx) * (y - my)) / sum((x - mx) * (x - mx)) AS b
+      |  FROM pre, m GROUP BY m.cut, m.mx, m.my),
+      |ab AS (SELECT cut, b, my - b * mx AS a FROM fit),
+      |sd AS (
+      |  SELECT ab.cut, ab.a, ab.b,
+      |    sqrt(sum(power(y - (a + b * x), 2)) / (ab.cut - 2)) AS sd_resid
+      |  FROM pre, ab GROUP BY ab.cut, ab.a, ab.b),
+      |eff AS (
+      |  SELECT count(*) AS n_post, sum(y - (a + b * x)) AS cum
+      |  FROM pst, sd GROUP BY sd.a, sd.b)
+      |SELECT CAST(sd.cut AS INTEGER) AS n_pre,
+      |  CAST(eff.n_post AS INTEGER) AS n_post,
+      |  floor(sd.b * 1e4 + 0.5) / 1e4 AS beta,
+      |  floor(eff.cum * 100 + 0.5) / 100 AS cum_effect,
+      |  floor(sd.sd_resid * sqrt(CAST(eff.n_post AS DOUBLE)) * 100 + 0.5) / 100 AS se,
+      |  floor(eff.cum / (sd.sd_resid * sqrt(CAST(eff.n_post AS DOUBLE))) * 1e4 + 0.5) / 1e4 AS z
+      |FROM sd, eff""".stripMargin
+
+  val eventsSyntheticControl: QueryDef = QueryDef.sql(
+    "events_synthetic_control", syntheticControlOracle) { (s, d) =>
     val daily = Tables.events(s, d)
       .filter(col("event_type").isin("purchase", "view"))
       .groupBy(date_trunc("day", col("ts")).as("day"))
@@ -2727,7 +2763,66 @@ object EventOps {
     * Rows-only; ScalaTest pins monotone curves, the local-optimum
     * property of the grid MLE, and the observed-curve replay.
     */
-  val eventsSbgRetention: QueryDef = QueryDef.rowsOnly("events_sbg_retention") { (s, d) =>
+  /** DuckDB replay of the sBG fit: the streak/censoring/cohort
+    * algebra is exact integer SQL, the log-Beta likelihood composes
+    * from lgamma (breeze's lbeta is the same composition — last-ulp
+    * differences sit far below the grid's loglik margins), and the
+    * 60×60 grid argmax tie-breaks in the Scala scan order.
+    */
+  private val sbgOracle: String = {
+    val horizon = 14
+    def lbeta(x: String, y: String) =
+      s"(lgamma($x) + lgamma($y) - lgamma(($x) + ($y)))"
+    val terms = (1 to horizon).map { t =>
+      s"coalesce((SELECT CAST(n AS DOUBLE) FROM cnts WHERE t = $t), 0) * (${lbeta("g.a + 1", s"g.b + $t - 1")} - ${lbeta("g.a", "g.b")})"
+    }.mkString(" + ")
+    s"""WITH d0 AS (
+       |  SELECT DISTINCT user_id,
+       |    CAST(CAST(date_trunc('day', ts) AS DATE) - DATE '1992-01-01' AS INTEGER) AS wk
+       |  FROM events),
+       |r0 AS (
+       |  SELECT user_id, wk,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY wk) - 1 AS i,
+       |    min(wk) OVER (PARTITION BY user_id) AS w0
+       |  FROM d0),
+       |st AS (
+       |  SELECT user_id, any_value(w0) AS w0,
+       |    sum(CASE WHEN wk - i = w0 THEN 1 ELSE 0 END) AS streak
+       |  FROM r0 GROUP BY user_id),
+       |mx AS (SELECT max(wk) AS maxwk FROM d0),
+       |cnts AS (
+       |  SELECT least(streak, ${horizon + 1}) AS t, count(*) AS n
+       |  FROM st, mx WHERE w0 <= maxwk - $horizon GROUP BY 1),
+       |tt AS (SELECT CAST(sum(n) AS DOUBLE) AS total,
+       |  coalesce((SELECT CAST(n AS DOUBLE) FROM cnts WHERE t = ${horizon + 1}), 0) AS nsurv
+       |  FROM cnts),
+       |grid AS (
+       |  SELECT k1.k AS k1, k2.k AS k2,
+       |    0.01 * power(1.18, k1.k) AS a, 0.01 * power(1.18, k2.k) AS b
+       |  FROM UNNEST(generate_series(0, 59)) k1(k),
+       |       UNNEST(generate_series(0, 59)) k2(k)),
+       |ll AS (
+       |  SELECT g.a, g.b, g.k1, g.k2,
+       |    ($terms)
+       |      + (SELECT nsurv FROM tt) * (${lbeta("g.a", s"g.b + $horizon")} - ${lbeta("g.a", "g.b")}) AS loglik
+       |  FROM grid g),
+       |best AS (
+       |  SELECT a AS alpha, b AS beta FROM ll
+       |  ORDER BY loglik DESC, k1, k2 LIMIT 1)
+       |SELECT ts.t,
+       |  floor((SELECT coalesce(sum(n), 0) FROM cnts WHERE cnts.t > ts.t)
+       |    / (SELECT total FROM tt) * 1e4 + 0.5) / 1e4 AS observed_s,
+       |  floor(CASE WHEN ts.t = 0 THEN 1.0
+       |    ELSE exp(${lbeta("alpha", "beta + ts.t")} - ${lbeta("alpha", "beta")}) END
+       |    * 1e4 + 0.5) / 1e4 AS fitted_s,
+       |  floor(alpha * 1e4 + 0.5) / 1e4 AS alpha,
+       |  floor(beta * 1e4 + 0.5) / 1e4 AS beta
+       |FROM UNNEST(generate_series(0, $horizon)) ts(t), best
+       |ORDER BY ts.t""".stripMargin
+  }
+
+  val eventsSbgRetention: QueryDef = QueryDef.sql(
+    "events_sbg_retention", sbgOracle) { (s, d) =>
     val horizon = 14
     // lifetime = the INITIAL consecutive-active-DAY streak (churn =
     // first silent day; the corpus spans ~1 month, so days are the

@@ -1003,15 +1003,66 @@ object KMeans {
     * aggregate over ONLY that batch's rows. Rows-only; convergence
     * (final WSSSE ≤ init WSSSE) and determinism pinned.
     */
-  val kmeansStream: QueryDef = QueryDef.rowsOnly("kmeans_stream") { (s, d) =>
+  /** DuckDB replay of the streaming blend: md5-derived arrival
+    * slices, per-batch assignment + batch means, and the
+    * count-weighted blend in the Scala expression order, chained as
+    * three centroid CTEs with stale-keep LEFT JOINs.
+    */
+  private def streamKmeansOracle(k: Int, batches: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH pts AS MATERIALIZED (
+         |  SELECT l_quantity AS x, l_extendedprice AS y,
+         |    CAST(concat('0x', substring(md5(concat_ws(',', l_orderkey, l_linenumber)), 1, 13)) AS BIGINT)
+         |      % $batches AS b,
+         |    row_number() OVER (ORDER BY l_orderkey, l_linenumber,
+         |                       l_quantity, l_extendedprice) - 1 AS rid
+         |  FROM lineitem),
+         |c0 AS MATERIALIZED (SELECT rid AS cid, x, y, CAST(0 AS BIGINT) AS cnt
+         |                    FROM pts WHERE rid < $k)""".stripMargin)
+    for (i <- 1 to batches) {
+      val p = i - 1
+      sb.append(
+        s""",
+           |a$i AS (
+           |  SELECT p.rid, p.x, p.y, c.cid,
+           |         row_number() OVER (PARTITION BY p.rid
+           |           ORDER BY (p.x-c.x)*(p.x-c.x) + (p.y-c.y)*(p.y-c.y), c.cid) AS rn
+           |  FROM (SELECT * FROM pts WHERE b = ${i - 1}) p CROSS JOIN c$p c),
+           |m$i AS (SELECT cid, avg(x) AS bx, avg(y) AS by, count(*) AS bn
+           |        FROM a$i WHERE rn = 1 GROUP BY cid),
+           |c$i AS MATERIALIZED (
+           |  SELECT c.cid,
+           |    CASE WHEN m.cid IS NULL THEN c.x
+           |         ELSE (c.x * c.cnt + m.bx * m.bn) / (c.cnt + m.bn) END AS x,
+           |    CASE WHEN m.cid IS NULL THEN c.y
+           |         ELSE (c.y * c.cnt + m.by * m.bn) / (c.cnt + m.bn) END AS y,
+           |    c.cnt + coalesce(m.bn, 0) AS cnt
+           |  FROM c$p c LEFT JOIN m$i m ON m.cid = c.cid)""".stripMargin)
+    }
+    sb.append(
+      s"""
+         |SELECT CAST(cid AS BIGINT) AS cid,
+         |  floor(x * 1000 + 0.5) / 1000 AS cx,
+         |  floor(y * 1000 + 0.5) / 1000 AS cy,
+         |  cnt AS n_seen
+         |FROM c$batches ORDER BY cid""".stripMargin)
+    sb.toString
+  }
+
+  val kmeansStream: QueryDef = QueryDef.sql(
+    "kmeans_stream", streamKmeansOracle(K, 3)) { (s, d) =>
     val all = points(Tables.lineitem(s, d))
     val init = initCentroids(all)
     var cs = init.clone()
     val counts = Array.fill(K)(0L)
-    // 3 deterministic "arrival" slices by row hash
+    // 3 deterministic "arrival" slices by row hash (md5-derived so
+    // the oracle replays the identical slices)
     (0 until 3).foreach { b =>
       val batch = all
-        .filter(pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(3)) === b)
+        .filter(pmod(conv(substring(
+            md5(concat_ws(",", col("l_orderkey"), col("l_linenumber"))), 1, 13),
+          16, 10).cast("long"), lit(3)) === b)
         .select("x", "y")
       val upd = step(batch, cs).select("cid", "x", "y", "n").collect()
       upd.foreach { r =>
