@@ -2448,7 +2448,78 @@ object EventOps {
     * from the OUTPUT's own history, pull conservation, monotone
     * regret, and rerun determinism.
     */
-  val eventsBandit: QueryDef = QueryDef.rowsOnly("events_bandit") { (s, d) =>
+  /** DuckDB replay of the UCB1 replay: per-day reward vectors fold
+    * through a LIST-state list_reduce (pulls ×5, sums ×5, cumulative
+    * regret, last choice/reward, step — struct accumulators corrupt
+    * cross-field reads in DuckDB 1.0, lists fold correctly); each
+    * output day folds the prefix up to itself (O(days²) on the
+    * O(days) relation). The 5-way argmax ties toward the larger arm,
+    * matching Scala's maxBy over (ucb, arm) tuples.
+    */
+  private val banditOracle: String = {
+    val arms = Seq("click", "error", "purchase", "signup", "view")
+    val k = arms.length
+    // UCB index for arm j given accumulator a (t = a[14] + 1)
+    def u(j: Int) =
+      s"(a[${k + j}] / a[$j] + sqrt(2.0 * ln(a[14] + 1) / a[$j]))"
+    // argmax with ties to the LARGER j
+    val argmax = (k to 1 by -1).map { j =>
+      if (j == 1) "ELSE 1"
+      else {
+        val conds = (1 until j).map(i => s"${u(j)} >= ${u(i)}").mkString(" AND ")
+        s"WHEN $conds THEN $j"
+      }
+    }.mkString("CASE ", " ", " END")
+    val chosen = s"CASE WHEN a[14] + 1 <= $k THEN CAST(a[14] + 1 AS INTEGER) ELSE $argmax END"
+    val pulls = (1 to k).map(j =>
+      s"a[$j] + CASE WHEN ($chosen) = $j THEN 1.0 ELSE 0.0 END").mkString(",\n        ")
+    val sums = (1 to k).map(j =>
+      s"a[${k + j}] + CASE WHEN ($chosen) = $j THEN x[$j] ELSE 0.0 END").mkString(",\n        ")
+    val armNames = arms.map(a => s"'$a'").mkString("[", ", ", "]")
+    val rvCols = arms.map(a =>
+      s"coalesce(max(CASE WHEN arm = '$a' THEN mean END), 0.0)").mkString(",\n      ")
+    s"""WITH daily AS (
+       |  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type AS arm,
+       |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / count(*) AS mean
+       |  FROM events GROUP BY 1, 2),
+       |hb AS (
+       |  SELECT arm FROM (
+       |    SELECT arm, avg(mean) AS am,
+       |      row_number() OVER (ORDER BY avg(mean) DESC, arm) AS rn
+       |    FROM daily GROUP BY arm) WHERE rn = 1),
+       |rv AS (
+       |  SELECT day,
+       |    [$rvCols,
+       |      coalesce(max(CASE WHEN arm = (SELECT arm FROM hb) THEN mean END), 0.0)]
+       |      AS r
+       |  FROM daily GROUP BY day),
+       |seq AS (
+       |  SELECT list(r ORDER BY day) AS els, list(day ORDER BY day) AS dl
+       |  FROM rv),
+       |folds AS (
+       |  SELECT t.dnum, dl[t.dnum] AS day,
+       |    list_reduce(
+       |      list_prepend(
+       |        [0.0::DOUBLE, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+       |         0.0, 0.0, 0.0, 0.0],
+       |        list_slice(els, 1, t.dnum)),
+       |      (a, x) -> [
+       |        $pulls,
+       |        $sums,
+       |        a[11] + (x[${k + 1}] - x[$chosen]),
+       |        CAST($chosen AS DOUBLE),
+       |        x[$chosen],
+       |        a[14] + 1]) AS f
+       |  FROM seq, UNNEST(generate_series(1, len(els))) AS t(dnum))
+       |SELECT day,
+       |  $armNames[CAST(f[12] AS INTEGER)] AS chosen_arm,
+       |  floor(f[13] * 100 + 0.5) / 100 AS reward_cents,
+       |  floor(f[11] * 100 + 0.5) / 100 AS cum_regret_cents
+       |FROM folds ORDER BY day""".stripMargin
+  }
+
+  val eventsBandit: QueryDef = QueryDef.sql(
+    "events_bandit", banditOracle) { (s, d) =>
     import s.implicits._
     val daily = Tables.events(s, d)
       .groupBy(to_date(col("ts")).as("day"), col("event_type").as("arm"))

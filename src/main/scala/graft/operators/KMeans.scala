@@ -137,7 +137,7 @@ object KMeans {
   /** Mini-batch k-means (after Sculley, WWW 2010 — simplified to a
     * plain batch-mean update): every Lloyd update runs on a
     * DETERMINISTIC rotating hash-sample of the points (1/frac per
-    * iteration, keyed by xxhash64(x, y, iter)), so each iteration
+    * iteration, keyed by md5 slices of the coordinates), so each iteration
     * scans a fraction of the corpus instead of all of it — the
     * trade that keeps k-means affordable when one full pass is
     * hours. Hash-based sampling means every run and any partitioning

@@ -732,7 +732,7 @@ object Linkage {
   /** Multinomial Naive Bayes language classifier trained ON the
     * corpus — the generative counterpart to text_langid's fixed
     * heuristic profiles and mining_dtree's single split: the MODEL
-    * IS A RELATION. Train (4/5 of docs by xxhash64 split):
+    * IS A RELATION. Train (4/5 of docs by md5 split):
     * P(tri|lang) from one (lang, char-trigram) count aggregate —
     * O(chars) exploded rows reduce map-side to the |langs|·|vocab|
     * model, never corpus-sized on the wire; priors from one O(docs)

@@ -2387,7 +2387,57 @@ object TimeSeries {
     * tie-break ⇒ deterministic. Rows-only; ScalaTest replays the
     * min-cost recursion with backtracking.
     */
-  val tsBurst: QueryDef = QueryDef.rowsOnly("ts_burst") { (s, d) =>
+  /** DuckDB replay of the Kleinberg DP: the same two-state Viterbi
+    * fold, expressed as list_reduce over struct elements (the init
+    * state rides as a prepended sentinel — DuckDB's reduce seeds from
+    * the first element). Emission costs derive from exact integer
+    * daily counts; ln() ulp differences only matter at exact
+    * state-cost ties.
+    */
+  private val burstOracle: String = {
+    // LIST accumulator (a[1]=c0, a[2]=c1, a[3]=b0, a[4]=b1, a[5]=e0,
+    // a[6]=e1, a[7]=i; x[1]=n): DuckDB 1.0's list_reduce corrupts
+    // cross-field reads of STRUCT accumulators from the second step
+    // on (fields see earlier fields' NEW values); list-valued state
+    // folds correctly.
+    val init = "[0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE]"
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+       |         CAST(count(*) AS DOUBLE) AS n
+       |  FROM events GROUP BY 1, 2),
+       |ser AS (
+       |  SELECT event_type, list(n ORDER BY day) AS ns,
+       |    avg(n) AS lam0, CAST(count(*) AS DOUBLE) AS t
+       |  FROM daily GROUP BY 1),
+       |dp AS (
+       |  SELECT event_type, t,
+       |    list_reduce(
+       |      list_prepend($init,
+       |        list_transform(ns, v -> [v, 0.0::DOUBLE, 0.0::DOUBLE,
+       |          0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE])),
+       |      (a, x) -> [
+       |        least(CASE WHEN a[7] = 0 THEN 0.0 ELSE a[1] END,
+       |              CASE WHEN a[7] = 0 THEN CAST('Infinity' AS DOUBLE) ELSE a[2] END)
+       |          - (x[1] * ln(lam0) - lam0),
+       |        least(CASE WHEN a[7] = 0 THEN 0.0 ELSE a[1] END + ln(t),
+       |              CASE WHEN a[7] = 0 THEN CAST('Infinity' AS DOUBLE) ELSE a[2] END)
+       |          - (x[1] * ln(2 * lam0) - 2 * lam0),
+       |        CASE WHEN a[7] = 0 OR a[1] <= a[2] THEN a[3] ELSE a[4] END,
+       |        CASE WHEN a[7] = 0 OR a[1] + ln(t) <= a[2] THEN a[3] ELSE a[4] END + 1,
+       |        CASE WHEN a[7] = 0 OR a[1] <= a[2] THEN a[5] ELSE a[6] END,
+       |        CASE WHEN a[7] = 0 OR a[1] + ln(t) <= a[2] THEN a[5] + 1 ELSE a[6] END,
+       |        a[7] + 1]) AS f
+       |  FROM ser)
+       |SELECT event_type, CAST(t AS INTEGER) AS n_days,
+       |  CAST(CASE WHEN f[1] <= f[2] THEN f[3] ELSE f[4] END AS INTEGER)
+       |    AS n_burst_days,
+       |  CAST(CASE WHEN f[1] <= f[2] THEN f[5] ELSE f[6] END AS INTEGER)
+       |    AS n_bursts,
+       |  round(least(f[1], f[2]), 4) AS total_cost
+       |FROM dp ORDER BY event_type""".stripMargin
+  }
+
+  val tsBurst: QueryDef = QueryDef.sql("ts_burst", burstOracle) { (s, d) =>
     val daily = Tables.events(s, d)
       .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
       .agg(count(lit(1)).cast("double").as("n"))
@@ -2512,7 +2562,76 @@ object TimeSeries {
     out.toSeq
   }
 
-  val tsCpdBinseg: QueryDef = QueryDef.rowsOnly("ts_cpd_binseg") { (s, d) =>
+  /** DuckDB replay of the fixed-depth binary segmentation: per level
+    * a segment table (event_type, lo, hi), per segment the exact mean
+    * (integer sums), the sample sd, the ordered cumulative CUSUM (a
+    * prefix window — deterministic accumulation order in both
+    * engines), the first-max argmax, and the significance/interiority
+    * gate; accepted splits seed the next level's two segments.
+    */
+  private val binsegOracle: String = {
+    def level(n: Int): String = {
+      s"""mu$n AS (
+         |  SELECT s.event_type, s.lo, s.hi, avg(d.x) AS mu, count(*) AS len
+         |  FROM seg$n s JOIN dd d ON d.event_type = s.event_type
+         |    AND d.i >= s.lo AND d.i < s.hi
+         |  GROUP BY 1, 2, 3),
+         |sd$n AS (
+         |  SELECT m.event_type, m.lo, m.hi, m.mu, m.len,
+         |    sqrt(sum((d.x - m.mu) * (d.x - m.mu)) / (m.len - 1)) AS sd
+         |  FROM mu$n m JOIN dd d ON d.event_type = m.event_type
+         |    AND d.i >= m.lo AND d.i < m.hi
+         |  WHERE m.len >= 14
+         |  GROUP BY 1, 2, 3, 4, 5),
+         |cs$n AS (
+         |  SELECT x.event_type, x.lo, x.hi, x.len, d.i, d.day,
+         |    sum((d.x - x.mu) / x.sd)
+         |      OVER (PARTITION BY x.event_type, x.lo ORDER BY d.i) AS s
+         |  FROM sd$n x JOIN dd d ON d.event_type = x.event_type
+         |    AND d.i >= x.lo AND d.i < x.hi - 1
+         |  WHERE x.sd > 0),
+         |acc$n AS (
+         |  SELECT *, (best >= 6 AND best < len - 7 AND stat > 1.358) AS acc
+         |  FROM (
+         |    SELECT event_type, lo, hi, len, day, i - lo AS best,
+         |      abs(s) / sqrt(CAST(len AS DOUBLE)) AS stat,
+         |      row_number() OVER (PARTITION BY event_type, lo
+         |        ORDER BY abs(s) DESC, i) AS rn
+         |    FROM cs$n) WHERE rn = 1)""".stripMargin
+    }
+    val segNext = (n: Int) =>
+      s"""seg${n + 1} AS (
+         |  SELECT event_type, lo, lo + best + 1 AS hi FROM acc$n WHERE acc
+         |  UNION ALL
+         |  SELECT event_type, lo + best + 1 AS lo, hi FROM acc$n WHERE acc)""".stripMargin
+    s"""WITH dd AS (
+       |  SELECT event_type, day, CAST(n AS DOUBLE) AS x,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY day) - 1 AS i
+       |  FROM (SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+       |        FROM events GROUP BY 1, 2)),
+       |seg1 AS (SELECT event_type, 0 AS lo, count(*) AS hi
+       |         FROM dd GROUP BY event_type),
+       |${level(1)},
+       |${segNext(1)},
+       |${level(2)},
+       |${segNext(2)},
+       |${level(3)}
+       |SELECT event_type, day AS changepoint_day, depth,
+       |  floor(stat * 1e4 + 0.5) / 1e4 AS norm_stat, acc AS accepted
+       |FROM (
+       |  SELECT event_type, day, CAST(1 AS INTEGER) AS depth, stat, acc
+       |  FROM acc1
+       |  UNION ALL
+       |  SELECT event_type, day, CAST(2 AS INTEGER), stat, acc
+       |  FROM acc2 WHERE acc
+       |  UNION ALL
+       |  SELECT event_type, day, CAST(3 AS INTEGER), stat, acc
+       |  FROM acc3 WHERE acc)
+       |ORDER BY event_type, changepoint_day""".stripMargin
+  }
+
+  val tsCpdBinseg: QueryDef = QueryDef.sql(
+    "ts_cpd_binseg", binsegOracle) { (s, d) =>
     val daily = Tables.events(s, d)
       .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
       .agg(count(lit(1)).as("n")).collect()
