@@ -2221,7 +2221,57 @@ object TimeSeries {
       .select(col("event_type"), col("t"), col("word"), col("zs"))
   }
 
-  val tsMotif: QueryDef = QueryDef.rowsOnly("ts_motif") { (s, d) =>
+  /** DuckDB replay of the motif search. Every float derives from
+    * exact integer hourly counts through the identical operation
+    * order (list folds seed left-to-right like Spark's aggregate), so
+    * z-vectors, SAX words, and pair distances are engine-identical —
+    * including the UNROUNDED rank ordering.
+    */
+  private val motifOracle: String = {
+    val w = MotifW; val segLen = MotifSeg
+    val segCase = (0 until MotifPaa).map { j =>
+      val segMean =
+        s"list_reduce(list_slice(zs, ${j * segLen + 1}, ${j * segLen + segLen}), (a, x) -> a + x) / $segLen"
+      s"""CASE WHEN $segMean < -0.6745 THEN 'a'
+         |     WHEN $segMean < 0.0 THEN 'b'
+         |     WHEN $segMean < 0.6745 THEN 'c'
+         |     ELSE 'd' END""".stripMargin
+    }.mkString("concat(", ",\n    ", ")")
+    s"""WITH hourly AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS hour,
+       |         CAST(count(*) AS DOUBLE) AS n
+       |  FROM events GROUP BY 1, 2),
+       |ser AS (SELECT event_type, list(n ORDER BY hour) AS xs
+       |        FROM hourly GROUP BY 1),
+       |sub0 AS (
+       |  SELECT event_type, t, list_slice(xs, t, t + ${w - 1}) AS w
+       |  FROM ser, UNNEST(generate_series(1, len(xs) - ${w - 1})) AS u(t)),
+       |m1 AS (SELECT event_type, t, w,
+       |         list_reduce(w, (a, x) -> a + x) / $w AS mu FROM sub0),
+       |m2 AS (SELECT event_type, t, w, mu,
+       |         sqrt(list_reduce(list_transform(w, x -> (x - mu) * (x - mu)),
+       |           (a, x) -> a + x) / $w) AS sd
+       |       FROM m1),
+       |zs0 AS (SELECT event_type, t,
+       |          list_transform(w, x -> (x - mu) / sd) AS zs
+       |        FROM m2 WHERE sd > 0),
+       |wd AS (SELECT event_type, t, zs,
+       |  $segCase AS word FROM zs0),
+       |p AS (
+       |  SELECT a.event_type, a.word, a.t AS t1, b.t AS t2,
+       |    sqrt(list_reduce(list_transform(list_zip(a.zs, b.zs),
+       |      q -> (q[1] - q[2]) * (q[1] - q[2])), (x, y) -> x + y)) AS dist
+       |  FROM wd a JOIN wd b ON b.event_type = a.event_type
+       |    AND b.word = a.word AND a.t + $w <= b.t),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY event_type
+       |             ORDER BY dist, t1, t2) AS rank FROM p)
+       |SELECT event_type, CAST(rank AS INTEGER) AS rank,
+       |  CAST(t1 AS INTEGER) AS t1, CAST(t2 AS INTEGER) AS t2,
+       |  word AS sax_word, floor(dist * 10000 + 0.5) / 10000 AS dist
+       |FROM ranked WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin
+  }
+
+  val tsMotif: QueryDef = QueryDef.sql("ts_motif", motifOracle) { (s, d) =>
     val sub = saxSubs(s, d)
     val a = sub.select(col("event_type"), col("word"),
       col("t").as("t1"), col("zs").as("za"))
@@ -2266,7 +2316,49 @@ object TimeSeries {
     * driver NN replay, candidate-set membership (rarest buckets),
     * rank ordering, and determinism.
     */
-  val tsDiscord: QueryDef = QueryDef.rowsOnly("ts_discord") { (s, d) =>
+  /** DuckDB replay of HOT SAX: the motif oracle's subsequence/word
+    * CTEs, the rarest-bucket candidate pick ((bsz, word, t) order),
+    * exact NN distances over the non-overlapping same-type
+    * subsequences, and the (dist, t) struct-min as a window pick.
+    */
+  private val discordOracle: String = {
+    // reuse the motif prefix up to `wd` by regenerating it
+    val prefixEnd = motifOracle.indexOf(",\n|p AS (".replace("|", ""))
+    val prefix = motifOracle.substring(0, prefixEnd)
+    s"""$prefix,
+       |rare AS (SELECT event_type, word, count(*) AS bsz
+       |         FROM wd GROUP BY 1, 2),
+       |cands AS (
+       |  SELECT * FROM (
+       |    SELECT wd.event_type AS cet, wd.t AS ct, wd.word AS cword,
+       |      wd.zs AS czs, rare.bsz,
+       |      row_number() OVER (PARTITION BY wd.event_type
+       |        ORDER BY rare.bsz, wd.word, wd.t) AS rn
+       |    FROM wd JOIN rare ON rare.event_type = wd.event_type
+       |      AND rare.word = wd.word)
+       |  WHERE rn <= $DiscordCands),
+       |nnd AS (
+       |  SELECT cet, ct, cword, bsz, t AS nn_t, dist AS nn_dist FROM (
+       |    SELECT c.cet, c.ct, c.cword, c.bsz, s.t,
+       |      sqrt(list_reduce(list_transform(list_zip(c.czs, s.zs),
+       |        q -> (q[1] - q[2]) * (q[1] - q[2])), (x, y) -> x + y)) AS dist,
+       |      row_number() OVER (PARTITION BY c.cet, c.ct
+       |        ORDER BY sqrt(list_reduce(list_transform(list_zip(c.czs, s.zs),
+       |          q -> (q[1] - q[2]) * (q[1] - q[2])), (x, y) -> x + y)), s.t) AS rn
+       |    FROM cands c JOIN wd s ON s.event_type = c.cet
+       |      AND abs(s.t - c.ct) >= $MotifW)
+       |  WHERE rn = 1)
+       |SELECT cet AS event_type, CAST(rank AS INTEGER) AS rank,
+       |  CAST(ct AS INTEGER) AS t, cword AS sax_word, bsz AS bucket_size,
+       |  CAST(nn_t AS INTEGER) AS nn_t,
+       |  floor(nn_dist * 10000 + 0.5) / 10000 AS nn_dist
+       |FROM (SELECT *, row_number() OVER (PARTITION BY cet
+       |        ORDER BY nn_dist DESC, ct) AS rank FROM nnd)
+       |WHERE rank <= 2 ORDER BY event_type, rank""".stripMargin
+  }
+
+  val tsDiscord: QueryDef = QueryDef.sql(
+    "ts_discord", discordOracle) { (s, d) =>
     // O(hours) relation computed twice (candidates + NN probe) — a
     // persist would be unpersisted before the lazy result executes,
     // and the recompute is one small window pass
