@@ -105,7 +105,25 @@ object Embeddings {
     * semantic cluster" curation operates on. Rows-only (IVF fit is
     * FP-path dependent); edge/cluster consistency pinned in ScalaTest.
     */
-  val embCluster: QueryDef = QueryDef.rowsOnly("emb_cluster") { (s, d) =>
+  /** DuckDB replay: the shared IVF fit + probed-pair CTEs
+    * (Similarity.ivfPairsOraclePrefix), then min-label connected
+    * components as a recursive CTE (the graph_cc oracle pattern) and
+    * the per-cluster rollup.
+    */
+  private lazy val embClusterOracle: String =
+    s"""WITH RECURSIVE ${Similarity.ivfPairsOraclePrefix},
+       |e2 AS (SELECT id1 AS s, id2 AS t FROM pairs
+       |       UNION SELECT id2, id1 FROM pairs),
+       |r(n, l) AS (
+       |  SELECT s, s FROM (SELECT DISTINCT s FROM e2)
+       |  UNION
+       |  SELECT e2.t, r.l FROM r JOIN e2 ON r.n = e2.s),
+       |lbl AS (SELECT n, min(l) AS comp FROM r GROUP BY n)
+       |SELECT comp AS cluster_rep, count(*) AS n_members
+       |FROM lbl GROUP BY comp ORDER BY comp""".stripMargin
+
+  val embCluster: QueryDef = QueryDef.sql(
+    "emb_cluster", embClusterOracle) { (s, d) =>
     val e = Similarity.vectors(s, d)
     val pairs = Similarity.embeddingIvfPairs(
         e, Similarity.coarseCentroids(e, cacheKey = d), 0.35, probes = 2)

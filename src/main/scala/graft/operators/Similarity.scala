@@ -753,8 +753,34 @@ object Similarity {
     * threshold (~69° apart — far beyond near-dup) recalls only
     * what happens to co-bucket, as any sub-quadratic scheme must.
     */
+  /** The probed-pair CTEs over the fitted quantizer (`eu`, `fc3`
+    * from ivfFitCtes): per-vector 2 nearest lists, within-list pairs,
+    * rounded-cosine threshold — emb_cluster and dedup_embedding_ivf
+    * share them.
+    */
+  private[graft] def ivfPairsCtes(threshold: Double, probes: Int): String =
+    s"""probed AS MATERIALIZED (
+       |  SELECT vec_id, u, list FROM (
+       |    SELECT eu.vec_id, eu.u, c.cid AS list,
+       |      row_number() OVER (PARTITION BY eu.vec_id
+       |        ORDER BY list_dot_product(c.c, c.c) - 2 * list_dot_product(eu.u, c.c),
+       |                 c.cid) AS rn
+       |    FROM eu CROSS JOIN fc3 c) WHERE rn <= $probes),
+       |pairs AS MATERIALIZED (
+       |  SELECT DISTINCT p1.vec_id AS id1, p2.vec_id AS id2,
+       |    round(list_dot_product(p1.u, p2.u), 4) AS cos_sim
+       |  FROM probed p1 JOIN probed p2
+       |    ON p2.list = p1.list AND p1.vec_id < p2.vec_id
+       |  WHERE round(list_dot_product(p1.u, p2.u), 4) >= $threshold)""".stripMargin
+
+  private[graft] def ivfPairsOraclePrefix: String =
+    s"${ivfFitCtes(NLists, 3, 4096)},\n${ivfPairsCtes(0.35, 2)}"
+
   val dedupEmbeddingIvf: QueryDef =
-    QueryDef.rowsOnly("dedup_embedding_ivf") { (s, d) =>
+    QueryDef.sql(
+      "dedup_embedding_ivf",
+      s"""WITH $ivfPairsOraclePrefix
+         |SELECT id1, id2, cos_sim FROM pairs ORDER BY id1, id2""".stripMargin) { (s, d) =>
       val e = vectors(s, d)
       embeddingIvfPairs(e, coarseCentroids(e, cacheKey = d), 0.35, probes = 2)
     }
@@ -914,7 +940,12 @@ object Similarity {
     * pass with the identical shifted-distance expression
     * ‖c‖² − 2u·c and the per-list population/share/residual rollup.
     */
-  private def ivfStatsOracle(nLists: Int, iters: Int, sampleCap: Int): String = {
+  /** The IVF coarse-quantizer fit as CTE text (unit corpus `eu`,
+    * first-N sample, `iters` n-D Lloyd rounds → `fc<iters>`),
+    * WITHOUT the leading WITH — shared by the ann_ivf_stats,
+    * emb_cluster, and dedup_embedding_ivf oracles.
+    */
+  private def ivfFitCtes(nLists: Int, iters: Int, sampleCap: Int): String = {
     val chain = (1 to iters).map { i =>
       val p = i - 1
       s"""fa$i AS (
@@ -932,7 +963,7 @@ object Similarity {
          |  UNION ALL
          |  SELECT cid, c FROM fc$p WHERE cid NOT IN (SELECT cid FROM fm$i))""".stripMargin
     }.mkString(",\n")
-    s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |eu AS MATERIALIZED (
        |  SELECT vec_id,
        |    list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
@@ -942,7 +973,11 @@ object Similarity {
        |    SELECT u, row_number() OVER (ORDER BY vec_id) AS rn FROM eu)
        |  WHERE rn <= $sampleCap),
        |fc0 AS MATERIALIZED (SELECT rn - 1 AS cid, v AS c FROM samp WHERE rn <= $nLists),
-       |$chain,
+       |$chain""".stripMargin
+  }
+
+  private def ivfStatsOracle(nLists: Int, iters: Int, sampleCap: Int): String = {
+    s"""WITH ${ivfFitCtes(nLists, iters, sampleCap)},
        |asg AS (
        |  SELECT vec_id, list, dist FROM (
        |    SELECT eu.vec_id, c.cid AS list,
