@@ -276,8 +276,13 @@ object Similarity {
     * NProbe nearest lists. The candidate join is an equality join on
     * the list id: work is O(|queries| · corpus/NLists · NProbe),
     * never O(n²), and the lists shard across executors at any scale.
+    * The oracle replays the deterministic coarse fit (ivfFitCtes —
+    * the machinery ann_ivf_stats proved), the same shifted-distance
+    * assignment/probe ranking, and the per-query top-1 cut on the
+    * ROUNDED cosine with id tie-break, so the full index answer is
+    * hash-matched cross-engine.
     */
-  val annIvf: QueryDef = QueryDef.rowsOnly("ann_ivf") { (s, d) =>
+  val annIvf: QueryDef = QueryDef.sql("ann_ivf", ivfTopOracle(NLists, NProbe, 3, 4096)) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val e = vectors(s, d)
     val cs = coarseCentroids(e, cacheKey = d)
@@ -452,7 +457,49 @@ object Similarity {
     * Bounds are one O(D) aggregate pass (the ingest-time stats
     * artifact at 100 TB).
     */
-  val annSq8: QueryDef = QueryDef.rowsOnly("ann_sq8") { (s, d) =>
+  /** ann_sq8's oracle: the whole scalar-quantization chain is
+    * deterministic column math — unit vectors, exact per-dim min/max,
+    * HALF_UP byte codes, the affine-collapsed ADC score with every
+    * float expression spelled in the engine's operation order (w =
+    * span·q/255, c0 = Σ(mn + span·128/255)·q ascending, score = c0 +
+    * Σ code·w ascending) — so the shortlist cut and the exact rerank
+    * replay hash-identically.
+    */
+  private def sq8Oracle(dim: Int, shortlist: Int): String =
+    s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |eu AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+       |  FROM e0),
+       |dims AS (
+       |  SELECT pos, min(u[pos]) AS mn, max(u[pos]) AS mx
+       |  FROM eu, UNNEST(generate_series(1, $dim)) AS t(pos) GROUP BY pos),
+       |spans AS (SELECT pos, mn, greatest(mx - mn, 1e-12) AS span FROM dims),
+       |q AS (SELECT u AS qu FROM eu WHERE vec_id = 0),
+       |wts AS (
+       |  SELECT s.pos, s.span * q.qu[s.pos] / 255.0 AS w,
+       |    (s.mn + s.span * 128.0 / 255.0) * q.qu[s.pos] AS c0term
+       |  FROM spans s CROSS JOIN q),
+       |c0 AS (SELECT list_sum(list(c0term ORDER BY pos)) AS c0 FROM wts),
+       |codes AS (
+       |  SELECT eu.vec_id, s.pos,
+       |    CAST(least(greatest(round((eu.u[s.pos] - s.mn) / s.span * 255.0, 0),
+       |      0.0), 255.0) AS INT) - 128 AS code
+       |  FROM eu JOIN spans s ON true
+       |  WHERE eu.vec_id <> 0),
+       |sims AS (
+       |  SELECT c.vec_id,
+       |    (SELECT c0 FROM c0) + list_sum(list(c.code * w.w ORDER BY c.pos))
+       |      AS approx_sim
+       |  FROM codes c JOIN wts w ON w.pos = c.pos
+       |  GROUP BY c.vec_id),
+       |short AS (SELECT vec_id FROM sims
+       |          ORDER BY approx_sim DESC, vec_id LIMIT $shortlist)
+       |SELECT eu.vec_id, round(list_dot_product(eu.u, q.qu), 4) AS cos_sim
+       |FROM eu JOIN short ON short.vec_id = eu.vec_id CROSS JOIN q
+       |ORDER BY cos_sim DESC, eu.vec_id LIMIT 10""".stripMargin
+
+  val annSq8: QueryDef = QueryDef.sql("ann_sq8", sq8Oracle(Dim, SqShortlist)) { (s, d) =>
     val e = vectors(s, d)
     val withU = e.withColumn("u", unit(col("v")))
     val b = withU.select(
@@ -976,6 +1023,36 @@ object Similarity {
        |$chain""".stripMargin
   }
 
+  /** ann_ivf's oracle: replay the coarse fit, assign every vector to
+    * its nearest list (shifted distance ‖c‖²−2u·c, cid tie-break),
+    * probe each query's nProbe nearest lists, and cut the per-query
+    * top-1 on the ROUNDED cosine with id2 tie-break — the exact
+    * engine ranking expressions spelled in DuckDB.
+    */
+  private def ivfTopOracle(nLists: Int, nProbe: Int, iters: Int, sampleCap: Int): String =
+    s"""WITH ${ivfFitCtes(nLists, iters, sampleCap)},
+       |dists AS (
+       |  SELECT eu.vec_id, c.cid,
+       |    row_number() OVER (PARTITION BY eu.vec_id
+       |      ORDER BY list_dot_product(c.c, c.c) - 2 * list_dot_product(eu.u, c.c),
+       |               c.cid) AS r
+       |  FROM eu CROSS JOIN fc$iters c),
+       |asg AS (SELECT vec_id, cid AS list FROM dists WHERE r = 1),
+       |probes AS (SELECT vec_id AS id1, cid AS list FROM dists
+       |           WHERE vec_id < 20 AND r <= $nProbe),
+       |cand AS (
+       |  SELECT p.id1, a.vec_id AS id2,
+       |    round(list_dot_product(q.v, t.v)
+       |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(t.v, t.v))), 4)
+       |      AS cos_sim
+       |  FROM probes p JOIN asg a ON a.list = p.list AND a.vec_id <> p.id1
+       |  JOIN e0 q ON q.vec_id = p.id1
+       |  JOIN e0 t ON t.vec_id = a.vec_id)
+       |SELECT id1, id2, cos_sim FROM (
+       |  SELECT id1, id2, cos_sim,
+       |    row_number() OVER (PARTITION BY id1 ORDER BY cos_sim DESC, id2) AS rn
+       |  FROM cand) WHERE rn = 1 ORDER BY id1""".stripMargin
+
   private def ivfStatsOracle(nLists: Int, iters: Int, sampleCap: Int): String = {
     s"""WITH ${ivfFitCtes(nLists, iters, sampleCap)},
        |asg AS (
@@ -1347,7 +1424,54 @@ object Similarity {
     * (ties to smaller vec_id). Duplicate-skipping pinned on a
     * planted near-dup shortlist in ScalaTest.
     */
-  val annMmr: QueryDef = QueryDef.rowsOnly("ann_mmr") { (s, d) =>
+  /** ann_mmr's oracle: the greedy λ-tradeoff selection replays as 5
+    * chained CTEs — each step scores the remaining shortlist members
+    * with the engine's exact float spelling (rel uses √aa·√bb, the
+    * driver redundancy cosine uses √(aa·bb), the penalty weight is
+    * the IEEE value of 1−0.7) and picks argmax(score, min id).
+    */
+  private def mmrOracle(k: Int, cut: Int): String = {
+    def prevUnion(n: Int): String =
+      (1 until n).map(i => s"SELECT vec_id FROM sel$i").mkString(" UNION ALL ")
+    val steps = (2 to k).map { n =>
+      s"""sel$n AS MATERIALIZED (
+         |  SELECT s.vec_id, s.rel, 0.7 * s.rel - (1 - 0.7) * r.red AS score,
+         |    $n AS position
+         |  FROM short s JOIN (
+         |    SELECT p.ia AS vec_id, max(p.cos) AS red FROM pc p
+         |    WHERE p.ib IN (${prevUnion(n)}) GROUP BY p.ia) r
+         |    ON r.vec_id = s.vec_id
+         |  WHERE s.vec_id NOT IN (${prevUnion(n)})
+         |  ORDER BY 0.7 * s.rel - (1 - 0.7) * r.red DESC, s.vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val all = (1 to k).map(i => s"SELECT position, vec_id, rel, score FROM sel$i")
+      .mkString(" UNION ALL ")
+    s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e0 WHERE vec_id = 0),
+       |rels AS (
+       |  SELECT e.vec_id, e.v,
+       |    list_dot_product(e.v, q.qv)
+       |      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)))
+       |      AS rel
+       |  FROM e0 e CROSS JOIN q WHERE e.vec_id <> 0),
+       |short AS MATERIALIZED (
+       |  SELECT vec_id, v, rel FROM rels ORDER BY rel DESC, vec_id LIMIT $cut),
+       |pc AS MATERIALIZED (
+       |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+       |    list_dot_product(a.v, b.v)
+       |      / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) AS cos
+       |  FROM short a JOIN short b ON a.vec_id <> b.vec_id),
+       |sel1 AS MATERIALIZED (
+       |  SELECT vec_id, rel, 0.7 * rel - (1 - 0.7) * 0.0 AS score, 1 AS position
+       |  FROM short ORDER BY 0.7 * rel - (1 - 0.7) * 0.0 DESC, vec_id LIMIT 1),
+       |$steps
+       |SELECT position, vec_id,
+       |  floor(rel * 10000 + 0.5) / 10000 AS relevance,
+       |  floor(score * 10000 + 0.5) / 10000 AS mmr_score
+       |FROM ($all) ORDER BY position""".stripMargin
+  }
+
+  val annMmr: QueryDef = QueryDef.sql("ann_mmr", mmrOracle(5, 20)) { (s, d) =>
     val e = vectors(s, d)
     val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
     val shortlist = e.filter(col("vec_id") =!= 0)
