@@ -542,29 +542,71 @@ object TextAnalysis {
     aggregate(perBigram, lit(0.0), (acc, x) => acc + x) / (length(text) - 1)
   }
 
+  /** [[bigramLogProbs]] quantized to exact micro-nat longs
+    * (floor(ln·10⁶ + 0.5)) — per-document score sums become
+    * integer-exact, so the cross-engine oracle hash-matches on any
+    * partitioning (the Round-7 rule: quantize BEFORE corpus-sized
+    * float sums; the 10⁻⁶ grid sits far below the 4-dp output
+    * rounding).
+    */
+  def bigramLogProbMicros(docs: DataFrame): Map[String, Long] =
+    bigramLogProbs(docs).map { case (bg, lp) =>
+      bg -> math.floor(lp * 1e6 + 0.5).toLong
+    }
+
+  val LmFloorMicro: Long = math.floor(LmFloor * 1e6 + 0.5).toLong
+
+  /** The train-then-score chain as CTE text (bigram explode → count →
+    * top-1024 micro-nat table → per-doc exact integer sums), WITHOUT
+    * the trailing SELECT — shared by the text_lm_score and
+    * text_perplexity_bucket oracles.
+    */
+  private def lmScoredCtes: String =
+    s"""bgs AS MATERIALIZED (
+       |  SELECT doc_id, substr(lower(text), i, 2) AS bg
+       |  FROM documents, UNNEST(generate_series(1, len(text) - 1)) AS t(i)),
+       |bcounts AS MATERIALIZED (SELECT bg, count(*) AS n FROM bgs GROUP BY bg),
+       |btot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM bcounts),
+       |btbl AS MATERIALIZED (
+       |  SELECT bg,
+       |    CAST(floor(ln(n / (SELECT total FROM btot)) * 1000000.0 + 0.5)
+       |      AS BIGINT) AS lp
+       |  FROM bcounts ORDER BY n DESC, bg LIMIT $LmTableSize),
+       |scored AS MATERIALIZED (
+       |  SELECT b.doc_id, count(*) AS n_bigrams,
+       |    sum(coalesce(t.lp, $LmFloorMicro)) AS sm
+       |  FROM bgs b LEFT JOIN btbl t USING (bg) GROUP BY b.doc_id)""".stripMargin
+
   /** Character-bigram language-model scoring — the cheap perplexity
     * proxy for quality filtering (a KenLM stand-in with the same
     * pipeline shape): pass 1 trains the table from the corpus itself,
     * pass 2 scores every document map-side against the broadcast
     * table. Natural text scores high; gibberish and wrong-alphabet
-    * text sink (test-pinned).
+    * text sink (test-pinned). Table log-probs are micro-nat longs so
+    * the per-doc sums are integer-exact — the DuckDB oracle retrains
+    * the identical table and replays the exact sums.
     */
-  val textLmScore: QueryDef = QueryDef.rowsOnly("text_lm_score") { (s, d) =>
+  val textLmScore: QueryDef = QueryDef.sql(
+    "text_lm_score",
+    s"""WITH $lmScoredCtes
+       |SELECT doc_id, n_bigrams,
+       |  round(CAST(sm AS DOUBLE) / 1000000.0 / n_bigrams, 4) AS lm_score
+       |FROM scored ORDER BY doc_id""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
-    val table = bigramLogProbs(docs)
+    val table = bigramLogProbMicros(docs)
     import s.implicits._
     // relational scoring: bigrams explode map-side and hash-join the
     // broadcast table (O(1) lookups in codegen) — a per-element
     // element_at over a 1024-entry map literal is a linear scan per
     // bigram, ~1000× more comparisons on the same corpus. One shuffle
     // of (doc_id, partial sum/count) pairs.
-    val tableDf = table.toSeq.sortBy(_._1).toDF("bg", "logp")
+    val tableDf = table.toSeq.sortBy(_._1).toDF("bg", "lp")
     bigramsOf(docs, carry = Seq(col("doc_id")))
       .join(broadcast(tableDf), Seq("bg"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
-        round(sum(coalesce(col("logp"), lit(LmFloor))) / count(lit(1)), 4)
-          .as("lm_score"))
+        round(sum(coalesce(col("lp"), lit(LmFloorMicro))).cast("double")
+          / lit(1000000.0) / count(lit(1)), 4).as("lm_score"))
       .orderBy(col("doc_id"))
   }
 
@@ -572,28 +614,58 @@ object TextAnalysis {
     * at decile granularity): documents bucket by their bigram-LM
     * quality score and each bucket reports doc/token mass and its
     * score range — the inputs to "sample more from the better
-    * buckets". SCALABLE bucketing: decile thresholds come from ONE
-    * percentile_approx sketch aggregate over the scored relation and
-    * the bucket assignment is a map-side comparison chain — no global
-    * ntile sort serializing the corpus. Rows-only (the LM table is
-    * not SQL-expressible); threshold monotonicity and full coverage
-    * pinned in ScalaTest.
+    * buckets". Decile thresholds come from ONE exact-percentile
+    * aggregate over the per-doc scored relation and the bucket
+    * assignment is a map-side comparison chain — no global ntile
+    * sort serializing the corpus (the 100 TB variant swaps the
+    * threshold pass for the percentile_approx GK sketch). The DuckDB
+    * oracle retrains the micro-nat LM table, replays the exact score
+    * sums, and recomputes the same quantile_cont cuts — full
+    * hash-match; threshold monotonicity and coverage stay pinned in
+    * ScalaTest.
     */
   val textPerplexityBucket: QueryDef =
-    QueryDef.rowsOnly("text_perplexity_bucket") { (s, d) =>
+    QueryDef.sql(
+      "text_perplexity_bucket",
+      s"""WITH $lmScoredCtes,
+         |sc AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    round(CAST(sm AS DOUBLE) / 1000000.0 / n_bigrams, 4) AS lm_score
+         |  FROM scored),
+         |cuts AS (SELECT quantile_cont(lm_score,
+         |  [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS q FROM sc),
+         |bucketed AS (
+         |  SELECT sc.doc_id, sc.lm_score,
+         |    CAST(1 + ${(1 to 9).map(i =>
+        s"(CASE WHEN sc.lm_score > c.q[$i] THEN 1 ELSE 0 END)").mkString(" + ")}
+         |      AS BIGINT) AS bucket
+         |  FROM sc CROSS JOIN cuts c),
+         |toks AS (SELECT doc_id,
+         |    CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+         |  FROM documents)
+         |SELECT b.bucket, count(*) AS n_docs,
+         |  CAST(sum(t.n_tokens) AS BIGINT) AS sum_tokens,
+         |  round(min(b.lm_score), 4) AS min_score,
+         |  round(max(b.lm_score), 4) AS max_score
+         |FROM bucketed b JOIN toks t USING (doc_id)
+         |GROUP BY b.bucket ORDER BY b.bucket""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val table = bigramLogProbs(docs)
+      val table = bigramLogProbMicros(docs)
       import s.implicits._
-      val tableDf = table.toSeq.sortBy(_._1).toDF("bg", "logp")
+      val tableDf = table.toSeq.sortBy(_._1).toDF("bg", "lp")
       val scored = bigramsOf(docs, carry = Seq(col("doc_id")))
         .join(broadcast(tableDf), Seq("bg"), "left")
         .groupBy(col("doc_id"))
-        .agg(round(sum(coalesce(col("logp"), lit(LmFloor))) / count(lit(1)), 4)
-          .as("lm_score"))
+        .agg(round(sum(coalesce(col("lp"), lit(LmFloorMicro))).cast("double")
+          / lit(1000000.0) / count(lit(1)), 4).as("lm_score"))
         .persist()
       try {
-        val cuts = scored.agg(percentile_approx(col("lm_score"),
-            array((1 to 9).map(i => lit(i / 10.0)): _*), lit(10000)))
+        // exact decile thresholds over the per-doc scored relation —
+        // the oracle-pinned rung (DuckDB quantile_cont is exact); at
+        // 100 TB swap in the percentile_approx GK sketch, which the
+        // bucket comparison chain consumes unchanged.
+        val cuts = scored.agg(expr(
+            "percentile(lm_score, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"))
           .collect()(0).getSeq[Double](0)
         val bucket = cuts.foldLeft(lit(1)) { (acc, t) =>
           acc + when(col("lm_score") > t, 1).otherwise(0)
