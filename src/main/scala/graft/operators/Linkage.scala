@@ -1054,7 +1054,58 @@ object Linkage {
     * state id — deterministic at any partitioning. Rows-only;
     * ScalaTest replays exact Viterbi with backtracking at sf0.001.
     */
-  val miningHmm: QueryDef = QueryDef.rowsOnly("mining_hmm") { (s, d) =>
+  /** mining_hmm's oracle: the per-user Viterbi fold replays as a
+    * DuckDB list_reduce with a LIST accumulator ([lp0, lp1, c0, c1,
+    * i] — the Round-7 struct-accumulator corruption workaround); the
+    * log-prob constants are the SAME driver-printed decimal literals
+    * the engine embeds, so every float op runs on identical doubles
+    * in identical order.
+    */
+  private def hmmOracle: String = {
+    def l(p: Double): String = math.log(p).toString
+    def arr(xs: Array[Double]): String =
+      xs.map(l).mkString("[", ", ", "]")
+    val (e0, e1) = (arr(HmmE(0)), arr(HmmE(1)))
+    val (t00, t01) = (l(HmmT(0)(0)), l(HmmT(0)(1)))
+    val (t10, t11) = (l(HmmT(1)(0)), l(HmmT(1)(1)))
+    val init = "[0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE]"
+    s"""WITH coded AS (
+       |  SELECT user_id, ts, event_id,
+       |    CASE WHEN event_type = 'view' THEN 0
+       |         WHEN event_type = 'click' THEN 1
+       |         WHEN event_type = 'error' THEN 2
+       |         WHEN event_type = 'signup' THEN 3
+       |         ELSE 4 END AS code
+       |  FROM events),
+       |seqs AS (
+       |  SELECT user_id,
+       |    list(CAST(code AS DOUBLE) ORDER BY ts, event_id, code) AS cs
+       |  FROM coded GROUP BY user_id),
+       |dp AS (
+       |  SELECT user_id, len(cs) AS seq_len,
+       |    list_reduce(
+       |      list_prepend($init,
+       |        list_transform(cs, v -> [v, 0.0::DOUBLE, 0.0::DOUBLE,
+       |          0.0::DOUBLE, 0.0::DOUBLE])),
+       |      (a, x) -> CASE WHEN a[5] = 0 THEN [
+       |        ${l(HmmPi(0))} + $e0[CAST(x[1] AS INT) + 1],
+       |        ${l(HmmPi(1))} + $e1[CAST(x[1] AS INT) + 1],
+       |        0.0, 1.0, 1.0]
+       |      ELSE [
+       |        greatest(a[1] + $t00, a[2] + $t10) + $e0[CAST(x[1] AS INT) + 1],
+       |        greatest(a[1] + $t01, a[2] + $t11) + $e1[CAST(x[1] AS INT) + 1],
+       |        CASE WHEN a[1] + $t00 >= a[2] + $t10 THEN a[3] ELSE a[4] END,
+       |        CASE WHEN a[1] + $t01 >= a[2] + $t11 THEN a[3] ELSE a[4] END + 1,
+       |        a[5] + 1] END) AS f
+       |  FROM seqs)
+       |SELECT user_id, CAST(seq_len AS INTEGER) AS seq_len,
+       |  CAST(CASE WHEN f[1] >= f[2] THEN f[3] ELSE f[4] END AS INTEGER)
+       |    AS n_engaged,
+       |  round(greatest(f[1], f[2]), 4) AS viterbi_loglik
+       |FROM dp ORDER BY user_id""".stripMargin
+  }
+
+  val miningHmm: QueryDef = QueryDef.sql("mining_hmm", hmmOracle) { (s, d) =>
     def l(p: Double): String = math.log(p).toString
     val e0 = HmmE(0).map(l).mkString("array(", "D, ", "D)")
     val e1 = HmmE(1).map(l).mkString("array(", "D, ", "D)")

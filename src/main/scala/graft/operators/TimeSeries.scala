@@ -1101,6 +1101,67 @@ object TimeSeries {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** ts_dtw's oracle: per-type daily means from exact micro-unit
+    * sums, z-normalized with the engine's driver spelling (ascending
+    * fold sums), then the Sakoe–Chiba DP replayed as a nested
+    * list_reduce — the outer fold carries the previous DP row as a
+    * LIST accumulator, the inner fold builds the current row cell by
+    * cell (cur[j] needs cur[j−1], so it is itself a fold).
+    */
+  private def dtwOracle(band: Int): String = {
+    val inf = "CAST('Infinity' AS DOUBLE)"
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+       |    CAST(sum(CAST(round(value * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+       |      / 1000000.0 / count(*) AS v
+       |  FROM events GROUP BY 1, 2),
+       |ser AS (
+       |  SELECT event_type, list(v ORDER BY day) AS vs,
+       |    CAST(count(*) AS DOUBLE) AS n
+       |  FROM daily GROUP BY 1),
+       |zn AS (
+       |  SELECT event_type, vs, n,
+       |    list_reduce(vs, (a, x) -> a + x) / n AS mean FROM ser),
+       |zs AS MATERIALIZED (
+       |  SELECT event_type,
+       |    CASE WHEN sd > 0 THEN list_transform(vs, x -> (x - mean) / sd)
+       |         ELSE list_transform(vs, x -> 0.0::DOUBLE) END AS z
+       |  FROM (SELECT event_type, vs, mean, n,
+       |          sqrt(list_reduce(list_transform(vs, x -> (x - mean) * (x - mean)),
+       |            (a, x) -> a + x) / n) AS sd
+       |        FROM zn)),
+       |pairs AS (
+       |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+       |    a.z AS xs, b.z AS ys, len(a.z) AS nn, len(b.z) AS mm,
+       |    greatest($band, abs(len(a.z) - len(b.z))) AS w
+       |  FROM zs a JOIN zs b ON a.event_type < b.event_type),
+       |dp AS (
+       |  SELECT type_a, type_b, mm,
+       |    list_reduce(
+       |      list_prepend(
+       |        list_prepend(0.0::DOUBLE,
+       |          list_transform(generate_series(1, CAST(mm AS INT)), j -> $inf)),
+       |        list_transform(generate_series(1, CAST(nn AS INT)),
+       |          i -> [CAST(i AS DOUBLE)])),
+       |      (a, ix) -> list_reduce(
+       |        list_prepend([$inf],
+       |          list_transform(generate_series(1, CAST(mm AS INT)),
+       |            j -> [CAST(j AS DOUBLE)])),
+       |        (b, jx) -> list_append(b,
+       |          CASE WHEN jx[1] < greatest(1, ix[1] - w)
+       |                 OR jx[1] > least(CAST(mm AS DOUBLE), ix[1] + w)
+       |            THEN $inf
+       |            ELSE (xs[CAST(ix[1] AS INT)] - ys[CAST(jx[1] AS INT)])
+       |                 * (xs[CAST(ix[1] AS INT)] - ys[CAST(jx[1] AS INT)])
+       |                 + least(a[CAST(jx[1] AS INT) + 1], b[len(b)],
+       |                         a[CAST(jx[1] AS INT)])
+       |          END))) AS f
+       |  FROM pairs)
+       |SELECT type_a, type_b,
+       |  floor(sqrt(f[CAST(mm AS INT) + 1]) * 10000 + 0.5) / 10000 AS dtw
+       |FROM dp ORDER BY type_a, type_b""".stripMargin
+  }
+
   /** Sakoe–Chiba banded dynamic-time-warping distance (the classic
     * elastic series-similarity measure) between every pair of
     * event-type daily-mean series. The sequential DP is confined to
@@ -1111,15 +1172,21 @@ object TimeSeries {
     * not level. Pairs are built by broadcasting the O(#types)
     * aggregated series array; at 1000s of series the same plan
     * shards the pair grid over the cluster since each pair's inputs
-    * are two small arrays. SQL-inexpressible (the warping-path DP);
-    * identity/symmetry/Euclidean-upper-bound pinned in ScalaTest.
+    * are two small arrays. Daily means come from exact micro-unit
+    * integer sums (the Round-7 quantize-before-float-sums rule), so
+    * the z-scores — and therefore the whole DP — are engine-exact;
+    * the DuckDB oracle replays the banded DP as a nested list_reduce
+    * (LIST accumulators, the Round-7 struct-corruption workaround).
+    * Identity/symmetry/Euclidean-upper-bound stay pinned in
+    * ScalaTest.
     */
-  val tsDtw: QueryDef = QueryDef.rowsOnly("ts_dtw") { (s, d) =>
+  val tsDtw: QueryDef = QueryDef.sql("ts_dtw", dtwOracle(7)) { (s, d) =>
     import s.implicits._
     val daily = Tables.events(s, d)
       .groupBy(col("event_type"),
         date_trunc("day", col("ts")).cast("date").as("day"))
-      .agg(avg(col("value")).as("v"))
+      .agg((sum(round(col("value") * lit(1000000.0), 0).cast("long"))
+        .cast("double") / lit(1000000.0) / count(lit(1))).as("v"))
       .as[(String, java.sql.Date, Double)]
     val series: Array[(String, Array[Double])] = daily.collect()
       .groupBy(_._1).toArray
