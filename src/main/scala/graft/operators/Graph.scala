@@ -2323,6 +2323,55 @@ object Graph {
   private val AnfK = 32     // FM bitmasks per node (rel. err ~0.78/√k)
   private val AnfRounds = 8 // ≥ bipartite trade-graph effective diameter
 
+  /** graph_anf's oracle: replay the Flajolet–Martin register init
+    * (md5-hex hash → lowest-set-bit via exact bit_count math), the h
+    * rounds of neighbor bit_or merging, and the per-h estimate with
+    * the engine's exact-integer R and micro-quantized node sums —
+    * the whole ANF curve hash-matches.
+    */
+  private def anfOracle(rounds: Int): String = {
+    val states = (1 to rounds).map { h =>
+      s"""s$h AS MATERIALIZED (
+         |  SELECT node, j, bit_or(m) AS m FROM (
+         |    SELECT e.v AS node, s.j, s.m
+         |    FROM edges2 e JOIN s${h - 1} s ON s.node = e.u
+         |    UNION ALL SELECT node, j, m FROM s${h - 1})
+         |  GROUP BY node, j)""".stripMargin
+    }.mkString(",\n")
+    val ests = (0 to rounds).map { h =>
+      s"""est$h AS (
+         |  SELECT $h AS h,
+         |    CAST(sum(CAST(round(pow(2.0, r) / 0.77351 * 1000000.0, 0)
+         |      AS BIGINT)) AS DOUBLE) / 1000000.0 AS est
+         |  FROM (SELECT node,
+         |          CAST(sum(bit_count(xor(m, m + 1)) - 1) AS DOUBLE) / 32 AS r
+         |        FROM s$h GROUP BY node))""".stripMargin
+    }.mkString(",\n")
+    val union = (0 to rounds).map(h => s"SELECT h, est FROM est$h")
+      .mkString(" UNION ALL ")
+    s"""WITH te AS (
+       |  SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges2 AS MATERIALIZED (
+       |  SELECT src * 2 AS u, dst * 2 + 1 AS v FROM te
+       |  UNION ALL SELECT dst * 2 + 1 AS u, src * 2 AS v FROM te),
+       |s0 AS MATERIALIZED (
+       |  SELECT node, j, (CAST(1 AS BIGINT) << (bit_count(xor(h, h - 1)) - 1)) AS m
+       |  FROM (
+       |    SELECT node, j,
+       |      CAST(concat('0x', substring(md5(concat_ws(',', node, j)), 1, 13))
+       |        AS BIGINT) AS h
+       |    FROM (SELECT DISTINCT u AS node FROM edges2),
+       |         UNNEST(generate_series(0, 31)) AS t(j))),
+       |$states,
+       |$ests
+       |SELECT CAST(e.h AS INTEGER) AS h,
+       |  floor(e.est * 100 + 0.5) / 100 AS est_pairs,
+       |  floor(e.est / p.est * 10000 + 0.5) / 10000 AS pct_of_plateau
+       |FROM ($union) e CROSS JOIN est$rounds p
+       |ORDER BY h""".stripMargin
+  }
+
   /** Approximate neighborhood function N(h) + effective diameter via
     * ANF (Palmer et al. KDD 2002; the HyperANF/HADI lineage Boldi et
     * al. WWW 2011 scaled to billions of nodes) — the ONLY way to ask
@@ -2344,7 +2393,7 @@ object Graph {
     * OR are order-free), monotone N(h), estimate-vs-exact (driver
     * BFS closure at sf0.001) within FM tolerance, and N(0) ≈ n.
     */
-  val graphAnf: QueryDef = QueryDef.rowsOnly("graph_anf") { (s, d) =>
+  val graphAnf: QueryDef = QueryDef.sql("graph_anf", anfOracle(AnfRounds)) { (s, d) =>
     import s.implicits._
     val e = tradeEdges(s, d)
     // disjoint node namespace: customer 2k, supplier 2k+1
@@ -2352,25 +2401,33 @@ object Graph {
     val edges = und.union(und.select(col("v").as("u"), col("u").as("v")))
       .persist()
     val mcols = (0 until AnfK).map(j => s"m$j")
-    // init: one geometric bit per (node, mask): lowest set bit of the
-    // 64-bit hash — p with prob 2^-(p+1), all codegen'd bit math
+    // init: one geometric bit per (node, mask): lowest set bit of a
+    // 52-bit md5-derived hash — p with prob 2^-(p+1). md5 (not
+    // xxhash64) so the DuckDB oracle replays identical hex, and the
+    // bit position comes from EXACT integer ops (bit_count(h⊕(h−1))−1
+    // — the log2-on-a-power-of-two cast, which both engines would
+    // have to get ulp-identically right, is gone).
     def geoBit(j: Int): Column = {
-      val h = xxhash64(col("node"), lit(j))
-      // h & -h isolates the lowest set bit (a power of two)
+      val h = conv(substring(md5(concat_ws(",", col("node"), lit(j))), 1, 13),
+        16, 10).cast("long")
       call_function("shiftleft", lit(1L),
-        log2((h.bitwiseAND(-h)).cast("double")).cast("int"))
+        bit_count(h.bitwiseXOR(h - 1)) - 1)
     }
     var state = edges.select(col("u").as("node")).distinct()
       .select(col("node") +: (0 until AnfK).map(j => geoBit(j).as(s"m$j")): _*)
       .localCheckpoint(eager = true)
-    // ball-size estimate: R = mean lowest-ZERO-bit position, est = 2^R/φ
+    // ball-size estimate: R = mean lowest-ZERO-bit position (exact
+    // integer sum ÷ k), est = 2^R/φ. Per-node estimates quantize to
+    // exact micro longs BEFORE the node sum so the estimate is
+    // partition-order invariant and engine-exact (Round-7 rule).
     val lowestZero = mcols.map { m =>
-      // ~m & (m+1) isolates the lowest zero bit of m
-      log2((bitwise_not(col(m)).bitwiseAND(col(m) + 1)).cast("double"))
-    }.reduce(_ + _) / AnfK
+      // m ⊕ (m+1) sets all bits through the lowest ZERO bit of m
+      bit_count(col(m).bitwiseXOR(col(m) + 1)) - 1
+    }.reduce(_ + _).cast("double") / AnfK
     def nh(st: DataFrame): Double =
-      st.select(sum(pow(lit(2.0), lowestZero) / lit(0.77351)).as("n"))
-        .as[Double].collect()(0)
+      st.select(sum(round(pow(lit(2.0), lowestZero) / lit(0.77351)
+          * lit(1000000.0), 0).cast("long")).as("n"))
+        .as[Long].collect()(0) / 1e6
     val curve = scala.collection.mutable.ArrayBuffer(nh(state))
     for (h <- 1 to AnfRounds) {
       val msgs = edges.join(state, col("u") === col("node"))

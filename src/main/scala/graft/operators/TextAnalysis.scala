@@ -1357,7 +1357,7 @@ object TextAnalysis {
     * (float fixpoint); rank-mass conservation ≈ N, positivity,
     * determinism, and hub-beats-leaf ordering pinned.
     */
-  val textTextrank: QueryDef = QueryDef.rowsOnly("text_textrank") { (s, d) =>
+  val textTextrank: QueryDef = QueryDef.sql("text_textrank", textrankOracle(10)) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val ranks = textrankScores(s, d)
     val w = Window.orderBy(col("rank").desc, col("word"))
@@ -1392,13 +1392,63 @@ object TextAnalysis {
     var ranks = out.select(col("w1").as("word")).distinct()
       .withColumn("rank", lit(1.0))
     for (_ <- 1 to 10) {
+      // per-term contributions quantize to exact pico-unit longs
+      // BEFORE the neighbor sum (the Round-7 rule): the sum is then
+      // partition-order invariant and engine-exact, which is what
+      // lets the chained-CTE oracle replay all 10 rounds
+      // hash-identically. The 1e-12 grid sits 8 orders below the
+      // output rounding.
       ranks = out.join(ranks, col("w1") === col("word"))
         .groupBy(col("w2").as("word"))
-        .agg((lit((1.0 - damping)) + lit(damping) * sum(col("share") * col("rank")))
-          .as("rank"))
+        .agg((lit((1.0 - damping)) + lit(damping) *
+          (sum(round(col("share") * col("rank") * lit(1e12), 0).cast("long"))
+            .cast("double") / lit(1e12))).as("rank"))
       ranks = ranks.localCheckpoint(eager = false) // cut the iteration lineage
     }
     ranks
+  }
+
+  /** text_textrank's oracle: rebuild the co-occurrence graph and
+    * replay the 10 damped update rounds as chained CTEs — the
+    * per-neighbor contributions quantize to pico-unit longs exactly
+    * as the engine does, so every round's ranks are bit-identical
+    * and the top-20 cut (unrounded rank, word tie-break) matches.
+    */
+  private def textrankOracle(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT o.w2 AS word,
+         |    (1 - 0.85) + 0.85 * (CAST(sum(CAST(round(
+         |      o.share * p.r * 1000000000000.0, 0) AS BIGINT)) AS DOUBLE)
+         |      / 1000000000000.0) AS r
+         |  FROM outs o JOIN r${i - 1} p ON p.word = o.w1
+         |  GROUP BY o.w2)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (
+       |  SELECT regexp_extract_all(lower(text), '[a-z]{4,}') AS ws
+       |  FROM documents),
+       |prs AS (
+       |  SELECT ws[i] AS w1, ws[i + 1] AS w2
+       |  FROM toks, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+       |  WHERE ws[i] <> ws[i + 1]),
+       |edges AS MATERIALIZED (
+       |  SELECT w1, w2, count(*) AS wt FROM (
+       |    SELECT w1, w2 FROM prs
+       |    UNION ALL SELECT w2 AS w1, w1 AS w2 FROM prs)
+       |  GROUP BY w1, w2),
+       |wdeg AS (SELECT w1, sum(wt) AS wdeg FROM edges GROUP BY w1),
+       |outs AS MATERIALIZED (
+       |  SELECT e.w1, e.w2,
+       |    CAST(e.wt AS DOUBLE) / CAST(d.wdeg AS DOUBLE) AS share
+       |  FROM edges e JOIN wdeg d ON d.w1 = e.w1),
+       |r0 AS (SELECT DISTINCT w1 AS word, 1.0::DOUBLE AS r FROM outs),
+       |$steps
+       |SELECT CAST(rn AS INTEGER) AS position, word,
+       |  floor(r * 10000 + 0.5) / 10000 AS rank
+       |FROM (SELECT word, r,
+       |        row_number() OVER (ORDER BY r DESC, word) AS rn
+       |      FROM r$iters)
+       |WHERE rn <= 20 ORDER BY position""".stripMargin
   }
 
   /** Per-source corpus drift via Jensen–Shannon divergence — the
