@@ -753,25 +753,49 @@ object RelationalMore {
     * sample-dependent by design); ScalaTest pins CI coverage of the
     * exact total and the deterministic replay.
     */
-  val qSampleEstimate: QueryDef = QueryDef.rowsOnly("q_sample_estimate") { (s, d) =>
+  val qSampleEstimate: QueryDef = QueryDef.sql(
+    "q_sample_estimate",
+    """WITH sample AS (
+      |  SELECT CAST(round(l_extendedprice * 100.0, 0) AS BIGINT) AS c
+      |  FROM lineitem
+      |  WHERE CAST(concat('0x', substring(
+      |      md5(concat_ws(',', l_orderkey, l_linenumber)), 1, 13)) AS BIGINT)
+      |    % 100 = 0)
+      |SELECT count(*) AS n_sample,
+      |  round(CAST(sum(c) AS DOUBLE) / 100.0 * 100, 2) AS estimate,
+      |  round(CAST(sum(c) AS DOUBLE) / 100.0 * 100
+      |    - 196.0 * sqrt(CAST(sum(c * c) AS DOUBLE) / 10000.0 * 0.99), 2)
+      |    AS ci_lo,
+      |  round(CAST(sum(c) AS DOUBLE) / 100.0 * 100
+      |    + 196.0 * sqrt(CAST(sum(c * c) AS DOUBLE) / 10000.0 * 0.99), 2)
+      |    AS ci_hi
+      |FROM sample""".stripMargin) { (s, d) =>
     val rate = 100L
+    // md5-derived sampling (not xxhash64) + exact cent sums: the
+    // Bernoulli pick and both moments replay engine-identically in
+    // DuckDB. The second moment sums in decimal(38,0) so it stays
+    // exact at any SF (cents² ~1e14 per row would crowd a long).
+    val h = conv(substring(md5(concat_ws(",",
+      col("l_orderkey"), col("l_linenumber"))), 1, 13), 16, 10).cast("long")
     val sample = Tables.lineitem(s, d)
-      .filter(pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(rate)) === 0)
-      .select(col("l_extendedprice").as("x"))
+      .filter(pmod(h, lit(rate)) === 0)
+      .select(round(col("l_extendedprice") * 100.0, 0).cast("long").as("c"))
     // Var(R·Σ Zᵢxᵢ) = R²·Σx²·(1/R)(1−1/R) ≈ R²·(1−1/R)·Σ_sample x²:
     // the Bernoulli-thinned TOTAL varies with the second moment Σx²,
     // NOT n·σ² (the count itself is random; with a large mean, Σx²
     // dominates σ² and the naive CI is several times too narrow)
     sample.agg(
         count(lit(1)).as("n_sample"),
-        sum(col("x")).as("sx"),
-        sum(col("x") * col("x")).as("sx2"))
+        sum(col("c")).as("sc"),
+        sum((col("c") * col("c")).cast("decimal(38,0)")).as("sc2"))
       .select(col("n_sample"),
-        round(col("sx") * rate, 2).as("estimate"),
-        round(col("sx") * rate -
-          lit(1.96 * rate) * sqrt(col("sx2") * (1.0 - 1.0 / rate)), 2).as("ci_lo"),
-        round(col("sx") * rate +
-          lit(1.96 * rate) * sqrt(col("sx2") * (1.0 - 1.0 / rate)), 2).as("ci_hi"))
+        round(col("sc").cast("double") / 100.0 * rate, 2).as("estimate"),
+        round(col("sc").cast("double") / 100.0 * rate -
+          lit(1.96 * rate) * sqrt(col("sc2").cast("double") / 10000.0
+            * lit(1.0 - 1.0 / rate)), 2).as("ci_lo"),
+        round(col("sc").cast("double") / 100.0 * rate +
+          lit(1.96 * rate) * sqrt(col("sc2").cast("double") / 10000.0
+            * lit(1.0 - 1.0 / rate)), 2).as("ci_hi"))
   }
 
   /** Join-size estimation by KEYSPACE sampling (the end-biased /
@@ -787,11 +811,35 @@ object RelationalMore {
     * (Σf² — where uniform-key assumptions break). Rows-only;
     * ScalaTest pins both against exact inner products.
     */
-  val qJoinSizeEstimate: QueryDef = QueryDef.rowsOnly("q_join_size_estimate") { (s, d) =>
+  val qJoinSizeEstimate: QueryDef = QueryDef.sql(
+    "q_join_size_estimate", {
+      def sc(table: String, key: String) =
+        s"""SELECT $key AS k, count(*) AS c FROM $table
+           |    WHERE CAST(concat('0x', substring(md5(concat_ws(',', $key)), 1, 13))
+           |      AS BIGINT) % 16 = 0 GROUP BY 1""".stripMargin
+      s"""WITH sl AS (${sc("lineitem", "l_orderkey")}),
+         |so AS (${sc("orders", "o_orderkey")}),
+         |sp AS (${sc("lineitem", "l_partkey")}),
+         |e1 AS (
+         |  SELECT 'lineitem*orders/orderkey' AS "join",
+         |    count(*) AS n_sampled_keys,
+         |    CAST(coalesce(sum(a.c * b.c), 0) * 16 AS BIGINT) AS est_rows
+         |  FROM sl a JOIN so b USING (k)),
+         |e2 AS (
+         |  SELECT 'lineitem*lineitem/partkey' AS "join",
+         |    count(*) AS n_sampled_keys,
+         |    CAST(coalesce(sum(a.c * b.c), 0) * 16 AS BIGINT) AS est_rows
+         |  FROM sp a JOIN sp b USING (k))
+         |SELECT * FROM e1 UNION ALL SELECT * FROM e2 ORDER BY "join"""".stripMargin
+    }) { (s, d) =>
     val r = 16L
+    // md5-derived key sampling (not xxhash64) so the end-biased
+    // sample — and therefore the exact-integer estimate — replays
+    // identically in DuckDB.
     def sampledCounts(df: DataFrame, key: String): DataFrame =
       df.select(col(key).as("k"))
-        .filter(pmod(xxhash64(col("k")), lit(r)) === 0)
+        .filter(pmod(conv(substring(md5(concat_ws(",", col("k"))), 1, 13),
+          16, 10).cast("long"), lit(r)) === 0)
         .groupBy(col("k")).agg(count(lit(1)).as("c"))
     def estimate(a: DataFrame, b: DataFrame): (Long, Long) = {
       val j = a.withColumnRenamed("c", "ca")
