@@ -892,7 +892,64 @@ object Similarity {
     * consistency, recall vs the exact graph on the bounded corpus,
     * and determinism.
     */
-  val embKnnGraphIvf: QueryDef = QueryDef.rowsOnly("emb_knn_graph_ivf") { (s, d) =>
+  /** emb_knn_graph_ivf's oracle: replay the coarse fit (shared
+    * ivfFitCtes), the 8-probe candidate join, the top-8 cut, the
+    * symmetrized neighbors-of-neighbors NN-descent round, and the
+    * final top-4 — every cosine is the same rounded expression, so
+    * the whole refined graph hash-matches.
+    */
+  private def knnGraphIvfOracle(nLists: Int, probes: Int, iters: Int,
+      sampleCap: Int): String =
+    s"""WITH ${ivfFitCtes(nLists, iters, sampleCap)},
+       |dists AS (
+       |  SELECT eu.vec_id, c.cid,
+       |    row_number() OVER (PARTITION BY eu.vec_id
+       |      ORDER BY list_dot_product(c.c, c.c) - 2 * list_dot_product(eu.u, c.c),
+       |               c.cid) AS r
+       |  FROM eu CROSS JOIN fc$iters c),
+       |asg AS (SELECT vec_id, cid AS list FROM dists WHERE r = 1),
+       |prb AS (SELECT vec_id, cid AS list FROM dists WHERE r <= $probes),
+       |cand AS (
+       |  SELECT p.vec_id AS src, a.vec_id AS dst,
+       |    round(list_dot_product(q.v, t.v)
+       |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(t.v, t.v))), 4)
+       |      AS cos_sim
+       |  FROM prb p JOIN asg a ON a.list = p.list AND a.vec_id <> p.vec_id
+       |  JOIN e0 q ON q.vec_id = p.vec_id
+       |  JOIN e0 t ON t.vec_id = a.vec_id),
+       |top8 AS MATERIALIZED (
+       |  SELECT src, dst, cos_sim FROM (
+       |    SELECT src, dst, cos_sim,
+       |      row_number() OVER (PARTITION BY src
+       |        ORDER BY cos_sim DESC, dst) AS rn
+       |    FROM cand) WHERE rn <= 8),
+       |adj AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM top8
+       |    UNION ALL SELECT dst AS src, src AS dst FROM top8)),
+       |nn2 AS (
+       |  SELECT DISTINCT a.src, b.dst
+       |  FROM adj a JOIN adj b ON b.src = a.dst
+       |  WHERE a.src <> b.dst),
+       |extra AS (
+       |  SELECT n.src, n.dst,
+       |    round(list_dot_product(q.v, t.v)
+       |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(t.v, t.v))), 4)
+       |      AS cos_sim
+       |  FROM nn2 n JOIN e0 q ON q.vec_id = n.src
+       |  JOIN e0 t ON t.vec_id = n.dst),
+       |refined AS (
+       |  SELECT DISTINCT src, dst, cos_sim FROM (
+       |    SELECT src, dst, cos_sim FROM top8
+       |    UNION ALL SELECT src, dst, cos_sim FROM extra))
+       |SELECT src, CAST(rn AS INTEGER) AS rank, dst, cos_sim FROM (
+       |  SELECT src, dst, cos_sim,
+       |    row_number() OVER (PARTITION BY src
+       |      ORDER BY cos_sim DESC, dst) AS rn
+       |  FROM refined) WHERE rn <= 4 ORDER BY src, rank""".stripMargin
+
+  val embKnnGraphIvf: QueryDef = QueryDef.sql(
+    "emb_knn_graph_ivf", knnGraphIvfOracle(NLists, 8, 3, 4096)) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val e = vectors(s, d)
     val cs = coarseCentroids(e, cacheKey = d)
