@@ -418,7 +418,7 @@ object Similarity {
     * codebooks; no full-width vector arithmetic touches the corpus
     * scan.
     */
-  val annPq: QueryDef = QueryDef.rowsOnly("ann_pq") { (s, d) =>
+  val annPq: QueryDef = QueryDef.sql("ann_pq", pqOracle(4096, PqShortlist)) { (s, d) =>
     val e = vectors(s, d)
     val cb = pqCodebooks(e, cacheKey = d)
     val withU = e.withColumn("u", unit(col("v")))
@@ -683,7 +683,99 @@ object Similarity {
     ivfPqShortlist(s.read.parquet(s"$idx/codes"), cs, cb, q)
   }
 
-  val annIvfPq: QueryDef = QueryDef.rowsOnly("ann_ivfpq") { (s, d) =>
+  /** The IVF-PQ replay shared by ann_ivfpq and its persisted twin
+    * (test-pinned identical): coarse fit → sample residuals → 16
+    * residual-subspace fits → corpus assignment + residual encoding →
+    * driver probe order (full Σ(q−c)², stable ties) → per-probed-list
+    * residual LUTs with the driver's term order → ADC shortlist →
+    * exact rerank.
+    */
+  private def ivfpqOracle(sampleCap: Int, shortlist: Int): String = {
+    val rsubs = (0 until PqM).map { m =>
+      val st = m * SubDim + 1
+      val en = (m + 1) * SubDim
+      s"""samp_r$m AS MATERIALIZED (
+         |  SELECT rn, list_slice(v, $st, $en) AS v FROM samp_res),
+         |${lloydChainCtes(s"_r$m", PqK, 3)}""".stripMargin
+    }.mkString(",\n")
+    val runion = (0 until PqM)
+      .map(m => s"SELECT $m AS m, cid, c FROM fc3_r$m").mkString(" UNION ALL ")
+    // the driver's probe ranking: full Σ(q_i − c_i)² folded ascending
+    val d2cq = s"""list_reduce(list_prepend([0.0::DOUBLE],
+       |      list_transform(generate_series(1, $Dim),
+       |        i -> [(q.u[i] - c.c[i]) * (q.u[i] - c.c[i])])),
+       |      (a, x) -> [a[1] + x[1]])[1]""".stripMargin
+    val lutDist = (1 to SubDim)
+      .map(i => s"(q.qs[$i] - c.c[$i]) * (q.qs[$i] - c.c[$i])")
+      .mkString(" + ")
+    s"""WITH ${ivfFitCtes(NLists, 3, sampleCap)},
+       |asg_s AS (
+       |  SELECT rn, v, cid FROM (
+       |    SELECT s.rn, s.v, c.cid,
+       |      row_number() OVER (PARTITION BY s.rn
+       |        ORDER BY list_dot_product(c.c, c.c) - 2 * list_dot_product(s.v, c.c),
+       |                 c.cid) AS r
+       |    FROM samp s CROSS JOIN fc3 c) WHERE r = 1),
+       |samp_res AS MATERIALIZED (
+       |  SELECT s.rn,
+       |    list_transform(generate_series(1, $Dim), i -> s.v[i] - c.c[i]) AS v
+       |  FROM asg_s s JOIN fc3 c ON c.cid = s.cid),
+       |$rsubs,
+       |cbr AS MATERIALIZED ($runion),
+       |asg AS MATERIALIZED (
+       |  SELECT vec_id, u, cid AS list FROM (
+       |    SELECT eu.vec_id, eu.u, c.cid,
+       |      row_number() OVER (PARTITION BY eu.vec_id
+       |        ORDER BY list_dot_product(c.c, c.c) - 2 * list_dot_product(eu.u, c.c),
+       |                 c.cid) AS r
+       |    FROM eu CROSS JOIN fc3 c) WHERE r = 1),
+       |res AS MATERIALIZED (
+       |  SELECT a.vec_id, a.list,
+       |    list_transform(generate_series(1, $Dim), i -> a.u[i] - c.c[i]) AS rv
+       |  FROM asg a JOIN fc3 c ON c.cid = a.list),
+       |subr AS (
+       |  SELECT vec_id, list, m,
+       |    list_slice(rv, m * $SubDim + 1, (m + 1) * $SubDim) AS rs
+       |  FROM res, UNNEST(generate_series(0, ${PqM - 1})) AS t(m)),
+       |enc AS MATERIALIZED (
+       |  SELECT vec_id, list, m, cid FROM (
+       |    SELECT s.vec_id, s.list, s.m, c.cid,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY list_dot_product(c.c, c.c) - 2 * list_dot_product(s.rs, c.c),
+       |                 c.cid) AS r
+       |    FROM subr s JOIN cbr c ON c.m = s.m) WHERE r = 1),
+       |qv AS (SELECT u FROM eu WHERE vec_id = 0),
+       |probes AS MATERIALIZED (
+       |  SELECT cid AS list FROM (
+       |    SELECT c.cid,
+       |      row_number() OVER (ORDER BY $d2cq, c.cid) AS r
+       |    FROM fc3 c CROSS JOIN qv q) WHERE r <= $NProbe),
+       |qres AS (
+       |  SELECT p.list,
+       |    list_transform(generate_series(1, $Dim), i -> q.u[i] - c.c[i]) AS rv
+       |  FROM probes p JOIN fc3 c ON c.cid = p.list CROSS JOIN qv q),
+       |qsub AS (
+       |  SELECT list, m,
+       |    list_slice(rv, m * $SubDim + 1, (m + 1) * $SubDim) AS qs
+       |  FROM qres, UNNEST(generate_series(0, ${PqM - 1})) AS t(m)),
+       |lut AS MATERIALIZED (
+       |  SELECT q.list, c.m, c.cid, $lutDist AS dist
+       |  FROM cbr c JOIN qsub q ON q.m = c.m),
+       |adcs AS (
+       |  SELECT e.vec_id,
+       |    list_reduce(list(l.dist ORDER BY l.m), (a, x) -> a + x) AS adc_dist
+       |  FROM enc e
+       |  JOIN probes p ON p.list = e.list
+       |  JOIN lut l ON l.list = e.list AND l.m = e.m AND l.cid = e.cid
+       |  WHERE e.vec_id <> 0 GROUP BY e.vec_id),
+       |short AS (SELECT vec_id FROM adcs ORDER BY adc_dist, vec_id LIMIT $shortlist)
+       |SELECT eu.vec_id, round(list_dot_product(eu.u, q.u), 4) AS cos_sim
+       |FROM eu JOIN short ON short.vec_id = eu.vec_id CROSS JOIN qv q
+       |ORDER BY cos_sim DESC, eu.vec_id LIMIT 10""".stripMargin
+  }
+
+  val annIvfPq: QueryDef = QueryDef.sql(
+    "ann_ivfpq", ivfpqOracle(4096, PqShortlist)) { (s, d) =>
     val e = vectors(s, d)
     val cs = coarseCentroids(e, cacheKey = d)
     val cb = ivfPqCodebooks(e, cs, cacheKey = d)
@@ -760,7 +852,7 @@ object Similarity {
     * identical to the in-memory ann_ivfpq.
     */
   val annIvfPqPersisted: QueryDef =
-    QueryDef.rowsOnly("ann_ivfpq_persisted") { (s, d) =>
+    QueryDef.sql("ann_ivfpq_persisted", ivfpqOracle(4096, PqShortlist)) { (s, d) =>
       val e = vectors(s, d)
       val idx = annIndexDir(s, d, e)
       val (cs, cb) = loadAnnCodebooks(s, idx)
@@ -1049,24 +1141,36 @@ object Similarity {
     * WITHOUT the leading WITH — shared by the ann_ivf_stats,
     * emb_cluster, and dedup_embedding_ivf oracles.
     */
-  private def ivfFitCtes(nLists: Int, iters: Int, sampleCap: Int): String = {
+  /** One deterministic n-D Lloyd chain as CTE text: consumes a CTE
+    * named `samp$sfx` holding (rn, v) rows, seeds from its first
+    * `nClusters` rows, runs `iters` rounds, and emits
+    * `fc$iters$sfx` — the exact ndLloyd replay the IVF oracles
+    * proved, reused per PQ subspace with a suffix.
+    */
+  private def lloydChainCtes(sfx: String, nClusters: Int, iters: Int): String = {
     val chain = (1 to iters).map { i =>
       val p = i - 1
-      s"""fa$i AS (
+      s"""fa$i$sfx AS (
          |  SELECT s.rn, s.v, c.cid,
          |    row_number() OVER (PARTITION BY s.rn
          |      ORDER BY list_dot_product(s.v, s.v) - 2*list_dot_product(s.v, c.c)
          |               + list_dot_product(c.c, c.c), c.cid) AS rnk
-         |  FROM samp s CROSS JOIN fc$p c),
-         |fs$i AS MATERIALIZED (SELECT rn, v, cid FROM fa$i WHERE rnk = 1),
-         |fx$i AS (SELECT cid, pos, avg(v[pos]) AS val
-         |         FROM fs$i, UNNEST(generate_series(1, len(v))) AS t(pos)
+         |  FROM samp$sfx s CROSS JOIN fc$p$sfx c),
+         |fs$i$sfx AS MATERIALIZED (SELECT rn, v, cid FROM fa$i$sfx WHERE rnk = 1),
+         |fx$i$sfx AS (SELECT cid, pos, avg(v[pos]) AS val
+         |         FROM fs$i$sfx, UNNEST(generate_series(1, len(v))) AS t(pos)
          |         GROUP BY 1, 2),
-         |fm$i AS (SELECT cid, list(val ORDER BY pos) AS c FROM fx$i GROUP BY cid),
-         |fc$i AS MATERIALIZED (SELECT cid, c FROM fm$i
+         |fm$i$sfx AS (SELECT cid, list(val ORDER BY pos) AS c FROM fx$i$sfx GROUP BY cid),
+         |fc$i$sfx AS MATERIALIZED (SELECT cid, c FROM fm$i$sfx
          |  UNION ALL
-         |  SELECT cid, c FROM fc$p WHERE cid NOT IN (SELECT cid FROM fm$i))""".stripMargin
+         |  SELECT cid, c FROM fc$p$sfx WHERE cid NOT IN (SELECT cid FROM fm$i$sfx))""".stripMargin
     }.mkString(",\n")
+    s"""fc0$sfx AS MATERIALIZED (SELECT rn - 1 AS cid, v AS c FROM samp$sfx WHERE rn <= $nClusters),
+       |$chain""".stripMargin
+  }
+
+  /** The corpus/sample preamble shared by every fit replay. */
+  private def sampCtes(sampleCap: Int): String =
     s"""e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |eu AS MATERIALIZED (
        |  SELECT vec_id,
@@ -1075,9 +1179,67 @@ object Similarity {
        |samp AS MATERIALIZED (
        |  SELECT u AS v, rn FROM (
        |    SELECT u, row_number() OVER (ORDER BY vec_id) AS rn FROM eu)
-       |  WHERE rn <= $sampleCap),
-       |fc0 AS MATERIALIZED (SELECT rn - 1 AS cid, v AS c FROM samp WHERE rn <= $nLists),
-       |$chain""".stripMargin
+       |  WHERE rn <= $sampleCap)""".stripMargin
+
+  private def ivfFitCtes(nLists: Int, iters: Int, sampleCap: Int): String =
+    s"""${sampCtes(sampleCap)},
+       |${lloydChainCtes("", nLists, iters)}""".stripMargin
+
+  /** The PqM per-subspace codebook fits (slices of the same sample,
+    * PqK codewords each, 3 Lloyd rounds) plus the flattened
+    * (m, cid, c) codebook relation `cbs` — the fitSubspaceCodebooks
+    * replay.
+    */
+  private def pqFitCtes(sampleCap: Int): String = {
+    val subs = (0 until PqM).map { m =>
+      val st = m * SubDim + 1
+      val en = (m + 1) * SubDim
+      s"""samp_p$m AS MATERIALIZED (
+         |  SELECT rn, list_slice(v, $st, $en) AS v FROM samp),
+         |${lloydChainCtes(s"_p$m", PqK, 3)}""".stripMargin
+    }.mkString(",\n")
+    val union = (0 until PqM)
+      .map(m => s"SELECT $m AS m, cid, c FROM fc3_p$m").mkString(" UNION ALL ")
+    s"""${sampCtes(sampleCap)},
+       |$subs,
+       |cbs AS MATERIALIZED ($union)""".stripMargin
+  }
+
+  /** ann_pq's oracle: refit all 16 subspace codebooks, re-encode
+    * every vector with the PqEncode argmin (‖c‖²−2u·c, lowest-j
+    * ties), rebuild the query LUT with the driver's exact term order,
+    * cut the ADC shortlist, and exact-rerank — the full PQ pipeline
+    * hash-matched.
+    */
+  private def pqOracle(sampleCap: Int, shortlist: Int): String = {
+    val lutDist = (1 to SubDim)
+      .map(i => s"(q.qs[$i] - c.c[$i]) * (q.qs[$i] - c.c[$i])")
+      .mkString(" + ")
+    s"""WITH ${pqFitCtes(sampleCap)},
+       |subv AS (
+       |  SELECT vec_id, m, list_slice(u, m * $SubDim + 1, (m + 1) * $SubDim) AS us
+       |  FROM eu, UNNEST(generate_series(0, ${PqM - 1})) AS t(m)),
+       |enc AS (
+       |  SELECT vec_id, m, cid FROM (
+       |    SELECT s.vec_id, s.m, c.cid,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY list_dot_product(c.c, c.c) - 2 * list_dot_product(s.us, c.c),
+       |                 c.cid) AS r
+       |    FROM subv s JOIN cbs c ON c.m = s.m) WHERE r = 1),
+       |lut AS MATERIALIZED (
+       |  SELECT c.m, c.cid, $lutDist AS dist
+       |  FROM cbs c JOIN (SELECT m, us AS qs FROM subv WHERE vec_id = 0) q
+       |    ON q.m = c.m),
+       |adcs AS (
+       |  SELECT e.vec_id,
+       |    list_reduce(list(l.dist ORDER BY l.m), (a, x) -> a + x) AS adc_dist
+       |  FROM enc e JOIN lut l ON l.m = e.m AND l.cid = e.cid
+       |  WHERE e.vec_id <> 0 GROUP BY e.vec_id),
+       |short AS (SELECT vec_id FROM adcs ORDER BY adc_dist, vec_id LIMIT $shortlist)
+       |SELECT eu.vec_id, round(list_dot_product(eu.u, q.qu), 4) AS cos_sim
+       |FROM eu JOIN short ON short.vec_id = eu.vec_id
+       |CROSS JOIN (SELECT u AS qu FROM eu WHERE vec_id = 0) q
+       |ORDER BY cos_sim DESC, eu.vec_id LIMIT 10""".stripMargin
   }
 
   /** ann_ivf's oracle: replay the coarse fit, assign every vector to
