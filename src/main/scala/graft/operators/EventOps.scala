@@ -555,7 +555,8 @@ object EventOps {
     * pinned in [0,1], driver-replay identity, and a hand-solvable
     * planted 2-state chain recovered exactly in ScalaTest.
     */
-  val eventsAbsorbing: QueryDef = QueryDef.rowsOnly("events_absorbing") { (s, d) =>
+  val eventsAbsorbing: QueryDef = QueryDef.sql(
+    "events_absorbing", absorbingOracle) { (s, d) =>
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val trans = Tables.events(s, d)
       .select(col("user_id"), col("ts"), col("event_id"),
@@ -583,20 +584,102 @@ object EventOps {
       st -> states.map(dst => counts.getOrElse((st, dst), 0L)).sum.toDouble
     }.toMap
     val n = transient.length
-    val a = breeze.linalg.DenseMatrix.zeros[Double](n, n)
-    val b = breeze.linalg.DenseVector.zeros[Double](n)
-    for (st <- transient; i = idx(st); total = rowTotals(st) if total > 0) {
-      a(i, i) = 1.0
-      for (dst <- transient; j = idx(dst))
-        a(i, j) -= counts.getOrElse((st, dst), 0L).toDouble / total
-      b(i) = counts.getOrElse((st, target), 0L).toDouble / total
+    def aEntry(i: Int, j: Int): Double = {
+      val total = rowTotals(transient(i))
+      if (total > 0)
+        (if (i == j) 1.0 else 0.0) -
+          counts.getOrElse((transient(i), transient(j)), 0L).toDouble / total
+      else 0.0
     }
-    val x = a \ b
+    def bEntry(i: Int): Double = {
+      val total = rowTotals(transient(i))
+      if (total > 0) counts.getOrElse((transient(i), target), 0L).toDouble / total
+      else 0.0
+    }
+    val x: Int => Double =
+      if (n == 3) {
+        // explicit 3×3 Cramer, spelled term-for-term like the DuckDB
+        // oracle (the Round-7 rule: no LU solve on the oracle path)
+        val m = Array.tabulate(3, 3)(aEntry)
+        val bv = Array.tabulate(3)(bEntry)
+        def det(g: (Int, Int) => Double): Double =
+          g(0, 0) * (g(1, 1) * g(2, 2) - g(1, 2) * g(2, 1)) -
+            g(0, 1) * (g(1, 0) * g(2, 2) - g(1, 2) * g(2, 0)) +
+            g(0, 2) * (g(1, 0) * g(2, 1) - g(1, 1) * g(2, 0))
+        val dm = det((i, j) => m(i)(j))
+        val sol = (0 until 3).map { k =>
+          det((i, j) => if (j == k) bv(i) else m(i)(j)) / dm
+        }
+        sol(_)
+      } else {
+        val a = breeze.linalg.DenseMatrix.tabulate[Double](n, n)(aEntry)
+        val b = breeze.linalg.DenseVector.tabulate[Double](n)(bEntry)
+        val sol = a \ b
+        sol(_)
+      }
     import s.implicits._
     transient.map { st =>
       (st, math.floor(x(idx(st)) * 10000 + 0.5) / 10000)
     }.toDF("state", "p_convert")
       .orderBy(col("state"))
+  }
+
+  /** events_absorbing's oracle: rebuild the transition counts, the
+    * (I−Q) system over the sorted transient states, and solve by the
+    * SAME explicit 3×3 Cramer expansion the engine uses — every
+    * float op runs on identical doubles in identical order.
+    */
+  private def absorbingOracle: String = {
+    def e(repl: Int)(i: Int, j: Int): String =
+      if (j == repl) s"b${i + 1}" else s"a${i + 1}${j + 1}"
+    def det(repl: Int): String = {
+      val g = e(repl) _
+      s"${g(0, 0)} * (${g(1, 1)} * ${g(2, 2)} - ${g(1, 2)} * ${g(2, 1)}) - " +
+        s"${g(0, 1)} * (${g(1, 0)} * ${g(2, 2)} - ${g(1, 2)} * ${g(2, 0)}) + " +
+        s"${g(0, 2)} * (${g(1, 0)} * ${g(2, 1)} - ${g(1, 1)} * ${g(2, 0)})"
+    }
+    val mxCols = ((for { i <- 1 to 3; j <- 1 to 3 } yield
+      s"(SELECT a FROM grid WHERE i = $i AND j = $j) AS a$i$j") ++
+      (1 to 3).map(i => s"(SELECT b FROM bvec WHERE i = $i) AS b$i"))
+      .mkString(",\n  ")
+    s"""WITH ev AS (
+       |  SELECT event_type AS src,
+       |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |      AS dst
+       |  FROM events),
+       |tc AS MATERIALIZED (
+       |  SELECT src, dst, count(*) AS n FROM ev
+       |  WHERE dst IS NOT NULL GROUP BY 1, 2),
+       |tr AS (
+       |  SELECT s AS state, CAST(row_number() OVER (ORDER BY s) AS INT) AS i
+       |  FROM (SELECT DISTINCT s FROM (
+       |    SELECT src AS s FROM tc UNION SELECT dst AS s FROM tc))
+       |  WHERE s NOT IN ('purchase', 'error')),
+       |tot AS (
+       |  SELECT t.i, t.state, CAST(coalesce(sum(c.n), 0) AS DOUBLE) AS total
+       |  FROM tr t LEFT JOIN tc c ON c.src = t.state GROUP BY t.i, t.state),
+       |grid AS (
+       |  SELECT ti.i AS i, tj.i AS j,
+       |    CASE WHEN tt.total > 0 THEN
+       |      (CASE WHEN ti.i = tj.i THEN 1.0 ELSE 0.0 END)
+       |        - coalesce(c.n, 0) / tt.total
+       |    ELSE 0.0 END AS a
+       |  FROM tr ti JOIN tr tj ON true JOIN tot tt ON tt.i = ti.i
+       |  LEFT JOIN tc c ON c.src = ti.state AND c.dst = tj.state),
+       |bvec AS (
+       |  SELECT t.i,
+       |    CASE WHEN tt.total > 0 THEN coalesce(c.n, 0) / tt.total
+       |    ELSE 0.0 END AS b
+       |  FROM tr t JOIN tot tt ON tt.i = t.i
+       |  LEFT JOIN tc c ON c.src = t.state AND c.dst = 'purchase'),
+       |mx AS (SELECT
+       |  $mxCols)
+       |SELECT t.state,
+       |  floor((CASE t.i WHEN 1 THEN (${det(0)}) / (${det(-1)})
+       |                  WHEN 2 THEN (${det(1)}) / (${det(-1)})
+       |                  ELSE (${det(2)}) / (${det(-1)}) END)
+       |    * 10000 + 0.5) / 10000 AS p_convert
+       |FROM tr t CROSS JOIN mx ORDER BY t.state""".stripMargin
   }
 
   /** Streaming INCREMENTAL top-k materialized view, built on the
