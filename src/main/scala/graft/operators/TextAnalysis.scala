@@ -1212,11 +1212,55 @@ object TextAnalysis {
     * broadcast-size ceiling; the join degrades to a token-key
     * shuffle). Unseen context backs off to pure continuation;
     * unseen word floors. Output: per-source mean KN log-prob +
-    * perplexity. Rows-only; the EXACT normalization Σ_w P(w|v) = 1
+    * perplexity. The EXACT normalization Σ_w P(w|v) = 1
     * per context — the property Laplace tables only approximate
-    * after truncation — is pinned in ScalaTest, plus determinism.
+    * after truncation — is pinned in ScalaTest, plus determinism;
+    * per-bigram log-probs quantize to micro-nat longs so the DuckDB
+    * oracle replays the per-source means hash-identically.
     */
-  val textKnLm: QueryDef = QueryDef.rowsOnly("text_kn_lm") { (s, d) =>
+  val KnDiscount = 0.75 // declared BEFORE the oracle string interpolates it
+
+  val textKnLm: QueryDef = QueryDef.sql(
+    "text_kn_lm", {
+      // the mean-field spelling shared by mean_kn_logprob and the
+      // perplexity readback (exp of the ROUNDED mean)
+      val mean = "floor(CAST(sum(lnp) AS DOUBLE) / 1000000.0 / count(*)" +
+        " * 10000 + 0.5) / 10000"
+      s"""WITH wl AS (
+         |  SELECT source, regexp_extract_all(lower(text), '\\S+') AS ws
+         |  FROM documents),
+         |bgp AS MATERIALIZED (
+         |  SELECT source, ws[i] AS v, ws[i + 1] AS w
+         |  FROM wl, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)),
+         |bgc AS MATERIALIZED (
+         |  SELECT v, w, CAST(count(*) AS DOUBLE) AS c_vw
+         |  FROM bgp GROUP BY v, w),
+         |ctx AS (SELECT v, sum(c_vw) AS c_v,
+         |          CAST(count(*) AS DOUBLE) AS n1p_v FROM bgc GROUP BY v),
+         |n1pp AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM bgc),
+         |cont AS (SELECT w, count(*) / (SELECT t FROM n1pp) AS p_cont
+         |         FROM bgc GROUP BY w),
+         |scored AS (
+         |  SELECT b.source,
+         |    CASE WHEN x.c_v IS NOT NULL AND n.p_cont IS NOT NULL THEN
+         |           greatest(coalesce(g.c_vw, $KnDiscount) - $KnDiscount, 0.0)
+         |             / x.c_v
+         |             + $KnDiscount * x.n1p_v / x.c_v * n.p_cont
+         |         WHEN n.p_cont IS NOT NULL THEN n.p_cont
+         |         ELSE ${math.exp(LmFloor)} END AS p
+         |  FROM bgp b
+         |  LEFT JOIN bgc g ON g.v = b.v AND g.w = b.w
+         |  LEFT JOIN ctx x ON x.v = b.v
+         |  LEFT JOIN cont n ON n.w = b.w),
+         |lnm AS (
+         |  SELECT source,
+         |    CAST(floor(ln(p) * 1000000.0 + 0.5) AS BIGINT) AS lnp
+         |  FROM scored)
+         |SELECT source, count(*) AS n_bigrams,
+         |  $mean AS mean_kn_logprob,
+         |  floor(exp(-($mean)) * 100 + 0.5) / 100 AS perplexity
+         |FROM lnm GROUP BY source ORDER BY source""".stripMargin
+    }) { (s, d) =>
     val docs = Tables.documents(s, d)
     val (bgc, ctx, cont) = knModel(docs)
     val bg = docs.select(col("doc_id"), col("source"),
@@ -1233,17 +1277,20 @@ object TextAnalysis {
             + lit(KnDiscount) * col("n1p_v") / col("c_v") * col("p_cont"))
         .when(col("p_cont").isNotNull, col("p_cont")) // unseen context
         .otherwise(lit(math.exp(LmFloor))))           // unseen word
-      .withColumn("lnp", log(col("p")))
+      // micro-nat quantization BEFORE the corpus-sized sum (Round-7
+      // rule): the per-source mean becomes integer-exact and the
+      // DuckDB replay hash-matches; the 1e-6 grid sits far below the
+      // 4-dp output rounding
+      .withColumn("lnp", floor(log(col("p")) * lit(1000000.0) + lit(0.5))
+        .cast("long"))
     scored.groupBy(col("source"))
       .agg(count(lit(1)).as("n_bigrams"),
-        (floor(sum(col("lnp")) / count(lit(1)) * 10000 + 0.5) / 10000)
-          .as("mean_kn_logprob"))
+        (floor(sum(col("lnp")).cast("double") / lit(1000000.0)
+          / count(lit(1)) * 10000 + 0.5) / 10000).as("mean_kn_logprob"))
       .withColumn("perplexity",
         floor(exp(-col("mean_kn_logprob")) * 100 + 0.5) / 100)
       .orderBy(col("source"))
   }
-
-  val KnDiscount = 0.75
 
   /** (v, w) word-bigram structs of a text column, map-side. */
   def wordBigrams(text: Column): Column = {
