@@ -823,7 +823,60 @@ object Curation {
     * per bucket; the ScalaTest pins capacity-respect, exactly-once
     * placement, the lower bound, and fill ≥ 70%.
     */
-  val pipelinePackBins: QueryDef = QueryDef.rowsOnly("pipeline_pack_bins") { (s, d) =>
+  /** pipeline_pack_bins' oracle: replay the md5-ranked bucket
+    * chunking, then the per-bucket best-fit-decreasing loop as a
+    * fold whose accumulator is [oversized, residual…] (LIST) — each
+    * doc either increments the oversized counter, opens a bin, or
+    * decrements the FIRST minimal residual that still fits (the
+    * engine's strict-< scan order) — then the per-source rollup.
+    */
+  private def packBinsOracle(capacity: Int, docsPerBucket: Int): String = {
+    val qual = s"list_filter(a[2:len(a)], r -> r >= x[1])"
+    s"""WITH docs AS (
+       |  SELECT doc_id, source,
+       |    CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT source, doc_id, n,
+       |    CAST((row_number() OVER (PARTITION BY source ORDER BY
+       |      CAST(concat('0x', substring(md5(concat_ws(',', doc_id, '17')), 1, 13))
+       |        AS BIGINT), doc_id) - 1) // $docsPerBucket AS INT) AS bucket
+       |  FROM docs),
+       |grp AS (
+       |  SELECT source, bucket,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n) AS BIGINT) AS sum_tokens,
+       |    list_reduce(
+       |      list_prepend([0.0::DOUBLE],
+       |        list([CAST(n AS DOUBLE)] ORDER BY n DESC, doc_id)),
+       |      (a, x) -> CASE
+       |        WHEN x[1] >= $capacity THEN
+       |          list_append(list_concat([a[1] + 1], a[2:len(a)]), 0.0)
+       |        WHEN len($qual) = 0 THEN
+       |          list_append(a, $capacity.0 - x[1])
+       |        ELSE
+       |          list_transform(a, (v, i) -> CASE
+       |            WHEN i = list_position(a[2:len(a)], list_min($qual)) + 1
+       |            THEN v - x[1] ELSE v END)
+       |        END) AS st
+       |  FROM ranked GROUP BY source, bucket),
+       |per AS (
+       |  SELECT source, n_docs, sum_tokens,
+       |    CAST(st[1] AS BIGINT) AS n_oversized,
+       |    CAST(len(st) - 1 AS BIGINT) AS n_bins
+       |  FROM grp)
+       |SELECT source, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       |  CAST(sum(sum_tokens) AS BIGINT) AS sum_tokens,
+       |  CAST(sum(n_oversized) AS BIGINT) AS n_oversized,
+       |  CAST(sum(n_bins) AS BIGINT) AS n_bins,
+       |  CAST(ceil(sum(sum_tokens) / $capacity.0) AS BIGINT) AS lower_bound,
+       |  floor(sum(sum_tokens) * 10000.0 / (sum(n_bins) * $capacity) + 0.5)
+       |    / 10000 AS fill
+       |FROM per GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  val pipelinePackBins: QueryDef = QueryDef.sql(
+    "pipeline_pack_bins", packBinsOracle(2048, 512)) { (s, d) =>
     packBins(s, Tables.documents(s, d).select(
       col("doc_id"), col("source"),
       TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")))
@@ -838,10 +891,13 @@ object Curation {
       capacity: Int = 2048, docsPerBucket: Int = 512): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     // deterministic fixed-population buckets: per source, docs ranked
-    // by hash then chunked — bucket count grows with the source
+    // by hash then chunked — bucket count grows with the source.
+    // md5-derived rank (not xxhash64) so the DuckDB oracle replays
+    // the bucket membership identically.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source"))
-      .orderBy(xxhash64(col("doc_id"), lit(17)), col("doc_id"))
+      .orderBy(conv(substring(md5(concat_ws(",", col("doc_id"), lit(17))),
+        1, 13), 16, 10).cast("long"), col("doc_id"))
     val bucketed = t
       .withColumn("bucket", ((row_number().over(w) - 1) / docsPerBucket).cast("int"))
     // one summary row per bucket out of the packing pass

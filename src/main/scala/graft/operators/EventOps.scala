@@ -2762,6 +2762,43 @@ object EventOps {
     * and null absorbing — the fundamental-matrix solve, reused with
     * channels removed (their INCOMING edges redirected to null).
     */
+  /** The FIXED journey state alphabet (the events schema's closed
+    * event-type enum + the start sentinel). A state absent from the
+    * data contributes an identity row/column, which leaves
+    * x(start) unchanged — so fixing the alphabet (instead of
+    * deriving it from data) is semantics-neutral and is what lets
+    * the oracle spell the Cramer system statically.
+    */
+  // a def, NOT a val: the markovOracle string interpolates this
+  // during object init from an entry declared EARLIER in the file —
+  // a forward-referenced val would silently read null (the
+  // text_kn_lm $KnDiscount pitfall)
+  private def MarkovTransient: Seq[String] =
+    Seq("click", "error", "signup", "start", "view")
+
+  /** First-row cofactor expansion evaluated with the EXACT
+    * association order the SQL printer emits (0.0-seeded alternating
+    * left fold) — the shared determinant core of the Markov oracle.
+    */
+  private def detD(g: (Int, Int) => Double,
+      rows: List[Int], cols: List[Int]): Double =
+    if (rows.tail.isEmpty) g(rows.head, cols.head)
+    else cols.zipWithIndex.foldLeft(0.0) { case (acc, (c, k)) =>
+      val t = g(rows.head, c) * detD(g, rows.tail, cols.filterNot(_ == c))
+      if (k % 2 == 0) acc + t else acc - t
+    }
+
+  /** The SQL twin of [[detD]]: same expansion, same association,
+    * fully parenthesized.
+    */
+  private def detS(g: (Int, Int) => String,
+      rows: List[Int], cols: List[Int]): String =
+    if (rows.tail.isEmpty) g(rows.head, cols.head)
+    else cols.zipWithIndex.foldLeft("0.0") { case (acc, (c, k)) =>
+      val t = s"(${g(rows.head, c)}) * (${detS(g, rows.tail, cols.filterNot(_ == c))})"
+      if (k % 2 == 0) s"($acc + $t)" else s"($acc - $t)"
+    }
+
   private[graft] def convProbability(counts: Map[(String, String), Long],
       removed: Set[String]): Double = {
     val redirected = counts.toSeq.map { case ((a, b), n) =>
@@ -2769,25 +2806,37 @@ object EventOps {
       ((a, b2), n)
     }.filterNot { case ((a, _), _) => removed(a) }
       .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+    // transient set stays DATA-derived (synthetic state spaces in
+    // specs must work); the oracle fixes the alphabet instead, which
+    // is value-equal because absent states contribute exact-0/1
+    // identity rows that cancel from the determinant ratio.
     val states = redirected.keysIterator.flatMap { case (a, b) => Seq(a, b) }
       .toSeq.distinct.sorted
     val transient = states.filterNot(Set("conv", "null"))
     val idx = transient.zipWithIndex.toMap
     if (!idx.contains("start")) return 0.0
-    val n = transient.length
-    val a = breeze.linalg.DenseMatrix.zeros[Double](n, n)
-    val b = breeze.linalg.DenseVector.zeros[Double](n)
-    for (st <- transient; i = idx(st)) {
-      val total = states.map(dst => redirected.getOrElse((st, dst), 0L)).sum.toDouble
-      a(i, i) = 1.0
-      if (total > 0) {
-        for (dst <- transient; j = idx(dst))
-          a(i, j) -= redirected.getOrElse((st, dst), 0L).toDouble / total
-        b(i) = redirected.getOrElse((st, "conv"), 0L).toDouble / total
-      }
+    val totals = transient.map { st =>
+      st -> redirected.collect { case ((a, _), n) if a == st => n }.sum.toDouble
+    }.toMap
+    def aE(i: Int, j: Int): Double = {
+      val delta = if (i == j) 1.0 else 0.0
+      val total = totals(transient(i))
+      if (total > 0)
+        delta - redirected.getOrElse((transient(i), transient(j)), 0L)
+          .toDouble / total
+      else delta
     }
-    val x = a \ b
-    x(idx("start"))
+    def bE(i: Int): Double = {
+      val total = totals(transient(i))
+      if (total > 0)
+        redirected.getOrElse((transient(i), "conv"), 0L).toDouble / total
+      else 0.0
+    }
+    val n = transient.length
+    val all = (0 until n).toList
+    val k = idx("start")
+    val dm = detD(aE, all, all)
+    detD((i, j) => if (j == k) bE(i) else aE(i, j), all, all) / dm
   }
 
   /** Markov removal-effect attribution (Anderl et al. 2016; the
@@ -2805,7 +2854,106 @@ object EventOps {
     * conservation, a planted-chain exactness case, and the
     * removal-of-everything identity.
     */
-  val eventsAttributionMarkov: QueryDef = QueryDef.rowsOnly("events_attribution_markov") { (s, d) =>
+  /** events_attribution_markov's oracle: replay the journey
+    * transition counts (priorConv cut, start/null edges), then the
+    * full and four removal-model absorption systems solved by the
+    * SAME first-row cofactor Cramer expansion [[detS]] emits and
+    * [[detD]] evaluates — five static linear systems (n = 5 and 4)
+    * over the fixed state alphabet, removal effects, and credits.
+    */
+  private def markovOracle: String = {
+    val channels = Seq("click", "error", "signup", "view")
+    val models: Seq[(String, Option[String])] =
+      ("f", Option.empty[String]) +:
+        channels.zipWithIndex.map { case (c, i) => (s"m$i", Some(c)) }
+    def modelCtes(p: String, removed: Option[String]): String = {
+      val red = removed match {
+        case None => s"red_$p AS (SELECT src, dst, n FROM tc)"
+        case Some(c) =>
+          s"""red_$p AS (
+             |  SELECT src, CASE WHEN dst = '$c' THEN 'null' ELSE dst END AS dst,
+             |    CAST(sum(n) AS BIGINT) AS n
+             |  FROM tc WHERE src <> '$c' GROUP BY 1, 2)""".stripMargin
+      }
+      val tr = MarkovTransient.filterNot(removed.toSet)
+      def tot(st: String) =
+        s"(SELECT CAST(coalesce(sum(n), 0) AS DOUBLE) FROM red_$p WHERE src = '$st')"
+      def cnt(st: String, dst: String) =
+        s"CAST(coalesce((SELECT sum(n) FROM red_$p WHERE src = '$st' AND dst = '$dst'), 0) AS DOUBLE)"
+      val cols = (for { i <- tr.indices; j <- tr.indices } yield {
+        val delta = if (i == j) "1.0" else "0.0"
+        s"CASE WHEN ${tot(tr(i))} > 0 THEN $delta - ${cnt(tr(i), tr(j))}" +
+          s" / ${tot(tr(i))} ELSE $delta END AS ${p}_a${i}_$j"
+      }) ++ tr.indices.map { i =>
+        s"CASE WHEN ${tot(tr(i))} > 0 THEN ${cnt(tr(i), "conv")}" +
+          s" / ${tot(tr(i))} ELSE 0.0 END AS ${p}_b$i"
+      }
+      s"$red,\nmx_$p AS MATERIALIZED (SELECT\n  ${cols.mkString(",\n  ")})"
+    }
+    def pExpr(p: String, removed: Option[String]): String = {
+      val tr = MarkovTransient.filterNot(removed.toSet)
+      val all = tr.indices.toList
+      val k = tr.indexOf("start")
+      def a(i: Int, j: Int) = s"${p}_a${i}_$j"
+      val num = detS((i, j) => if (j == k) s"${p}_b$i" else a(i, j), all, all)
+      val den = detS(a, all, all)
+      s"($num) / ($den)"
+    }
+    val rExprs = channels.indices.map { i =>
+      s"greatest(0.0, 1.0 - CASE WHEN pf > 0 THEN p$i / pf ELSE 0.0 END) AS r$i"
+    }
+    val totalExpr = channels.indices
+      .foldLeft("0.0")((acc, i) => s"($acc + r$i)")
+    val outRows = channels.zipWithIndex.map { case (c, i) =>
+      s"""SELECT '$c' AS channel,
+         |  floor(r$i * 10000.0 + 0.5) / 10000 AS removal_effect,
+         |  floor((CASE WHEN total > 0 THEN r$i / total * conv ELSE 0.0 END)
+         |    * 100 + 0.5) / 100 AS credit FROM rt""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ev AS (
+       |  SELECT user_id, ts, event_id,
+       |    CASE WHEN event_type = 'purchase' THEN 'conv' ELSE event_type END
+       |      AS st
+       |  FROM events),
+       |ev2 AS (
+       |  SELECT user_id, ts, event_id, st,
+       |    coalesce(count(CASE WHEN st = 'conv' THEN 1 END) OVER
+       |      (PARTITION BY user_id ORDER BY ts, event_id
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS priorConv
+       |  FROM ev),
+       |ev3 AS (
+       |  SELECT user_id, st,
+       |    lead(st) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       |  FROM ev2 WHERE priorConv = 0),
+       |tc AS MATERIALIZED (
+       |  SELECT st AS src, nxt AS dst, CAST(count(*) AS BIGINT) AS n
+       |  FROM ev3 WHERE nxt IS NOT NULL GROUP BY 1, 2
+       |  UNION ALL
+       |  SELECT 'start' AS src, st AS dst, CAST(count(*) AS BIGINT) AS n
+       |  FROM ev3 WHERE rn = 1 GROUP BY 1, 2
+       |  UNION ALL
+       |  SELECT st AS src, 'null' AS dst, CAST(count(*) AS BIGINT) AS n
+       |  FROM ev3 WHERE nxt IS NULL AND st <> 'conv' GROUP BY 1, 2),
+       |${models.map { case (p, r) => modelCtes(p, r) }.mkString(",\n")},
+       |vals AS MATERIALIZED (
+       |  SELECT ${pExpr("f", None)} AS pf,
+       |    ${channels.zipWithIndex.map { case (c, i) =>
+             s"${pExpr(s"m$i", Some(c))} AS p$i" }.mkString(",\n    ")},
+       |    (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM tc
+       |     WHERE dst = 'conv') AS conv
+       |  FROM ${models.map { case (p, _) => s"mx_$p" }.mkString(", ")}),
+       |rt AS (
+       |  SELECT pf, conv, ${channels.indices.map(i => s"r$i").mkString(", ")},
+       |    $totalExpr AS total
+       |  FROM (SELECT pf, conv, ${rExprs.mkString(",\n    ")} FROM vals))
+       |$outRows
+       |ORDER BY channel""".stripMargin
+  }
+
+  val eventsAttributionMarkov: QueryDef = QueryDef.sql(
+    "events_attribution_markov", markovOracle) { (s, d) =>
     val counts = journeyTransitions(s, d)
     val pFull = convProbability(counts, Set.empty)
     val channels = Seq("click", "error", "signup", "view")

@@ -620,7 +620,66 @@ object Graph {
     * pointer jumping above). Kruskal-recomputed edge-set equality is
     * test-pinned.
     */
-  val graphMst: QueryDef = QueryDef.rowsOnly("graph_mst") { (s, d) =>
+  /** graph_mst's oracle: Borůvka replayed as FIXED rounds (extra
+    * rounds no-op once components exhaust — ⌈log₂ 25⌉ bounds the
+    * nation graph) — per round the per-component (w, a, b, ca, cb)
+    * struct-min pick, then the merge-graph relabel as min-label
+    * propagation run past the worst-case diameter (the same min-id
+    * labels the engine's union-find assigns).
+    */
+  private def mstOracle(rounds: Int, labelIters: Int): String = {
+    def roundCtes(r: Int): String = {
+      val labels = (1 to labelIters).map { k =>
+        s"""ml${k}_$r AS MATERIALIZED (
+           |  SELECT m.id, least(m.lbl, coalesce(min(n.lbl), m.lbl)) AS lbl
+           |  FROM ml${k - 1}_$r m LEFT JOIN mg_$r g ON g.u = m.id
+           |  LEFT JOIN ml${k - 1}_$r n ON n.id = g.v
+           |  GROUP BY m.id, m.lbl)""".stripMargin
+      }.mkString(",\n")
+      s"""e2_$r AS (
+         |  SELECT we.a, we.b, we.w, x.comp AS ca, y.comp AS cb
+         |  FROM we JOIN comp_${r - 1} x ON x.id = we.a
+         |  JOIN comp_${r - 1} y ON y.id = we.b
+         |  WHERE x.comp <> y.comp),
+         |chosen_$r AS MATERIALIZED (
+         |  SELECT DISTINCT a, b, w, ca, cb FROM (
+         |    SELECT a, b, w, ca, cb,
+         |      row_number() OVER (PARTITION BY c ORDER BY w, a, b, ca, cb) AS rn
+         |    FROM (SELECT ca AS c, a, b, w, ca, cb FROM e2_$r
+         |          UNION ALL SELECT cb AS c, a, b, w, ca, cb FROM e2_$r))
+         |  WHERE rn = 1),
+         |mg_$r AS (SELECT ca AS u, cb AS v FROM chosen_$r
+         |          UNION SELECT cb AS u, ca AS v FROM chosen_$r),
+         |ml0_$r AS (SELECT id, id AS lbl FROM (
+         |  SELECT DISTINCT ca AS id FROM chosen_$r
+         |  UNION SELECT DISTINCT cb AS id FROM chosen_$r)),
+         |$labels,
+         |comp_$r AS MATERIALIZED (
+         |  SELECT c.id, coalesce(m.lbl, c.comp) AS comp
+         |  FROM comp_${r - 1} c LEFT JOIN ml${labelIters}_$r m ON m.id = c.comp)""".stripMargin
+    }
+    val body = (1 to rounds).map(roundCtes).mkString(",\n")
+    val union = (1 to rounds)
+      .map(r => s"SELECT a, b, w FROM chosen_$r").mkString(" UNION ALL ")
+    s"""WITH we AS MATERIALIZED (
+       |  SELECT CAST(least(c_nationkey, s_nationkey) AS BIGINT) AS a,
+       |         CAST(greatest(c_nationkey, s_nationkey) AS BIGINT) AS b,
+       |         round(sum(l_extendedprice), 2) AS w
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  WHERE c_nationkey <> s_nationkey
+       |  GROUP BY 1, 2),
+       |comp_0 AS (
+       |  SELECT id, id AS comp FROM (
+       |    SELECT DISTINCT a AS id FROM we UNION SELECT DISTINCT b AS id FROM we)),
+       |$body
+       |SELECT a, b, w FROM ($union) ORDER BY w, a, b""".stripMargin
+  }
+
+  val graphMst: QueryDef = QueryDef.sql(
+    "graph_mst", mstOracle(5, 25)) { (s, d) =>
     val we = weightedNationEdges(s, d).cache()
     var comp = we.select(col("a").as("id")).union(we.select(col("b").as("id")))
       .distinct().withColumn("comp", col("id")).localCheckpoint(eager = true)

@@ -985,12 +985,81 @@ object Linkage {
     * independent O(B²) derivation of the same projection), and
     * determinism.
     */
-  val miningIsotonic: QueryDef = QueryDef.rowsOnly("mining_isotonic") { (s, d) =>
+  /** mining_isotonic's oracle: md5-jittered x, exact-cent bucket
+    * means, and the weighted PAVA stack replayed as a fold — the
+    * accumulator is the flattened [sum, w, span]* stack (LIST — the
+    * Round-7 struct-corruption workaround) with a bounded inner
+    * merge fold ("pop while the previous block's mean ≥ the new
+    * block's"), then blocks expand back to buckets by cumulative
+    * span.
+    */
+  private def isotonicOracle: String = {
+    val merged = "list_concat(b[1:len(b)-6], " +
+      "[b[len(b)-5] + b[len(b)-2], b[len(b)-4] + b[len(b)-1], " +
+      "b[len(b)-3] + b[len(b)]])"
+    s"""WITH li AS (
+       |  SELECT l_extendedprice + CAST(
+       |      CAST(concat('0x', substring(
+       |        md5(concat_ws(',', l_orderkey, l_linenumber)), 1, 13)) AS BIGINT)
+       |      % 40001 - 20000 AS DOUBLE) AS x,
+       |    l_extendedprice * (1.0 - l_discount) AS y
+       |  FROM lineitem),
+       |wb AS (SELECT lo, (hi - lo) / $IsoBuckets AS width FROM
+       |  (SELECT min(x) AS lo, max(x) AS hi FROM li)),
+       |stats AS MATERIALIZED (
+       |  SELECT b, CAST(count(*) AS DOUBLE) AS n,
+       |    CAST(sum(CAST(round(x * 100.0, 0) AS BIGINT)) AS DOUBLE)
+       |      / 100.0 / count(*) AS xm,
+       |    CAST(sum(CAST(round(y * 100.0, 0) AS BIGINT)) AS DOUBLE)
+       |      / 100.0 / count(*) AS ym
+       |  FROM (SELECT CAST(least(floor((li.x - w.lo) / w.width),
+       |          ${IsoBuckets - 1}.0) AS INT) AS b, li.x, li.y
+       |        FROM li CROSS JOIN wb w)
+       |  GROUP BY b),
+       |pava AS (
+       |  SELECT list_reduce(
+       |    list_prepend([0.0::DOUBLE],
+       |      list([ym * n, n, 1.0::DOUBLE] ORDER BY b)),
+       |    (a, x) -> list_reduce(
+       |      list_prepend(list_concat(a, x),
+       |        list_transform(generate_series(1, $IsoBuckets),
+       |          z -> [0.0::DOUBLE])),
+       |      (b, zz) -> CASE WHEN len(b) >= 7
+       |          AND b[len(b)-5] / b[len(b)-4] >= b[len(b)-2] / b[len(b)-1]
+       |        THEN $merged ELSE b END)) AS st
+       |  FROM stats),
+       |blocks AS (
+       |  SELECT k, st[3*k - 1] / st[3*k] AS fit, st[3*k + 1] AS span
+       |  FROM pava, UNNEST(generate_series(1, (len(st) - 1) // 3)) AS t(k)),
+       |offs AS (
+       |  SELECT fit,
+       |    coalesce(sum(span) OVER (ORDER BY k
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS start0,
+       |    span
+       |  FROM blocks),
+       |srt AS (SELECT b, n, xm, ym,
+       |          CAST(row_number() OVER (ORDER BY b) - 1 AS DOUBLE) AS ord
+       |        FROM stats)
+       |SELECT s.b AS bucket, CAST(s.n AS BIGINT) AS n,
+       |  floor(s.xm * 100 + 0.5) / 100 AS x_mean,
+       |  floor(s.ym * 100 + 0.5) / 100 AS y_mean,
+       |  floor(o.fit * 100 + 0.5) / 100 AS y_fit
+       |FROM srt s JOIN offs o
+       |  ON s.ord >= o.start0 AND s.ord < o.start0 + o.span
+       |ORDER BY bucket""".stripMargin
+  }
+
+  val miningIsotonic: QueryDef = QueryDef.sql(
+    "mining_isotonic", isotonicOracle) { (s, d) =>
     import s.implicits._
+    // md5-derived jitter (not xxhash64) + exact-cent bucket moments:
+    // the Round-7 conversion recipe — the oracle replays the jitter,
+    // the bucket means, and the PAVA stack bit-for-bit
+    val h = conv(substring(md5(concat_ws(",",
+      col("l_orderkey"), col("l_linenumber"))), 1, 13), 16, 10).cast("long")
     val li = Tables.lineitem(s, d).select(
       (col("l_extendedprice")
-        + (pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(40001L))
-           - lit(20000L)).cast("double")).as("x"),
+        + (pmod(h, lit(40001L)) - lit(20000L)).cast("double")).as("x"),
       (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("y"))
     val bounds = li.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
       .collect()(0)
@@ -1002,7 +1071,10 @@ object Linkage {
         lit(IsoBuckets - 1)).cast("int"))
       .groupBy(col("b"))
       .agg(count(lit(1)).cast("double").as("n"),
-        avg(col("x")).as("xm"), avg(col("y")).as("ym"))
+        (sum(round(col("x") * 100.0, 0).cast("long")).cast("double")
+          / lit(100.0) / count(lit(1))).as("xm"),
+        (sum(round(col("y") * 100.0, 0).cast("long")).cast("double")
+          / lit(100.0) / count(lit(1))).as("ym"))
       .orderBy(col("b"))
       .as[(Int, Double, Double, Double)].collect()
     // weighted PAVA: stack of (level, weight, span) blocks

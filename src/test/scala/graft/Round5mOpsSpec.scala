@@ -309,10 +309,11 @@ class Round5mOpsSpec extends AnyFunSuite {
     // independent O(B^2) derivation: fit_i = max_{j<=i} min_{k>=i}
     // weightedAvg(y_j..y_k) must agree with the PAVA stack. Recompute
     // the same bucket stats through the identical Spark plan.
+    val h = conv(substring(md5(concat_ws(",",
+      col("l_orderkey"), col("l_linenumber"))), 1, 13), 16, 10).cast("long")
     val li = Tables.lineitem(spark, sf).select(
       (col("l_extendedprice")
-        + (pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(40001L))
-           - lit(20000L)).cast("double")).as("x"),
+        + (pmod(h, lit(40001L)) - lit(20000L)).cast("double")).as("x"),
       (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("y"))
     val bounds = li.agg(min(col("x")), max(col("x"))).collect()(0)
     val width = (bounds.getDouble(1) - bounds.getDouble(0)) / 200
@@ -320,7 +321,9 @@ class Round5mOpsSpec extends AnyFunSuite {
       .withColumn("b", least(floor((col("x") - bounds.getDouble(0)) / width),
         lit(199)).cast("int"))
       .groupBy(col("b"))
-      .agg(count(lit(1)).cast("double").as("n"), avg(col("y")).as("ym"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        (sum(round(col("y") * 100.0, 0).cast("long")).cast("double")
+          / lit(100.0) / count(lit(1))).as("ym"))
       .orderBy(col("b"))
       .collect().map(r => (r.getDouble(1), r.getDouble(2)))
     assert(stats.length == out.length)
