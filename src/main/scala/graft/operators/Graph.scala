@@ -2230,7 +2230,64 @@ object Graph {
     * property (a node colored c has all of 0..c−1 in its
     * neighborhood), the Δ+1 bound, and rerun determinism.
     */
-  val graphColoring: QueryDef = QueryDef.rowsOnly("graph_coloring") { (s, d) =>
+  /** graph_coloring's oracle: Jones–Plassmann replayed as FIXED
+    * rounds (the engine's 64-round cap; rounds after exhaustion
+    * no-op on an empty active set) — md5-hex priorities compare as
+    * the same ASCII strings in both engines, winners beat every
+    * still-active neighbor, and each winner takes the minimal
+    * excludant of its colored neighborhood.
+    */
+  private def coloringOracle(rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      val p = r - 1
+      s"""nbx_$r AS (
+         |  SELECT e.a AS node, max(act.pri) AS nmax
+         |  FROM sym e JOIN act_$p act ON act.node = e.b GROUP BY e.a),
+         |win_$r AS (
+         |  SELECT a.node FROM act_$p a LEFT JOIN nbx_$r m ON m.node = a.node
+         |  WHERE m.nmax IS NULL OR a.pri > m.nmax),
+         |wcs_$r AS (
+         |  SELECT w.node,
+         |    coalesce(list(DISTINCT c.color)
+         |      FILTER (WHERE c.color IS NOT NULL), []) AS cs
+         |  FROM win_$r w
+         |  LEFT JOIN sym e ON e.a = w.node
+         |  LEFT JOIN col_$p c ON c.node = e.b
+         |  GROUP BY w.node),
+         |newly_$r AS MATERIALIZED (
+         |  SELECT node, CAST(i AS INT) AS color FROM (
+         |    SELECT w.node, t.i,
+         |      row_number() OVER (PARTITION BY w.node ORDER BY t.i) AS rn
+         |    FROM wcs_$r w, UNNEST(generate_series(0, len(w.cs))) AS t(i)
+         |    WHERE NOT list_contains(w.cs, CAST(t.i AS INT))) WHERE rn = 1),
+         |col_$r AS MATERIALIZED (
+         |  SELECT node, color FROM col_$p
+         |  UNION ALL SELECT node, color FROM newly_$r),
+         |act_$r AS MATERIALIZED (
+         |  SELECT a.node, a.pri FROM act_$p a
+         |  LEFT JOIN newly_$r n ON n.node = a.node WHERE n.node IS NULL)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH o AS (
+       |  SELECT o_custkey AS ck, o_orderkey AS k, o_orderdate AS dt
+       |  FROM orders),
+       |ed AS (
+       |  SELECT CAST(a.k AS VARCHAR) AS a, CAST(b.k AS VARCHAR) AS b
+       |  FROM o a JOIN o b ON a.ck = b.ck AND a.k < b.k
+       |    AND abs(datediff('day', a.dt, b.dt)) <= 7),
+       |sym AS MATERIALIZED (
+       |  SELECT DISTINCT a, b FROM (
+       |    SELECT a, b FROM ed UNION ALL SELECT b AS a, a AS b FROM ed)),
+       |act_0 AS MATERIALIZED (
+       |  SELECT node, md5(node) AS pri FROM (SELECT DISTINCT a AS node FROM sym)),
+       |col_0 AS (SELECT CAST(NULL AS VARCHAR) AS node, CAST(NULL AS INT) AS color
+       |          WHERE false),
+       |$steps
+       |SELECT CAST(node AS BIGINT) AS o_orderkey, color
+       |FROM col_$rounds ORDER BY o_orderkey""".stripMargin
+  }
+
+  val graphColoring: QueryDef = QueryDef.sql(
+    "graph_coloring", coloringOracle(64)) { (s, d) =>
     import s.implicits._
     val ed = intervalConflictEdges(s, d)
       .select(col("a").cast("string").as("a"), col("b").cast("string").as("b"))
