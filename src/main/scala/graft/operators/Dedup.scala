@@ -1286,7 +1286,62 @@ object Dedup {
     * the shift-resistance property itself (prefix edit preserves the
     * chunk-hash multiset tail), and a full driver replay.
     */
-  val dedupCdcChunks: QueryDef = QueryDef.rowsOnly("dedup_cdc_chunks") { (s, d) =>
+  /** dedup_cdc_chunks' oracle: the Gear roll and FNV-1a chunk hashes
+    * replay in DuckDB as a per-document fold over character codes —
+    * Java's wrapping 64-bit arithmetic emulated exactly in HUGEINT
+    * mod 2⁶⁴ (the gear table embeds as 256 unsigned literals; the
+    * byte xor touches only the low 8 bits so it runs in BIGINT).
+    * Chunk hashes only ever GROUP, so the signed↔unsigned mapping is
+    * invisible to the output.
+    */
+  private def cdcOracle: String = {
+    def u(l: Long): String = java.lang.Long.toUnsignedString(l)
+    val gear = gearTable.map(v => s"${u(v)}::HUGEINT").mkString("[", ", ", "]")
+    val M = "18446744073709551616::HUGEINT" // 2^64
+    val fnv0 = s"${u(0xcbf29ce484222325L)}::HUGEINT"
+    val prime = s"${u(0x100000001b3L)}::HUGEINT"
+    // fold state: [pos, h, f, len, (chunk_f, chunk_len)*]
+    val hNext = s"(a[2] * 2 + g.g[CAST(x[1] AS INT) + 1]) % $M"
+    val fNext = s"((a[3] - a[3] % 256 + " +
+      s"xor(CAST(a[3] % 256 AS BIGINT), CAST(x[1] AS BIGINT))) * $prime) % $M"
+    s"""WITH gt AS (SELECT $gear AS g),
+       |folded AS (
+       |  SELECT doc_id,
+       |    list_reduce(
+       |      list_prepend([0::HUGEINT, 0::HUGEINT, $fnv0, 0::HUGEINT],
+       |        list_transform(generate_series(1, len(text)),
+       |          i -> [CAST(ord(substr(text, i, 1)) AS HUGEINT)])),
+       |      (a, x) -> CASE
+       |        WHEN (a[4] + 1 >= $CdcMin AND ($hNext) % ${CdcMask + 1} = 0)
+       |          OR a[4] + 1 >= $CdcMax OR a[1] + 1 = len(text)
+       |        THEN list_concat(
+       |          list_concat([a[1] + 1, 0::HUGEINT, $fnv0, 0::HUGEINT],
+       |            a[5:len(a)]),
+       |          [$fNext, a[4] + 1])
+       |        ELSE list_concat([a[1] + 1, $hNext, $fNext, a[4] + 1],
+       |          a[5:len(a)])
+       |      END) AS st
+       |  FROM documents CROSS JOIN gt g
+       |  WHERE len(text) > 0),
+       |chunks AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    st[5 + 2 * (k - 1)] AS chunk_hash,
+       |    CAST(st[6 + 2 * (k - 1)] AS BIGINT) AS chunk_len
+       |  FROM folded, UNNEST(generate_series(1, (len(st) - 4) // 2)) AS t(k)),
+       |cnts AS (SELECT chunk_hash, count(*) AS n_occ FROM chunks GROUP BY 1)
+       |SELECT c.doc_id,
+       |  CAST(count(*) AS INT) AS n_chunks,
+       |  CAST(sum(CASE WHEN n.n_occ > 1 THEN 1 ELSE 0 END) AS INT)
+       |    AS n_dup_chunks,
+       |  round(CAST(sum(CASE WHEN n.n_occ > 1 THEN c.chunk_len ELSE 0 END)
+       |      AS DOUBLE) / CAST(sum(c.chunk_len) AS DOUBLE), 4)
+       |    AS dup_byte_share
+       |FROM chunks c JOIN cnts n USING (chunk_hash) GROUP BY c.doc_id
+       |ORDER BY dup_byte_share DESC, doc_id LIMIT 20""".stripMargin
+  }
+
+  val dedupCdcChunks: QueryDef = QueryDef.sql(
+    "dedup_cdc_chunks", cdcOracle) { (s, d) =>
     import s.implicits._
     val chunks = Tables.documents(s, d)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
