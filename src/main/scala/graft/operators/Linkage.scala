@@ -1237,15 +1237,38 @@ object Linkage {
       : (Map[Double, (Double, Double)], (Double, Double, Double, Double)) = {
     val raw = Tables.lineitem(s, d)
       .select(col("l_quantity").as("x"), col("l_extendedprice").as("y"))
-    val m = raw.agg(avg(col("x")), stddev_samp(col("x")),
-      avg(col("y")), stddev_samp(col("y"))).collect()(0)
-    val (mx, sx, my, sy) = (m.getDouble(0), m.getDouble(1), m.getDouble(2),
-      m.getDouble(3))
-    val pts = raw.select(((col("x") - mx) / sx).as("x"),
-      ((col("y") - my) / sy).as("y"))
+    // exact moments (x is integral, y exact cents) — standardization,
+    // and therefore every standardized row, replays engine-identically
+    // in the DuckDB oracle (Round-7 quantize-before-sums rule)
+    val yc = round(col("y") * 100.0, 0).cast("long")
+    val m = raw.agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast("long")).as("sxs"),
+      sum((col("x") * col("x")).cast("long")).as("sx2"),
+      sum(yc).as("sycs"),
+      sum((yc * yc).cast("decimal(38,0)")).as("syc2")).collect()(0)
+    val nD = m.getLong(0).toDouble
+    val sxs = m.getLong(1).toDouble
+    val sx2 = m.getLong(2).toDouble
+    val sys = m.getLong(3).toDouble / 100.0
+    val sys2 = m.getDecimal(4).doubleValue() / 10000.0
+    val mx = sxs / nD
+    val sx = math.sqrt((sx2 - sxs * sxs / nD) / (nD - 1))
+    val my = sys / nD
+    val sy = math.sqrt((sys2 - sys * sys / nD) / (nD - 1))
+    // standardized rows quantize to exact nano longs; x/y dequantize
+    // per row so both engines run the SAME doubles, and the
+    // subgradient sums reduce to exact counts + exact Σxm
+    val pts = raw.select(
+        round((col("x") - mx) / sx * lit(1000000000.0), 0).cast("long").as("xm"),
+        round((col("y") - my) / sy * lit(1000000000.0), 0).cast("long").as("ym"))
+      .select((col("xm").cast("double") / lit(1000000000.0)).as("x"),
+        (col("ym").cast("double") / lit(1000000000.0)).as("y"), col("xm"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       import s.implicits._
+      val tot = pts.agg(sum(col("xm"))).collect()(0)
+      val sAll = tot.getLong(0).toDouble
       val ab = scala.collection.mutable.Map(QrTaus.map(t => t -> (0.0, 0.0)): _*)
       // the step's (a, b) enter as DATA (a broadcast one-row frame),
       // not literals: every step's plan generates byte-identical code,
@@ -1259,17 +1282,91 @@ object Linkage {
           val below =
             col("y") < element_at(col("c"), 2 * i + 1) +
               element_at(col("c"), 2 * i + 2) * col("x")
-          val g = when(below, 1.0 - t).otherwise(-t)
-          Seq(avg(g).as(s"ga_$t"), avg(g * col("x")).as(s"gb_$t"))
+          Seq(sum(when(below, 1L).otherwise(0L)).as(s"cb_$i"),
+            sum(when(below, col("xm")).otherwise(0L)).as(s"sb_$i"))
         }
         val r = pts.crossJoin(coefs).agg(gcols.head, gcols.tail: _*).collect()(0)
         QrTaus.zipWithIndex.foreach { case (t, i) =>
           val (a, b) = ab(t)
-          ab(t) = (a - QrLr * r.getDouble(2 * i), b - QrLr * r.getDouble(2 * i + 1))
+          val cb = r.getLong(2 * i).toDouble
+          val sb = r.getLong(2 * i + 1).toDouble
+          val ga = (cb * (1.0 - t) - (nD - cb) * t) / nD
+          val gb = ((1.0 - t) * (sb / 1000000000.0)
+            - t * ((sAll - sb) / 1000000000.0)) / nD
+          ab(t) = (a - QrLr * ga, b - QrLr * gb)
         }
       }
       (ab.toMap, (mx, sx, my, sy))
     } finally pts.unpersist(false)
+  }
+
+  /** mining_quantile_reg's oracle: exact standardization moments,
+    * nano-quantized standardized rows, and the 30 subgradient steps
+    * replayed as chained CTEs — each step's gradients reduce to an
+    * exact below-count and an exact Σxm, so every (a, b) trajectory
+    * is bit-identical.
+    */
+  private def quantileRegOracle: String = {
+    val steps = (1 to QrSteps).map { k =>
+      val grads = QrTaus.zipWithIndex.flatMap { case (t, i) =>
+        Seq(
+          s"CAST(sum(CASE WHEN p.y < s.a$i + s.b$i * p.x THEN 1 ELSE 0 END) AS DOUBLE) AS cb$i",
+          s"CAST(sum(CASE WHEN p.y < s.a$i + s.b$i * p.x THEN p.xm ELSE 0 END) AS DOUBLE) AS sb$i")
+      }.mkString(",\n    ")
+      val upd = QrTaus.zipWithIndex.flatMap { case (t, i) =>
+        val ga = s"(g.cb$i * (1.0 - $t) - (m.nD - g.cb$i) * $t) / m.nD"
+        val gb = s"((1.0 - $t) * (g.sb$i / 1000000000.0) - " +
+          s"$t * ((tt.sAll - g.sb$i) / 1000000000.0)) / m.nD"
+        Seq(s"s.a$i - $QrLr * ($ga) AS a$i", s"s.b$i - $QrLr * ($gb) AS b$i")
+      }.mkString(",\n    ")
+      s"""gr$k AS (
+         |  SELECT
+         |    $grads
+         |  FROM pts p CROSS JOIN st${k - 1} s),
+         |st$k AS MATERIALIZED (
+         |  SELECT
+         |    $upd
+         |  FROM st${k - 1} s CROSS JOIN gr$k g CROSS JOIN der m CROSS JOIN tots tt)""".stripMargin
+    }.mkString(",\n")
+    val init = QrTaus.indices
+      .map(i => s"0.0 AS a$i, 0.0 AS b$i").mkString(", ")
+    val out = QrTaus.zipWithIndex.map { case (t, i) =>
+      s"""SELECT $t AS tau,
+         |  floor((m.my + m.sy * s.a$i - (s.b$i * m.sy / m.sx) * m.mx)
+         |    * 10000.0 + 0.5) / 10000.0 AS intercept,
+         |  floor((s.b$i * m.sy / m.sx) * 10000.0 + 0.5) / 10000.0 AS slope
+         |FROM st$QrSteps s CROSS JOIN der m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH raw AS (
+       |  SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem),
+       |mom AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS nD,
+       |    CAST(sum(CAST(x AS BIGINT)) AS DOUBLE) AS sxs,
+       |    CAST(sum(CAST(x * x AS BIGINT)) AS DOUBLE) AS sx2,
+       |    CAST(sum(CAST(round(y * 100.0, 0) AS BIGINT)) AS DOUBLE)
+       |      / 100.0 AS sys,
+       |    CAST(sum(CAST(round(y * 100.0, 0) AS BIGINT)
+       |      * CAST(round(y * 100.0, 0) AS BIGINT)) AS DOUBLE)
+       |      / 10000.0 AS sys2
+       |  FROM raw),
+       |der AS (
+       |  SELECT nD, sxs / nD AS mx,
+       |    sqrt((sx2 - sxs * sxs / nD) / (nD - 1)) AS sx,
+       |    sys / nD AS my,
+       |    sqrt((sys2 - sys * sys / nD) / (nD - 1)) AS sy
+       |  FROM mom),
+       |pts AS MATERIALIZED (
+       |  SELECT CAST(xm AS DOUBLE) / 1000000000.0 AS x,
+       |         CAST(ym AS DOUBLE) / 1000000000.0 AS y, xm
+       |  FROM (SELECT
+       |      CAST(round((r.x - d.mx) / d.sx * 1000000000.0, 0) AS BIGINT) AS xm,
+       |      CAST(round((r.y - d.my) / d.sy * 1000000000.0, 0) AS BIGINT) AS ym
+       |    FROM raw r CROSS JOIN der d)),
+       |tots AS (SELECT CAST(sum(xm) AS DOUBLE) AS sAll FROM pts),
+       |st0 AS (SELECT $init),
+       |$steps
+       |$out
+       |ORDER BY tau""".stripMargin
   }
 
   /** Linear QUANTILE regression (Koenker & Bassett 1978) of extended
@@ -1284,7 +1381,8 @@ object Linkage {
     * p90-above-median ordering on the data range, decreasing pinball
     * loss, and a sequential driver replay.
     */
-  val miningQuantileReg: QueryDef = QueryDef.rowsOnly("mining_quantile_reg") { (s, d) =>
+  val miningQuantileReg: QueryDef = QueryDef.sql(
+    "mining_quantile_reg", quantileRegOracle) { (s, d) =>
     val (ab, (mx, sx, my, sy)) = quantileRegFit(s, d)
     import s.implicits._
     QrTaus.map { t =>
