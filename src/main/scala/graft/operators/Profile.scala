@@ -858,11 +858,81 @@ object Profile {
     * density-uniformity invariant (LOF ≈ 1 in uniform regions) is
     * pinned via the median.
     */
-  val profileLof: QueryDef = QueryDef.rowsOnly("profile_lof") { (s, d) =>
+  /** profile_lof's oracle: replay the grid-bounded exact kNN and the
+    * LOF algebra — md5-derived point ids, squared terms as plain
+    * products (StrictMath.pow(x,2) is not bit-identical to x·x;
+    * multiplication is, on both engines), and reach/lrd sums on
+    * exact quantized longs so the k-neighbor aggregates are
+    * partition-order invariant.
+    */
+  private def lofOracle(k: Int): String =
+    s"""WITH raw AS (
+       |  SELECT DISTINCT CAST(concat('0x', substring(md5(concat_ws(',',
+       |      l_orderkey, l_linenumber,
+       |      CAST(round(l_quantity * 100.0, 0) AS BIGINT),
+       |      CAST(round(l_extendedprice * 100.0, 0) AS BIGINT))), 1, 13))
+       |      AS BIGINT) AS id,
+       |    l_quantity AS x, l_extendedprice AS y
+       |  FROM lineitem),
+       |hh AS (
+       |  SELECT sqrt(4.0 / n) AS h, xmin, ymin,
+       |    greatest(xmax - xmin, 1e-12) AS spx,
+       |    greatest(ymax - ymin, 1e-12) AS spy
+       |  FROM (SELECT min(x) AS xmin, max(x) AS xmax, min(y) AS ymin,
+       |          max(y) AS ymax, CAST(count(*) AS DOUBLE) AS n FROM raw)),
+       |cells AS MATERIALIZED (
+       |  SELECT id, (x - s.xmin) / s.spx AS u, (y - s.ymin) / s.spy AS v,
+       |    CAST(floor((x - s.xmin) / s.spx / s.h) AS BIGINT) AS cx,
+       |    CAST(floor((y - s.ymin) / s.spy / s.h) AS BIGINT) AS cy
+       |  FROM raw CROSS JOIN hh s),
+       |knn AS MATERIALIZED (
+       |  SELECT a, b, dist FROM (
+       |    SELECT a, b, dist,
+       |      row_number() OVER (PARTITION BY a ORDER BY dist, b) AS rn
+       |    FROM (
+       |      SELECT a.id AS a, b.id AS b,
+       |        sqrt((a.u - b.u) * (a.u - b.u) + (a.v - b.v) * (a.v - b.v))
+       |          AS dist
+       |      FROM cells a JOIN cells b
+       |        ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+       |       AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+       |       AND a.id <> b.id
+       |      CROSS JOIN hh s
+       |      WHERE sqrt((a.u - b.u) * (a.u - b.u) + (a.v - b.v) * (a.v - b.v))
+       |        <= s.h))
+       |  WHERE rn <= $k),
+       |kdist AS (SELECT a, max(dist) AS kdist FROM knn GROUP BY a),
+       |lrd AS MATERIALIZED (
+       |  SELECT r.a,
+       |    CAST(count(*) AS DOUBLE)
+       |      / (CAST(sum(CAST(round(r.reach * 1000000000000.0, 0) AS BIGINT))
+       |          AS DOUBLE) / 1000000000000.0) AS lrd
+       |  FROM (SELECT knn.a, greatest(kb.kdist, knn.dist) AS reach
+       |        FROM knn JOIN kdist kb ON kb.a = knn.b) r
+       |  GROUP BY r.a)
+       |SELECT id, n_neighbors, lof FROM (
+       |  SELECT g.a AS id, CAST(g.nn AS INT) AS n_neighbors,
+       |    round(g.mean_lrd_nb / l.lrd, 4) AS lof
+       |  FROM (
+       |    SELECT knn.a,
+       |      CAST(sum(CAST(round(lb.lrd * 1000000000.0, 0) AS BIGINT))
+       |        AS DOUBLE) / 1000000000.0 / count(*) AS mean_lrd_nb,
+       |      count(*) AS nn
+       |    FROM knn JOIN lrd lb ON lb.a = knn.b
+       |    GROUP BY knn.a) g
+       |  JOIN lrd l ON l.a = g.a)
+       |ORDER BY lof DESC, id LIMIT 20""".stripMargin
+
+  val profileLof: QueryDef = QueryDef.sql("profile_lof", lofOracle(5)) { (s, d) =>
     val k = 5
+    // md5-derived ids over exact-cent coordinates (doubles stringify
+    // differently across engines; integers don't)
     val raw = KMeans.points(Tables.lineitem(s, d))
-      .select(xxhash64(col("l_orderkey"), col("l_linenumber"), col("x"), col("y"))
-        .as("id"), col("x"), col("y"))
+      .select(conv(substring(md5(concat_ws(",",
+          col("l_orderkey"), col("l_linenumber"),
+          round(col("x") * 100.0, 0).cast("long"),
+          round(col("y") * 100.0, 0).cast("long"))), 1, 13), 16, 10)
+        .cast("long").as("id"), col("x"), col("y"))
       .distinct()
     // normalization + grid constants resolve driver-side (O(1) row)
     // and land in the plan as LITERALS — no broadcast crossJoin, and
@@ -895,8 +965,12 @@ object Profile {
           col("cx"), col("cy")),
         Seq("cx", "cy"))
       .filter(col("a") =!= col("b"))
+      // plain products, not pow(·, 2): StrictMath.pow is within 1 ulp
+      // but not bit-identical to the multiply, and the oracle needs
+      // bit-equal distances for the (dist, b) k-cut
       .withColumn("dist",
-        sqrt(pow(col("ua") - col("ub"), 2) + pow(col("va") - col("vb"), 2)))
+        sqrt((col("ua") - col("ub")) * (col("ua") - col("ub"))
+          + (col("va") - col("vb")) * (col("va") - col("vb"))))
       .filter(col("dist") <= h)
       .select(col("a"), col("b"), col("dist"))
     // cap the ball at the k nearest (deterministic (dist, b) tie-break)
@@ -917,11 +991,17 @@ object Profile {
     val reach = knn.join(
         kdist.select(col("a").as("b"), col("kdist").as("kdist_b")), Seq("b"))
       .withColumn("reach", greatest(col("kdist_b"), col("dist")))
+    // reach/lrd sums on exact quantized longs — the ≤k-value float
+    // sums would otherwise be partition-order sensitive (Round-7 rule)
     val lrd = reach.groupBy(col("a"))
-      .agg((count(lit(1)) / sum(col("reach"))).as("lrd"))
+      .agg((count(lit(1)).cast("double") /
+        (sum(round(col("reach") * lit(1000000000000.0), 0).cast("long"))
+          .cast("double") / lit(1000000000000.0))).as("lrd"))
     val lof = knn.join(lrd.select(col("a").as("b"), col("lrd").as("lrd_b")), Seq("b"))
       .groupBy(col("a"))
-      .agg(avg(col("lrd_b")).as("mean_lrd_nb"), count(lit(1)).as("n_neighbors"))
+      .agg((sum(round(col("lrd_b") * lit(1000000000.0), 0).cast("long"))
+        .cast("double") / lit(1000000000.0) / count(lit(1))).as("mean_lrd_nb"),
+        count(lit(1)).as("n_neighbors"))
       .join(lrd, Seq("a"))
       .select(col("a").as("id"), col("n_neighbors").cast("int").as("n_neighbors"),
         round(col("mean_lrd_nb") / col("lrd"), 4).as("lof"))

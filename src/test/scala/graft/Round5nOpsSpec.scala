@@ -134,8 +134,11 @@ class Round5nOpsSpec extends AnyFunSuite {
     // replay: same ids (from the same deterministic hash relation),
     // exact quadratic radius-h LOF
     val raw = KMeans.points(Tables.lineitem(spark, sf))
-      .select(xxhash64(col("l_orderkey"), col("l_linenumber"), col("x"), col("y"))
-        .as("id"), col("x"), col("y"))
+      .select(conv(substring(md5(concat_ws(",",
+          col("l_orderkey"), col("l_linenumber"),
+          round(col("x") * 100.0, 0).cast("long"),
+          round(col("y") * 100.0, 0).cast("long"))), 1, 13), 16, 10)
+        .cast("long").as("id"), col("x"), col("y"))
       .distinct().collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
     val n = raw.length.toDouble
