@@ -190,7 +190,61 @@ object Linkage {
     * itemset model is MLlib-internal); bounds + a directly recounted
     * confidence-spot-check pinned in ScalaTest.
     */
-  val miningAssoc: QueryDef = QueryDef.rowsOnly("mining_assoc") { (s, d) =>
+  /** mining_assoc's oracle: the MLlib FPGrowth rule set replayed as
+    * Apriori in SQL — frequent itemsets up to the max basket size via
+    * chained co-occurrence self-joins, one single-consequent rule arm
+    * per member, confidence = freq∪/freq(antecedent) and lift =
+    * conf/(freq(consequent)/n) in the engine's float order. Rounding
+    * is the floor(x·10^d + 0.5) spelling on BOTH sides: Spark's
+    * round() works on the exact BigDecimal while DuckDB's rounds a
+    * double product that can land ON .5 half an ulp away — floor of
+    * the same product is engine-identical.
+    */
+  private def assocOracle: String = {
+    def levelCte(k: Int): String = {
+      val joins = (2 to k)
+        .map(i => s"JOIN b t$i ON t$i.o = t1.o AND t$i.p > t${i - 1}.p")
+        .mkString(" ")
+      val cols = (1 to k).map(i => s"t$i.p AS p$i").mkString(", ")
+      val grp = (1 to k).map(i => s"p$i").mkString(", ")
+      s"""l$k AS MATERIALIZED (
+         |  SELECT $cols, count(*) AS f FROM b t1 $joins
+         |  GROUP BY $grp HAVING count(*) >= 3)""".stripMargin
+    }
+    val arms = for {
+      k <- 2 to 7
+      j <- 1 to k
+    } yield {
+      val ante = (1 to k).filter(_ != j).map(i => s"p$i")
+      val sup =
+        if (k == 2) s"JOIN l1 x ON x.p1 = z.${ante.head}"
+        else {
+          val conds = ante.zipWithIndex
+            .map { case (a, i) => s"x.p${i + 1} = z.$a" }.mkString(" AND ")
+          s"JOIN l${k - 1} x ON $conds"
+        }
+      s"""SELECT concat_ws(',', ${ante.map("z." + _).mkString(", ")}) AS antecedent,
+         |  CAST(z.p$j AS VARCHAR) AS consequent,
+         |  CAST(z.f AS DOUBLE) / CAST(x.f AS DOUBLE) AS conf,
+         |  (CAST(z.f AS DOUBLE) / CAST(x.f AS DOUBLE))
+         |    / (CAST(y.f AS DOUBLE) / (SELECT nb FROM n)) AS lift
+         |FROM l$k z $sup JOIN l1 y ON y.p1 = z.p$j""".stripMargin
+    }
+    s"""WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |n AS (SELECT CAST(count(DISTINCT o) AS DOUBLE) AS nb FROM b),
+       |l1 AS MATERIALIZED (
+       |  SELECT p AS p1, count(*) AS f FROM b GROUP BY p HAVING count(*) >= 3),
+       |${(2 to 7).map(levelCte).mkString(",\n")},
+       |rules AS (${arms.mkString("\nUNION ALL\n")})
+       |SELECT antecedent, consequent,
+       |  floor(conf * 1000000.0 + 0.5) / 1000000.0 AS confidence,
+       |  floor(lift * 10000.0 + 0.5) / 10000.0 AS lift
+       |FROM rules WHERE conf >= 0.01
+       |ORDER BY confidence DESC, lift DESC, antecedent, consequent
+       |LIMIT 100""".stripMargin
+  }
+
+  val miningAssoc: QueryDef = QueryDef.sql("mining_assoc", assocOracle) { (s, d) =>
     import org.apache.spark.ml.fpm.FPGrowth
     val baskets = Tables.lineitem(s, d)
       .groupBy(col("l_orderkey"))
@@ -204,8 +258,9 @@ object Linkage {
       .select(
         concat_ws(",", array_sort(col("antecedent"))).as("antecedent"),
         concat_ws(",", array_sort(col("consequent"))).as("consequent"),
-        round(col("confidence"), 6).as("confidence"),
-        round(col("lift"), 4).as("lift"))
+        (floor(col("confidence") * lit(1000000.0) + 0.5) / lit(1000000.0))
+          .as("confidence"),
+        (floor(col("lift") * lit(10000.0) + 0.5) / lit(10000.0)).as("lift"))
       .orderBy(col("confidence").desc, col("lift").desc,
         col("antecedent"), col("consequent"))
       .limit(100)
