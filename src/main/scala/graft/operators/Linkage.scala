@@ -936,31 +936,125 @@ object Linkage {
     * and constant-leaf updates preserve Σr), monotone RMSE, the
     * noise-feature exclusion, and determinism.
     */
-  val miningGbt: QueryDef = QueryDef.rowsOnly("mining_gbt") { (s, d) =>
+  /** mining_gbt's oracle: five boosting rounds replayed as chained
+    * CTEs — base score and residual sums on exact quantized longs
+    * (HUGEINT squares for the SSE), the candidate grid as exact
+    * deciles of a bounded md5 sample (quantile_cont parity), the
+    * per-round argmax with the engine's (gain, feature, −decile)
+    * tie order, and a cascading live flag so an early stop replays
+    * as filtered no-op rounds.
+    */
+  private def gbtOracle: String = {
+    val decsSql = (1 to 9).map(i => (i / 10.0).toString).mkString(", ")
+    def featOf(p: String) =
+      s"(CASE $p.f WHEN 'ep' THEN r.ep WHEN 'disc' THEN r.disc ELSE r.qty END)"
+    def stumpTerm(k: Int): String =
+      s"(CASE WHEN (CASE r$k.f WHEN 'ep' THEN p.ep WHEN 'disc' THEN p.disc " +
+        s"ELSE p.qty END) <= r$k.th THEN r$k.al ELSE r$k.ar END)"
+    val rounds = (1 to GbtRounds).map { k =>
+      val predTerms = (1 until k).map(i => s" + ${stumpTerm(i)}").mkString
+      val crossPrev = (1 until k).map(i => s" CROSS JOIN r$i").mkString
+      val liveExpr =
+        if (k == 1) "p.gain > 0"
+        else s"(SELECT live FROM r${k - 1}) AND p.gain > 0"
+      s"""rr$k AS (
+         |  SELECT p.ep, p.disc, p.qty,
+         |    CAST(round((p.y - (b.base$predTerms)) * 1000000.0, 0) AS BIGINT)
+         |      AS rq
+         |  FROM pts p CROSS JOIN bs b$crossPrev),
+         |agg$k AS (SELECT CAST(sum(CAST(rq AS HUGEINT) * rq) AS DOUBLE)
+         |  / 1000000000000.0 AS sse FROM rr$k),
+         |ca$k AS (
+         |  SELECT c.f, c.dec, c.th,
+         |    CAST(sum(CASE WHEN ${featOf("c")} <= c.th THEN 1 ELSE 0 END)
+         |      AS DOUBLE) AS nl,
+         |    CAST(sum(CASE WHEN ${featOf("c")} <= c.th THEN r.rq ELSE 0 END)
+         |      AS DOUBLE) / 1000000.0 AS sl
+         |  FROM rr$k r CROSS JOIN cand c GROUP BY c.f, c.dec, c.th),
+         |pk$k AS (
+         |  SELECT f, dec, th, nl, sl, n, gain FROM (
+         |    SELECT ca$k.*, b.n,
+         |      CASE WHEN nl = 0 OR (b.n - nl) = 0 THEN 0.0
+         |        ELSE sl * sl / nl + (0.0 - sl) * (0.0 - sl) / (b.n - nl)
+         |      END AS gain
+         |    FROM ca$k CROSS JOIN bs b)
+         |  ORDER BY gain DESC, f DESC, dec ASC LIMIT 1),
+         |r$k AS MATERIALIZED (
+         |  SELECT p.f, p.th, p.dec, p.gain, $liveExpr AS live,
+         |    CASE WHEN $liveExpr THEN $GbtLr * p.sl / p.nl ELSE 0.0 END AS al,
+         |    CASE WHEN $liveExpr THEN $GbtLr * (-p.sl) / (p.n - p.nl)
+         |      ELSE 0.0 END AS ar,
+         |    (SELECT sse FROM agg$k) AS sse
+         |  FROM pk$k p)""".stripMargin
+    }.mkString(",\n")
+    val outs = (1 to GbtRounds).map { k =>
+      s"""SELECT CAST($k AS INT) AS round, f AS feature,
+         |  floor(th * 10000 + 0.5) / 10000 AS thr,
+         |  floor(gain * 100 + 0.5) / 100 AS gain,
+         |  floor(sqrt(sse / (SELECT n FROM bs)) * 10000 + 0.5) / 10000
+         |    AS rmse_in
+         |FROM r$k WHERE live""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH pts AS MATERIALIZED (
+       |  SELECT l_extendedprice AS ep, l_discount AS disc, l_quantity AS qty,
+       |    l_extendedprice * (1.0 - l_discount) AS y,
+       |    CAST(concat('0x', substring(
+       |      md5(concat_ws(',', l_orderkey, l_linenumber)), 1, 13)) AS BIGINT)
+       |      % 10 AS smp
+       |  FROM lineitem),
+       |bs AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n,
+       |    CAST(sum(CAST(round(y * 100.0, 0) AS BIGINT)) AS DOUBLE)
+       |      / 100.0 / CAST(count(*) AS DOUBLE) AS base
+       |  FROM pts),
+       |grid AS (
+       |  SELECT quantile_cont(ep, [$decsSql]) AS qep,
+       |    quantile_cont(disc, [$decsSql]) AS qdisc,
+       |    quantile_cont(qty, [$decsSql]) AS qqty
+       |  FROM pts WHERE smp = 0),
+       |cand AS MATERIALIZED (
+       |  SELECT 'ep' AS f, i AS dec, g.qep[i] AS th
+       |  FROM grid g, UNNEST(generate_series(1, 9)) AS t(i)
+       |  UNION ALL SELECT 'disc' AS f, i AS dec, g.qdisc[i] AS th
+       |  FROM grid g, UNNEST(generate_series(1, 9)) AS t(i)
+       |  UNION ALL SELECT 'qty' AS f, i AS dec, g.qqty[i] AS th
+       |  FROM grid g, UNNEST(generate_series(1, 9)) AS t(i)),
+       |$rounds
+       |$outs
+       |ORDER BY round""".stripMargin
+  }
+
+  val miningGbt: QueryDef = QueryDef.sql("mining_gbt", gbtOracle) { (s, d) =>
     import s.implicits._
     val feats = Seq("ep", "disc", "qty")
+    val hk = conv(substring(md5(concat_ws(",",
+      col("l_orderkey"), col("l_linenumber"))), 1, 13), 16, 10).cast("long")
     val li = Tables.lineitem(s, d).select(
         col("l_extendedprice").cast("double").as("ep"),
         col("l_discount").cast("double").as("disc"),
         col("l_quantity").cast("double").as("qty"),
-        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("y"))
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("y"),
+        pmod(hk, lit(10L)).as("smp"))
       .persist()
     try {
-      // candidate grid: per-feature APPROXIMATE deciles + the base
-      // score, ONE aggregate over the persisted training frame.
-      // Candidates need coverage of the feature range, not exactness
-      // — and exact `percentile` buffers every value per partition
-      // (an OOM hazard at 100 TB partition sizes), while the
-      // Greenwald-Khanna sketch is bounded-memory and mergeable.
-      // accuracy=1000 → rank error ≤ 0.1% of n, far inside a decile.
+      // base score from exact cent sums (a float avg would be
+      // partition-order noise the oracle can't replay)
+      val bRow = li.agg(count(lit(1)).cast("double").as("n"),
+        sum(round(col("y") * 100.0, 0).cast("long")).as("yc")).collect()(0)
+      val nAll = bRow.getDouble(0)
+      val base = bRow.getLong(1).toDouble / 100.0 / nAll
+      // candidate grid: EXACT per-feature deciles of a bounded md5
+      // 10% sample — candidates need range coverage, not corpus
+      // exactness; the sample caps the exact percentile's buffer at
+      // any SF (the sketch alternative is approx_percentile, which
+      // no cross-engine oracle can replay), and quantile_cont
+      // replays the interpolated values bit-for-bit.
       val decs = (1 to 9).map(_ / 10.0)
-      val qRow = li.agg(
-        avg(col("y")).as("base"),
-        expr(s"approx_percentile(ep, array(${decs.mkString(",")}), 1000)").as("ep"),
-        expr(s"approx_percentile(disc, array(${decs.mkString(",")}), 1000)").as("disc"),
-        expr(s"approx_percentile(qty, array(${decs.mkString(",")}), 1000)").as("qty"))
+      val qRow = li.filter(col("smp") === 0)
+        .agg(expr(s"percentile(ep, array(${decs.mkString(",")}))").as("ep"),
+          expr(s"percentile(disc, array(${decs.mkString(",")}))").as("disc"),
+          expr(s"percentile(qty, array(${decs.mkString(",")}))").as("qty"))
         .collect()(0)
-      val base = qRow.getDouble(0)
       val thr: Map[String, Seq[Double]] =
         feats.map(f => f -> qRow.getSeq[Double](qRow.fieldIndex(f))).toMap
       val cand = for { f <- feats; (th, i) <- thr(f).zipWithIndex }
@@ -977,20 +1071,25 @@ object Linkage {
             acc + when(col(f) <= th, al).otherwise(ar)
         }
         val r = col("y") - pred
+        // residuals quantize to exact micro longs BEFORE any sum
+        // (Round-7 rule); squares ride decimal(38,0) so the SSE stays
+        // exact at any SF
+        val rq = round(r * lit(1000000.0), 0).cast("long")
         val aggs =
-          Seq(count(lit(1)).cast("double").as("n"), sum(r).as("s"),
-            sum(r * r).as("sse")) ++
+          Seq(sum(rq.cast("decimal(19,0)") * rq.cast("decimal(19,0)"))
+            .as("sseq")) ++
           cand.flatMap { case (f, dec, th) => Seq(
             sum(when(col(f) <= th, 1.0).otherwise(0.0)).as(s"n_${f}_$dec"),
-            sum(when(col(f) <= th, r).otherwise(0.0)).as(s"s_${f}_$dec")) }
+            sum(when(col(f) <= th, rq).otherwise(0L)).as(s"s_${f}_$dec")) }
         val row = li.agg(aggs.head, aggs.tail: _*).collect()(0)
-        val n = row.getDouble(0)
-        val sse = row.getDouble(2)
+        val n = nAll
+        val sse = row.getDecimal(0).doubleValue() / 1.0e12
         // best candidate by variance-reduction gain; deterministic
         // tie-break on (feature, decile)
         val scored = cand.map { case (f, dec, th) =>
           val nl = row.getDouble(row.fieldIndex(s"n_${f}_$dec"))
-          val sl = row.getDouble(row.fieldIndex(s"s_${f}_$dec"))
+          val sl = row.getLong(row.fieldIndex(s"s_${f}_$dec"))
+            .toDouble / 1000000.0
           val nr = n - nl
           val gain =
             if (nl == 0 || nr == 0) 0.0
