@@ -959,7 +959,7 @@ object Linkage {
         else s"(SELECT live FROM r${k - 1}) AND p.gain > 0"
       s"""rr$k AS (
          |  SELECT p.ep, p.disc, p.qty,
-         |    CAST(round((p.y - (b.base$predTerms)) * 1000000.0, 0) AS BIGINT)
+         |    CAST(floor((p.y - (b.base$predTerms)) * 1000000.0 + 0.5) AS BIGINT)
          |      AS rq
          |  FROM pts p CROSS JOIN bs b$crossPrev),
          |agg$k AS (SELECT CAST(sum(CAST(rq AS HUGEINT) * rq) AS DOUBLE)
@@ -1004,7 +1004,7 @@ object Linkage {
        |  FROM lineitem),
        |bs AS (
        |  SELECT CAST(count(*) AS DOUBLE) AS n,
-       |    CAST(sum(CAST(round(y * 100.0, 0) AS BIGINT)) AS DOUBLE)
+       |    CAST(sum(CAST(floor(y * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
        |      / 100.0 / CAST(count(*) AS DOUBLE) AS base
        |  FROM pts),
        |grid AS (
@@ -1040,7 +1040,7 @@ object Linkage {
       // base score from exact cent sums (a float avg would be
       // partition-order noise the oracle can't replay)
       val bRow = li.agg(count(lit(1)).cast("double").as("n"),
-        sum(round(col("y") * 100.0, 0).cast("long")).as("yc")).collect()(0)
+        sum(floor(col("y") * 100.0 + lit(0.5)).cast("long")).as("yc")).collect()(0)
       val nAll = bRow.getDouble(0)
       val base = bRow.getLong(1).toDouble / 100.0 / nAll
       // candidate grid: EXACT per-feature deciles of a bounded md5
@@ -1073,15 +1073,19 @@ object Linkage {
         val r = col("y") - pred
         // residuals quantize to exact micro longs BEFORE any sum
         // (Round-7 rule); squares ride decimal(38,0) so the SSE stays
-        // exact at any SF
-        val rq = round(r * lit(1000000.0), 0).cast("long")
+        // exact at any SF. rq is floor(x + 0.5) (cheap Math.floor —
+        // round(x, 0) is a per-row BigDecimal) and is bound ONCE as a
+        // projected column: as an inline expression the 27 candidate
+        // branches each re-evaluated it (measured 4 → 25 s isolated).
+        val rq = floor(r * lit(1000000.0) + lit(0.5)).cast("long")
+        val withRq = li.withColumn("rq", rq)
         val aggs =
-          Seq(sum(rq.cast("decimal(19,0)") * rq.cast("decimal(19,0)"))
-            .as("sseq")) ++
+          Seq(sum(col("rq").cast("decimal(19,0)")
+            * col("rq").cast("decimal(19,0)")).as("sseq")) ++
           cand.flatMap { case (f, dec, th) => Seq(
             sum(when(col(f) <= th, 1.0).otherwise(0.0)).as(s"n_${f}_$dec"),
-            sum(when(col(f) <= th, rq).otherwise(0L)).as(s"s_${f}_$dec")) }
-        val row = li.agg(aggs.head, aggs.tail: _*).collect()(0)
+            sum(when(col(f) <= th, col("rq")).otherwise(0L)).as(s"s_${f}_$dec")) }
+        val row = withRq.agg(aggs.head, aggs.tail: _*).collect()(0)
         val n = nAll
         val sse = row.getDecimal(0).doubleValue() / 1.0e12
         // best candidate by variance-reduction gain; deterministic
