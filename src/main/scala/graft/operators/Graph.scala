@@ -2651,22 +2651,33 @@ object Graph {
     val edges = und.union(und.select(col("v").as("u"), col("u").as("v")))
     val dims = 0 until FastRpDims
     def ecol(j: Int) = s"e$j"
-    // hop-0: sparse random projection row per node, ±1/√d signs
+    // hop-0: sparse random projection row per node, ±1/√d signs —
+    // md5 parity (not xxhash64) so the DuckDB oracle replays the
+    // sign matrix identically
     val init = edges.select(col("u").as("node")).distinct()
       .select(col("node") +: dims.map(j =>
-        (when(xxhash64(col("node"), lit(j)) % 2 === 0, 1.0).otherwise(-1.0) /
+        (when(conv(substring(md5(concat_ws(",", col("node"), lit(j))),
+            1, 13), 16, 10).cast("long") % 2 === 0, 1.0).otherwise(-1.0) /
           math.sqrt(FastRpDims)).as(ecol(j))): _*)
     var x = init
     var acc = init.select(col("node") +:
       dims.map(j => (col(ecol(j)) * FastRpWeights.head).as(ecol(j))): _*)
     for (k <- 1 to 3) {
+      // per-hop values quantize to exact pico longs BEFORE the mean
+      // and the mean re-quantizes (Round-7 rule): every hop's floats
+      // are then partition-order invariant and replay in the oracle;
+      // the 1e-12 grid sits far below the 6-dp output rounding
       val msgs = edges.join(x, col("u") === col("node"))
-        .select(col("v").as("node") +: dims.map(j => col(ecol(j))): _*)
+        .select(col("v").as("node") +: dims.map(j =>
+          floor(col(ecol(j)) * lit(1000000000000.0) + lit(0.5))
+            .cast("long").as(ecol(j))): _*)
+      def qMean(j: Int) =
+        (floor(sum(col(ecol(j))).cast("double") / count(lit(1)) + lit(0.5))
+          .cast("long").cast("double") / lit(1000000000000.0)).as(ecol(j))
       // NOTE: previous x generations stay live — acc's lazy tree
       // joins every hop's checkpoint, so none may be freed here.
       x = msgs.groupBy(col("node"))
-        .agg(avg(col(ecol(0))).as(ecol(0)),
-          dims.tail.map(j => avg(col(ecol(j))).as(ecol(j))): _*)
+        .agg(qMean(0), dims.tail.map(qMean): _*)
         .localCheckpoint(eager = true)
       val w = FastRpWeights(k)
       acc = acc.join(x.select(col("node") +: dims.map(j =>
@@ -2677,12 +2688,65 @@ object Graph {
     acc
   }
 
-  /** FastRP embedding summary per node: L2 norm + leading dims,
-    * deterministic under any partitioning (hash init, mean
-    * propagation). Rows-only: ScalaTest replays the hop recursion in
-    * the driver and pins edge-vs-non-edge cosine homophily.
+  /** graph_fastrp's oracle: the md5-parity sign matrix, three
+    * quantized-mean propagation hops, and the weighted hop
+    * accumulation replayed with the engine's exact float order.
     */
-  val graphFastrp: QueryDef = QueryDef.rowsOnly("graph_fastrp") { (s, d) =>
+  private def fastrpOracle: String = {
+    val dims = 0 until FastRpDims
+    def sgn(j: Int): String =
+      s"(CASE WHEN CAST(concat('0x', substring(md5(concat_ws(',', node, '$j')), " +
+        s"1, 13)) AS BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END / sqrt($FastRpDims.0))"
+    val x0cols = dims.map(j => s"${sgn(j)} AS e$j").mkString(",\n    ")
+    val hops = (1 to 3).map { k =>
+      val mcols = dims.map(j =>
+        s"CAST(floor(x.e$j * 1000000000000.0 + 0.5) AS BIGINT) AS m$j")
+        .mkString(",\n      ")
+      val qcols = dims.map(j =>
+        s"CAST(floor(CAST(sum(m$j) AS DOUBLE) / count(*) + 0.5) AS BIGINT)" +
+          s" / 1000000000000.0 AS e$j").mkString(",\n    ")
+      s"""x$k AS MATERIALIZED (
+         |  SELECT node,
+         |    $qcols
+         |  FROM (SELECT e.v AS node,
+         |      $mcols
+         |    FROM edges2 e JOIN x${k - 1} x ON x.node = e.u)
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    val accCols = dims.map { j =>
+      val terms = (0 to 3)
+        .map(k => s"x$k.e$j * ${FastRpWeights(k)}").mkString(" + ")
+      s"$terms AS e$j"
+    }.mkString(",\n    ")
+    val l2 = dims.map(j => s"e$j * e$j").mkString(" + ")
+    s"""WITH te AS (
+       |  SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges2 AS MATERIALIZED (
+       |  SELECT src * 2 AS u, dst * 2 + 1 AS v FROM te
+       |  UNION ALL SELECT dst * 2 + 1 AS u, src * 2 AS v FROM te),
+       |x0 AS MATERIALIZED (
+       |  SELECT node,
+       |    $x0cols
+       |  FROM (SELECT DISTINCT u AS node FROM edges2)),
+       |$hops,
+       |acc AS (
+       |  SELECT x0.node,
+       |    $accCols
+       |  FROM x0 JOIN x1 ON x1.node = x0.node
+       |  JOIN x2 ON x2.node = x0.node JOIN x3 ON x3.node = x0.node)
+       |SELECT node, round(sqrt($l2), 6) AS l2_norm,
+       |  round(e0, 6) AS e0, round(e1, 6) AS e1
+       |FROM acc ORDER BY node LIMIT 50""".stripMargin
+  }
+
+  /** FastRP embedding summary per node: L2 norm + leading dims,
+    * deterministic under any partitioning (md5 sign init, quantized
+    * mean propagation — the DuckDB oracle replays all three hops);
+    * ScalaTest additionally replays the hop recursion in the driver
+    * and pins edge-vs-non-edge cosine homophily.
+    */
+  val graphFastrp: QueryDef = QueryDef.sql("graph_fastrp", fastrpOracle) { (s, d) =>
     val dims = 0 until FastRpDims
     fastRpEmbeddings(s, d)
       .select(col("node"),
