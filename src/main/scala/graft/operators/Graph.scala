@@ -2659,6 +2659,10 @@ object Graph {
         (when(conv(substring(md5(concat_ws(",", col("node"), lit(j))),
             1, 13), 16, 10).cast("long") % 2 === 0, 1.0).otherwise(-1.0) /
           math.sqrt(FastRpDims)).as(ecol(j))): _*)
+      // materialized ONCE: the hop join would otherwise re-evaluate
+      // the 8 md5 columns per EDGE row post-join (~2.4M MessageDigest
+      // calls per hop at sf0.1 — xxhash64 tolerated that, md5 doesn't)
+      .localCheckpoint(eager = true)
     var x = init
     var acc = init.select(col("node") +:
       dims.map(j => (col(ecol(j)) * FastRpWeights.head).as(ecol(j))): _*)
