@@ -32,6 +32,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
       }
+      // same between-queries hygiene as Bench: blocks/temp views/state
+      // stores a query leaves behind otherwise accumulate across all
+      // 449 entries in this one session
+      org.apache.spark.sql.graft.SessionHygiene.deepClear(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -1287,12 +1287,17 @@ object Dedup {
     * chunk-hash multiset tail), and a full driver replay.
     */
   /** dedup_cdc_chunks' oracle: the Gear roll and FNV-1a chunk hashes
-    * replay in DuckDB as a per-document fold over character codes —
-    * Java's wrapping 64-bit arithmetic emulated exactly in HUGEINT
-    * mod 2⁶⁴ (the gear table embeds as 256 unsigned literals; the
-    * byte xor touches only the low 8 bits so it runs in BIGINT).
-    * Chunk hashes only ever GROUP, so the signed↔unsigned mapping is
-    * invisible to the output.
+    * replay in DuckDB as a per-document fold over UTF-8 BYTES —
+    * matching the engine's text.cast(binary) chunking exactly (a
+    * code-point fold would diverge on any non-ASCII document: code
+    * points > 255 have no gear-table entry and one multi-byte char
+    * would collapse several FNV steps into one). Byte values come
+    * from hex(encode(text)) two-digit slices, since DuckDB BLOBs
+    * aren't directly indexable. Java's wrapping 64-bit arithmetic is
+    * emulated exactly in HUGEINT mod 2⁶⁴ (the gear table embeds as
+    * 256 unsigned literals; the byte xor touches only the low 8 bits
+    * so it runs in BIGINT). Chunk hashes only ever GROUP, so the
+    * signed↔unsigned mapping is invisible to the output.
     */
   private def cdcOracle: String = {
     def u(l: Long): String = java.lang.Long.toUnsignedString(l)
@@ -1304,16 +1309,21 @@ object Dedup {
     val hNext = s"(a[2] * 2 + g.g[CAST(x[1] AS INT) + 1]) % $M"
     val fNext = s"((a[3] - a[3] % 256 + " +
       s"xor(CAST(a[3] % 256 AS BIGINT), CAST(x[1] AS BIGINT))) * $prime) % $M"
+    val hexDigit = "'0123456789ABCDEF'"
     s"""WITH gt AS (SELECT $gear AS g),
+       |db AS (SELECT doc_id, hex(encode(text)) AS hx,
+       |              octet_length(encode(text)) AS nb
+       |       FROM documents WHERE octet_length(encode(text)) > 0),
        |folded AS (
        |  SELECT doc_id,
        |    list_reduce(
        |      list_prepend([0::HUGEINT, 0::HUGEINT, $fnv0, 0::HUGEINT],
-       |        list_transform(generate_series(1, len(text)),
-       |          i -> [CAST(ord(substr(text, i, 1)) AS HUGEINT)])),
+       |        list_transform(generate_series(1, nb),
+       |          i -> [CAST((strpos($hexDigit, substr(hx, 2*i-1, 1)) - 1) * 16
+       |                 + strpos($hexDigit, substr(hx, 2*i, 1)) - 1 AS HUGEINT)])),
        |      (a, x) -> CASE
        |        WHEN (a[4] + 1 >= $CdcMin AND ($hNext) % ${CdcMask + 1} = 0)
-       |          OR a[4] + 1 >= $CdcMax OR a[1] + 1 = len(text)
+       |          OR a[4] + 1 >= $CdcMax OR a[1] + 1 = nb
        |        THEN list_concat(
        |          list_concat([a[1] + 1, 0::HUGEINT, $fnv0, 0::HUGEINT],
        |            a[5:len(a)]),
@@ -1321,8 +1331,7 @@ object Dedup {
        |        ELSE list_concat([a[1] + 1, $hNext, $fNext, a[4] + 1],
        |          a[5:len(a)])
        |      END) AS st
-       |  FROM documents CROSS JOIN gt g
-       |  WHERE len(text) > 0),
+       |  FROM db CROSS JOIN gt g),
        |chunks AS MATERIALIZED (
        |  SELECT doc_id,
        |    st[5 + 2 * (k - 1)] AS chunk_hash,
@@ -1333,9 +1342,9 @@ object Dedup {
        |  CAST(count(*) AS INT) AS n_chunks,
        |  CAST(sum(CASE WHEN n.n_occ > 1 THEN 1 ELSE 0 END) AS INT)
        |    AS n_dup_chunks,
-       |  round(CAST(sum(CASE WHEN n.n_occ > 1 THEN c.chunk_len ELSE 0 END)
-       |      AS DOUBLE) / CAST(sum(c.chunk_len) AS DOUBLE), 4)
-       |    AS dup_byte_share
+       |  floor(CAST(sum(CASE WHEN n.n_occ > 1 THEN c.chunk_len ELSE 0 END)
+       |      AS DOUBLE) / CAST(sum(c.chunk_len) AS DOUBLE) * 10000 + 0.5)
+       |    / 10000.0 AS dup_byte_share
        |FROM chunks c JOIN cnts n USING (chunk_hash) GROUP BY c.doc_id
        |ORDER BY dup_byte_share DESC, doc_id LIMIT 20""".stripMargin
   }
@@ -1357,8 +1366,11 @@ object Dedup {
       .agg(count(lit(1)).cast("int").as("n_chunks"),
         sum(when(col("n_occurrences") > 1, 1L).otherwise(0L)).cast("int")
           .as("n_dup_chunks"),
-        round(sum(when(col("n_occurrences") > 1, col("chunk_len")).otherwise(0L))
-          / sum(col("chunk_len")), 4).as("dup_byte_share"))
+        // floor(x·10⁴+0.5)/10⁴ on BOTH sides instead of round(x, 4):
+        // identical IEEE ops in either engine, where round() is
+        // HALF_UP-on-BigDecimal in Spark vs scaled-double in DuckDB
+        (floor(sum(when(col("n_occurrences") > 1, col("chunk_len")).otherwise(0L))
+          / sum(col("chunk_len")) * 10000 + 0.5) / 10000.0).as("dup_byte_share"))
       .orderBy(col("dup_byte_share").desc, col("doc_id"))
       .limit(20)
   }

@@ -565,6 +565,15 @@ object EventOps {
       .filter(col("dst").isNotNull)
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // The DuckDB oracle replays a STATIC 3×3 Cramer system over
+    // exactly {view, click, signup}; a corpus missing one of them
+    // would silently fall to the breeze LU branch, whose float path
+    // need not match any oracle — fail loudly instead.
+    val transient = trans.keysIterator.flatMap { case (a, b) => Seq(a, b) }
+      .toSet -- Set("purchase", "error")
+    require(transient == Set("view", "click", "signup"),
+      s"events_absorbing's oracle assumes transient states " +
+        s"{view, click, signup}; corpus has $transient")
     absorbingProbabilities(s, trans, absorbing = Set("purchase", "error"),
       target = "purchase")
   }

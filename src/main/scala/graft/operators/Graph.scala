@@ -603,7 +603,14 @@ object Graph {
         col("l_extendedprice"))
       .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b"))
-      .agg(round(sum(col("l_extendedprice")), 2).as("w"))
+      // quantize-before-sum: each price becomes exact cents (a long)
+      // BEFORE aggregation, so the sum is integer arithmetic —
+      // order-independent and engine-independent. round(sum(double))
+      // was the one remaining partition-order-dependent float sum on
+      // an oracle-compared path: a half-ulp near a .005 boundary
+      // could flip both the printed weight and the Borůvka argmin.
+      .agg((sum(floor(col("l_extendedprice") * 100 + lit(0.5))).cast("double")
+        / 100.0).as("w"))
   }
 
   /** Minimum spanning tree by Borůvka's algorithm — THE distributed
@@ -664,7 +671,7 @@ object Graph {
     s"""WITH we AS MATERIALIZED (
        |  SELECT CAST(least(c_nationkey, s_nationkey) AS BIGINT) AS a,
        |         CAST(greatest(c_nationkey, s_nationkey) AS BIGINT) AS b,
-       |         round(sum(l_extendedprice), 2) AS w
+       |         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS w
        |  FROM lineitem
        |  JOIN orders ON l_orderkey = o_orderkey
        |  JOIN customer ON o_custkey = c_custkey
@@ -766,7 +773,7 @@ object Graph {
     s"""WITH we AS MATERIALIZED (
        |  SELECT CAST(least(c_nationkey, s_nationkey) AS BIGINT) AS a,
        |         CAST(greatest(c_nationkey, s_nationkey) AS BIGINT) AS b,
-       |         round(sum(l_extendedprice), 2) AS w
+       |         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS w
        |  FROM lineitem
        |  JOIN orders ON l_orderkey = o_orderkey
        |  JOIN customer ON o_custkey = c_custkey
@@ -787,7 +794,8 @@ object Graph {
     * trade = closer): $SsspIters Bellman–Ford rounds; the oracle
     * replays the identical relaxation as chained CTEs. Costs stay
     * hash-matchable because the only cross-engine float surface is
-    * the round(2) edge-revenue sum (the q1_pricing precedent) —
+    * the cent-quantized edge-revenue sum (integer cents summed, then
+    * one division — order-independent by construction) —
     * every later op (division, path addition, min) is identical
     * IEEE arithmetic on identical inputs.
     */

@@ -153,19 +153,35 @@ object KMeans {
     // (bit i set ⇔ row in iteration i's batch), so each of the 20
     // iteration filters is one cached bitwise test instead of a
     // per-row string hash or substring+conv.
+    //
+    // The slices come out via FOUR 60-bit conv parses (15 hex chars
+    // each) + codegen'd shift/and, not twenty per-slice
+    // substring+conv chains — the r7 spelling spent ~5 s at sf0.1
+    // in string parsing alone (20 conv calls/row). The extracted
+    // BITS are identical, so the oracle's per-slice
+    // '0x'||substr(md5,3s+1,3) replay is untouched.
     val xi = round(col("x") * 100).cast("long")
     val yi = round(col("y") * 100).cast("long")
     def h(m: Int) = md5(concat_ws(",", xi, yi, lit(m)))
+    val halves = pts.select(col("x"), col("y"),
+      conv(substring(h(0), 1, 15), 16, 10).cast("long").as("h0"),
+      conv(substring(h(0), 16, 15), 16, 10).cast("long").as("h1"),
+      conv(substring(h(1), 1, 15), 16, 10).cast("long").as("h2"),
+      conv(substring(h(1), 16, 15), 16, 10).cast("long").as("h3"))
     val mask = (0 until maxIter).map { i =>
-      when(pmod(conv(substring(h(i / 10), 3 * (i % 10) + 1, 3), 16, 10)
-        .cast("long"), lit(frac)) === 0, lit(1L << i)).otherwise(lit(0L))
+      // iteration i reads slice s = i%10 of md5 #(i/10); slice s
+      // lives in half h{2*(i/10) + s/5} at bit offset 48 - 12*(s%5)
+      val half = col(s"h${2 * (i / 10) + (i % 10) / 5}")
+      val sh = 48 - 12 * ((i % 10) % 5)
+      when(pmod(shiftright(half, sh).bitwiseAND(lit(4095L)), lit(frac)) === 0,
+        lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
-    val hashed = pts.select(col("x"), col("y"), mask.as("bmask")).persist()
+    val hashed = halves.select(col("x"), col("y"), mask.as("bmask")).persist()
     def inBatch(iter: Int): Column =
       col("bmask").bitwiseAND(lit(1L << iter)) =!= 0L
     try {
       minibatchLoop(hashed, init, tol, maxIter, inBatch)
-    } finally hashed.unpersist(false)
+    } finally hashed.unpersist(true)
   }
 
   private def minibatchLoop(pts: DataFrame, init: Array[(Double, Double)],
@@ -564,9 +580,11 @@ object KMeans {
     "kmeans_minibatch", minibatchOracle(K, 20, 1e-3, 5)) { (s, d) =>
     val allPts = points(Tables.lineitem(s, d))
     val init = initCentroids(allPts)
-    val pts = allPts.select("x", "y").persist()
-    val (cs, iters, converged) =
-      try minibatchLloyd(pts, init) finally pts.unpersist(false)
+    // no outer persist: minibatchLloyd scans pts exactly once (to
+    // build its own cached mask frame) — a second cache here only
+    // paid materialization for a single read
+    val pts = allPts.select("x", "y")
+    val (cs, iters, converged) = minibatchLloyd(pts, init)
     import s.implicits._
     cs.zipWithIndex.map { case ((x, y), i) =>
       (i.toLong, math.round(x * 1000) / 1000.0, math.round(y * 1000) / 1000.0,

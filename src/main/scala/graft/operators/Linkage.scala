@@ -254,6 +254,17 @@ object Linkage {
       .setItemsCol("items").setMinSupport((3.0 - 0.5) / nBaskets)
       .setMinConfidence(0.01)
       .fit(baskets)
+    // The oracle enumerates itemset levels only up to size 7; if the
+    // data ever produced a FREQUENT itemset bigger than that (≥3
+    // baskets sharing 8+ items), FPGrowth would emit rules the
+    // oracle silently omits — fail loudly instead of a mystery hash
+    // mismatch. (Raw basket size may exceed 7; only frequent-set
+    // size matters for rule parity.)
+    val maxSet = model.freqItemsets
+      .agg(max(size(col("items")))).head.getInt(0)
+    require(maxSet <= 7,
+      s"mining_assoc's oracle caps itemsets at size 7; " +
+        s"corpus has a frequent itemset of size $maxSet")
     model.associationRules
       .select(
         concat_ws(",", array_sort(col("antecedent"))).as("antecedent"),
@@ -1331,7 +1342,7 @@ object Linkage {
        |SELECT user_id, CAST(seq_len AS INTEGER) AS seq_len,
        |  CAST(CASE WHEN f[1] >= f[2] THEN f[3] ELSE f[4] END AS INTEGER)
        |    AS n_engaged,
-       |  round(greatest(f[1], f[2]), 4) AS viterbi_loglik
+       |  floor(greatest(f[1], f[2]) * 10000 + 0.5) / 10000.0 AS viterbi_loglik
        |FROM dp ORDER BY user_id""".stripMargin
   }
 
@@ -1374,7 +1385,8 @@ object Linkage {
         expr(dp).as("v"))
       .select(col("user_id"), col("seq_len"),
         col("v.n_engaged").as("n_engaged"),
-        round(col("v.loglik"), 4).as("viterbi_loglik"))
+        // floor spelling, not round(x,4) — see the mining_assoc note
+        (floor(col("v.loglik") * 10000 + 0.5) / 10000.0).as("viterbi_loglik"))
       .orderBy(col("user_id"))
   }
 

@@ -912,7 +912,7 @@ object Profile {
        |  GROUP BY r.a)
        |SELECT id, n_neighbors, lof FROM (
        |  SELECT g.a AS id, CAST(g.nn AS INT) AS n_neighbors,
-       |    round(g.mean_lrd_nb / l.lrd, 4) AS lof
+       |    floor(g.mean_lrd_nb / l.lrd * 10000 + 0.5) / 10000.0 AS lof
        |  FROM (
        |    SELECT knn.a,
        |      CAST(sum(CAST(round(lb.lrd * 1000000000.0, 0) AS BIGINT))
@@ -1004,7 +1004,11 @@ object Profile {
         count(lit(1)).as("n_neighbors"))
       .join(lrd, Seq("a"))
       .select(col("a").as("id"), col("n_neighbors").cast("int").as("n_neighbors"),
-        round(col("mean_lrd_nb") / col("lrd"), 4).as("lof"))
+        // floor(x·10⁴+0.5)/10⁴, not round(x,4): identical IEEE ops in
+        // both engines (Spark round is HALF_UP on BigDecimal, DuckDB
+        // rounds the scaled double — they differ on exact halves)
+        (floor(col("mean_lrd_nb") / col("lrd") * 10000 + 0.5) / 10000.0)
+          .as("lof"))
     lof.orderBy(col("lof").desc, col("id")).limit(20)
   }
 

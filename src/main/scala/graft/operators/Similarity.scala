@@ -41,8 +41,8 @@ object Similarity {
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
       |SELECT vec_id,
-      |  round(list_dot_product(v, qv)
-      |    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 4) AS cos_sim
+      |  (floor((list_dot_product(v, qv)
+      |    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))) * 10000 + 0.5) / 10000.0) AS cos_sim
       |FROM e CROSS JOIN q WHERE vec_id <> 0
       |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
     val e = vectors(s, d)
@@ -50,7 +50,7 @@ object Similarity {
     e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
-        round(cosine(col("v"), col("qv")), 4).as("cos_sim"))
+        (floor((cosine(col("v"), col("qv"))) * 10000 + 0.5) / 10000.0).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(10)
   }
@@ -62,7 +62,7 @@ object Similarity {
       |           FROM embeddings WHERE vec_id < 100),
       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
       |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
-      |        round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos_sim
+      |        (floor((list_dot_product(a.v, b.v) / (a.nrm * b.nrm)) * 10000 + 0.5) / 10000.0) AS cos_sim
       |      FROM n a JOIN n b ON a.vec_id <> b.vec_id),
       |r AS (SELECT *, row_number() OVER (PARTITION BY id1
       |        ORDER BY cos_sim DESC, id2) AS rn FROM p)
@@ -73,7 +73,7 @@ object Similarity {
     val p = n.toDF("id1", "v", "nrm")
       .join(n.toDF("id2", "v2", "nrm2"), col("id1") =!= col("id2"))
       .select(col("id1"), col("id2"),
-        round(dot(col("v"), col("v2")) / (col("nrm") * col("nrm2")), 4).as("cos_sim"))
+        (floor((dot(col("v"), col("v2")) / (col("nrm") * col("nrm2"))) * 10000 + 0.5) / 10000.0).as("cos_sim"))
     val w = Window.partitionBy(col("id1")).orderBy(col("cos_sim").desc, col("id2"))
     p.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select("id1", "id2", "cos_sim")
@@ -169,7 +169,7 @@ object Similarity {
         col("qt") === col("t") && col("probe") === col("sig") &&
           col("id1") =!= col("id2"))
       .select(col("id1"), col("id2"),
-        round(dot(col("qv"), col("v2")) / (col("qnrm") * col("nrm2")), 4).as("cos_sim"))
+        (floor((dot(col("qv"), col("v2")) / (col("qnrm") * col("nrm2"))) * 10000 + 0.5) / 10000.0).as("cos_sim"))
       .distinct() // same pair via several tables/probes → one row
     val w = Window.partitionBy(col("id1")).orderBy(col("cos_sim").desc, col("id2"))
     p.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
@@ -303,7 +303,7 @@ object Similarity {
         Seq("list"))
       .filter(col("id1") =!= col("id2"))
       .select(col("id1"), col("id2"),
-        round(dot(col("qv"), col("v2")) / (col("qnrm") * col("nrm2")), 4).as("cos_sim"))
+        (floor((dot(col("qv"), col("v2")) / (col("qnrm") * col("nrm2"))) * 10000 + 0.5) / 10000.0).as("cos_sim"))
     val w = Window.partitionBy(col("id1")).orderBy(col("cos_sim").desc, col("id2"))
     p.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select("id1", "id2", "cos_sim")
@@ -370,7 +370,7 @@ object Similarity {
     val ids = shortlist.collect().map(_.getLong(0))
     val qlit = array(q.map(lit): _*)
     e.filter(col("vec_id").isin(ids.map(java.lang.Long.valueOf): _*))
-      .select(col("vec_id"), round(dot(unit(col("v")), qlit), 4).as("cos_sim"))
+      .select(col("vec_id"), (floor((dot(unit(col("v")), qlit)) * 10000 + 0.5) / 10000.0).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(10)
   }
@@ -495,7 +495,7 @@ object Similarity {
        |  GROUP BY c.vec_id),
        |short AS (SELECT vec_id FROM sims
        |          ORDER BY approx_sim DESC, vec_id LIMIT $shortlist)
-       |SELECT eu.vec_id, round(list_dot_product(eu.u, q.qu), 4) AS cos_sim
+       |SELECT eu.vec_id, (floor((list_dot_product(eu.u, q.qu)) * 10000 + 0.5) / 10000.0) AS cos_sim
        |FROM eu JOIN short ON short.vec_id = eu.vec_id CROSS JOIN q
        |ORDER BY cos_sim DESC, eu.vec_id LIMIT 10""".stripMargin
 
@@ -542,8 +542,8 @@ object Similarity {
       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
       |top AS (
       |  SELECT vec_id,
-      |    round(list_dot_product(v, qv)
-      |      / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 4) AS cos_sim
+      |    (floor((list_dot_product(v, qv)
+      |      / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))) * 10000 + 0.5) / 10000.0) AS cos_sim
       |  FROM e CROSS JOIN q WHERE vec_id <> 0
       |  ORDER BY cos_sim DESC, vec_id LIMIT 5)
       |SELECT t.vec_id, t.cos_sim, d.lang, d.source, d.n_chars
@@ -553,7 +553,7 @@ object Similarity {
     val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
     val top = e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
-      .select(col("vec_id"), round(cosine(col("v"), col("qv")), 4).as("cos_sim"))
+      .select(col("vec_id"), (floor((cosine(col("v"), col("qv"))) * 10000 + 0.5) / 10000.0).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(5)
     broadcast(top)
@@ -769,7 +769,7 @@ object Similarity {
        |  JOIN lut l ON l.list = e.list AND l.m = e.m AND l.cid = e.cid
        |  WHERE e.vec_id <> 0 GROUP BY e.vec_id),
        |short AS (SELECT vec_id FROM adcs ORDER BY adc_dist, vec_id LIMIT $shortlist)
-       |SELECT eu.vec_id, round(list_dot_product(eu.u, q.u), 4) AS cos_sim
+       |SELECT eu.vec_id, (floor((list_dot_product(eu.u, q.u)) * 10000 + 0.5) / 10000.0) AS cos_sim
        |FROM eu JOIN short ON short.vec_id = eu.vec_id CROSS JOIN qv q
        |ORDER BY cos_sim DESC, eu.vec_id LIMIT 10""".stripMargin
   }
@@ -877,7 +877,7 @@ object Similarity {
       .join(probed.toDF("id2", "u2", "list2"),
         col("list") === col("list2") && col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
-        round(dot(col("u1"), col("u2")), 4).as("cos_sim"))
+        (floor((dot(col("u1"), col("u2"))) * 10000 + 0.5) / 10000.0).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
       .distinct()
       .orderBy(col("id1"), col("id2"))
@@ -907,10 +907,10 @@ object Similarity {
        |    FROM eu CROSS JOIN fc3 c) WHERE rn <= $probes),
        |pairs AS MATERIALIZED (
        |  SELECT DISTINCT p1.vec_id AS id1, p2.vec_id AS id2,
-       |    round(list_dot_product(p1.u, p2.u), 4) AS cos_sim
+       |    (floor((list_dot_product(p1.u, p2.u)) * 10000 + 0.5) / 10000.0) AS cos_sim
        |  FROM probed p1 JOIN probed p2
        |    ON p2.list = p1.list AND p1.vec_id < p2.vec_id
-       |  WHERE round(list_dot_product(p1.u, p2.u), 4) >= $threshold)""".stripMargin
+       |  WHERE (floor((list_dot_product(p1.u, p2.u)) * 10000 + 0.5) / 10000.0) >= $threshold)""".stripMargin
 
   private[graft] def ivfPairsOraclePrefix: String =
     s"${ivfFitCtes(NLists, 3, 4096)},\n${ivfPairsCtes(0.35, 2)}"
@@ -939,8 +939,8 @@ object Similarity {
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |p AS (
       |  SELECT a.vec_id AS src, b.vec_id AS dst,
-      |    round(list_dot_product(a.v, b.v)
-      |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)
+      |    (floor((list_dot_product(a.v, b.v)
+      |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) * 10000 + 0.5) / 10000.0)
       |      AS cos_sim
       |  FROM e a CROSS JOIN e b WHERE a.vec_id <> b.vec_id),
       |ranked AS (
@@ -960,7 +960,7 @@ object Similarity {
     a.crossJoin(b)
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"),
-        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4)
+        (floor((dot(col("va"), col("vb")) / (col("na") * col("nb"))) * 10000 + 0.5) / 10000.0)
           .as("cos_sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 4)
@@ -1003,8 +1003,8 @@ object Similarity {
        |prb AS (SELECT vec_id, cid AS list FROM dists WHERE r <= $probes),
        |cand AS (
        |  SELECT p.vec_id AS src, a.vec_id AS dst,
-       |    round(list_dot_product(q.v, t.v)
-       |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(t.v, t.v))), 4)
+       |    (floor((list_dot_product(q.v, t.v)
+       |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(t.v, t.v)))) * 10000 + 0.5) / 10000.0)
        |      AS cos_sim
        |  FROM prb p JOIN asg a ON a.list = p.list AND a.vec_id <> p.vec_id
        |  JOIN e0 q ON q.vec_id = p.vec_id
@@ -1025,8 +1025,8 @@ object Similarity {
        |  WHERE a.src <> b.dst),
        |extra AS (
        |  SELECT n.src, n.dst,
-       |    round(list_dot_product(q.v, t.v)
-       |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(t.v, t.v))), 4)
+       |    (floor((list_dot_product(q.v, t.v)
+       |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(t.v, t.v)))) * 10000 + 0.5) / 10000.0)
        |      AS cos_sim
        |  FROM nn2 n JOIN e0 q ON q.vec_id = n.src
        |  JOIN e0 t ON t.vec_id = n.dst),
@@ -1067,7 +1067,7 @@ object Similarity {
     val cand = probes.join(assigned, Seq("list"))
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"),
-        round(dot(col("qv"), col("v2")) / (col("qnrm") * col("nrm2")), 4)
+        (floor((dot(col("qv"), col("v2")) / (col("qnrm") * col("nrm2"))) * 10000 + 0.5) / 10000.0)
           .as("cos_sim"))
     // keep a WIDER intermediate list (top-8) for the refinement round
     // — the extra candidates are exactly the pool NN-descent mines —
@@ -1101,7 +1101,7 @@ object Similarity {
       .join(vecs.select(col("vec_id").as("dst"), col("v").as("v2"),
         col("nrm").as("nrm2")), "dst")
       .select(col("src"), col("dst"),
-        round(dot(col("qv"), col("v2")) / (col("qnrm") * col("nrm2")), 4)
+        (floor((dot(col("qv"), col("v2")) / (col("qnrm") * col("nrm2"))) * 10000 + 0.5) / 10000.0)
           .as("cos_sim"))
     val refined = top.select("src", "dst", "cos_sim").unionAll(extra)
       .dropDuplicates("src", "dst")
@@ -1236,7 +1236,7 @@ object Similarity {
        |  FROM enc e JOIN lut l ON l.m = e.m AND l.cid = e.cid
        |  WHERE e.vec_id <> 0 GROUP BY e.vec_id),
        |short AS (SELECT vec_id FROM adcs ORDER BY adc_dist, vec_id LIMIT $shortlist)
-       |SELECT eu.vec_id, round(list_dot_product(eu.u, q.qu), 4) AS cos_sim
+       |SELECT eu.vec_id, (floor((list_dot_product(eu.u, q.qu)) * 10000 + 0.5) / 10000.0) AS cos_sim
        |FROM eu JOIN short ON short.vec_id = eu.vec_id
        |CROSS JOIN (SELECT u AS qu FROM eu WHERE vec_id = 0) q
        |ORDER BY cos_sim DESC, eu.vec_id LIMIT 10""".stripMargin
@@ -1261,8 +1261,8 @@ object Similarity {
        |           WHERE vec_id < 20 AND r <= $nProbe),
        |cand AS (
        |  SELECT p.id1, a.vec_id AS id2,
-       |    round(list_dot_product(q.v, t.v)
-       |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(t.v, t.v))), 4)
+       |    (floor((list_dot_product(q.v, t.v)
+       |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(t.v, t.v)))) * 10000 + 0.5) / 10000.0)
        |      AS cos_sim
        |  FROM probes p JOIN asg a ON a.list = p.list AND a.vec_id <> p.id1
        |  JOIN e0 q ON q.vec_id = p.id1
@@ -1284,9 +1284,9 @@ object Similarity {
        |    FROM eu CROSS JOIN fc$iters c) WHERE r = 1),
        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e0)
        |SELECT list, count(*) AS n_vectors,
-       |  round(count(*) / (SELECT n FROM nn), 4) AS share,
-       |  round(avg(sqrt(greatest(dist + 1.0, 0.0))), 4) AS mean_resid_l2,
-       |  round(max(sqrt(greatest(dist + 1.0, 0.0))), 4) AS max_resid_l2
+       |  (floor((count(*) / (SELECT n FROM nn)) * 10000 + 0.5) / 10000.0) AS share,
+       |  (floor((avg(sqrt(greatest(dist + 1.0, 0.0)))) * 10000 + 0.5) / 10000.0) AS mean_resid_l2,
+       |  (floor((max(sqrt(greatest(dist + 1.0, 0.0)))) * 10000 + 0.5) / 10000.0) AS max_resid_l2
        |FROM asg GROUP BY list ORDER BY list""".stripMargin
   }
 
@@ -1303,9 +1303,9 @@ object Similarity {
         sqrt(greatest(col("best.dist") + 1.0, lit(0.0))).as("resid"))
     assigned.groupBy(col("list"))
       .agg(count(lit(1)).as("n_vectors"),
-        round(count(lit(1)) / n, 4).as("share"),
-        round(avg(col("resid")), 4).as("mean_resid_l2"),
-        round(max(col("resid")), 4).as("max_resid_l2"))
+        (floor((count(lit(1)) / n) * 10000 + 0.5) / 10000.0).as("share"),
+        (floor((avg(col("resid"))) * 10000 + 0.5) / 10000.0).as("mean_resid_l2"),
+        (floor((max(col("resid"))) * 10000 + 0.5) / 10000.0).as("max_resid_l2"))
       .orderBy(col("list"))
   }
 
@@ -1325,8 +1325,8 @@ object Similarity {
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
        |SELECT vec_id,
-       |  round(list_dot_product(v, qv)
-       |    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 4) AS cos_sim
+       |  (floor((list_dot_product(v, qv)
+       |    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))) * 10000 + 0.5) / 10000.0) AS cos_sim
        |FROM e CROSS JOIN q
        |WHERE vec_id <> 0
        |  AND list_dot_product(v, qv)
@@ -1337,7 +1337,7 @@ object Similarity {
     e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
       .filter(cosine(col("v"), col("qv")) >= RangeRadius)
-      .select(col("vec_id"), round(cosine(col("v"), col("qv")), 4).as("cos_sim"))
+      .select(col("vec_id"), (floor((cosine(col("v"), col("qv"))) * 10000 + 0.5) / 10000.0).as("cos_sim"))
       .orderBy(col("vec_id"))
   }
 
@@ -1363,7 +1363,7 @@ object Similarity {
       |      FROM e CROSS JOIN q WHERE vec_id <> qid),
       |r AS (SELECT qid, vec_id, ip, row_number() OVER (PARTITION BY qid
       |        ORDER BY ip DESC, vec_id) AS rn FROM p)
-      |SELECT qid, vec_id, round(ip, 4) AS ip
+      |SELECT qid, vec_id, (floor((ip) * 10000 + 0.5) / 10000.0) AS ip
       |FROM r WHERE rn <= 10 ORDER BY qid, ip DESC, vec_id""".stripMargin) { (s, d) =>
     val e = vectors(s, d)
     val q = e.filter(col("vec_id") < 5)
@@ -1375,7 +1375,7 @@ object Similarity {
         keys = Seq(col("qid")),
         order = Seq(col("ip").desc, col("vec_id").asc),
         k = 10)
-      .select(col("qid"), col("vec_id"), round(col("ip"), 4).as("ip"))
+      .select(col("qid"), col("vec_id"), (floor((col("ip")) * 10000 + 0.5) / 10000.0).as("ip"))
       .orderBy(col("qid"), col("ip").desc, col("vec_id"))
   }
 
@@ -1398,8 +1398,8 @@ object Similarity {
     """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
       |p AS (
       |  SELECT a.vec_id AS src, a.label AS truth, b.label AS nb_label,
-      |    round(list_dot_product(a.v, b.v)
-      |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)
+      |    (floor((list_dot_product(a.v, b.v)
+      |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) * 10000 + 0.5) / 10000.0)
       |      AS cos_sim, b.vec_id AS dst
       |  FROM e a CROSS JOIN e b WHERE a.vec_id <> b.vec_id),
       |ranked AS (
@@ -1443,7 +1443,7 @@ object Similarity {
       .partitionBy(col("src")).orderBy(col("n_votes").desc, col("nb_label"))
     a.crossJoin(b).filter(col("src") =!= col("dst"))
       .select(col("src"), col("truth"), col("nb_label"), col("dst"),
-        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4)
+        (floor((dot(col("va"), col("vb")) / (col("na") * col("nb"))) * 10000 + 0.5) / 10000.0)
           .as("cos_sim"))
       .withColumn("rank", row_number().over(wNn))
       .filter(col("rank") <= k)
@@ -1762,8 +1762,8 @@ object Similarity {
     """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
       |q AS (SELECT label AS ql, v AS qv FROM e WHERE vec_id = 0)
       |SELECT vec_id, label,
-      |  round(list_dot_product(v, qv)
-      |    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 4) AS cos_sim
+      |  (floor((list_dot_product(v, qv)
+      |    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))) * 10000 + 0.5) / 10000.0) AS cos_sim
       |FROM e CROSS JOIN q
       |WHERE vec_id <> 0 AND label = ql
       |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
@@ -1774,8 +1774,8 @@ object Similarity {
     val (ql, qv) = (q.getInt(1), q.getSeq[Double](2))
     e.filter(col("vec_id") =!= 0 && col("label") === lit(ql))
       .select(col("vec_id"), col("label"),
-        round(cosine(col("v"),
-          lit(qv.toArray)), 4).as("cos_sim"))
+        (floor((cosine(col("v"),
+          lit(qv.toArray))) * 10000 + 0.5) / 10000.0).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(10)
   }
@@ -1801,7 +1801,7 @@ object Similarity {
     val exact1 = e.toDF("id2", "v2", "n2")
       .join(broadcast(q), col("id1") =!= col("id2"))
       .select(col("id1"), col("id2"),
-        round(dot(col("qv"), col("v2")) / (col("qn") * col("n2")), 4).as("cos_sim"))
+        (floor((dot(col("qv"), col("v2")) / (col("qn") * col("n2"))) * 10000 + 0.5) / 10000.0).as("cos_sim"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("id1"), col("id2").as("nn"))
     def top1Recall(method: String, got: DataFrame): DataFrame =
@@ -1810,7 +1810,7 @@ object Similarity {
           sum(when(col("got") === col("nn"), 1).otherwise(0)).as("hits"))
         .select(lit(method).as("method"), lit(1).as("k"),
           col("nq").as("n_queries"),
-          round(col("hits") / col("nq"), 4).as("recall"))
+          (floor((col("hits") / col("nq")) * 10000 + 0.5) / 10000.0).as("recall"))
     val lsh = top1Recall("lsh",
       annLsh.fn(s, d).select(col("id1"), col("id2").as("got")))
     val ivf = top1Recall("ivf",
@@ -1821,7 +1821,7 @@ object Similarity {
         .join(broadcast(exact10), col("vec_id") === col("t10"), "left_semi")
         .agg(count(lit(1)).as("hits"))
         .select(lit(method).as("method"), lit(10).as("k"),
-          lit(1L).as("n_queries"), round(col("hits") / lit(10.0), 4).as("recall"))
+          lit(1L).as("n_queries"), (floor((col("hits") / lit(10.0)) * 10000 + 0.5) / 10000.0).as("recall"))
     val sq8 = top10Overlap("sq8", annSq8.fn(s, d))
     val pq = top10Overlap("pq", annPq.fn(s, d))
     val ivfpq = top10Overlap("ivfpq", annIvfPq.fn(s, d))

@@ -199,9 +199,65 @@ object CheckpointBridge {
     case c: org.apache.spark.sql.classic.Dataset[_] =>
       c.queryExecution.analyzed.foreach {
         case lr: org.apache.spark.sql.execution.LogicalRDD =>
-          lr.rdd.unpersist(blocking = false)
+          // blocking: async removal defers the freeing work (block
+          // eviction + driver bookkeeping) onto whatever runs next —
+          // in a benchmark suite that lands INSIDE the next entry's
+          // timed region and showed up as migrating 36-40x outliers.
+          // In-process removal is a fast synchronous call; paying it
+          // at the free() site keeps every measurement clean.
+          lr.rdd.unpersist(blocking = true)
         case _ => ()
       }
     case _ => ()
+  }
+
+  /** Ids of the checkpoint RDDs behind a Dataset (empty for plain
+    * plans) — lets tests assert on the SPECIFIC blocks a roll
+    * creates/frees rather than on a global persistent-RDD count,
+    * which races the ContextCleaner reaping unrelated dead RDDs.
+    */
+  def rddIds(df: org.apache.spark.sql.Dataset[_]): Seq[Int] = df match {
+    case c: org.apache.spark.sql.classic.Dataset[_] =>
+      c.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+      }
+    case _ => Seq.empty
+  }
+}
+
+/** Deep between-queries session cleanup for the Bench/Verify
+  * harnesses. Lives in the spark.sql namespace for access to the
+  * `private[spark]` listener bus and the streaming state-store
+  * registry. Callers invoke this OUTSIDE the timed region: cleanup
+  * latency paid here is measured as nothing, where the async
+  * alternative bleeds into the next entry's measurement.
+  */
+object SessionHygiene {
+  def deepClear(s: org.apache.spark.sql.SparkSession): Unit = {
+    val classic = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val sc = classic.sparkContext
+    // a stray streaming query a failed entry left running would both
+    // burn cores and hold state stores for the rest of the suite
+    classic.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
+    classic.streams.resetTerminated()
+    // memory-sink temp views pin their result rows on the driver for
+    // the rest of the suite (each streaming entry registers one);
+    // every operator (re)creates the views it needs, so dropping all
+    // temporary views between entries is safe
+    val cat = classic.sessionState.catalog
+    cat.getTempViewNames().foreach(cat.dropTempView)
+    // synchronous block release — see CheckpointBridge.free
+    sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    classic.catalog.clearCache()
+    // unload streaming state-store providers: each keeps recent state
+    // versions as in-memory maps keyed by a stopped query's run id,
+    // and the maintenance thread keeps touching them; providers
+    // reload lazily from their checkpoint if ever needed again
+    try org.apache.spark.sql.execution.streaming.state.StateStore.unloadAll()
+    catch { case _: Throwable => () }
+    // drain the listener bus so per-entry IO metrics attribute to the
+    // entry that produced them, not the next one
+    try sc.listenerBus.waitUntilEmpty()
+    catch { case _: java.util.concurrent.TimeoutException => () }
   }
 }

@@ -111,12 +111,15 @@ class TpchSpec extends AnyFunSuite {
 
   // ---- partsupp-derived completions (Q2/Q9/Q11/Q16/Q20) --------------
 
-  test("q2_mincost: dims broadcast, one (part,supp) corpus exchange, rows are per-part minima") {
+  test("q2_mincost: dims broadcast, zero corpus exchanges (supply staged), rows are per-part minima") {
     val p = plan("q2_mincost")
+    // r8: the derived supply relation is STAGED (Warehouse artifact),
+    // so the (l_partkey, l_suppkey) corpus shuffle is paid once at
+    // ingest — the query plan itself must carry NO corpus exchange
     val corpusExchanges =
       "Exchange hashpartitioning\\(l_partkey#\\d+L?, l_suppkey".r.findAllIn(p).length
-    assert(corpusExchanges == 1,
-      s"derived partsupp must be the only corpus shuffle, got $corpusExchanges in:\n$p")
+    assert(corpusExchanges == 0,
+      s"supply is staged; expected zero corpus shuffles, got $corpusExchanges in:\n$p")
     assert(p.contains("BroadcastHashJoin"))
     import org.apache.spark.sql.functions._
     val out = SparkEntry.queries("q2_mincost")(spark, sf)
