@@ -150,6 +150,22 @@ object Bench {
       val io0 = io.snapshot
       val s1 = once()
       val io1 = io.snapshot
+      // opt-in per-entry JVM aging diagnostics (stderr only): used to
+      // localize in-suite inflation that no small-subset repro shows
+      if (sys.env.contains("SPARK_GRAFT_BENCH_DEBUG")) {
+        import java.lang.management.ManagementFactory
+        import scala.jdk.CollectionConverters._
+        val gcs = ManagementFactory.getGarbageCollectorMXBeans.asScala
+        val meta = ManagementFactory.getMemoryPoolMXBeans.asScala
+          .find(_.getName.contains("Metaspace"))
+          .map(_.getUsage.getUsed / 1e6).getOrElse(-1.0)
+        System.err.println(
+          f"[bench-debug] $name sec=$s1%.2f thr=${Thread.activeCount()} " +
+            f"gcMs=${gcs.map(_.getCollectionTime).sum} " +
+            f"classes=${ManagementFactory.getClassLoadingMXBean.getLoadedClassCount} " +
+            f"metaMB=$meta%.0f " +
+            f"heapMB=${ManagementFactory.getMemoryMXBean.getHeapMemoryUsage.getUsed / 1e6}%.0f")
+      }
       // Single-sample timings on a virtualized host spike 2-4x under
       // contention invisible from inside the VM, and the spikes
       // MIGRATE between entries run-to-run (r7: both committed
