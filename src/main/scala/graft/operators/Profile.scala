@@ -905,8 +905,9 @@ object Profile {
        |lrd AS MATERIALIZED (
        |  SELECT r.a,
        |    CAST(count(*) AS DOUBLE)
-       |      / (CAST(sum(CAST(round(r.reach * 1000000000000.0, 0) AS BIGINT))
-       |          AS DOUBLE) / 1000000000000.0) AS lrd
+       |      / (CAST(greatest(
+       |            sum(CAST(round(r.reach * 1000000000000.0, 0) AS BIGINT)),
+       |            count(*) * 1000) AS DOUBLE) / 1000000000000.0) AS lrd
        |  FROM (SELECT knn.a, greatest(kb.kdist, knn.dist) AS reach
        |        FROM knn JOIN kdist kb ON kb.a = knn.b) r
        |  GROUP BY r.a)
@@ -934,25 +935,64 @@ object Profile {
           round(col("y") * 100.0, 0).cast("long"))), 1, 13), 16, 10)
         .cast("long").as("id"), col("x"), col("y"))
       .distinct()
-    // normalization + grid constants resolve driver-side (O(1) row)
-    // and land in the plan as LITERALS — no broadcast crossJoin, and
-    // the probe rows carry nothing but (id, u, v, cell)
+      // one scan+md5+distinct serves the stats aggregate and every
+      // consumer below. persist, NOT localCheckpoint: a checkpointed
+      // RDD scan comes back with UnknownPartitioning, which forfeits
+      // every exchange reuse downstream; the cached plan keeps its
+      // partitioning. The stats collect materializes it eagerly.
+      .persist()
+    // normalization + grid constants (and the strategy pick below)
+    // resolve driver-side from ONE O(1)-row aggregate and land in the
+    // plan as LITERALS — no broadcast crossJoin
     val st = raw.agg(
       min(col("x")), max(col("x")), min(col("y")), max(col("y")),
-      count(lit(1)).cast("double")).collect()(0)
+      count(lit(1)).cast("double"),
+      approx_count_distinct(struct(col("x"), col("y")))).collect()(0)
     val (xmin, xmax, ymin, ymax, n) = (st.getDouble(0), st.getDouble(1),
       st.getDouble(2), st.getDouble(3), st.getDouble(4))
+    val dupRatio = n / math.max(1.0, st.getLong(5).toDouble)
     val h = math.sqrt(4.0 / n)
     val pts = raw.select(col("id"),
       ((col("x") - xmin) / math.max(xmax - xmin, 1e-12)).as("u"),
       ((col("y") - ymin) / math.max(ymax - ymin, 1e-12)).as("v"))
+    // DENSITY-ADAPTIVE STRATEGY PICK (the sf1 fix). The h = √(4/n)
+    // grid pitch assumes continuous coordinates; duplicated corpora
+    // (x = l_quantity is ~50-valued, and replicated corpora repeat
+    // whole points) saturate cells and the per-id pair stage goes
+    // quadratic in cell population (OOMed at sf1 under 8 GiB). Both
+    // strategies below compute the IDENTICAL result (the pooled path
+    // is an exact algebraic factoring of the per-id path, ScalaTest-
+    // pinned equal); the pick — an AQE-style plan-time decision off
+    // the same one-row aggregate that already feeds h — trades the
+    // per-id path's lean plumbing for duplicate collapse only when
+    // duplication is actually present (>1.25× ids per coordinate;
+    // approx_count_distinct's ~2% error is far from the decision
+    // boundary on any corpus where the choice matters).
+    if (dupRatio <= 1.25) lofPerId(pts, h, k)
+    else lofPooled(pts, h, k)
+  }
+
+  /** Per-id LOF path for ~distinct coordinates: candidate pairs from
+    * a map-side 9-cell probe explode joined on cell equality, exact
+    * radius-h filter, native TopKPerKey kNN cap, then the reach/lrd/
+    * LOF algebra as three id-keyed hash joins over the O(k·n) kNN
+    * relation. Candidate work is Σ|cell|·9c ≈ 9c·n — linear while the
+    * grid's uniformity assumption holds (distinct coordinates), which
+    * is exactly when this path is selected.
+    */
+  private[graft] def lofPerId(pts: DataFrame, h: Double, k: Int): DataFrame = {
     // materialize once: the probe and build sides of the cell join
     // would otherwise EACH re-run the scan + hash + distinct chain
     val cells = pts
       .withColumn("cx", floor(col("u") / h).cast("long"))
       .withColumn("cy", floor(col("v") / h).cast("long"))
-      .localCheckpoint(true)
-    // probe side explodes to the 9-cell neighborhood (map-side O(9n))
+      .persist()
+    // probe side explodes to the 9-cell neighborhood (map-side O(9n));
+    // quantized axes leave most of the ring EMPTY (neighboring value-
+    // columns sit many cells away), so probes are semi-joined against
+    // the occupied-cell set before the cell-join exchange — AQE
+    // broadcasts it while small, shuffled semi join at scale.
+    val occupied = cells.select(col("cx"), col("cy")).distinct()
     val probe = cells.select(col("id").as("a"), col("u").as("ua"),
         col("v").as("va"),
         explode(array((-1 to 1).flatMap(dx => (-1 to 1).map(dy =>
@@ -960,6 +1000,7 @@ object Profile {
           .as("j"))
       .select(col("a"), col("ua"), col("va"),
         col("j.jx").as("cx"), col("j.jy").as("cy"))
+      .join(occupied, Seq("cx", "cy"), "left_semi")
     val pairs = probe.join(
         cells.select(col("id").as("b"), col("u").as("ub"), col("v").as("vb"),
           col("cx"), col("cy")),
@@ -979,24 +1020,34 @@ object Profile {
     // full pair list only to discard all but k rows — TopKPerKey keeps
     // a bounded k-row buffer per key on the map side, so the one
     // exchange carries O(k·n) survivors instead of the ~πc·n candidate
-    // pairs, and NO sort runs anywhere. The k·n-row result is
-    // checkpointed ONCE for its three consumers (kdist, reach, lof)
-    // so the grid-pair stage never re-runs.
+    // pairs, and NO sort runs anywhere. Cached (hash(a) partitioning
+    // preserved) for its three consumers (kdist, reach, lof) so the
+    // grid-pair stage never re-runs and the groupBy(a)s are
+    // exchange-free.
     val knn = org.apache.spark.sql.graft.TopKOps.topKPerKey(
         pairs, Seq(col("a")), Seq(col("dist").asc, col("b").asc), k)
       .select(col("a"), col("b"), col("dist"))
-      .localCheckpoint(true)
+      .persist()
     val kdist = knn.groupBy(col("a"))
       .agg(max(col("dist")).as("kdist"), count(lit(1)).as("ka"))
     val reach = knn.join(
         kdist.select(col("a").as("b"), col("kdist").as("kdist_b")), Seq("b"))
       .withColumn("reach", greatest(col("kdist_b"), col("dist")))
     // reach/lrd sums on exact quantized longs — the ≤k-value float
-    // sums would otherwise be partition-order sensitive (Round-7 rule)
+    // sums would otherwise be partition-order sensitive (Round-7 rule).
+    // The 1000·count reach-sum floor handles DEGENERATE density (all
+    // k neighbors at distance exactly 0 ⇒ division by zero; see
+    // lofPooled, where duplicated corpora actually hit it). It never
+    // binds here: nonzero quantized reaches are ≥ ~10⁵ at any corpus
+    // this path is selected for, so oracle hashes are untouched.
     val lrd = reach.groupBy(col("a"))
       .agg((count(lit(1)).cast("double") /
-        (sum(round(col("reach") * lit(1000000000000.0), 0).cast("long"))
+        (greatest(
+          sum(round(col("reach") * lit(1000000000000.0), 0).cast("long")),
+          count(lit(1)) * lit(1000L))
           .cast("double") / lit(1000000000000.0))).as("lrd"))
+      // two consumers (neighbor lookup + final ratio): computed once
+      .persist()
     val lof = knn.join(lrd.select(col("a").as("b"), col("lrd").as("lrd_b")), Seq("b"))
       .groupBy(col("a"))
       .agg((sum(round(col("lrd_b") * lit(1000000000.0), 0).cast("long"))
@@ -1007,6 +1058,149 @@ object Profile {
         // floor(x·10⁴+0.5)/10⁴, not round(x,4): identical IEEE ops in
         // both engines (Spark round is HALF_UP on BigDecimal, DuckDB
         // rounds the scaled double — they differ on exact halves)
+        (floor(col("mean_lrd_nb") / col("lrd") * 10000 + 0.5) / 10000.0)
+          .as("lof"))
+    lof.orderBy(col("lof").desc, col("id")).limit(20)
+  }
+
+  /** Duplicate-collapsed LOF path for quantized/replicated corpora:
+    * ALL candidate/kNN work runs at DISTINCT-COORDINATE granularity,
+    * and per-id results are recovered exactly afterwards. Exactness
+    * rests on two facts about the (dist ASC, id ASC) neighbor order:
+    *   1. from any coordinate, only its k+1 SMALLEST ids can ever
+    *      appear in someone's k-nearest list (co-located ids tie on
+    *      dist, so the id tie-break admits smallest-first; +1 covers
+    *      the id's own self-exclusion);
+    *   2. two ids at the same coordinate see the SAME candidate
+    *      ranking except for self-exclusion, so a (k+1)-entry pool
+    *      per coordinate yields every id's exact kNN: pool minus
+    *      itself, first k.
+    * Only the 26 smallest ids per coordinate are ever materialized:
+    * k+1 = 6 drive the pool/classes, and of the remaining (generic)
+    * ids — which all share one LOF value — only the 20 smallest can
+    * reach the global top-20 under the (lof DESC, id ASC) order.
+    * Candidate work is Σ|cell|·9c over DISTINCT coordinates — the
+    * duplication factor squares out of the pair stage entirely (the
+    * per-id path OOMed at sf1; this path is ~linear in ids).
+    */
+  private[graft] def lofPooled(pts: DataFrame, h: Double, k: Int): DataFrame = {
+    val ids26 = org.apache.spark.sql.graft.TopKOps.topKPerKey(
+      pts, Seq(col("u"), col("v")), Seq(col("id").asc), k + 21)
+    val coords = ids26.groupBy(col("u"), col("v"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .withColumn("cx", floor(col("u") / h).cast("long"))
+      .withColumn("cy", floor(col("v") / h).cast("long"))
+      // materialized once: probe and build sides of the cell join;
+      // cached (partitioning-preserving), hash(u, v) from the top-k
+      // exchange
+      .persist()
+    // probe side explodes to the 9-cell neighborhood (map-side O(9·
+    // distinct coords)); build side carries only the k+1 pool-eligible
+    // ids so the join output stays slim. Same occupied-cell semi-join
+    // prune as the per-id path.
+    val occupied = coords.select(col("cx"), col("cy")).distinct()
+    val probe = coords.select(col("u").as("ua"), col("v").as("va"),
+        explode(array((-1 to 1).flatMap(dx => (-1 to 1).map(dy =>
+          struct((col("cx") + dx).as("jx"), (col("cy") + dy).as("jy")))): _*))
+          .as("j"))
+      .select(col("ua"), col("va"),
+        col("j.jx").as("cx"), col("j.jy").as("cy"))
+      .join(occupied, Seq("cx", "cy"), "left_semi")
+    val cpairs = probe.join(
+        coords.select(col("u").as("ub"), col("v").as("vb"),
+          slice(col("ids"), 1, k + 1).as("ids6"), col("cx"), col("cy")),
+        Seq("cx", "cy"))
+      // plain products, not pow(·, 2) — see lofPerId. The self pair
+      // (dist 0) stays: co-located ids are candidates of each other.
+      .withColumn("dist",
+        sqrt((col("ua") - col("ub")) * (col("ua") - col("ub"))
+          + (col("va") - col("vb")) * (col("va") - col("vb"))))
+      .filter(col("dist") <= h)
+    val cand = cpairs.select(col("ua"), col("va"), col("dist"),
+      explode(col("ids6")).as("b"))
+    // per-coordinate candidate pool: the exact k+1 best (dist, id)
+    // entries via the native TopKPerKey (bounded map-side buffers, no
+    // sort, one exchange of O(coords·(k+1)))
+    val pool = org.apache.spark.sql.graft.TopKOps.topKPerKey(
+        cand, Seq(col("ua"), col("va")),
+        Seq(col("dist").asc, col("b").asc), k + 1)
+      .groupBy(col("ua"), col("va"))
+      .agg(sort_array(collect_list(struct(col("dist"), col("b")))).as("pool"))
+      .join(coords.select(col("u").as("ua"), col("v").as("va"), col("ids")),
+        Seq("ua", "va"))
+    // classes: each pool-eligible id gets its own kNN (pool minus
+    // itself, first k); all remaining ids at the coordinate share the
+    // generic class (pool first k) and are represented by their 20
+    // smallest ids (myid = -1 marks generic; md5-derived ids are
+    // nonnegative). Classes with an empty kNN (isolated coordinates)
+    // are excluded — undefined local density, same as the per-id
+    // path. Built as ONE projection (not a union) so the (ua, va)
+    // hash partitioning from the pool exchange survives into the
+    // tail: every groupBy below clusters on a superset of (ua, va)
+    // and plans with ZERO additional exchanges.
+    val classes = pool
+      .select(col("ua"), col("va"), explode(concat(
+        transform(slice(col("ids"), 1, k + 1), p =>
+          struct(p.as("myid"),
+            slice(filter(col("pool"), e => e("b") =!= p), 1, k).as("knn"),
+            slice(col("ids"), k + 2, 20).as("rep"))),
+        // the generic struct rides in a length-0/1 slice (a typed
+        // empty array literal has no DSL spelling)
+        slice(array(struct(lit(-1L).as("myid"),
+            slice(col("pool"), 1, k).as("knn"),
+            slice(col("ids"), k + 2, 20).as("rep"))),
+          lit(1), when(size(col("ids")) > k + 1, 1).otherwise(0)))).as("c"))
+      .select(col("ua"), col("va"), col("c.myid").as("myid"),
+        col("c.knn").as("knn"), col("c.rep").as("rep"))
+      .filter(size(col("knn")) > 0)
+      // one materialization for the four consumers below (kdist, the
+      // two explode passes, the rep re-join)
+      .persist()
+    // k-distance per pool-eligible id: pool order is (dist ASC, b
+    // ASC), so the last kNN entry carries the max dist. Every id that
+    // appears as someone's neighbor is pool-eligible at its own
+    // coordinate (fact 1), so this relation covers all lookups.
+    val kd = classes.filter(col("myid") =!= -1L)
+      .select(col("myid").as("b"),
+        element_at(col("knn"), size(col("knn")))("dist").as("kdist_b"))
+    val ex = classes.select(col("ua"), col("va"), col("myid"),
+        explode(col("knn")).as("e"))
+      .select(col("ua"), col("va"), col("myid"),
+        col("e.b").as("b"), col("e.dist").as("dist"))
+    // reach/lrd sums on exact quantized longs (Round-7 rule). The
+    // reach-sum floor of 1000·count handles DEGENERATE density (≥ k+1
+    // ids on one coordinate ⇒ every reach is exactly 0 ⇒ lrd would
+    // divide by zero, and ANSI mode throws): density caps at 10⁹,
+    // duplicate clusters score LOF = 1.0 (typical, not anomalous),
+    // and the 10⁹-quantized neighbor-mean below stays inside the long
+    // domain. The floor never binds on non-degenerate points: any
+    // nonzero quantized reach is ≥ ~10⁵ at these corpora (coordinate
+    // spacing), so the sf0.01/sf0.1 oracle hashes are untouched.
+    val lrd = ex.join(kd, Seq("b"))
+      .groupBy(col("ua"), col("va"), col("myid"))
+      .agg((count(lit(1)).cast("double") /
+        (greatest(
+          sum(round(greatest(col("kdist_b"), col("dist"))
+            * lit(1000000000000.0), 0).cast("long")),
+          count(lit(1)) * lit(1000L))
+          .cast("double") / lit(1000000000000.0))).as("lrd"))
+      // two consumers (the neighbor lookup and the final ratio):
+      // without this the ex⋈kd aggregation pipeline runs twice
+      .persist()
+    val lrdB = lrd.filter(col("myid") =!= -1L)
+      .select(col("myid").as("b"), col("lrd").as("lrd_b"))
+    val lof = ex.join(lrdB, Seq("b"))
+      .groupBy(col("ua"), col("va"), col("myid"))
+      .agg((sum(round(col("lrd_b") * lit(1000000000.0), 0).cast("long"))
+        .cast("double") / lit(1000000000.0) / count(lit(1))).as("mean_lrd_nb"),
+        count(lit(1)).as("n_neighbors"))
+      .join(lrd, Seq("ua", "va", "myid"))
+      .join(classes.select(col("ua"), col("va"), col("myid"), col("rep")),
+        Seq("ua", "va", "myid"))
+      .select(
+        explode(when(col("myid") === -1L, col("rep"))
+          .otherwise(array(col("myid")))).as("id"),
+        col("n_neighbors").cast("int").as("n_neighbors"),
         (floor(col("mean_lrd_nb") / col("lrd") * 10000 + 0.5) / 10000.0)
           .as("lof"))
     lof.orderBy(col("lof").desc, col("id")).limit(20)
