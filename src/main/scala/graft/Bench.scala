@@ -136,19 +136,19 @@ object Bench {
       Thread.sleep(50) // let ContextCleaner drain what GC surfaced
     }
     clearStorage()
-    val results = selected.map { case (name, fn) =>
-      // noop sink: materializes every column of every row (a count()
-      // would let Catalyst prune the computation being measured)
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-        val sec = (System.nanoTime() - t0) / 1e9
-        clearStorage()
-        sec
-      }
+    // noop sink: materializes every column of every row (a count()
+    // would let Catalyst prune the computation being measured)
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+      val sec = (System.nanoTime() - t0) / 1e9
+      clearStorage()
+      sec
+    }
+    val firstPass = selected.map { case (name, fn) =>
       val io0 = io.snapshot
-      val s1 = once()
+      val s1 = once(name, fn)
       val io1 = io.snapshot
       // opt-in per-entry JVM aging diagnostics (stderr only): used to
       // localize in-suite inflation that no small-subset repro shows
@@ -166,16 +166,27 @@ object Bench {
             f"metaMB=$meta%.0f " +
             f"heapMB=${ManagementFactory.getMemoryMXBean.getHeapMemoryUsage.getUsed / 1e6}%.0f")
       }
-      // Single-sample timings on a virtualized host spike 2-4x under
-      // contention invisible from inside the VM, and the spikes
-      // MIGRATE between entries run-to-run (r7: both committed
-      // benches had 36-40x outliers on different queries, each ≤8 s
-      // on a quiet host). For entries big enough to matter, a second
-      // sample bounds the damage; min, because noise is strictly
-      // additive. IO metrics attribute to the first sample only.
-      val sec = if (s1 > 2.5) math.min(s1, once()) else s1
       def mb(b: Long) = math.round(b / 1e4) / 100.0
-      (name, sec, mb(io1._1 - io0._1), mb(io1._2 - io0._2), mb(io1._3 - io0._3))
+      (name, s1, mb(io1._1 - io0._1), mb(io1._2 - io0._2), mb(io1._3 - io0._3))
+    }
+    // Single-sample timings on a virtualized host spike 2-4x under
+    // contention invisible from inside the VM, and the spikes MIGRATE
+    // between entries run-to-run (r7: both committed benches had
+    // 36-40x outliers on different queries, each ≤8 s on a quiet
+    // host). For entries big enough to matter, a second sample bounds
+    // the damage; min, because noise is strictly additive. The retry
+    // runs in a POST-SUITE queue, not back-to-back with the first
+    // sample: an adjacent retry shares its host-contention burst and
+    // the spike survives the min (r8 driver bench: graph_betweenness
+    // 11.7 s in-suite vs 2.87 s isolated — both samples sat inside
+    // the same burst). IO metrics attribute to the first sample only;
+    // both samples are emitted in the file JSON ("samples") so
+    // cross-round consumers can see which entries are min-of-2.
+    val retry: Map[String, Double] = selected
+      .filter { case (name, _) => firstPass.find(_._1 == name).exists(_._2 > 2.5) }
+      .map { case (name, fn) => name -> once(name, fn) }.toMap
+    val results = firstPass.map { case (name, s1, sh, in, sp) =>
+      (name, math.min(s1, retry.getOrElse(name, s1)), sh, in, sp)
     }
     // Isolated re-measure of the most expensive entries: a fresh
     // timing pass AFTER the sweep separates a query's intrinsic cost
@@ -217,6 +228,14 @@ object Bench {
       .mkString("{", ",", "}")
     val isolatedJson = isolated.map { case (k, v) => entry(k, v) }
       .mkString("{", ",", "}")
+    // both samples for every min-of-2 entry (file JSON only): lets
+    // cross-round consumers distinguish single-sample from retried
+    // timings and reconstruct the true sweep wall-clock (Σ first)
+    val samplesJson = firstPass
+      .filter { case (k, _, _, _, _) => retry.contains(k) }
+      .map { case (k, s1, _, _, _) =>
+        s""""$k":[${math.round(s1 * 1000) / 1000.0},${math.round(retry(k) * 1000) / 1000.0}]"""
+      }.mkString("{", ",", "}")
     val headline = {
       // Size the headline against the ACTUAL remaining stdout budget
       // (2000-char driver tail) after the fixed fields and the real
@@ -239,7 +258,7 @@ object Bench {
     val stdoutJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$headline,"isolated_s":$isolatedJson,"sf":"$sfDir"}"""
     val fileJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"io":$ios,"build_s":$buildJson,"isolated_s":$isolatedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"io":$ios,"build_s":$buildJson,"isolated_s":$isolatedJson,"samples":$samplesJson,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outFile), fileJson + "\n")
     println(stdoutJson)
     spark.stop()

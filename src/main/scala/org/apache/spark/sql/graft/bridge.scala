@@ -241,11 +241,18 @@ object SessionHygiene {
     classic.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
     classic.streams.resetTerminated()
     // memory-sink temp views pin their result rows on the driver for
-    // the rest of the suite (each streaming entry registers one);
-    // every operator (re)creates the views it needs, so dropping all
-    // temporary views between entries is safe
+    // the rest of the suite (each streaming entry registers one).
+    // Drop ONLY the engine's own views — the graft_*_v SQL-surface
+    // views, the *_sink memory sinks, and recursive_chain's `nation`
+    // — all recreated per call by their operators. A blanket drop
+    // relied on that recreate-per-call invariant holding for every
+    // FUTURE view too; scoping the drop makes a cached-view operator
+    // fail loudly at review time instead of mysteriously mid-suite.
     val cat = classic.sessionState.catalog
-    cat.getTempViewNames().foreach(cat.dropTempView)
+    cat.getTempViewNames()
+      .filter(v => v.startsWith("graft_") || v.endsWith("_sink") ||
+        v == "nation")
+      .foreach(cat.dropTempView)
     // synchronous block release — see CheckpointBridge.free
     sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     classic.catalog.clearCache()
