@@ -481,15 +481,44 @@ object Tpch {
   def stageSupplyArtifact(s: SparkSession, d: String): DataFrame =
     derivedPartSupp(s, d)
 
+  /** Staged as a BUCKETED table on (l_partkey, l_suppkey) — the join
+    * keys every consumer uses — so q9's supply⋈lineitem join needs no
+    * supply-side exchange at any SF (r8: AQE correctly flipped the
+    * broadcast to a shuffle at sf1; bucketing removes the supply side
+    * of that shuffle entirely, the way a real ingest would lay the
+    * relation out). Same content-fingerprint invalidation contract as
+    * Warehouse.staged; complete bucket files from a prior session are
+    * re-registered over their LOCATION (Spark's bucket-id file naming
+    * keeps the CLUSTERED BY honored shuffle-free).
+    */
   private def derivedPartSupp(s: SparkSession, d: String): DataFrame =
-    graft.sources.Warehouse.staged(s, d, "supply", Seq("lineitem")) {
-      Tables.lineitem(s, d)
-        .select(col("l_partkey"), col("l_suppkey"),
-          (col("l_extendedprice") / col("l_quantity")).as("unit"),
-          col("l_quantity"))
-        .groupBy(col("l_partkey"), col("l_suppkey"))
-        .agg(min(col("unit")).as("ps_supplycost"),
-          sum(col("l_quantity")).as("ps_qty"))
+    Tpch.synchronized {
+      val fp = graft.sources.Warehouse.fingerprint(s, d, Seq("lineitem.parquet"))
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(fp.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val t = s"graft_supply_b_$h"
+      if (!s.catalog.tableExists(t)) {
+        val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
+        val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val dir = new org.apache.hadoop.fs.Path(wh, t)
+        val df = Tables.lineitem(s, d)
+          .select(col("l_partkey"), col("l_suppkey"),
+            (col("l_extendedprice") / col("l_quantity")).as("unit"),
+            col("l_quantity"))
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(min(col("unit")).as("ps_supplycost"),
+            sum(col("l_quantity")).as("ps_qty"))
+        if (fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS")))
+          s.sql(s"CREATE TABLE $t (${df.schema.toDDL}) USING parquet " +
+            s"CLUSTERED BY (l_partkey, l_suppkey) " +
+            s"SORTED BY (l_partkey, l_suppkey) INTO 32 BUCKETS " +
+            s"LOCATION '$dir'")
+        else
+          df.write.bucketBy(32, "l_partkey", "l_suppkey")
+            .sortBy("l_partkey", "l_suppkey")
+            .mode("overwrite").saveAsTable(t)
+      }
+      s.table(t)
     }
 
   private val derivedPartSuppSql: String =

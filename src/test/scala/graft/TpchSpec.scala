@@ -135,12 +135,44 @@ class TpchSpec extends AnyFunSuite {
     // lineitem⋈ps must hash-join on the pair key; dims broadcast
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // r9: supply is a BUCKETED warehouse table on (l_partkey,
+    // l_suppkey) — the plan must read that layout, not re-derive the
+    // aggregate from lineitem
+    assert(p.contains("graft_supply_b_"),
+      s"q9 must scan the bucketed supply table:\n$p")
     import org.apache.spark.sql.functions._
     val out = SparkEntry.queries("q9_profit")(spark, sf)
     assert(out.count() > 0)
     // every (nation, year) group key is unique — the agg really grouped
     assert(out.groupBy(col("nation"), col("o_year")).count()
       .filter(col("count") > 1).count() == 0)
+  }
+
+  test("q9_profit's supply side is exchange-free when the join shuffles (bucketed layout)") {
+    // at the test SF the supply side broadcasts; at scale AQE flips
+    // the join to shuffle (r8: 120 MB at sf1). Force that regime by
+    // disabling broadcast: the bucketed (l_partkey, l_suppkey) layout
+    // must satisfy the join's distribution with NO supply-side
+    // exchange — only the lineitem side shuffles into the buckets.
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val p = plan("q9_profit")
+      // every exchange keyed by the supply aggregate's output would
+      // carry ps_supplycost; the bucketed scan must make that
+      // unnecessary
+      val supplyExchanges = p.linesIterator
+        .filter(_.contains("Exchange"))
+        .count(_.contains("ps_supplycost"))
+      assert(supplyExchanges == 0,
+        s"bucketed supply must not re-shuffle; got $supplyExchanges in:\n$p")
+      assert(p.contains("graft_supply_b_"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    }
   }
 
   test("q11_important: single-row total broadcasts; value threshold holds on every row") {
