@@ -350,41 +350,93 @@ object Multimodal {
 
   final case class ResizedMedia(
       doc_id: Long, kind: String, width: Int, height: Int,
-      new_width: Int, new_height: Int, scale: Double, out_len: Long)
+      new_width: Int, new_height: Int, scale: Double, out_len: Long,
+      resampled: Boolean, out_crc: Long)
 
   val ResizeTarget = 48
 
-  /** Aspect-preserving resize planning: decode real header dims,
-    * compute the scale that fits the longest edge into `target`
-    * (never upscales), and the exact 3-channel raster output size.
-    * The PIXEL RESAMPLE itself is the stubbed step — a real codec
-    * (per-partition init) slots into resizeStub where marked; the
-    * Spark-side shape (mapPartitions over binary payloads, narrow
-    * typed output, no shuffle of pixel data) is the production
-    * plumbing and is what the pins exercise.
+  /** Nearest-neighbor resample of a decodable image payload to
+    * (nw, nh), returned as a packed 3-channel RGB raster. Pure JVM:
+    * javax.imageio handles the PNG IDAT inflate + unfilter (and BMP/
+    * GIF for free); the sampling grid is INTEGER-EXACT — source pixel
+    * ((2x+1)·w)/(2·nw) — so the output bytes are reproducible
+    * bit-for-bit by any independent replay (MultimodalSpec pins a
+    * planted gradient PNG against exactly that formula). None for
+    * payloads ImageIO cannot decode (the corpus's text stand-ins).
     */
-  def resizeStub(f: MediaFeature, target: Int): ResizedMedia = {
+  def resamplePixels(payload: Array[Byte], nw: Int, nh: Int): Option[Array[Byte]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null || img.getWidth < 1 || img.getHeight < 1) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val out = new Array[Byte](nw * nh * 3)
+        var y = 0
+        while (y < nh) {
+          val sy = math.min(h - 1, ((2 * y + 1) * h) / (2 * nh))
+          var x = 0
+          while (x < nw) {
+            val sx = math.min(w - 1, ((2 * x + 1) * w) / (2 * nw))
+            val rgb = img.getRGB(sx, sy)
+            val o = (y * nw + x) * 3
+            out(o) = ((rgb >> 16) & 0xff).toByte
+            out(o + 1) = ((rgb >> 8) & 0xff).toByte
+            out(o + 2) = (rgb & 0xff).toByte
+            x += 1
+          }
+          y += 1
+        }
+        Some(out)
+      }
+    } catch { case _: Throwable => None }
+
+  private def crc32(b: Array[Byte]): Long = {
+    val c = new java.util.zip.CRC32
+    c.update(b)
+    c.getValue
+  }
+
+  /** Aspect-preserving resize: decode real header dims, compute the
+    * scale that fits the longest edge into `target` (never upscales),
+    * and the exact 3-channel raster output size. For payloads the
+    * pure-JVM codec can decode (PNG/BMP/GIF via javax.imageio) the
+    * PIXEL RESAMPLE actually runs — `resampled` is true and `out_crc`
+    * carries the CRC-32 of the produced raster (the raster itself
+    * stays executor-local; only the fingerprint leaves). Other
+    * payloads keep the deterministic planning-only stub (out_crc 0).
+    * The Spark-side shape — mapPartitions over binary payloads,
+    * narrow typed output, no shuffle of pixel data — is identical on
+    * both paths.
+    */
+  def resizeMedia(f: MediaFeature, payload: Array[Byte], target: Int): ResizedMedia = {
     val w = math.max(f.width, 1)
     val h = math.max(f.height, 1)
     val sc = math.min(1.0, target.toDouble / math.max(w, h))
     val nw = math.max(1, math.floor(w * sc + 0.5).toInt)
     val nh = math.max(1, math.floor(h * sc + 0.5).toInt)
-    // STUB: real pixel resample goes here (javacv/ImageIO with
-    // per-partition codec init); output length is the exact
-    // 3-channel raster size the resample would produce
+    val raster =
+      if (f.kind == "png" || f.kind == "bmp" || f.kind == "gif")
+        resamplePixels(payload, nw, nh)
+      else None
     ResizedMedia(f.doc_id, f.kind, w, h, nw, nh,
-      math.floor(sc * 10000 + 0.5) / 10000, nw.toLong * nh * 3)
+      math.floor(sc * 10000 + 0.5) / 10000, nw.toLong * nh * 3,
+      raster.isDefined, raster.map(crc32).getOrElse(0L))
   }
+
+  /** The typed resize pipeline over any (doc_id, payload) dataset —
+    * factored so the planted-PNG spec drives the same code as the
+    * corpus query.
+    */
+  def resizeAll(ds: org.apache.spark.sql.Dataset[(Long, Array[Byte])]): DataFrame =
+    ds.mapPartitions { it =>
+      it.map { case (id, bytes) => resizeMedia(decode(id, bytes), bytes, ResizeTarget) }
+    }(org.apache.spark.sql.Encoders.product[ResizedMedia])
+      .toDF()
 
   /** Batch resize over the binary payload table. */
   val mmResize: QueryDef = QueryDef.rowsOnly("mm_resize") { (s, d) =>
     import s.implicits._
-    payloads(s, d)
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.map { case (id, bytes) => resizeStub(decode(id, bytes), ResizeTarget) }
-      }
-      .toDF()
+    resizeAll(payloads(s, d).as[(Long, Array[Byte])])
       .orderBy(col("doc_id"))
   }
 

@@ -392,6 +392,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("mm_resize really resamples a planted PNG: exact raster CRC pinned") {
+    import spark.implicits._
+    // 96x64 gradient, written through the JDK encoder so the payload
+    // is a REAL compressed PNG (IDAT inflate + unfilter exercised)
+    val (w, h) = (96, 64)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 255 / (w - 1)) << 16) |
+        ((y * 255 / (h - 1)) << 8) | ((x + y) % 256))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val pngBytes = bos.toByteArray
+    val ds = Seq((1L, pngBytes), (2L, "plain text payload".getBytes("UTF-8")))
+      .toDS()
+    val rows = Multimodal.resizeAll(ds).orderBy("doc_id").collect()
+    val r1 = rows(0)
+    assert(r1.getString(1) == "png")
+    assert((r1.getInt(2), r1.getInt(3)) == ((w, h)))
+    val (nw, nh) = (r1.getInt(4), r1.getInt(5))
+    assert((nw, nh) == ((48, 32)))
+    assert(r1.getBoolean(8), "PNG payload must take the real resample path")
+    // independent replay of the integer-exact nearest-neighbor grid
+    // against the ORIGINAL image: same bytes, same CRC
+    val expect = new Array[Byte](nw * nh * 3)
+    for (y <- 0 until nh; x <- 0 until nw) {
+      val sy = math.min(h - 1, ((2 * y + 1) * h) / (2 * nh))
+      val sx = math.min(w - 1, ((2 * x + 1) * w) / (2 * nw))
+      val rgb = img.getRGB(sx, sy)
+      val o = (y * nw + x) * 3
+      expect(o) = ((rgb >> 16) & 0xff).toByte
+      expect(o + 1) = ((rgb >> 8) & 0xff).toByte
+      expect(o + 2) = (rgb & 0xff).toByte
+    }
+    val c = new java.util.zip.CRC32; c.update(expect)
+    assert(r1.getLong(9) == c.getValue,
+      "resampled raster bytes must match the independent replay")
+    // undecodable payload keeps the planning-only stub path
+    val r2 = rows(1)
+    assert(!r2.getBoolean(8) && r2.getLong(9) == 0L)
+  }
+
   test("decode stub is pure") {
     val f1 = Multimodal.decodeStub(1L, "hello".getBytes("UTF-8"))
     val f2 = Multimodal.decodeStub(1L, "hello".getBytes("UTF-8"))
