@@ -260,8 +260,11 @@ object Linkage {
     // oracle silently omits — fail loudly instead of a mystery hash
     // mismatch. (Raw basket size may exceed 7; only frequent-set
     // size matters for rule parity.)
+    // coalesce(…, 0): max over ZERO frequent itemsets is null, and a
+    // bare getInt would turn that corpus shape into an opaque NPE
+    // instead of this require's message
     val maxSet = model.freqItemsets
-      .agg(max(size(col("items")))).head.getInt(0)
+      .agg(coalesce(max(size(col("items"))), lit(0))).head.getInt(0)
     require(maxSet <= 7,
       s"mining_assoc's oracle caps itemsets at size 7; " +
         s"corpus has a frequent itemset of size $maxSet")

@@ -31,9 +31,22 @@ object Similarity {
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   /** Embeddings as (vec_id, v: array<double>). */
+  /** NONZERO-NORM INVARIANT: every cosine path here divides by the
+    * row's L2 norm; a zero-norm embedding yields NaN, and NaN then
+    * DIVERGES between engines (Spark's floor() maps NaN to 0, DuckDB
+    * keeps it) — a silent hash drift instead of a failure. The
+    * corpus generator never emits zero vectors; assert_true turns a
+    * future violation into a loud error at the scan, one codegen'd
+    * comparison per row.
+    */
   def vectors(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      // assert_true returns NULL when the condition holds, so the
+      // filter passes every valid row and throws on a violation; as a
+      // Filter (not a dropped projection) it cannot be pruned away
+      .filter(assert_true(dot(col("v"), col("v")) > lit(0.0d),
+        lit("zero-norm embedding: cosine similarity is undefined")).isNull)
 
   /** Exact cosine top-10 for the vec_id=0 query vector. */
   val annBruteforce: QueryDef = QueryDef.sql(
