@@ -60,4 +60,46 @@ class VerifySfSweepSpec extends AnyFunSuite {
       }
     }
   }
+
+  // ---- the rows-only class (round-9 verdict item 5) ---------------------
+  // Every queries() entry WITHOUT a DuckDB oracle: their whole driver
+  // gate is pinning ScalaTests + non-empty rows at the verify SF, so
+  // an empty result at another SF is a silent vacuity regression this
+  // sweep exists to catch. The set is DERIVED from the registry (not
+  // hardcoded), so a future oracle-less entry is gated the day it
+  // lands. Entries whose yield is a data property at one SF carry an
+  // explicit exemption with the reason; they still must run
+  // error-free at both SFs.
+  private val rowsOnlyExempt: Map[String, String] = Map(
+    // (none currently — every rows-only entry is an agg/top-k/report
+    // shape that is non-empty at any corpus size)
+  )
+  private val rowsOnly: Seq[String] =
+    (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet --
+      thresholded.map(_._1).toSet).toSeq.sorted
+
+  test("rows-only registry class matches the known oracle-less surface") {
+    // the class should only ever SHRINK (an entry gaining an oracle)
+    // or grow deliberately — a size drift here means the gate's
+    // coverage changed without review
+    assert(rowsOnly.size + thresholded.count { case (n, _) =>
+      !SparkEntry.oracleSql.contains(n) } == 49,
+      s"oracle-less entries: ${rowsOnly.size} + thresholded overlap — " +
+        "update this pin alongside the oracle change")
+  }
+
+  for (name <- rowsOnly) {
+    test(s"rows-only $name is non-vacuous at sf0.001 and sf0.1") {
+      val fn = SparkEntry.queries(name)
+      for (dir <- Seq(sfLow, sfHigh)) {
+        val n = fn(spark, dir).count() // must not throw at ANY SF
+        rowsOnlyExempt.get(name) match {
+          case Some(reason) if n == 0 =>
+            info(s"$name at $dir: 0 rows (exempt: $reason)")
+          case _ =>
+            assert(n >= 1, s"$name vacuous at $dir: $n rows")
+        }
+      }
+    }
+  }
 }
