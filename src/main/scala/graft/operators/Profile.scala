@@ -1142,19 +1142,17 @@ object Profile {
       .select(col("ua"), col("va"), explode(concat(
         transform(slice(col("ids"), 1, k + 1), p =>
           struct(p.as("myid"),
-            slice(filter(col("pool"), e => e("b") =!= p), 1, k).as("knn"),
-            slice(col("ids"), k + 2, 20).as("rep"))),
+            slice(filter(col("pool"), e => e("b") =!= p), 1, k).as("knn"))),
         // the generic struct rides in a length-0/1 slice (a typed
         // empty array literal has no DSL spelling)
         slice(array(struct(lit(-1L).as("myid"),
-            slice(col("pool"), 1, k).as("knn"),
-            slice(col("ids"), k + 2, 20).as("rep"))),
+            slice(col("pool"), 1, k).as("knn"))),
           lit(1), when(size(col("ids")) > k + 1, 1).otherwise(0)))).as("c"))
       .select(col("ua"), col("va"), col("c.myid").as("myid"),
-        col("c.knn").as("knn"), col("c.rep").as("rep"))
+        col("c.knn").as("knn"))
       .filter(size(col("knn")) > 0)
-      // one materialization for the four consumers below (kdist, the
-      // two explode passes, the rep re-join)
+      // one materialization for the three consumers below (kdist and
+      // the two explode passes)
       .persist()
     // k-distance per pool-eligible id: pool order is (dist ASC, b
     // ASC), so the last kNN entry carries the max dist. Every id that
@@ -1195,8 +1193,11 @@ object Profile {
         .cast("double") / lit(1000000000.0) / count(lit(1))).as("mean_lrd_nb"),
         count(lit(1)).as("n_neighbors"))
       .join(lrd, Seq("ua", "va", "myid"))
-      .join(classes.select(col("ua"), col("va"), col("myid"), col("rep")),
-        Seq("ua", "va", "myid"))
+      // generic representative ids come from the slim coords relation,
+      // NOT from a rep array carried (and cached) on every class row
+      .join(coords.select(col("u").as("ua"), col("v").as("va"),
+          slice(col("ids"), k + 2, 20).as("rep")),
+        Seq("ua", "va"))
       .select(
         explode(when(col("myid") === -1L, col("rep"))
           .otherwise(array(col("myid")))).as("id"),
