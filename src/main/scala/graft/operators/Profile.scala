@@ -968,8 +968,14 @@ object Profile {
     // duplication is actually present (>1.25× ids per coordinate;
     // approx_count_distinct's ~2% error is far from the decision
     // boundary on any corpus where the choice matters).
-    if (dupRatio <= 1.25) lofPerId(pts, h, k)
-    else lofPooled(pts, h, k)
+    // second plan-time pick off the SAME one-row aggregate: the cells
+    // build side is ~48 B/row, so under ~2M ids it fits a broadcast
+    // comfortably (sf0.1: 600k rows ≈ 30 MB) and the candidate join
+    // runs map-side; above the bound the shuffle join is the fallback
+    // (same result, both regimes plan-locked in Round9LofSpec).
+    if (dupRatio <= 1.25) lofPerId(pts, h, k, broadcastCells = n <= 2e6)
+    else lofPooled(pts, h, k,
+      broadcastLookups = st.getLong(5).toDouble * (k + 1) <= 2e6)
   }
 
   /** Per-id LOF path for ~distinct coordinates: candidate pairs from
@@ -980,19 +986,15 @@ object Profile {
     * grid's uniformity assumption holds (distinct coordinates), which
     * is exactly when this path is selected.
     */
-  private[graft] def lofPerId(pts: DataFrame, h: Double, k: Int): DataFrame = {
+  private[graft] def lofPerId(pts: DataFrame, h: Double, k: Int,
+      broadcastCells: Boolean = true): DataFrame = {
     // materialize once: the probe and build sides of the cell join
     // would otherwise EACH re-run the scan + hash + distinct chain
     val cells = pts
       .withColumn("cx", floor(col("u") / h).cast("long"))
       .withColumn("cy", floor(col("v") / h).cast("long"))
       .persist()
-    // probe side explodes to the 9-cell neighborhood (map-side O(9n));
-    // quantized axes leave most of the ring EMPTY (neighboring value-
-    // columns sit many cells away), so probes are semi-joined against
-    // the occupied-cell set before the cell-join exchange — AQE
-    // broadcasts it while small, shuffled semi join at scale.
-    val occupied = cells.select(col("cx"), col("cy")).distinct()
+    // probe side explodes to the 9-cell neighborhood (map-side O(9n))
     val probe = cells.select(col("id").as("a"), col("u").as("ua"),
         col("v").as("va"),
         explode(array((-1 to 1).flatMap(dx => (-1 to 1).map(dy =>
@@ -1000,11 +1002,30 @@ object Profile {
           .as("j"))
       .select(col("a"), col("ua"), col("va"),
         col("j.jx").as("cx"), col("j.jy").as("cy"))
-      .join(occupied, Seq("cx", "cy"), "left_semi")
-    val pairs = probe.join(
-        cells.select(col("id").as("b"), col("u").as("ub"), col("v").as("vb"),
-          col("cx"), col("cy")),
-        Seq("cx", "cy"))
+    val build = cells.select(col("id").as("b"), col("u").as("ub"),
+      col("v").as("vb"), col("cx"), col("cy"))
+    // broadcastCells: the build side is the slim ~48 B/row (id,u,v,
+    // cx,cy) relation. While it fits a broadcast, shipping the BUILD
+    // side makes the candidate join map-side and the 9·n exploded
+    // PROBE rows never cross an exchange (the r9 driver bench's probe
+    // exchange carried 513 MB at sf0.1 — ~50× the suite median — and
+    // made this entry the suite's noise amplifier); the first
+    // corpus-wide exchange becomes TopKPerKey's O(k·n) survivor
+    // shuffle. Above the caller's row bound the shuffled join is the
+    // fallback, pruned first by the occupied-cell semi join:
+    // quantized axes leave most of the 9-ring EMPTY (neighboring
+    // value-columns sit many cells away), so the prune drops most
+    // probe rows before the cell-join exchange. In the broadcast
+    // regime that prune is redundant (probing an absent cell is a
+    // hash miss already). Identical result either way.
+    val joined =
+      if (broadcastCells) probe.join(broadcast(build), Seq("cx", "cy"))
+      else {
+        val occupied = cells.select(col("cx"), col("cy")).distinct()
+        probe.join(occupied, Seq("cx", "cy"), "left_semi")
+          .join(build, Seq("cx", "cy"))
+      }
+    val pairs = joined
       .filter(col("a") =!= col("b"))
       // plain products, not pow(·, 2): StrictMath.pow is within 1 ulp
       // but not bit-identical to the multiply, and the oracle needs
@@ -1030,8 +1051,16 @@ object Profile {
       .persist()
     val kdist = knn.groupBy(col("a"))
       .agg(max(col("dist")).as("kdist"), count(lit(1)).as("ka"))
+    // same size-adaptive regime for the reach/lof NEIGHBOR lookups:
+    // kdist and lrd are O(n) two-column relations (~16 B/row), but
+    // joining them on `b` the shuffled way re-exchanges the O(k·n)
+    // knn relation TWICE (2 × ~72 MB at sf0.1). Broadcasting the
+    // slim side keeps knn hash(a)-partitioned end-to-end, so the
+    // TopKPerKey exchange is the ONLY corpus-wide shuffle this path
+    // plans in the broadcast regime.
+    def bc(df: DataFrame): DataFrame = if (broadcastCells) broadcast(df) else df
     val reach = knn.join(
-        kdist.select(col("a").as("b"), col("kdist").as("kdist_b")), Seq("b"))
+        bc(kdist.select(col("a").as("b"), col("kdist").as("kdist_b"))), Seq("b"))
       .withColumn("reach", greatest(col("kdist_b"), col("dist")))
     // reach/lrd sums on exact quantized longs — the ≤k-value float
     // sums would otherwise be partition-order sensitive (Round-7 rule).
@@ -1048,7 +1077,8 @@ object Profile {
           .cast("double") / lit(1000000000000.0))).as("lrd"))
       // two consumers (neighbor lookup + final ratio): computed once
       .persist()
-    val lof = knn.join(lrd.select(col("a").as("b"), col("lrd").as("lrd_b")), Seq("b"))
+    val lof = knn.join(
+        bc(lrd.select(col("a").as("b"), col("lrd").as("lrd_b"))), Seq("b"))
       .groupBy(col("a"))
       .agg((sum(round(col("lrd_b") * lit(1000000000.0), 0).cast("long"))
         .cast("double") / lit(1000000000.0) / count(lit(1))).as("mean_lrd_nb"),
@@ -1083,7 +1113,8 @@ object Profile {
     * duplication factor squares out of the pair stage entirely (the
     * per-id path OOMed at sf1; this path is ~linear in ids).
     */
-  private[graft] def lofPooled(pts: DataFrame, h: Double, k: Int): DataFrame = {
+  private[graft] def lofPooled(pts: DataFrame, h: Double, k: Int,
+      broadcastLookups: Boolean = true): DataFrame = {
     val ids26 = org.apache.spark.sql.graft.TopKOps.topKPerKey(
       pts, Seq(col("u"), col("v")), Seq(col("id").asc), k + 21)
     val coords = ids26.groupBy(col("u"), col("v"))
@@ -1174,7 +1205,17 @@ object Profile {
     // domain. The floor never binds on non-degenerate points: any
     // nonzero quantized reach is ≥ ~10⁵ at these corpora (coordinate
     // spacing), so the sf0.01/sf0.1 oracle hashes are untouched.
-    val lrd = ex.join(kd, Seq("b"))
+    // size-adaptive (r10, the lofPerId cure applied here too): kd and
+    // lrdB are slim O(coords·(k+1)) two-column lookups; joining them
+    // shuffled re-exchanges the exploded `ex` relation on `b` TWICE
+    // and then re-exchanges each groupBy back to (ua, va, myid).
+    // Broadcasting them keeps ex hash(ua, va)-partitioned end-to-end
+    // (a superset-keyed groupBy needs no new exchange), so the pool's
+    // TopKPerKey exchange is the tail's only shuffle. Above the
+    // caller's bound the shuffled joins are the fallback — identical
+    // values, both regimes pinned in Round9LofSpec.
+    def bc(df: DataFrame): DataFrame = if (broadcastLookups) broadcast(df) else df
+    val lrd = ex.join(bc(kd), Seq("b"))
       .groupBy(col("ua"), col("va"), col("myid"))
       .agg((count(lit(1)).cast("double") /
         (greatest(
@@ -1187,7 +1228,7 @@ object Profile {
       .persist()
     val lrdB = lrd.filter(col("myid") =!= -1L)
       .select(col("myid").as("b"), col("lrd").as("lrd_b"))
-    val lof = ex.join(lrdB, Seq("b"))
+    val lof = ex.join(bc(lrdB), Seq("b"))
       .groupBy(col("ua"), col("va"), col("myid"))
       .agg((sum(round(col("lrd_b") * lit(1000000000.0), 0).cast("long"))
         .cast("double") / lit(1000000000.0) / count(lit(1))).as("mean_lrd_nb"),

@@ -29,8 +29,17 @@ class Round9LofSpec extends AnyFunSuite {
     val pts = cloud(coords, dup)
     val n = pts.count().toDouble
     val h = math.sqrt(4.0 / n)
-    val a = Profile.lofPerId(pts, h, 5).collect().map(_.toString).toSeq
-    val b = Profile.lofPooled(pts, h, 5).collect().map(_.toString).toSeq
+    val a = Profile.lofPerId(pts, h, 5, broadcastCells = true)
+      .collect().map(_.toString).toSeq
+    // the shuffle fallback regime must stay value-identical too
+    val a2 = Profile.lofPerId(pts, h, 5, broadcastCells = false)
+      .collect().map(_.toString).toSeq
+    val b = Profile.lofPooled(pts, h, 5, broadcastLookups = true)
+      .collect().map(_.toString).toSeq
+    val b2 = Profile.lofPooled(pts, h, 5, broadcastLookups = false)
+      .collect().map(_.toString).toSeq
+    assert(a == a2, s"broadcast:\n${a.mkString("\n")}\nshuffle:\n${a2.mkString("\n")}")
+    assert(b == b2, s"pooled-bc:\n${b.mkString("\n")}\npooled-sh:\n${b2.mkString("\n")}")
     (a, b)
   }
 
@@ -69,5 +78,59 @@ class Round9LofSpec extends AnyFunSuite {
     val h = math.sqrt(4.0 / 600.0)
     val plan = Profile.lofPooled(pts, h, 5).queryExecution.optimizedPlan.toString
     assert(plan.contains("TopKPerKey"))
+  }
+
+  private def countIn(plan: String, needle: String): Int =
+    plan.sliding(needle.length).count(_ == needle)
+
+  test("per-id broadcast regime plans map-side candidate + lookup joins") {
+    // r10 plan lock: with broadcastCells the cells/kdist/lrd build
+    // sides are broadcast (3 BroadcastHashJoins), the 9·n probe rows
+    // never cross an exchange, and the ONLY corpus-wide shuffle the
+    // candidate/knn stage plans is TopKPerKey's O(k·n) survivor
+    // exchange (r9 driver bench: the shuffled probe join carried
+    // 513 MB at sf0.1; this shape carries 71 MB)
+    import graft.operators.Profile
+    val pts = cloud(300, _ => 1)
+    val h = math.sqrt(4.0 / 300.0)
+    val plan = Profile.lofPerId(pts, h, 5, broadcastCells = true)
+      .queryExecution.executedPlan.toString
+    assert(countIn(plan, "BroadcastHashJoin") >= 3, plan.take(4000))
+    assert(!plan.contains("LeftSemi"), "broadcast regime must elide the prune")
+    assert(plan.contains("TopKPerKeyPartial"))
+  }
+
+  test("per-id shuffle regime keeps the occupied-cell semi-join prune") {
+    import graft.operators.Profile
+    val pts = cloud(300, _ => 1)
+    val h = math.sqrt(4.0 / 300.0)
+    val plan = Profile.lofPerId(pts, h, 5, broadcastCells = false)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan.take(4000))
+    assert(plan.contains("TopKPerKeyPartial"))
+  }
+
+  test("pooled path plan lock: semi-join prune + slim tail shuffles only") {
+    // r9 verdict item 6: pin the occupied-cell LeftSemi prune and the
+    // tail's shuffle posture so a refactor can't silently reintroduce
+    // the r8 shape. With broadcastLookups the kd/lrdB joins on `b`
+    // must be BROADCAST (a shuffled b-join re-exchanges the exploded
+    // O(classes·k) relation); the only hash exchanges allowed
+    // downstream of the pool (the plan text ABOVE TopKPerKeyFinal)
+    // are the ≤2 post-partial-agg re-exchanges of the O(classes)
+    // groupBy output, which the float-normalized key realias keeps
+    // Catalyst from eliding.
+    import graft.operators.Profile
+    val pts = cloud(100, _ => 6)
+    val h = math.sqrt(4.0 / 600.0)
+    val df = Profile.lofPooled(pts, h, 5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan.take(4000))
+    val tail = plan.substring(0, plan.indexOf("TopKPerKeyFinal"))
+    assert(!tail.contains("SortMergeJoin [b#"),
+      s"tail shuffles the exploded relation on b:\n${tail.take(4000)}")
+    assert(countIn(tail, "BroadcastHashJoin") >= 2, tail.take(4000))
+    assert(countIn(tail, "Exchange hashpartitioning") <= 2,
+      s"tail plans extra hash exchanges:\n${tail.take(4000)}")
   }
 }
