@@ -26,6 +26,35 @@ object Bench {
     def snapshot: (Long, Long, Long) = (shuffle.get, input.get, spill.get)
   }
 
+  /** One timed run with the host telemetry that makes cross-run floor
+    * disagreements attributable (r9: same code + data produced
+    * isolated floors 4× apart across hosts with nothing in the JSON
+    * to say why): wall-clock start, 1-min loadavg at start, and the
+    * hypervisor steal time accrued DURING the run (/proc/stat cpu
+    * field 8, USER_HZ=100 — on a Firecracker-style VM steal is the
+    * direct signature of invisible host contention). `ok=false`
+    * marks a run that threw; its elapsed is the failure time, not a
+    * measurement.
+    */
+  final case class Sample(sec: Double, ok: Boolean, at: Long,
+      load1: Double, stealS: Double)
+
+  private def load1(): Double =
+    try Files.readString(Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+    catch { case _: Exception => -1.0 }
+
+  private def stealJiffies(): Long =
+    try {
+      val t = Files.readString(Paths.get("/proc/stat"))
+        .linesIterator.next().trim.split("\\s+")
+      if (t.length > 8) t(8).toLong else 0L
+    } catch { case _: Exception => 0L }
+
+  private def sampleJson(s: Sample): String = {
+    def r3(v: Double) = math.round(v * 1000) / 1000.0
+    s"""{"s":${r3(s.sec)},"ok":${s.ok},"t":${s.at},"load1":${r3(s.load1)},"steal_s":${r3(s.stealS)}}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -138,17 +167,26 @@ object Bench {
     clearStorage()
     // noop sink: materializes every column of every row (a count()
     // would let Catalyst prune the computation being measured)
-    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Sample = {
+      val at = System.currentTimeMillis() / 1000
+      val ld = load1()
+      val st0 = stealJiffies()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+      // a throwing run keeps its elapsed (the failure time) but is
+      // marked !ok so it can never win a min against a clean sample
+      // (r9 advice: a fast error path adopted as the score)
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
       val sec = (System.nanoTime() - t0) / 1e9
+      val stealS = (stealJiffies() - st0) / 100.0
       clearStorage()
-      sec
+      Sample(sec, ok, at, ld, stealS)
     }
     val firstPass = selected.map { case (name, fn) =>
       val io0 = io.snapshot
-      val s1 = once(name, fn)
+      val smp = once(name, fn)
+      val s1 = smp.sec
       val io1 = io.snapshot
       // opt-in per-entry JVM aging diagnostics (stderr only): used to
       // localize in-suite inflation that no small-subset repro shows
@@ -167,7 +205,7 @@ object Bench {
             f"heapMB=${ManagementFactory.getMemoryMXBean.getHeapMemoryUsage.getUsed / 1e6}%.0f")
       }
       def mb(b: Long) = math.round(b / 1e4) / 100.0
-      (name, s1, mb(io1._1 - io0._1), mb(io1._2 - io0._2), mb(io1._3 - io0._3))
+      (name, smp, mb(io1._1 - io0._1), mb(io1._2 - io0._2), mb(io1._3 - io0._3))
     }
     // Single-sample timings on a virtualized host spike 2-4x under
     // contention invisible from inside the VM, and the spikes MIGRATE
@@ -182,11 +220,17 @@ object Bench {
     // the same burst). IO metrics attribute to the first sample only;
     // both samples are emitted in the file JSON ("samples") so
     // cross-round consumers can see which entries are min-of-2.
-    val retry: Map[String, Double] = selected
-      .filter { case (name, _) => firstPass.find(_._1 == name).exists(_._2 > 2.5) }
+    val retry: Map[String, Sample] = selected
+      .filter { case (name, _) =>
+        firstPass.find(_._1 == name).exists(p => p._2.sec > 2.5 || !p._2.ok) }
       .map { case (name, fn) => name -> once(name, fn) }.toMap
-    val results = firstPass.map { case (name, s1, sh, in, sp) =>
-      (name, math.min(s1, retry.getOrElse(name, s1)), sh, in, sp)
+    val results = firstPass.map { case (name, smp, sh, in, sp) =>
+      // min over CLEAN samples only; if every sample threw, report the
+      // first failure's elapsed (stderr carries the exception) rather
+      // than letting a fast error path pose as a measurement
+      val clean = (Seq(smp) ++ retry.get(name)).filter(_.ok)
+      val sec = if (clean.nonEmpty) clean.map(_.sec).min else smp.sec
+      (name, sec, sh, in, sp)
     }
     // Isolated re-measure of the most expensive entries: a fresh
     // timing pass AFTER the sweep separates a query's intrinsic cost
@@ -200,15 +244,10 @@ object Bench {
     val topNames = results.sortBy(-_._2).take(10).map(_._1).toSet
     System.gc()
     val isolated = selected.filter(p => topNames(p._1)).map { case (name, fn) =>
-      val sec = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case e: Throwable => System.err.println(s"[bench-isolated] $name: $e") }
-        val s1 = (System.nanoTime() - t0) / 1e9
-        clearStorage()
-        s1
-      }.min
-      (name, sec)
+      val ss = (1 to 3).map(_ => once(name, fn))
+      val clean = ss.filter(_.ok)
+      val sec = (if (clean.nonEmpty) clean else ss).map(_.sec).min
+      (name, sec, ss)
     }
     def entry(k: String, v: Double): String =
       s"\"" + k + "\":" + (math.round(v * 1000) / 1000.0)
@@ -226,7 +265,7 @@ object Bench {
     // per-query map + io metrics go to the file.
     val buildJson = builds.map { case (k, v) => entry(k, v) }
       .mkString("{", ",", "}")
-    val isolatedJson = isolated.map { case (k, v) => entry(k, v) }
+    val isolatedJson = isolated.map { case (k, v, _) => entry(k, v) }
       .mkString("{", ",", "}")
     // both samples for every min-of-2 entry (file JSON only): lets
     // cross-round consumers distinguish single-sample from retried
@@ -234,8 +273,20 @@ object Bench {
     val samplesJson = firstPass
       .filter { case (k, _, _, _, _) => retry.contains(k) }
       .map { case (k, s1, _, _, _) =>
-        s""""$k":[${math.round(s1 * 1000) / 1000.0},${math.round(retry(k) * 1000) / 1000.0}]"""
+        s""""$k":[${math.round(s1.sec * 1000) / 1000.0},${math.round(retry(k).sec * 1000) / 1000.0}]"""
       }.mkString("{", ",", "}")
+    // per-sample host telemetry for EVERY timed run (file JSON only):
+    // wall-clock start, loadavg, steal accrued during the run — the
+    // r9 verdict's "make the floors attributable" ask. A 4× floor
+    // disagreement now either shows up as load/steal in the JSON or
+    // is excluded by it.
+    val envJson = firstPass.map { case (k, s1, _, _, _) =>
+      val ss = Seq(s1) ++ retry.get(k)
+      s""""$k":[${ss.map(sampleJson).mkString(",")}]"""
+    }.mkString("{", ",", "}")
+    val isolatedEnvJson = isolated.map { case (k, _, ss) =>
+      s""""$k":[${ss.map(sampleJson).mkString(",")}]"""
+    }.mkString("{", ",", "}")
     val headline = {
       // Size the headline against the ACTUAL remaining stdout budget
       // (2000-char driver tail) after the fixed fields and the real
@@ -258,7 +309,7 @@ object Bench {
     val stdoutJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$headline,"isolated_s":$isolatedJson,"sf":"$sfDir"}"""
     val fileJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"io":$ios,"build_s":$buildJson,"isolated_s":$isolatedJson,"samples":$samplesJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"io":$ios,"build_s":$buildJson,"isolated_s":$isolatedJson,"samples":$samplesJson,"env":$envJson,"isolated_env":$isolatedEnvJson,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outFile), fileJson + "\n")
     println(stdoutJson)
     spark.stop()

@@ -1630,7 +1630,12 @@ object Graph {
 
   val graphLouvain: QueryDef = QueryDef.sql(
     "graph_louvain", louvainOracle) { (s, d) =>
-    louvainModularity(copurchaseEdges(s, d), louvainLabelsArtifact(s, d))
+    // labels computed IN-QUERY (r9 advice): the entry named for the
+    // algorithm must time the 6-round local-move loop, not a readout
+    // of a staged answer. The edge relation stays a staged ingest
+    // artifact (an input projection); graph_conductance, which scores
+    // a GIVEN partition, keeps reading the staged labels.
+    louvainReadout(s, copurchaseEdges(s, d))
   }
 
   /** The ≥3-co-occurrence part co-purchase edge set, staged once per
@@ -1651,13 +1656,16 @@ object Graph {
     }
 
   /** The level-1 Louvain partition of the co-purchase graph, staged
-    * once per corpus: the 6-round local-move loop is the expensive
-    * part of BOTH graph_louvain and graph_conductance (r8: 9.0 s of
-    * conductance's isolated cost was re-running Louvain that
-    * graph_louvain had already paid for). Labels are a plain
-    * (node BIGINT, c BIGINT) relation — parquet-exact, so both
-    * entries' oracle hashes are untouched; Bench stages it in
-    * build_s with the other edge artifacts.
+    * once per corpus. Consumed by graph_conductance ONLY (r9 advice
+    * reclassification): conductance scores a GIVEN partition — the
+    * partition is its input, like the edge relations, so reading the
+    * staged artifact is the ingest contract and conductance's bench
+    * time measures the two O(|E|) cut/volume aggregates it is named
+    * for. graph_louvain recomputes the same labels in-query (the
+    * algorithm IS that entry's workload); the artifact build time is
+    * reported in Bench build_s. Labels are a plain (node BIGINT,
+    * c BIGINT) relation — parquet-exact, identical to the in-query
+    * loop's output, so both entries' oracle hashes agree.
     */
   def louvainLabelsArtifact(s: SparkSession, d: String): DataFrame =
     stagedEdges(s, d, "louvain_labels") {

@@ -226,12 +226,57 @@ object Multimodal {
     }).getOrElse(stub)
   }
 
-  /** Documents with an opaque binary payload column (UTF-8 bytes of
-    * text stand in for image bytes; schema shape is the point).
+  /** Deterministic genuine media payload for a planted corpus doc:
+    * doc_id mod 100 picks the container (0,1 → PNG; 2 → BMP; 3 → GIF;
+    * 4 → RIFF WAV), pixel/PCM content is seeded from doc_id so every
+    * payload is unique. Encoded through the JDK's own writers, so the
+    * bytes are real containers the decode/resample paths fully parse.
     */
-  def payloads(s: SparkSession, d: String): DataFrame =
+  def genMedia(docId: Long): Array[Byte] = (docId % 100) match {
+    case 0 | 1 => encodeImage("png", 56 + (docId % 32).toInt, 40 + (docId % 24).toInt, docId)
+    case 2 => encodeImage("bmp", 64 + (docId % 16).toInt, 48 + (docId % 12).toInt, docId)
+    case 3 => encodeImage("gif", 16, 16, docId)
+    case _ => synthWav(docId)
+  }
+
+  private def encodeImage(fmt: String, w: Int, h: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (mix64(seed * 7919L + y.toLong * w + x) & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  /** Documents with an opaque binary payload column. The corpus
+    * generator emits text stand-ins for every payload, which left
+    * the real decode/resample paths spec-only (r9 verdict: "the real
+    * path never executes at any verify SF") — so the reader PLANTS
+    * genuine media on a deterministic 5% subset (doc_id % 100 < 5:
+    * real PNG/BMP/GIF images and RIFF WAVs, unique bytes per doc).
+    * The hash-matched entries (mm_binary_stats, mm_shards) read
+    * `documents` directly and are untouched; every payloads()
+    * consumer is rows-only with its pinning spec + the SF-sweep
+    * vacuity gate asserting the real paths fire at every SF.
+    */
+  def payloads(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     Tables.documents(s, d)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(it => it.map { case (id, text) =>
+        (id, if (id % 100 < 5) genMedia(id) else text.getBytes("UTF-8"))
+      })
+      .toDF("doc_id", "payload")
+  }
 
   val ShardBytes = 16384L
   private val ShardBlock = 100L
@@ -388,7 +433,13 @@ object Multimodal {
         }
         Some(out)
       }
-    } catch { case _: Throwable => None }
+    } catch {
+      // decode failures only (malformed container, unsupported
+      // variant): Errors (OOM/LinkageError) must PROPAGATE — r9
+      // advice: swallowing them silently downgraded a decodable
+      // payload to the planning-only stub with nothing failing
+      case _: java.io.IOException | _: RuntimeException => None
+    }
 
   private def crc32(b: Array[Byte]): Long = {
     val c = new java.util.zip.CRC32

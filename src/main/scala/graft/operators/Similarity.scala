@@ -44,9 +44,15 @@ object Similarity {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       // assert_true returns NULL when the condition holds, so the
       // filter passes every valid row and throws on a violation; as a
-      // Filter (not a dropped projection) it cannot be pruned away
+      // Filter (not a dropped projection) it cannot be pruned away.
+      // The message interpolates vec_id so a violation IDENTIFIES the
+      // offending row (r9 advice). Cost: one codegen'd dot(v,v)
+      // comparison per scanned row on every vectors() consumer —
+      // ~2·d flops against the ≥d-flop work every consumer already
+      // does per row; the concat sits on the never-taken error branch.
       .filter(assert_true(dot(col("v"), col("v")) > lit(0.0d),
-        lit("zero-norm embedding: cosine similarity is undefined")).isNull)
+        concat(lit("zero-norm embedding: cosine similarity is undefined: vec_id="),
+          col("vec_id"))).isNull)
 
   /** Exact cosine top-10 for the vec_id=0 query vector. */
   val annBruteforce: QueryDef = QueryDef.sql(

@@ -491,11 +491,19 @@ object Tpch {
     * re-registered over their LOCATION (Spark's bucket-id file naming
     * keeps the CLUSTERED BY honored shuffle-free).
     */
+  private val SupplyBuckets = 32
+
   private def derivedPartSupp(s: SparkSession, d: String): DataFrame =
     Tpch.synchronized {
-      val fp = graft.sources.Warehouse.fingerprint(s, d, Seq("lineitem.parquet"))
-      val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(fp.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      // the LAYOUT spec is part of the identity (r9 advice): if the
+      // bucket count or cluster/sort columns ever change, the hash
+      // changes and a fresh table is built — the _SUCCESS re-register
+      // below can then never stamp new bucket metadata onto files
+      // written under an old layout (which would silently co-locate
+      // wrong rows in the exchange-free joins)
+      val salt = s"|b$SupplyBuckets|l_partkey,l_suppkey|sorted:l_partkey,l_suppkey"
+      val fp = graft.sources.Warehouse.fingerprint(s, d, Seq("lineitem.parquet")) + salt
+      val h = graft.sources.Warehouse.md5_8(fp)
       val t = s"graft_supply_b_$h"
       if (!s.catalog.tableExists(t)) {
         val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
@@ -511,12 +519,17 @@ object Tpch {
         if (fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS")))
           s.sql(s"CREATE TABLE $t (${df.schema.toDDL}) USING parquet " +
             s"CLUSTERED BY (l_partkey, l_suppkey) " +
-            s"SORTED BY (l_partkey, l_suppkey) INTO 32 BUCKETS " +
+            s"SORTED BY (l_partkey, l_suppkey) INTO $SupplyBuckets BUCKETS " +
             s"LOCATION '$dir'")
         else
-          df.write.bucketBy(32, "l_partkey", "l_suppkey")
+          df.write.bucketBy(SupplyBuckets, "l_partkey", "l_suppkey")
             .sortBy("l_partkey", "l_suppkey")
             .mode("overwrite").saveAsTable(t)
+        // provenance for the GC sweep (covers the re-register branch
+        // too, migrating pre-r10 metaless dirs), then collect any
+        // supply table a previous corpus fingerprint left behind
+        graft.sources.Warehouse.writeMeta(s, dir, d, Seq("lineitem.parquet"), salt)
+        graft.sources.Warehouse.gcStale(s)
       }
       s.table(t)
     }

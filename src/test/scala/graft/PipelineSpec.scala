@@ -509,8 +509,11 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getInt(1) % 4 == 0)
       assert(r.getInt(2) > 0 && r.getInt(2) <= Multimodal.FrameBytes)
     }
-    // spot-check one document's frame count against its byte length
+    // spot-check one document's frame count against its byte length —
+    // a TEXT payload doc (doc_id % 100 < 5 carries planted genuine
+    // media since r10, whose byte length is not the text length)
     val doc = graft.sources.Tables.documents(spark, sf)
+      .filter(pmod(col("doc_id"), lit(100)) >= 5)
       .orderBy(col("doc_id")).limit(1).collect()(0)
     val nBytes = doc.getString(1).getBytes("UTF-8").length
     val expected = (0 until (nBytes + Multimodal.FrameBytes - 1) / Multimodal.FrameBytes)

@@ -88,6 +88,35 @@ class VerifySfSweepSpec extends AnyFunSuite {
         "update this pin alongside the oracle change")
   }
 
+  // ---- planted-media execution gate (round-10 verdict item 3) -----------
+  // payloads() plants genuine PNG/BMP/GIF/WAV containers on 5% of doc
+  // ids, so the REAL decode + resample paths must fire at every SF —
+  // before r10 they executed only against a spec-planted PNG and a
+  // decode regression was indistinguishable from the text-stub path.
+  test("mm_resize really resamples corpus media at sf0.001 and sf0.1") {
+    import org.apache.spark.sql.functions.col
+    for (dir <- Seq(sfLow, sfHigh)) {
+      val rs = operators.Multimodal.mmResize.fn(spark, dir)
+      val real = rs.filter(col("resampled") && col("out_crc") =!= 0L).count()
+      assert(real >= 1, s"no corpus payload took the real resample path at $dir")
+    }
+  }
+
+  test("mm_features decodes every planted container kind at both SFs") {
+    import org.apache.spark.sql.functions.col
+    for (dir <- Seq(sfLow, sfHigh)) {
+      val kinds = operators.Multimodal.mmFeatures.fn(spark, dir)
+        .select("kind").distinct().collect().map(_.getString(0)).toSet
+      for (k <- Seq("png", "bmp", "gif", "wav"))
+        assert(kinds.contains(k), s"kind $k never decoded at $dir (saw $kinds)")
+      // WAV rows must carry real audio metadata, not the image stub
+      val wav = operators.Multimodal.mmFeatures.fn(spark, dir)
+        .filter(col("kind") === "wav").collect()
+      assert(wav.forall(r => r.getInt(5) == operators.Multimodal.AudioRate),
+        "planted WAVs must decode their true sample rate")
+    }
+  }
+
   for (name <- rowsOnly) {
     test(s"rows-only $name is non-vacuous at sf0.001 and sf0.1") {
       val fn = SparkEntry.queries(name)
