@@ -38,6 +38,21 @@ object TextFunctions {
     ColumnBridge.column(
       org.apache.spark.sql.graft.WordGrams(ColumnBridge.expression(tokens), n))
 
+  /** Sliding character n-grams with SQL substring codepoint
+    * semantics (native per-row loop — see
+    * org.apache.spark.sql.graft.CharNgrams).
+    */
+  def char_ngrams(text: Column, n: Int): Column =
+    ColumnBridge.column(
+      org.apache.spark.sql.graft.CharNgrams(ColumnBridge.expression(text), n))
+
+  /** Sliding word n-gram XXH64 hashes (exact multi-arg xxhash64 seed
+    * chain — see org.apache.spark.sql.graft.WordGramXxhash).
+    */
+  def word_gram_xxhash(tokens: Column, n: Int): Column =
+    ColumnBridge.column(
+      org.apache.spark.sql.graft.WordGramXxhash(ColumnBridge.expression(tokens), n))
+
   /** Register `graft_normalize` for SQL use in an existing session. */
   def registerSql(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -342,10 +342,8 @@ object Curation {
       .select(col("doc_id"),
         regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)).as("toks"))
       .filter(size(col("toks")) >= 5)
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(0, size(toks) - 5),
-          |  i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2], ' ',
-          |              toks[i+3], ' ', toks[i+4]))""".stripMargin)).as("sh"))
+      .select(col("doc_id"), explode(
+        graft.functions.TextFunctions.word_grams(col("toks"), 5)).as("sh"))
       .distinct()
     val all = grams5(Tables.documents(s, d))
     val bench = all.filter(col("doc_id") % 37 === 0)
@@ -630,10 +628,8 @@ object Curation {
       .select(col("doc_id"),
         regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)).as("toks"))
       .filter(size(col("toks")) >= 5)
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(0, size(toks) - 5),
-          |  i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2], ' ',
-          |              toks[i+3], ' ', toks[i+4]))""".stripMargin)).as("sh"))
+      .select(col("doc_id"), explode(
+        graft.functions.TextFunctions.word_grams(col("toks"), 5)).as("sh"))
       .distinct()
     val benchGrams = grams.filter(col("doc_id") % 37 === 0).select(col("sh")).distinct()
     val bad = grams.filter(col("doc_id") % 37 =!= 0)
@@ -1107,10 +1103,8 @@ object Curation {
       .select(col("doc_id"),
         regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)).as("toks"))
       .filter(size(col("toks")) >= 5)
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(0, size(toks) - 5),
-          |  i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2], ' ',
-          |              toks[i+3], ' ', toks[i+4]))""".stripMargin)).as("sh"))
+      .select(col("doc_id"), explode(
+        graft.functions.TextFunctions.word_grams(col("toks"), 5)).as("sh"))
       .distinct()
     val benchGrams = grams.filter(col("doc_id") % 37 === 0)
       .select(col("sh")).distinct().localCheckpoint(true)

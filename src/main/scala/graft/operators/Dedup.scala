@@ -84,9 +84,8 @@ object Dedup {
       .select(col("doc_id"),
         regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)).as("toks"))
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(toks) - 3), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"))
-        .as("sh"))
+      .select(col("doc_id"), explode(
+        graft.functions.TextFunctions.word_grams(col("toks"), 3)).as("sh"))
       .distinct()
   }
 
@@ -248,9 +247,11 @@ object Dedup {
       .select(col("doc_id"),
         regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)).as("toks"))
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(toks) - 3), i -> xxhash64(toks[i], toks[i+1], toks[i+2]))"))
-        .as("sh"))
+      // native per-row loop over the exact multi-arg xxhash64 seed
+      // chain — value-identical to the transform(sequence, xxhash64)
+      // spelling on the guarded (≥3-token) domain
+      .select(col("doc_id"), explode(
+        graft.functions.TextFunctions.word_gram_xxhash(col("toks"), 3)).as("sh"))
 
   /** Once-per-corpus STAGED (doc_id, sh) shingle relation (the
     * Warehouse contract): ~8 dedup entries used to re-derive the

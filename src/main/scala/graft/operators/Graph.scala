@@ -2529,8 +2529,10 @@ object Graph {
     * exactly the ≤h-hop ball, because bitwise-OR is the union of the
     * underlying node sets. Spark shape: masks are 32 LONG COLUMNS
     * and the merge is the built-in codegen'd bit_or aggregate — no
-    * UDAF, no array state; per round ONE O(2|E|) message shuffle +
-    * O(n) group-agg, lineage cut every 3 rounds (pagerank pattern).
+    * UDAF, no array state; the edge cache is hash(v)-partitioned so
+    * the per-round partial bit_or collapses to each partition's own
+    * nodes before the merge exchange (≈8-10× fewer exchanged bytes
+    * than a scan-ordered cache), lineage cut every round.
     * Ball-size estimate per node = 2^R/0.77351, R = mean lowest-zero
     * -bit position; N(h) = Σ nodes' estimates (one tiny agg per h).
     * Runs on the namespaced undirected bipartite customer↔supplier
@@ -2544,7 +2546,23 @@ object Graph {
     val e = tradeEdges(s, d)
     // disjoint node namespace: customer 2k, supplier 2k+1
     val und = e.select((col("src") * 2).as("u"), (col("dst") * 2 + 1).as("v"))
+    // REPARTITION BY v (the merge key): the r9 cache was scan-ordered,
+    // so every partition of the per-round msgs relation saw ~ALL nodes
+    // and the partial bit_or collapsed nothing — the merge exchange
+    // carried ~16k groups × 33 longs × 32 partitions ≈ 40 MB/round
+    // (120 MB/suite at sf0.1, the #3 shuffler). v-clustered partitions
+    // reduce the partial output to each partition's own ~n/32 nodes,
+    // an 8-10× smaller exchange for one 10 MB edge repartition.
+    // Explicit partition count — a bare repartition(col) lets AQE
+    // coalesce this ~10 MB relation to ONE partition (advisory 64 MB)
+    // and serialize every round. (The zero-exchange alternative —
+    // self-loop edges + broadcast state + alias-preserved partitioning
+    // — was measured 2-3× SLOWER per round here: it fuses the probe
+    // and both 33-column agg phases into one whole-stage method that
+    // the JIT refuses, so every round ran interpreted. Two smaller
+    // stages + a tiny exchange win; don't re-fuse this.)
     val edges = und.union(und.select(col("v").as("u"), col("u").as("v")))
+      .repartition(s.sparkContext.defaultParallelism, col("v"))
       .persist()
     val mcols = (0 until AnfK).map(j => s"m$j")
     // init: one geometric bit per (node, mask): lowest set bit of a
@@ -2562,6 +2580,17 @@ object Graph {
     var state = edges.select(col("u").as("node")).distinct()
       .select(col("node") +: (0 until AnfK).map(j => geoBit(j).as(s"m$j")): _*)
       .localCheckpoint(eager = true)
+    // size-adaptive broadcast of the O(n)×33-long state (~264 B/row):
+    // the checkpointed state scans with UNKNOWN size, so the planner
+    // would pick a sort-merge join and re-shuffle the edge cache by u
+    // — destroying the v-clustering the repartition above bought
+    // (measured: 106 MB suite shuffle via SMJ vs ~30 MB broadcast).
+    // Below the bound the join is map-side and v-clustering survives
+    // into the partial agg; above it the shuffled join is the
+    // fallback (same result — bit_or is order-free).
+    val nNodes = state.count()
+    def bcState(st: DataFrame): DataFrame =
+      if (nNodes <= 500000L) broadcast(st) else st
     // ball-size estimate: R = mean lowest-ZERO-bit position (exact
     // integer sum ÷ k), est = 2^R/φ. Per-node estimates quantize to
     // exact micro longs BEFORE the node sum so the estimate is
@@ -2576,7 +2605,12 @@ object Graph {
         .as[Long].collect()(0) / 1e6
     val curve = scala.collection.mutable.ArrayBuffer(nh(state))
     for (h <- 1 to AnfRounds) {
-      val msgs = edges.join(state, col("u") === col("node"))
+      // union(state) is load-bearing for CODEGEN, not just retention:
+      // it breaks whole-stage fusion between the broadcast probe and
+      // the 33-column aggregate. The fused exchange-free alternative
+      // generated one method the JIT refused (every round ran
+      // interpreted, 2-3× slower) — keep the branches split.
+      val msgs = edges.join(bcState(state), col("u") === col("node"))
         .select(col("v").as("node") +: mcols.map(col): _*)
       state = graft.Ckpt.roll(msgs.union(state)
         .groupBy(col("node"))

@@ -1160,9 +1160,16 @@ object KMeans {
         col("nb.jx").as("jx"), col("nb.jy").as("jy"))
     val build = withCell.select(col("pid").as("pid2"), col("nx").as("nx2"),
       col("ny").as("ny2"), col("cx").as("jx"), col("cy").as("jy"))
+    // size-adaptive broadcast of the slim (~40 B/row) build side —
+    // the profile_lof round-10 treatment: below the bound the 9n
+    // exploded probe rows never cross an exchange (the r9 shape
+    // shuffled 34 MB at sf0.1 through this join); above it the
+    // shuffled join is the fallback. Identical neighbor set either
+    // way; nPts is already a driver-side plan-time stat.
+    val buildSide = if (nPts <= 2000000L) broadcast(build) else build
     // the eps-neighbor relation feeds three branches (core counts,
     // core-core edges, border attachment) — materialize it once
-    val nbrs = probe.join(build, Seq("jx", "jy"))
+    val nbrs = probe.join(buildSide, Seq("jx", "jy"))
       .filter((col("nx") - col("nx2")) * (col("nx") - col("nx2")) +
         (col("ny") - col("ny2")) * (col("ny") - col("ny2")) <= lit(eps * eps))
       .select(col("pid"), col("pid2"))

@@ -159,20 +159,31 @@ object Linkage {
     */
   val miningFpgrowth: QueryDef = QueryDef.rowsOnly("mining_fpgrowth") { (s, d) =>
     import org.apache.spark.ml.fpm.FPGrowth
+    // persist: the basket build is a corpus collect_set shuffle read
+    // by the support count AND the fit's item-conversion pass (ml's
+    // internal persistence only covers its own RDD, not this frame)
     val baskets = Tables.lineitem(s, d)
       .groupBy(col("l_orderkey"))
       .agg(collect_set(col("l_partkey")).as("items"))
+      .persist()
     val nBaskets = baskets.count()
-    val model = new FPGrowth()
-      .setItemsCol("items").setMinSupport((3.0 - 0.5) / nBaskets)
-      .fit(baskets)
-    model.freqItemsets
-      .select(
-        concat_ws(",", array_sort(col("items"))).as("itemset"),
-        size(col("items")).as("n_items"),
-        col("freq"))
-      .orderBy(col("freq").desc, col("n_items"), col("itemset"))
-      .limit(500)
+    try {
+      val model = new FPGrowth()
+        .setItemsCol("items").setMinSupport((3.0 - 0.5) / nBaskets)
+        .fit(baskets)
+      model.freqItemsets
+        .select(
+          concat_ws(",", array_sort(col("items"))).as("itemset"),
+          size(col("items")).as("n_items"),
+          col("freq"))
+        .orderBy(col("freq").desc, col("n_items"), col("itemset"))
+        .limit(500)
+        // freqItemsets is a LAZY RDD view over the fit's lineage —
+        // materialize while the basket cache is live (kmeans_mllib
+        // pattern), or the post-unpersist evaluation recomputes the
+        // collect_set shuffle and the FP-tree generation
+        .localCheckpoint(true)
+    } finally baskets.unpersist(false)
   }
 
   /** Association rules from the frequent itemsets — the actionable
@@ -246,10 +257,14 @@ object Linkage {
 
   val miningAssoc: QueryDef = QueryDef.sql("mining_assoc", assocOracle) { (s, d) =>
     import org.apache.spark.ml.fpm.FPGrowth
+    // persist: same rationale as mining_fpgrowth (support count + fit
+    // conversion share one materialization of the collect_set shuffle)
     val baskets = Tables.lineitem(s, d)
       .groupBy(col("l_orderkey"))
       .agg(collect_set(col("l_partkey")).as("items"))
+      .persist()
     val nBaskets = baskets.count()
+    try {
     val model = new FPGrowth()
       .setItemsCol("items").setMinSupport((3.0 - 0.5) / nBaskets)
       .setMinConfidence(0.01)
@@ -278,6 +293,10 @@ object Linkage {
       .orderBy(col("confidence").desc, col("lift").desc,
         col("antecedent"), col("consequent"))
       .limit(100)
+      // associationRules is lazy over the fit lineage — materialize
+      // while the basket cache is live (see mining_fpgrowth)
+      .localCheckpoint(true)
+    } finally baskets.unpersist(false)
   }
 
   /** Collaborative-filtering recommendations by implicit-feedback
@@ -359,13 +378,19 @@ object Linkage {
     */
   val miningPrefixspan: QueryDef = QueryDef.rowsOnly("mining_prefixspan") { (s, d) =>
     import org.apache.spark.ml.fpm.PrefixSpan
-    val seqs = sessionSequences(s, d)
+    // persist: the two-window sessionization feeds the support count
+    // AND PrefixSpan's internal passes (MLlib warns "Input data is
+    // not cached" — it re-derives the sequence frame per prefix-growth
+    // round otherwise); count() materializes the cache
+    val seqs = sessionSequences(s, d).persist()
     val n = seqs.count()
-    new PrefixSpan()
+    try new PrefixSpan()
       .setSequenceCol("sequence")
       .setMinSupport((10.0 - 0.5) / n)
       .setMaxPatternLength(3)
       .findFrequentSequentialPatterns(seqs)
+      // materialize while the cache is live; the plan re-reads seqs
+      .localCheckpoint(true)
       .select(
         concat_ws(">", transform(col("sequence"), x => concat_ws(",", x)))
           .as("pattern"),
@@ -373,6 +398,7 @@ object Linkage {
         col("freq"))
       .orderBy(col("freq").desc, col("n_steps"), col("pattern"))
       .limit(200)
+    finally seqs.unpersist(false)
   }
 
   /** Topic modeling via MLlib's distributed LDA (EM optimizer —
@@ -828,8 +854,12 @@ object Linkage {
     docs.select(col("doc_id"), col("lang"),
         regexp_replace(lower(col("text")), "\\s+", " ").as("txt"))
       .select(col("doc_id"), col("lang"),
-        explode(expr(
-          "transform(sequence(1, greatest(length(txt) - 2, 0)), i -> substr(txt, i, 3))"))
+        // native codepoint-exact n-gram loop (one eval per doc) in
+        // place of the interpreted transform(sequence(…), substr)
+        // lambda (one dispatch + head-to-i codepoint walk PER
+        // POSITION) — value-identical on every ≥3-codepoint doc, and
+        // the <3 edge matches the oracle's empty generate_series
+        explode(graft.functions.TextFunctions.char_ngrams(col("txt"), 3))
           .as("tri"))
       .groupBy(col("doc_id"), col("lang"), col("tri"))
       .agg(count(lit(1)).as("m"))

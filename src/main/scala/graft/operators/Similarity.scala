@@ -970,19 +970,27 @@ object Similarity {
       |ORDER BY src, rank""".stripMargin) { (s, d) =>
     val e = vectors(s, d)
     // per-side norms: 1 dot per pair instead of 3, bit-identical cos
+    // repartition(src) + native top-k: see emb_hubness — the one-split
+    // embeddings scan otherwise leaves the O(n²) stage on one core,
+    // and the window rank sorts every src's full candidate list where
+    // the bounded TopKPerKey buffer keeps 4 rows. The rank column is
+    // re-derived by a window over the ≤4-row-per-key survivors (the
+    // emb_knn_graph_ivf pattern) — identical rows, identical ranks.
     val a = e.select(col("vec_id").as("src"), col("v").as("va"),
       sqrt(dot(col("v"), col("v"))).as("na"))
+      .repartition(e.sparkSession.sparkContext.defaultParallelism, col("src"))
     val b = e.select(col("vec_id").as("dst"), col("v").as("vb"),
       sqrt(dot(col("v"), col("v"))).as("nb"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src")).orderBy(col("cos_sim").desc, col("dst"))
-    a.crossJoin(b)
+    val pairs = a.crossJoin(broadcast(b))
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"),
         (floor((dot(col("va"), col("vb")) / (col("na") * col("nb"))) * 10000 + 0.5) / 10000.0)
           .as("cos_sim"))
+    org.apache.spark.sql.graft.TopKOps.topKPerKey(
+        pairs, Seq(col("src")), Seq(col("cos_sim").desc, col("dst").asc), 4)
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 4)
       .select(col("src"), col("rank"), col("dst"), col("cos_sim"))
       .orderBy(col("src"), col("rank"))
   }
@@ -1452,20 +1460,21 @@ object Similarity {
     // norms precomputed PER SIDE, not per pair: cos = dot/(na·nb) is
     // bit-identical to the inline cosine (same ops, factored), and
     // the O(n²) stage drops from 3 dots/pair to 1
+    // repartition(src) + native top-k: see emb_knn_graph (one-split
+    // scan parallelism + bounded-buffer cut; identical survivors)
     val a = e.select(col("vec_id").as("src"), col("label").as("truth"),
       col("v").as("va"), sqrt(dot(col("v"), col("v"))).as("na"))
+      .repartition(e.sparkSession.sparkContext.defaultParallelism, col("src"))
     val b = e.select(col("vec_id").as("dst"), col("label").as("nb_label"),
       col("v").as("vb"), sqrt(dot(col("v"), col("v"))).as("nb"))
-    val wNn = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("src")).orderBy(col("cos_sim").desc, col("dst"))
     val wVote = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src")).orderBy(col("n_votes").desc, col("nb_label"))
-    a.crossJoin(b).filter(col("src") =!= col("dst"))
+    val pairs = a.crossJoin(broadcast(b)).filter(col("src") =!= col("dst"))
       .select(col("src"), col("truth"), col("nb_label"), col("dst"),
         (floor((dot(col("va"), col("vb")) / (col("na") * col("nb"))) * 10000 + 0.5) / 10000.0)
           .as("cos_sim"))
-      .withColumn("rank", row_number().over(wNn))
-      .filter(col("rank") <= k)
+    org.apache.spark.sql.graft.TopKOps.topKPerKey(
+        pairs, Seq(col("src")), Seq(col("cos_sim").desc, col("dst").asc), k)
       .groupBy(col("src"), col("truth"), col("nb_label"))
       .agg(count(lit(1)).as("n_votes"))
       .withColumn("vr", row_number().over(wVote))

@@ -354,8 +354,9 @@ object TextAnalysis {
       .select(col("doc_id"),
         regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)).as("toks"))
       .filter(size(col("toks")) >= 3)
-      .withColumn("grams", expr(
-        "transform(sequence(0, size(toks) - 3), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"))
+      // native word-gram loop (guarded size ≥ 3 ⇒ value-identical to
+      // the interpreted transform(sequence) spelling)
+      .withColumn("grams", graft.functions.TextFunctions.word_grams(col("toks"), 3))
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
         round(lit(1) - size(array_distinct(col("toks"))).cast("double") / size(col("toks")), 4)
@@ -743,12 +744,13 @@ object TextAnalysis {
       .filter(length(col("txt")) >= WinnowK)
       .select(col("doc_id"),
         (length(col("txt")) - lit(WinnowK - 1)).as("n"),
-        explode(expr(
-          s"""transform(sequence(1, length(txt) - ${WinnowK - 1}),
-             |  i -> struct(i AS i,
-             |    substring(md5(substring(txt, i, $WinnowK)), 1, 16) AS h))""".stripMargin))
-          .as("x"))
-      .select(col("doc_id"), col("n"), col("x.i").as("i"), col("x.h").as("h"))
+        // native k-gram loop + posexplode; the md5 moves OUT of the
+        // interpreted lambda into the codegen'd projection (same
+        // hash, same 1-based position, same values)
+        posexplode(
+          graft.functions.TextFunctions.char_ngrams(col("txt"), WinnowK)))
+      .select(col("doc_id"), col("n"), (col("pos") + 1).as("i"),
+        substring(md5(col("col")), 1, 16).as("h"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
       .rowsBetween(Window.currentRow, WinnowW - 1)
     g.withColumn("fp", min(col("h")).over(w))
@@ -841,10 +843,8 @@ object TextAnalysis {
       .select(col("doc_id"),
         regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)).as("toks"))
       .filter(size(col("toks")) >= 5)
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(0, size(toks) - 5),
-          |  i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2], ' ',
-          |              toks[i+3], ' ', toks[i+4]))""".stripMargin)).as("sh"))
+      .select(col("doc_id"), explode(
+        graft.functions.TextFunctions.word_grams(col("toks"), 5)).as("sh"))
       .distinct()
     val seen = sh.withColumn("first_doc",
       min(col("doc_id")).over(Window.partitionBy(col("sh"))))
@@ -2028,10 +2028,8 @@ object TextAnalysis {
     val fd = docs.select(col("doc_id"),
         regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)).as("toks"))
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(0, size(toks) - 3),
-          |  i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))""".stripMargin))
-        .as("w"))
+      .select(col("doc_id"), explode(
+        graft.functions.TextFunctions.word_grams(col("toks"), 3)).as("w"))
       .groupBy(col("w")).agg(min(col("doc_id")).as("f"))
     val vRow = fd.agg(
       fracs.indices.map(i =>
