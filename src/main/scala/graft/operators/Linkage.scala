@@ -269,6 +269,11 @@ object Linkage {
       .setItemsCol("items").setMinSupport((3.0 - 0.5) / nBaskets)
       .setMinConfidence(0.01)
       .fit(baskets)
+    // freqItemsets is a LAZY view over the whole mining lineage and
+    // has TWO consumers here (the size guard below and the rule
+    // generation) — without this persist the FP-tree mining runs
+    // twice end-to-end
+    model.freqItemsets.persist()
     // The oracle enumerates itemset levels only up to size 7; if the
     // data ever produced a FREQUENT itemset bigger than that (≥3
     // baskets sharing 8+ items), FPGrowth would emit rules the
@@ -278,24 +283,26 @@ object Linkage {
     // coalesce(…, 0): max over ZERO frequent itemsets is null, and a
     // bare getInt would turn that corpus shape into an opaque NPE
     // instead of this require's message
-    val maxSet = model.freqItemsets
-      .agg(coalesce(max(size(col("items"))), lit(0))).head.getInt(0)
-    require(maxSet <= 7,
-      s"mining_assoc's oracle caps itemsets at size 7; " +
-        s"corpus has a frequent itemset of size $maxSet")
-    model.associationRules
-      .select(
-        concat_ws(",", array_sort(col("antecedent"))).as("antecedent"),
-        concat_ws(",", array_sort(col("consequent"))).as("consequent"),
-        (floor(col("confidence") * lit(1000000.0) + 0.5) / lit(1000000.0))
-          .as("confidence"),
-        (floor(col("lift") * lit(10000.0) + 0.5) / lit(10000.0)).as("lift"))
-      .orderBy(col("confidence").desc, col("lift").desc,
-        col("antecedent"), col("consequent"))
-      .limit(100)
-      // associationRules is lazy over the fit lineage — materialize
-      // while the basket cache is live (see mining_fpgrowth)
-      .localCheckpoint(true)
+    try {
+      val maxSet = model.freqItemsets
+        .agg(coalesce(max(size(col("items"))), lit(0))).head.getInt(0)
+      require(maxSet <= 7,
+        s"mining_assoc's oracle caps itemsets at size 7; " +
+          s"corpus has a frequent itemset of size $maxSet")
+      model.associationRules
+        .select(
+          concat_ws(",", array_sort(col("antecedent"))).as("antecedent"),
+          concat_ws(",", array_sort(col("consequent"))).as("consequent"),
+          (floor(col("confidence") * lit(1000000.0) + 0.5) / lit(1000000.0))
+            .as("confidence"),
+          (floor(col("lift") * lit(10000.0) + 0.5) / lit(10000.0)).as("lift"))
+        .orderBy(col("confidence").desc, col("lift").desc,
+          col("antecedent"), col("consequent"))
+        .limit(100)
+        // associationRules is lazy over the fit lineage — materialize
+        // while the basket/itemset caches are live (see mining_fpgrowth)
+        .localCheckpoint(true)
+    } finally model.freqItemsets.unpersist(false)
     } finally baskets.unpersist(false)
   }
 

@@ -10,6 +10,15 @@ import org.apache.spark.sql.functions._
   * join plans sort-merge first (AQE converts at runtime, one re-plan
   * per stage); the 1-row normalization totals ride in as separate
   * broadcast-subquery stages.
+  *
+  * MEASURED VERDICT (sf0.1, local[32], 3 reps): the current operator
+  * shape (V0) is at its floor — V2 (broadcast hints everywhere) ties
+  * it (4.7-5.7 s vs 5.0-5.5 s), and V1 (hints + NO intermediate
+  * checkpoints) explodes to ~50 s because without lineage cuts each
+  * iteration's broadcast subqueries re-execute all prior iterations'
+  * subtrees (exponential re-execution; exchange reuse does not apply
+  * across the per-iteration broadcast builds). The every-2-rounds
+  * rolling checkpoint is load-bearing; leave the operator alone.
   */
 object HitsProbe {
   def main(args: Array[String]): Unit = {

@@ -361,11 +361,19 @@ class Round5gOpsSpec extends AnyFunSuite {
 
   test("mm_phash_dedup: planted re-encoded variants cluster with their originals") {
     val out = graft.operators.Multimodal.mmPhashDedup.fn(spark, sf).collect()
-    // 20 planted variant pairs; representative = smallest member id
-    assert(out.length == 20)
-    assert(out.map(_.getLong(0)).sorted.sameElements(0L until 20L))
+    // every planted variant pair (docs 0-19 + their +1000000 clones)
+    // clusters under its original as representative. Since r10 the
+    // payload reader also plants GENUINE media on doc_id % 100 < 5,
+    // and some of those are real perceptual near-dups of each other
+    // (e.g. two planted WAVs within Hamming 6) — additional multi-
+    // member clusters are the operator WORKING, so they are allowed,
+    // but never with a variant id as representative.
+    val reps = out.map(_.getLong(0)).toSet
+    assert((0L until 20L).forall(reps.contains),
+      s"missing planted representatives: ${(0L until 20L).filterNot(reps.contains)}")
     out.foreach { r =>
-      assert(r.getLong(1) == 2, s"cluster ${r.getLong(0)} size ${r.getLong(1)}")
+      assert(r.getLong(1) >= 2, s"cluster ${r.getLong(0)} size ${r.getLong(1)}")
+      assert(r.getLong(0) < 1000000L, s"variant id surfaced as representative: ${r.getLong(0)}")
       assert(r.getInt(2) >= 0 && r.getInt(2) <= 6)
     }
     val out2 = graft.operators.Multimodal.mmPhashDedup.fn(spark, sf).collect()

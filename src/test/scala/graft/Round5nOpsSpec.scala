@@ -90,11 +90,17 @@ class Round5nOpsSpec extends AnyFunSuite {
     val out = Multimodal.mmShotDetect.fn(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
 
-    // replay: chunk each UTF-8 payload into 256-byte frames, mean byte
+    // replay: chunk each payload into 256-byte frames, mean byte
     // intensity per frame (decodeStub rounding), |Δ| between consecutive
-    // frames, global mean+2σ threshold, count cuts per doc
+    // frames, global mean+2σ threshold, count cuts per doc. Payloads
+    // replay the reader's r10 planting rule: genuine media bytes on
+    // doc_id % 100 < 5, UTF-8 text stand-ins elsewhere.
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
-      .map(r => (r.getLong(0), r.getString(1).getBytes("UTF-8")))
+      .map { r =>
+        val id = r.getLong(0)
+        (id, if (id % 100 < 5) Multimodal.genMedia(id)
+             else r.getString(1).getBytes("UTF-8"))
+      }
     def means(b: Array[Byte]): Array[Double] =
       b.grouped(Multimodal.FrameBytes).map { f =>
         math.round(f.map(_ & 0xff).sum.toDouble / f.length * 100) / 100.0

@@ -25,25 +25,42 @@ class WarehouseGcSpec extends AnyFunSuite {
       .filter(f => f.isDirectory && f.getName.startsWith(prefix))
       .map(_.getName).toSet
 
+  private def rmTree(f: File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree); f.delete()
+  }
+
   test("regenerating the corpus collects the stale artifact on re-stage") {
-    val corpus = Files.createTempDirectory("graft_gc_corpus").toFile.getAbsolutePath
-    spark.range(10).toDF("x").write.parquet(s"$corpus/t.parquet")
-    def stage() = graft.sources.Warehouse
-      .staged(spark, corpus, "gcspec", Seq("t.parquet")) {
-        spark.read.parquet(s"$corpus/t.parquet")
-      }
-    assert(stage().count() === 10)
-    val a1 = artifacts("graft_gcspec_")
-    assert(a1.size === 1, s"expected one artifact, saw $a1")
-    // the sidecar provenance must exist (it is what makes GC possible)
-    assert(new File(warehouseDir, s"${a1.head}/_graft_meta").exists())
-    // regenerate the corpus in place: size changes => new fingerprint
-    Thread.sleep(1100) // mtime granularity guard
-    spark.range(25).toDF("x").write.mode("overwrite").parquet(s"$corpus/t.parquet")
-    assert(stage().count() === 25)
-    val a2 = artifacts("graft_gcspec_")
-    assert(a2.size === 1 && a2 != a1,
-      s"stale artifact survived the rebuild sweep: $a1 -> $a2")
+    // start clean: a PREVIOUS session's run of this test leaves its
+    // temp corpus alive in /tmp, so its artifact is legitimately
+    // non-stale and would make the size-1 asserts below read 2
+    // (observed when the suite ran twice in one sandbox)
+    artifacts("graft_gcspec_").foreach(n => rmTree(new File(warehouseDir, n)))
+    val corpusDir = Files.createTempDirectory("graft_gc_corpus").toFile
+    val corpus = corpusDir.getAbsolutePath
+    try {
+      spark.range(10).toDF("x").write.parquet(s"$corpus/t.parquet")
+      def stage() = graft.sources.Warehouse
+        .staged(spark, corpus, "gcspec", Seq("t.parquet")) {
+          spark.read.parquet(s"$corpus/t.parquet")
+        }
+      assert(stage().count() === 10)
+      val a1 = artifacts("graft_gcspec_")
+      assert(a1.size === 1, s"expected one artifact, saw $a1")
+      // the sidecar provenance must exist (it is what makes GC possible)
+      assert(new File(warehouseDir, s"${a1.head}/_graft_meta").exists())
+      // regenerate the corpus in place: size changes => new fingerprint
+      Thread.sleep(1100) // mtime granularity guard
+      spark.range(25).toDF("x").write.mode("overwrite").parquet(s"$corpus/t.parquet")
+      assert(stage().count() === 25)
+      val a2 = artifacts("graft_gcspec_")
+      assert(a2.size === 1 && a2 != a1,
+        s"stale artifact survived the rebuild sweep: $a1 -> $a2")
+    } finally rmTree(corpusDir)
+    // with the corpus gone the surviving artifact is stale; leave the
+    // warehouse as we found it (and prove deleted-corpus staleness
+    // again on the way out)
+    graft.sources.Warehouse.gcStale(spark)
+    assert(artifacts("graft_gcspec_").isEmpty)
   }
 
   test("metaless complete artifacts (pre-provenance) are collected") {
